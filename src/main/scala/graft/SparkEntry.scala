@@ -1,13 +1,467 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ext.{Dedup, Sessions, Similarity, TextStats}
+import graft.ops.{Convert, Eval, Predictions, Relational, SyntheticBoxes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY §5.4): every implemented operator from SURVEY §2 is
+  * registered as a named query over the testdata tables; each SQL-expressible
+  * one has a DuckDB oracle with matching column names and types.
+  *
+  * Parity rules (enforced throughout, see module docs):
+  *  - per-row double arithmetic: raw (IEEE-identical in both engines);
+  *  - double aggregates: rounded (fp sum order differs in the last ulp);
+  *  - Spark counts/sizes cast to long ↔ DuckDB BIGINT;
+  *  - explicit deterministic tie-breaks on every ranked/kept row;
+  *  - event-time in integer microseconds (`ts` ns long div 1000 ↔ DuckDB
+  *    `epoch_us` of its µs-truncated read of the same parquet).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01PricingRollup(spark, "/root/testdata/sf0.001")
+
+  private def docs50(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).filter(col("doc_id") < 50)
+
+  /** One entry per implemented operator family from SURVEY §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (reference operator semantics, SURVEY §2) ----
+    "q01_pricing_rollup" -> Relational.q01PricingRollup _,
+    "q02_cust_orders"    -> Relational.q02CustOrders _,
+    "q03_region_rollup"  -> Relational.q03RegionRollup _,
+    "q04_filter_project" -> Relational.q04FilterProject _,
+    "q05_top_orders"     -> Relational.q05TopOrders _,
+    "q06_no_orders"      -> Relational.q06NoOrders _,
+    "q07_active_parts"   -> Relational.q07ActiveParts _,
+    "q08_ordered_qty_seq" -> Relational.q08OrderedQtySeq _,
+    "q09_nation_revenue" -> Relational.q09NationRevenue _,
+    // ---- dedup family ----
+    "q10_dedup_exact" -> ((s: SparkSession, d: String) =>
+      Dedup.exactKeepMax(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    "q16_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramJaccardPairs(docs50(s, d), n = 3, minJaccard = 0.5)),
+    "q17_minhash_neardup" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3, minJaccard = 0.5)),
+    "q18_simhash" -> ((s: SparkSession, d: String) =>
+      Dedup.simhash(docs50(s, d), bits = 16, n = 3)),
+    // ---- event-time ----
+    "q11_sessionize" -> Sessions.qSessionize _,
+    "q12_tumbling_window" -> Sessions.qTumbling _,
+    // ---- text analysis ----
+    "q13_quality_features" -> ((s: SparkSession, d: String) =>
+      TextStats.qualityFeatures(Tables.documents(s, d))),
+    "q14_langid" -> ((s: SparkSession, d: String) =>
+      TextStats.langId(Tables.documents(s, d))),
+    "q15_fingerprint" -> ((s: SparkSession, d: String) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))),
+    // ---- similarity search ----
+    "q19_cosine_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), col("vec_id") % 10 === 0, k = 5)),
+    "q20_cosine_neardup" -> ((s: SparkSession, d: String) =>
+      Similarity.cosineNearDups(Tables.embeddings(s, d), minCos = 0.18)),
+    // ---- geometry / matching on synthetic boxes ----
+    "q21_yolo_norm" -> ((s: SparkSession, d: String) =>
+      SyntheticBoxes.yoloNorm(Tables.part(s, d))),
+    "q22_best_match" -> ((s: SparkSession, d: String) =>
+      SyntheticBoxes.bestMatches(Tables.part(s, d), iouThr = 0.3)),
+    // ---- non-SQL-expressible operators (rows-only checks) ----
+    "q23_greedy_eval" -> SyntheticBoxes.qGreedyEval _,
+    "q24_lsh_cosine" -> ((s: SparkSession, d: String) =>
+      Similarity.lshNearPairs(Tables.embeddings(s, d), dim = 64, bits = 8, minCos = 0.15)),
+    "q25_predictions_pipeline" -> (qPredictionsPipeline _),
+    "q26_convert_pipeline" -> (qConvertPipeline _)
+  )
+
+  /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
+    * nested annotation documents (rows-only; nested-assembly semantics are
+    * unit-tested in PredictionsSpec).
+    */
+  private def qPredictionsPipeline(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val pages = SyntheticBoxes.gtBoxes(part).select("page").distinct()
+    val images = pages.select(
+      concat(lit("page_"), col("page"), lit(".png")).as("file_name"),
+      lit(1024).as("width"), lit(512).as("height"))
+    val preds = SyntheticBoxes.predBoxes(part).select(
+      concat(lit("page_"), col("page")).as("stem"),
+      col("line_no"),
+      col("class_id"),
+      ((col("x") + col("w") / 2.0) / SyntheticBoxes.ImgW).as("x_center"),
+      ((col("y") + col("h") / 2.0) / SyntheticBoxes.ImgH).as("y_center"),
+      (col("w") / SyntheticBoxes.ImgW).as("width"),
+      (col("h") / SyntheticBoxes.ImgH).as("height"),
+      col("confidence"))
+    Predictions.documents(images, preds, confThr = 0.25, roundDp = 2)
+      .select(col("file_name"), size(col("annotations")).as("n_annotations"),
+        col("corruption.type").as("corruption_type"))
+  }
+
+  /** §3.1 pipeline demo on synthetic boxes: nested annotation docs → YOLO
+    * label lines + split (rows-only; value semantics unit-tested in
+    * ConvertSpec, formatting golden-tested in GeometrySpec).
+    */
+  private def qConvertPipeline(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val anns = SyntheticBoxes.gtBoxes(part)
+      .groupBy(col("page"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("line_no"),
+          struct(array(col("x"), col("y"), col("w"), col("h")).as("bbox"),
+            col("class_id").as("category_id"),
+            lit("").as("category_name")).as("ann")))),
+        e => e("ann")).as("annotations"))
+      .select(concat(lit("page_"), col("page"), lit(".png")).as("file_name"),
+        col("annotations"))
+    val images = anns.select(col("file_name"),
+      lit(1024).as("width"), lit(512).as("height"))
+    Convert.dataset(images, anns)
+      .select(col("file_name"), col("split"), col("n_boxes"),
+        element_at(col("lines"), 1).as("first_line"))
+  }
+
+  /** DuckDB oracle SQL, matching column names/types per query. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_cust_orders" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q03_region_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name)""".stripMargin,
+
+    "q04_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_quantity >= 30""".stripMargin,
+
+    "q05_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "q06_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q07_active_parts" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    // secondary sort key: l_linenumber is NOT unique within an order in the
+    // testdata; Spark's array_sort over struct(ln, q) breaks ties by q
+    "q08_ordered_qty_seq" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR), ' '
+        |             ORDER BY l_linenumber, CAST(l_quantity AS INTEGER)) AS qty_seq,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q09_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT max(doc_id) FROM documents GROUP BY text)""".stripMargin,
+
+    "q11_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  min(ts_us) AS start_us,
+        |  max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS dur_us
+        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+
+    "q12_tumbling_window" ->
+      """SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+        |  count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q13_quality_features" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_distinct_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS type_token_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','of','and','a','to','in','is'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "q14_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('shi','bu','wo','de','ni'))) AS BIGINT) AS score_zh
+        |  FROM documents)
+        |SELECT doc_id, actual_lang, score_en, score_es, score_de, score_fr, score_zh,
+        |  CASE
+        |    WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de
+        |         AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de
+        |         AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es
+        |         AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_es
+        |         AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+        |    WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_es
+        |         AND score_zh >= score_de AND score_zh >= score_fr THEN 'zh'
+        |    ELSE 'unknown' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "q15_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+        |         * ((i * 2654435761) % 1000003))) % 2147483648 AS BIGINT) AS fp
+        |FROM documents""".stripMargin,
+
+    "q16_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.doc_a, p.doc_b, p.inter, sa.sz AS size_a, sb.sz AS size_b,
+        |  CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5""".stripMargin,
+
+    "q17_minhash_neardup" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b,
+        |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin,
+
+    "q18_simhash" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |n AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |bitc AS (
+        |  SELECT doc_id, t.j,
+        |    sum(CASE WHEN ((2 * (t.j + 101) + 1) * shingle + (97 + 31 * (t.j + 101)))
+        |                  % 2147483647 > 1073741823
+        |             THEN 1 ELSE 0 END) AS cnt
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j)
+        |SELECT b.doc_id, n.n_shingles,
+        |  CAST(sum(CASE WHEN 2 * b.cnt > n.n_shingles
+        |                THEN CAST(1 AS BIGINT) << b.j ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bitc b JOIN n ON n.doc_id = b.doc_id
+        |GROUP BY b.doc_id, n.n_shingles""".stripMargin,
+
+    "q19_cosine_topk" ->
+      """WITH nrm AS (
+        |  SELECT vec_id,
+        |    sqrt((SELECT sum(CAST(embedding[t.i] AS DOUBLE)
+        |                   * CAST(embedding[t.i] AS DOUBLE))
+        |          FROM generate_series(1, 64) t(i))) AS nv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round((SELECT sum(CAST(q.embedding[t.i] AS DOUBLE)
+        |                    * CAST(c.embedding[t.i] AS DOUBLE))
+        |           FROM generate_series(1, 64) t(i)) / (nq.nv * nc.nv), 6) AS cos
+        |  FROM embeddings q
+        |  JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  JOIN nrm nq ON nq.vec_id = q.vec_id
+        |  JOIN nrm nc ON nc.vec_id = c.vec_id
+        |  WHERE q.vec_id % 10 = 0),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q20_cosine_neardup" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT sum(CAST(embedding[t.i] AS DOUBLE)
+        |                   * CAST(embedding[t.i] AS DOUBLE))
+        |          FROM generate_series(1, 64) t(i))) AS nv
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
+        |                  * CAST(b.embedding[t.i] AS DOUBLE))
+        |         FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6) AS cos
+        |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        |WHERE round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
+        |                      * CAST(b.embedding[t.i] AS DOUBLE))
+        |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
+        |      >= 0.18""".stripMargin,
+
+    "q21_yolo_norm" ->
+      """WITH b AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS line_no,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE) AS x,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE) AS y,
+        |    CAST(64 + p_partkey * 13 % 128 AS DOUBLE) AS w,
+        |    CAST(48 + p_partkey * 17 % 96 AS DOUBLE) AS h
+        |  FROM part),
+        |c1 AS (
+        |  SELECT page, line_no, class_id,
+        |    greatest(0.0, least(x, 1024.0)) AS cx,
+        |    greatest(0.0, least(y, 512.0)) AS cy, w, h
+        |  FROM b),
+        |c2 AS (
+        |  SELECT page, line_no, class_id, cx, cy,
+        |    greatest(0.0, least(w, 1024.0 - cx)) AS cw,
+        |    greatest(0.0, least(h, 512.0 - cy)) AS ch
+        |  FROM c1)
+        |SELECT page, line_no, class_id,
+        |  (cx + cw / 2.0) / 1024.0 AS x_center,
+        |  (cy + ch / 2.0) / 512.0 AS y_center,
+        |  cw / 1024.0 AS w_norm,
+        |  ch / 512.0 AS h_norm
+        |FROM c2""".stripMargin,
+
+    "q22_best_match" ->
+      """WITH g AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS gt_line,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE) AS gx,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE) AS gy,
+        |    CAST(64 + p_partkey * 13 % 128 AS DOUBLE) AS gw,
+        |    CAST(48 + p_partkey * 17 % 96 AS DOUBLE) AS gh
+        |  FROM part),
+        |p AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS pred_line,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE) + CAST(p_partkey % 7 AS DOUBLE) - 3.0 AS px,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE) + CAST(p_partkey % 11 AS DOUBLE) - 5.0 AS py,
+        |    CAST(64 + p_partkey * 13 % 128 AS DOUBLE) + CAST(p_partkey % 5 AS DOUBLE) - 2.0 AS pw,
+        |    CAST(48 + p_partkey * 17 % 96 AS DOUBLE) + CAST(p_partkey % 9 AS DOUBLE) - 4.0 AS ph
+        |  FROM part),
+        |cand AS (
+        |  SELECT p.page, p.class_id, p.pred_line, g.gt_line,
+        |    greatest(0.0, least(px + pw, gx + gw) - greatest(px, gx))
+        |      * greatest(0.0, least(py + ph, gy + gh) - greatest(py, gy)) AS inter,
+        |    greatest(0.0, pw) * greatest(0.0, ph) AS area_p,
+        |    greatest(0.0, gw) * greatest(0.0, gh) AS area_g
+        |  FROM p JOIN g ON p.page = g.page AND p.class_id = g.class_id),
+        |scored AS (
+        |  SELECT page, class_id, pred_line, gt_line,
+        |    CASE WHEN area_p + area_g - inter > 0.0
+        |         THEN inter / (area_p + area_g - inter) ELSE 0.0 END AS iou
+        |  FROM cand),
+        |best AS (
+        |  SELECT page, class_id, pred_line, gt_line, iou,
+        |    row_number() OVER (PARTITION BY page, pred_line
+        |                       ORDER BY iou DESC, gt_line) AS rk
+        |  FROM scored WHERE iou >= 0.3)
+        |SELECT page, class_id, pred_line, gt_line, iou FROM best WHERE rk = 1""".stripMargin
+  )
 }

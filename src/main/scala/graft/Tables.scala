@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Uniform access to the driver test tables (`/root/testdata/sf*`, see
+  * TESTDATA.md). One parquet file per table; at cluster scale these would be
+  * partitioned directories — the read path is identical.
+  *
+  * The `events` table carries TIMESTAMP(NANOS) which Spark 4 refuses by
+  * default; [[Tables.events]] reads it as raw nanosecond longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`), which is also what we want for
+  * exact integer event-time arithmetic (the DuckDB oracle truncates the same
+  * column to microseconds, so downstream code works in microseconds — see
+  * `ext/Sessions.scala`).
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `ts` column is LongType nanoseconds since epoch (see class doc). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+}

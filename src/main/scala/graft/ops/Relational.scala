@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator semantics (SURVEY §2) instantiated on
+  * the driver testdata tables, one query per operator family. Each has a
+  * DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Cross-engine parity rules used throughout (see also ext/ modules):
+  *  - per-row double arithmetic is IEEE-identical → emitted raw;
+  *  - double aggregates are order-sensitive in the last ulp → rounded to 2 dp;
+  *  - counts are Spark longs ↔ DuckDB BIGINTs;
+  *  - every nondeterministic choice (top-k ties, dedup keep) is given an
+  *    explicit deterministic tie-break.
+  *
+  * Scale notes are per query; the common theme: group-by on parquet scans is
+  * partial-agg + single shuffle, dimension joins broadcast, windows shuffle
+  * once on their partition key.
+  */
+object Relational {
+
+  /** A1/A5–A8 pattern — pricing summary (TPC-H Q1 shape): scan-filter →
+    * hash aggregate. Map-side partial aggregation makes the shuffle O(groups),
+    * not O(rows); the date filter prunes at the parquet scan.
+    */
+  def q01PricingRollup(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        count(lit(1)).as("n"))
+
+  /** J1 pattern — left outer join with miss-aware aggregation: every customer
+    * appears, customers without orders get n_orders=0 (the reference's
+    * missing_json counter shape). Shuffle join on custkey; at scale the
+    * aggregate-then-join form keeps the join input small.
+    */
+  def q02CustOrders(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(orders(spark, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+
+  /** J3 + A7 — broadcast dimension enrichment + ROLLUP grouping sets: the
+    * 6-row-taxonomy join shape on the nation/region dims (both broadcast —
+    * no shuffle for the joins, one for the rollup aggregate).
+    */
+  def q03RegionRollup(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(broadcast(nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        col("n_customers"), col("sum_acctbal"))
+
+  /** F4 + G8 — threshold filter + per-row arithmetic projection (the
+    * confidence-filter shape). Predicates reach the parquet scan as
+    * PushedFilters; only 6 of 11 columns are read.
+    */
+  def q04FilterProject(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_discount") >= 0.05 && col("l_quantity") >= 30)
+      // raw product, no rounding: per-row IEEE arithmetic is bit-identical
+      // across engines, while 2-dp rounding of 2dp*2dp*2dp products hits
+      // exact .xx5 ties where engines' rounding implementations differ
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("charge"))
+
+  /** W1/O4 — windowed top-k per group with deterministic tie-break. One
+    * shuffle on the window key; at 100 TB a pre-aggregation or
+    * `max_by`-style partial top-k would cut the shuffled volume.
+    */
+  def q05TopOrders(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** Anti join (§2.7's `except` analog): customers that never ordered. */
+  def q06NoOrders(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(orders(spark, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Semi join (F3 as set-membership): parts that appear in lineitem. */
+  def q07ActiveParts(spark: SparkSession, d: String): DataFrame =
+    part(spark, d)
+      .join(lineitem(spark, d), col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+
+  /** A4/W2 — order-preserving grouped collection: per-order quantity sequence
+    * in line-number order via an explicit sort key (Spark guarantees no
+    * intra-group order otherwise — SURVEY §7.4.4).
+    */
+  def q08OrderedQtySeq(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber").as("ln"),
+              col("l_quantity").cast("int").as("q")))),
+            e => e("q").cast("string")),
+          " ").as("qty_seq"),
+        count(lit(1)).as("n_lines"))
+
+  /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
+    * two small tables, single shuffle for the aggregate).
+    */
+  def q09NationRevenue(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .join(broadcast(supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+}
