@@ -30,16 +30,21 @@ object LabelsIO {
     * matching parse_prediction_line's `None` path (F6). Numeric validation =
     * cast-to-null + filter, which Catalyst pushes into the same scan stage.
     */
+  // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast THROW
+  // on non-numeric tokens; the reference skips such lines (F6) → null + drop
+  private def tc(i: Int, t: String) =
+    expr(s"try_cast(element_at(tok, $i) AS $t)")
+
   def readPredictions(spark: SparkSession, path: String): DataFrame =
     tokenized(spark, path)
       .filter(size(col("tok")) === 6)
       .select(col("stem"), col("line_no"),
-        element_at(col("tok"), 1).cast("int").as("class_id"),
-        element_at(col("tok"), 2).cast("double").as("x_center"),
-        element_at(col("tok"), 3).cast("double").as("y_center"),
-        element_at(col("tok"), 4).cast("double").as("width"),
-        element_at(col("tok"), 5).cast("double").as("height"),
-        element_at(col("tok"), 6).cast("double").as("confidence"))
+        tc(1, "int").as("class_id"),
+        tc(2, "double").as("x_center"),
+        tc(3, "double").as("y_center"),
+        tc(4, "double").as("width"),
+        tc(5, "double").as("height"),
+        tc(6, "double").as("confidence"))
       .na.drop(Seq("class_id", "x_center", "y_center", "width", "height", "confidence"))
 
   /** Ground-truth rows: ≥5 tokens, first five used (F7). */
@@ -47,11 +52,11 @@ object LabelsIO {
     tokenized(spark, path)
       .filter(size(col("tok")) >= 5)
       .select(col("stem"), col("line_no"),
-        element_at(col("tok"), 1).cast("int").as("class_id"),
-        element_at(col("tok"), 2).cast("double").as("x_center"),
-        element_at(col("tok"), 3).cast("double").as("y_center"),
-        element_at(col("tok"), 4).cast("double").as("width"),
-        element_at(col("tok"), 5).cast("double").as("height"))
+        tc(1, "int").as("class_id"),
+        tc(2, "double").as("x_center"),
+        tc(3, "double").as("y_center"),
+        tc(4, "double").as("width"),
+        tc(5, "double").as("height"))
       .na.drop(Seq("class_id", "x_center", "y_center", "width", "height"))
 
   /** S9 — label sink: one text part per split partition, one line per box.

@@ -1,0 +1,147 @@
+package graft
+
+import graft.ext.{Dedup, Sessions, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline extension operators: invariants and small hand-checked cases. */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- dedup ----
+
+  test("exactKeepMax keeps exactly one row per key, the max keeper") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val r = Dedup.exactKeepMax(df, "k", "id").select("id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(2L, 3L))
+  }
+
+  test("shingleCodes: distinct 3-gram codes, exact encoding") {
+    val df = Seq("abca").toDF("text")   // abc, bca — 2 distinct
+    val Array(codes) = df.select(Dedup.shingleCodes(col("text"))).as[Seq[Long]].collect()
+    val abc = 'a'.toLong * 65536 + 'b'.toLong * 256 + 'c'.toLong
+    val bca = 'b'.toLong * 65536 + 'c'.toLong * 256 + 'a'.toLong
+    assert(codes.toSet == Set(abc, bca))
+  }
+
+  test("ngramJaccard: identical docs → 1.0, disjoint docs absent") {
+    val docs = Seq((1L, "hello world foo"), (2L, "hello world foo"),
+      (3L, "zzzzqqqqxxxx")).toDF("doc_id", "text")
+    val r = Dedup.ngramJaccardPairs(docs, 3, 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH: exact duplicates always collide; verified pairs carry true jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with nothing shared whatsoever here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashNearDups(docs, k = 16, bands = 4, n = 3, minJaccard = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs get identical hashes; hash fits in `bits` bits") {
+    val docs = Seq((1L, "some shared document body"), (2L, "some shared document body"),
+      (3L, "other text")).toDF("doc_id", "text")
+    val r = Dedup.simhash(docs, bits = 16).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(2L))
+    assert(r.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  // ---- similarity ----
+
+  test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(1f, 0f), Array(-1f, 0f)))
+      .toDF("a", "b", "c", "d")
+    val Array((ab, ac, ad)) = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c")),
+      Similarity.cosine(col("a"), col("d"))).as[(Double, Double, Double)].collect()
+    assert(ab == 0.0 && ac == 1.0 && ad == -1.0)
+  }
+
+  test("cosineTopK: k results per query, ranked by similarity, no self-match") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.cosineTopK(emb, col("vec_id") < 5, k = 3).collect()
+    val byQuery = r.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 3)
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+      assert(rows.forall(x => x.getLong(1) != x.getLong(0)))
+    }
+  }
+
+  test("LSH bucketing: identical vectors share a bucket; near pairs found") {
+    val emb = Tables.embeddings(spark, sf)
+    val bucketed = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 8).as("b"))
+    // deterministic: same vector → same bucket on re-evaluation
+    val b1 = bucketed.as[(Long, Long)].collect().toMap
+    val b2 = bucketed.as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(v => v >= 0 && v < 256))
+  }
+
+  // ---- text ----
+
+  test("tokens/quality: counts on a known string") {
+    val df = Seq((0L, "the cat sat on the mat", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val r = TextStats.qualityFeatures(df).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_distinct_tokens") == 5)     // 'the' twice
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 6) // 'the' x2
+    assert(r.getAs[Double]("avg_token_len") == 17.0 / 6)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      (0L, "the cat and the dog is here with us", "x", "s"),
+      (1L, "el perro de la casa que los gatos", "x", "s"),
+      (2L, "qqq www eee", "x", "s")).toDF("doc_id", "text", "lang", "source")
+    val r = TextStats.langId(df).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(r == Map(0L -> "en", 1L -> "es", 2L -> "unknown"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive, in [0, 2^31)") {
+    val df = Seq((0L, "hello world"), (1L, "world hello"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) == r(2L))
+    assert(r(0L) != r(1L))
+    assert(r.values.forall(v => v >= 0 && v < (1L << 31)))
+  }
+
+  // ---- sessions ----
+
+  test("sessionize splits on gaps > threshold, ordered deterministically") {
+    val us = 1000000L
+    val df = Seq(
+      (1L, 0L * us, 10L), (2L, 100L * us, 10L), (3L, 5000L * us, 10L),
+      (4L, 0L * us, 20L))
+      .toDF("event_id", "ts_ns_div", "user_id")
+      .withColumn("ts", col("ts_ns_div") * 1000)  // ns
+    val r = Sessions.sessionize(df, gapUs = 1800L * us)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("tumbling buckets events by exact integer µs division") {
+    val hourUs = 3600L * 1000000
+    val df = Seq(
+      (1L, 10L, 10L, "a", 1.0), (2L, hourUs - 1, 11L, "a", 2.0),
+      (3L, hourUs + 1, 12L, "b", 3.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000)
+    val r = Sessions.tumbling(df, hourUs)
+      .select("bucket", "event_type", "n").as[(Long, String, Long)].collect().toSet
+    assert(r == Set((0L, "a", 2L), (1L, "b", 1L)))
+  }
+}

