@@ -74,7 +74,15 @@ object SparkEntry {
     "q24_lsh_cosine" -> ((s: SparkSession, d: String) =>
       Similarity.lshNearPairs(Tables.embeddings(s, d), dim = 64, bits = 8, minCos = 0.15)),
     "q25_predictions_pipeline" -> (qPredictionsPipeline _),
-    "q26_convert_pipeline" -> (qConvertPipeline _)
+    "q26_convert_pipeline" -> (qConvertPipeline _),
+    // ---- argmax / as-of / multimodal ----
+    "q27_multimodal_decode" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.decodeFeatures(
+        ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("checksum"))),
+    "q28_argmax" -> Relational.q28Argmax _,
+    "q29_asof_signup" -> Relational.q29AsofSignup _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -462,6 +470,28 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY page, pred_line
         |                       ORDER BY iou DESC, gt_line) AS rk
         |  FROM scored WHERE iou >= 0.3)
-        |SELECT page, class_id, pred_line, gt_line, iou FROM best WHERE rk = 1""".stripMargin
+        |SELECT page, class_id, pred_line, gt_line, iou FROM best WHERE rk = 1""".stripMargin,
+
+    "q28_argmax" ->
+      """SELECT n_name, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk = 1""".stripMargin,
+
+    "q29_asof_signup" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |carried AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    max(CASE WHEN event_type = 'signup' THEN ts_us END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS last_signup_us
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us, last_signup_us,
+        |  ts_us - last_signup_us AS us_since_signup
+        |FROM carried WHERE event_type = 'purchase'""".stripMargin
   )
 }

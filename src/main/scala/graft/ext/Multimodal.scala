@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, and batch-shaped decode/feature-extract operators.
+  *
+  * Design (the part that must be right at 100 TB):
+  *  - media rows are (id, media_type, content binary, meta struct) — the
+  *    binary travels with the row so a repartition colocates bytes with
+  *    their metadata; no filesystem side-channel like the reference's
+  *    name→path indexing (S2), which cannot shard;
+  *  - decoding runs executor-side in `mapPartitions` batches (the Scala
+  *    analog of Python's `mapInPandas` batch shape): one decoder init per
+  *    partition, amortized over rows — mirroring the reference's lazy model
+  *    singleton (Tools/server.py:16-29);
+  *  - the decoder itself is pluggable. The container ships no image/audio
+  *    codecs, so [[stubDecode]] is a clearly-marked deterministic fake with
+  *    the same signature a real codec plugs into; PNG header parsing
+  *    (io/ImageMeta) stays real.
+  *
+  * The Spark-side plumbing — schema, batching, partitioning, null handling —
+  * is real and tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),      // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("declared_w", IntegerType),
+      StructField("declared_h", IntegerType))))))
+
+  /** Feature row produced by the decode stage. */
+  final case class MediaFeatures(media_id: Long, media_type: String,
+                                 n_bytes: Long, width: Int, height: Int,
+                                 checksum: Long, feature: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for a real codec
+    * (PIL/ffmpeg equivalents are unavailable in this container). Derives
+    * "dimensions" and an 8-dim "feature vector" from the bytes themselves so
+    * tests are exact. A real implementation replaces ONLY this function.
+    */
+  private[graft] def stubDecode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = bytes.length
+    val w = 16 + (if (n > 0) (bytes(0) & 0xff) else 0)
+    val h = 16 + (if (n > 1) (bytes(1) & 0xff) else 0)
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < n) { feat(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    (w, h, feat)
+  }
+
+  /** Decode + feature-extract over binary media rows, batch-shaped: the
+    * decoder context is initialized once per partition (not per row) — the
+    * seam where a real codec/model library mounts.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init happens here (real codec: load once)
+        it.map { case (id, mt, bytes) =>
+          val content = if (bytes == null) Array.emptyByteArray else bytes
+          val (w, h, feat) = stubDecode(mt, content)
+          val checksum = content.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
+          MediaFeatures(id, mt, content.length.toLong, w, h, checksum, feat)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame-sampling shape for video-like media: explode k deterministic
+    * offsets per row (a real sampler reads frames at those offsets).
+    */
+  def sampleFrames(media: DataFrame, k: Int = 4): DataFrame = {
+    val step = expr(s"length(content) div $k")   // integer division: exact offsets
+    media.select(col("media_id"), col("media_type"),
+      posexplode(transform(sequence(lit(0), lit(k - 1)),
+        i => i.cast("long") * step)).as(Seq("frame_no", "byte_offset")))
+  }
+
+  /** Build a media table from the documents corpus (text bytes as stand-in
+    * binaries) — exercises the full plumbing without real codecs.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("image/"), col("lang")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(col("source"),
+        lit(null).cast("int").as("declared_w"),
+        lit(null).cast("int").as("declared_h")).as("meta"))
+}

@@ -122,6 +122,37 @@ object Relational {
           " ").as("qty_seq"),
         count(lit(1)).as("n_lines"))
 
+  /** W1/O4 — argmax per group (the reference's newest-weights max-by-mtime
+    * shape): the top-balance customer per nation, deterministic tie-break.
+    */
+  def q28Argmax(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(spark, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** As-of join (extension op, SURVEY §2.3 note): each purchase event paired
+    * with the same user's most recent signup at-or-before it — expressed as
+    * a windowed carry-forward (one shuffle on user, no self-join; at scale
+    * this beats a range self-join by never materializing candidate pairs).
+    */
+  def q29AsofSignup(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.ext.Sessions.withTsUs(events(spark, d))
+      .withColumn("last_signup_us",
+        max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_signup_us"),
+        (col("ts_us") - col("last_signup_us")).as("us_since_signup"))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event-time operators (SURVEY §2.9).
+  *
+  * The reference's only unbounded surface is request/response micro-batching
+  * (Tools/server.py); its Spark analog is a file-drop/`MemoryStream` source
+  * feeding the same transformation chain as the batch pipelines. Beyond that,
+  * the engine ships the streaming counterparts of the batch event-time ops in
+  * ext/Sessions.scala:
+  *
+  *  - tumbling window counts with a watermark (append mode — finalized
+  *    windows only);
+  *  - gap-based sessionization with `flatMapGroupsWithState` + event-time
+  *    timeout, emitting one row per closed session — semantics aligned with
+  *    the batch `Sessions.sessionize` (same gap rule, same aggregates).
+  *
+  * Scale notes: state is per-key (user) and O(1) per session — the state
+  * store shards by the groupBy key across executors. Watermark bounds state
+  * retention; without it a 100 TB stream would accrete unbounded session
+  * state.
+  */
+object StreamOps {
+
+  /** Event row as the streaming source presents it (ts in microseconds). */
+  final case class Event(event_id: Long, ts_us: Long, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** One closed session (same shape as the batch sessionize output). */
+  final case class Session(user_id: Long, n_events: Long,
+                           start_us: Long, end_us: Long, dur_us: Long)
+
+  // NOT private: the state encoder's generated code needs public accessors
+  final case class SessState(n: Long, start: Long, last: Long)
+
+  /** Schema for a file-drop source mirroring the events table. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-drop source (S8 analog): parquet dir watched as a stream. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+
+  /** Tumbling event-time window with watermark; append mode emits each
+    * window once it can no longer change.
+    */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization: a session closes when `gapUs` passes with no
+    * new event for the user (event-time timeout driven by the watermark).
+    * Late events within the watermark extend the open session; the batch
+    * twin in ext/Sessions produces the same (user, n, start, end) tuples.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000,
+                 watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += Session(user, s.n, s.start, s.last, s.last - s.start)
+            state.remove()
+          } else {
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last <= gapUs =>
+                  cur = Some(SessState(s.n + 1, s.start, math.max(s.last, e.ts_us)))
+                case Some(s) =>
+                  out += Session(user, s.n, s.start, s.last, s.last - s.start)
+                  cur = Some(SessState(1, e.ts_us, e.ts_us))
+                case None =>
+                  cur = Some(SessState(1, e.ts_us, e.ts_us))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000 + 1)
+            }
+          }
+          out.iterator
+      }
+  }
+}

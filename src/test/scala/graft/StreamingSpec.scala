@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms: same semantics as the batch event-time ops,
+  * driven synchronously through MemoryStream + processAllAvailable.
+  * (Default micro-batch trigger: AvailableNow would stop the query before
+  * later addData calls could advance the watermark.)
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Min = 60L * 1000000
+  // base offset: an event at exactly epoch 0 sits on the initial watermark
+  // and is dropped as late by the stateful operator — start one day in
+  private val T0 = 86400L * 1000000
+
+  test("streaming sessionize closes sessions on gap and matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(src.toDS(), gapUs = 30 * Min)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      // user 10: two events close together, then a 2h gap, then one more;
+      // user 20: single event. A sentinel user's late events advance the
+      // watermark so open sessions time out and flush.
+      src.addData(
+        Event(1, T0, 10, "a", 1.0), Event(2, T0 + 10 * Min, 10, "a", 1.0),
+        Event(3, T0 + 130 * Min, 10, "b", 1.0), Event(4, T0 + 5 * Min, 20, "a", 1.0))
+      q.processAllAvailable()
+      src.addData(Event(99, T0 + 2000 * Min, 999, "z", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(100, T0 + 4000 * Min, 999, "z", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").as[Session].collect()
+        .map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+      assert(got.contains((10L, 2L, T0, T0 + 10 * Min)))    // closed by gap
+      assert(got.contains((10L, 1L, T0 + 130 * Min, T0 + 130 * Min))) // by timeout
+      assert(got.contains((20L, 1L, T0 + 5 * Min, T0 + 5 * Min)))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window with watermark emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val windowed = StreamOps.tumblingCounts(src.toDF(),
+      window = "1 hour", watermark = "1 hour")
+    val q = windowed.writeStream.outputMode("append")
+      .format("memory").queryName("tumb").start()
+    try {
+      src.addData(
+        Event(1, 5 * Min, 1, "a", 1.0), Event(2, 10 * Min, 2, "a", 2.0),
+        Event(3, 65 * Min, 3, "b", 3.0))
+      q.processAllAvailable()
+      src.addData(Event(9, 600 * Min, 9, "z", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("tumb")
+        .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got.contains((0L, "a", 2L)))
+      assert(got.contains((3600L, "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming source chain: file-drop parquet → same schema as batch") {
+    val stream = StreamOps.readEventStream(spark, sf)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.contains("ts_us"))
+  }
+}
