@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.FloatVecDot
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+
+/** `SparkSessionExtensions` entry point: makes the engine's native
+  * expressions SQL-callable cluster-wide via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)` at builder time) — the standard
+  * deployment seam for a library on a shared cluster, no code changes in
+  * user jobs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register on an already-built session (tests, driver-owned sessions). */
+  def register(spark: SparkSession): Unit =
+    GraftBridge.registerFunction(spark, "float_vec_dot",
+      args => FloatVecDot(args(0), args(1)))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Native expression kernel: equivalence with the higher-order-function
+  * formulation (bit-exact), null handling, SQL registration.
+  */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("FloatVecDot is bit-identical to the zip_with/aggregate fold on the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")),
+        col("a_id") < col("b_id"))
+      .limit(5000)
+    val diff = pairs
+      .select(VectorFunctions.vecDot(col("a"), col("b")).as("fast"),
+        hofDot(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("FloatVecDot: nulls propagate, empty arrays give 0.0") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(1f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("a", "b")
+    val r = df.select(VectorFunctions.vecDot(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) == 11.0)
+    assert(r(1).isNullAt(0))
+    assert(r(2).getDouble(0) == 0.0)
+  }
+
+  test("float_vec_dot is SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      """SELECT float_vec_dot(a.embedding, a.embedding) AS d
+        |FROM emb_t a WHERE a.vec_id = 0""".stripMargin).as[Double].head()
+    assert(r > 0.0)
+  }
+
+  test("norm/cosine built on the kernel match direct computation") {
+    val Array(r) = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
+      .select(Similarity.norm(col("a")), Similarity.cosine(col("a"), col("b")))
+      .as[(Double, Double)].collect()
+    assert(r._1 == 5.0)
+    assert(r._2 == 24.0 / 25.0)
+  }
+}

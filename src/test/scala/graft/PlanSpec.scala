@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties the engine is designed
+  * around must be visible in the plans Catalyst actually produces —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for dimensions, whole-stage codegen on the hot paths. A regression
+  * here is a performance bug even when results stay correct.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: date filter is pushed to the parquet scan; unused columns pruned") {
+    val p = plan(ops.Relational.q01PricingRollup(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // only the 7 needed columns of 11 are read
+    assert(p.contains("l_returnflag") && !p.contains("l_partkey"),
+      s"column pruning failed in:\n$p")
+  }
+
+  test("q04: both threshold predicates reach the scan") {
+    val p = plan(ops.Relational.q04FilterProject(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p)
+  }
+
+  test("q03/q09: dimension joins are broadcast, never shuffled") {
+    for (q <- Seq(ops.Relational.q03RegionRollup(spark, sf),
+                  ops.Relational.q09NationRevenue(spark, sf))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    }
+  }
+
+  test("q01 aggregation has a map-side partial phase (HashAggregate x2)") {
+    val p = plan(ops.Relational.q01PricingRollup(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("flagship queries run inside WholeStageCodegen") {
+    // AQE prints codegen stages only in the FINAL plan → execute first
+    for (q <- Seq(ops.Relational.q01PricingRollup(spark, sf),
+                  ops.Relational.q04FilterProject(spark, sf),
+                  ops.SyntheticBoxes.yoloNorm(Tables.part(spark, sf)))) {
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"no codegen stage markers in:\n$p")
+    }
+  }
+
+  test("similarity pair join keeps the codegen'd dot kernel in the plan") {
+    val p = plan(ext.Similarity.cosineTopK(
+      Tables.embeddings(spark, sf), org.apache.spark.sql.functions.col("vec_id") < 5, 3))
+    assert(p.toLowerCase.contains("float_vec_dot"), p)
+  }
+
+  test("q21 geometry pipeline reads only p_partkey (full projection pruning)") {
+    val p = plan(ops.SyntheticBoxes.yoloNorm(Tables.part(spark, sf)))
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint>"), p)
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level (no materialized join)") {
+    val semi = plan(ops.Relational.q07ActiveParts(spark, sf))
+    val anti = plan(ops.Relational.q06NoOrders(spark, sf))
+    assert(semi.contains("LeftSemi"), semi)
+    assert(anti.contains("LeftAnti"), anti)
+  }
+}
