@@ -82,7 +82,10 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("checksum"))),
     "q28_argmax" -> Relational.q28Argmax _,
-    "q29_asof_signup" -> Relational.q29AsofSignup _
+    "q29_asof_signup" -> Relational.q29AsofSignup _,
+    // ---- composed curation pipeline (quality gate → dedup → lang-ID) ----
+    "q30_curation_pipeline" -> ((s: SparkSession, d: String) =>
+      TextStats.curationPipeline(Tables.documents(s, d)))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -492,6 +495,47 @@ object SparkEntry {
         |  FROM e)
         |SELECT event_id, user_id, ts_us, last_signup_us,
         |  ts_us - last_signup_us AS us_since_signup
-        |FROM carried WHERE event_type = 'purchase'""".stripMargin
+        |FROM carried WHERE event_type = 'purchase'""".stripMargin,
+
+    "q30_curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','of','and','a','to','in','is'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE n_tokens >= 20 AND stopword_ratio < 0.6),
+        |kept AS (
+        |  SELECT * FROM f
+        |  WHERE doc_id IN (SELECT max(doc_id) FROM f GROUP BY text)),
+        |s AS (
+        |  SELECT doc_id, lang AS actual_lang, n_tokens, stopword_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('shi','bu','wo','de','ni'))) AS BIGINT) AS score_zh
+        |  FROM kept)
+        |SELECT doc_id, actual_lang,
+        |  CASE
+        |    WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de
+        |         AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de
+        |         AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es
+        |         AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_es
+        |         AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+        |    WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_es
+        |         AND score_zh >= score_de AND score_zh >= score_fr THEN 'zh'
+        |    ELSE 'unknown' END AS pred_lang,
+        |  n_tokens, stopword_ratio
+        |FROM s""".stripMargin
   )
 }

@@ -86,6 +86,23 @@ object TextStats {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Composed training-data curation pipeline (the flagship extension shape):
+    * quality gate → exact dedup (keep max doc_id per identical text) →
+    * language-ID → per-doc curation record. One scan, one dedup shuffle, one
+    * langid projection — the whole thing stays a single lazy DAG.
+    */
+  def curationPipeline(docs: DataFrame,
+                       minTokens: Long = 20,
+                       maxStopwordRatio: Double = 0.6): DataFrame = {
+    val quality = qualityFeatures(docs)
+      .filter(col("n_tokens") >= minTokens && col("stopword_ratio") < maxStopwordRatio)
+    val kept = Dedup.exactKeepMax(
+      quality.join(docs.select("doc_id", "text"), "doc_id"), "text", "doc_id")
+    langId(kept.select("doc_id", "text", "lang"))
+      .join(quality.select("doc_id", "n_tokens", "stopword_ratio"), "doc_id")
+      .select("doc_id", "actual_lang", "pred_lang", "n_tokens", "stopword_ratio")
+  }
+
   /** Document fingerprint: order-weighted sum of character codes — a
     * content+position sensitive 63-bit integer computed with exact integer
     * arithmetic (SQL-expressible in both engines; commutative sum so the

@@ -1,0 +1,82 @@
+package graft
+
+import graft.io.{AnnotationsIO, ImageMeta}
+import graft.ops.{Convert, EvalPipeline}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** End-to-end flows through the REAL IO paths:
+  *  - Convert over the actual reference corpus (JSON scan + PNG binary probe)
+  *    vs the golden fixtures generated from the reference's own logic;
+  *  - EvalPipeline from label files on disk → P/R/F1.
+  */
+class EndToEndSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Convert over real reference corpus files matches goldens (S1+S3+full DAG)") {
+    // first 100 docs via glob; goldens cover a subset of these
+    val anns = AnnotationsIO.validDocs(AnnotationsIO.read(
+      spark, "/root/reference/raw_data/jsons/doc_000*.json"))
+    val images = ImageMeta.probe(ImageMeta.readBinary(
+      spark, "/root/reference/raw_data/images/doc_000*.png"))
+    assert(images.filter(col("width").isNull).count() == 0)
+
+    val got = Convert.labelLines(images, anns)
+      .select(col("file_name"), col("lines"))
+      .as[(String, Seq[String])].collect().toMap
+
+    val golden = spark.read.option("multiLine", true)
+      .json(resource("/golden/convert_labels.json"))
+      .select(col("file_name"), col("lines"))
+      .as[(String, Seq[String])].collect().toMap
+
+    val common = got.keySet intersect golden.keySet
+    assert(common.size >= 40, s"only ${common.size} overlapping docs")
+    for (fn <- common) assert(got(fn) == golden(fn), s"doc $fn")
+  }
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit(); d
+  }
+
+  test("EvalPipeline: label files on disk → greedy match → P/R/F1 rollup") {
+    val gt = tmpDir("gt"); val pred = tmpDir("pred")
+    // page p1: one perfect match (cls 1), one miss (cls 2 vs nothing)
+    Files.writeString(gt.resolve("p1.txt"),
+      "1 0.500000 0.500000 0.200000 0.200000\n")
+    Files.writeString(pred.resolve("p1.txt"),
+      "1 0.500000 0.500000 0.200000 0.200000 0.90\n" +
+      "2 0.100000 0.100000 0.050000 0.050000 0.80\n" +
+      "1 0.900000 0.900000 0.050000 0.050000 0.10\n")  // below conf thr
+    // page p2: GT only → FN
+    Files.writeString(gt.resolve("p2.txt"),
+      "3 0.300000 0.300000 0.100000 0.100000\n")
+    Files.writeString(pred.resolve("p2.txt"), "")
+
+    val dims = Seq(("p1", 1000, 1000), ("p2", 1000, 1000))
+      .toDF("stem", "width", "height")
+    val r = EvalPipeline.evaluate(spark,
+        pred.toString + "/*.txt", gt.toString + "/*.txt", dims)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+
+    assert(r("1") == ((1L, 0L, 0L)))   // tp, fp, fn
+    assert(r("2") == ((0L, 1L, 0L)))
+    assert(r("3") == ((0L, 0L, 1L)))
+    assert(r("ALL") == ((1L, 1L, 1L)))
+  }
+
+  test("EvalPipeline pageRecords shape (notebook all_pred_records)") {
+    val gt = tmpDir("gt2"); val pred = tmpDir("pred2")
+    Files.writeString(gt.resolve("q.txt"), "1 0.5 0.5 0.2 0.2\n")
+    Files.writeString(pred.resolve("q.txt"), "1 0.5 0.5 0.2 0.2 0.9\n")
+    val dims = Seq(("q", 100, 100)).toDF("stem", "width", "height")
+    val rows = EvalPipeline.pageRecords(spark,
+      pred.toString + "/*.txt", gt.toString + "/*.txt", dims).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("tp") == 1 && r.getAs[Long]("fp") == 0
+      && r.getAs[Long]("fn") == 0)
+  }
+}
