@@ -23,6 +23,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingRollup(spark, "/root/testdata/sf0.001")
 
+  /** The shingle-based dedup queries run on a 50-doc slice: the synthetic
+    * corpus draws every document from one ~50-word vocabulary, so ALL pairs
+    * are genuine char-3-gram near-duplicates — the shingle join is
+    * intrinsically quadratic on this data (Σ per-shingle count², no LSH can
+    * prune truly-similar pairs). Real corpora don't have this shape; the
+    * slice keeps the oracle comparison meaningful without an O(n²·shingles)
+    * bench term.
+    */
   private def docs50(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d).filter(col("doc_id") < 50)
 

@@ -113,9 +113,11 @@ object TextStats {
   def fingerprint(text: Column): Column =
     pmod(
       aggregate(
-        transform(sequence(lit(1), length(text)),
-          i => ascii(text.substr(i, lit(1))).cast("long") *
-            pmod(i.cast("long") * lit(2654435761L), lit(1000003L))),
+        // indexed transform over the char array: O(n), unlike per-position
+        // substr which rescans the string per character (O(n²))
+        transform(split(text, ""),
+          (c, i0) => ascii(c).cast("long") *
+            pmod((i0.cast("long") + 1L) * lit(2654435761L), lit(1000003L))),
         lit(0L), (acc, x) => acc + x),
       lit(2147483648L))
 }
