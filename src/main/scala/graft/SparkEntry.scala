@@ -93,7 +93,12 @@ object SparkEntry {
     "q29_asof_signup" -> Relational.q29AsofSignup _,
     // ---- composed curation pipeline (quality gate → dedup → lang-ID) ----
     "q30_curation_pipeline" -> ((s: SparkSession, d: String) =>
-      TextStats.curationPipeline(Tables.documents(s, d)))
+      TextStats.curationPipeline(Tables.documents(s, d))),
+    // IVF ANN (approximate by design → rows-only; recall tested vs brute
+    // force in SkewIvfSpec)
+    "q31_ivf_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 10 === 0,
+        k = 5, nCentroids = 16, nprobe = 4))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →

@@ -96,6 +96,62 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to LSH:
+    *
+    *  1. coarse quantizer: `nCentroids` vectors chosen deterministically
+    *     from the corpus itself (every |N|/nCentroids-th id) act as
+    *     centroids — broadcast (tiny);
+    *  2. build: every vector is assigned to its nearest centroid — one
+    *     broadcast join + argmax, no shuffle of the vectors;
+    *  3. probe: each query scores only vectors in its `nprobe` closest
+    *     centroid cells — the candidate set shrinks ≈ nCentroids/nprobe ×.
+    *
+    * At 100 TB the inverted lists are what you'd bucket/partition the table
+    * by, so a probe touches only those partitions (partition pruning on
+    * `centroid_id`). Recall is tuned with nprobe; exactness is recovered by
+    * reranking the survivors with the exact kernel (done here).
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
+              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = emb.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = broadcast(
+      emb.filter(pmod(col("vec_id"), lit(stride)) === 0 &&
+          col("vec_id") < stride * nCentroids)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+          norm(col("embedding")).as("cn")))
+
+    def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      df.join(centroids, col(idCol).isNotNull)
+        .withColumn("ccos", dot(col(vecCol), col("cv")) / (col("vn") * col("cn")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= top)
+        .drop("cv", "cn", "ccos", "crk")
+    }
+
+    val vectors = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("vn"))
+    val indexed = assign(vectors, "vec_id", "embedding", 1)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("embedding", "nv")
+      .withColumnRenamed("vn", "nn")
+    val probes = assign(vectors.filter(queryPred), "vec_id", "embedding", nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qv")
+      .withColumnRenamed("vn", "qn")
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(indexed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
   /** Embedding-cosine near-duplicate groups: pairs above `minCos`, then keep
     * the lowest vec_id as the canonical representative (connected-component
     * approximation by min-id, one pass — full CC would iterate).

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot keys at scale.
+  *
+  * Spark's own mitigations come first: map-side partial aggregation makes
+  * plain `groupBy().agg()` skew-tolerant for algebraic aggregates, and AQE
+  * splits skewed shuffle-join partitions at runtime. These helpers cover the
+  * remaining shapes: holistic aggregations where one hot key's whole group
+  * would land on a single task, and shuffle joins whose hot side AQE can't
+  * split (e.g. when the join is followed by a key-preserving aggregation).
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) derived from a row-unique column —
+    * reproducible across task retries (a `rand()` salt would not be).
+    */
+  def salt(rowId: Column, buckets: Int): Column =
+    pmod(hash(rowId), lit(buckets))
+
+  /** Count rows per key in two phases — (key, salt) partial, then key
+    * final — bounding any task's share of a hot key to ~1/buckets.
+    * Result-identical to `groupBy(key).count()`.
+    */
+  def saltedCount(df: DataFrame, key: String, rowId: String,
+                  buckets: Int = 16): DataFrame =
+    df.groupBy(col(key), salt(col(rowId), buckets).as("__salt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__cnt")).as("n"))
+
+  /** Sum a column per key, two-phase (see [[saltedCount]]). */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, rowId: String,
+                buckets: Int = 16): DataFrame =
+    df.groupBy(col(key), salt(col(rowId), buckets).as("__salt"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__s")).as(s"sum_$valueCol"))
+
+  /** Order-insensitive per-key collection (holistic — the case partial
+    * aggregation can't help): collect per (key, salt), then flatten. The
+    * result array is sorted to make the operator deterministic.
+    */
+  def saltedCollectSet(df: DataFrame, key: String, valueCol: String,
+                       rowId: String, buckets: Int = 16): DataFrame =
+    df.groupBy(col(key), salt(col(rowId), buckets).as("__salt"))
+      .agg(collect_set(col(valueCol)).as("__part"))
+      .groupBy(col(key))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("__part")))))
+        .as(s"${valueCol}_set"))
+
+  /** Skew join: salt the (hot) left side, replicate the right side across
+    * all salt buckets, join on (key, salt). Row-identical to a plain inner
+    * join on `key`; one hot key spreads over `buckets` tasks at the cost of
+    * a `buckets`× blowup of the (small) right side.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 leftRowId: String, buckets: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt", salt(col(leftRowId), buckets))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}
