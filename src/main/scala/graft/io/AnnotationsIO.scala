@@ -29,16 +29,24 @@ object AnnotationsIO {
 
   /** F1 — keep only well-formed docs that carry a join key; tally the rest
     * into observed metrics (`bad_json`, `missing_file_name`) so stats match
-    * the reference's warn-and-skip counters without a second scan.
+    * the reference's warn-and-skip counters without a second scan. Pass an
+    * [[org.apache.spark.sql.Observation]] to read the counters after the
+    * first action (see IoSpec).
     */
-  def validDocs(raw: DataFrame): DataFrame =
-    raw
-      .observe("ann_scan",
-        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("bad_json"),
-        sum(when(col("_corrupt_record").isNull && col("file_name").isNull, 1L)
-          .otherwise(0L)).as("missing_file_name"))
+  def validDocs(raw: DataFrame,
+                obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val counters = Seq(
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("bad_json"),
+      sum(when(col("_corrupt_record").isNull && col("file_name").isNull, 1L)
+        .otherwise(0L)).as("missing_file_name"))
+    val observed = obs match {
+      case Some(o) => raw.observe(o, counters.head, counters.tail: _*)
+      case None    => raw.observe("ann_scan", counters.head, counters.tail: _*)
+    }
+    observed
       .filter(col("_corrupt_record").isNull && col("file_name").isNotNull)
       .drop("_corrupt_record")
+  }
 
   /** A10 — last-wins dedup when two docs claim the same `file_name` (the
     * reference's sorted-glob dict overwrite ⇒ lexicographically last source

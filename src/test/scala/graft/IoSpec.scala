@@ -30,6 +30,34 @@ class IoSpec extends SparkSuite {
     assert(bbox == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("observe counters report skip counts without a second scan (A1/S14)") {
+    val d = tmpDir("obs")
+    Files.writeString(d.resolve("good.json"),
+      """{"file_name":"a.png","annotations":[],"corruption":{"type":"none","severity":0}}""")
+    Files.writeString(d.resolve("noname.json"), """{"annotations":[]}""")
+    Files.writeString(d.resolve("broken.json"), """{"file_name": "b.png", """)
+    val obs = new org.apache.spark.sql.Observation("ann_scan_test")
+    val valid = AnnotationsIO.validDocs(
+      AnnotationsIO.read(spark, d.toString + "/*.json"), Some(obs))
+    assert(valid.count() == 1)
+    val m = obs.get
+    assert(m("bad_json") == 1L)
+    assert(m("missing_file_name") == 1L)
+  }
+
+  test("partitioned parquet sink: split directories, readable round-trip (S9 scale form)") {
+    val d = tmpDir("sink")
+    val ds = Seq(("a", "train", Seq("1 0.1 0.1 0.1 0.1")),
+      ("b", "val", Seq.empty[String]), ("c", "train", Seq("2 0.2 0.2 0.2 0.2")))
+      .toDF("stem", "split", "lines")
+    graft.io.Sinks.writeDataset(ds, d.toString + "/out")
+    val back = spark.read.parquet(d.toString + "/out")
+    assert(back.count() == 3)
+    assert(back.filter(col("split") === "train").count() == 2)
+    assert(Files.list(d.resolve("out")).toArray.map(_.toString)
+      .exists(_.contains("split=train")))
+  }
+
   test("last-wins dedup on duplicate file_name (A10)") {
     val docs = Seq(("a.png", "f1"), ("a.png", "f2"), ("b.png", "f1"))
       .toDF("file_name", "src")
