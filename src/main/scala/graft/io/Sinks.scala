@@ -30,6 +30,19 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Bucketed table write: rows are hash-bucketed (and optionally sorted)
+    * by the join/aggregation key at write time, so subsequent equi-joins and
+    * groupBys on that key read co-located, pre-sorted buckets and skip the
+    * shuffle entirely — the standard answer to "this 100 TB fact table is
+    * joined on the same key by every job". Requires a catalog table
+    * (`saveAsTable`); bucket metadata lives in the catalog.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
+
   /** The converter's dataset sink (§3.1): label lines partitioned by split.
     * One directory per split, parquet with (stem, lines) — the scalable
     * analog of one-txt-per-image; `LabelsIO.writePerImage` remains for

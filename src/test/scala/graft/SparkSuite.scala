@@ -14,6 +14,8 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${sys.props.getOrElse("user.name", "x")}")
     .getOrCreate()
 
   def resource(name: String): String =
