@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  /** ts (ns long) → µs long, truncation parity with the oracle. */
-  private def usCol = (col("ts") / 1000L).cast("long")
-
+  /** ts (ns long) → µs long — integer truncation, parity with the oracle's
+    * µs-truncated read of the same column.
+    */
   def withTsUs(events: DataFrame): DataFrame =
     events.withColumn("ts_us", expr("ts div 1000"))
 

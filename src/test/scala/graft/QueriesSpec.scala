@@ -13,6 +13,15 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("Tables.events enables ns-as-long at runtime (sessions without the builder conf)") {
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      val df = Tables.events(spark, sf)
+      assert(df.schema("ts").dataType.typeName == "long")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sf)
