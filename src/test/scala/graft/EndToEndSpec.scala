@@ -40,6 +40,38 @@ class EndToEndSpec extends SparkSuite {
     d.toFile.deleteOnExit(); d
   }
 
+  test("Predictions over synthesized label files matches the reference converter's docs") {
+    val golden = spark.read.option("multiLine", true)
+      .json(resource("/golden/predictions_docs.json")).cache()
+    // materialize the label files exactly as fixtures prescribe
+    val dir = tmpDir("predlabels")
+    golden.select("stem", "label_text").as[(String, String)].collect()
+      .foreach { case (stem, text) =>
+        Files.writeString(dir.resolve(s"$stem.txt"), text)
+      }
+    val images = golden.select(col("file_name"), col("width"), col("height"))
+    val preds = io.LabelsIO.readPredictions(spark, dir.toString + "/*.txt")
+    val got = ops.Predictions.documents(images, preds, confThr = 0.25, roundDp = 2)
+      .select(col("file_name"),
+        transform(col("annotations"), a => struct(
+          a("bbox").as("bbox"), a("category_id").cast("long").as("category_id"),
+          a("category_name").as("category_name"))).as("anns"),
+        col("corruption.type").as("ctype"), col("corruption.severity").as("csev"))
+      .as[(String, Seq[(Seq[Double], Long, String)], String, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = golden
+      .select(col("file_name"),
+        transform(col("expected.annotations"), a => struct(
+          a("bbox").as("bbox"), a("category_id").as("category_id"),
+          a("category_name").as("category_name"))).as("anns"),
+        col("expected.corruption.type").as("ctype"),
+        col("expected.corruption.severity").as("csev"))
+      .as[(String, Seq[(Seq[Double], Long, String)], String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4.toInt))).toMap
+    assert(got.keySet == want.keySet)
+    for ((fn, w) <- want) assert(got(fn) == w, s"image $fn")
+  }
+
   test("EvalPipeline: label files on disk → greedy match → P/R/F1 rollup") {
     val gt = tmpDir("gt"); val pred = tmpDir("pred")
     // page p1: one perfect match (cls 1), one miss (cls 2 vs nothing)

@@ -129,6 +129,87 @@ def matcher_goldens(n_parts, iou_thr=0.5):
     return pages
 
 
+# --- exact copy of predictions_to_json.py:62-72,91-128 semantics
+CLASS_MAP = {0: "Background", 1: "Text", 2: "Title", 3: "List", 4: "Table", 5: "Figure"}
+
+
+def yolo_to_bbox_abs(xc, yc, w, h, img_w, img_h):
+    x_min = (xc - w / 2.0) * img_w
+    y_min = (yc - h / 2.0) * img_h
+    bw = w * img_w
+    bh = h * img_h
+    x_min = max(0.0, min(x_min, img_w))
+    y_min = max(0.0, min(y_min, img_h))
+    bw = max(0.0, min(bw, img_w - x_min))
+    bh = max(0.0, min(bh, img_h - y_min))
+    return [x_min, y_min, bw, bh]
+
+
+def parse_prediction_line(line):
+    parts = line.strip().split()
+    if len(parts) != 6:
+        return None
+    try:
+        return (int(parts[0]), float(parts[1]), float(parts[2]),
+                float(parts[3]), float(parts[4]), float(parts[5]))
+    except ValueError:
+        return None
+
+
+def predictions_goldens(seed=7, n_images=40, conf_thr=0.25, round_dp=2):
+    """Synthesize label files (with malformed/edge lines mixed in), run the
+    reference conversion logic, emit (label_text, image dims, expected doc).
+    """
+    import random
+    rnd = random.Random(seed)
+    out = []
+    for i in range(n_images):
+        stem = f"img_{i:04d}"
+        img_w = rnd.choice([640, 800, 1024, 1280])
+        img_h = rnd.choice([480, 512, 768, 960])
+        lines = []
+        n = rnd.randint(0, 12)
+        for _ in range(n):
+            cls = rnd.randint(0, 7)              # some invalid (6,7)
+            xc = round(rnd.uniform(-0.1, 1.1), 6)
+            yc = round(rnd.uniform(-0.1, 1.1), 6)
+            w = round(rnd.uniform(0.0, 0.5), 6)
+            h = round(rnd.uniform(0.0, 0.5), 6)
+            conf = round(rnd.uniform(0.0, 1.0), 6)
+            lines.append(f"{cls} {xc:.6f} {yc:.6f} {w:.6f} {h:.6f} {conf:.6f}")
+        if rnd.random() < 0.3:
+            lines.insert(rnd.randint(0, len(lines)), "")             # blank
+        if rnd.random() < 0.3:
+            lines.append("1 0.5 0.5 0.1 0.1")                        # 5 tokens
+        if rnd.random() < 0.3:
+            lines.append("x 0.5 0.5 0.1 0.1 0.9")                    # non-numeric
+        annotations = []
+        for raw in lines:
+            if not raw.strip():
+                continue
+            parsed = parse_prediction_line(raw)
+            if not parsed:
+                continue
+            cls_id, xc, yc, w, h, conf = parsed
+            if conf < conf_thr:
+                continue
+            if cls_id not in CLASS_MAP:
+                continue
+            bbox = yolo_to_bbox_abs(xc, yc, w, h, img_w, img_h)
+            if round_dp >= 0:
+                bbox = [round(v, round_dp) for v in bbox]
+            annotations.append({"bbox": bbox, "category_id": cls_id,
+                                "category_name": CLASS_MAP[cls_id]})
+        out.append({
+            "file_name": stem + ".png", "stem": stem,
+            "width": img_w, "height": img_h,
+            "label_text": "\n".join(lines) + ("\n" if lines else ""),
+            "expected": {"file_name": stem + ".png",
+                         "annotations": annotations,
+                         "corruption": {"type": "none", "severity": 0}}})
+    return out
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     # slice: first 40 docs + a spread across the corpus for corruption variety
@@ -142,6 +223,11 @@ def main():
     json.dump(docs, open(os.path.join(OUT, "convert_labels.json"), "w"), indent=1)
     n_boxes = sum(len(d["lines"]) for d in docs)
     print(f"convert_labels.json: {len(docs)} docs, {n_boxes} label lines")
+
+    preds = predictions_goldens()
+    json.dump(preds, open(os.path.join(OUT, "predictions_docs.json"), "w"), indent=1)
+    n_anns = sum(len(p["expected"]["annotations"]) for p in preds)
+    print(f"predictions_docs.json: {len(preds)} images, {n_anns} kept annotations")
 
     for thr, fname in ((0.5, "greedy_match.json"), (0.9, "greedy_match_thr09.json")):
         pages = matcher_goldens(200, thr)
