@@ -488,6 +488,36 @@ object SparkEntry {
         |  FROM scored WHERE iou >= 0.3)
         |SELECT page, class_id, pred_line, gt_line, iou FROM best WHERE rk = 1""".stripMargin,
 
+    "q24_lsh_cosine" ->
+      """WITH proj AS (
+        |  SELECT e.vec_id, t.j,
+        |    (SELECT sum(CAST(e.embedding[s.i] AS DOUBLE) *
+        |       ((((CAST(t.j AS BIGINT) * 1103515245 + 12345) * s.i)
+        |          + t.j * 2654435761) % 1000003
+        |         / 1000003.0 - 0.5))
+        |     FROM generate_series(1, 64) s(i)) AS pr
+        |  FROM embeddings e, generate_series(0, 7) t(j)),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+        |         AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |nrm AS (
+        |  SELECT e.vec_id, e.embedding, b.bucket,
+        |    sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE)
+        |                   * CAST(e.embedding[t.i] AS DOUBLE))
+        |          FROM generate_series(1, 64) t(i))) AS nv
+        |  FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
+        |                  * CAST(b.embedding[t.i] AS DOUBLE))
+        |         FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6) AS cos
+        |FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
+        |                      * CAST(b.embedding[t.i] AS DOUBLE))
+        |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
+        |      >= 0.15""".stripMargin,
+
     "q28_argmax" ->
       """SELECT n_name, c_custkey, c_name, c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
