@@ -98,7 +98,11 @@ object SparkEntry {
     // force in SkewIvfSpec)
     "q31_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 10 === 0,
-        k = 5, nCentroids = 16, nprobe = 4))
+        k = 5, nCentroids = 16, nprobe = 4)),
+    // ---- set ops / grouping sets / pivot ----
+    "q32_set_ops" -> Relational.q32SetOps _,
+    "q33_cube"    -> Relational.q33Cube _,
+    "q34_pivot"   -> Relational.q34Pivot _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -517,6 +521,34 @@ object SparkEntry {
         |                      * CAST(b.embedding[t.i] AS DOUBLE))
         |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
         |      >= 0.15""".stripMargin,
+
+    "q32_set_ops" ->
+      """SELECT nationkey, 'union' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION SELECT s_nationkey FROM supplier) u
+        |UNION ALL
+        |SELECT nationkey, 'intersect' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier) i
+        |UNION ALL
+        |SELECT nationkey, 'except' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier) e""".stripMargin,
+
+    "q33_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q28_argmax" ->
       """SELECT n_name, c_custkey, c_name, c_acctbal FROM (

@@ -153,6 +153,41 @@ object Relational {
         (col("ts_us") - col("last_signup_us")).as("us_since_signup"))
   }
 
+  /** §2.7 set operations (the reference's split-as-partition generalized):
+    * nations with customers UNION/INTERSECT/EXCEPT nations with suppliers,
+    * tagged per set op in one result.
+    */
+  def q32SetOps(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d).select(col("c_nationkey").as("nationkey")).distinct()
+    val s = supplier(spark, d).select(col("s_nationkey").as("nationkey")).distinct()
+    c.union(s).distinct().withColumn("op", lit("union"))
+      .unionByName(c.intersect(s).withColumn("op", lit("intersect")))
+      .unionByName(c.except(s).withColumn("op", lit("except")))
+  }
+
+  /** A7 taken further: CUBE over two keys — all four grouping-set levels in
+    * one shuffle (per-flag, per-status, per-pair, grand total).
+    */
+  def q33Cube(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+
+  /** Pivot: per-user event-type counts as columns (fixed value list keeps
+    * the schema static — the scalable form; dynamic pivot needs a first
+    * pass to enumerate values).
+    */
+  def q34Pivot(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */
