@@ -121,11 +121,13 @@ object Dedup {
     val cands = minhashLshCandidates(docs, k, bands, n)
     val sh = docShingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // shingle equality is part of the join condition, not a post-join
+    // filter: the intermediate must be |A∩B| rows per pair, never |A|×|B|
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("shingle", "shingle_b"), "doc_b")
-      .filter(col("shingle") === col("shingle_b"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b2")
+          .withColumnRenamed("shingle", "shingle_b"),
+        col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")

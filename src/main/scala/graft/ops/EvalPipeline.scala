@@ -60,11 +60,18 @@ object EvalPipeline {
     Eval.prf1Rollup(Eval.perClassCounts(p, g, iouThr), "class_id")
   }
 
-  /** Per-page eval records variant (notebook `all_pred_records`). */
+  /** Per-page eval records variant (notebook `all_pred_records`). The
+    * reference iterates PAGES (from the PDFs), not label files — a page with
+    * neither predictions nor GT still yields an all-zero record, so the
+    * cogroup result is left-joined back onto the full page list from `dims`.
+    */
   def pageRecords(spark: SparkSession, predDir: String, gtDir: String,
                   dims: DataFrame, confThr: Double = 0.25,
                   iouThr: Double = 0.5): DataFrame = {
-    Eval.pageEval(predBoxes(spark, predDir, dims, confThr),
+    val records = Eval.pageEval(predBoxes(spark, predDir, dims, confThr),
       gtBoxes(spark, gtDir, dims), iouThr).toDF()
+    dims.select(col("stem").as("file_name"))
+      .join(records, Seq("file_name"), "left_outer")
+      .na.fill(0L, Seq("num_predictions", "num_gt", "tp", "fp", "fn"))
   }
 }

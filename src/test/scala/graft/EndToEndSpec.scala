@@ -99,16 +99,19 @@ class EndToEndSpec extends SparkSuite {
     assert(r("ALL") == ((1L, 1L, 1L)))
   }
 
-  test("EvalPipeline pageRecords shape (notebook all_pred_records)") {
+  test("EvalPipeline pageRecords covers ALL pages incl. boxless ones (all_pred_records)") {
     val gt = tmpDir("gt2"); val pred = tmpDir("pred2")
     Files.writeString(gt.resolve("q.txt"), "1 0.5 0.5 0.2 0.2\n")
     Files.writeString(pred.resolve("q.txt"), "1 0.5 0.5 0.2 0.2 0.9\n")
-    val dims = Seq(("q", 100, 100)).toDF("stem", "width", "height")
+    // page "empty" has dims but no label files at all → all-zero record
+    val dims = Seq(("q", 100, 100), ("empty", 100, 100))
+      .toDF("stem", "width", "height")
     val rows = EvalPipeline.pageRecords(spark,
       pred.toString + "/*.txt", gt.toString + "/*.txt", dims).collect()
-    assert(rows.length == 1)
-    val r = rows.head
-    assert(r.getAs[Long]("tp") == 1 && r.getAs[Long]("fp") == 0
-      && r.getAs[Long]("fn") == 0)
+      .map(r => r.getAs[String]("file_name") ->
+        ((r.getAs[Long]("num_predictions"), r.getAs[Long]("tp"),
+          r.getAs[Long]("fp"), r.getAs[Long]("fn")))).toMap
+    assert(rows("q") == ((1L, 1L, 0L, 0L)))
+    assert(rows("empty") == ((0L, 0L, 0L, 0L)))
   }
 }
