@@ -99,6 +99,8 @@ object SparkEntry {
     "q31_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 10 === 0,
         k = 5, nCentroids = 16, nprobe = 4)),
+    "q35_bpe_tokens" -> ((s: SparkSession, d: String) =>
+      TextStats.tokenCounts(Tables.documents(s, d))),
     // ---- set ops / grouping sets / pivot ----
     "q32_set_ops" -> Relational.q32SetOps _,
     "q33_cube"    -> Relational.q33Cube _,
@@ -521,6 +523,17 @@ object SparkEntry {
         |                      * CAST(b.embedding[t.i] AS DOUBLE))
         |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
         |      >= 0.15""".stripMargin,
+
+    "q35_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(
+        |    regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]')))
+        |    AS BIGINT) AS n_distinct_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "q32_set_ops" ->
       """SELECT nationkey, 'union' AS op FROM (

@@ -86,6 +86,27 @@ object TextStats {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** BPE-ish sub-word tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens (the pre-merge word-splitting
+    * shape GPT-style tokenizers apply before BPE merges). Pattern kept to
+    * constructs with identical Java/RE2 semantics for oracle parity.
+    */
+  val bpeIshPattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeIshPattern), lit(0))
+
+  /** Per-doc token accounting under both tokenizers — the cost model input
+    * for training-data budgeting.
+    */
+  def tokenCounts(doc: DataFrame): DataFrame =
+    doc.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(bpeIshTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(bpeIshTokens(col("text")))).cast("long")
+        .as("n_distinct_bpe_tokens"))
+
   /** Composed training-data curation pipeline (the flagship extension shape):
     * quality gate → exact dedup (keep max doc_id per identical text) →
     * language-ID → per-doc curation record. One scan, one dedup shuffle, one
