@@ -25,9 +25,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    // warmup: one query per major input table (JIT + codegen + FS cache),
-    // so per-query timings measure compute, not first-touch file reads
-    for (w <- Seq("q01_pricing_rollup", "q11_sessionize",
+    // warmup: touch every input table once (JIT + codegen + FS cache), so
+    // per-query timings measure compute, not first-touch file reads
+    // (q02: customer+orders, q09: supplier+nation, q03: region, q21: part)
+    for (w <- Seq("q01_pricing_rollup", "q02_cust_orders", "q09_nation_revenue",
+                  "q03_region_rollup", "q21_yolo_norm", "q11_sessionize",
                   "q13_quality_features", "q19_cosine_topk"))
       try run(w) catch { case _: Throwable => () }
 

@@ -257,19 +257,31 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // blank-doc convention: 0 tokens / 0.0 ratios on both sides (Spark's
+    // tokens() returns [], DuckDB's regexp_split would return [''] → CASE)
     "q13_quality_features" ->
       """SELECT doc_id, lang, source,
         |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-        |    AS n_distinct_tokens,
-        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
-        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
-        |    / len(regexp_split_to_array(trim(text), '\s+')) AS type_token_ratio,
-        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> t IN ('the','of','and','a','to','in','is'))) AS DOUBLE)
-        |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT)
+        |  END AS n_distinct_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |         / len(regexp_split_to_array(trim(text), '\s+'))
+        |  END AS avg_token_len,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |         AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+        |  END AS type_token_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','of','and','a','to','in','is'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+'))
+        |  END AS stopword_ratio
         |FROM documents""".stripMargin,
 
     "q14_langid" ->
@@ -301,11 +313,13 @@ object SparkEntry {
         |    ELSE 'unknown' END AS pred_lang
         |FROM s""".stripMargin,
 
+    // COALESCE: list_sum([]) is NULL in DuckDB but the Spark fold yields 0
+    // for an empty document
     "q15_fingerprint" ->
       """SELECT doc_id,
-        |  CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
-        |         * ((i * 2654435761) % 1000003))) % 2147483648 AS BIGINT) AS fp
+        |         * ((i * 2654435761) % 1000003))), 0) % 2147483648 AS BIGINT) AS fp
         |FROM documents""".stripMargin,
 
     "q16_ngram_jaccard" ->
@@ -404,7 +418,7 @@ object SparkEntry {
         |  JOIN embeddings c ON q.vec_id <> c.vec_id
         |  JOIN nrm nq ON nq.vec_id = q.vec_id
         |  JOIN nrm nc ON nc.vec_id = c.vec_id
-        |  WHERE q.vec_id % 10 = 0),
+        |  WHERE q.vec_id % 10 = 0 AND nq.nv > 0 AND nc.nv > 0),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id
@@ -424,6 +438,7 @@ object SparkEntry {
         |                  * CAST(b.embedding[t.i] AS DOUBLE))
         |         FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6) AS cos
         |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        |  AND a.nv > 0 AND b.nv > 0
         |WHERE round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
         |                      * CAST(b.embedding[t.i] AS DOUBLE))
         |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
@@ -519,6 +534,7 @@ object SparkEntry {
         |                  * CAST(b.embedding[t.i] AS DOUBLE))
         |         FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6) AS cos
         |FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  AND a.nv > 0 AND b.nv > 0
         |WHERE round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
         |                      * CAST(b.embedding[t.i] AS DOUBLE))
         |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
@@ -526,8 +542,9 @@ object SparkEntry {
 
     "q35_bpe_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |    AS n_ws_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(

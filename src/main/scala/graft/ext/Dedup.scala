@@ -40,7 +40,11 @@ object Dedup {
     val codes = transform(sequence(lit(1), length(text) - (n - 1)), i =>
       (0 until n).map(k => ascii(text.substr(i + k, lit(1))).cast("long") *
         lit(math.pow(256, n - 1 - k).toLong)).reduce(_ + _))
-    array_distinct(codes)
+    // guard: sequence(1, x) DESCENDS for x < 1 (Spark quirk) — a doc shorter
+    // than n chars must yield zero shingles, as the oracle's generate_series
+    // does, not phantom codes from a [1, 0, -1] index walk
+    when(length(text) < n, array().cast("array<long>"))
+      .otherwise(array_distinct(codes))
   }
 
   /** Document → exploded distinct shingle rows (doc_id, shingle). */

@@ -49,11 +49,16 @@ object Similarity {
     * bits are identical either way.
     */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    // zero-norm vectors are dropped on BOTH sides: cosine is undefined for
+    // them, and under ANSI mode the division would throw (DuckDB: NULL) —
+    // oracles carry the same nv > 0 filter
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
+      .filter(col("qn") > 0.0)
     val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
       norm(col("embedding")).as("nn"))
+      .filter(col("nn") > 0.0)
     val scored = queries.join(cands, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -88,10 +93,13 @@ object Similarity {
   def lshNearPairs(emb: DataFrame, dim: Int, bits: Int = 8,
                    minCos: Double = 0.9): DataFrame = {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, bits).as("bucket"))
+        norm(col("embedding")).as("nv"),
+        lshBucket(col("embedding"), dim, bits).as("bucket"))
+      .filter(col("nv") > 0.0)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .withColumn("cos", round(
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nv") * col("b.nv")), 6))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
@@ -114,13 +122,15 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
               nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val n = emb.count()
-    val stride = math.max(1L, n / nCentroids)
+    // centroid choice: the nCentroids lowest-hash vectors — a deterministic
+    // pseudo-random sample via TakeOrdered, with NO eager count()/extra scan
+    // of the corpus at plan-construction time
     val centroids = broadcast(
-      emb.filter(pmod(col("vec_id"), lit(stride)) === 0 &&
-          col("vec_id") < stride * nCentroids)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
-          norm(col("embedding")).as("cn")))
+      emb.select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+          norm(col("embedding")).as("cn"))
+        .filter(col("cn") > 0.0)
+        .orderBy(xxhash64(col("centroid_id")))
+        .limit(nCentroids))
 
     def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {
       val w = Window.partitionBy(idCol)
@@ -133,7 +143,7 @@ object Similarity {
     }
 
     val vectors = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("vn"))
+      norm(col("embedding")).as("vn")).filter(col("vn") > 0.0)
     val indexed = assign(vectors, "vec_id", "embedding", 1)
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumnRenamed("embedding", "nv")
@@ -158,9 +168,9 @@ object Similarity {
     */
   def cosineNearDups(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-      norm(col("embedding")).as("na"))
+      norm(col("embedding")).as("na")).filter(col("na") > 0.0)
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-      norm(col("embedding")).as("nb"))
+      norm(col("embedding")).as("nb")).filter(col("nb") > 0.0)
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)

@@ -36,19 +36,28 @@ object TextStats {
     */
   val stopwords: Seq[String] = Seq("the", "of", "and", "a", "to", "in", "is")
 
-  def qualityFeatures(doc: DataFrame): DataFrame = {
+  def qualityFeatures(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id") +: col("lang") +: col("source") +: featureCols: _*)
+
+  /** The feature columns alone (appendable to any doc projection).
+    * Zero-token guard: blank documents get 0.0 ratios — Spark 4's ANSI mode
+    * throws DIVIDE_BY_ZERO even for doubles, so an unguarded ratio would
+    * crash the whole query on one blank row (oracles carry the same CASE).
+    */
+  def featureCols: Seq[Column] = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val stopArr = array(stopwords.map(lit): _*)
-    doc.select(
-      col("doc_id"), col("lang"), col("source"),
+    def ratio(num: Column): Column =
+      when(nTok === 0.0, 0.0).otherwise(num / nTok)
+    Seq(
       length(col("text")).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      (length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok)
+      ratio(length(regexp_replace(col("text"), "\\s", "")).cast("double"))
         .as("avg_token_len"),
-      (size(array_distinct(toks)).cast("double") / nTok).as("type_token_ratio"),
-      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok)
+      ratio(size(array_distinct(toks)).cast("double")).as("type_token_ratio"),
+      ratio(size(filter(toks, t => array_contains(stopArr, t))).cast("double"))
         .as("stopword_ratio"))
   }
 
@@ -72,11 +81,12 @@ object TextStats {
     }
   }
 
-  def langId(doc: DataFrame): DataFrame = {
+  /** Append score_* and pred_lang columns, preserving everything present. */
+  def withLangId(doc: DataFrame): DataFrame = {
     val scores = langScores(col("text"))
-    val scored = doc.select(
-      (col("doc_id") +: col("lang").as("actual_lang") +:
-        scores.map { case (l, c) => c.as(s"score_$l") }): _*)
+    val scored = scores.foldLeft(doc) { case (df, (l, c)) =>
+      df.withColumn(s"score_$l", c)
+    }
     // argmax with first-wins tie-break in declaration order
     val pred = scores.map(_._1).foldRight(lit("unknown")) { (l, acc) =>
       val isMax = scores.map { case (o, _) => col(s"score_$l") >= col(s"score_$o") }
@@ -85,6 +95,11 @@ object TextStats {
     }
     scored.withColumn("pred_lang", pred)
   }
+
+  def langId(doc: DataFrame): DataFrame =
+    withLangId(doc).select(
+      col("doc_id") +: col("lang").as("actual_lang") +:
+        (langMarkers.map { case (l, _) => col(s"score_$l") } :+ col("pred_lang")): _*)
 
   /** BPE-ish sub-word tokenization: letter runs, digit runs, and single
     * non-alphanumeric marks as separate tokens (the pre-merge word-splitting
@@ -115,13 +130,16 @@ object TextStats {
   def curationPipeline(docs: DataFrame,
                        minTokens: Long = 20,
                        maxStopwordRatio: Double = 0.6): DataFrame = {
-    val quality = qualityFeatures(docs)
+    // one linear DAG: features and lang-ID are appended columns (no rejoin
+    // of the corpus, no recomputation of the feature subtree), the dedup
+    // window is the single shuffle
+    val quality = docs.select(
+        (docs.columns.map(col).toSeq ++ featureCols): _*)
       .filter(col("n_tokens") >= minTokens && col("stopword_ratio") < maxStopwordRatio)
-    val kept = Dedup.exactKeepMax(
-      quality.join(docs.select("doc_id", "text"), "doc_id"), "text", "doc_id")
-    langId(kept.select("doc_id", "text", "lang"))
-      .join(quality.select("doc_id", "n_tokens", "stopword_ratio"), "doc_id")
-      .select("doc_id", "actual_lang", "pred_lang", "n_tokens", "stopword_ratio")
+    val kept = Dedup.exactKeepMax(quality, "text", "doc_id")
+    withLangId(kept)
+      .select(col("doc_id"), col("lang").as("actual_lang"), col("pred_lang"),
+        col("n_tokens"), col("stopword_ratio"))
   }
 
   /** Document fingerprint: order-weighted sum of character codes — a

@@ -57,21 +57,24 @@ object Geometry {
     */
   def normToAbsXYWH(xc: Column, yc: Column, wn: Column, hn: Column,
                     imgW: Column, imgH: Column): (Column, Column, Column, Column) = {
+    // association order matters for bit-parity with the reference:
+    // (xc - w/2) * W, NOT xc*W - (w*W)/2 — the two differ in the last ulp,
+    // which the 2-dp HALF_EVEN round downstream can amplify to a visible digit
     val w = wn * imgW
     val h = hn * imgH
-    val x = xc * imgW - w / 2.0
-    val y = yc * imgH - h / 2.0
+    val x = (xc - wn / 2.0) * imgW
+    val y = (yc - hn / 2.0) * imgH
     clipXYWH(x, y, w, h, imgW, imgH)
   }
 
   /** G4 — normalized YOLO center box → absolute corner box `(x1, y1, x2, y2)`. */
   def normToXYXY(xc: Column, yc: Column, wn: Column, hn: Column,
                  imgW: Column, imgH: Column): Box = {
-    val w = wn * imgW
-    val h = hn * imgH
-    val x1 = xc * imgW - w / 2.0
-    val y1 = yc * imgH - h / 2.0
-    Box(x1, y1, x1 + w, y1 + h)
+    // exact reference association (yolo_norm_to_xyxy): every corner is
+    // (xc ± w/2) * img — x1 + w would differ from (xc + w/2)*W in the
+    // last ulp and flip IoU-threshold comparisons on boundary boxes
+    Box((xc - wn / 2.0) * imgW, (yc - hn / 2.0) * imgH,
+        (xc + wn / 2.0) * imgW, (yc + hn / 2.0) * imgH)
   }
 
   /** G5 — corner box → `[x, y, w, h]`. */

@@ -22,9 +22,24 @@ object LabelsIO {
       .select(
         regexp_extract(input_file_name(), "([^/]+)\\.txt$", 1).as("stem"),
         col("value"))
-      .withColumn("line_no", monotonically_increasing_id())
+      // monotonically_increasing_id preserves within-file order as long as
+      // one file maps into one scan split (always true for KB-scale label
+      // files vs the 128 MB split size); normalized to a real 0-based line
+      // index per stem below
+      .withColumn("__file_pos", monotonically_increasing_id())
       .filter(length(trim(col("value"))) > 0)                 // F5 blank-line filter
       .withColumn("tok", split(trim(col("value")), "\\s+"))
+
+  /** Replace the opaque scan position with a 0-based per-stem line index
+    * (the reference's prediction/GT line numbering).
+    */
+  private def withLineIndex(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("line_no",
+        (row_number().over(Window.partitionBy("stem").orderBy("__file_pos")) - 1)
+          .cast("long"))
+      .drop("__file_pos")
+  }
 
   /** Prediction rows: malformed lines (≠6 tokens or non-numeric) are dropped,
     * matching parse_prediction_line's `None` path (F6). Numeric validation =
@@ -36,8 +51,8 @@ object LabelsIO {
     expr(s"try_cast(element_at(tok, $i) AS $t)")
 
   def readPredictions(spark: SparkSession, path: String): DataFrame =
-    tokenized(spark, path)
-      .filter(size(col("tok")) === 6)
+    withLineIndex(tokenized(spark, path)
+      .filter(size(col("tok")) === 6))
       .select(col("stem"), col("line_no"),
         tc(1, "int").as("class_id"),
         tc(2, "double").as("x_center"),
@@ -49,8 +64,8 @@ object LabelsIO {
 
   /** Ground-truth rows: ≥5 tokens, first five used (F7). */
   def readGroundTruth(spark: SparkSession, path: String): DataFrame =
-    tokenized(spark, path)
-      .filter(size(col("tok")) >= 5)
+    withLineIndex(tokenized(spark, path)
+      .filter(size(col("tok")) >= 5))
       .select(col("stem"), col("line_no"),
         tc(1, "int").as("class_id"),
         tc(2, "double").as("x_center"),
