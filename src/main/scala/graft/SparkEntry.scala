@@ -101,6 +101,12 @@ object SparkEntry {
         k = 5, nCentroids = 16, nprobe = 4)),
     "q35_bpe_tokens" -> ((s: SparkSession, d: String) =>
       TextStats.tokenCounts(Tables.documents(s, d))),
+    // full dedup closure: MinHash-LSH pairs → connected components →
+    // canonical ids (iterative; rows-only, ComponentsSpec covers semantics)
+    "q36_dedup_groups" -> ((s: SparkSession, d: String) =>
+      ext.Components.dedupGroups(
+        Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3,
+          minJaccard = 0.5).select("doc_a", "doc_b"))),
     // ---- set ops / grouping sets / pivot ----
     "q32_set_ops" -> Relational.q32SetOps _,
     "q33_cube"    -> Relational.q33Cube _,

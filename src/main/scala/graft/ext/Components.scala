@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative connected components over a near-duplicate pair list — the
+  * closure step that turns pairwise similarity hits into dedup GROUPS
+  * (pairs alone under-merge: a~b and b~c must collapse a, b, c together).
+  *
+  * Algorithm: minimum-label propagation. Every node starts labeled with its
+  * own id; each round, every node takes the min label among itself and its
+  * neighbors; stop at fixpoint (or `maxIter`). Rounds needed = graph
+  * diameter, which for near-dup clusters is tiny. Each round is one join +
+  * one aggregation — the standard Spark iterative shape: the driver loops
+  * over ACTIONS, the data never leaves the cluster, and `localCheckpoint`
+  * truncates the lineage so plans don't grow with iterations.
+  */
+object Components {
+
+  /** @param edges two-column DataFrame of undirected pairs
+    * @return (node, component) — component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left_outer")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup groups from near-dup pairs: every member mapped to its group's
+    * canonical (minimum) id. Nodes not in any pair are their own group and
+    * are absent here — union with the full id set at the call site if a
+    * total mapping is needed.
+    */
+  def dedupGroups(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .withColumnRenamed("component", "canonical_id")
+}

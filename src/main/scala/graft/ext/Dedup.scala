@@ -143,6 +143,18 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Sketch-based distinct counting (the HLL-style extension from SURVEY
+    * §2.10): approximate distinct shingles per document and corpus-wide —
+    * at 100 TB the exact variant's shuffle carries every distinct value,
+    * the sketch carries fixed-size HLL registers.
+    */
+  def approxDistinctShingles(docs: DataFrame, n: Int = 3,
+                             rsd: Double = 0.05): DataFrame =
+    docShingles(docs, n)
+      .agg(
+        approx_count_distinct(col("shingle"), rsd).as("approx_distinct_shingles"),
+        count_distinct(col("shingle")).as("exact_distinct_shingles"))
+
   /** SimHash (16-bit, engine-neutral): per shingle, bit_j = 1 if
     * ((a_j·shingle + b_j) mod P) > P/2; per document, bit_j of the simhash is
     * 1 if the majority of shingles set it. Near-dups have small Hamming

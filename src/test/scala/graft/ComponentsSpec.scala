@@ -1,0 +1,47 @@
+package graft
+
+import graft.ext.{Components, Dedup}
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connectedComponents merges chains and keeps islands apart") {
+    // chain 1-2, 2-3, plus pair 10-11, plus triangle 20-21, 21-22, 20-22
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L)).toDF("a", "b")
+    val r = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == 1L && r(2L) == 1L && r(3L) == 1L)
+    assert(r(10L) == 10L && r(11L) == 10L)
+    assert(r(20L) == 20L && r(21L) == 20L && r(22L) == 20L)
+  }
+
+  test("long path converges (diameter > 1 needs iteration)") {
+    val edges = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val r = Components.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(r.forall(_._2 == 0L))
+  }
+
+  test("dedup groups from real near-dup pairs: canonical id is the group min") {
+    val docs = Seq(
+      (5L, "the quick brown fox jumps over everything"),
+      (6L, "the quick brown fox jumps over everything"),
+      (7L, "the quick brown fox jumps over everything"),
+      (9L, "completely unrelated text body here today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.9).select("doc_a", "doc_b")
+    val groups = Components.dedupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("approx distinct shingles lands within the configured error of exact") {
+    val r = Dedup.approxDistinctShingles(
+      Tables.documents(spark, sf).filter(col("doc_id") < 100)).collect()(0)
+    val approx = r.getAs[Long]("approx_distinct_shingles").toDouble
+    val exact = r.getAs[Long]("exact_distinct_shingles").toDouble
+    assert(math.abs(approx - exact) / exact < 0.15, s"approx=$approx exact=$exact")
+  }
+}
