@@ -110,7 +110,8 @@ object SparkEntry {
     // ---- set ops / grouping sets / pivot ----
     "q32_set_ops" -> Relational.q32SetOps _,
     "q33_cube"    -> Relational.q33Cube _,
-    "q34_pivot"   -> Relational.q34Pivot _
+    "q34_pivot"   -> Relational.q34Pivot _,
+    "q37_percentiles" -> Relational.q37Percentiles _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -585,6 +586,13 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.25) AS qty_p25
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q28_argmax" ->
       """SELECT n_name, c_custkey, c_name, c_acctbal FROM (

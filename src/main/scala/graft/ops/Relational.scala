@@ -188,6 +188,19 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, bit-verified). Exact percentile is a holistic
+    * aggregate (full per-group sort) — at 100 TB, switch to
+    * `percentile_approx` (t-digest sketch) unless exactness is contractual.
+    */
+  def q37Percentiles(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"))
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */
