@@ -552,10 +552,10 @@ object SparkEntry {
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |  END AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |    AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(
-        |    regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]')))
+        |    regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')))
         |    AS BIGINT) AS n_distinct_bpe_tokens
         |FROM documents""".stripMargin,
 

@@ -19,6 +19,10 @@ object Components {
 
   /** @param edges two-column DataFrame of undirected pairs
     * @return (node, component) — component = min node id reachable
+    * @throws IllegalStateException when `maxIter` rounds pass without a
+    *         fixpoint — an under-merged result returned silently would
+    *         corrupt downstream dedup; raise maxIter for high-diameter
+    *         graphs (rounds needed ≈ component diameter)
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
@@ -37,6 +41,9 @@ object Components {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(min(col("component")).as("nbr_min"))
+      // localCheckpoint truncates lineage; the superseded round's cached
+      // blocks are explicitly dropped below, keeping peak storage at two
+      // copies instead of maxIter
       val next = labels.join(nbrMin, col("node") === col("src"), "left_outer")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
@@ -46,9 +53,14 @@ object Components {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.component") =!= col("o.component"))
         .isEmpty
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it")
     labels
   }
 

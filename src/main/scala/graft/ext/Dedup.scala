@@ -144,16 +144,16 @@ object Dedup {
   }
 
   /** Sketch-based distinct counting (the HLL-style extension from SURVEY
-    * §2.10): approximate distinct shingles per document and corpus-wide —
-    * at 100 TB the exact variant's shuffle carries every distinct value,
-    * the sketch carries fixed-size HLL registers.
+    * §2.10): approximate distinct shingles per document — fixed-size HLL
+    * registers travel through the shuffle instead of every distinct value
+    * (accuracy-vs-exactness comparison lives in ComponentsSpec, not here).
     */
   def approxDistinctShingles(docs: DataFrame, n: Int = 3,
                              rsd: Double = 0.05): DataFrame =
     docShingles(docs, n)
-      .agg(
-        approx_count_distinct(col("shingle"), rsd).as("approx_distinct_shingles"),
-        count_distinct(col("shingle")).as("exact_distinct_shingles"))
+      .groupBy(col("doc_id"))
+      .agg(approx_count_distinct(col("shingle"), rsd)
+        .as("approx_distinct_shingles"))
 
   /** SimHash (16-bit, engine-neutral): per shingle, bit_j = 1 if
     * ((a_j·shingle + b_j) mod P) > P/2; per document, bit_j of the simhash is

@@ -107,9 +107,10 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to LSH:
     *
-    *  1. coarse quantizer: `nCentroids` vectors chosen deterministically
-    *     from the corpus itself (every |N|/nCentroids-th id) act as
-    *     centroids — broadcast (tiny);
+    *  1. coarse quantizer: the `nCentroids` corpus vectors with the lowest
+    *     `xxhash64(vec_id)` act as centroids — a deterministic pseudo-random
+    *     sample computed as a TakeOrdered (no full count/extra scan),
+    *     broadcast (tiny);
     *  2. build: every vector is assigned to its nearest centroid — one
     *     broadcast join + argmax, no shuffle of the vectors;
     *  3. probe: each query scores only vectors in its `nprobe` closest

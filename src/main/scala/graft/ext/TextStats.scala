@@ -106,7 +106,9 @@ object TextStats {
     * shape GPT-style tokenizers apply before BPE merges). Pattern kept to
     * constructs with identical Java/RE2 semantics for oracle parity.
     */
-  val bpeIshPattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]"
+  // \s (not just space) in the negated class: tabs/newlines must never
+  // count as tokens — a GPT-style pre-merge splitter emits no whitespace
+  val bpeIshPattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def bpeIshTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeIshPattern), lit(0))

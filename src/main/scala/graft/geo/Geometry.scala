@@ -100,13 +100,17 @@ object Geometry {
   }
 
   /** G7+G9 — YOLO ground-truth label line: `cls xc yc w h`, 6-dp fixed.
-    * `bround` first so formatting matches Python's HALF_EVEN `f"{v:.6f}"`
-    * (Java's `%.6f` alone would round HALF_UP).
+    * Round with exact Python semantics first so formatting matches the
+    * reference's `f"{v:.6f}"` (Java's `%.6f` alone would round HALF_UP).
     */
   def labelLine(cls: Column, xc: Column, yc: Column, w: Column, h: Column): Column =
     format_string("%d %.6f %.6f %.6f %.6f",
-      cls, bround(xc, 6), bround(yc, 6), bround(w, 6), bround(h, 6))
+      cls, pyRound(xc, 6), pyRound(yc, 6), pyRound(w, 6), pyRound(h, 6))
 
-  /** G8 — Python-`round` parity: HALF_EVEN (banker's) rounding. */
-  def pyRound(c: Column, scale: Int): Column = bround(c, scale)
+  /** G8 — Python-`round` parity: HALF_EVEN on the EXACT binary expansion
+    * (see [[graft.functions.PyRound]] — `bround` diverges on decimal-repr
+    * ties like 2.675).
+    */
+  def pyRound(c: Column, scale: Int): Column =
+    graft.functions.PyRoundFunctions.pyRound(c, scale)
 }

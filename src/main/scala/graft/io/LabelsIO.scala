@@ -50,29 +50,32 @@ object LabelsIO {
   private def tc(i: Int, t: String) =
     expr(s"try_cast(element_at(tok, $i) AS $t)")
 
+  // line indices are assigned AFTER all malformed-line drops so a skipped
+  // line (wrong arity OR non-numeric) never consumes an index — matching
+  // the reference, which numbers only successfully parsed predictions
   def readPredictions(spark: SparkSession, path: String): DataFrame =
     withLineIndex(tokenized(spark, path)
-      .filter(size(col("tok")) === 6))
-      .select(col("stem"), col("line_no"),
+      .filter(size(col("tok")) === 6)
+      .select(col("stem"), col("__file_pos"),
         tc(1, "int").as("class_id"),
         tc(2, "double").as("x_center"),
         tc(3, "double").as("y_center"),
         tc(4, "double").as("width"),
         tc(5, "double").as("height"),
         tc(6, "double").as("confidence"))
-      .na.drop(Seq("class_id", "x_center", "y_center", "width", "height", "confidence"))
+      .na.drop(Seq("class_id", "x_center", "y_center", "width", "height", "confidence")))
 
   /** Ground-truth rows: ≥5 tokens, first five used (F7). */
   def readGroundTruth(spark: SparkSession, path: String): DataFrame =
     withLineIndex(tokenized(spark, path)
-      .filter(size(col("tok")) >= 5))
-      .select(col("stem"), col("line_no"),
+      .filter(size(col("tok")) >= 5)
+      .select(col("stem"), col("__file_pos"),
         tc(1, "int").as("class_id"),
         tc(2, "double").as("x_center"),
         tc(3, "double").as("y_center"),
         tc(4, "double").as("width"),
         tc(5, "double").as("height"))
-      .na.drop(Seq("class_id", "x_center", "y_center", "width", "height"))
+      .na.drop(Seq("class_id", "x_center", "y_center", "width", "height")))
 
   /** S9 — label sink: one text part per split partition, one line per box.
     * The reference writes one file per image; at scale that is a small-files

@@ -186,7 +186,9 @@ object Relational {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // scoped fill: an unscoped fill would rewrite a NULL user_id group
+      // key to 0, conflating it with real user 0 (oracle keeps NULL keys)
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
 
   /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, bit-verified). Exact percentile is a holistic

@@ -37,11 +37,25 @@ class ComponentsSpec extends SparkSuite {
     assert(groups == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
-  test("approx distinct shingles lands within the configured error of exact") {
-    val r = Dedup.approxDistinctShingles(
-      Tables.documents(spark, sf).filter(col("doc_id") < 100)).collect()(0)
-    val approx = r.getAs[Long]("approx_distinct_shingles").toDouble
-    val exact = r.getAs[Long]("exact_distinct_shingles").toDouble
-    assert(math.abs(approx - exact) / exact < 0.15, s"approx=$approx exact=$exact")
+  test("per-doc approx distinct shingles lands within the error bound of exact") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val approx = Dedup.approxDistinctShingles(docs)
+      .as[(Long, Long)].collect().toMap
+    val exact = Dedup.docShingles(docs).groupBy("doc_id")
+      .agg(count_distinct(col("shingle")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    for ((id, a) <- approx) {
+      val e = exact(id).toDouble
+      assert(math.abs(a - e) / e < 0.2, s"doc $id approx=$a exact=$e")
+    }
+  }
+
+  test("non-convergence raises instead of returning under-merged groups") {
+    val edges = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(edges, maxIter = 3).collect()
+    }
   }
 }

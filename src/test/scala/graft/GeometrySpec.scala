@@ -102,6 +102,16 @@ class GeometrySpec extends SparkSuite {
     assert(r == ((0.12, 0.14, 2.0, 4.0)))
   }
 
+  test("pyRound works on the exact binary expansion, not the decimal repr") {
+    // Python: round(2.675, 2) == 2.67 because 2.675 is stored as 2.67499…;
+    // Spark's bround sees repr "2.675" and would give 2.68
+    val Array((a, b)) = Seq((2.675, 0.5675)).toDF("a", "b")
+      .select(Geometry.pyRound(col("a"), 2), Geometry.pyRound(col("b"), 3))
+      .as[(Double, Double)].collect()
+    assert(a == 2.67)
+    assert(b == 0.568)   // 0.5675 stored as 0.56750000…0444 (above the tie)
+  }
+
   test("zero-dimension image emits all-zero normalized coords (reference guard)") {
     val df = Seq((5.0, 5.0, 10.0, 10.0)).toDF("x", "y", "w", "h")
     val (xc, yc, wn, hn) = Geometry.xywhToNorm(
