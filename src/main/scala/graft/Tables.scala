@@ -27,9 +27,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `ts` column is LongType nanoseconds since epoch (see class doc). */
+  /** `ts` column is LongType nanoseconds since epoch (see class doc).
+    *
+    * The nanos-as-long flag must be set at session BUILD time (Bench, Verify
+    * and the test suite all do); setting it here as a read side effect would
+    * mutate shared session state behind concurrent users' backs, so instead
+    * the accessor fails loudly with the fix when the flag is absent.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") " +
+        "(see graft.Bench / graft.Verify builders)")
     t(s, d, "events")
   }
 }

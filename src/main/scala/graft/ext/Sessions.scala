@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,11 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  /** ts (ns long) → µs long — integer truncation, parity with the oracle's
-    * µs-truncated read of the same column.
+  /** Floor division on longs (`floorDiv(a, b)` for b > 0): Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so the two diverge on
+    * negative operands. `(a - pmod(a, b)) div b` floors for any sign of `a`
+    * because pmod is the non-negative remainder.
+    *
+    * Must be INTEGRAL division (Catalyst `IntegralDivide` via GraftBridge):
+    * `Column./` is double division, and ns-epoch longs (~1.7e18) exceed
+    * double's 2^53 exact range — true division here would silently lose the
+    * low microsecond digit.
+    */
+  private def floorDiv(a: Column, b: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    val exact = GraftBridge.expression(a - pmod(a, lit(b)))
+    GraftBridge.column(IntegralDivide(exact, Literal(b), evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+  }
+
+  /** ts (ns long) → µs long.
+    *
+    * Precondition ts >= 0 (holds for all epoch timestamps in this corpus):
+    * the oracle side is DuckDB's read-time ns→µs conversion of the same
+    * parquet column, whose negative-value behavior is DuckDB's own and not
+    * something this engine can mirror with either floor or truncate. For
+    * non-negative ts, floor ≡ truncate ≡ DuckDB's conversion.
     */
   def withTsUs(events: DataFrame): DataFrame =
-    events.withColumn("ts_us", expr("ts div 1000"))
+    events.withColumn("ts_us", floorDiv(col("ts"), 1000L))
 
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapUs`. Deterministic ordering:
@@ -54,12 +76,13 @@ object Sessions {
   }
 
   /** Tumbling event-time window aggregation (streaming-analog batch form):
-    * bucket = floor(ts_us / windowUs), per (bucket, event_type) counts and
+    * bucket = floor(ts_us / windowUs) — true floor division, so pre-1970
+    * buckets match DuckDB's `//` — per (bucket, event_type) counts and
     * value sums.
     */
   def tumbling(events: DataFrame, windowUs: Long = 3600L * 1000000): DataFrame =
     withTsUs(events)
-      .withColumn("bucket", expr(s"ts_us div ${windowUs}L"))
+      .withColumn("bucket", floorDiv(col("ts_us"), windowUs))
       .groupBy(col("bucket"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),

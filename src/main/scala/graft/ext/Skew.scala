@@ -22,7 +22,8 @@ object Skew {
 
   /** Count rows per key in two phases — (key, salt) partial, then key
     * final — bounding any task's share of a hot key to ~1/buckets.
-    * Result-identical to `groupBy(key).count()`.
+    * Result-identical to `groupBy(key).count()` (counts are exact integers;
+    * no accumulation-order sensitivity).
     */
   def saltedCount(df: DataFrame, key: String, rowId: String,
                   buckets: Int = 16): DataFrame =
@@ -31,7 +32,14 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__cnt")).as("n"))
 
-  /** Sum a column per key, two-phase (see [[saltedCount]]). */
+  /** Sum a column per key, two-phase (see [[saltedCount]]).
+    *
+    * Result-identical to `groupBy(key).sum(valueCol)` for exact types
+    * (integral, decimal). For floating-point columns the two-phase plan
+    * changes fp accumulation order, so results can differ in the last ulp —
+    * same caveat as any Spark shuffle re-plan; round aggregated doubles
+    * before comparing across plans (repo parity rule 2).
+    */
   def saltedSum(df: DataFrame, key: String, valueCol: String, rowId: String,
                 buckets: Int = 16): DataFrame =
     df.groupBy(col(key), salt(col(rowId), buckets).as("__salt"))

@@ -17,21 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object LabelsIO {
 
+  // wholetext: one record per file, so a file can NEVER span two scan
+  // splits and `__file_pos` (the line's index within the file) is exact by
+  // construction — no ordering assumption to enforce. Label files are
+  // KB-scale; a file must fit in one task's memory, which holds by orders
+  // of magnitude here and is the standard trade for order-exact text.
   private def tokenized(spark: SparkSession, path: String) =
-    spark.read.text(path)
+    spark.read.option("wholetext", "true").text(path)
       .select(
         regexp_extract(input_file_name(), "([^/]+)\\.txt$", 1).as("stem"),
-        col("value"))
-      // monotonically_increasing_id preserves within-file order as long as
-      // one file maps into one scan split (always true for KB-scale label
-      // files vs the 128 MB split size); normalized to a real 0-based line
-      // index per stem below
-      .withColumn("__file_pos", monotonically_increasing_id())
+        posexplode(split(col("value"), "\r\n|\r|\n")).as(Seq("__file_pos", "value")))
       .filter(length(trim(col("value"))) > 0)                 // F5 blank-line filter
       .withColumn("tok", split(trim(col("value")), "\\s+"))
 
-  /** Replace the opaque scan position with a 0-based per-stem line index
-    * (the reference's prediction/GT line numbering).
+  /** Replace the raw file line position with a 0-based per-stem index over
+    * the SURVIVING lines (the reference's prediction/GT line numbering —
+    * skipped lines never consume an index).
     */
   private def withLineIndex(df: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window

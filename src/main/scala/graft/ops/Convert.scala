@@ -21,9 +21,13 @@ object Convert {
     * cluster topology, unlike seeded shuffling — `hash(file_name) mod 100`.
     * The 80/20 proportion + determinism are the contract (SURVEY §7.4.3);
     * exact sklearn membership is not reproduced.
+    *
+    * math.round, not toInt: naive truncation turns ratios whose double repr
+    * sits just below the integer (0.29 * 100 = 28.999…) into an off-by-one
+    * percent split.
     */
   def hashSplit(fileName: Column, trainRatio: Double = 0.8): Column =
-    when(pmod(hash(fileName), lit(100)) < lit((trainRatio * 100).toInt), "train")
+    when(pmod(hash(fileName), lit(100)) < lit(math.round(trainRatio * 100).toInt), "train")
       .otherwise("val")
 
   /** J1 + G14 + F2/F3 + G1/G2/G7 — per-image label lines.

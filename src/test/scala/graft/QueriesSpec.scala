@@ -13,13 +13,15 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("Tables.events enables ns-as-long at runtime (sessions without the builder conf)") {
+  test("Tables.events fails loudly when the ns-as-long builder conf is absent") {
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try {
-      val df = Tables.events(spark, sf)
-      assert(df.schema("ts").dataType.typeName == "long")
-      assert(df.count() > 0)
+      val e = intercept[IllegalArgumentException](Tables.events(spark, sf))
+      assert(e.getMessage.contains("nanosAsLong"))
     } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = Tables.events(spark, sf)
+    assert(df.schema("ts").dataType.typeName == "long")
+    assert(df.count() > 0)
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
