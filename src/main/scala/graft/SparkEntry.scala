@@ -77,7 +77,9 @@ object SparkEntry {
       SyntheticBoxes.yoloNorm(Tables.part(s, d))),
     "q22_best_match" -> ((s: SparkSession, d: String) =>
       SyntheticBoxes.bestMatches(Tables.part(s, d), iouThr = 0.3)),
-    // ---- non-SQL-expressible operators (rows-only checks) ----
+    // greedy matcher: order-dependent loop, oracled via a recursive CTE that
+    // replays the same greedy order (duplicated predictions force real
+    // one-to-one contention — see SyntheticBoxes.qGreedyEval)
     "q23_greedy_eval" -> SyntheticBoxes.qGreedyEval _,
     "q24_lsh_cosine" -> ((s: SparkSession, d: String) =>
       Similarity.lshNearPairs(Tables.embeddings(s, d), dim = 64, bits = 8, minCos = 0.15)),
@@ -94,15 +96,17 @@ object SparkEntry {
     // ---- composed curation pipeline (quality gate → dedup → lang-ID) ----
     "q30_curation_pipeline" -> ((s: SparkSession, d: String) =>
       TextStats.curationPipeline(Tables.documents(s, d))),
-    // IVF ANN (approximate by design → rows-only; recall tested vs brute
-    // force in SkewIvfSpec)
+    // IVF ANN: approximate-by-design but fully deterministic (engine-neutral
+    // centroid sample + round-6 assignment), so the whole index→probe→rerank
+    // path is oracle-checked; recall vs brute force tested in SkewIvfSpec
     "q31_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 10 === 0,
         k = 5, nCentroids = 16, nprobe = 4)),
     "q35_bpe_tokens" -> ((s: SparkSession, d: String) =>
       TextStats.tokenCounts(Tables.documents(s, d))),
     // full dedup closure: MinHash-LSH pairs → connected components →
-    // canonical ids (iterative; rows-only, ComponentsSpec covers semantics)
+    // canonical ids (iterative min-label propagation; oracled by a DuckDB
+    // recursive-CTE transitive closure — ComponentsSpec covers semantics)
     "q36_dedup_groups" -> ((s: SparkSession, d: String) =>
       ext.Components.dedupGroups(
         Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3,
@@ -115,8 +119,8 @@ object SparkEntry {
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
-    * nested annotation documents (rows-only; nested-assembly semantics are
-    * unit-tested in PredictionsSpec).
+    * nested annotation documents (oracled on the count path; nested-assembly
+    * values are unit-tested in PredictionsSpec).
     */
   private def qPredictionsPipeline(s: SparkSession, d: String): DataFrame = {
     val part = Tables.part(s, d)
@@ -139,8 +143,10 @@ object SparkEntry {
   }
 
   /** §3.1 pipeline demo on synthetic boxes: nested annotation docs → YOLO
-    * label lines + split (rows-only; value semantics unit-tested in
-    * ConvertSpec, formatting golden-tested in GeometrySpec).
+    * label lines + split — fully oracled, including the 6-dp-formatted first
+    * label line (ties here are exactly-representable power-of-two fractions,
+    * so HALF_EVEN agrees across engines) and an engine-neutral split hash.
+    * Byte parity of whole label files stays golden-tested (ConvertSpec).
     */
   private def qConvertPipeline(s: SparkSession, d: String): DataFrame = {
     val part = Tables.part(s, d)
@@ -156,8 +162,14 @@ object SparkEntry {
         col("annotations"))
     val images = anns.select(col("file_name"),
       lit(1024).as("width"), lit(512).as("height"))
-    Convert.dataset(images, anns)
-      .select(col("file_name"), col("split"), col("n_boxes"),
+    // engine-neutral split (page·Knuth-constant mod 100): `hashSplit`'s
+    // Murmur3 is Spark-internal, so the oracle could not reproduce it —
+    // the split CONTRACT (deterministic, ~80/20) is what matters
+    val neutralSplit = when(
+      pmod(regexp_extract(col("file_name"), "page_(\\d+)", 1).cast("long")
+        * lit(2654435761L), lit(100)) < 80, "train").otherwise("val")
+    Convert.dataset(images, anns, neutralSplit)
+      .select(col("file_name"), col("split"), col("n_boxes").cast("long").as("n_boxes"),
         element_at(col("lines"), 1).as("first_line"))
   }
 
@@ -593,6 +605,278 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  quantile_cont(l_quantity, 0.25) AS qty_p25
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Greedy IoU matcher (J4) + P/R/F1 rollup: the recursive CTE replays the
+    // reference's order-dependent greedy loop exactly — one recursion step
+    // per prediction in line order, `used` carried as a list, the per-step
+    // argmax as a LATERAL ORDER BY iou DESC, gt_line LIMIT 1 (first-max-wins
+    // ≡ the strict-> scan). Filtering candidates to iou >= thr before the
+    // argmax is equivalence-preserving: acceptance requires iou >= thr anyway.
+    "q23_greedy_eval" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS gt_line,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE) AS gx1,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE) AS gy1,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE)
+        |      + CAST(64 + p_partkey * 13 % 128 AS DOUBLE) AS gx2,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE)
+        |      + CAST(48 + p_partkey * 17 % 96 AS DOUBLE) AS gy2
+        |  FROM part),
+        |p0 AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS pred_line,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE)
+        |      + CAST(p_partkey % 7 AS DOUBLE) - 3.0 AS px1,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE)
+        |      + CAST(p_partkey % 11 AS DOUBLE) - 5.0 AS py1,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE)
+        |      + CAST(p_partkey % 7 AS DOUBLE) - 3.0
+        |      + CAST(64 + p_partkey * 13 % 128 AS DOUBLE)
+        |      + CAST(p_partkey % 5 AS DOUBLE) - 2.0 AS px2,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE)
+        |      + CAST(p_partkey % 11 AS DOUBLE) - 5.0
+        |      + CAST(48 + p_partkey * 17 % 96 AS DOUBLE)
+        |      + CAST(p_partkey % 9 AS DOUBLE) - 4.0 AS py2
+        |  FROM part),
+        |p AS (
+        |  SELECT * FROM p0
+        |  UNION ALL
+        |  SELECT page, pred_line + 25, class_id,
+        |         px1 + 4.0, py1, px2 + 4.0, py2
+        |  FROM p0),
+        |cand AS (
+        |  SELECT p.page, p.pred_line, g.gt_line,
+        |    CASE WHEN greatest(0.0, least(px2, gx2) - greatest(px1, gx1))
+        |            * greatest(0.0, least(py2, gy2) - greatest(py1, gy1)) = 0.0
+        |         THEN 0.0
+        |      ELSE greatest(0.0, least(px2, gx2) - greatest(px1, gx1))
+        |         * greatest(0.0, least(py2, gy2) - greatest(py1, gy1))
+        |         / ((px2 - px1) * (py2 - py1) + (gx2 - gx1) * (gy2 - gy1)
+        |            - greatest(0.0, least(px2, gx2) - greatest(px1, gx1))
+        |              * greatest(0.0, least(py2, gy2) - greatest(py1, gy1)))
+        |    END AS iou
+        |  FROM p JOIN g ON p.page = g.page AND p.class_id = g.class_id),
+        |cand_thr AS (SELECT * FROM cand WHERE iou >= 0.5),
+        |pidx AS (
+        |  SELECT page, pred_line, class_id,
+        |    row_number() OVER (PARTITION BY page ORDER BY pred_line) AS idx
+        |  FROM p),
+        |np AS (SELECT page, count(*) AS n FROM pidx GROUP BY page),
+        |steps AS (
+        |  SELECT page, 0 AS step, CAST([] AS BIGINT[]) AS used,
+        |         CAST([] AS INTEGER[]) AS mcls
+        |  FROM np
+        |  UNION ALL
+        |  SELECT s.page, s.step + 1,
+        |    CASE WHEN b.gl IS NULL THEN s.used
+        |         ELSE list_append(s.used, b.gl) END,
+        |    CASE WHEN b.gl IS NULL THEN s.mcls
+        |         ELSE list_append(s.mcls, pp.class_id) END
+        |  FROM steps s
+        |  JOIN pidx pp ON pp.page = s.page AND pp.idx = s.step + 1
+        |  LEFT JOIN LATERAL (
+        |    SELECT c.gt_line AS gl FROM cand_thr c
+        |    WHERE c.page = s.page AND c.pred_line = pp.pred_line
+        |      AND NOT list_contains(s.used, c.gt_line)
+        |    ORDER BY c.iou DESC, c.gt_line LIMIT 1) b ON TRUE),
+        |final AS (
+        |  SELECT s.page, s.mcls FROM steps s
+        |  JOIN np ON np.page = s.page AND s.step = np.n),
+        |tp AS (SELECT CAST(unnest(mcls) AS INTEGER) AS class_id FROM final),
+        |tpc AS (SELECT class_id, count(*) AS tp FROM tp GROUP BY class_id),
+        |pc AS (SELECT class_id, count(*) AS n_pred FROM p GROUP BY class_id),
+        |gc AS (SELECT class_id, count(*) AS n_gt FROM g GROUP BY class_id),
+        |counts AS (
+        |  SELECT pc.class_id,
+        |    coalesce(tpc.tp, 0) AS tp,
+        |    pc.n_pred - coalesce(tpc.tp, 0) AS fp,
+        |    gc.n_gt - coalesce(tpc.tp, 0) AS fn
+        |  FROM pc
+        |  JOIN gc ON gc.class_id = pc.class_id
+        |  LEFT JOIN tpc ON tpc.class_id = pc.class_id),
+        |roll AS (
+        |  SELECT CAST(class_id AS VARCHAR) AS class_id, tp, fp, fn FROM counts
+        |  UNION ALL
+        |  SELECT 'ALL', sum(tp), sum(fp), sum(fn) FROM counts),
+        |pr AS (
+        |  SELECT class_id, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |    CAST(fn AS BIGINT) AS fn,
+        |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+        |         ELSE 0.0 END AS "precision",
+        |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+        |         ELSE 0.0 END AS recall
+        |  FROM roll)
+        |SELECT class_id, tp, fp, fn, "precision", recall,
+        |  CASE WHEN "precision" + recall > 0
+        |       THEN 2.0 * "precision" * recall / ("precision" + recall)
+        |       ELSE 0.0 END AS f1
+        |FROM pr""".stripMargin,
+
+    // §3.2 pipeline demo: prediction-box reconstruction + conf filter +
+    // per-page nested-count — the count path of Predictions.documents
+    "q25_predictions_pipeline" ->
+      """WITH pages AS (SELECT DISTINCT p_partkey // 25 AS page FROM part),
+        |p AS (SELECT p_partkey // 25 AS page FROM part
+        |      WHERE (p_partkey % 100) / 100.0 >= 0.25),
+        |cnt AS (SELECT page, count(*) AS n FROM p GROUP BY page)
+        |SELECT 'page_' || CAST(pages.page AS VARCHAR) || '.png' AS file_name,
+        |  CAST(coalesce(cnt.n, 0) AS INTEGER) AS n_annotations,
+        |  'none' AS corruption_type
+        |FROM pages LEFT JOIN cnt ON cnt.page = pages.page""".stripMargin,
+
+    // §3.1 pipeline demo: clip→norm geometry, 6-dp HALF_EVEN label line
+    // (roundbankers ≡ PyRound here: every tie is a power-of-two fraction,
+    // exactly representable, so decimal-repr vs binary-expansion rounding
+    // cannot diverge — SURVEY §7.4.1), ordered first-line, neutral split
+    "q26_convert_pipeline" ->
+      """WITH b AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS line_no,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE) AS x,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE) AS y,
+        |    CAST(64 + p_partkey * 13 % 128 AS DOUBLE) AS w,
+        |    CAST(48 + p_partkey * 17 % 96 AS DOUBLE) AS h
+        |  FROM part),
+        |c1 AS (
+        |  SELECT page, line_no, class_id,
+        |    greatest(0.0, least(x, 1024.0)) AS cx,
+        |    greatest(0.0, least(y, 512.0)) AS cy, w, h
+        |  FROM b),
+        |c2 AS (
+        |  SELECT page, line_no, class_id, cx, cy,
+        |    greatest(0.0, least(w, 1024.0 - cx)) AS cw,
+        |    greatest(0.0, least(h, 512.0 - cy)) AS ch
+        |  FROM c1),
+        |lines AS (
+        |  SELECT page, line_no,
+        |    printf('%d %.6f %.6f %.6f %.6f', class_id,
+        |      roundbankers((cx + cw / 2.0) / 1024.0, 6),
+        |      roundbankers((cy + ch / 2.0) / 512.0, 6),
+        |      roundbankers(cw / 1024.0, 6),
+        |      roundbankers(ch / 512.0, 6)) AS line
+        |  FROM c2),
+        |agg AS (
+        |  SELECT page, count(*) AS n_boxes,
+        |    min_by(line, line_no) AS first_line
+        |  FROM lines GROUP BY page)
+        |SELECT 'page_' || CAST(page AS VARCHAR) || '.png' AS file_name,
+        |  CASE WHEN (page * 2654435761) % 100 < 80
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  CAST(n_boxes AS BIGINT) AS n_boxes, first_line
+        |FROM agg""".stripMargin,
+
+    // multimodal stub decode over UTF-8 text bytes (corpus is pure ASCII, so
+    // char-indexed ascii() IS the byte; list_reduce replicates the sequential
+    // (a*31+b) mod 2^31 rolling checksum)
+    "q27_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  'image/' || lang AS media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  16 + CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS width,
+        |  16 + CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS height,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483648) END AS BIGINT) AS checksum
+        |FROM documents""".stripMargin,
+
+    // IVF ANN: engine-neutral centroid sample (lowest arithmetic hash),
+    // round-6 assignment, nprobe=4 probe, exact rerank — deterministic end
+    // to end, so the approximate index IS oracle-checkable
+    "q31_ivf_topk" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT sum(CAST(embedding[t.i] AS DOUBLE)
+        |                   * CAST(embedding[t.i] AS DOUBLE))
+        |          FROM generate_series(1, 64) t(i))) AS nv
+        |  FROM embeddings),
+        |ok AS (SELECT * FROM nrm WHERE nv > 0),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv, nv AS cn FROM ok
+        |  ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT o.vec_id, o.embedding, o.nv, c.centroid_id,
+        |    round((SELECT sum(CAST(o.embedding[t.i] AS DOUBLE)
+        |                    * CAST(c.cv[t.i] AS DOUBLE))
+        |           FROM generate_series(1, 64) t(i)) / (o.nv * c.cn), 6) AS ccos
+        |  FROM ok o, cent c),
+        |ranked AS (
+        |  SELECT vec_id, embedding, nv, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY ccos DESC, centroid_id) AS crk
+        |  FROM asg),
+        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, embedding AS nev,
+        |               nv AS nn
+        |        FROM ranked WHERE crk = 1),
+        |probes AS (SELECT centroid_id, vec_id AS query_id, embedding AS qv,
+        |                  nv AS qn
+        |           FROM ranked WHERE crk <= 4 AND vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT p.query_id, ne.neighbor_id,
+        |    round((SELECT sum(CAST(p.qv[t.i] AS DOUBLE)
+        |                    * CAST(ne.nev[t.i] AS DOUBLE))
+        |           FROM generate_series(1, 64) t(i)) / (p.qn * ne.nn), 6) AS cos
+        |  FROM probes p JOIN idx ne ON ne.centroid_id = p.centroid_id
+        |  WHERE p.query_id <> ne.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos FROM rr WHERE rnk <= 5""".stripMargin,
+
+    // MinHash-LSH pairs (q17's chain) → transitive closure via recursive CTE
+    // (min reachable id ≡ the engine's min-label-propagation fixpoint)
+    "q36_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |       AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS node, r.comp FROM edges e
+        |  JOIN reach r ON e.dst = r.node)
+        |SELECT node, min(comp) AS canonical_id FROM reach GROUP BY node""".stripMargin,
 
     "q28_argmax" ->
       """SELECT n_name, c_custkey, c_name, c_acctbal FROM (

@@ -31,9 +31,10 @@ object Components {
       .distinct()
       .localCheckpoint()
 
-    var labels = sym.select(col("src").as("node")).distinct()
+    var checkpointed = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+    var labels = checkpointed
 
     var iter = 0
     var converged = false
@@ -43,18 +44,18 @@ object Components {
         .agg(min(col("component")).as("nbr_min"))
       // localCheckpoint truncates lineage; the superseded round's cached
       // blocks are explicitly dropped below, keeping peak storage at two
-      // copies instead of maxIter
-      val next = labels.join(nbrMin, col("node") === col("src"), "left_outer")
-        .select(col("node"),
+      // copies instead of maxIter. The PREVIOUS label rides along in the
+      // checkpointed frame so the convergence check is a filter over already-
+      // materialized blocks — not a labels⋈next join re-executed per round.
+      val stepped = labels.join(nbrMin, col("node") === col("src"), "left_outer")
+        .select(col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels.unpersist(blocking = false)
-      labels = next
+      converged = stepped.filter(col("component") =!= col("prev")).isEmpty
+      checkpointed.unpersist(blocking = false)
+      checkpointed = stepped
+      labels = stepped.select("node", "component")
       iter += 1
     }
     if (!converged)

@@ -125,19 +125,25 @@ object Similarity {
               nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     // centroid choice: the nCentroids lowest-hash vectors — a deterministic
     // pseudo-random sample via TakeOrdered, with NO eager count()/extra scan
-    // of the corpus at plan-construction time
+    // of the corpus at plan-construction time. The hash is engine-neutral
+    // integer arithmetic (not Murmur3/xxhash), so an external oracle can
+    // reproduce the exact centroid set.
     val centroids = broadcast(
       emb.select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
           norm(col("embedding")).as("cn"))
         .filter(col("cn") > 0.0)
-        .orderBy(xxhash64(col("centroid_id")))
+        .orderBy(pmod((col("centroid_id") + lit(17L)) * lit(2654435761L),
+          lit(1000003L)), col("centroid_id"))
         .limit(nCentroids))
 
     def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {
       val w = Window.partitionBy(idCol)
         .orderBy(col("ccos").desc, col("centroid_id"))
+      // round-6 before ranking: a last-ulp fp difference between engines (or
+      // between plan shapes) must not flip a near-tied centroid assignment
       df.join(centroids, col(idCol).isNotNull)
-        .withColumn("ccos", dot(col(vecCol), col("cv")) / (col("vn") * col("cn")))
+        .withColumn("ccos",
+          round(dot(col(vecCol), col("cv")) / (col("vn") * col("cn")), 6))
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") <= top)
         .drop("cv", "cn", "ccos", "crk")

@@ -71,8 +71,16 @@ object Convert {
 
   /** Full pipeline: label lines + split assignment. */
   def dataset(images: DataFrame, anns: DataFrame, trainRatio: Double = 0.8): DataFrame =
+    dataset(images, anns, hashSplit(col("file_name"), trainRatio))
+
+  /** Full pipeline with a caller-supplied split expression (evaluated over the
+    * per-image row; any deterministic assignment works — e.g. an
+    * engine-neutral arithmetic hash where cross-engine reproducibility
+    * matters, since `hashSplit`'s Murmur3 is Spark-specific).
+    */
+  def dataset(images: DataFrame, anns: DataFrame, splitCol: Column): DataFrame =
     labelLines(images, anns)
-      .withColumn("split", hashSplit(col("file_name"), trainRatio))
+      .withColumn("split", splitCol)
       .withColumn("stem", regexp_replace(col("file_name"), "\\.[^.]+$", ""))
 
   /** A1/A2 — conversion stats in one aggregation (reference counters at

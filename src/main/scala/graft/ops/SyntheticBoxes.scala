@@ -108,13 +108,21 @@ object SyntheticBoxes {
     (p, g)
   }
 
-  /** Greedy matcher + per-class P/R/F1 rollup — the full eval pipeline
-    * (non-relational, rows-only check; unit-tested against the reference
-    * algorithm in EvalSpec).
+  /** Greedy matcher + per-class P/R/F1 rollup — the full eval pipeline.
+    *
+    * Every prediction is doubled: a second copy at `line_no + 25`, shifted
+    * +4 px in x (still above the IoU threshold against its GT). The two
+    * copies COMPETE for one GT box, so the greedy one-to-one assignment in
+    * line order — not mere thresholding — determines which becomes TP and
+    * which FP. Oracle: a DuckDB recursive CTE replays the same greedy loop
+    * (list-valued `used` state, one step per prediction in line order).
     */
   def qGreedyEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val (p, g) = typedBoxes(spark, Tables.part(spark, sfDir))
-    val perClass = Eval.perClassCounts(p, g, iouThr = 0.5)
+    val dups = p.map(b => b.copy(line_no = b.line_no + 25,
+      x1 = b.x1 + 4.0, x2 = b.x2 + 4.0))
+    val perClass = Eval.perClassCounts(p.union(dups), g, iouThr = 0.5)
     Eval.prf1Rollup(perClass, "class_id")
   }
 }
