@@ -115,7 +115,16 @@ object SparkEntry {
     "q32_set_ops" -> Relational.q32SetOps _,
     "q33_cube"    -> Relational.q33Cube _,
     "q34_pivot"   -> Relational.q34Pivot _,
-    "q37_percentiles" -> Relational.q37Percentiles _
+    "q37_percentiles" -> Relational.q37Percentiles _,
+    // ---- analytics extensions (round 2) ----
+    "q38_window_frames" -> Relational.q38WindowFrames _,
+    "q39_band_join"     -> Relational.q39BandJoin _,
+    "q40_tfidf_topk" -> ((s: SparkSession, d: String) =>
+      TextStats.tfidfTopTerms(Tables.documents(s, d), k = 3)),
+    "q41_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextStats.heavyHitters(Tables.documents(s, d), minShare = 0.4)),
+    "q42_zscore"            -> Relational.q42Zscore _,
+    "q43_stratified_sample" -> Relational.q43StratifiedSample _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -899,6 +908,84 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_us, last_signup_us,
         |  ts_us - last_signup_us AS us_since_signup
         |FROM carried WHERE event_type = 'purchase'""".stripMargin,
+
+    "q38_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  o_totalprice - lag(o_totalprice) OVER w AS delta,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q39_band_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(b AS BIGINT) AS band,
+        |    CAST(900.0 + 10.0 * b AS DOUBLE) AS lo,
+        |    CAST(910.0 + 10.0 * b AS DOUBLE) AS hi
+        |  FROM generate_series(0, 9) t(b))
+        |SELECT band, lo, hi, count(*) AS n_parts,
+        |  round(sum(p_retailprice), 2) AS sum_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band, lo, hi""".stripMargin,
+
+    // BM25-style idf numerator (exact rational) instead of ln(N/df):
+    // transcendental functions are the one class of scalar where engines'
+    // libm implementations may differ in the last ulp
+    "q40_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE length(trim(text)) > 0) t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM
+        |        (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    t.tf * (n.n_docs - d.df + 0.5) / (d.df + 0.5) AS score
+        |  FROM tf t JOIN dfq d USING (term), n),
+        |rk AS (SELECT doc_id, term, tf, df, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, rk, score FROM rk WHERE rk <= 3""".stripMargin,
+
+    "q41_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE length(trim(text)) > 0) t),
+        |dfq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, df, n_docs, CAST(df AS DOUBLE) / n_docs AS share
+        |FROM dfq, n
+        |WHERE CAST(df AS DOUBLE) / n_docs >= 0.4""".stripMargin,
+
+    "q42_zscore" ->
+      """WITH stats AS (
+        |  SELECT c_mktsegment, round(avg(c_acctbal), 6) AS seg_mean,
+        |    round(stddev_pop(c_acctbal), 6) AS seg_std
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal, seg_mean, seg_std,
+        |  CASE WHEN seg_std > 0.0
+        |       THEN round((c_acctbal - seg_mean) / seg_std, 6)
+        |       ELSE 0.0 END AS zscore
+        |FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment""".stripMargin,
+
+    "q43_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n_total
+        |  FROM customer),
+        |f AS (SELECT * FROM t WHERE (c_custkey * 2654435761) % 1000 < 100)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, n_total,
+        |  count(*) OVER (PARTITION BY c_mktsegment) AS n_sampled
+        |FROM f""".stripMargin,
 
     "q30_curation_pipeline" ->
       """WITH q AS (

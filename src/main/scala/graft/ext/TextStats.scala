@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: tokenization, quality
@@ -142,6 +143,53 @@ object TextStats {
     withLangId(kept)
       .select(col("doc_id"), col("lang").as("actual_lang"), col("pred_lang"),
         col("n_tokens"), col("stopword_ratio"))
+  }
+
+  /** Term-relevance ranking (TF-IDF shape): top-3 terms per document scored
+    * by `tf · (N − df + 0.5)/(df + 0.5)` — the BM25 idf numerator, chosen
+    * over `ln(N/df)` because it is exact rational arithmetic: identical
+    * bits in any engine, no transcendental-function parity risk.
+    *
+    * Shape at scale: one explode + two aggregations (tf per (doc, term), df
+    * per term) + a broadcast-able doc-count scalar; the df side is O(vocab),
+    * tiny next to the corpus, so the enriching join broadcasts.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = exploded.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = exploded.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rk"), col("score"))
+  }
+
+  /** Exact heavy hitters: terms whose document frequency exceeds a corpus
+    * share threshold. The exact form is a distinct + one aggregation; at
+    * 100 TB the same contract is served by a count-min/ space-saving sketch
+    * when the vocabulary itself cannot be shuffled.
+    */
+  def heavyHitters(docs: DataFrame, minShare: Double = 0.4): DataFrame = {
+    val df = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(n))
+      .withColumn("share", col("df").cast("double") / col("n_docs"))
+      .filter(col("share") >= minShare)
+      .select(col("term"), col("df"), col("n_docs"), col("share"))
   }
 
   /** Document fingerprint: order-weighted sum of character codes — a

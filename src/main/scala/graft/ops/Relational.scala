@@ -203,6 +203,81 @@ object Relational {
         expr("percentile(l_extendedprice, 0.9)").as("p90"),
         expr("percentile(l_quantity, 0.25)").as("qty_p25"))
 
+  /** Frame-spec window functions (beyond the reference's rank-only windows):
+    * per-customer order history with lag, per-row delta, and a 3-row moving
+    * average. One shuffle on the window key serves all three functions.
+    * Parity: lag/delta are exact per-row copies/arithmetic; the frame AVG is
+    * a short fp sum whose association differs across engines (Spark
+    * re-evaluates the frame, DuckDB uses a segment tree) → rounded to 6 dp.
+    */
+  def q38WindowFrames(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"),
+        round(avg(col("o_totalprice")).over(frame), 6).as("ma3"))
+  }
+
+  /** Broadcast range (band) join: every part priced into a fixed band
+    * dimension via a BETWEEN predicate — the standard bucketing shape for
+    * histogram/feature-binning pipelines. The band table is literal and
+    * broadcast, so the theta join is a broadcast nested loop over 10 rows,
+    * never a shuffle; at 100 TB the same plan holds (dimension is O(1)).
+    */
+  def q39BandJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bands = broadcast(
+      (0 until 10).map(b => (b.toLong, 900.0 + 10.0 * b, 910.0 + 10.0 * b))
+        .toDF("band", "lo", "hi"))
+    part(spark, d)
+      .join(bands, col("p_retailprice") >= col("lo") &&
+        col("p_retailprice") < col("hi"))
+      .groupBy(col("band"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice")), 2).as("sum_price"))
+  }
+
+  /** Per-group standardization (z-score): the feature-normalization shape of
+    * an ML feature pipeline. Group statistics are computed once per segment
+    * (partial-agg + one shuffle), broadcast back by the join, and the z-score
+    * itself is per-row arithmetic. Parity: mean/stddev are order-sensitive fp
+    * aggregates → rounded to 6 dp BEFORE the per-row division, which is then
+    * bit-identical in both engines.
+    */
+  def q42Zscore(spark: SparkSession, d: String): DataFrame = {
+    val stats = customer(spark, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(round(avg(col("c_acctbal")), 6).as("seg_mean"),
+        round(stddev_pop(col("c_acctbal")), 6).as("seg_std"))
+    customer(spark, d)
+      .join(broadcast(stats), Seq("c_mktsegment"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("seg_mean"), col("seg_std"),
+        when(col("seg_std") > 0.0,
+          round((col("c_acctbal") - col("seg_mean")) / col("seg_std"), 6))
+          .otherwise(0.0).as("zscore"))
+  }
+
+  /** Deterministic stratified sampling: ~10% of customers per market segment
+    * selected by an engine-neutral arithmetic hash of the key (reproducible
+    * across engines, runs, and cluster layouts — the G16 split contract
+    * generalized to sampling). Per-segment totals ride along via windows on
+    * one shared shuffle; the sample predicate itself is a pushdown-able
+    * per-row filter, so at scale the scan does the sampling.
+    */
+  def q43StratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+    customer(spark, d)
+      .withColumn("n_total", count(lit(1)).over(w))
+      .filter(pmod(col("c_custkey") * lit(2654435761L), lit(1000L)) < 100)
+      .withColumn("n_sampled", count(lit(1)).over(w))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("n_total"), col("n_sampled"))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */

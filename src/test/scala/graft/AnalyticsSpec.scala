@@ -1,0 +1,114 @@
+package graft
+
+import graft.ext.TextStats
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+/** Round-2 analytics extensions: frame-spec windows, band join, TF-IDF term
+  * ranking, heavy hitters, z-score standardization, stratified sampling.
+  */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("window frames: ma3 averages the current and up to 2 preceding rows") {
+    // frame order is (o_orderdate, o_orderkey) — recover the date to replay
+    val dates = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .as[(Long, Long)].collect().toMap
+    val r = Relational.q38WindowFrames(spark, sf)
+      .as[(Long, Long, Double, Option[Double], Option[Double], Double)]
+      .collect()
+    // recompute per customer with a plain scala fold, in window order
+    r.groupBy(_._1).foreach { case (_, unordered) =>
+      val rows = unordered.sortBy(row => (dates(row._2), row._2))
+      val prices = rows.map(_._3)
+      rows.zipWithIndex.foreach { case ((_, _, price, prev, delta, ma3), i) =>
+        val frame = prices.slice(math.max(0, i - 2), i + 1)
+        assert(math.abs(ma3 - frame.sum / frame.length) < 1e-6)
+        if (i == 0) { assert(prev.isEmpty); assert(delta.isEmpty) }
+        else {
+          assert(prev.contains(prices(i - 1)))
+          assert(delta.contains(price - prices(i - 1)))
+        }
+      }
+    }
+  }
+
+  test("band join: partitions all parts, preserves the total count") {
+    val parts = Tables.part(spark, sf)
+    val bands = Relational.q39BandJoin(spark, sf)
+    assert(bands.agg(sum("n_parts")).as[Long].head() === parts.count())
+    // band bounds are half-open and disjoint: no double counting possible
+    val b = bands.select("lo", "hi").as[(Double, Double)].collect().sortBy(_._1)
+    b.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 === lo2)
+      case _ =>
+    }
+  }
+
+  test("tfidf: k terms per doc, each term actually occurs tf times in the doc") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val top = TextStats.tfidfTopTerms(docs, k = 3)
+    val perDoc = top.groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(perDoc.forall(_._2 <= 3))
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    top.select("doc_id", "term", "tf").as[(Long, String, Long)].collect()
+      .foreach { case (id, term, tf) =>
+        val toks = texts(id).trim.split("\\s+").toSeq
+        assert(toks.count(_ == term) === tf, s"doc $id term $term")
+      }
+  }
+
+  test("tfidf: rare terms outrank common ones at equal tf") {
+    val docs = Seq(
+      (0L, "alpha common"), (1L, "beta common"), (2L, "gamma common"))
+      .toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rk")
+      .select("doc_id", "term").as[(Long, String)].collect()
+    // per doc: the unique term (df=1) must rank above 'common' (df=3)
+    assert(top.toSeq === Seq((0L, "alpha"), (0L, "common"),
+      (1L, "beta"), (1L, "common"), (2L, "gamma"), (2L, "common")))
+  }
+
+  test("heavy hitters: every hit clears the share threshold; share is df/N") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val hh = TextStats.heavyHitters(docs, minShare = 0.4)
+      .as[(String, Long, Long, Double)].collect()
+    assert(hh.nonEmpty)
+    hh.foreach { case (_, df, nDocs, share) =>
+      assert(nDocs === n)
+      assert(share === df.toDouble / n)
+      assert(share >= 0.4)
+    }
+  }
+
+  test("zscore: per-segment standardized values have ~0 mean and ~1 std") {
+    val z = Relational.q42Zscore(spark, sf)
+      .groupBy("c_mktsegment")
+      .agg(avg("zscore").as("m"), stddev_pop("zscore").as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long)].collect()
+    z.foreach { case (seg, m, s, n) =>
+      assert(math.abs(m) < 1e-4, s"segment $seg mean $m")
+      if (n > 1) assert(math.abs(s - 1.0) < 1e-3, s"segment $seg std $s")
+    }
+  }
+
+  test("stratified sample: deterministic, ~10% per stratum, counts consistent") {
+    val s1 = Relational.q43StratifiedSample(spark, sf)
+    val s2 = Relational.q43StratifiedSample(spark, sf)
+    val rows = s1.as[(Long, String, Double, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq ===
+      s2.as[(Long, String, Double, Long, Long)].collect().map(_._1).sorted.toSeq)
+    rows.groupBy(_._2).foreach { case (seg, rs) =>
+      val (total, sampled) = (rs.head._4, rs.head._5)
+      assert(rs.length === sampled)
+      assert(sampled <= total)
+      // hash sampling is ~binomial(total, 0.1): allow a wide band
+      assert(sampled.toDouble / total > 0.02 && sampled.toDouble / total < 0.25,
+        s"segment $seg ratio ${sampled.toDouble / total}")
+    }
+  }
+}
