@@ -40,7 +40,8 @@ object Bench {
     // and one representative query per family for JIT/codegen warm-up
     for (w <- Seq("q01_pricing_rollup", "q02_cust_orders", "q09_nation_revenue",
                   "q03_region_rollup", "q21_yolo_norm", "q11_sessionize",
-                  "q13_quality_features", "q19_cosine_topk"))
+                  "q13_quality_features", "q19_cosine_topk",
+                  "q38_window_frames", "q40_tfidf_topk", "q31_ivf_topk"))
       try run(w) catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>

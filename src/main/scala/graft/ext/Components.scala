@@ -42,14 +42,26 @@ object Components {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(min(col("component")).as("nbr_min"))
+      // one propagation step + one pointer jump (shortcutting): after taking
+      // the min over neighbors, also adopt the CURRENT label of that label —
+      // labels are monotonically ≤ their node id, so the jump only tightens.
+      // Shortcutting turns O(diameter) rounds into O(log diameter), the
+      // standard acceleration for distributed CC.
+      val tentative = labels.join(nbrMin, col("node") === col("src"), "left_outer")
+        .select(col("node"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("tent"))
+      val jumpTo = labels
+        .select(col("node").as("jnode"), col("component").as("jcomp"))
       // localCheckpoint truncates lineage; the superseded round's cached
       // blocks are explicitly dropped below, keeping peak storage at two
       // copies instead of maxIter. The PREVIOUS label rides along in the
       // checkpointed frame so the convergence check is a filter over already-
       // materialized blocks — not a labels⋈next join re-executed per round.
-      val stepped = labels.join(nbrMin, col("node") === col("src"), "left_outer")
-        .select(col("node"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
+      val stepped = tentative
+        .join(jumpTo, col("tent") === col("jnode"), "left_outer")
+        .select(col("node"), col("prev"),
+          least(col("tent"), coalesce(col("jcomp"), col("tent")))
             .as("component"))
         .localCheckpoint()
       converged = stepped.filter(col("component") =!= col("prev")).isEmpty

@@ -51,11 +51,16 @@ object Similarity {
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     // zero-norm vectors are dropped on BOTH sides: cosine is undefined for
     // them, and under ANSI mode the division would throw (DuckDB: NULL) —
-    // oracles carry the same nv > 0 filter
+    // oracles carry the same nv > 0 filter.
+    // The pair join is a broadcast nested loop whose parallelism equals the
+    // STREAMED side's partition count — a single-file query set would run the
+    // whole |Q|×|N| loop on one core, so spread it explicitly (AQE never
+    // coalesces a user-requested repartition).
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
       .filter(col("qn") > 0.0)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
       norm(col("embedding")).as("nn"))
       .filter(col("nn") > 0.0)
@@ -174,8 +179,11 @@ object Similarity {
     * approximation by min-id, one pass — full CC would iterate).
     */
   def cosineNearDups(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
+    // streamed side spread across cores — see cosineTopK; at 100 TB this
+    // becomes a block-partitioned matrix multiply, same declared shape
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
       norm(col("embedding")).as("na")).filter(col("na") > 0.0)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
       norm(col("embedding")).as("nb")).filter(col("nb") > 0.0)
     a.join(b, col("vec_a") < col("vec_b"))
