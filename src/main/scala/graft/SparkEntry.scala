@@ -124,7 +124,11 @@ object SparkEntry {
     "q41_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextStats.heavyHitters(Tables.documents(s, d), minShare = 0.4)),
     "q42_zscore"            -> Relational.q42Zscore _,
-    "q43_stratified_sample" -> Relational.q43StratifiedSample _
+    "q43_stratified_sample" -> Relational.q43StratifiedSample _,
+    // deterministic KMV sketch: the approximate distinct-count itself is
+    // oracle-checked (HLL's engine-internal registers could never be)
+    "q44_kmv_distinct" -> ((s: SparkSession, d: String) =>
+      Dedup.kmvDistinctTokens(Tables.documents(s, d), k = 64))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -976,6 +980,31 @@ object SparkEntry {
         |       THEN round((c_acctbal - seg_mean) / seg_std, 6)
         |       ELSE 0.0 END AS zscore
         |FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment""".stripMargin,
+
+    "q44_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT lang, term FROM (
+        |    SELECT lang,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE length(trim(text)) > 0) t),
+        |exact AS (SELECT lang, count(*) AS n_exact FROM tok GROUP BY lang),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      generate_series(1, length(term)),
+        |      i -> CAST(ascii(substr(term, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS BIGINT) AS h
+        |  FROM tok),
+        |kth AS (SELECT lang, h AS kth_hash FROM (
+        |    SELECT lang, h,
+        |      row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+        |    FROM h) r WHERE rk = 64)
+        |SELECT e.lang, e.n_exact, k.kth_hash,
+        |  CASE WHEN k.kth_hash IS NOT NULL AND k.kth_hash > 0
+        |       THEN CAST(63 * 2147483648 AS DOUBLE) / k.kth_hash
+        |       ELSE CAST(e.n_exact AS DOUBLE) END AS kmv_estimate
+        |FROM exact e LEFT JOIN kth k ON k.lang = e.lang""".stripMargin,
 
     "q43_stratified_sample" ->
       """WITH t AS (

@@ -155,6 +155,39 @@ object Dedup {
       .agg(approx_count_distinct(col("shingle"), rsd)
         .as("approx_distinct_shingles"))
 
+  /** KMV (k-minimum-values) distinct-count sketch per language over the
+    * token stream: with n distinct uniform hashes in [0, M), the k-th
+    * smallest sits near k·M/n, so n̂ = (k−1)·M / h₍ₖ₎.
+    *
+    * Unlike HLL ([[approxDistinctShingles]]), every step here is
+    * deterministic modular arithmetic over an engine-neutral hash
+    * ([[graft.ext.TextStats.fingerprint]]) — the APPROXIMATE estimator is
+    * itself oracle-checkable. The sketch state (the k smallest hashes) is
+    * tiny and mergeable, which is what lets a 100 TB distinct-count ship
+    * k values per partition through the shuffle instead of every distinct
+    * token. Groups with fewer than k distinct hashes fall back to the exact
+    * count (the sketch is exact below its capacity).
+    */
+  def kmvDistinctTokens(docs: DataFrame, k: Int = 64): DataFrame = {
+    val M = 2147483648L // fingerprint() hash space: [0, 2^31)
+    val toks = docs.select(col("lang"),
+      explode(TextStats.tokens(col("text"))).as("term"))
+    val exact = toks.distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    val hashes = toks
+      .select(col("lang"), TextStats.fingerprint(col("term")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("lang").orderBy("h")
+    val kth = hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === k)
+      .select(col("lang"), col("h").as("kth_hash"))
+    exact.join(kth, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_exact"), col("kth_hash"),
+        when(col("kth_hash").isNotNull && col("kth_hash") > 0,
+          lit((k - 1).toDouble * M) / col("kth_hash"))
+          .otherwise(col("n_exact").cast("double")).as("kmv_estimate"))
+  }
+
   /** SimHash (16-bit, engine-neutral): per shingle, bit_j = 1 if
     * ((a_j·shingle + b_j) mod P) > P/2; per document, bit_j of the simhash is
     * 1 if the majority of shingles set it. Near-dups have small Hamming

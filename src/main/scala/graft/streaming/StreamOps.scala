@@ -60,6 +60,17 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup (the dedup family's unbounded twin): at most one
+    * row per key within the watermark horizon. State is one entry per key,
+    * expired by the watermark — bounded by the horizon's key cardinality,
+    * never the stream's, which is what makes it runnable forever.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization: a session closes when `gapUs` passes with no
     * new event for the user (event-time timeout driven by the watermark).
     * Late events within the watermark extend the open session; the batch

@@ -96,6 +96,21 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("kmv sketch: estimate within 30% of exact; exact below capacity") {
+    val docs = Tables.documents(spark, sf)
+    val r = ext.Dedup.kmvDistinctTokens(docs, k = 64)
+      .as[(String, Long, Option[Long], Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (lang, exact, kth, est) =>
+      if (kth.isEmpty) assert(est === exact.toDouble, s"$lang below capacity")
+      else {
+        // KMV with k=64 has ~1/sqrt(62) ≈ 13% relative sd; 30% is ~2.3 sd
+        assert(math.abs(est - exact) / exact < 0.30,
+          s"$lang exact=$exact est=$est")
+      }
+    }
+  }
+
   test("stratified sample: deterministic, ~10% per stratum, counts consistent") {
     val s1 = Relational.q43StratifiedSample(spark, sf)
     val s2 = Relational.q43StratifiedSample(spark, sf)

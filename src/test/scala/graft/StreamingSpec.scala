@@ -66,6 +66,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate event ids within the watermark emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val deduped = StreamOps.dedupStream(src.toDF(), watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try {
+      src.addData(
+        Event(1, T0, 10, "a", 1.0), Event(1, T0 + Min, 10, "a", 1.0),
+        Event(2, T0 + 2 * Min, 20, "b", 1.0))
+      q.processAllAvailable()
+      // same id again in a later micro-batch, still inside the watermark
+      src.addData(Event(1, T0 + 3 * Min, 10, "a", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming source chain: file-drop parquet → same schema as batch") {
     val stream = StreamOps.readEventStream(spark, sf)
     assert(stream.isStreaming)
