@@ -128,7 +128,9 @@ object SparkEntry {
     // deterministic KMV sketch: the approximate distinct-count itself is
     // oracle-checked (HLL's engine-internal registers could never be)
     "q44_kmv_distinct" -> ((s: SparkSession, d: String) =>
-      Dedup.kmvDistinctTokens(Tables.documents(s, d), k = 64))
+      Dedup.kmvDistinctTokens(Tables.documents(s, d), k = 64)),
+    // interval self-join (batch twin of StreamOps.attributionJoin)
+    "q45_attribution" -> Relational.q45Attribution _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -980,6 +982,19 @@ object SparkEntry {
         |       THEN round((c_acctbal - seg_mean) / seg_std, 6)
         |       ELSE 0.0 END AS zscore
         |FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment""".stripMargin,
+
+    "q45_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts_us AS view_us
+        |      FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, v.view_id, p.purchase_us, v.view_us
+        |FROM p JOIN v ON v.user_id = p.user_id
+        |  AND v.view_us <= p.purchase_us
+        |  AND v.view_us >= p.purchase_us - 3600000000""".stripMargin,
 
     "q44_kmv_distinct" ->
       """WITH tok AS (

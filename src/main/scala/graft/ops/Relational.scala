@@ -278,6 +278,29 @@ object Relational {
         col("n_total"), col("n_sampled"))
   }
 
+  /** Interval self-join (attribution): each purchase paired with the same
+    * user's views in the preceding hour — the batch twin of
+    * [[graft.streaming.StreamOps.attributionJoin]]. Physically an equi-join
+    * on user with the time range as a residual predicate: one shuffle, and
+    * per-user candidate volume stays bounded by the interval, which is what
+    * keeps the join linear at 100 TB (a pure range join would need interval
+    * bucketing instead).
+    */
+  def q45Attribution(spark: SparkSession, d: String): DataFrame = {
+    val e = graft.ext.Sessions.withTsUs(events(spark, d))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_us").as("view_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"))
+    p.join(v, Seq("user_id"))
+      .filter(col("view_us") <= col("purchase_us") &&
+        col("view_us") >= col("purchase_us") - lit(3600L * 1000000L))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_us"), col("view_us"))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */

@@ -71,6 +71,33 @@ object StreamOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (attribution shape): each purchase joined
+    * to the same user's views in the preceding `windowSec` seconds. BOTH
+    * sides carry watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire join state — without the range bound the
+    * state store would grow with the whole stream, which is the difference
+    * between a join that runs forever and one that OOMs.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      windowSec: Long = 3600L,
+                      watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .withColumn("view_time", timestamp_micros(col("ts_us")))
+      .withWatermark("view_time", watermark)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("view_time"))
+    val p = purchases
+      .withColumn("purchase_time", timestamp_micros(col("ts_us")))
+      .withWatermark("purchase_time", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("purchase_time"))
+    p.join(v, col("p_user") === col("v_user") &&
+      col("view_time") <= col("purchase_time") &&
+      col("view_time") >= col("purchase_time") - expr(s"INTERVAL $windowSec seconds"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_time"), col("view_time"))
+  }
+
   /** Gap-based sessionization: a session closes when `gapUs` passes with no
     * new event for the user (event-time timeout driven by the watermark).
     * Late events within the watermark extend the open session; the batch

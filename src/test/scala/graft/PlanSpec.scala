@@ -71,4 +71,29 @@ class PlanSpec extends SparkSuite {
     assert(semi.contains("LeftSemi"), semi)
     assert(anti.contains("LeftAnti"), anti)
   }
+
+  test("q39 band join broadcasts the literal dimension (nested loop, no shuffle join)") {
+    val p = plan(ops.Relational.q39BandJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q42 z-score: the stats side is broadcast back, never a shuffle join") {
+    val p = plan(ops.Relational.q42Zscore(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q43 sampling predicate is evaluated before the second window (single exchange)") {
+    val p = plan(ops.Relational.q43StratifiedSample(spark, sf))
+    // both windows partition by the same key: exactly one shuffle exchange
+    assert("Exchange \\(".r.findAllIn(p).length == 1,
+      s"expected one exchange in:\n$p")
+  }
+
+  test("q38 frame windows: lag, delta and ma3 share one window exchange") {
+    val p = plan(ops.Relational.q38WindowFrames(spark, sf))
+    assert("Exchange \\(".r.findAllIn(p).length == 1,
+      s"expected one exchange in:\n$p")
+  }
 }

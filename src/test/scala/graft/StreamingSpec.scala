@@ -85,6 +85,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases match prior views in-window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamOps.attributionJoin(
+      views.toDF(), purchases.toDF(), windowSec = 3600)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr").start()
+    try {
+      val Hour = 60 * Min
+      views.addData(
+        Event(1, T0, 10, "view", 0.0),            // in-window for purchase 100
+        Event(2, T0 - 2 * Hour, 10, "view", 0.0), // too old
+        Event(3, T0, 20, "view", 0.0))            // other user
+      purchases.addData(Event(100, T0 + 30 * Min, 10, "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming source chain: file-drop parquet → same schema as batch") {
     val stream = StreamOps.readEventStream(spark, sf)
     assert(stream.isStreaming)
