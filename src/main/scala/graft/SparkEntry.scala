@@ -130,7 +130,9 @@ object SparkEntry {
     "q44_kmv_distinct" -> ((s: SparkSession, d: String) =>
       Dedup.kmvDistinctTokens(Tables.documents(s, d), k = 64)),
     // interval self-join (batch twin of StreamOps.attributionJoin)
-    "q45_attribution" -> Relational.q45Attribution _
+    "q45_attribution" -> Relational.q45Attribution _,
+    // per-group mode with deterministic tie-break
+    "q46_mode" -> Relational.q46Mode _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -982,6 +984,18 @@ object SparkEntry {
         |       THEN round((c_acctbal - seg_mean) / seg_std, 6)
         |       ELSE 0.0 END AS zscore
         |FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment""".stripMargin,
+
+    "q46_mode" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |ranked AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY n DESC, event_type) AS rk
+        |  FROM counts)
+        |SELECT user_id, event_type AS mode_event, n
+        |FROM ranked WHERE rk = 1""".stripMargin,
 
     "q45_attribution" ->
       """WITH e AS (

@@ -199,9 +199,13 @@ object Relational {
     lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        // one buffer for both price percentiles (array form), not two
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("pe"),
         expr("percentile(l_quantity, 0.25)").as("qty_p25"))
+      .select(col("l_returnflag"),
+        element_at(col("pe"), 1).as("p50"),
+        element_at(col("pe"), 2).as("p90"),
+        col("qty_p25"))
 
   /** Frame-spec window functions (beyond the reference's rank-only windows):
     * per-customer order history with lag, per-row delta, and a 3-row moving
@@ -276,6 +280,24 @@ object Relational {
       .withColumn("n_sampled", count(lit(1)).over(w))
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         col("n_total"), col("n_sampled"))
+  }
+
+  /** Per-group mode (most frequent value) with a deterministic tie-break —
+    * count-then-argmax, two aggregations sharing one partitioning. Built
+    * explicitly rather than via an engine `mode()` because tie behavior is
+    * engine-defined there; here ties break on the value itself, so the
+    * result is reproducible anywhere.
+    */
+  def q46Mode(spark: SparkSession, d: String): DataFrame = {
+    val counts = events(spark, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
   }
 
   /** Interval self-join (attribution): each purchase paired with the same

@@ -96,6 +96,41 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("mode: deterministic tie-break on the value itself") {
+    import graft.ops.Relational
+    val m = Relational.q46Mode(spark, sf)
+      .as[(Option[Long], String, Long)].collect()
+    assert(m.nonEmpty)
+    // exactly one mode row per user (including a possible null-user group)
+    assert(m.map(_._1).distinct.length === m.length)
+    // cross-check one user against a direct computation
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    val byUser = ev.groupBy(_._1).view.mapValues { xs =>
+      val c = xs.groupBy(_._2).view.mapValues(_.size).toMap
+      val mx = c.values.max
+      c.filter(_._2 == mx).keys.min  // tie -> smallest value
+    }.toMap
+    m.filter(_._1.isDefined).foreach { case (Some(u), mode, _) =>
+      assert(byUser(u) === mode, s"user $u")
+    }
+  }
+
+  test("zscore guard: a single-member group gets zscore 0, not a crash") {
+    // ANSI mode would throw on 0/0; the when-guard must short-circuit it
+    val one = Seq((1L, "SOLO", 42.0)).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val stats = one.groupBy(col("c_mktsegment"))
+      .agg(round(avg(col("c_acctbal")), 6).as("seg_mean"),
+        round(stddev_pop(col("c_acctbal")), 6).as("seg_std"))
+    val z = one.join(broadcast(stats), Seq("c_mktsegment"))
+      .select(when(col("seg_std") > 0.0,
+        round((col("c_acctbal") - col("seg_mean")) / col("seg_std"), 6))
+        .otherwise(0.0).as("zscore"))
+      .as[Double].collect()
+    assert(z.toSeq === Seq(0.0))
+  }
+
   test("kmv sketch: estimate within 30% of exact; exact below capacity") {
     val docs = Tables.documents(spark, sf)
     val r = ext.Dedup.kmvDistinctTokens(docs, k = 64)
