@@ -128,7 +128,7 @@ object SparkEntry {
     // deterministic KMV sketch: the approximate distinct-count itself is
     // oracle-checked (HLL's engine-internal registers could never be)
     "q44_kmv_distinct" -> ((s: SparkSession, d: String) =>
-      Dedup.kmvDistinctTokens(Tables.documents(s, d), k = 64)),
+      Dedup.kmvDistinctTokens(Tables.documents(s, d), k = 16)),
     // interval self-join (batch twin of StreamOps.attributionJoin)
     "q45_attribution" -> Relational.q45Attribution _,
     // per-group mode with deterministic tie-break
@@ -183,8 +183,9 @@ object SparkEntry {
     // Murmur3 is Spark-internal, so the oracle could not reproduce it —
     // the split CONTRACT (deterministic, ~80/20) is what matters
     val neutralSplit = when(
-      pmod(regexp_extract(col("file_name"), "page_(\\d+)", 1).cast("long")
-        * lit(2654435761L), lit(100)) < 80, "train").otherwise("val")
+      graft.functions.Hashing.knuthMod(
+        regexp_extract(col("file_name"), "page_(\\d+)", 1).cast("long"),
+        100) < 80, "train").otherwise("val")
     Convert.dataset(images, anns, neutralSplit)
       .select(col("file_name"), col("split"), col("n_boxes").cast("long").as("n_boxes"),
         element_at(col("lines"), 1).as("first_line"))
@@ -1019,19 +1020,19 @@ object SparkEntry {
         |exact AS (SELECT lang, count(*) AS n_exact FROM tok GROUP BY lang),
         |h AS (
         |  SELECT DISTINCT lang,
-        |    CAST(coalesce(list_sum(list_transform(
+        |    (CAST(coalesce(list_sum(list_transform(
         |      generate_series(1, length(term)),
         |      i -> CAST(ascii(substr(term, i, 1)) AS BIGINT)
         |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
-        |      AS BIGINT) AS h
+        |      AS BIGINT) * 2654435761 + 1013904223) % 2147483648 AS h
         |  FROM tok),
         |kth AS (SELECT lang, h AS kth_hash FROM (
         |    SELECT lang, h,
         |      row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
-        |    FROM h) r WHERE rk = 64)
+        |    FROM h) r WHERE rk = 16)
         |SELECT e.lang, e.n_exact, k.kth_hash,
         |  CASE WHEN k.kth_hash IS NOT NULL AND k.kth_hash > 0
-        |       THEN CAST(63 * 2147483648 AS DOUBLE) / k.kth_hash
+        |       THEN CAST(15 * 2147483648 AS DOUBLE) / k.kth_hash
         |       ELSE CAST(e.n_exact AS DOUBLE) END AS kmv_estimate
         |FROM exact e LEFT JOIN kth k ON k.lang = e.lang""".stripMargin,
 

@@ -168,14 +168,20 @@ object Dedup {
     * token. Groups with fewer than k distinct hashes fall back to the exact
     * count (the sketch is exact below its capacity).
     */
-  def kmvDistinctTokens(docs: DataFrame, k: Int = 64): DataFrame = {
-    val M = 2147483648L // fingerprint() hash space: [0, 2^31)
+  def kmvDistinctTokens(docs: DataFrame, k: Int = 16): DataFrame = {
+    val M = 2147483648L // hash space: [0, 2^31)
     val toks = docs.select(col("lang"),
       explode(TextStats.tokens(col("text"))).as("term"))
     val exact = toks.distinct()
       .groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    // fingerprint() of a short token is bounded by ~len·127·1000003 ≪ 2^31,
+    // so it alone is NOT uniform on the hash space and would bias the
+    // estimator high; the wrapping multiplicative step (a bijection on
+    // [0, 2^31): odd multiplier mod 2^31) spreads it across the full range
     val hashes = toks
-      .select(col("lang"), TextStats.fingerprint(col("term")).as("h"))
+      .select(col("lang"),
+        graft.functions.Hashing.spread(TextStats.fingerprint(col("term")), M)
+          .as("h"))
       .distinct()
     val w = Window.partitionBy("lang").orderBy("h")
     val kth = hashes.withColumn("rk", row_number().over(w))

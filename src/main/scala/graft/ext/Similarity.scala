@@ -137,8 +137,8 @@ object Similarity {
       emb.select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
           norm(col("embedding")).as("cn"))
         .filter(col("cn") > 0.0)
-        .orderBy(pmod((col("centroid_id") + lit(17L)) * lit(2654435761L),
-          lit(1000003L)), col("centroid_id"))
+        .orderBy(graft.functions.Hashing.knuthMod(col("centroid_id"),
+          1000003L, offset = 17L), col("centroid_id"))
         .limit(nCentroids))
 
     def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {

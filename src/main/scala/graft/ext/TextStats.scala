@@ -155,7 +155,6 @@ object TextStats {
     * tiny next to the corpus, so the enriching join broadcasts.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
     val exploded = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = exploded.groupBy(col("doc_id"), col("term"))

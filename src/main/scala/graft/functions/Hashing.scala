@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-neutral deterministic hashes, pinned in ONE place on the Scala
+  * side. Every DuckDB oracle carries the same literal arithmetic — a
+  * constant tweak here without the matching oracle change (or vice versa)
+  * is a correctness bug, so the definition must not be re-rolled inline at
+  * call sites.
+  *
+  * Spark's native hashes (Murmur3 `hash`, `xxhash64`) are faster but not
+  * reproducible outside Spark; these are used wherever an assignment (split
+  * membership, sample selection, centroid choice, sketch hashing) must be
+  * verifiable by an external engine.
+  */
+object Hashing {
+
+  /** Knuth multiplicative hash: ((x + offset) · 2654435761) mod `mod`. */
+  def knuthMod(x: Column, mod: Long, offset: Long = 0L): Column =
+    pmod((x + lit(offset)) * lit(2654435761L), lit(mod))
+
+  /** Affine spreading step: (x · 2654435761 + 1013904223) mod `mod` — a
+    * bijection on [0, mod) for odd multiplier and mod a power of two, used
+    * to spread range-limited hash inputs across the full space (the KMV
+    * estimator requires uniformity on [0, mod)).
+    */
+  def spread(x: Column, mod: Long): Column =
+    pmod(x * lit(2654435761L) + lit(1013904223L), lit(mod))
+}

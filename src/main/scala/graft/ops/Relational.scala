@@ -276,7 +276,7 @@ object Relational {
     val w = Window.partitionBy(col("c_mktsegment"))
     customer(spark, d)
       .withColumn("n_total", count(lit(1)).over(w))
-      .filter(pmod(col("c_custkey") * lit(2654435761L), lit(1000L)) < 100)
+      .filter(graft.functions.Hashing.knuthMod(col("c_custkey"), 1000L) < 100)
       .withColumn("n_sampled", count(lit(1)).over(w))
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         col("n_total"), col("n_sampled"))

@@ -131,19 +131,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(z.toSeq === Seq(0.0))
   }
 
-  test("kmv sketch: estimate within 30% of exact; exact below capacity") {
+  test("kmv sketch: the SKETCH branch engages on the corpus and is accurate") {
     val docs = Tables.documents(spark, sf)
-    val r = ext.Dedup.kmvDistinctTokens(docs, k = 64)
+    val r = ext.Dedup.kmvDistinctTokens(docs, k = 16)
       .as[(String, Long, Option[Long], Double)].collect()
     assert(r.nonEmpty)
-    r.foreach { case (lang, exact, kth, est) =>
-      if (kth.isEmpty) assert(est === exact.toDouble, s"$lang below capacity")
-      else {
-        // KMV with k=64 has ~1/sqrt(62) ≈ 13% relative sd; 30% is ~2.3 sd
-        assert(math.abs(est - exact) / exact < 0.30,
-          s"$lang exact=$exact est=$est")
-      }
+    // every lang must exceed sketch capacity — otherwise this test would
+    // silently assert only the exact fallback and the estimator could rot
+    assert(r.forall(_._3.isDefined), s"sketch branch not engaged: ${r.toSeq}")
+    r.foreach { case (lang, exact, _, est) =>
+      // KMV with k=16 has ~1/sqrt(14) ≈ 27% relative sd
+      assert(math.abs(est - exact) / exact < 0.50,
+        s"$lang exact=$exact est=$est")
+      assert(est != exact.toDouble, s"$lang suspicious exact match")
     }
+  }
+
+  test("kmv sketch: groups below capacity fall back to the exact count") {
+    val tiny = Seq(
+      (1L, "aa", "alpha beta gamma"),
+      (2L, "aa", "beta gamma delta"),
+      (3L, "bb", "x y")).toDF("doc_id", "lang", "text")
+    val r = ext.Dedup.kmvDistinctTokens(tiny, k = 16)
+      .as[(String, Long, Option[Long], Double)].collect().toSeq.sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3.isEmpty, x._4)) ===
+      Seq(("aa", 4L, true, 4.0), ("bb", 2L, true, 2.0)))
   }
 
   test("stratified sample: deterministic, ~10% per stratum, counts consistent") {
