@@ -132,7 +132,13 @@ object SparkEntry {
     // interval self-join (batch twin of StreamOps.attributionJoin)
     "q45_attribution" -> Relational.q45Attribution _,
     // per-group mode with deterministic tie-break
-    "q46_mode" -> Relational.q46Mode _
+    "q46_mode" -> Relational.q46Mode _,
+    // time-hierarchy rollup (year/month/total in one shuffle)
+    "q47_time_rollup" -> Relational.q47TimeRollup _,
+    // multimodal frame-sampling shape: k deterministic offsets per media row
+    "q48_frame_sample" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.sampleFrames(
+        ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)), k = 4))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -985,6 +991,22 @@ object SparkEntry {
         |       THEN round((c_acctbal - seg_mean) / seg_std, 6)
         |       ELSE 0.0 END AS zscore
         |FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment""".stripMargin,
+
+    "q47_time_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT),
+        |                CAST(month(o_orderdate) AS BIGINT))""".stripMargin,
+
+    "q48_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  'image/' || lang AS media_type,
+        |  CAST(t.i AS INTEGER) AS frame_no,
+        |  CAST(t.i * (length(text) // 4) AS BIGINT) AS byte_offset
+        |FROM documents, generate_series(0, 3) t(i)""".stripMargin,
 
     "q46_mode" ->
       """WITH counts AS (

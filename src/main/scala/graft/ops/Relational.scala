@@ -282,6 +282,20 @@ object Relational {
         col("n_total"), col("n_sampled"))
   }
 
+  /** Time-hierarchy ROLLUP: order counts and revenue at (year, month),
+    * per-year, and grand-total levels from ONE shuffle (grouping sets).
+    * Calendar extraction is exact integer arithmetic under the session's
+    * pinned UTC zone, so it is engine-parity-safe.
+    */
+  def q47TimeRollup(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        col("o_totalprice"))
+      .rollup(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
   /** Per-group mode (most frequent value) with a deterministic tie-break —
     * count-then-argmax, two aggregations sharing one partitioning. Built
     * explicitly rather than via an engine `mode()` because tie behavior is
