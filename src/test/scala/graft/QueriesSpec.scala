@@ -9,8 +9,13 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracleSql key has a matching query") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  test("queries and oracles are in exact 1:1 correspondence (no rows-only drift)") {
+    // as of round 2 EVERY query is oracled; a new query without an oracle
+    // (or a stale oracle for a removed query) should fail loudly here, not
+    // silently downgrade the driver's check to rows-only
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"mismatch: only-in-queries=${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}, " +
+        s"only-in-oracles=${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
   }
 
   test("Tables.events fails loudly when the ns-as-long builder conf is absent") {
