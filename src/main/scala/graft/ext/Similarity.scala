@@ -75,19 +75,25 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * an LCG-scrambled value mapped to [-0.5, 0.5). Engine-neutral integer
-    * arithmetic inside, float out.
+    * arithmetic — computed DRIVER-side (the planes are constants), identical
+    * bits to the SQL form `((j·1103515245+12345)·(i+1) + j·2654435761)
+    * mod 1000003 / 1000003.0 − 0.5` the oracle evaluates.
     */
-  private def planeComponent(j: Int, i: Column): Column =
-    (pmod(lit(j * 1103515245L + 12345L) * (i + 1L) + lit(j * 2654435761L),
-      lit(1000003L)).cast("double") / 1000003.0) - 0.5
+  private def planeComponent(j: Int, i: Int): Double =
+    Math.floorMod((j * 1103515245L + 12345L) * (i + 1L) + j * 2654435761L,
+      1000003L).toDouble / 1000003.0 - 0.5
 
-  /** Random-hyperplane LSH bucket id: `bits` sign bits of vec·plane_j. */
+  /** Random-hyperplane LSH bucket id: `bits` sign bits of vec·plane_j.
+    * Each projection is the codegen'd constant-weights dot kernel
+    * ([[graft.functions.FloatVecDotConst]]) — the planes are baked into
+    * generated code, not rebuilt per row as literal arrays or interpreted
+    * through higher-order-function lambdas. Fold order matches the SQL
+    * ordered sum, so cross-engine bits are unchanged.
+    */
   def lshBucket(vec: Column, dim: Int, bits: Int = 8): Column =
     (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(j, i.cast("long"))),
-        lit(0.0), (acc, v) => acc + v)
+      val plane = Array.tabulate(dim)(i => planeComponent(j, i))
+      val proj = graft.functions.VectorFunctions.vecDotConst(vec, plane)
       when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

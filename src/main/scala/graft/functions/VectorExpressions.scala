@@ -85,6 +85,67 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ aᵢ·wᵢ of an `array<float>` column against a CONSTANT double weight
+  * vector (e.g. a deterministic LSH hyperplane), codegen'd with the weights
+  * baked in as a reference object — no per-row literal-array materialization,
+  * no lambda interpretation. Same strict left-to-right IEEE fold contract as
+  * [[FloatVecDot]]; a length mismatch or null element yields NULL.
+  */
+case class FloatVecDotConst(child: Expression, weights: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot_const"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != weights.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * weights(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $w.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * $w[$i];
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level handle for [[FloatVecDot]] (classic-API bridge: Spark 4's
     * public Column no longer exposes `.expr`).
@@ -92,4 +153,8 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(
       FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level handle for [[FloatVecDotConst]]. */
+  def vecDotConst(a: Column, weights: Array[Double]): Column =
+    GraftBridge.column(FloatVecDotConst(GraftBridge.expression(a), weights))
 }

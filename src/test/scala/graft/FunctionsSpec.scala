@@ -49,6 +49,54 @@ class FunctionsSpec extends SparkSuite {
     assert(r > 0.0)
   }
 
+  test("FloatVecDotConst ≡ zip_with/aggregate fold against a literal plane") {
+    val weights = Array.tabulate(64)(i => (i * 7 % 13).toDouble / 13.0 - 0.5)
+    val wLit = array(weights.map(lit): _*)
+    val hof = (v: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(v, wLit, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+    val diff = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.vecDotConst(col("embedding"), weights).as("fast"),
+        hof(col("embedding")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("FloatVecDotConst: length mismatch and null elements give NULL") {
+    val df = Seq(
+      (1L, Some(Array(1f, 2f, 3f))),
+      (2L, Some(Array(1f, 2f))),
+      (3L, None)).toDF("id", "v")
+    val r = df.orderBy("id")
+      .select(VectorFunctions.vecDotConst(col("v"), Array(1.0, 1.0, 1.0)))
+      .collect()
+    assert(r(0).getDouble(0) == 6.0)
+    assert(r(1).isNullAt(0))
+    assert(r(2).isNullAt(0))
+  }
+
+  test("lshBucket (const-plane kernel) matches the interpreted HOF formulation") {
+    // the old formulation, kept inline as the reference semantics
+    def planeCol(j: Int, i: org.apache.spark.sql.Column) =
+      (pmod(lit(j * 1103515245L + 12345L) * (i + 1L) + lit(j * 2654435761L),
+        lit(1000003L)).cast("double") / 1000003.0) - 0.5
+    def hofBucket(vec: org.apache.spark.sql.Column, dim: Int, bits: Int) =
+      (0 until bits).map { j =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dim - 1)),
+            (x, i) => x.cast("double") * planeCol(j, i.cast("long"))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val diff = Tables.embeddings(spark, sf)
+      .select(Similarity.lshBucket(col("embedding"), 64, 8).as("fast"),
+        hofBucket(col("embedding"), 64, 8).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("norm/cosine built on the kernel match direct computation") {
     val Array(r) = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
       .select(Similarity.norm(col("a")), Similarity.cosine(col("a"), col("b")))
