@@ -107,6 +107,76 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize ≡ batch sessionize on the same 300 random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(4242)
+    val evts = (1 to 300).map { i =>
+      val user = 1 + rnd.nextInt(8)
+      // gaps up to 50 min around a 30-min session gap → plenty of closures
+      Event(i.toLong, T0 + i * Min + rnd.nextInt(50) * Min,
+        user, "e", rnd.nextInt(100) / 10.0)
+    }
+    val maxTs = evts.map(_.ts_us).max
+
+    val batch = graft.ext.Sessions.sessionize(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"),
+      gapUs = 30 * Min)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.sessionize(src.toDS(), gapUs = 30 * Min)
+      .writeStream.outputMode("append").format("memory").queryName("eqv").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      // two watermark pushes: first sets WM past every open session's
+      // timeout, second triggers the timed-out flush
+      src.addData(Event(9001, maxTs + 5000 * Min, 999, "z", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 9000 * Min, 999, "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("eqv").as[Session]
+        .collect().filter(_.user_id != 999)
+        .map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming tumbling ≡ batch tumbling buckets on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(77)
+    val Hour = 60 * Min
+    val evts = (1 to 200).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(10 * 60) * Min,
+        1 + rnd.nextInt(5), if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextInt(100) / 10.0)
+    }
+    val batch = graft.ext.Sessions.tumbling(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"),
+      windowUs = Hour)
+      .select("bucket", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(src.toDF(),
+      window = "1 hour", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("teqv").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, T0 + 100000 * Min, 999, "z", 0.0))
+      q.processAllAvailable()
+      // streaming window.start (epoch seconds) / 3600 == batch floor-div bucket
+      val streamed = spark.table("teqv")
+        .select((col("window.start").cast("long") / 3600).cast("long"),
+          col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect()
+        .filter(_._2 != "z").toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming source chain: file-drop parquet → same schema as batch") {
     val stream = StreamOps.readEventStream(spark, sf)
     assert(stream.isStreaming)
