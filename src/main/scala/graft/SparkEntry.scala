@@ -1001,11 +1001,14 @@ object SparkEntry {
         |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT),
         |                CAST(month(o_orderdate) AS BIGINT))""".stripMargin,
 
+    // octet_length(encode(...)), not length(...): the Spark side offsets
+    // into UTF-8 BYTES of the content column, and char length only happens
+    // to coincide on an all-ASCII corpus
     "q48_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  'image/' || lang AS media_type,
         |  CAST(t.i AS INTEGER) AS frame_no,
-        |  CAST(t.i * (length(text) // 4) AS BIGINT) AS byte_offset
+        |  CAST(t.i * (octet_length(encode(text)) // 4) AS BIGINT) AS byte_offset
         |FROM documents, generate_series(0, 3) t(i)""".stripMargin,
 
     "q46_mode" ->

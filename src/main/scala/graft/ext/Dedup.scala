@@ -170,15 +170,18 @@ object Dedup {
     */
   def kmvDistinctTokens(docs: DataFrame, k: Int = 16): DataFrame = {
     val M = 2147483648L // hash space: [0, 2^31)
-    val toks = docs.select(col("lang"),
+    // distinct FIRST: both branches derive from the per-lang vocabulary, so
+    // hashing is O(vocab) not O(corpus occurrences) and the token stream is
+    // exploded/shuffled once, not twice (the oracle's `tok` CTE shape)
+    val vocab = docs.select(col("lang"),
       explode(TextStats.tokens(col("text"))).as("term"))
-    val exact = toks.distinct()
-      .groupBy("lang").agg(count(lit(1)).as("n_exact"))
+      .distinct()
+    val exact = vocab.groupBy("lang").agg(count(lit(1)).as("n_exact"))
     // fingerprint() of a short token is bounded by ~len·127·1000003 ≪ 2^31,
     // so it alone is NOT uniform on the hash space and would bias the
     // estimator high; the wrapping multiplicative step (a bijection on
     // [0, 2^31): odd multiplier mod 2^31) spreads it across the full range
-    val hashes = toks
+    val hashes = vocab
       .select(col("lang"),
         graft.functions.Hashing.spread(TextStats.fingerprint(col("term")), M)
           .as("h"))

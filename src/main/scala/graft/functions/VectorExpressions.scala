@@ -91,8 +91,14 @@ case class FloatVecDot(left: Expression, right: Expression)
   * no lambda interpretation. Same strict left-to-right IEEE fold contract as
   * [[FloatVecDot]]; a length mismatch or null element yields NULL.
   */
-case class FloatVecDotConst(child: Expression, weights: Array[Double])
+case class FloatVecDotConst(child: Expression, weights: IndexedSeq[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  // Seq, not Array, as the case-class field: Array equality is referential,
+  // which would make semantically identical kernels compare unequal and
+  // defeat Catalyst CSE / canonicalization / exchange reuse. The primitive
+  // array used at runtime is derived once here.
+  private lazy val weightArr: Array[Double] = weights.toArray
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -109,19 +115,19 @@ case class FloatVecDotConst(child: Expression, weights: Array[Double])
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != weights.length) return null
+    if (n != weightArr.length) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * weights(i)
+      s += x.getFloat(i).toDouble * weightArr(i)
       i += 1
     }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    val w = ctx.addReferenceObj("weights", weightArr, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -156,5 +162,6 @@ object VectorFunctions {
 
   /** Column-level handle for [[FloatVecDotConst]]. */
   def vecDotConst(a: Column, weights: Array[Double]): Column =
-    GraftBridge.column(FloatVecDotConst(GraftBridge.expression(a), weights))
+    GraftBridge.column(
+      FloatVecDotConst(GraftBridge.expression(a), weights.toIndexedSeq))
 }

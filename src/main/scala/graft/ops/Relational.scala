@@ -251,12 +251,20 @@ object Relational {
     * aggregates → rounded to 6 dp BEFORE the per-row division, which is then
     * bit-identical in both engines.
     */
-  def q42Zscore(spark: SparkSession, d: String): DataFrame = {
-    val stats = customer(spark, d)
+  def q42Zscore(spark: SparkSession, d: String): DataFrame =
+    zscore(customer(spark, d))
+
+  /** The operator itself, callable on any (c_custkey, c_mktsegment,
+    * c_acctbal) frame — the degenerate-group guard (std = 0 → z = 0, which
+    * under ANSI mode would otherwise be a DIVIDE_BY_ZERO crash) is part of
+    * THIS code path, so tests exercise the production guard, not a copy.
+    */
+  def zscore(customers: DataFrame): DataFrame = {
+    val stats = customers
       .groupBy(col("c_mktsegment"))
       .agg(round(avg(col("c_acctbal")), 6).as("seg_mean"),
         round(stddev_pop(col("c_acctbal")), 6).as("seg_std"))
-    customer(spark, d)
+    customers
       .join(broadcast(stats), Seq("c_mktsegment"))
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         col("seg_mean"), col("seg_std"),

@@ -118,17 +118,15 @@ class AnalyticsSpec extends SparkSuite {
   }
 
   test("zscore guard: a single-member group gets zscore 0, not a crash") {
-    // ANSI mode would throw on 0/0; the when-guard must short-circuit it
-    val one = Seq((1L, "SOLO", 42.0)).toDF("c_custkey", "c_mktsegment", "c_acctbal")
-    val stats = one.groupBy(col("c_mktsegment"))
-      .agg(round(avg(col("c_acctbal")), 6).as("seg_mean"),
-        round(stddev_pop(col("c_acctbal")), 6).as("seg_std"))
-    val z = one.join(broadcast(stats), Seq("c_mktsegment"))
-      .select(when(col("seg_std") > 0.0,
-        round((col("c_acctbal") - col("seg_mean")) / col("seg_std"), 6))
-        .otherwise(0.0).as("zscore"))
-      .as[Double].collect()
-    assert(z.toSeq === Seq(0.0))
+    // ANSI mode would throw on 0/0; the PRODUCTION operator's when-guard
+    // must short-circuit it (this calls Relational.zscore, not a copy)
+    val one = Seq((1L, "SOLO", 42.0), (2L, "DUO", 1.0), (3L, "DUO", 3.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val z = Relational.zscore(one)
+      .select("c_custkey", "zscore").as[(Long, Double)].collect().toMap
+    assert(z(1L) === 0.0)      // degenerate group: std = 0 → guard
+    assert(z(2L) === -1.0)     // DUO: mean 2, stddev_pop 1
+    assert(z(3L) === 1.0)
   }
 
   test("kmv sketch: the SKETCH branch engages on the corpus and is accurate") {

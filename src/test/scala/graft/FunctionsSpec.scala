@@ -23,7 +23,7 @@ class FunctionsSpec extends SparkSuite {
     val diff = pairs
       .select(VectorFunctions.vecDot(col("a"), col("b")).as("fast"),
         hofDot(col("a"), col("b")).as("slow"))
-      .filter(col("fast") =!= col("slow"))
+      .filter(!(col("fast") <=> col("slow")))   // null-safe: a one-sided NULL must count as a diff
       .count()
     assert(diff == 0)
   }
@@ -58,7 +58,7 @@ class FunctionsSpec extends SparkSuite {
     val diff = Tables.embeddings(spark, sf)
       .select(VectorFunctions.vecDotConst(col("embedding"), weights).as("fast"),
         hof(col("embedding")).as("slow"))
-      .filter(col("fast") =!= col("slow"))
+      .filter(!(col("fast") <=> col("slow")))   // null-safe: a one-sided NULL must count as a diff
       .count()
     assert(diff == 0)
   }
@@ -92,7 +92,7 @@ class FunctionsSpec extends SparkSuite {
     val diff = Tables.embeddings(spark, sf)
       .select(Similarity.lshBucket(col("embedding"), 64, 8).as("fast"),
         hofBucket(col("embedding"), 64, 8).as("slow"))
-      .filter(col("fast") =!= col("slow"))
+      .filter(!(col("fast") <=> col("slow")))   // null-safe: a one-sided NULL must count as a diff
       .count()
     assert(diff == 0)
   }
