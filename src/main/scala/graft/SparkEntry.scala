@@ -138,7 +138,9 @@ object SparkEntry {
     // multimodal frame-sampling shape: k deterministic offsets per media row
     "q48_frame_sample" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.sampleFrames(
-        ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)), k = 4))
+        ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)), k = 4)),
+    // ranking family: ntile / dense_rank / percent_rank, one shuffle
+    "q49_ranking" -> Relational.q49Ranking _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -991,6 +993,16 @@ object SparkEntry {
         |       THEN round((c_acctbal - seg_mean) / seg_std, 6)
         |       ELSE 0.0 END AS zscore
         |FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment""".stripMargin,
+
+    "q49_ranking" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC) AS BIGINT) AS drk,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC) AS prk
+        |FROM customer""".stripMargin,
 
     "q47_time_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -290,6 +290,24 @@ object Relational {
         col("n_total"), col("n_sampled"))
   }
 
+  /** Ranking-function family on one shuffle: ntile quartiles (tie-broken —
+    * ntile assigns by row POSITION, so tied rows would be engine-dependent
+    * without a unique sort key), plus dense_rank and percent_rank over the
+    * value alone (well-defined under ties: equal values share a rank, and
+    * percent_rank = (rank−1)/(n−1) is exact integer arithmetic).
+    */
+  def q49Ranking(spark: SparkSession, d: String): DataFrame = {
+    val wTie = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wVal = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+    customer(spark, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      ntile(4).over(wTie).cast("long").as("quartile"),
+      dense_rank().over(wVal).cast("long").as("drk"),
+      percent_rank().over(wVal).as("prk"))
+  }
+
   /** Time-hierarchy ROLLUP: order counts and revenue at (year, month),
     * per-year, and grand-total levels from ONE shuffle (grouping sets).
     * Calendar extraction is exact integer arithmetic under the session's

@@ -117,6 +117,24 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("ranking: quartiles balanced within one row; ranks consistent with values") {
+    import graft.ops.Relational
+    val r = Relational.q49Ranking(spark, sf)
+      .as[(Long, String, Double, Long, Long, Double)].collect()
+    r.groupBy(_._2).foreach { case (seg, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L), s"$seg quartiles $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$seg sizes $sizes")
+      // dense_rank strictly follows descending value; percent_rank ∈ [0,1]
+      rows.sortBy(x => (-x._3, x._1)).toSeq.sliding(2).foreach {
+        case Seq((_, _, v1, _, d1, p1), (_, _, v2, _, d2, p2)) =>
+          if (v1 == v2) { assert(d1 == d2); assert(p1 == p2) }
+          else { assert(d1 < d2); assert(p1 <= p2) }
+        case _ =>
+      }
+    }
+  }
+
   test("zscore guard: a single-member group gets zscore 0, not a crash") {
     // ANSI mode would throw on 0/0; the PRODUCTION operator's when-guard
     // must short-circuit it (this calls Relational.zscore, not a copy)
