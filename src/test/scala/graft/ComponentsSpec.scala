@@ -20,8 +20,22 @@ class ComponentsSpec extends SparkSuite {
   test("long path converges (diameter > 1 needs iteration)") {
     val edges = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("a", "b")
-    val r = Components.connectedComponents(edges).as[(Long, Long)].collect()
+    // localSolveMaxEdges=0: the distributed join loop is what's under test
+    val r = Components.connectedComponents(edges, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect()
     assert(r.forall(_._2 == 0L))
+  }
+
+  test("adaptive local union-find ≡ distributed loop on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val local = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Components.connectedComponents(edges, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
   }
 
   test("dedup groups from real near-dup pairs: canonical id is the group min") {
@@ -55,7 +69,8 @@ class ComponentsSpec extends SparkSuite {
     val edges = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("a", "b")
     intercept[IllegalStateException] {
-      Components.connectedComponents(edges, maxIter = 3).collect()
+      Components.connectedComponents(edges, maxIter = 3, localSolveMaxEdges = 0L)
+        .collect()
     }
   }
 }
