@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact percentiles per group, with an adaptive execution strategy.
+  *
+  * `percentile()` (Spark) / `quantile_cont()` (DuckDB) are HOLISTIC
+  * aggregates: every value of a group is buffered on one reducer. That is
+  * optimal at bench scale (one pass, one shuffle) and fatal for a 100 TB
+  * group. So, AQE-broadcast-threshold style, the operator picks its plan:
+  *
+  *  - input ≤ `holisticMaxTotalRows` (a parquet-footer-cheap count, no scan):
+  *    the built-in holistic aggregate — one pass, minimal latency;
+  *  - larger inputs: HISTOGRAM PRUNING — exact order statistics without any
+  *    per-group buffer:
+  *      1. per-group count/min/max                    (partial agg, 1 shuffle)
+  *      2. fixed-width histogram over nBuckets        (partial agg, 1 shuffle)
+  *      3. locate each target rank's bucket from the cumulative histogram
+  *         (histogram is O(groups · nBuckets) — tiny, broadcast back)
+  *      4. re-scan ONLY the located buckets (~1/nBuckets of the data), rank
+  *         within each by value, pick the order statistics, interpolate.
+  *
+  * Buckets partition the value range, so within-bucket rank + cumulative
+  * count below the bucket IS the global rank: no global sort. One hot key
+  * costs O(n_group/nBuckets) at the rank-resolution sort instead of
+  * O(n_group); duplicate-heavy columns degrade gracefully.
+  *
+  * Both paths use the same interpolation, Spark's `Percentile` formula
+  * `(hi − pos)·v_lo + (pos − lo)·v_hi` with `pos = p·(n−1)` — which also
+  * bit-matches DuckDB's `quantile_cont` on doubles (oracle-verified);
+  * AnalyticsSpec asserts the two paths are bit-identical on real data.
+  */
+object Percentiles {
+
+  /** Exact percentiles of `valueCol` per `groupCol`.
+    *
+    * @param ps percentile fractions in [0, 1]
+    * @return (groupCol, p, value) — one row per group × percentile; groups
+    *         with only null values are absent (as with the aggregate form)
+    */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double], nBuckets: Int = 1024,
+                       holisticMaxTotalRows: Long = 8000000L): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentile fractions must be in [0,1]: $ps")
+    val rows = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    // df.count() before the null filter: parquet answers it from footer
+    // metadata (no column scan), and it upper-bounds every group size
+    if (df.count() <= holisticMaxTotalRows) holistic(rows, groupCol, ps)
+    else distributed(rows, groupCol, ps, nBuckets)
+  }
+
+  /** Small-input plan: the built-in holistic aggregate, exploded to the
+    * operator's (group, p, value) long format.
+    */
+  private def holistic(rows: DataFrame, groupCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    val psSql = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val pArr = array(ps.map(lit): _*)
+    rows.groupBy(col("__g"))
+      .agg(expr(s"percentile(__v, $psSql)").as("__vals"))
+      .select(col("__g").as(groupCol),
+        posexplode(col("__vals")).as(Seq("__i", "value")))
+      .select(col(groupCol), element_at(pArr, col("__i") + 1).as("p"),
+        col("value"))
+  }
+
+  /** Scale plan: histogram pruning (see object doc). */
+  private def distributed(rows: DataFrame, groupCol: String, ps: Seq[Double],
+                          nBuckets: Int): DataFrame = {
+    // 1. per-group extent — the histogram's coordinate system
+    val stats = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"),
+        max(col("__v")).as("__hi"))
+
+    // 2. fixed-width bucket id; degenerate range (all values equal) → bucket 0
+    def bucketOf(value: Column, lo: Column, hi: Column): Column =
+      when(hi > lo,
+        least(floor((value - lo) / ((hi - lo) / nBuckets)).cast("long"),
+          lit(nBuckets - 1L)))
+        .otherwise(0L)
+    val bucketed = rows.join(broadcast(stats), "__g")
+      .select(col("__g"), col("__v"),
+        bucketOf(col("__v"), col("__lo"), col("__hi")).as("__b"))
+    val hist = bucketed.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__below", coalesce(
+        sum(col("__cnt")).over(Window.partitionBy(col("__g")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+    // 3. target global ranks (0-based): floor and ceil of p·(n−1), located in
+    // their buckets via the cumulative histogram. All histogram-small frames.
+    val targets = stats
+      .select(col("__g"), col("__n"),
+        explode(array(ps.map(lit): _*)).as("__p"))
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .withColumn("__klo", floor(col("__pos")).cast("long"))
+      .withColumn("__khi", ceil(col("__pos")).cast("long"))
+    val neededRanks = targets
+      .select(col("__g"), explode(array(col("__klo"), col("__khi"))).as("__r"))
+      .distinct()
+    val located = neededRanks.join(hist, Seq("__g"))
+      .filter(col("__r") >= col("__below") &&
+        col("__r") < col("__below") + col("__cnt"))
+      .select(col("__g"), col("__r"), col("__b"), col("__below"))
+
+    // 4. rank resolution: only rows of located buckets are sorted, each
+    // bucket in parallel. Within-bucket rank + __below = global rank because
+    // buckets are value ranges.
+    val neededBuckets = located.select(col("__g"), col("__b")).distinct()
+    val wB = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))
+    val rankValues = bucketed
+      .join(broadcast(neededBuckets), Seq("__g", "__b"))
+      .withColumn("__idx", row_number().over(wB).cast("long") - 1)
+      .join(broadcast(located.withColumn("__idx", col("__r") - col("__below"))),
+        Seq("__g", "__b", "__idx"))
+      .select(col("__g"), col("__r"), col("__v"))
+
+    // interpolate between the two order statistics (Spark Percentile formula)
+    targets
+      .join(rankValues.withColumnRenamed("__r", "__klo")
+        .withColumnRenamed("__v", "__vlo"), Seq("__g", "__klo"))
+      .join(rankValues.withColumnRenamed("__r", "__khi")
+        .withColumnRenamed("__v", "__vhi"), Seq("__g", "__khi"))
+      .select(col("__g").as(groupCol), col("__p").as("p"),
+        when(col("__klo") === col("__khi"), col("__vlo"))
+          .otherwise((col("__khi") - col("__pos")) * col("__vlo") +
+            (col("__pos") - col("__klo")) * col("__vhi"))
+          .as("value"))
+  }
+}

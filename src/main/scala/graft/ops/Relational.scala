@@ -190,12 +190,30 @@ object Relational {
       // key to 0, conflating it with real user 0 (oracle keeps NULL keys)
       .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
 
-  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`, bit-verified). Exact percentile is a holistic
-    * aggregate (full per-group sort) — at 100 TB, switch to
-    * `percentile_approx` (t-digest sketch) unless exactness is contractual.
+  /** Exact interpolated percentiles per group — computed DISTRIBUTED via
+    * histogram pruning ([[Percentiles.exactPercentiles]]): no per-group
+    * holistic buffer, so the same plan survives a 100 TB group. Bit-identical
+    * to Spark's `percentile` ≡ DuckDB's `quantile_cont` (the holistic form
+    * stays available below; AnalyticsSpec asserts exact equality).
     */
-  def q37Percentiles(spark: SparkSession, d: String): DataFrame =
+  def q37Percentiles(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val price = Percentiles
+      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("p") === 0.5, col("value"))).as("p50"),
+        max(when(col("p") === 0.9, col("value"))).as("p90"))
+    val qty = Percentiles
+      .exactPercentiles(li, "l_returnflag", "l_quantity", Seq(0.25))
+      .select(col("l_returnflag"), col("value").as("qty_p25"))
+    price.join(qty, "l_returnflag")
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("qty_p25"))
+  }
+
+  /** The holistic aggregate form of q37 (single-reducer per group) — kept as
+    * the reference semantics the distributed operator must reproduce.
+    */
+  def q37PercentilesHolistic(spark: SparkSession, d: String): DataFrame =
     lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(

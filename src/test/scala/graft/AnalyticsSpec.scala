@@ -174,6 +174,43 @@ class AnalyticsSpec extends SparkSuite {
       Seq(("aa", 4L, true, 4.0), ("bb", 2L, true, 2.0)))
   }
 
+  test("histogram-pruned percentiles are bit-identical to the holistic aggregate") {
+    import graft.ops.Percentiles
+    val li = Tables.lineitem(spark, sf)
+    // holisticMaxTotalRows = 0 forces the distributed (histogram) plan
+    val dist = Percentiles
+      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9),
+        holisticMaxTotalRows = 0L)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    val hol = Relational.q37PercentilesHolistic(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(hol.nonEmpty)
+    hol.foreach { case (g, p50, p90, _) =>
+      assert(dist((g, 0.5)) === p50) // exact ==: same order stats, same lerp
+      assert(dist((g, 0.9)) === p90)
+    }
+  }
+
+  test("distributed percentiles: edge fractions, duplicates, tiny groups") {
+    import graft.ops.Percentiles
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
+      ("b", 5.0), // single-element group
+      ("c", 3.0), ("c", 3.0), ("c", 3.0)) // degenerate range (lo == hi)
+      .toDF("g", "v")
+    for (threshold <- Seq(0L, 1000000L)) { // both plans, same answers
+      val r = Percentiles.exactPercentiles(df, "g", "v", Seq(0.0, 0.5, 1.0),
+          nBuckets = 4, holisticMaxTotalRows = threshold)
+        .as[(String, Double, Double)].collect()
+        .map { case (g, p, v) => (g, p) -> v }.toMap
+      assert(r(("a", 0.0)) === 1.0 && r(("a", 1.0)) === 9.0)
+      assert(r(("a", 0.5)) === 2.0) // pos=1.5 between the duplicate 2.0s
+      assert(r(("b", 0.0)) === 5.0 && r(("b", 0.5)) === 5.0 && r(("b", 1.0)) === 5.0)
+      assert(r(("c", 0.5)) === 3.0)
+    }
+  }
+
   test("stratified sample: deterministic, ~10% per stratum, counts consistent") {
     val s1 = Relational.q43StratifiedSample(spark, sf)
     val s2 = Relational.q43StratifiedSample(spark, sf)
