@@ -44,7 +44,13 @@ object Bench {
     // steady-state operator compute, which is the number that projects to a
     // long-running cluster where plans are compiled once and run for hours.
     for (w <- SparkEntry.queries.keys.toSeq.sorted)
-      try run(w) catch { case _: Throwable => () }
+      try run(w) catch {
+        // logged, not rethrown: a deterministically-failing query still gets
+        // its timed runs below (which report -1), but the warm-up failure
+        // must not be invisible in the bench tail
+        case e: Throwable => System.err.println(
+          s"[bench] warmup $w failed: ${e.getClass.getName}: ${e.getMessage}")
+      }
 
     // best of two runs per query: the first execution of a plan can cost
     // 2-3× steady state (codegen compile + JIT tiers) even after family

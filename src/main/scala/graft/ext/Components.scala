@@ -18,15 +18,16 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges two-column DataFrame of undirected pairs
-    * @param localSolveMaxEdges adaptive cutover: when the deduplicated edge
-    *        list is at most this many rows (and node ids are integral), the
-    *        closure is solved by union-find on the driver instead of the
-    *        iterative join loop. Same decision shape as AQE's broadcast
-    *        threshold — the EDGE LIST after near-dup pairing is typically
-    *        minuscule next to the corpus that produced it, and a driver-side
-    *        union-find replaces O(log diameter) shuffle rounds (each paying
-    *        full job latency) with one collect. The distributed loop remains
-    *        the path for genuinely large graphs; 0 disables the local path.
+    * @param localSolveMaxEdges adaptive cutover: when the deduplicated
+    *        UNDIRECTED edge count (symmetrized rows / 2) is at most this
+    *        many (and node ids are integral), the closure is solved by
+    *        union-find on the driver instead of the iterative join loop.
+    *        Same decision shape as AQE's broadcast threshold — the EDGE LIST
+    *        after near-dup pairing is typically minuscule next to the corpus
+    *        that produced it, and a driver-side union-find replaces
+    *        O(log diameter) shuffle rounds (each paying full job latency)
+    *        with one collect. The distributed loop remains the path for
+    *        genuinely large graphs; 0 disables the local path.
     * @return (node, component) — component = min node id reachable
     * @throws IllegalStateException when `maxIter` rounds pass without a
     *         fixpoint — an under-merged result returned silently would
@@ -50,7 +51,10 @@ object Components {
         case _ => false
       }
     }
-    if (integralIds && sym.count() <= localSolveMaxEdges)
+    // sym holds both directions of every undirected edge: halve its row
+    // count so the threshold means what a caller expects (undirected edges)
+    if (integralIds && sym.count() / 2 <= localSolveMaxEdges &&
+      localSolveMaxEdges > 0)
       return localComponents(sym)
 
     var checkpointed = sym.select(col("src").as("node")).distinct()
@@ -103,13 +107,19 @@ object Components {
     * edge list — exact same contract as the distributed loop: every node in
     * any edge mapped to the minimum reachable node id. Node ids travel as
     * longs and are cast back to the input id type on the way out.
+    *
+    * NULL ids match the distributed loop's join semantics: a null endpoint
+    * never connects anything (SQL equi-joins skip nulls), but a null SRC is
+    * still a node of the distributed label frame (`select(src).distinct`),
+    * so it surfaces here as a single (null, null) row too.
     */
   private def localComponents(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
     val idType = sym.schema("src").dataType
-    val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
+    val rows = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val hasNullSrc = rows.exists(_.isNullAt(0))
 
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x0: Long): Long = {
@@ -120,15 +130,21 @@ object Components {
       }
       x
     }
-    for ((a, b) <- es) {
+    for (r <- rows; if !r.isNullAt(0)) {
+      val a = r.getLong(0)
       parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      // union by min: the smaller root wins, so every root IS its
-      // component's minimum and no relabeling pass is needed
-      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      // a null dst contributes the src node but no union (join semantics)
+      if (!r.isNullAt(1)) {
+        val b = r.getLong(1)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by min: the smaller root wins, so every root IS its
+        // component's minimum and no relabeling pass is needed
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
     }
-    val out = parent.keys.toSeq.map(n => (n, find(n)))
+    val out = parent.keys.toSeq.map(n => (Option(n), Option(find(n)))) ++
+      (if (hasNullSrc) Seq((Option.empty[Long], Option.empty[Long])) else Nil)
     out.toDF("node", "component")
       .select(col("node").cast(idType), col("component").cast(idType))
   }

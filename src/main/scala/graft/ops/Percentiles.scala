@@ -37,20 +37,26 @@ object Percentiles {
   /** Exact percentiles of `valueCol` per `groupCol`.
     *
     * @param ps percentile fractions in [0, 1]
+    * @param rowCountHint caller-supplied row count of `df` used for the plan
+    *        decision. Pass it when the count is already known (or when
+    *        calling repeatedly on the same input, as q37 does) — otherwise
+    *        the operator runs `df.count()` itself, which is footer-cheap for
+    *        a bare parquet scan but a real job for a derived/cached frame.
     * @return (groupCol, p, value) — one row per group × percentile; groups
     *         with only null values are absent (as with the aggregate form)
     */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[Double], nBuckets: Int = 1024,
-                       holisticMaxTotalRows: Long = 8000000L): DataFrame = {
+                       holisticMaxTotalRows: Long = 8000000L,
+                       rowCountHint: Option[Long] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentile fractions must be in [0,1]: $ps")
     val rows = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-    // df.count() before the null filter: parquet answers it from footer
-    // metadata (no column scan), and it upper-bounds every group size
-    if (df.count() <= holisticMaxTotalRows) holistic(rows, groupCol, ps)
+    // count before the null filter upper-bounds every group size
+    val total = rowCountHint.getOrElse(df.count())
+    if (total <= holisticMaxTotalRows) holistic(rows, groupCol, ps)
     else distributed(rows, groupCol, ps, nBuckets)
   }
 

@@ -198,15 +198,23 @@ object Relational {
     */
   def q37Percentiles(spark: SparkSession, d: String): DataFrame = {
     val li = lineitem(spark, d)
+    // one count shared by both operator calls (the plan decision needs only
+    // an upper bound, and both calls see the same input)
+    val n = Some(li.count())
     val price = Percentiles
-      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9),
+        rowCountHint = n)
       .groupBy(col("l_returnflag"))
       .agg(max(when(col("p") === 0.5, col("value"))).as("p50"),
         max(when(col("p") === 0.9, col("value"))).as("p90"))
     val qty = Percentiles
-      .exactPercentiles(li, "l_returnflag", "l_quantity", Seq(0.25))
+      .exactPercentiles(li, "l_returnflag", "l_quantity", Seq(0.25),
+        rowCountHint = n)
       .select(col("l_returnflag"), col("value").as("qty_p25"))
-    price.join(qty, "l_returnflag")
+    // left join: a group whose l_quantity values are all NULL has no qty
+    // percentile rows but must survive with NULL qty_p25 (matching the
+    // holistic form, where the group row always exists)
+    price.join(qty, Seq("l_returnflag"), "left_outer")
       .select(col("l_returnflag"), col("p50"), col("p90"), col("qty_p25"))
   }
 
