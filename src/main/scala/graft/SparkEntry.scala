@@ -140,7 +140,36 @@ object SparkEntry {
       ext.Multimodal.sampleFrames(
         ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)), k = 4)),
     // ranking family: ntile / dense_rank / percent_rank, one shuffle
-    "q49_ranking" -> Relational.q49Ranking _
+    "q49_ranking" -> Relational.q49Ranking _,
+    // ---- round-4 curation / profiling extensions ----
+    // benchmark decontamination: share of each train doc's word-3-grams
+    // found in the eval split (doc_id % 20 == 0); eval n-gram set broadcast
+    "q50_contamination" -> ((s: SparkSession, d: String) =>
+      ext.Curation.contamination(Tables.documents(s, d),
+        col("doc_id") % 20 === 0, n = 3, flagAt = 0.5)),
+    // Gopher-style repetition quality signals — pure per-row expressions
+    "q51_repetition" -> ((s: SparkSession, d: String) =>
+      ext.Curation.repetitionSignals(Tables.documents(s, d))),
+    // CCNet-style sub-document exact dedup on 8-token chunks
+    "q52_chunk_dedup" -> ((s: SparkSession, d: String) =>
+      ext.Curation.chunkDedup(Tables.documents(s, d), chunkTokens = 8)),
+    // dense daily spine + LOCF (time-series missing-data repair)
+    "q53_gapfill" -> Sessions.qGapfill _,
+    // equi-width histogram on the global extent (data profiling)
+    "q54_histogram" -> ((s: SparkSession, d: String) =>
+      ops.Profile.histogram(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", nBuckets = 16)),
+    // single-pass per-column profile (one scan computes every metric)
+    "q55_profile" -> ((s: SparkSession, d: String) =>
+      ops.Profile.columnProfile(Tables.orders(s, d),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        stringCols = Seq("o_orderstatus", "o_orderpriority"))),
+    // deterministic weighted sampling (A-Res with arithmetic hash)
+    "q56_weighted_sample" -> ((s: SparkSession, d: String) =>
+      Relational.q56WeightedSample(s, d)),
+    // int8 scalar quantization of the embedding column
+    "q57_vec_quantize" -> ((s: SparkSession, d: String) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d)))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1122,6 +1151,209 @@ object SparkEntry {
         |         AND score_zh >= score_de AND score_zh >= score_fr THEN 'zh'
         |    ELSE 'unknown' END AS pred_lang,
         |  n_tokens, stopword_ratio
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // word-3-gram eval-set overlap; eval split = doc_id % 20 = 0. The `toks`
+    // CASE mirrors tokens()'s blank-doc convention; generate_series(1, 0)
+    // is empty in DuckDB just as the guarded sequence() is in Spark.
+    "q50_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_eval,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |eval_set AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+        |train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE NOT is_eval),
+        |per_doc AS (
+        |  SELECT tr.doc_id, count(*) AS n_ngrams,
+        |    CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overlap
+        |  FROM train tr LEFT JOIN eval_set e USING (gram)
+        |  GROUP BY tr.doc_id)
+        |SELECT d.doc_id, coalesce(n_ngrams, 0) AS n_ngrams,
+        |  coalesce(n_overlap, 0) AS n_overlap,
+        |  CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(n_overlap AS DOUBLE) / n_ngrams END AS contamination,
+        |  CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(n_overlap AS DOUBLE) / n_ngrams END >= 0.5 AS contaminated
+        |FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    // ratios are single divisions of exact integer counts — IEEE-identical
+    "q51_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1]) AS g2,
+        |    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS BIGINT) AS n_2grams,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+        |               / CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+        |               / CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(g2),
+        |         x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+        |         / CAST(len(g2) AS DOUBLE) END AS top_2gram_share
+        |FROM g""".stripMargin,
+
+    // DuckDB list slice t[a:b] clamps past the end exactly like Spark's
+    // slice(arr, start, len); the parallel unnests zip positionally
+    "q52_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |cl AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(1, CAST(ceil(CAST(len(t) AS DOUBLE) / 8) AS BIGINT)),
+        |      i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')) AS chunks
+        |  FROM toks WHERE len(t) > 0),
+        |exploded AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(chunks))) - 1 AS chunk_idx,
+        |         unnest(chunks) AS chunk
+        |  FROM cl),
+        |marked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM exploded)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS keep_frac
+        |FROM marked GROUP BY doc_id""".stripMargin,
+
+    // revenue rounded to 2 dp BEFORE the LOCF copy (carried values must be
+    // bit-identical); day = floor(epoch µs / 86.4e9), exact integer division
+    "q53_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n_events,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+        |      AS revenue
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx)) AS day
+        |  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+        |        FROM daily GROUP BY 1) b)
+        |SELECT s.user_id, s.day,
+        |  coalesce(d.n_events, 0) AS n_events, d.revenue,
+        |  last_value(d.revenue IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf,
+        |  coalesce(d.n_events, 0) = 0 AS filled
+        |FROM spine s
+        |LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day""".stripMargin,
+
+    // bucket edges derived with the same association (lo + (b·(hi−lo))/16)
+    // on both sides — raw doubles, no rounding needed
+    "q54_histogram" ->
+      """WITH ext AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 16))
+        |                    AS BIGINT), 15) END AS bucket,
+        |    lo, hi
+        |  FROM lineitem, ext WHERE l_extendedprice IS NOT NULL)
+        |SELECT l_returnflag, bucket,
+        |  lo + bucket * (hi - lo) / 16 AS bucket_lo,
+        |  lo + (bucket + 1) * (hi - lo) / 16 AS bucket_hi,
+        |  count(*) AS cnt
+        |FROM b GROUP BY l_returnflag, bucket, lo, hi""".stripMargin,
+
+    // single aggregate row unpivoted by the column list; timestamps profiled
+    // as epoch µs (unix_micros ↔ epoch_us), strings lexically
+    "q55_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z1,
+        |      count(DISTINCT o_orderkey) AS d1,
+        |      min(CAST(o_orderkey AS DOUBLE)) AS mn1,
+        |      max(CAST(o_orderkey AS DOUBLE)) AS mx1,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z2,
+        |      count(DISTINCT o_custkey) AS d2,
+        |      min(CAST(o_custkey AS DOUBLE)) AS mn2,
+        |      max(CAST(o_custkey AS DOUBLE)) AS mx2,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z3,
+        |      count(DISTINCT o_totalprice) AS d3,
+        |      min(CAST(o_totalprice AS DOUBLE)) AS mn3,
+        |      max(CAST(o_totalprice AS DOUBLE)) AS mx3,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z4,
+        |      count(DISTINCT o_orderdate) AS d4,
+        |      min(CAST(epoch_us(o_orderdate) AS DOUBLE)) AS mn4,
+        |      max(CAST(epoch_us(o_orderdate) AS DOUBLE)) AS mx4,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z5,
+        |      count(DISTINCT o_orderstatus) AS d5,
+        |      min(o_orderstatus) AS mn5, max(o_orderstatus) AS mx5,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z6,
+        |      count(DISTINCT o_orderpriority) AS d6,
+        |      min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n, z1 AS n_null, d1 AS n_distinct,
+        |  mn1 AS min_num, mx1 AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL SELECT 'o_custkey', n, z2, d2, mn2, mx2, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_totalprice', n, z3, d3, mn3, mx3, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_orderdate', n, z4, d4, mn4, mx4, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_orderstatus', n, z5, d5,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn5, mx5 FROM a
+        |UNION ALL SELECT 'o_orderpriority', n, z6, d6,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn6, mx6 FROM a""".stripMargin,
+
+    // knuthMod hash ((k·2654435761) mod 2^31) — positive operands, so `%`
+    // and pmod agree; the priority key is one double division
+    "q56_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST((o_orderkey * 2654435761) % 2147483648 AS DOUBLE)
+        |      / o_totalprice AS priority_key
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT o_orderpriority, rk, o_orderkey, o_totalprice, priority_key
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY priority_key, o_orderkey) AS BIGINT) AS rk FROM k) t
+        |WHERE rk <= 8""".stripMargin,
+
+    // float→double widening is exact in both engines; round-half-up is the
+    // explicit floor(x + 0.5) so no engine round-mode is in the path
+    "q57_vec_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, n_dims, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, n_dims, scale,
+        |    list_transform(e, x -> CASE WHEN scale > 0
+        |      THEN CAST(floor(x / scale + 0.5) AS BIGINT) ELSE 0 END) AS qv
+        |  FROM s)
+        |SELECT vec_id, n_dims, scale,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_sum(list_transform(generate_series(1, n_dims),
+        |    i -> qv[i] * (i % 97))) AS BIGINT) AS checksum
+        |FROM q""".stripMargin
   )
 }

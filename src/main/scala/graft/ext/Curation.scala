@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/quality scoring (round 4):
+  * benchmark-contamination detection, repetition-based quality signals, and
+  * inter-document chunk-level exact dedup.
+  *
+  * These are the remaining operators a large-scale LLM-data pipeline runs
+  * over a text corpus before training:
+  *  - contamination: does a training document overlap an evaluation set's
+  *    n-grams? (decontamination pass; cf. the n-gram overlap checks described
+  *    in the GPT-3/PaLM appendices)
+  *  - repetition signals: Gopher-style quality heuristics — documents
+  *    dominated by repeated n-grams are low-quality (boilerplate, spam).
+  *  - chunk dedup: exact dedup below document granularity (CCNet-style
+  *    paragraph dedup) — removes boilerplate shared across documents while
+  *    keeping the documents themselves.
+  *
+  * Scale notes: contamination joins the corpus against the DISTINCT eval
+  * n-gram set — at 100 TB that set is broadcast (eval corpora are tiny next
+  * to training corpora), so the pass is one scan + one broadcast semi-join +
+  * one aggregation, no corpus shuffle. Repetition signals are pure per-row
+  * expressions (zero shuffles). Chunk dedup shuffles (chunk-hash → first
+  * occurrence), the same shape as exact document dedup; the shuffle key
+  * would be an 8-byte `xxhash64(chunk)` at scale — here the chunk string
+  * itself so the DuckDB oracle can replay it.
+  */
+object Curation {
+
+  /** Word n-grams of the whitespace-tokenized text, as space-joined strings.
+    * Guard: Spark's `sequence(1, x)` DESCENDS for x < 1, so short documents
+    * must be mapped to an empty array explicitly (DuckDB's generate_series
+    * yields empty there).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
+  /** Benchmark-contamination check: for every training document, the share
+    * of its distinct word `n`-grams that appear anywhere in the evaluation
+    * set (`evalPred` marks eval membership).
+    *
+    * @return (doc_id, n_ngrams, n_overlap, contamination, contaminated) for
+    *         every non-eval document; documents shorter than n tokens have
+    *         zero n-grams and contamination 0.0.
+    */
+  def contamination(docs: DataFrame, evalPred: Column, n: Int = 3,
+                    flagAt: Double = 0.5): DataFrame = {
+    val grams = docs.select(col("doc_id"), evalPred.as("__is_eval"),
+        explode(wordNgrams(col("text"), n)).as("gram"))
+    // the eval n-gram SET is what gets broadcast at scale — distinct first
+    val evalGrams = grams.filter(col("__is_eval"))
+      .select(col("gram")).distinct()
+    val trainGrams = grams.filter(!col("__is_eval"))
+      .select(col("doc_id"), col("gram")).distinct()
+    val perDoc = trainGrams
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1L))),
+        Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+    // left join back to the full train-doc set: documents with zero n-grams
+    // (shorter than n tokens) must still appear, with contamination 0
+    docs.filter(!evalPred).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contamination",
+        when(col("n_ngrams") === 0L, 0.0)
+          .otherwise(col("n_overlap").cast("double") / col("n_ngrams").cast("double")))
+      .withColumn("contaminated", col("contamination") >= flagAt)
+  }
+
+  /** Gopher-style repetition signals, all per-row expressions (no shuffle):
+    *  - dup_2gram_frac / dup_3gram_frac: fraction of word n-grams that are
+    *    repeats of an earlier occurrence (1 − distinct/total);
+    *  - top_2gram_share: occurrences of the most frequent 2-gram / total
+    *    2-grams (the dominant-boilerplate signal).
+    * Zero-gram documents get 0.0 for every signal (ANSI division guard).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def dupFrac(grams: Column): Column = {
+      val total = size(grams).cast("double")
+      when(total === 0.0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+    }
+    // per-row mode count: O(distinct·total) comparisons inside one row —
+    // fine for documents; never a shuffle
+    def topShare(grams: Column): Column = {
+      val counts = transform(array_distinct(grams), g =>
+        size(filter(grams, x => x === g)))
+      when(size(grams) === 0, 0.0)
+        .otherwise(array_max(counts).cast("double") / size(grams).cast("double"))
+    }
+    val g2 = wordNgrams(col("text"), 2)
+    val g3 = wordNgrams(col("text"), 3)
+    docs.select(col("doc_id"),
+      size(g2).cast("long").as("n_2grams"),
+      dupFrac(g2).as("dup_2gram_frac"),
+      dupFrac(g3).as("dup_3gram_frac"),
+      topShare(g2).as("top_2gram_share"))
+  }
+
+  /** Inter-document exact chunk dedup (CCNet-style paragraph dedup, on
+    * fixed-size token chunks since this corpus has no paragraph breaks):
+    * split each document into consecutive `chunkTokens`-token chunks, keep
+    * only the FIRST occurrence of every distinct chunk corpus-wide (first =
+    * lowest (doc_id, chunk_idx)), and report per-document survival.
+    *
+    * @return (doc_id, n_chunks, n_kept, n_removed, keep_frac)
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 8): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), c =>
+      concat_ws(" ",
+        slice(toks, c * chunkTokens + 1, lit(chunkTokens))))
+    val exploded = docs
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val marked = exploded
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+    marked
+      .withColumn("n_removed", col("n_chunks") - col("n_kept"))
+      .withColumn("keep_frac",
+        col("n_kept").cast("double") / col("n_chunks").cast("double"))
+      .select("doc_id", "n_chunks", "n_kept", "n_removed", "keep_frac")
+  }
+}

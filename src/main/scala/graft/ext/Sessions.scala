@@ -89,10 +89,56 @@ object Sessions {
         round(sum(col("value")), 2).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
 
+  /** Day-level gap-fill with last-observation-carried-forward (LOCF): for
+    * every user, a dense daily spine from their first to last event day;
+    * days with no events get n_events = 0 and carry the previous day's
+    * purchase revenue forward.
+    *
+    * The missing-data shape every time-series feature pipeline needs; the
+    * reference has no analog (its inputs are dense files), so this is a
+    * north-star extension operator.
+    *
+    * Scale notes: the spine explode is O(users · span_days) — bounded and
+    * tiny next to the event stream; the whole plan is one aggregation on
+    * (user, day), one per-user sequence explode, one shuffle-free LOCF
+    * window over the already-partitioned spine. No driver-side loops.
+    *
+    * Parity: day = floor(ts_us / 86.4e9) in exact integer arithmetic;
+    * revenue is rounded to 2 dp BEFORE the LOCF copy so carried values are
+    * bit-identical in both engines.
+    *
+    * @return (user_id, day, n_events, revenue, revenue_locf, filled)
+    */
+  def gapfillDaily(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(when(col("event_type") === "purchase", col("value"))), 2)
+          .as("revenue"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("user_id"),
+        explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("revenue"))
+      .withColumn("revenue_locf",
+        last(col("revenue"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("n_events") === 0L)
+  }
+
   /** Query entries. */
   def qSessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionize(Tables.events(spark, sfDir))
 
   def qTumbling(spark: SparkSession, sfDir: String): DataFrame =
     tumbling(Tables.events(spark, sfDir))
+
+  def qGapfill(spark: SparkSession, sfDir: String): DataFrame =
+    gapfillDaily(Tables.events(spark, sfDir))
 }

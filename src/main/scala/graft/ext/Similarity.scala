@@ -197,4 +197,40 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * storage-side operator that makes a 100 TB vector corpus tractable
+    * (4 bytes/dim → 1 byte/dim before any indexing): per-vector scale =
+    * max(|x|)/127, q_i = round-half-up(x_i/scale) ∈ [−127, 127].
+    *
+    * Pure per-row expressions, zero shuffles. Every step is engine-neutral:
+    * elements are widened float→double (exact) before any arithmetic, and
+    * rounding is an explicit `floor(x + 0.5)` so no engine's round-mode
+    * choice is in the path. Zero vectors quantize to all-zero (scale 0
+    * guard — ANSI division would throw).
+    *
+    * @return (vec_id, n_dims, scale, q_min, q_max, q_l1, checksum) — the
+    *         quantized vector itself is summarized (l1 mass + position-
+    *         weighted checksum) so the result is hash-comparable without
+    *         array-column compare support.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    val q = transform(v, x =>
+      when(col("scale") > 0.0,
+        floor(x / col("scale") + 0.5).cast("long")).otherwise(0L))
+    emb
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("n_dims"),
+        scale.as("scale"), col("embedding"))
+      .withColumn("q", q)
+      .select(col("vec_id"), col("n_dims"), col("scale"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+        aggregate(zip_with(col("q"),
+            sequence(lit(1), size(col("q"))).cast("array<long>"),
+            (x, i) => x * pmod(i, lit(97L))),
+          lit(0L), (acc, x) => acc + x).as("checksum"))
+  }
 }

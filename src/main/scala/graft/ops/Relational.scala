@@ -316,6 +316,28 @@ object Relational {
         col("n_total"), col("n_sampled"))
   }
 
+  /** Deterministic weighted sampling: top-`k` orders per priority class by
+    * the priority key h(o_orderkey)/o_totalprice — heavier rows draw smaller
+    * keys in expectation, the weighted-reservoir (A-Res) shape with the
+    * random draw replaced by an engine-neutral arithmetic hash so the sample
+    * is reproducible anywhere. One shuffle (the per-class top-k window); at
+    * scale the same contract runs as a per-partition partial top-k before
+    * the shuffle (Spark's TakeOrderedAndProject does this for global top-k).
+    */
+  def q56WeightedSample(spark: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val h = graft.functions.Hashing
+      .knuthMod(col("o_orderkey"), 2147483648L).cast("double")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("priority_key"), col("o_orderkey"))
+    orders(spark, d)
+      .filter(col("o_totalprice") > 0.0)
+      .withColumn("priority_key", h / col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"), col("priority_key"))
+  }
+
   /** Ranking-function family on one shuffle: ntile quartiles (tie-broken —
     * ntile assigns by row POSITION, so tied rows would be engine-dependent
     * without a unique sort key), plus dense_rank and percent_rank over the

@@ -1,0 +1,134 @@
+package graft
+
+import graft.ext.{Curation, Sessions, Similarity}
+import graft.ops.Profile
+import org.apache.spark.sql.functions._
+
+/** Round-4 extensions: contamination check, repetition signals, chunk-level
+  * dedup, gap-fill + LOCF, histogram/profile, weighted sampling, int8
+  * quantization.
+  */
+class CurationProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("contamination: verbatim eval copy flags 1.0, disjoint doc 0.0, short doc safe") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),      // eval (id % 2 == 0)
+      (1L, "alpha beta gamma delta epsilon"),      // full copy of eval → 1.0
+      (3L, "zeta eta theta iota kappa"),           // disjoint → 0.0
+      (5L, "one two"),                             // < 3 tokens → no 3-grams
+      (7L, "alpha beta gamma nu xi omicron pi")    // shares 1 of 5 grams
+    ).toDF("doc_id", "text")
+    val r = Curation.contamination(docs, col("doc_id") % 2 === 0, n = 3, flagAt = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet === Set(1L, 3L, 5L, 7L))
+    assert(r(1L) === ((1L, 3L, 3L, 1.0, true)))
+    assert(r(3L) === ((3L, 3L, 0L, 0.0, false)))
+    assert(r(5L) === ((5L, 0L, 0L, 0.0, false)))
+    assert(r(7L)._2 === 5L && r(7L)._3 === 1L && !r(7L)._5)
+  }
+
+  test("repetition signals: alternating text shows high dup and top share") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "w x y z"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = Curation.repetitionSignals(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // "a b a b a b": 2-grams [ab, ba, ab, ba, ab] → 5 total, 2 distinct
+    assert(r(1L)._2 === 5L)
+    assert(math.abs(r(1L)._3 - 0.6) < 1e-12)        // dup_2gram_frac
+    assert(math.abs(r(1L)._5 - 0.6) < 1e-12)        // top share = 3/5
+    assert(r(2L)._3 === 0.0)                        // all distinct
+    assert(math.abs(r(2L)._5 - 1.0 / 3) < 1e-12)    // top share = 1/3
+    assert(r(3L) === ((3L, 0L, 0.0, 0.0, 0.0)))     // blank doc guarded
+  }
+
+  test("chunk dedup: repeated 8-token chunk is kept only at first occurrence") {
+    val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq(
+      (1L, s"$eight u1 u2"),     // chunks: [eight, "u1 u2"] — both kept
+      (2L, s"$eight v1"),        // chunk "eight" removed, "v1" kept
+      (3L, "w1 w2 w3")           // single short chunk, kept
+    ).toDF("doc_id", "text")
+    val r = Curation.chunkDedup(docs, chunkTokens = 8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) === ((1L, 2L, 2L, 0L, 1.0)))
+    assert(r(2L) === ((2L, 2L, 1L, 1L, 0.5)))
+    assert(r(3L) === ((3L, 1L, 1L, 0L, 1.0)))
+  }
+
+  test("gapfill: dense daily spine, zero-filled days, LOCF carries revenue") {
+    val day0 = 19700L * 86400000000L // an arbitrary day, in µs
+    val events = Seq(
+      // user 1: purchases on day 0 and day 3, a view on day 1, nothing day 2
+      (1L, day0 + 1000L, 1L, "purchase", 10.0),
+      (2L, day0 + 86400000000L, 1L, "view", 1.0),
+      (3L, day0 + 3 * 86400000000L, 1L, "purchase", 5.0)
+    ).map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessions.gapfillDaily(events)
+      .orderBy("day")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Boolean)]
+      .collect()
+    assert(r.length === 4) // days 0..3 dense
+    assert(r.map(_._3).toSeq === Seq(1L, 1L, 0L, 1L))     // n_events
+    assert(r.map(_._6).toSeq === Seq(false, false, true, false))
+    assert(r.map(_._5).toSeq ===
+      Seq(Some(10.0), Some(10.0), Some(10.0), Some(5.0))) // LOCF
+    assert(r(1)._4.isEmpty && r(2)._4.isEmpty)            // raw revenue null
+  }
+
+  test("histogram: buckets partition the extent; counts total the input") {
+    val df = Seq(("a", 0.0), ("a", 1.0), ("a", 15.9), ("b", 16.0), ("b", 8.0))
+      .toDF("g", "v")
+    val h = Profile.histogram(df, "g", "v", nBuckets = 16)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(h.map(_._5).sum === 5)
+    // extent [0, 16], width 1: value 16.0 clamps into bucket 15
+    assert(h.filter(_._1 == "b").map(r => (r._2, r._5)).toSet ===
+      Set((15L, 1L), (8L, 1L)))
+    // degenerate extent: all values equal → single bucket 0
+    val one = Profile.histogram(Seq(("x", 3.0), ("y", 3.0)).toDF("g", "v"), "g", "v")
+    assert(one.select("bucket").distinct().as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("column profile: one row per column with null/distinct/minmax") {
+    val df = Seq((Some(1L), Some("x")), (Some(2L), None), (None, Some("a")))
+      .toDF("k", "s")
+    val p = Profile.columnProfile(df, Seq("k"), Seq("s"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[String], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("k") === (("k", 3L, 1L, 2L, Some(1.0), Some(2.0), None, None)))
+    assert(p("s") === (("s", 3L, 1L, 2L, None, None, Some("a"), Some("x"))))
+  }
+
+  test("weighted sample: deterministic, k per class, keys ascending") {
+    val r1 = ops.Relational.q56WeightedSample(spark, sf)
+    val r2 = ops.Relational.q56WeightedSample(spark, sf)
+    assert(r1.collect().toSet === r2.collect().toSet) // reproducible
+    val grouped = r1.as[(String, Long, Long, Double, Double)].collect()
+      .groupBy(_._1)
+    grouped.values.foreach { rows =>
+      assert(rows.length <= 8)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._5).toSeq === sorted.map(_._5).sorted.toSeq)
+    }
+  }
+
+  test("quantize: max-magnitude dim hits ±127, zero vector all-zero") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb)
+      .as[(Long, Long, Option[Double], Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // scale = 1/127; q = round(x·127): [64, -127, 32]
+    assert(q(1L)._4 === -127L && q(1L)._5 === 64L)
+    assert(q(1L)._6 === (64L + 127L + 32L))
+    assert(q(2L)._3 === Some(0.0) && q(2L)._6 === 0L && q(2L)._7 === 0L)
+  }
+}
