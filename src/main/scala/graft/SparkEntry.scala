@@ -169,7 +169,11 @@ object SparkEntry {
       Relational.q56WeightedSample(s, d)),
     // int8 scalar quantization of the embedding column
     "q57_vec_quantize" -> ((s: SparkSession, d: String) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, d)))
+      Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // semi-structured: JSON field extraction + typed rollup
+    "q58_json_rollup" -> Relational.q58JsonRollup _,
+    // multi-stage conversion funnel (view → click → purchase, 24 h windows)
+    "q59_funnel" -> Sessions.qFunnel _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1354,6 +1358,43 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
         |  CAST(list_sum(list_transform(generate_series(1, n_dims),
         |    i -> qv[i] * (i % 97))) AS BIGINT) AS checksum
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    // avg as explicit sum/count division — engines' AVG accumulators differ
+    // in summation order but exact-int sum/count does not
+    "q58_json_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(DISTINCT k) AS n_distinct_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    // strictly-after with a 24 h conversion window per hop; stage times are
+    // exact integer µs so every comparison is engine-identical
+    "q59_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t_click
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND ts_us > t_view
+        |         AND ts_us <= t_view + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t_purchase
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ts_us > t_click
+        |         AND ts_us <= t_click + 86400000000 GROUP BY 1)
+        |SELECT s1.user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage_reached
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin
   )
 }

@@ -132,6 +132,49 @@ object Sessions {
       .withColumn("filled", col("n_events") === 0L)
   }
 
+  /** Multi-stage funnel analysis: for an ordered stage list (event types),
+    * the first time each user completed stage i+1 STRICTLY AFTER their
+    * stage-i completion and within `convWindowUs` of it. Classic product
+    * analytics; the reference has no analog (extension operator).
+    *
+    * Shape: one aggregation per stage over the (pre-filtered) event scan,
+    * chained by equi-joins on user_id — every step is partition-parallel on
+    * the user key, and at 100 TB each stage's frame is one-row-per-user
+    * (≪ the event stream), so the chain joins are cheap next to the scan.
+    * An alternative single-window formulation (collect each user's events,
+    * walk once) trades the joins for one big per-user state — this form
+    * keeps memory flat per task.
+    *
+    * @return one row per user who completed stage 1: user_id, t_<stage>
+    *         micros for each completed stage (null otherwise), stage_reached
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             convWindowUs: Long = 86400000000L): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = withTsUs(events)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    var cur = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as(s"t_${stages.head}"))
+    var out = cur
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val prev = s"t_${stages(i)}"
+      cur = e.filter(col("event_type") === st)
+        .join(cur.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("ts_us") > col(prev) &&
+          col("ts_us") <= col(prev) + convWindowUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(s"t_$st"))
+      out = out.join(cur.select(col("user_id"), col(s"t_$st")),
+        Seq("user_id"), "left_outer")
+    }
+    // stage_reached = highest non-null stage timestamp (stages nest: a
+    // completed stage i+1 implies a completed stage i)
+    val stageNo = stages.zipWithIndex.reverse
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (st, i)) =>
+        acc.when(col(s"t_$st").isNotNull, lit(i + 1L))
+      }.otherwise(0L)
+    out.withColumn("stage_reached", stageNo)
+  }
+
   /** Query entries. */
   def qSessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionize(Tables.events(spark, sfDir))
@@ -141,4 +184,7 @@ object Sessions {
 
   def qGapfill(spark: SparkSession, sfDir: String): DataFrame =
     gapfillDaily(Tables.events(spark, sfDir))
+
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnel(Tables.events(spark, sfDir), Seq("view", "click", "purchase"))
 }

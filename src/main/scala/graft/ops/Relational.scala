@@ -338,6 +338,24 @@ object Relational {
         col("o_totalprice"), col("priority_key"))
   }
 
+  /** Semi-structured extraction: pull a typed field out of the JSON `props`
+    * column and aggregate it per event type. One scan, one hash aggregation;
+    * the JSON path evaluation is a codegen'd per-row expression (no UDF).
+    * avg is emitted as an explicit sum/count division (exact ints, one
+    * double division) rather than the engines' internal AVG accumulators.
+    */
+  def q58JsonRollup(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        count_distinct(col("k")).as("n_distinct_k"))
+      .withColumn("avg_k",
+        col("sum_k").cast("double") / col("n_with_k").cast("double"))
+
   /** Ranking-function family on one shuffle: ntile quartiles (tie-broken —
     * ntile assigns by row POSITION, so tied rows would be engine-dependent
     * without a unique sort key), plus dense_rank and percent_rank over the

@@ -118,6 +118,45 @@ class CurationProfileSpec extends SparkSuite {
     }
   }
 
+  test("funnel: strict order and conversion window gate each hop") {
+    def ev(id: Long, us: Long, u: Long, t: String) = (id, us * 1000L, u, t, 0.0)
+    val H = 3600000000L
+    val events = Seq(
+      // user 1: full funnel inside the window
+      ev(1, 0, 1, "view"), ev(2, H, 1, "click"), ev(3, 2 * H, 1, "purchase"),
+      // user 2: click BEFORE the first view — rejected (strictly after)
+      ev(4, H, 2, "click"), ev(5, 2 * H, 2, "view"),
+      // user 3: click arrives after the conversion window
+      ev(6, 0, 3, "view"), ev(7, 30 * H, 3, "click"),
+      // user 4: never views — absent from the funnel
+      ev(8, 0, 4, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ext.Sessions.funnel(events, Seq("view", "click", "purchase"),
+        convWindowUs = 24 * H)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(1L) === ((1L, Some(0L), Some(H), Some(2 * H), 3L)))
+    assert(r(2L)._5 === 1L && r(2L)._3.isEmpty)
+    assert(r(3L)._5 === 1L)
+  }
+
+  test("json rollup: missing/NULL props yield NULL k, counted but not summed") {
+    val events = Seq(
+      (1L, 1000000L, 1L, "view", 0.0, """{"k": 7}"""),
+      (2L, 2000000L, 1L, "view", 0.0, """{"x": 1}"""), // no k field
+      (3L, 3000000L, 1L, "view", 0.0, null)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.createOrReplaceTempView("__jr")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val r = events.select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"))
+      .as[(String, Long, Long, Option[Long])].head()
+    assert(r === (("view", 3L, 1L, Some(7L))))
+  }
+
   test("quantize: max-magnitude dim hits ±127, zero vector all-zero") {
     val emb = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),

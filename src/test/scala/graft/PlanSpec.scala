@@ -96,4 +96,37 @@ class PlanSpec extends SparkSuite {
     assert("Exchange \\(".r.findAllIn(p).length == 1,
       s"expected one exchange in:\n$p")
   }
+
+  test("q50 contamination: the eval n-gram set is broadcast, never shuffled") {
+    val p = plan(ext.Curation.contamination(
+      Tables.documents(spark, sf),
+      org.apache.spark.sql.functions.col("doc_id") % 20 === 0))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$p")
+  }
+
+  test("q51/q57 per-row operators have NO exchange at all") {
+    for (q <- Seq(
+        ext.Curation.repetitionSignals(Tables.documents(spark, sf)),
+        ext.Similarity.quantizeInt8(Tables.embeddings(spark, sf)))) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    }
+  }
+
+  test("q54 histogram: extent is broadcast and the null filter reaches the scan") {
+    val p = plan(ops.Profile.histogram(
+      Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("IsNotNull(l_extendedprice)"), p)
+  }
+
+  test("q55 profile computes every column metric from ONE scan of the table") {
+    val p = plan(ops.Profile.columnProfile(Tables.orders(spark, sf),
+      Seq("o_orderkey", "o_totalprice"), Seq("o_orderstatus")))
+    // one Location line per physical scan node ("Scan parquet" appears twice
+    // per node in formatted mode: tree + detail section)
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 1,
+      s"expected a single table scan in:\n$p")
+  }
 }
