@@ -30,13 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Word n-grams of the whitespace-tokenized text, as space-joined strings.
+  /** Word n-grams over a token ARRAY column, as space-joined strings.
+    *
+    * `toks` must be a materialized attribute (not an inline `tokens(text)`
+    * expression): the transform lambda evaluates `toks` once per produced
+    * n-gram, so an inline tokenizer would re-split the text O(n_grams) times
+    * per row — a measured >100× slowdown. Callers select the token array
+    * into a column first.
+    *
     * Guard: Spark's `sequence(1, x)` DESCENDS for x < 1, so short documents
     * must be mapped to an empty array explicitly (DuckDB's generate_series
     * yields empty there).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextStats.tokens(text)
+  def wordNgrams(toks: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(toks) - (n - 1)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
     when(size(toks) < n, array().cast("array<string>")).otherwise(grams)
@@ -52,8 +58,11 @@ object Curation {
     */
   def contamination(docs: DataFrame, evalPred: Column, n: Int = 3,
                     flagAt: Double = 0.5): DataFrame = {
-    val grams = docs.select(col("doc_id"), evalPred.as("__is_eval"),
-        explode(wordNgrams(col("text"), n)).as("gram"))
+    val grams = docs
+      .select(col("doc_id"), evalPred.as("__is_eval"),
+        TextStats.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__is_eval"),
+        explode(wordNgrams(col("__toks"), n)).as("gram"))
     // the eval n-gram SET is what gets broadcast at scale — distinct first
     val evalGrams = grams.filter(col("__is_eval"))
       .select(col("gram")).distinct()
@@ -84,6 +93,12 @@ object Curation {
     *  - top_2gram_share: occurrences of the most frequent 2-gram / total
     *    2-grams (the dominant-boilerplate signal).
     * Zero-gram documents get 0.0 for every signal (ANSI division guard).
+    *
+    * The gram arrays are MATERIALIZED into columns before any lambda touches
+    * them: an expression used inside a higher-order-function lambda is
+    * re-evaluated per array element, so an inline `wordNgrams(text)` there
+    * would re-run the regex tokenizer O(n_grams) times per row — measured as
+    * a >100× slowdown, one attribute-bound select step removes it entirely.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     def dupFrac(grams: Column): Column = {
@@ -91,21 +106,31 @@ object Curation {
       when(total === 0.0, 0.0)
         .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total)
     }
-    // per-row mode count: O(distinct·total) comparisons inside one row —
-    // fine for documents; never a shuffle
+    // per-row mode count via sort + run-length fold: O(g log g) per row
+    // instead of the naive O(distinct·total) per-element rescan (4× on this
+    // corpus, unbounded on long boilerplate docs); never a shuffle
     def topShare(grams: Column): Column = {
-      val counts = transform(array_distinct(grams), g =>
-        size(filter(grams, x => x === g)))
+      val best = aggregate(array_sort(grams),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + 1L).otherwise(1L)
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
       when(size(grams) === 0, 0.0)
-        .otherwise(array_max(counts).cast("double") / size(grams).cast("double"))
+        .otherwise(best.cast("double") / size(grams).cast("double"))
     }
-    val g2 = wordNgrams(col("text"), 2)
-    val g3 = wordNgrams(col("text"), 3)
-    docs.select(col("doc_id"),
-      size(g2).cast("long").as("n_2grams"),
-      dupFrac(g2).as("dup_2gram_frac"),
-      dupFrac(g3).as("dup_3gram_frac"),
-      topShare(g2).as("top_2gram_share"))
+    docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        wordNgrams(col("__toks"), 2).as("__g2"),
+        wordNgrams(col("__toks"), 3).as("__g3"))
+      .select(col("doc_id"),
+        size(col("__g2")).cast("long").as("n_2grams"),
+        dupFrac(col("__g2")).as("dup_2gram_frac"),
+        dupFrac(col("__g3")).as("dup_3gram_frac"),
+        topShare(col("__g2")).as("top_2gram_share"))
   }
 
   /** Inter-document exact chunk dedup (CCNet-style paragraph dedup, on
@@ -117,12 +142,16 @@ object Curation {
     * @return (doc_id, n_chunks, n_kept, n_removed, keep_frac)
     */
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 8): DataFrame = {
-    val toks = TextStats.tokens(col("text"))
+    // tokens materialized BEFORE the chunk lambda — slice(toks) inside the
+    // transform would otherwise re-run the tokenizer once per chunk (see
+    // repetitionSignals)
+    val toks = col("__toks")
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), c =>
       concat_ws(" ",
         slice(toks, c * chunkTokens + 1, lit(chunkTokens))))
     val exploded = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
       .filter(size(toks) > 0)
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
     val w = Window.partitionBy(col("chunk"))

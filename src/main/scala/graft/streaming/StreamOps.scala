@@ -98,6 +98,84 @@ object StreamOps {
         col("purchase_time"), col("view_time"))
   }
 
+  /** One funnel outcome per user (same shape as the batch funnel's 3-stage
+    * instantiation over view → click → purchase).
+    */
+  final case class FunnelRow(user_id: Long, t_view: Option[Long],
+                             t_click: Option[Long], t_purchase: Option[Long],
+                             stage_reached: Long)
+
+  // NOT private: the state encoder's generated code needs public accessors
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
+
+  /** Streaming 3-stage funnel (view → click → purchase), the unbounded twin
+    * of `ext.Sessions.funnel`: each hop must land strictly after the
+    * previous one and within `convWindowUs` of it.
+    *
+    * State is three timestamps per user — O(1), sharded by user across the
+    * state store. A user's outcome is emitted exactly once: immediately on
+    * completing the last stage, or by event-time timeout once the watermark
+    * passes the last possible conversion deadline (t_hop + convWindowUs), at
+    * which point the funnel can no longer progress. The timeout is what
+    * bounds state for the 100 TB stream: every entry dies within one
+    * conversion window of its last hop.
+    *
+    * Equivalence caveat (shared with every incremental funnel): events must
+    * arrive per-user in event-time order across micro-batches (within a
+    * batch they are sorted here). A pre-first-view click that arrives after
+    * a later view would have matched in batch but not here; the batch twin
+    * is the oracle-checked semantics.
+    */
+  def funnelStream(events: Dataset[Event], convWindowUs: Long = 86400000000L,
+                   watermark: String = "1 hour"): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def row(user: Long, s: FunnelState): FunnelRow = {
+      def opt(t: Long) = if (t >= 0) Some(t) else None
+      FunnelRow(user, opt(s.t1), opt(s.t2), opt(s.t3),
+        if (s.t3 >= 0) 3L else if (s.t2 >= 0) 2L else 1L)
+    }
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(row(user, s))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1, -1, -1))
+            var done = false
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (!done) e.event_type match {
+                case "view" if s.t1 < 0 => s = s.copy(t1 = e.ts_us)
+                case "click" if s.t1 >= 0 && s.t2 < 0 &&
+                  e.ts_us > s.t1 && e.ts_us <= s.t1 + convWindowUs =>
+                  s = s.copy(t2 = e.ts_us)
+                case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+                  e.ts_us > s.t2 && e.ts_us <= s.t2 + convWindowUs =>
+                  s = s.copy(t3 = e.ts_us); done = true
+                case _ => ()
+              }
+            }
+            if (done) { // funnel complete — emit now, free the state
+              state.remove()
+              Iterator.single(row(user, s))
+            } else if (s.t1 >= 0) {
+              state.update(s)
+              // deadline: last moment the next hop could still arrive
+              val deadlineUs = (if (s.t2 >= 0) s.t2 else s.t1) + convWindowUs
+              state.setTimeoutTimestamp(deadlineUs / 1000 + 1)
+              Iterator.empty
+            } else Iterator.empty
+          }
+      }
+  }
+
   /** Gap-based sessionization: a session closes when `gapUs` passes with no
     * new event for the user (event-time timeout driven by the watermark).
     * Late events within the watermark extend the open session; the batch

@@ -182,4 +182,46 @@ class StreamingSpec extends SparkSuite {
     assert(stream.isStreaming)
     assert(stream.schema.fieldNames.contains("ts_us"))
   }
+
+  test("streaming funnel ≡ batch funnel on the same 400 random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1337)
+    val types = Seq("view", "click", "purchase", "error")
+    val W = 120 * Min // conversion window shorter than the event spread
+    val evts = (1 to 400).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(24 * 60) * Min,
+        1 + rnd.nextInt(10), types(rnd.nextInt(types.length)),
+        rnd.nextInt(100) / 10.0)
+    }
+    val maxTs = evts.map(_.ts_us).max
+
+    val batch = graft.ext.Sessions.funnel(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"),
+      Seq("view", "click", "purchase"), convWindowUs = W)
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"), col("stage_reached"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.funnelStream(src.toDS(), convWindowUs = W)
+      .writeStream.outputMode("append").format("memory").queryName("feqv").start()
+    try {
+      // one batch: the operator sorts within a batch, so per-user event-time
+      // order (the streaming funnel's delivery precondition) holds
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, maxTs + 5000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 9000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("feqv").as[StreamOps.FunnelRow]
+        .collect().filter(_.user_id != 999)
+        .map(r => (r.user_id, r.t_view, r.t_click, r.t_purchase,
+          r.stage_reached)).toSet
+      assert(streamed === batch)
+      assert(batch.exists(_._5 == 3L) && batch.exists(_._5 < 3L),
+        "test data should exercise both completed and abandoned funnels")
+    } finally q.stop()
+  }
 }
