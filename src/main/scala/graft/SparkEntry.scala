@@ -173,7 +173,15 @@ object SparkEntry {
     // semi-structured: JSON field extraction + typed rollup
     "q58_json_rollup" -> Relational.q58JsonRollup _,
     // multi-stage conversion funnel (view → click → purchase, 24 h windows)
-    "q59_funnel" -> Sessions.qFunnel _
+    "q59_funnel" -> Sessions.qFunnel _,
+    // fuzzy vocabulary pairs via length-blocked edit-distance join
+    "q60_fuzzy_match" -> ((s: SparkSession, d: String) =>
+      ext.Curation.fuzzyVocabPairs(Tables.documents(s, d), maxDist = 2)),
+    // IQR outlier fences on the distributed percentile operator
+    "q61_iqr_outliers" -> ((s: SparkSession, d: String) =>
+      Relational.q61IqrOutliers(s, d)),
+    // rolling event-time RANGE frame (trailing 24 h per user)
+    "q62_rolling_range" -> Sessions.qRollingRange _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1395,6 +1403,49 @@ object SparkEntry {
         |            ELSE 1 END AS BIGINT) AS stage_reached
         |FROM s1
         |LEFT JOIN s2 ON s2.user_id = s1.user_id
-        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    // levenshtein is the standard DP edit distance in both engines (exact
+    // integer); the length band is a correctness-preserving blocker
+    "q60_fuzzy_match" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT a.term AS term_a, b.term AS term_b,
+        |  CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+        |FROM vocab a JOIN vocab b
+        |  ON a.term < b.term
+        |  AND abs(length(a.term) - length(b.term)) <= 2
+        |  AND levenshtein(a.term, b.term) <= 2""".stripMargin,
+
+    // quantile_cont ≡ the engine's exact interpolated percentile (bit-level,
+    // q37-verified); fence arithmetic written with identical association
+    "q61_iqr_outliers" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS p25,
+        |    quantile_cont(l_extendedprice, 0.75) AS p75
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice > p75 + 0.5 * (p75 - p25)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN l_extendedprice < p25 - 0.5 * (p75 - p25)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  round(max(p75 + 0.5 * (p75 - p25)), 6) AS high_fence
+        |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        |GROUP BY l.l_returnflag""".stripMargin,
+
+    // RANGE frame on integer µs: equal-timestamp rows share a frame, so the
+    // result is deterministic without a unique sort key (row frames aren't)
+    "q62_rolling_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE user_id < 20)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_24h,
+        |  round(sum(value) OVER w, 2) AS sum_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

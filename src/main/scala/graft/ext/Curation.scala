@@ -133,6 +133,29 @@ object Curation {
         topShare(col("__g2")).as("top_2gram_share"))
   }
 
+  /** Fuzzy vocabulary matching: pairs of distinct corpus tokens within
+    * `maxDist` edit distance (typo/variant detection — the normalization
+    * step before exact-match dedup or term aggregation can work).
+    *
+    * The |len(a) − len(b)| ≤ maxDist predicate is LENGTH BLOCKING: edit
+    * distance can never be under the length difference, so the band filter
+    * is exact, cheap, and prunes the candidate pair space before any DP
+    * matrix is computed. At 100 TB the same idea becomes a join on
+    * (length band, prefix bucket) keys rather than a pair predicate —
+    * the blocked-join shape, not the all-pairs shape.
+    */
+  def fuzzyVocabPairs(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val vocab = docs
+      .select(explode(TextStats.tokens(col("text"))).as("term"))
+      .distinct()
+    vocab.as("a").join(vocab.as("b"),
+        col("a.term") < col("b.term") &&
+          abs(length(col("a.term")) - length(col("b.term"))) <= maxDist &&
+          levenshtein(col("a.term"), col("b.term")) <= maxDist)
+      .select(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        levenshtein(col("a.term"), col("b.term")).cast("long").as("dist"))
+  }
+
   /** Inter-document exact chunk dedup (CCNet-style paragraph dedup, on
     * fixed-size token chunks since this corpus has no paragraph breaks):
     * split each document into consecutive `chunkTokens`-token chunks, keep

@@ -175,6 +175,23 @@ object Sessions {
     out.withColumn("stage_reached", stageNo)
   }
 
+  /** Rolling time-RANGE window (distinct from q38's row-count frames): per
+    * user, count and value-sum of events in the trailing `windowUs`
+    * microseconds of EVENT TIME — rows with equal timestamps share a frame,
+    * so the result is order-independent under ties (row frames are not).
+    * One shuffle on the partition key; frame bounds are exact integer µs.
+    */
+  def rollingRange(events: DataFrame, windowUs: Long = 86400000000L,
+                   userPred: Column = lit(true)): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, Window.currentRow)
+    withTsUs(events)
+      .filter(userPred)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).cast("long").as("n_24h"),
+        round(sum(col("value")).over(w), 2).as("sum_24h"))
+  }
+
   /** Query entries. */
   def qSessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionize(Tables.events(spark, sfDir))
@@ -187,4 +204,7 @@ object Sessions {
 
   def qFunnel(spark: SparkSession, sfDir: String): DataFrame =
     funnel(Tables.events(spark, sfDir), Seq("view", "click", "purchase"))
+
+  def qRollingRange(spark: SparkSession, sfDir: String): DataFrame =
+    rollingRange(Tables.events(spark, sfDir), userPred = col("user_id") < 20)
 }

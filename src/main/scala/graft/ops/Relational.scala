@@ -338,6 +338,35 @@ object Relational {
         col("o_totalprice"), col("priority_key"))
   }
 
+  /** IQR outlier fences per group, built on the scale-safe percentile
+    * operator ([[Percentiles.exactPercentiles]] — histogram pruning, no
+    * holistic buffer): rows beyond p75 + k·IQR / below p25 − k·IQR are
+    * counted per group. The per-group fence frame is tiny → broadcast back
+    * over the fact scan, so the outlier pass is one scan + one broadcast
+    * join, no second shuffle of the data.
+    */
+  def q61IqrOutliers(spark: SparkSession, d: String,
+                     k: Double = 0.5): DataFrame = {
+    val li = lineitem(spark, d)
+    val fences = Percentiles
+      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75),
+        rowCountHint = Some(li.count()))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("p") === 0.25, col("value"))).as("p25"),
+        max(when(col("p") === 0.75, col("value"))).as("p75"))
+    li.join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") >
+          col("p75") + lit(k) * (col("p75") - col("p25")), 1L).otherwise(0L))
+          .as("n_high"),
+        sum(when(col("l_extendedprice") <
+          col("p25") - lit(k) * (col("p75") - col("p25")), 1L).otherwise(0L))
+          .as("n_low"),
+        round(max(col("p75") + lit(k) * (col("p75") - col("p25"))), 6)
+          .as("high_fence"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON `props`
     * column and aggregate it per event type. One scan, one hash aggregation;
     * the JSON path evaluation is a codegen'd per-row expression (no UDF).

@@ -157,6 +157,73 @@ class CurationProfileSpec extends SparkSuite {
     assert(r === (("view", 3L, 1L, Some(7L))))
   }
 
+  test("fuzzy match: finds within-distance pairs; blocking loses nothing") {
+    val docs = Seq((1L, "cat bat cart dog dig zebra")).toDF("doc_id", "text")
+    val pairs = ext.Curation.fuzzyVocabPairs(docs, maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(pairs.contains(("bat", "cat", 1L)))
+    assert(pairs.contains(("cart", "cat", 1L)))
+    assert(pairs.contains(("dig", "dog", 1L)))
+    assert(pairs.contains(("bat", "cart", 2L)))
+    assert(!pairs.exists(p => p._1 == "zebra" || p._2 == "zebra"))
+    // blocking is exact: every pair within maxDist also satisfies the band,
+    // so an unblocked join finds the same set
+    val vocab = Seq("cat", "bat", "cart", "dog", "dig", "zebra")
+    val brute = for {
+      a <- vocab; b <- vocab if a < b
+      d = levenshteinRef(a, b) if d <= 2
+    } yield (a, b, d.toLong)
+    assert(pairs === brute.toSet)
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("IQR outliers: fences replay the exact percentile interpolation") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)].collect()
+    val expected = rows.groupBy(_._1).map { case (flag, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def pct(p: Double): Double = {
+        val pos = p * (sorted.length - 1)
+        val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+        if (lo == hi) sorted(lo)
+        else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+      }
+      val (p25, p75) = (pct(0.25), pct(0.75))
+      val iqr = p75 - p25
+      flag -> (sorted.count(_ > p75 + 0.5 * iqr).toLong,
+        sorted.count(_ < p25 - 0.5 * iqr).toLong)
+    }
+    val got = ops.Relational.q61IqrOutliers(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got === expected)
+  }
+
+  test("rolling range frame: trailing window counts; ties share a frame") {
+    val events = Seq(
+      (1L, 1000L, 1L, "e", 1.0),
+      (2L, 2000L, 1L, "e", 2.0),   // same window as 1 (range 1500 µs)
+      (3L, 2000L, 1L, "e", 4.0),   // TIED ts with 2 — shares its frame
+      (4L, 9000L, 1L, "e", 8.0)    // outside the trailing range
+    ).map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ext.Sessions.rollingRange(events, windowUs = 1500L)
+      .orderBy("event_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r.map(_._4).toSeq === Seq(1L, 3L, 3L, 1L)) // tied rows both see 3
+    assert(r.map(_._5).toSeq === Seq(1.0, 7.0, 7.0, 8.0))
+  }
+
   test("quantize: max-magnitude dim hits ±127, zero vector all-zero") {
     val emb = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
