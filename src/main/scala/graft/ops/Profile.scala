@@ -46,10 +46,19 @@ object Profile {
         col("cnt"))
   }
 
-  /** One profile row per listed column, computed in a single scan+aggregate:
-    * row count, null count, exact distinct count, and min/max — numerically
-    * for numeric/timestamp columns (`min_num`/`max_num`, timestamps as epoch
-    * microseconds), lexically for string columns (`min_str`/`max_str`).
+  /** One profile row per listed column: row count, null count, exact
+    * distinct count, and min/max — numerically for numeric/timestamp columns
+    * (`min_num`/`max_num`, timestamps as epoch microseconds), lexically for
+    * string columns (`min_str`/`max_str`).
+    *
+    * Two aggregation branches over the same scan, deliberately: a var-length
+    * value (`min(string)`) in an aggregate buffer forces SORT-based
+    * aggregation, and with the multi-distinct Expand (|distinct cols| ×
+    * input rows) in the same aggregate that sort swallowed the whole
+    * pipeline (measured 2.4× slower). Branch 1 carries everything with
+    * fixed-width buffers (counts, distincts, numeric extrema) and stays a
+    * HashAggregate end-to-end; branch 2 sorts only the two string extrema
+    * with no Expand. The single-row results cross-join for free.
     *
     * The unpivot is driven by the COLUMN LIST, not the data: one aggregate
     * row explodes into |columns| result rows.
@@ -65,7 +74,7 @@ object Profile {
         case _ => raw.cast("double")
       }
     }
-    val aggs: Seq[Column] =
+    val fixedAggs: Seq[Column] =
       count(lit(1)).as("__n") +:
         (numericCols.flatMap { c =>
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
@@ -73,10 +82,17 @@ object Profile {
             min(num(c)).as(s"__min_$c"), max(num(c)).as(s"__max_$c"))
         } ++ stringCols.flatMap { c =>
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-            count_distinct(col(c)).as(s"__nd_$c"),
-            min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c"))
+            count_distinct(col(c)).as(s"__nd_$c"))
         })
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val fixed = df.agg(fixedAggs.head, fixedAggs.tail: _*)
+    val one =
+      if (stringCols.isEmpty) fixed
+      else {
+        val strAggs = stringCols.flatMap { c =>
+          Seq(min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c"))
+        }
+        fixed.crossJoin(broadcast(df.agg(strAggs.head, strAggs.tail: _*)))
+      }
     val rows: Seq[Column] =
       numericCols.map { c =>
         struct(lit(c).as("col_name"), col("__n").as("n"),

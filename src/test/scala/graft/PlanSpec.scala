@@ -121,12 +121,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("IsNotNull(l_extendedprice)"), p)
   }
 
-  test("q55 profile computes every column metric from ONE scan of the table") {
-    val p = plan(ops.Profile.columnProfile(Tables.orders(spark, sf),
-      Seq("o_orderkey", "o_totalprice"), Seq("o_orderstatus")))
-    // one Location line per physical scan node ("Scan parquet" appears twice
-    // per node in formatted mode: tree + detail section)
-    assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 1,
-      s"expected a single table scan in:\n$p")
+  test("q55 profile: heavy multi-distinct branch hash-aggregates; sort only on string extrema") {
+    val prof = ops.Profile.columnProfile(Tables.orders(spark, sf),
+      Seq("o_orderkey", "o_totalprice"), Seq("o_orderstatus"))
+    val p = plan(prof)
+    // exactly the two deliberate branches ("Location:" once per scan node)
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 2,
+      s"expected the two profile branches in:\n$p")
+    assert(p.contains("Expand"), p)
+    // the Expand (multi-distinct) pipeline must be hash-aggregated end to
+    // end (3 HashAggregates: pre-dedup, partial, final) — a var-length
+    // buffer value in that branch would silently flip it to SortAggregate.
+    // Sort aggregation is allowed ONLY for the tiny string-extrema branch
+    // (partial + final, no Expand): ≤ 2 occurrences.
+    // "(n) <Op>" detail headers count each physical node exactly once
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).length >= 3,
+      s"multi-distinct branch lost hash aggregation:\n$p")
+    assert("""\(\d+\) SortAggregate""".r.findAllIn(p).length <= 2,
+      s"sort aggregation beyond the string-extrema branch:\n$p")
   }
 }
