@@ -181,7 +181,18 @@ object SparkEntry {
     "q61_iqr_outliers" -> ((s: SparkSession, d: String) =>
       Relational.q61IqrOutliers(s, d)),
     // rolling event-time RANGE frame (trailing 24 h per user)
-    "q62_rolling_range" -> Sessions.qRollingRange _
+    "q62_rolling_range" -> Sessions.qRollingRange _,
+    // skew-safe holistic aggregation: event_type has only 5 values over the
+    // whole stream (maximal key skew) — the salted two-phase collect bounds
+    // any task's share of a hot key to ~1/buckets (ext/Skew; equivalence to
+    // the unsalted form is SkewIvfSpec-tested, values oracle-checked here)
+    "q63_salted_distinct" -> ((s: SparkSession, d: String) =>
+      ext.Skew.saltedCollectSet(Tables.events(s, d), "event_type", "user_id",
+        "event_id")
+        .select(col("event_type"),
+          size(col("user_id_set")).cast("long").as("n_distinct_users"),
+          element_at(col("user_id_set"), 1).as("min_user"),
+          element_at(col("user_id_set"), -1).as("max_user")))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1446,6 +1457,14 @@ object SparkEntry {
         |  round(sum(value) OVER w, 2) AS sum_24h
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the salted two-phase collect is result-identical to the plain
+    // distinct aggregate — which is exactly what the oracle computes
+    "q63_salted_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_distinct_users,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
