@@ -197,8 +197,19 @@ object TextStats {
     * fold order doesn't matter).
     *
     * fp(doc) = Σ_i ascii(c_i) · ((i · 2654435761) mod 1000003)  mod 2^31
+    *
+    * Backed by the codegen'd [[graft.functions.StringFingerprint]] kernel —
+    * bit-identical to the HOF formulation kept below as [[fingerprintHof]]
+    * (FunctionsSpec asserts the equivalence), but a single primitive loop
+    * instead of an interpreted lambda per character.
     */
   def fingerprint(text: Column): Column =
+    graft.functions.StringFingerprint.fingerprintCol(text)
+
+  /** The declarative higher-order-function form of [[fingerprint]] — the
+    * executable specification the native kernel is tested against.
+    */
+  def fingerprintHof(text: Column): Column =
     pmod(
       aggregate(
         // indexed transform over the char array: O(n), unlike per-position

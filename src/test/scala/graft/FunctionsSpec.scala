@@ -104,4 +104,30 @@ class FunctionsSpec extends SparkSuite {
     assert(r._1 == 5.0)
     assert(r._2 == 24.0 / 25.0)
   }
+
+  test("StringFingerprint kernel ≡ the HOF formulation on corpus + edge strings") {
+    import graft.ext.TextStats
+    val corpusDiff = Tables.documents(spark, sf)
+      .select(TextStats.fingerprint(col("text")).as("fast"),
+        TextStats.fingerprintHof(col("text")).as("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+      .count()
+    assert(corpusDiff == 0)
+
+    val rnd = new scala.util.Random(9)
+    val edge = Seq("", " ", "a", "é", "héllo wörld", "\t\n", "日本語テキスト") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(80)).mkString) ++
+      (1 to 50).map(_ => (1 to rnd.nextInt(30))
+        .map(_ => (rnd.nextInt(0x2FF) + 1).toChar).mkString)
+    val edgeDiff = edge.toDF("text")
+      .select(TextStats.fingerprint(col("text")).as("fast"),
+        TextStats.fingerprintHof(col("text")).as("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+      .count()
+    assert(edgeDiff == 0)
+    // NULL propagates
+    val Array(n) = Seq(Option.empty[String]).toDF("text")
+      .select(TextStats.fingerprint(col("text"))).as[Option[Long]].collect()
+    assert(n.isEmpty)
+  }
 }
