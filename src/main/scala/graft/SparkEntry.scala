@@ -192,7 +192,15 @@ object SparkEntry {
         .select(col("event_type"),
           size(col("user_id_set")).cast("long").as("n_distinct_users"),
           element_at(col("user_id_set"), 1).as("min_user"),
-          element_at(col("user_id_set"), -1).as("max_user")))
+          element_at(col("user_id_set"), -1).as("max_user"))),
+    // PageRank on the near-dup graph (3 power iterations, rank rounded per
+    // iteration so the fp neighbor-sum stays engine-parity-safe); scores
+    // duplicate-group centrality — the canonical-doc signal beyond min-id
+    "q64_pagerank" -> ((s: SparkSession, d: String) =>
+      ext.Components.pageRank(
+        Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3,
+          minJaccard = 0.5).select("doc_a", "doc_b"),
+        iterations = 3))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1465,6 +1473,70 @@ object SparkEntry {
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_distinct_users,
         |  min(user_id) AS min_user, max(user_id) AS max_user
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // pair generation = q36's oracle prefix; then 3 unrolled power
+    // iterations (recursive CTEs can't aggregate, so the fixed iteration
+    // count is written out). (1.0 - 0.85) stays an explicit subtraction —
+    // a 0.15 literal is a DIFFERENT double than the engine-side 1.0 − 0.85.
+    "q64_pagerank" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |       AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |n AS (SELECT count(*) AS cnt FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / cnt AS rank FROM deg, n),
+        |s1 AS (SELECT e.dst, sum(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT dst AS node,
+        |         round((1.0 - 0.85) / cnt + 0.85 * s, 9) AS rank FROM s1, n),
+        |s2 AS (SELECT e.dst, sum(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT dst AS node,
+        |         round((1.0 - 0.85) / cnt + 0.85 * s, 9) AS rank FROM s2, n),
+        |s3 AS (SELECT e.dst, sum(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT dst AS node,
+        |         round((1.0 - 0.85) / cnt + 0.85 * s, 9) AS rank FROM s3, n)
+        |SELECT r3.node, d.deg, r3.rank
+        |FROM r3 JOIN deg d ON d.src = r3.node""".stripMargin
   )
 }

@@ -157,4 +157,51 @@ object Components {
   def dedupGroups(pairs: DataFrame): DataFrame =
     connectedComponents(pairs)
       .withColumnRenamed("component", "canonical_id")
+
+  /** PageRank over an undirected pair list (symmetrized, so every node has
+    * in-degree = out-degree ≥ 1 and the dangling-mass correction vanishes):
+    * rank_{k+1}(v) = (1−d)/N + d·Σ_{u→v} rank_k(u)/deg(u), a fixed number
+    * of power iterations. On a near-dup graph this scores each duplicate
+    * group's "centrality" — which member is most connected, a canonical-
+    * document selection signal beyond min-id.
+    *
+    * Each iteration is the standard Spark shape: one join (ranks onto the
+    * edge list, degree pre-attached) + one aggregation on the destination
+    * key. Rounding the rank to `roundDp` dp each iteration makes the result
+    * engine-parity-safe: the neighbor SUM is fp-order-sensitive in the last
+    * ulp, and carrying rounded values forward keeps every later per-row
+    * division bit-identical in any engine (same trick as q42's z-scores).
+    *
+    * The iteration count is a FIXED parameter (not convergence-tested):
+    * parity requires both engines run the exact same number of steps.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,
+               roundDp: Int = 9): DataFrame = {
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nDf = deg.agg(count(lit(1)).as("cnt"))
+    var ranks = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("node"), (lit(1.0) / col("cnt")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val summed = sym
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("deg")).as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__s"))
+      // (1.0 − damping) as an explicit IEEE subtraction: the oracle writes
+      // the same subtraction, so both sides use the identical double (a
+      // pre-computed 0.15 literal would NOT equal 1.0 − 0.85 in binary)
+      ranks = summed.crossJoin(broadcast(nDf))
+        .select(col("dst").as("node"),
+          round(lit(1.0 - damping) / col("cnt") + lit(damping) * col("__s"),
+            roundDp).as("rank"))
+    }
+    ranks.join(deg, col("node") === col("src"))
+      .select(col("node"), col("deg"), col("rank"))
+  }
 }

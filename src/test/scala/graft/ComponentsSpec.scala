@@ -73,4 +73,35 @@ class ComponentsSpec extends SparkSuite {
         .collect()
     }
   }
+
+  test("pageRank replays the rounded power iteration exactly; mass conserved") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Components.pageRank(edges, iterations = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // exact scala replay of the operator's arithmetic (HALF_UP at 9 dp)
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    val deg = adj.view.mapValues(_.size).toMap
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rank = adj.keys.map(_ -> 1.0 / 4).toMap
+    for (_ <- 1 to 3)
+      rank = adj.keys.map { v =>
+        val s = adj(v).map(u => rank(u) / deg(u)).sum
+        v -> round9((1.0 - 0.85) / 4 + 0.85 * s)
+      }.toMap
+    adj.keys.foreach { v =>
+      assert(got(v)._1 === deg(v).toLong)
+      assert(got(v)._2 === rank(v), s"node $v")
+    }
+    // symmetric graph, no dangling mass: ranks stay a distribution
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+    // the hub has the top rank, the pendant the bottom
+    assert(got.maxBy(_._2._2)._1 === 3L)
+    assert(got.minBy(_._2._2)._1 === 4L)
+  }
 }
