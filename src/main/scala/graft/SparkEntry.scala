@@ -200,7 +200,9 @@ object SparkEntry {
       ext.Components.pageRank(
         Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3,
           minJaccard = 0.5).select("doc_a", "doc_b"),
-        iterations = 3))
+        iterations = 3)),
+    // FULL OUTER join with both null-extension directions live
+    "q65_full_outer" -> Relational.q65FullOuter _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1537,6 +1539,20 @@ object SparkEntry {
         |r3 AS (SELECT dst AS node,
         |         round((1.0 - 0.85) / cnt + 0.85 * s, 9) AS rank FROM s3, n)
         |SELECT r3.node, d.deg, r3.rank
-        |FROM r3 JOIN deg d ON d.src = r3.node""".stripMargin
+        |FROM r3 JOIN deg d ON d.src = r3.node""".stripMargin,
+
+    "q65_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, count(*) AS n_cust,
+        |    round(sum(c_acctbal), 2) AS cust_bal
+        |  FROM customer WHERE c_acctbal < -700 GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT s_nationkey, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal < 1000 GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  cust_bal,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin
   )
 }

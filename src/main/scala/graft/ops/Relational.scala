@@ -367,6 +367,29 @@ object Relational {
           .as("high_fence"))
   }
 
+  /** FULL OUTER join (completes the engine's join-type matrix: inner, left,
+    * semi, anti, as-of, interval, band, theta, fuzzy — and outer-both):
+    * per-nation deep-debt customers vs negative-balance suppliers, where
+    * each side has nations the other lacks, so both null-extension
+    * directions are actually exercised. Aggregate-then-join keeps the outer
+    * join O(groups), not O(rows) — the scale form of any outer report.
+    */
+  def q65FullOuter(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d).filter(col("c_acctbal") < -700)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("cust_bal"))
+    val s = supplier(spark, d).filter(col("s_acctbal") < 1000)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        col("cust_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON `props`
     * column and aggregate it per event type. One scan, one hash aggregation;
     * the JSON path evaluation is a codegen'd per-row expression (no UDF).
