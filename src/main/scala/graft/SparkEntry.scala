@@ -202,7 +202,10 @@ object SparkEntry {
           minJaccard = 0.5).select("doc_a", "doc_b"),
         iterations = 3)),
     // FULL OUTER join with both null-extension directions live
-    "q65_full_outer" -> Relational.q65FullOuter _
+    "q65_full_outer" -> Relational.q65FullOuter _,
+    // the percentile operator's 100 TB plan (histogram pruning), forced on
+    // and oracle-checked directly — not just its holistic shortcut
+    "q66_percentiles_distributed" -> Relational.q66PercentilesDistributed _
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1553,6 +1556,21 @@ object SparkEntry {
         |  coalesce(n_cust, 0) AS n_cust,
         |  cust_bal,
         |  coalesce(n_supp, 0) AS n_supp
-        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin,
+
+    // quantile_cont bit-matches the operator's interpolation (q37-verified);
+    // p cast to DOUBLE — a bare 0.25 literal is DECIMAL in DuckDB
+    "q66_percentiles_distributed" ->
+      """SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+        |  quantile_cont(l_extendedprice, 0.25) AS value
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.5 AS DOUBLE),
+        |  quantile_cont(l_extendedprice, 0.5)
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.9 AS DOUBLE),
+        |  quantile_cont(l_extendedprice, 0.9)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

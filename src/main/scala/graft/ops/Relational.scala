@@ -218,6 +218,20 @@ object Relational {
       .select(col("l_returnflag"), col("p50"), col("p90"), col("qty_p25"))
   }
 
+  /** q37's percentile computation with the operator FORCED onto its
+    * distributed histogram-pruning plan (`holisticMaxTotalRows = 0`): the
+    * 100 TB path itself — per-group extent, fixed-width histogram, bucket
+    * location, rank resolution, interpolation — is what the DuckDB oracle
+    * hash-checks here, not just the small-input holistic shortcut.
+    * Bit-identical output to the holistic form (AnalyticsSpec asserts it;
+    * this query makes the driver assert it too).
+    */
+  def q66PercentilesDistributed(spark: SparkSession, d: String): DataFrame =
+    Percentiles
+      .exactPercentiles(lineitem(spark, d), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.9), holisticMaxTotalRows = 0L, rowCountHint = Some(1L))
+      .select(col("l_returnflag"), col("p"), col("value"))
+
   /** The holistic aggregate form of q37 (single-reducer per group) — kept as
     * the reference semantics the distributed operator must reproduce.
     */
