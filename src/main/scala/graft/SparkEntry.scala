@@ -205,7 +205,18 @@ object SparkEntry {
     "q65_full_outer" -> Relational.q65FullOuter _,
     // the percentile operator's 100 TB plan (histogram pruning), forced on
     // and oracle-checked directly — not just its holistic shortcut
-    "q66_percentiles_distributed" -> Relational.q66PercentilesDistributed _
+    "q66_percentiles_distributed" -> Relational.q66PercentilesDistributed _,
+    // declarative data-quality expectations: every rule one indicator sum,
+    // single aggregation pass + exact uniqueness check
+    "q67_expectations" -> ((s: SparkSession, d: String) =>
+      ops.Profile.expectations(Tables.orders(s, d),
+        rules = Seq(
+          "orderkey_not_null" -> col("o_orderkey").isNull,
+          "totalprice_range" -> (col("o_totalprice") < 0.0 ||
+            col("o_totalprice") > 1000000.0 || col("o_totalprice").isNull),
+          "status_domain" -> (!col("o_orderstatus").isin("O", "F", "P") ||
+            col("o_orderstatus").isNull)),
+        uniqueCols = Seq("o_orderkey")))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -1571,6 +1582,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_returnflag, CAST(0.9 AS DOUBLE),
         |  quantile_cont(l_extendedprice, 0.9)
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // rule predicates carry explicit IS NULL arms (a NULL comparison would
+    // fall to ELSE and silently under-count violations in both engines)
+    "q67_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0
+        |                    OR o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |                    OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v3,
+        |    count(DISTINCT o_orderkey) AS nd
+        |  FROM orders)
+        |SELECT 'orderkey_not_null' AS rule, v1 AS n_violations, n AS n_rows FROM a
+        |UNION ALL SELECT 'totalprice_range', v2, n FROM a
+        |UNION ALL SELECT 'status_domain', v3, n FROM a
+        |UNION ALL SELECT 'unique_o_orderkey', n - nd, n FROM a""".stripMargin
   )
 }

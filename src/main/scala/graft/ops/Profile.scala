@@ -109,4 +109,35 @@ object Profile {
       }
     one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
+
+  /** Declarative data-quality expectations (the dbt-test / Deequ shape):
+    * every rule is a per-row violation indicator summed in ONE aggregation
+    * pass, plus a uniqueness check (rows − distinct). The result is the
+    * quality report a pipeline gates on before consuming a drop.
+    *
+    * @param rules (rule_name, violation predicate) pairs — true = violation
+    * @param uniqueCols columns that must be unique (checked exactly)
+    * @return (rule, n_violations, n_rows) one row per rule
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)],
+                   uniqueCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+        (rules.map { case (name, pred) =>
+          sum(when(pred, 1L).otherwise(0L)).as(s"__v_$name")
+        } ++ uniqueCols.map { c =>
+          count_distinct(col(c)).as(s"__nd_$c")
+        })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows: Seq[Column] =
+      rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"),
+          col("__n").as("n_rows"))
+      } ++ uniqueCols.map { c =>
+        struct(lit(s"unique_$c").as("rule"),
+          (col("__n") - col(s"__nd_$c")).as("n_violations"),
+          col("__n").as("n_rows"))
+      }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
 }

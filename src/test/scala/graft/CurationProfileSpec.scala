@@ -105,6 +105,20 @@ class CurationProfileSpec extends SparkSuite {
     assert(p("s") === (("s", 3L, 1L, 2L, None, None, Some("a"), Some("x"))))
   }
 
+  test("expectations: null-aware rules and exact uniqueness in one pass") {
+    val df = Seq(
+      (Some(1L), Some(10.0)), (Some(1L), Some(-5.0)), // dup key, range hit
+      (None, None), (Some(2L), Some(99.0))            // null key/value
+    ).toDF("k", "v")
+    val r = Profile.expectations(df,
+        rules = Seq(
+          "k_not_null" -> col("k").isNull,
+          "v_range" -> (col("v") < 0.0 || col("v") > 50.0 || col("v").isNull)),
+        uniqueCols = Seq("k"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(r === Map("k_not_null" -> 1L, "v_range" -> 3L, "unique_k" -> 2L))
+  }
+
   test("weighted sample: deterministic, k per class, keys ascending") {
     val r1 = ops.Relational.q56WeightedSample(spark, sf)
     val r2 = ops.Relational.q56WeightedSample(spark, sf)
