@@ -151,6 +151,8 @@ object Sessions {
   def funnel(events: DataFrame, stages: Seq[String],
              convWindowUs: Long = 86400000000L): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages,
+      s"funnel stages must be distinct (t_<stage> column names collide): $stages")
     val e = withTsUs(events)
       .select(col("user_id"), col("event_type"), col("ts_us"))
     var cur = e.filter(col("event_type") === stages.head)
