@@ -206,6 +206,10 @@ object SparkEntry {
     // the percentile operator's 100 TB plan (histogram pruning), forced on
     // and oracle-checked directly — not just its holistic shortcut
     "q66_percentiles_distributed" -> Relational.q66PercentilesDistributed _,
+    // incremental aggregate maintenance: base ⊕ delta partial-state merge
+    // verified against a from-scratch recompute (the oracle)
+    "q68_incremental_agg" -> ((s: SparkSession, d: String) =>
+      Relational.q68IncrementalAgg(s, d)),
     // declarative data-quality expectations: every rule one indicator sum,
     // single aggregation pass + exact uniqueness check
     "q67_expectations" -> ((s: SparkSession, d: String) =>
@@ -1602,6 +1606,14 @@ object SparkEntry {
         |SELECT 'orderkey_not_null' AS rule, v1 AS n_violations, n AS n_rows FROM a
         |UNION ALL SELECT 'totalprice_range', v2, n FROM a
         |UNION ALL SELECT 'status_domain', v3, n FROM a
-        |UNION ALL SELECT 'unique_o_orderkey', n - nd, n FROM a""".stripMargin
+        |UNION ALL SELECT 'unique_o_orderkey', n - nd, n FROM a""".stripMargin,
+
+    // from-scratch recompute over the full stream — what the base ⊕ delta
+    // merge must equal
+    "q68_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(epoch_us(ts)) AS first_us
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -379,6 +379,36 @@ object Relational {
           .as("n_low"),
         round(max(col("p75") + lit(k) * (col("p75") - col("p25"))), 6)
           .as("high_fence"))
+  }
+
+  /** Incremental aggregate maintenance: a BASE partition of the stream and
+    * a DELTA batch are aggregated independently, then MERGED by combining
+    * partial states (counts add, sums add, mins take min) — the algebraic-
+    * aggregate property that makes incremental view maintenance, Lambda-
+    * architecture merges, and Spark's own map-side partials work. The
+    * oracle recomputes the aggregate over the full stream directly, so the
+    * merge is verified equal to a from-scratch recompute.
+    *
+    * Parity: the merged sum associates (Σbase + Σdelta) while the oracle's
+    * associates in scan order — both rounded at 2 dp per repo rule 2.
+    */
+  def q68IncrementalAgg(spark: SparkSession, d: String,
+                        splitAt: Long = 5000L): DataFrame = {
+    val e = graft.ext.Sessions.withTsUs(events(spark, d))
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_us"))
+    def part(pred: Column, sfx: String): DataFrame =
+      e.filter(pred).groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"n$sfx"), sum(col("value")).as(s"s$sfx"),
+          min(col("ts_us")).as(s"lo$sfx"))
+    val base = part(col("event_id") < splitAt, "1")
+    val delta = part(col("event_id") >= splitAt, "2")
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)), 2)
+          .as("sum_value"),
+        least(coalesce(col("lo1"), col("lo2")), coalesce(col("lo2"), col("lo1")))
+          .as("first_us"))
   }
 
   /** FULL OUTER join (completes the engine's join-type matrix: inner, left,
