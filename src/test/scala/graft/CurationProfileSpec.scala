@@ -171,6 +171,37 @@ class CurationProfileSpec extends SparkSuite {
     assert(r === (("view", 3L, 1L, Some(7L))))
   }
 
+  test("corpus invariants: chunk conservation, contamination bounds, quantize range") {
+    val docs = Tables.documents(spark, sf)
+    // chunk dedup conserves mass: Σ n_kept = |distinct chunks|, and
+    // n_kept + n_removed = n_chunks per doc
+    val cd = Curation.chunkDedup(docs, chunkTokens = 8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(cd.forall(r => r._3 + r._4 == r._2))
+    val distinctChunks = docs
+      .select(col("doc_id"), ext.TextStats.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(explode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0),
+          ceil(size(col("__toks")).cast("double") / 8).cast("int") - 1),
+        c => concat_ws(" ", slice(col("__toks"), c * 8 + 1, lit(8))))).as("c"))
+      .distinct().count()
+    assert(cd.map(_._3).sum === distinctChunks)
+
+    // contamination: overlap bounded by gram count; eval docs excluded
+    val cont = Curation.contamination(docs, col("doc_id") % 20 === 0)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(cont.forall(r => r._3 <= r._2))
+    assert(cont.forall(r => r._1 % 20 != 0))
+    assert(cont.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+
+    // int8 quantization stays in range corpus-wide, scale non-negative
+    val qz = ext.Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .as[(Long, Long, Option[Double], Long, Long, Long, Long)].collect()
+    assert(qz.forall(r => r._4 >= -127L && r._5 <= 127L))
+    assert(qz.forall(r => r._3.forall(_ >= 0.0)))
+  }
+
   test("fuzzy match: finds within-distance pairs; blocking loses nothing") {
     val docs = Seq((1L, "cat bat cart dog dig zebra")).toDF("doc_id", "text")
     val pairs = ext.Curation.fuzzyVocabPairs(docs, maxDist = 2)
