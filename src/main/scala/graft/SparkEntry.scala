@@ -210,6 +210,8 @@ object SparkEntry {
     // verified against a from-scratch recompute (the oracle)
     "q68_incremental_agg" -> ((s: SparkSession, d: String) =>
       Relational.q68IncrementalAgg(s, d)),
+    // ratio-to-report + cumulative concentration on one shuffle
+    "q69_share_of_total" -> Relational.q69ShareOfTotal _,
     // declarative data-quality expectations: every rule one indicator sum,
     // single aggregation pass + exact uniqueness check
     "q67_expectations" -> ((s: SparkSession, d: String) =>
@@ -1614,6 +1616,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value,
         |  min(epoch_us(ts)) AS first_us
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // both shares rounded at 6 dp: the totals are fp sums whose association
+    // differs across engines (Spark frame re-eval vs DuckDB segment tree)
+    "q69_share_of_total" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(c_acctbal /
+        |    sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS share,
+        |  round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment
+        |          ORDER BY c_acctbal DESC, c_custkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        / sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+        |    AS cum_share
+        |FROM customer WHERE c_acctbal > 0""".stripMargin
   )
 }

@@ -381,6 +381,30 @@ object Relational {
           .as("high_fence"))
   }
 
+  /** Ratio-to-report (share-of-total) window: each customer's share of
+    * their market segment's total balance, plus the running cumulative
+    * share in descending-balance order — the Pareto/concentration report.
+    * One shuffle on the segment key serves both windows.
+    *
+    * Parity: the segment total is an fp sum whose order differs across
+    * engines in the last ulp, so the SHARES (not the raw columns) are
+    * rounded to 6 dp; positive-balance filter keeps cumulative shares
+    * monotone (and the denominator nonzero).
+    */
+  def q69ShareOfTotal(spark: SparkSession, d: String): DataFrame = {
+    val bySeg = Window.partitionBy(col("c_mktsegment"))
+    val cum = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    customer(spark, d)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(col("c_acctbal") / sum(col("c_acctbal")).over(bySeg), 6)
+          .as("share"),
+        round(sum(col("c_acctbal")).over(cum) /
+          sum(col("c_acctbal")).over(bySeg), 6).as("cum_share"))
+  }
+
   /** Incremental aggregate maintenance: a BASE partition of the stream and
     * a DELTA batch are aggregated independently, then MERGED by combining
     * partial states (counts add, sums add, mins take min) — the algebraic-
