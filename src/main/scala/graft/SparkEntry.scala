@@ -212,6 +212,55 @@ object SparkEntry {
       Relational.q68IncrementalAgg(s, d)),
     // ratio-to-report + cumulative concentration on one shuffle
     "q69_share_of_total" -> Relational.q69ShareOfTotal _,
+    // hopping (overlapping) event-time windows — tumbling's generalization
+    "q70_hopping_window" -> ((s: SparkSession, d: String) =>
+      Sessions.hopping(Tables.events(s, d))),
+    // overlapping sliding-window chunking (the RAG chunker)
+    "q71_sliding_chunks" -> ((s: SparkSession, d: String) =>
+      ext.Curation.slidingChunks(Tables.documents(s, d),
+        chunkTokens = 32, stride = 24)),
+    // deterministic global fixed-size sample via TakeOrderedAndProject
+    "q72_global_sample" -> ((s: SparkSession, d: String) =>
+      Relational.q72GlobalSample(s, d)),
+    // language-mix rebalance to the smallest language's size
+    "q73_lang_rebalance" -> ((s: SparkSession, d: String) =>
+      ext.Curation.languageRebalance(Tables.documents(s, d))),
+    // correlation + OLS from exact integer sufficient statistics
+    "q74_corr_regression" -> Relational.q74CorrRegression _,
+    // arbitrary grouping sets (the non-rollup/cube case)
+    "q75_grouping_sets" -> Relational.q75GroupingSets _,
+    // bag-semantics INTERSECT ALL / EXCEPT ALL
+    "q76_multiset_ops" -> Relational.q76MultisetOps _,
+    // trailing-window z-score anomaly flags on the daily series
+    "q77_moving_anomaly" -> ((s: SparkSession, d: String) =>
+      Sessions.movingAnomaly(Tables.events(s, d))),
+    // the dedup end product: doc → keeper mapping over near-dup components,
+    // keeper = longest text (min doc_id ties) — not just min-id groups
+    "q78_canonical_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.canonicalMapping(
+        Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3,
+          minJaccard = 0.5).select("doc_a", "doc_b"),
+        docs50(s, d))),
+    // Count-Min frequency sketch, built and probed in one plan; the
+    // overestimate-only property is visible in the output
+    "q79_countmin" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.countMin(Tables.events(s, d), "user_id",
+        col("user_id") < 20)),
+    // collocation mining by exact-rational lift (PMI without the log)
+    "q80_collocations" -> ((s: SparkSession, d: String) =>
+      ext.Curation.collocations(Tables.documents(s, d), minCount = 10L)),
+    // run-length compaction (debounce): consecutive same-type events → runs
+    "q81_compact_runs" -> ((s: SparkSession, d: String) =>
+      Sessions.compactRuns(Tables.events(s, d))),
+    // incremental JOIN maintenance: 4-way delta-join partial merge,
+    // oracle = from-scratch recompute of the whole join
+    "q82_delta_join" -> Relational.q82DeltaJoin _,
+    // hashing-trick featurization: vocabulary-free sparse vectors
+    "q83_feature_hashing" -> ((s: SparkSession, d: String) =>
+      TextStats.featureHashing(Tables.documents(s, d), dim = 32)),
+    // asymmetric shingle containment: sub-document duplicates Jaccard misses
+    "q84_containment" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(docs50(s, d), n = 3, minContain = 0.8)),
     // declarative data-quality expectations: every rule one indicator sum,
     // single aggregation pass + exact uniqueness check
     "q67_expectations" -> ((s: SparkSession, d: String) =>
@@ -1629,6 +1678,305 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |        / sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
         |    AS cum_share
-        |FROM customer WHERE c_acctbal > 0""".stripMargin
+        |FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    // every event lands in window/slide = 2 hopping windows: starts
+    // floor(ts/slide)·slide and one slide earlier (exact µs floor division)
+    "q70_hopping_window" ->
+      """SELECT (epoch_us(ts) // 1800000000 - i) * 1800000000 AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, (VALUES (0), (1)) t(i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // starts 1, 1+24, … ≤ n_tokens; list_slice is 1-based inclusive on both
+    // engines; chunk_idx = (start-1)//stride ≡ Spark's posexplode ordinal
+    "q71_sliding_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id, (u.s - 1) // 24 AS chunk_idx, CAST(u.s AS BIGINT) AS start,
+        |  least(len(toks) - u.s + 1, 32) AS chunk_len,
+        |  array_to_string(list_slice(toks, u.s, u.s + 31), ' ') AS chunk_text
+        |FROM t, unnest(generate_series(1, len(toks), 24)) AS u(s)""".stripMargin,
+
+    // same spread() constants as Hashing.scala (bijective affine mod 2^31)
+    "q72_global_sample" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ((l_orderkey * 8 + l_linenumber) * 2654435761 + 1013904223)
+        |    % 2147483648 AS pri
+        |FROM lineitem
+        |ORDER BY pri, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "q73_lang_rebalance" ->
+      """WITH pri AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id * 2654435761 + 1013904223) % 2147483648 AS pri
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+        |  FROM pri),
+        |tgt AS (
+        |  SELECT min(n) AS n_target FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY lang))
+        |SELECT doc_id, lang, rk, n_target FROM rk, tgt
+        |WHERE rk <= n_target""".stripMargin,
+
+    // exact integer sufficient statistics (quantity integral, price exact
+    // cents in this corpus) accumulated as HUGEINTs, then the identical
+    // double derivation as the Spark side — only the final 6 dp rounds
+    "q74_corr_regression" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+        |    AS corr,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope_cents_per_unit,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+        |    AS intercept,
+        |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM a""".stripMargin,
+
+    "q75_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q76_multiset_ops" ->
+      """SELECT 'intersect_all' AS op, nationkey, count(*) AS multiplicity
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey
+        |UNION ALL
+        |SELECT 'except_all' AS op, nationkey, count(*) AS multiplicity
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey""".stripMargin,
+
+    // daily totals become exact 2-dp decimals BEFORE the frame sums, so the
+    // trailing-window sufficient statistics are association-free; μ/σ/z are
+    // the identical double derivation on both sides, rounded at 6 dp
+    "q77_moving_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS revenue
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, day, revenue,
+        |    CAST(count(*) OVER w AS DOUBLE) AS n,
+        |    CAST(sum(revenue) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(revenue * revenue) OVER w AS DOUBLE) AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, revenue, CAST(n AS BIGINT) AS n_frame,
+        |  round(s1 / n, 6) AS mu,
+        |  round(sqrt(CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
+        |                  THEN s2 / n - (s1/n) * (s1/n) ELSE 0 END), 6)
+        |    AS sigma,
+        |  round(CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
+        |             THEN (CAST(revenue AS DOUBLE) - s1/n)
+        |                  / sqrt(s2 / n - (s1/n) * (s1/n))
+        |             ELSE 0.0 END, 6) AS z,
+        |  CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
+        |       THEN abs((CAST(revenue AS DOUBLE) - s1/n)
+        |                / sqrt(s2 / n - (s1/n) * (s1/n))) > 2.0
+        |       ELSE false END AS anomaly
+        |FROM f""".stripMargin,
+
+    // q36's MinHash→LSH→Jaccard→closure replay, extended by the keeper
+    // choice: longest text first, doc_id ties — per component
+    "q78_canonical_dedup" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |       AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS node, r.comp FROM edges e
+        |  JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |sel AS (
+        |  SELECT c.node AS doc_id, c.comp, d.n_chars,
+        |    count(*) OVER (PARTITION BY c.comp) AS group_size,
+        |    first_value(c.node) OVER (PARTITION BY c.comp
+        |      ORDER BY d.n_chars DESC, c.node
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS keep_doc
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |SELECT doc_id, comp, n_chars, group_size, keep_doc,
+        |  doc_id = keep_doc AS is_kept
+        |FROM sel""".stripMargin,
+
+    // same knuthMod constants as Hashing.scala; (VALUES …) enumerates the
+    // depth rows exactly like the Spark side's posexplode'd array
+    "q79_countmin" ->
+      """WITH sk AS (
+        |  SELECT t.j, ((user_id + t.j * 40503) * 2654435761) % 64 AS bucket,
+        |    count(*) AS cnt
+        |  FROM events, (VALUES (0), (1), (2)) t(j)
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT user_id AS key, count(*) AS n_exact FROM events
+        |  WHERE user_id < 20 GROUP BY 1),
+        |pb AS (
+        |  SELECT p.key, p.n_exact, t.j,
+        |    ((p.key + t.j * 40503) * 2654435761) % 64 AS bucket
+        |  FROM probes p, (VALUES (0), (1), (2)) t(j))
+        |SELECT pb.key, pb.n_exact, min(s.cnt) AS n_est,
+        |  min(s.cnt) - pb.n_exact AS overcount
+        |FROM pb JOIN sk s ON s.j = pb.j AND s.bucket = pb.bucket
+        |GROUP BY pb.key, pb.n_exact""".stripMargin,
+
+    // lift = exact long products, one double division (sum(len) is HUGEINT
+    // in DuckDB → cast back to BIGINT to mirror Spark's long arithmetic)
+    "q80_collocations" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |nz AS (SELECT t FROM toks WHERE len(t) > 0),
+        |unic AS (
+        |  SELECT w, count(*) AS nw FROM (SELECT unnest(t) AS w FROM nz)
+        |  GROUP BY 1),
+        |bic AS (
+        |  SELECT bg, count(*) AS n_pair FROM (
+        |    SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1])) AS bg FROM nz)
+        |  GROUP BY 1 HAVING count(*) >= 10),
+        |tot AS (
+        |  SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+        |    CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bigrams
+        |  FROM nz)
+        |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |  n_pair, u1.nw AS n_w1, u2.nw AS n_w2,
+        |  round(CAST(n_pair * n_tokens * n_tokens AS DOUBLE)
+        |        / CAST(u1.nw * u2.nw * n_bigrams AS DOUBLE), 6) AS lift
+        |FROM bic
+        |CROSS JOIN tot
+        |JOIN unic u1 ON u1.w = string_split(bg, ' ')[1]
+        |JOIN unic u2 ON u2.w = string_split(bg, ' ')[2]""".stripMargin,
+
+    // the sessionize window trick with type-change (not time-gap) breaks;
+    // DuckDB window sum(int) is HUGEINT → cast run_id back to BIGINT
+    "q81_compact_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_id
+        |  FROM c)
+        |SELECT user_id, run_id, min(event_type) AS event_type,
+        |  min(event_id) AS min_event, min(ts_us) AS start_us,
+        |  count(*) AS run_len
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // from-scratch recompute — the Spark side merges 4 delta-join partials;
+    // exact decimal sums make the merge association-free, so they agree
+    "q82_delta_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // per-token q15 rolling hash mod dim — same kernel constants
+    "q83_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(1, length(w)),
+        |      i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0)
+        |      % 2147483648 AS BIGINT) % 32 AS bucket
+        |  FROM toks)
+        |SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q16's shingle base, asymmetric |A∩B|/|A| instead of Jaccard
+    "q84_containment" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON b.shingle = a.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT inner_doc, outer_doc, inter,
+        |  sa.sz AS size_inner, sb.sz AS size_outer,
+        |  CAST(inter AS DOUBLE) / sa.sz AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inner_doc
+        |JOIN sizes sb ON sb.doc_id = outer_doc
+        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8""".stripMargin
   )
 }

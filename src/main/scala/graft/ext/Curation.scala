@@ -190,4 +190,117 @@ object Curation {
         col("n_kept").cast("double") / col("n_chunks").cast("double"))
       .select("doc_id", "n_chunks", "n_kept", "n_removed", "keep_frac")
   }
+
+  /** Overlapping sliding-window chunking (the RAG / context-window chunker,
+    * complementing [[chunkDedup]]'s disjoint chunks): windows of
+    * `chunkTokens` tokens starting every `stride` tokens (stride <
+    * chunkTokens ⇒ consecutive chunks overlap by chunkTokens − stride
+    * tokens). Chunk starts are 1, 1+stride, … ≤ n_tokens, so the final
+    * chunk covers the document tail and may be shorter (and, when the tail
+    * is shorter than the overlap, contained in its predecessor — the
+    * standard fixed-stride contract).
+    *
+    * Scale shape: pure per-row expressions — tokenize once, explode the
+    * start sequence, slice. Zero exchanges; the expansion factor is
+    * ~1/stride tokens per token.
+    *
+    * @return (doc_id, chunk_idx, start, chunk_len, chunk_text) — start is
+    *         the 1-based token offset; chunk_idx = start ordinal (0-based)
+    */
+  def slidingChunks(docs: DataFrame, chunkTokens: Int = 32,
+                    stride: Int = 24): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got ($chunkTokens, $stride)")
+    val toks = col("__toks")
+    // sequence(1, n, stride) DESCENDS for n < 1 (empty doc) — guard to the
+    // empty start list like wordNgrams does
+    val starts = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(toks), lit(stride)))
+    docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(toks).as("__n"), col("__toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        least(col("__n") - col("start") + 1, lit(chunkTokens)).cast("long")
+          .as("chunk_len"),
+        concat_ws(" ", slice(col("__toks"), col("start"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Collocation mining: bigrams that co-occur far more than their parts'
+    * frequencies predict, scored by LIFT = P(w1 w2) / (P(w1)·P(w2)) =
+    * n_bigram · n_tokens² / (n_w1 · n_w2 · n_bigrams_total) — the exact-
+    * rational cousin of PMI (PMI = log lift; the log is dropped because
+    * libm transcendentals are not bit-reproducible across engines, and lift
+    * orders identically).
+    *
+    * Shape: two hash aggregations over one tokenized scan (unigrams,
+    * bigrams) + a broadcast-sized totals row; the final join keys on the
+    * bigram's component words — vocabulary-sized, so both joins broadcast
+    * at any corpus scale. minCount keeps noise bigrams out (and bounds the
+    * output by the true collocation count, not the corpus).
+    *
+    * @return (w1, w2, n_pair, n_w1, n_w2, lift) for bigrams with n_pair ≥
+    *         minCount
+    */
+  def collocations(docs: DataFrame, minCount: Long = 10L): DataFrame = {
+    val toks = docs
+      .select(TextStats.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val bi = toks.select(explode(wordNgrams(col("__toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("n_pair"))
+    val totals = toks.select(
+      sum(size(col("__toks"))).cast("long").as("n_tokens"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("long")
+        .as("n_bigrams"))
+    // lift via exact long products, ONE double division (engine-identical);
+    // n_pair·n_tokens² stays < 2^63 for corpora up to ~10^9 tokens at this
+    // minCount/frequency profile — at true 100 TB scale the same expression
+    // runs over decimal(38,0)
+    bi.join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("nw", "n_w1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("nw", "n_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round((col("n_pair") * col("n_tokens") * col("n_tokens"))
+          .cast("double") /
+          (col("n_w1") * col("n_w2") * col("n_bigrams")).cast("double"), 6)
+          .as("lift"))
+  }
+
+  /** Corpus mixture rebalancing: downsample every language to the size of
+    * the smallest one, keeping per language the `n_target` docs with the
+    * smallest engine-neutral hash priority — the deterministic version of
+    * the "rebalance the training mix" resampling step.
+    *
+    * Shape: one tiny aggregation (per-lang counts → global min, broadcast
+    * back as a 1-row dimension) + one per-lang top-k window. The window
+    * ranks each language in a single task; at 100 TB the same contract runs
+    * by sampling a per-language priority THRESHOLD first and filtering
+    * (exact size then restored with one bounded correction pass) — the
+    * q56/TakeOrdered note applies.
+    *
+    * @return kept docs only: (doc_id, lang, rk, n_target), rk ∈ [1, n_target]
+    */
+  def languageRebalance(docs: DataFrame): DataFrame = {
+    val target = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("n_target"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("pri"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Hashing.spread(col("doc_id"), 1L << 31).as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(target))
+      .filter(col("rk") <= col("n_target"))
+      .select(col("doc_id"), col("lang"), col("rk"), col("n_target"))
+  }
 }

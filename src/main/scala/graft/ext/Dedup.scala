@@ -72,6 +72,36 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Asymmetric shingle CONTAINMENT — C(A⊂B) = |A∩B| / |A| — the
+    * sub-document duplicate detector Jaccard misses: a short doc fully
+    * embedded in a long one has high containment but low Jaccard (the
+    * union is dominated by the long doc). Emits ORDERED pairs (inner,
+    * outer), inner ≠ outer, with containment ≥ `minContain`.
+    *
+    * Same scale posture as [[ngramJaccardPairs]]: the shingle self-join is
+    * the exact small-corpus form; at 100 TB the candidate set comes from
+    * LSH first (asymmetric variants hash only the smaller side's shingles).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       minContain: Double = 0.8): DataFrame = {
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("inner_doc"), col("b.doc_id").as("outer_doc"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "inner_doc")
+        .withColumnRenamed("sz", "size_inner"), "inner_doc")
+      .join(sizes.withColumnRenamed("doc_id", "outer_doc")
+        .withColumnRenamed("sz", "size_outer"), "outer_doc")
+      .withColumn("containment",
+        col("inter").cast("double") / col("size_inner").cast("double"))
+      .filter(col("containment") >= minContain)
+      .select("inner_doc", "outer_doc", "inter", "size_inner", "size_outer",
+        "containment")
+  }
+
   /** MinHash parameters: h_j(x) = (a_j·x + b_j) mod P, j = 0..k-1.
     * P is a Mersenne prime; a_j, b_j are fixed odd/even linear-congruential
     * streams — deterministic and engine-neutral.
@@ -214,5 +244,34 @@ object Dedup {
       when(col(s"c_$j") * 2 > col("n_shingles"), lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
     agg.select(col("doc_id"), col("n_shingles"), hash.as("simhash"))
+  }
+
+  /** The dedup END PRODUCT: a doc → keeper mapping over the near-dup graph.
+    * Connected components group transitive near-dups; within each group the
+    * KEEPER is the highest-quality member (here: longest text, ties to the
+    * smallest doc_id) — the "keep the best copy" policy real curation
+    * pipelines use instead of min-id.
+    *
+    * Shape on top of [[graft.ext.Components.connectedComponents]]: one join
+    * of the component assignment back to the doc metadata (component count ≪
+    * corpus, but the join key is doc_id so it rides the existing
+    * partitioning) and one window over each component — components are
+    * near-dup groups, typically tiny, so the window partition is never hot.
+    *
+    * @return one row per doc that has at least one near-dup: (doc_id, comp,
+    *         n_chars, group_size, keep_doc, is_kept); comp is the group's
+    *         min doc_id
+    */
+  def canonicalMapping(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val comp = Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component").as("comp"))
+    val w = Window.partitionBy(col("comp"))
+    val wOrd = w.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    comp.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("comp"), col("n_chars"),
+        count(lit(1)).over(w).as("group_size"),
+        first(col("doc_id")).over(wOrd).as("keep_doc"))
+      .withColumn("is_kept", col("doc_id") === col("keep_doc"))
   }
 }

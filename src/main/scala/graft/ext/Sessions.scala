@@ -89,6 +89,104 @@ object Sessions {
         round(sum(col("value")), 2).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
 
+  /** Hopping (sliding) event-time windows — the overlapping generalization
+    * of [[tumbling]]: window length `windowUs`, hop `slideUs`
+    * (`windowUs % slideUs == 0`), so every event belongs to
+    * `windowUs / slideUs` windows. Implemented exactly as Spark's streaming
+    * `window(ts, len, slide)` does it: explode each event into its covering
+    * window starts, then one hash aggregation — the expansion factor is the
+    * constant `len/slide`, so the shuffle stays O(rows · k) with map-side
+    * partial aggregation, never a self-join.
+    *
+    * Parity: window start = floor(ts/slide)·slide − i·slide in exact µs
+    * integer arithmetic (true floor, so pre-1970 events would bucket the
+    * same as DuckDB's `//`).
+    */
+  def hopping(events: DataFrame, windowUs: Long = 3600L * 1000000,
+              slideUs: Long = 1800L * 1000000): DataFrame = {
+    require(windowUs % slideUs == 0, "window must be a multiple of the slide")
+    val k = (windowUs / slideUs).toInt
+    withTsUs(events)
+      .withColumn("w_start",
+        explode(array((0 until k).map(i =>
+          (floorDiv(col("ts_us"), slideUs) - i) * slideUs): _*)))
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Run-length compaction (debounce): collapse each user's CONSECUTIVE
+    * same-type events into one row — the stream-compaction / event-dedup
+    * shape that turns sensor chatter into state changes. A run breaks when
+    * the event type changes in (ts_us, event_id) order; runs are numbered
+    * per user by a running sum over change flags (the sessionize trick with
+    * type-change instead of time-gap as the boundary).
+    *
+    * One shuffle on user_id serves the lag, the running sum AND the final
+    * per-run aggregation (all partition on the same key).
+    *
+    * @return (user_id, run_id, event_type, min_event, start_us, run_len) —
+    *         min_event is the smallest event id in the run (deterministic;
+    *         "the first event's id" would need an argmin tie-broken on the
+    *         same sort key, which min already is whenever ids follow time)
+    */
+  def compactRuns(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val prev = lag(col("event_type"), 1).over(byUser)
+    withTsUs(events)
+      .withColumn("__chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("__chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(
+        // constant within a run — min is just the deterministic pick
+        min(col("event_type")).as("event_type"),
+        min(col("event_id")).as("min_event"),
+        min(col("ts_us")).as("start_us"),
+        count(lit(1)).as("run_len"))
+  }
+
+  /** Trailing-window anomaly detection on a daily series: per event type,
+    * each day's total value is scored against the mean/stddev of the
+    * trailing `frameDays` days (inclusive), z = (x − μ)/σ, |z| > `zThr`
+    * flagged. The monitoring shape behind data-drift and pipeline-health
+    * checks.
+    *
+    * Shape: one (day, type) hash aggregation over the scan, then one window
+    * over the tiny daily frame — at 100 TB the window input is O(days ·
+    * types), thousands of rows, regardless of event volume.
+    *
+    * Parity: daily totals are rounded to exact 2-dp decimals FIRST, so the
+    * frame sums (decimal, exact in both engines) are association-free; μ, σ
+    * and z are then derived in double from identical inputs and rounded at
+    * 6 dp. Population σ (÷n) with a σ=0 / single-row guard.
+    */
+  def movingAnomaly(events: DataFrame, frameDays: Int = 7,
+                    zThr: Double = 2.0): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value")), 2).cast("decimal(18,2)").as("revenue"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(frameDays - 1), Window.currentRow)
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sum(col("revenue")).over(w).cast("double")
+    val s2 = sum(col("revenue") * col("revenue")).over(w).cast("double")
+    val mu = s1 / n
+    val varPop = s2 / n - mu * mu
+    val sd = sqrt(when(varPop > 0.0, varPop).otherwise(0.0))
+    val z = when(sd > 0.0,
+      (col("revenue").cast("double") - mu) / sd).otherwise(lit(0.0))
+    daily.select(col("event_type"), col("day"), col("revenue"),
+      n.cast("long").as("n_frame"),
+      round(mu, 6).as("mu"), round(sd, 6).as("sigma"),
+      round(z, 6).as("z"),
+      (abs(z) > zThr).as("anomaly"))
+  }
+
   /** Day-level gap-fill with last-observation-carried-forward (LOCF): for
     * every user, a dense daily spine from their first to last event day;
     * days with no events get n_events = 0 and carry the previous day's

@@ -206,6 +206,27 @@ object TextStats {
   def fingerprint(text: Column): Column =
     graft.functions.StringFingerprint.fingerprintCol(text)
 
+  /** Feature hashing (the hashing-trick vectorizer): every token is hashed
+    * into one of `dim` buckets with the engine-neutral [[fingerprint]]
+    * rolling hash, and per-document bucket counts form the fixed-width
+    * sparse feature vector — the vocabulary-free featurization step of a
+    * text-ML pipeline (collisions are the accepted trade, exactly as in
+    * scikt/Vowpal feature hashing).
+    *
+    * Shape: explode → per-token codegen'd hash kernel → one (doc, bucket)
+    * hash aggregation; output is ≤ dim rows per document regardless of
+    * vocabulary. At 100 TB, dim and the doc key partition the shuffle
+    * evenly — no vocabulary dictionary to build, broadcast, or skew.
+    *
+    * @return (doc_id, bucket, cnt) sparse entries, bucket ∈ [0, dim)
+    */
+  def featureHashing(docs: DataFrame, dim: Int = 32): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), pmod(fingerprint(col("w")), lit(dim.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** The declarative higher-order-function form of [[fingerprint]] — the
     * executable specification the native kernel is tested against.
     */

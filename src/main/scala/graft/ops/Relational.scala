@@ -458,6 +458,132 @@ object Relational {
         coalesce(col("n_supp"), lit(0L)).as("n_supp"))
   }
 
+  /** Deterministic GLOBAL fixed-size sample: the k rows with the smallest
+    * engine-neutral hash priority — the distributed replacement for
+    * reservoir sampling (same marginal distribution, but reproducible and
+    * mergeable). Spark executes orderBy+limit as TakeOrderedAndProject:
+    * each partition keeps a local top-k heap and only k·partitions rows
+    * reach the driver-side merge — no global sort, no full shuffle, which
+    * is exactly the 100 TB shape (PlanSpec asserts the operator).
+    *
+    * Complements q43 (per-stratum rate sample) and q56 (weighted per-class
+    * top-k): this one is a global exact-size draw.
+    */
+  def q72GlobalSample(spark: SparkSession, d: String, k: Int = 1000): DataFrame =
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Hashing.spread(
+          col("l_orderkey") * 8 + col("l_linenumber"), 1L << 31).as("pri"))
+      .orderBy(col("pri"), col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+
+  /** Per-group correlation + ordinary-least-squares fit (quantity vs price
+    * per return flag) from EXACT integer sufficient statistics: quantity is
+    * integral and price is exact cents in this corpus, so Σx, Σy, Σxy, Σx²,
+    * Σy² are accumulated as decimals (exact in both engines, no fp
+    * association), and corr/slope/intercept are derived in double from
+    * identical inputs — the only rounding is the final 6 dp.
+    *
+    * The sufficient-statistics form is also the scale form: one map-side-
+    * partial hash aggregation (moments are algebraic, merge by addition —
+    * same property q68 exercises), never a second pass.
+    */
+  def q74CorrRegression(spark: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,0)")
+    val y = round(col("l_extendedprice") * 100, 0).cast("decimal(18,0)")
+    val agg = lineitem(spark, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    agg.select(col("l_returnflag"), col("n").cast("long").as("n"),
+      round(covN / sqrt(varXN * varYN), 6).as("corr"),
+      round(slope, 6).as("slope_cents_per_unit"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(covN * covN / (varXN * varYN), 6).as("r2"))
+  }
+
+  /** Arbitrary GROUPING SETS — the non-hierarchical case neither rollup nor
+    * cube expresses: per-flag totals, per-status totals, and the grand
+    * total (but NOT the (flag, status) cross level), all from one shuffle
+    * via the same Expand operator that powers q33/q47.
+    */
+  def q75GroupingSets(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+
+  /** Multiset INTERSECT ALL / EXCEPT ALL (bag semantics — q32 covers the
+    * DISTINCT forms): nation-key multisets of customers vs suppliers,
+    * multiplicity-aware. Spark plans both as a single aggregate computing
+    * per-key counts on each side then replicating min(c1,c2) /
+    * max(c1−c2,0) copies — one shuffle, O(distinct keys) state, the scale
+    * form of bag set-ops. Output is aggregated to (op, key, multiplicity)
+    * so the contract is order-free.
+    */
+  def q76MultisetOps(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d).select(col("c_nationkey").as("nationkey"))
+    val s = supplier(spark, d).select(col("s_nationkey").as("nationkey"))
+    def counted(df: DataFrame, op: String) =
+      df.groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .withColumn("op", lit(op))
+        .select(col("op"), col("nationkey"), col("multiplicity"))
+    counted(c.intersectAll(s), "intersect_all")
+      .unionByName(counted(c.exceptAll(s), "except_all"))
+  }
+
+  /** Incremental JOIN maintenance (q68's aggregate merge extended to a
+    * two-sided join): with base/delta splits of BOTH orders (ΔA) and
+    * customers (ΔB), the maintained segment rollup is the merge of the four
+    * partial aggregates A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the delta-join
+    * identity every incremental view maintenance engine implements. The
+    * oracle recomputes the whole join from scratch, proving the identity.
+    *
+    * Parity/exactness: revenue is summed as exact 2-dp decimals, so the
+    * four-way partial merge is association-FREE — merging in any grouping
+    * is bit-equal to the single-pass sum (the same exactness trick as
+    * q74/q77; a double sum would differ from the oracle's association in
+    * the last ulp here, because the partials systematically regroup it).
+    *
+    * Scale shape: each partial is an ordinary broadcast/shuffle join whose
+    * smaller inputs are the deltas — the entire point of IVM: work is
+    * O(Δ·join-fanout + groups), never a base×base recompute.
+    */
+  def q82DeltaJoin(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d).select(col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      (col("o_orderkey") % 10 === 0).as("__delta"))
+    val c = customer(spark, d).select(col("c_custkey"), col("c_mktsegment"),
+      (col("c_custkey") % 7 === 0).as("__delta"))
+    def part(os: DataFrame, cs: DataFrame) =
+      os.join(cs, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+    val partials =
+      part(o.filter(!col("__delta")), c.filter(!col("__delta")))
+        .unionByName(part(o.filter(col("__delta")), c.filter(!col("__delta"))))
+        .unionByName(part(o.filter(!col("__delta")), c.filter(col("__delta"))))
+        .unionByName(part(o.filter(col("__delta")), c.filter(col("__delta"))))
+    partials.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON `props`
     * column and aggregate it per event type. One scan, one hash aggregation;
     * the JSON path evaluation is a codegen'd per-row expression (no UDF).

@@ -60,6 +60,22 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Hopping (overlapping) event-time windows — the unbounded twin of
+    * [[graft.ext.Sessions.hopping]]: Spark expands each event into its
+    * window/slide covering windows exactly like the batch operator's
+    * explode, and the watermark bounds state to the windows still open.
+    */
+  def hoppingCounts(events: DataFrame, window: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(
+          col("event_time"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   /** Streaming exact dedup (the dedup family's unbounded twin): at most one
     * row per key within the watermark horizon. State is one entry per key,
     * expired by the watermark — bounded by the horizon's key cardinality,

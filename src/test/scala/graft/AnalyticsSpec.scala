@@ -226,4 +226,95 @@ class AnalyticsSpec extends SparkSuite {
         s"segment $seg ratio ${sampled.toDouble / total}")
     }
   }
+
+  test("hopping windows: each event in exactly window/slide windows, aligned starts") {
+    // 4 s windows hopping every 2 s; event at t=5 s → starts 4 s and 2 s
+    val events = Seq(
+      (1L, 5L, 7L, "e", 1.0),
+      (2L, 5L, 8L, "e", 2.0),
+      (3L, 11L, 7L, "f", 4.0)
+    ).map { case (id, sec, u, t, v) => (id, sec * 1000000000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ext.Sessions.hopping(events,
+        windowUs = 4000000L, slideUs = 2000000L)
+      .as[(Long, String, Long, Double)].collect()
+      .map(x => (x._1 / 1000000L, x._2) -> (x._3, x._4)).toMap
+    assert(r === Map(
+      (4L, "e") -> (2L, 3.0), (2L, "e") -> (2L, 3.0),
+      (10L, "f") -> (1L, 4.0), (8L, "f") -> (1L, 4.0)))
+  }
+
+  test("moving anomaly: constant series is calm, a spike trips the z flag") {
+    val DayNs = 86400000000000L
+    val base = (0 to 6).map(d =>
+      (d.toLong, d * DayNs, 1L, "e", 10.0))
+    val spike = Seq((7L, 7 * DayNs, 1L, "e", 100.0))
+    val events = (base ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ext.Sessions.movingAnomaly(events)
+      .orderBy("day").as[(String, Long, BigDecimal, Long, Double, Double, Double, Boolean)]
+      .collect()
+    // constant prefix: σ = 0 → z = 0, never anomalous
+    assert(r.take(7).forall(x => x._6 === 0.0 && x._7 === 0.0 && !x._8))
+    assert(r.take(7).map(_._4).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // spike day: frame = 6×10 + 100 → z = (100-μ)/σ = sqrt(6) ≈ 2.449 > 2
+    val s = r.last
+    assert(s._4 === 7L && s._8, s.toString)
+    assert(math.abs(s._7 - math.sqrt(6.0)) < 1e-6, s.toString)
+  }
+
+  test("multiset ops: multiplicities are min(c,s) and max(c-s,0) per key") {
+    val c = Tables.customer(spark, sf).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    val s = Tables.supplier(spark, sf).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    val r = Relational.q76MultisetOps(spark, sf)
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    val expInter = (c.keySet ++ s.keySet).flatMap { k =>
+      val m = math.min(c.getOrElse(k, 0L), s.getOrElse(k, 0L))
+      if (m > 0) Some(k -> m) else None
+    }.toMap
+    val expExcept = c.flatMap { case (k, n) =>
+      val m = math.max(n - s.getOrElse(k, 0L), 0L)
+      if (m > 0) Some(k -> m) else None
+    }
+    assert(r("intersect_all") === expInter)
+    assert(r("except_all") === expExcept)
+  }
+
+  test("grouping sets: only the three requested levels, totals consistent") {
+    val rows = Relational.q75GroupingSets(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(!rows.exists(r => r._1 != "ALL" && r._2 != "ALL"),
+      "cross (flag,status) level must be absent")
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.filter(r => r._1 == "ALL" && r._2 == "ALL").map(_._3).toSeq
+      === Seq(total))
+    assert(rows.filter(r => r._1 != "ALL").map(_._3).sum === total)
+    assert(rows.filter(r => r._2 != "ALL").map(_._3).sum === total)
+  }
+
+  test("delta-join merge is bit-equal to the from-scratch join recompute") {
+    val merged = Relational.q82DeltaJoin(spark, sf)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val scratch = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(merged === scratch)
+  }
+
+  test("corr/regression: r2 is corr², group counts cover the table") {
+    val rows = Relational.q74CorrRegression(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(rows.map(_._2).sum === Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      assert(math.abs(r._3) <= 1.0, r.toString)
+      assert(math.abs(r._6 - r._3 * r._3) < 2e-6, s"r2 != corr² in $r")
+    }
+  }
 }

@@ -282,4 +282,45 @@ class CurationProfileSpec extends SparkSuite {
     assert(q(1L)._6 === (64L + 127L + 32L))
     assert(q(2L)._3 === Some(0.0) && q(2L)._6 === 0L && q(2L)._7 === 0L)
   }
+
+  test("sliding chunks: stride starts, overlap, tail clamp, full token coverage") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, ""),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val r = Curation.slidingChunks(docs, chunkTokens = 4, stride = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(x => (x._2, x._3, x._4)).toSeq ===
+      Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L), (3L, 10L, 1L)))
+    assert(d1.head._5 === "w1 w2 w3 w4")
+    assert(d1.last._5 === "w10")
+    // consecutive chunks overlap by chunkTokens - stride = 1 token
+    assert(d1(0)._5.split(" ").last === d1(1)._5.split(" ").head)
+    // every token index is covered by at least one chunk
+    val covered = d1.flatMap(x => x._3 until (x._3 + x._4)).toSet
+    assert(covered === (1L to 10L).toSet)
+    assert(!r.exists(_._1 == 2L), "blank doc must produce no chunks")
+    assert(r.filter(_._1 == 3L).map(x => (x._3, x._4, x._5)).toSeq
+      === Seq((1L, 1L, "solo")))
+  }
+
+  test("language rebalance: every language exactly at the min-language size") {
+    val docs = Tables.documents(spark, sf)
+    val perLang = docs.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val target = perLang.values.min
+    val r = Curation.languageRebalance(docs)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r.forall(_._4 === target))
+    assert(r.forall(x => x._3 >= 1 && x._3 <= target))
+    val kept = r.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(kept === perLang.keySet.map(_ -> target).toMap,
+      s"kept $kept, expected all at $target")
+    // deterministic: a second run keeps the identical doc set
+    val r2 = Curation.languageRebalance(docs)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r.map(_._1).sorted.toSeq === r2.map(_._1).sorted.toSeq)
+  }
 }

@@ -144,4 +144,108 @@ class ExtSpec extends SparkSuite {
       .select("bucket", "event_type", "n").as[(Long, String, Long)].collect().toSet
     assert(r == Set((0L, "a", 2L), (1L, "b", 1L)))
   }
+
+  test("compact runs: consecutive same-type events collapse, boundaries split") {
+    val events = Seq(
+      (1L, 10L, 1L, "a", 0.0), (2L, 20L, 1L, "a", 0.0),
+      (3L, 30L, 1L, "b", 0.0), (4L, 40L, 1L, "a", 0.0),
+      (5L, 15L, 2L, "a", 0.0)
+    ).map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ext.Sessions.compactRuns(events)
+      .orderBy("user_id", "run_id")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      (1L, 1L, "a", 1L, 10L, 2L),
+      (1L, 2L, "b", 3L, 30L, 1L),
+      (1L, 3L, "a", 4L, 40L, 1L),
+      (2L, 1L, "a", 5L, 15L, 1L)))
+  }
+
+  test("feature hashing: buckets in range, counts conserve tokens, deterministic") {
+    val docs = Seq((1L, "aa bb aa cc"), (2L, ""), (3L, "aa")).toDF("doc_id", "text")
+    val r = TextStats.featureHashing(docs, dim = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(r.forall(x => x._2 >= 0 && x._2 < 8))
+    val perDoc = r.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc === Map(1L -> 4L, 3L -> 1L), "token mass conserved; blank absent")
+    // same token → same bucket everywhere
+    val d1aa = r.filter(x => x._1 == 1L && x._3 == 2L).map(_._2) // "aa" twice in doc 1
+    val d3aa = r.filter(x => x._1 == 3L).map(_._2)
+    assert(d1aa.toSeq === d3aa.toSeq)
+  }
+
+  test("containment: embedded doc hits 1.0 where jaccard stays low") {
+    val long = (1 to 40).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((1L, long.take(10)), (2L, long)).toDF("doc_id", "text")
+    val r = ext.Dedup.containmentPairs(docs, n = 3, minContain = 0.8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    // doc 1 (prefix) fully contained in doc 2
+    assert(r(1L -> 2L)._6 === 1.0)
+    assert(r(1L -> 2L)._3 === r(1L -> 2L)._4, "inter == |inner| at full containment")
+    // the reverse direction is far below threshold (8/38) and absent
+    assert(!r.contains(2L -> 1L))
+    val jac = ext.Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.0)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(jac.forall(_._6 < 0.8), "jaccard must miss what containment catches")
+  }
+
+  test("count-min: never undercounts; exact at ample width, inflated when crowded") {
+    val keys = (1 to 200).flatMap(k => Seq.fill(k % 7 + 1)(k.toLong))
+      .toDF("k")
+    val exact = keys.groupBy("k").count().as[(Long, Long)].collect().toMap
+    // ample width: few of the 200 keys collide, probed estimates ≥ exact
+    val wide = ext.Sketches.countMin(keys, "k", col("k") <= 50,
+        depth = 3, width = 4096)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(wide.length === 50)
+    wide.foreach { case (k, nEx, nEst, over) =>
+      assert(nEx === exact(k))
+      assert(nEst >= nEx, s"undercount for $k")
+      assert(over === nEst - nEx)
+    }
+    // crowded grid (width 4 ≪ 200 keys): collisions must inflate someone
+    val narrow = ext.Sketches.countMin(keys, "k", col("k") <= 50,
+        depth = 2, width = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(narrow.forall(r => r._3 >= r._2))
+    assert(narrow.exists(_._4 > 0), "width 4 cannot be collision-free")
+  }
+
+  test("canonical mapping: keeper is longest text, doc_id on ties, per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), (10L, 50L), (11L, 40L), (99L, 1L))
+      .toDF("doc_id", "n_chars")
+    val r = ext.Dedup.canonicalMapping(pairs, docs)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 10L, 11L), "only graph nodes mapped")
+    // cluster {1,2,3}: 2 and 3 tie at 300 chars → keeper 2 (smaller id)
+    assert(Seq(1L, 2L, 3L).forall(d => r(d)._5 === 2L && r(d)._2 === 1L))
+    assert(r(2L)._6 && !r(1L)._6 && !r(3L)._6)
+    assert(r(1L)._4 === 3L)
+    // cluster {10,11}: keeper 10 (longer)
+    assert(r(10L)._5 === 10L && r(11L)._5 === 10L && r(10L)._4 === 2L)
+  }
+
+  test("collocations: a fused pair outscores independent fillers") {
+    // "aa bb" always adjacent; "xx"/"yy"/"zz" shuffled fillers
+    val docs = (1 to 30).map { i =>
+      val fill = Seq("xx", "yy", "zz").drop(i % 3) ++ Seq("xx", "yy", "zz").take(i % 3)
+      (i.toLong, (Seq("aa", "bb") ++ fill).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = ext.Curation.collocations(docs, minCount = 10L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val byPair = r.map(x => (x._1, x._2) -> x).toMap
+    assert(byPair.contains(("aa", "bb")))
+    val fused = byPair(("aa", "bb"))
+    assert(fused._3 === 30L && fused._4 === 30L && fused._5 === 30L)
+    // P(aa bb) = 30/120 bigrams; P(aa)=P(bb)=30/150 tokens → lift = 6.25
+    assert(math.abs(fused._6 - 6.25) < 1e-9, fused.toString)
+    r.filter(x => (x._1, x._2) != ("aa", "bb")).foreach { o =>
+      assert(o._6 < fused._6, s"filler pair $o outscored the fused pair")
+    }
+  }
 }

@@ -140,4 +140,25 @@ class PlanSpec extends SparkSuite {
     assert("""\(\d+\) SortAggregate""".r.findAllIn(p).length <= 2,
       s"sort aggregation beyond the string-extrema branch:\n$p")
   }
+
+  test("q72 global sample is TakeOrderedAndProject — never a global sort") {
+    val p = plan(ops.Relational.q72GlobalSample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"global sample must not range-shuffle the table:\n$p")
+  }
+
+  test("q70 hopping / q74 moments: one exchange, map-side partial aggregation") {
+    for (q <- Seq(ext.Sessions.hopping(Tables.events(spark, sf)),
+                  ops.Relational.q74CorrRegression(spark, sf))) {
+      val p = plan(q)
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1, p)
+      assert("""\(\d+\) HashAggregate""".r.findAllIn(p).length >= 2, p)
+    }
+  }
+
+  test("q71 sliding chunks: pure per-row pipeline, zero exchanges") {
+    val p = plan(ext.Curation.slidingChunks(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
 }

@@ -177,6 +177,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping ≡ batch hopping windows on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(78)
+    val evts = (1 to 200).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(10 * 60) * Min,
+        1 + rnd.nextInt(5), if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextInt(100) / 10.0)
+    }
+    val batch = graft.ext.Sessions.hopping(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"),
+      windowUs = 3600L * 1000000, slideUs = 1800L * 1000000)
+      .select("w_start", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.hoppingCounts(src.toDF(),
+      window = "1 hour", slide = "30 minutes", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("heqv").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, T0 + 100000 * Min, 999, "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("heqv")
+        .select((col("window.start").cast("long") * 1000000L),
+          col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect()
+        .filter(_._2 != "z").toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming source chain: file-drop parquet → same schema as batch") {
     val stream = StreamOps.readEventStream(spark, sf)
     assert(stream.isStreaming)
