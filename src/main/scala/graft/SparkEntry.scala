@@ -1741,13 +1741,17 @@ object SparkEntry {
         |    CAST(sum(y * y) AS DOUBLE) AS syy
         |  FROM t GROUP BY 1)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+        |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6)
         |    AS corr,
-        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope_cents_per_unit,
-        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+        |  round(CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope_cents_per_unit,
+        |  round(CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6)
         |    AS intercept,
-        |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
-        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
         |FROM a""".stripMargin,
 
     "q75_grouping_sets" ->

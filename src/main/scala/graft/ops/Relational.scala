@@ -488,12 +488,20 @@ object Relational {
     * partial hash aggregation (moments are algebraic, merge by addition —
     * same property q68 exercises), never a second pass.
     */
-  def q74CorrRegression(spark: SparkSession, d: String): DataFrame = {
-    val x = col("l_quantity").cast("decimal(18,0)")
-    val y = round(col("l_extendedprice") * 100, 0).cast("decimal(18,0)")
-    val agg = lineitem(spark, d)
-      .select(col("l_returnflag"), x.as("x"), y.as("y"))
-      .groupBy(col("l_returnflag"))
+  def q74CorrRegression(spark: SparkSession, d: String): DataFrame =
+    corrRegression(lineitem(spark, d), col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,0)"),
+      round(col("l_extendedprice") * 100, 0).cast("decimal(18,0)"))
+
+  /** The general moments form behind [[q74CorrRegression]]: `x` and `y`
+    * must be exact decimals (see the query's parity note); the group column
+    * keeps its name in the output.
+    */
+  def corrRegression(df: DataFrame, group: Column, x: Column,
+                     y: Column): DataFrame = {
+    val agg = df
+      .select(group, x.as("x"), y.as("y"))
+      .groupBy(group)
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"),
         sum(col("y")).cast("double").as("sy"),
@@ -504,11 +512,17 @@ object Relational {
     val varXN = col("n") * col("sxx") - col("sx") * col("sx")
     val varYN = col("n") * col("syy") - col("sy") * col("sy")
     val slope = covN / varXN
-    agg.select(col("l_returnflag"), col("n").cast("long").as("n"),
-      round(covN / sqrt(varXN * varYN), 6).as("corr"),
-      round(slope, 6).as("slope_cents_per_unit"),
-      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
-      round(covN * covN / (varXN * varYN), 6).as("r2"))
+    // degenerate groups (constant x or y, incl. single-row) → NULL stats:
+    // unguarded, Spark emits IEEE inf/NaN while DuckDB NULLs double x/0 and
+    // ERRORS on sqrt(<0) — and fp cancellation can land varXN at -0.0-ε, so
+    // the guard is > 0, not ≥ 0, on BOTH sides
+    val bothVar = varXN > 0.0 && varYN > 0.0
+    agg.select(group, col("n").cast("long").as("n"),
+      round(when(bothVar, covN / sqrt(varXN * varYN)), 6).as("corr"),
+      round(when(varXN > 0.0, slope), 6).as("slope_cents_per_unit"),
+      round(when(varXN > 0.0, (col("sy") - slope * col("sx")) / col("n")), 6)
+        .as("intercept"),
+      round(when(bothVar, covN * covN / (varXN * varYN)), 6).as("r2"))
   }
 
   /** Arbitrary GROUPING SETS — the non-hierarchical case neither rollup nor

@@ -308,6 +308,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(merged === scratch)
   }
 
+  test("corr/regression: degenerate groups yield NULL stats, not inf/NaN") {
+    val df = Seq(
+      ("lin", 1, 10), ("lin", 2, 20), ("lin", 3, 30),   // perfect line
+      ("flatx", 5, 1), ("flatx", 5, 2),                  // x constant
+      ("single", 7, 7)                                   // one row
+    ).toDF("g", "xv", "yv")
+    val r = Relational.corrRegression(df, col("g"),
+        col("xv").cast("decimal(18,0)"), col("yv").cast("decimal(18,0)"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("lin")._3 === Some(1.0) && r("lin")._4 === Some(10.0)
+      && r("lin")._5 === Some(0.0) && r("lin")._6 === Some(1.0))
+    for (g <- Seq("flatx", "single"); i <- 3 to 6)
+      assert(r(g).productElement(i - 1) === None, s"$g field $i must be NULL")
+  }
+
   test("corr/regression: r2 is corr², group counts cover the table") {
     val rows = Relational.q74CorrRegression(spark, sf)
       .as[(String, Long, Double, Double, Double, Double)].collect()
