@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, StringFingerprint}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
@@ -18,12 +18,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("string_fingerprint"),
+      new ExpressionInfo(classOf[StringFingerprint].getName, "string_fingerprint"),
+      (args: Seq[Expression]) => StringFingerprint(args(0))))
   }
 }
 
 object GraftExtensions {
   /** Register on an already-built session (tests, driver-owned sessions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "float_vec_dot",
       args => FloatVecDot(args(0), args(1)))
+    GraftBridge.registerFunction(spark, "string_fingerprint",
+      args => StringFingerprint(args(0)))
+  }
 }

@@ -261,6 +261,35 @@ object SparkEntry {
     // asymmetric shingle containment: sub-document duplicates Jaccard misses
     "q84_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(docs50(s, d), n = 3, minContain = 0.8)),
+    // robust outliers by median absolute deviation (two percentile passes)
+    "q85_mad_outliers" -> ((s: SparkSession, d: String) =>
+      Relational.q85MadOutliers(s, d)),
+    // exponential moving average: a true recurrence as an ordered fold,
+    // per-step 9-dp round (the PageRank parity trick)
+    "q86_ema" -> ((s: SparkSession, d: String) =>
+      Sessions.emaDaily(Tables.events(s, d))),
+    // SQL front end: correlated EXISTS / NOT EXISTS — Catalyst's
+    // RewritePredicateSubquery decorrelates to semi/anti joins
+    // (PlanSpec-asserted); path-based parquet refs, no temp views
+    "q87_sql_exists" -> ((s: SparkSession, d: String) => s.sql(
+      s"""SELECT c.c_custkey, c.c_mktsegment
+         |FROM parquet.`$d/customer.parquet` c
+         |WHERE EXISTS (SELECT 1 FROM parquet.`$d/orders.parquet` o
+         |              WHERE o.o_custkey = c.c_custkey)
+         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$d/orders.parquet` o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_totalprice > 250000.0)""".stripMargin)),
+    // SQL front end: correlated SCALAR subquery (TPC-H Q17 shape) —
+    // decorrelated into an aggregate + join; per-part avg is exact
+    // (integral quantities, groups ≪ 2^53) so the compare is parity-safe
+    "q88_sql_scalar_subquery" -> ((s: SparkSession, d: String) => s.sql(
+      s"""SELECT l1.l_returnflag AS flag, count(*) AS n_small,
+         |  sum(l1.l_quantity) AS sum_qty
+         |FROM parquet.`$d/lineitem.parquet` l1
+         |WHERE l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+         |                       FROM parquet.`$d/lineitem.parquet` l2
+         |                       WHERE l2.l_partkey = l1.l_partkey)
+         |GROUP BY l1.l_returnflag""".stripMargin)),
     // declarative data-quality expectations: every rule one indicator sum,
     // single aggregation pass + exact uniqueness check
     "q67_expectations" -> ((s: SparkSession, d: String) =>
@@ -1981,6 +2010,71 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = inner_doc
         |JOIN sizes sb ON sb.doc_id = outer_doc
-        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8""".stripMargin
+        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8""".stripMargin,
+
+    // med/MAD ≡ quantile_cont (the q37-verified interpolation); the outlier
+    // compare uses the UNROUNDED stats on both sides
+    "q85_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (
+        |  SELECT l.l_returnflag, m.med,
+        |    abs(l.l_extendedprice - m.med) AS d
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, quantile_cont(d, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT v.l_returnflag, round(max(v.med), 6) AS med,
+        |  round(max(m.mad), 6) AS mad, count(*) AS n,
+        |  CAST(sum(CASE WHEN v.d > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev v JOIN mad m USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+
+    // the recurrence replayed by a recursive CTE over the day index — in
+    // exact DECIMAL arithmetic end to end (both engines round decimals
+    // HALF_UP exactly; a double fold ties at the 10th digit and flaps —
+    // see Sessions.emaDaily's parity note)
+    "q86_ema" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, rev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM daily),
+        |ema AS (
+        |  SELECT event_type, day, rev, i, CAST(rev AS DECIMAL(28,9)) AS ema
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.rev, x.i,
+        |    CAST(round(CAST(0.25 AS DECIMAL(3,2)) * x.rev
+        |               + CAST(0.75 AS DECIMAL(3,2)) * e.ema, 9)
+        |         AS DECIMAL(28,9))
+        |  FROM idx x JOIN ema e ON e.event_type = x.event_type
+        |    AND x.i = e.i + 1)
+        |SELECT event_type, day, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(ema AS DOUBLE) AS ema FROM ema""".stripMargin,
+
+    // ANSI subqueries run verbatim on both engines
+    "q87_sql_exists" ->
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 250000.0)""".stripMargin,
+
+    "q88_sql_scalar_subquery" ->
+      """SELECT l1.l_returnflag AS flag, count(*) AS n_small,
+        |  sum(l1.l_quantity) AS sum_qty
+        |FROM lineitem l1
+        |WHERE l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l1.l_returnflag""".stripMargin
   )
 }

@@ -187,6 +187,58 @@ object Sessions {
       (abs(z) > zThr).as("anomaly"))
   }
 
+  /** Exponential moving average over the per-type daily revenue series —
+    * the classic sequential smoother: ema_1 = x_1, ema_t = round(α·x_t +
+    * (1−α)·ema_{t−1}, 9). A true recurrence (no window frame expresses it),
+    * implemented as an ordered per-group array fold.
+    *
+    * Scale shape: the daily aggregation is the only pass over the event
+    * stream; the fold input is O(days) per group — thousands of elements
+    * at most, independent of event volume (same argument as
+    * [[movingAnomaly]]).
+    *
+    * Parity: the ENTIRE recurrence runs in exact DECIMAL arithmetic with a
+    * per-step HALF_UP round back to scale 9 — both engines' decimal round
+    * is exact HALF_UP, so every carried value is bit-equal. A double
+    * formulation with per-step round(9) is NOT safe here (measured at
+    * sf0.1): α = 0.25 makes the pre-round values dyadic, which lands them
+    * exactly on 10th-digit rounding ties, where Spark (exact decimal view
+    * of the double) and DuckDB (fp multiply-then-round) disagree. The
+    * PageRank per-step-round trick survives only because its values are
+    * non-dyadic; ties there have measure zero.
+    *
+    * @return (event_type, day, rev, ema) — one row per observed day
+    */
+  def emaDaily(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val alpha = lit(new java.math.BigDecimal("0.25"))
+    val beta = lit(new java.math.BigDecimal("0.75"))
+    val daily = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value")), 2).cast("decimal(18,2)").as("rev"))
+    val folded = daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("rev"))))
+        .as("__vals"))
+      .select(col("event_type"), aggregate(
+        col("__vals"),
+        array().cast("array<struct<day:bigint,rev:decimal(18,2),ema:decimal(28,9)>>"),
+        (acc, x) => concat(acc, array(struct(
+          x.getField("day").as("day"),
+          x.getField("rev").as("rev"),
+          when(size(acc) === 0, x.getField("rev").cast("decimal(28,9)"))
+            .otherwise(round(alpha * x.getField("rev") +
+              beta * element_at(acc, -1).getField("ema"), 9)
+              .cast("decimal(28,9)"))
+            .as("ema"))))).as("__series"))
+    folded
+      .select(col("event_type"), explode(col("__series")).as("s"))
+      .select(col("event_type"), col("s.day").as("day"),
+        col("s.rev").cast("double").as("rev"),
+        col("s.ema").cast("double").as("ema"))
+  }
+
   /** Day-level gap-fill with last-observation-carried-forward (LOCF): for
     * every user, a dense daily spine from their first to last event day;
     * days with no events get n_events = 0 and carry the previous day's

@@ -381,6 +381,42 @@ object Relational {
           .as("high_fence"))
   }
 
+  /** Robust outlier detection by MEDIAN ABSOLUTE DEVIATION (the
+    * breakdown-resistant alternative to q42's z-score and q61's IQR): two
+    * passes of the exact percentile operator — median of x, then median of
+    * |x − med| — and rows with |x − med| > k·MAD are counted per group.
+    *
+    * Scale shape: each percentile pass is [[Percentiles.exactPercentiles]]
+    * (histogram pruning beyond the holistic cutover), and both tiny stat
+    * frames broadcast back over the fact scan — three scans total, no
+    * second shuffle of the data. Parity: med/MAD are bit-identical to
+    * quantile_cont (q37-verified), |x−med| and the k·MAD compare are
+    * per-row IEEE doubles; only the REPORTED stats round at 6 dp.
+    */
+  def q85MadOutliers(spark: SparkSession, d: String,
+                     k: Double = 3.0): DataFrame = {
+    val li = lineitem(spark, d)
+    val hint = Some(li.count())
+    val med = Percentiles
+      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5),
+        rowCountHint = hint)
+      .select(col("l_returnflag"), col("value").as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("med"),
+        abs(col("l_extendedprice") - col("med")).as("d"))
+    val mad = Percentiles
+      .exactPercentiles(dev, "l_returnflag", "d", Seq(0.5),
+        rowCountHint = hint)
+      .select(col("l_returnflag"), col("value").as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Ratio-to-report (share-of-total) window: each customer's share of
     * their market segment's total balance, plus the running cumulative
     * share in descending-balance order — the Pareto/concentration report.

@@ -235,4 +235,37 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** The BUILT-IN session-window form of [[sessionize]]: Spark's native
+    * `session_window(ts, gap)` merges overlapping per-event gap intervals
+    * inside the streaming aggregation operator — no user state code. Kept
+    * alongside the flatMapGroupsWithState form because the two trade
+    * differently: native windows give only aggregates over the session
+    * (and Spark's session END is last_event + gap, so `dur_us` subtracts
+    * the gap back out to match the batch twin's last−first), while the
+    * explicit-state form can emit arbitrary per-session payloads.
+    *
+    * Boundary semantics: native windows SPLIT at diff ≥ gap (the per-event
+    * [t, t+gap) intervals stop overlapping), while the batch/state forms
+    * split at diff > gap — the two differ only for events exactly gap
+    * apart. Pick a gap off the data's timestamp granularity when exact
+    * equivalence matters.
+    */
+  def sessionWindowCounts(events: DataFrame,
+                          gapUs: Long = 30L * 60 * 1000000,
+                          watermark: String = "1 hour"): DataFrame = {
+    require(gapUs > 0 && gapUs % 1000000 == 0,
+      s"gap must be whole positive seconds in µs, got $gapUs")
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        session_window(col("event_time"), s"${gapUs / 1000000} seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
+        col("n_events"))
+  }
 }

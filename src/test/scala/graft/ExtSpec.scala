@@ -191,6 +191,22 @@ class ExtSpec extends SparkSuite {
     assert(jac.forall(_._6 < 0.8), "jaccard must miss what containment catches")
   }
 
+  test("ema: recurrence folds in day order with per-step rounding") {
+    val DayNs = 86400000000000L
+    val events = Seq(
+      (1L, 0L, 1L, "e", 10.0), (2L, 1L, 1L, "e", 20.0), (3L, 2L, 1L, "e", 30.0),
+      (4L, 0L, 1L, "f", 4.0)
+    ).map { case (id, d, u, t, v) => (id, d * DayNs, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ext.Sessions.emaDaily(events)
+      .as[(String, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    assert(r(("e", 0L)) === ((10.0, 10.0)))
+    assert(r(("e", 1L)) === ((20.0, 12.5)))       // 0.25·20 + 0.75·10
+    assert(r(("e", 2L)) === ((30.0, 16.875)))     // 0.25·30 + 0.75·12.5
+    assert(r(("f", 0L)) === ((4.0, 4.0)))
+  }
+
   test("count-min: never undercounts; exact at ample width, inflated when crowded") {
     val keys = (1 to 200).flatMap(k => Seq.fill(k % 7 + 1)(k.toLong))
       .toDF("k")

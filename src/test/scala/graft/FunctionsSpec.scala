@@ -49,6 +49,20 @@ class FunctionsSpec extends SparkSuite {
     assert(r > 0.0)
   }
 
+  test("string_fingerprint is SQL-callable and matches the Column kernel") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_t")
+    val viaSql = spark.sql(
+      """SELECT string_fingerprint(text) AS fp FROM docs_t
+        |WHERE doc_id = 0""".stripMargin).as[Long].head()
+    val viaCol = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .select(graft.ext.TextStats.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .as[Long].head()
+    assert(viaSql === viaCol)
+  }
+
   test("FloatVecDotConst ≡ zip_with/aggregate fold against a literal plane") {
     val weights = Array.tabulate(64)(i => (i * 7 % 13).toDouble / 13.0 - 0.5)
     val wLit = array(weights.map(lit): _*)

@@ -161,4 +161,18 @@ class PlanSpec extends SparkSuite {
     val p = plan(ext.Curation.slidingChunks(Tables.documents(spark, sf)))
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
+
+  test("q87 SQL EXISTS/NOT EXISTS decorrelate to physical semi/anti joins") {
+    val p = plan(SparkEntry.queries("q87_sql_exists")(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+  }
+
+  test("q88 scalar subquery decorrelates: no per-row subquery execution") {
+    val p = plan(SparkEntry.queries("q88_sql_scalar_subquery")(spark, sf))
+    // decorrelation = the avg becomes an aggregate joined back, never a
+    // Subquery node evaluated per outer row
+    assert(!p.contains("Subquery"), s"correlated subquery not decorrelated:\n$p")
+    assert(p.contains("Join"), p)
+  }
 }

@@ -209,6 +209,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("native session_window ≡ explicit-state sessionize aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(79)
+    // whole-minute events + 30.5-min gap: never exactly gap apart, so the
+    // native ≥-split and the batch >-split agree (see sessionWindowCounts)
+    val gapUs = 1830L * 1000000
+    val evts = (1 to 300).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(12 * 60) * Min,
+        1 + rnd.nextInt(4), "e", 0.0)
+    }
+    val batch = graft.ext.Sessions.sessionize(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"),
+      gapUs = gapUs)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.sessionWindowCounts(src.toDF(), gapUs = gapUs,
+        watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("swin").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, T0 + 100000 * Min, 999, "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("swin")
+        .as[(Long, Long, Long, Long)].collect()
+        .filter(_._1 != 999L).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming source chain: file-drop parquet → same schema as batch") {
     val stream = StreamOps.readEventStream(spark, sf)
     assert(stream.isStreaming)
