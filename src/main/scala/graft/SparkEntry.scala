@@ -268,6 +268,12 @@ object SparkEntry {
     // per-step 9-dp round (the PageRank parity trick)
     "q86_ema" -> ((s: SparkSession, d: String) =>
       Sessions.emaDaily(Tables.events(s, d))),
+    // greedy token-budget sequence packing (pure-integer recurrence fold)
+    "q89_pack_sequences" -> ((s: SparkSession, d: String) =>
+      ext.Curation.packSequences(Tables.documents(s, d), budget = 256)),
+    // stratified 3-way split + inverse-frequency class weights
+    "q90_stratified_split" -> ((s: SparkSession, d: String) =>
+      ext.Curation.stratifiedSplit(Tables.documents(s, d))),
     // SQL front end: correlated EXISTS / NOT EXISTS — Catalyst's
     // RewritePredicateSubquery decorrelates to semi/anti joins
     // (PlanSpec-asserted); path-based parquet refs, no temp views
@@ -2057,6 +2063,58 @@ object SparkEntry {
         |    AND x.i = e.i + 1)
         |SELECT event_type, day, CAST(rev AS DOUBLE) AS rev,
         |  CAST(ema AS DOUBLE) AS ema FROM ema""".stripMargin,
+
+    // the greedy packing recurrence replayed per source over the doc index
+    // — all-integer state, no fp anywhere
+    "q89_pack_sequences" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents),
+        |idx AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+        |  FROM counts),
+        |pack AS (
+        |  SELECT source, doc_id, n_tokens, i,
+        |    CAST(1 AS BIGINT) AS bin, n_tokens AS cum
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.source, x.doc_id, x.n_tokens, x.i,
+        |    CASE WHEN p.cum + x.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.cum + x.n_tokens > 256 THEN x.n_tokens
+        |         ELSE p.cum + x.n_tokens END
+        |  FROM idx x JOIN pack p ON p.source = x.source AND x.i = p.i + 1)
+        |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(bin AS BIGINT) AS bin, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM pack""".stripMargin,
+
+    // counts are exact; both divisions are single double ops rounded at 6
+    "q90_stratified_split" ->
+      """WITH assigned AS (
+        |  SELECT lang,
+        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, split, count(*) AS n FROM assigned GROUP BY 1, 2),
+        |ext AS (
+        |  SELECT lang, split, n,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+        |    CAST(sum(CASE WHEN split = 'train' THEN n END) OVER ()
+        |      AS BIGINT) AS tt,
+        |    CAST(count(CASE WHEN split = 'train' THEN 1 END) OVER ()
+        |      AS BIGINT) AS tl
+        |  FROM counts)
+        |SELECT lang, split, n, n_lang,
+        |  round(CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE), 6) AS frac_of_lang,
+        |  CASE WHEN split = 'train' THEN
+        |    round(CAST(tt AS DOUBLE) / CAST(tl * n AS DOUBLE), 6) END
+        |    AS class_weight
+        |FROM ext""".stripMargin,
 
     // ANSI subqueries run verbatim on both engines
     "q87_sql_exists" ->

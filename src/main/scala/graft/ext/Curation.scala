@@ -276,6 +276,90 @@ object Curation {
           .as("lift"))
   }
 
+  /** Greedy sequence packing: pack documents (in doc_id order, per source)
+    * into token-budget bins — the context-window packing step of an LLM
+    * training pipeline. A doc that would overflow the current bin opens the
+    * next one; a doc longer than the budget gets a bin of its own. A true
+    * order-dependent recurrence, implemented as the per-group array fold
+    * (see [[Sessions.emaDaily]]) — pure INTEGER state, so no fp parity
+    * concerns at all.
+    *
+    * Scale shape: one tokenize pass + one fold whose input is O(docs per
+    * source) metadata structs (id + token count — never the text). At
+    * 100 TB the packing unit (here `source`) is whatever partition the
+    * training shards need; each group folds independently.
+    *
+    * @return (source, doc_id, n_tokens, bin, cum_tokens) — bin is 1-based
+    *         per source, cum_tokens the bin's running total after this doc
+    */
+  def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = docs.select(col("source"), col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val stepType =
+      "array<struct<doc_id:bigint,n_tokens:bigint,bin:bigint,cum:bigint>>"
+    val folded = counts
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_tokens"))))
+        .as("__vals"))
+      .select(col("source"), aggregate(
+        col("__vals"),
+        array().cast(stepType),
+        (acc, x) => {
+          val prev = element_at(acc, -1)
+          val overflow = prev.getField("cum") + x.getField("n_tokens") > budget
+          concat(acc, array(struct(
+            x.getField("doc_id").as("doc_id"),
+            x.getField("n_tokens").as("n_tokens"),
+            when(size(acc) === 0, lit(1L))
+              .otherwise(when(overflow, prev.getField("bin") + 1L)
+                .otherwise(prev.getField("bin"))).as("bin"),
+            when(size(acc) === 0, x.getField("n_tokens"))
+              .otherwise(when(overflow, x.getField("n_tokens"))
+                .otherwise(prev.getField("cum") + x.getField("n_tokens")))
+              .as("cum"))))
+        }).as("__series"))
+    folded
+      .select(col("source"), explode(col("__series")).as("s"))
+      .select(col("source"), col("s.doc_id").as("doc_id"),
+        col("s.n_tokens").as("n_tokens"), col("s.bin").as("bin"),
+        col("s.cum").as("cum_tokens"))
+  }
+
+  /** Deterministic stratified train/val/test split report: every doc is
+    * assigned 80/10/10 by the engine-neutral hash (reproducible anywhere —
+    * the SURVEY §7.4.3 split contract extended to three ways), then per
+    * (lang, split): counts, the within-language fraction, and for train
+    * splits the inverse-frequency CLASS WEIGHT N_train/(k·n_train_lang) —
+    * the imbalance correction a trainer consumes directly.
+    *
+    * Scale shape: one hash aggregation over the scan; everything after
+    * operates on the O(langs·3) counts frame (the global windows are on
+    * that tiny frame, not the corpus).
+    */
+  def stratifiedSplit(docs: DataFrame): DataFrame = {
+    val h = graft.functions.Hashing.knuthMod(col("doc_id"), 100L)
+    val split = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val wLang = Window.partitionBy(col("lang"))
+    val wAll = Window.partitionBy(lit(1))
+    docs
+      .select(col("lang"), split.as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_lang", sum(col("n")).over(wLang))
+      .withColumn("frac_of_lang",
+        round(col("n").cast("double") / col("n_lang").cast("double"), 6))
+      .withColumn("__train_total",
+        sum(when(col("split") === "train", col("n"))).over(wAll))
+      .withColumn("__train_langs",
+        count(when(col("split") === "train", lit(1))).over(wAll))
+      .withColumn("class_weight",
+        when(col("split") === "train",
+          round(col("__train_total").cast("double") /
+            (col("__train_langs") * col("n")).cast("double"), 6)))
+      .select("lang", "split", "n", "n_lang", "frac_of_lang", "class_weight")
+  }
+
   /** Corpus mixture rebalancing: downsample every language to the size of
     * the smallest one, keeping per language the `n_target` docs with the
     * smallest engine-neutral hash priority — the deterministic version of

@@ -236,6 +236,51 @@ object StreamOps {
       }
   }
 
+  final case class Debounced(user_id: Long, event_id: Long, ts_us: Long,
+                             event_type: String)
+  final case class DebState(lastType: String, lastTs: Long)
+
+  /** Streaming debounce — the unbounded twin of
+    * [[graft.ext.Sessions.compactRuns]]: per user, emit only the events
+    * that CHANGE the event type (run starts); consecutive same-type events
+    * are swallowed. State is one (type, ts) pair per user, expired after
+    * `idleUs` of event-time silence — so a user idle past the horizon
+    * re-emits their current type on return (the same horizon caveat as
+    * `dropDuplicatesWithinWatermark`); inside the horizon the emitted set
+    * is exactly the batch operator's run starts.
+    */
+  def debounceStream(events: Dataset[Event],
+                     idleUs: Long = 3600L * 1000000,
+                     watermark: String = "1 hour"): Dataset[Debounced] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DebState, Debounced](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[DebState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Debounced]
+            var last = state.getOption
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (!last.exists(_.lastType == e.event_type))
+                out += Debounced(user, e.event_id, e.ts_us, e.event_type)
+              last = Some(DebState(e.event_type,
+                math.max(last.map(_.lastTs).getOrElse(0L), e.ts_us)))
+            }
+            last.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + idleUs) / 1000 + 1)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** The BUILT-IN session-window form of [[sessionize]]: Spark's native
     * `session_window(ts, gap)` merges overlapping per-event gap intervals
     * inside the streaming aggregation operator — no user state code. Kept

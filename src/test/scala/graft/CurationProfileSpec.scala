@@ -306,6 +306,41 @@ class CurationProfileSpec extends SparkSuite {
       === Seq((1L, 1L, "solo")))
   }
 
+  test("sequence packing: greedy bins respect the budget, oversized docs stand alone") {
+    val docs = Seq(
+      (1L, "w w w"), (2L, "w w w"), (3L, "w w w w"),
+      (4L, "w w w w w w"), (5L, "w w")
+    ).map { case (id, t) => (id, "s0", t) }.toDF("doc_id", "source", "text")
+    val r = Curation.packSequences(docs, budget = 5)
+      .orderBy("doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(x => (x._2, x._3, x._4, x._5)) === Seq(
+      (1L, 3L, 1L, 3L),   // opens bin 1
+      (2L, 3L, 2L, 3L),   // 3+3 > 5 → bin 2
+      (3L, 4L, 3L, 4L),   // 3+4 > 5 → bin 3
+      (4L, 6L, 4L, 6L),   // longer than budget → own bin
+      (5L, 2L, 5L, 2L)))  // 6+2 > 5 → bin 5
+    // invariant: a bin only exceeds the budget when it holds a single doc
+    val byBin = r.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    byBin.foreach { case (bin, szs) =>
+      assert(szs.sum <= 5 || szs.length == 1, s"bin $bin overfull: $szs")
+    }
+  }
+
+  test("stratified split: fractions sum to 1 per lang, weights on train only") {
+    val r = Curation.stratifiedSplit(Tables.documents(spark, sf))
+      .as[(String, String, Long, Long, Double, Option[Double])].collect()
+    assert(r.map(_._3).sum === Tables.documents(spark, sf).count())
+    r.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum === rows.head._4, s"$lang n_lang mismatch")
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-5, s"$lang fracs")
+    }
+    assert(r.forall(x => x._6.isDefined == (x._2 == "train")))
+    // inverse-frequency: bigger train strata get smaller weights
+    val ws = r.filter(_._2 == "train").sortBy(_._3).map(_._6.get).toSeq
+    assert(ws === ws.sorted.reverse, s"weights not inverse to size: $ws")
+  }
+
   test("language rebalance: every language exactly at the min-language size") {
     val docs = Tables.documents(spark, sf)
     val perLang = docs.groupBy(col("lang")).count()

@@ -242,6 +242,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming debounce ≡ batch run starts on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(81)
+    val types = Array("a", "b", "c")
+    val evts = (1 to 300).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(5 * 60) * Min,
+        1 + rnd.nextInt(5), types(rnd.nextInt(3)), 0.0)
+    }
+    val batch = graft.ext.Sessions.compactRuns(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"))
+      .select(col("user_id"), col("start_us"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSet
+
+    val src = MemoryStream[Event]
+    // idle horizon far beyond the data so no state expires mid-test
+    val q = StreamOps.debounceStream(src.toDS(),
+        idleUs = 100L * 3600 * 1000000, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("deb").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("deb")
+        .select(col("user_id"), col("ts_us"), col("event_type"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming source chain: file-drop parquet → same schema as batch") {
     val stream = StreamOps.readEventStream(spark, sf)
     assert(stream.isStreaming)
