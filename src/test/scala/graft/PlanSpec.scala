@@ -162,6 +162,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
+  test("q82 delta-join partials broadcast the dimension side, never sort-merge") {
+    val p = plan(ops.Relational.q82DeltaJoin(spark, sf))
+    // "(n) <Op>" detail headers count each physical node exactly once
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length == 4,
+      s"expected all four delta-join partials broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q87 SQL EXISTS/NOT EXISTS decorrelate to physical semi/anti joins") {
     val p = plan(SparkEntry.queries("q87_sql_exists")(spark, sf))
     assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
