@@ -274,6 +274,23 @@ object SparkEntry {
     // stratified 3-way split + inverse-frequency class weights
     "q90_stratified_split" -> ((s: SparkSession, d: String) =>
       ext.Curation.stratifiedSplit(Tables.documents(s, d))),
+    // Morton (z-order) clustering key — the multi-dimensional data-skipping
+    // layout; pure shift/mask integer expression (Sinks.writeZOrdered sorts
+    // by it at write time)
+    "q91_zorder_key" -> ((s: SparkSession, d: String) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+            .as("zval"))),
+    // per-file statistics manifest (the data-skipping metadata a lakehouse
+    // table format maintains) via input_file_name grouping
+    "q92_file_manifest" -> ((s: SparkSession, d: String) =>
+      Tables.lineitem(s, d)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"))),
     // SQL front end: correlated EXISTS / NOT EXISTS — Catalyst's
     // RewritePredicateSubquery decorrelates to semi/anti joins
     // (PlanSpec-asserted); path-based parquet refs, no temp views
@@ -2115,6 +2132,24 @@ object SparkEntry {
         |    round(CAST(tt AS DOUBLE) / CAST(tl * n AS DOUBLE), 6) END
         |    AS class_weight
         |FROM ext""".stripMargin,
+
+    // the identical shift/mask interleave, generated per bit position
+    "q91_zorder_key" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((l_partkey & 65535) >> $i) & 1) * ${1L << (2 * i)}" +
+          s" + (((l_suppkey & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      "SELECT l_orderkey, l_partkey, l_suppkey,\n" +
+        s"  CAST($terms AS BIGINT) AS zval\n" +
+        "FROM lineitem WHERE l_orderkey % 100 = 0"
+    },
+
+    // the oracle pins this corpus's one-file-per-table layout (TESTDATA.md):
+    // the Spark side groups by the actual file, the oracle names it
+    "q92_file_manifest" ->
+      """SELECT 'lineitem.parquet' AS file, count(*) AS n_rows,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey
+        |FROM lineitem""".stripMargin,
 
     // ANSI subqueries run verbatim on both engines
     "q87_sql_exists" ->

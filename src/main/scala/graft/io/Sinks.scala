@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Output sinks sized for scale (the generalization of S9/S11's per-file
   * writes, which are a small-files antipattern beyond a few thousand rows).
@@ -50,4 +51,33 @@ object Sinks {
     */
   def writeDataset(ds: DataFrame, path: String): Unit =
     writePartitionedParquet(ds, path, Seq("split"))
+
+  /** Z-ordered write: range-partition + sort by the Morton key of two
+    * dimension columns, so every output file's min/max is narrow in BOTH
+    * dimensions and selective filters on either column skip files (the
+    * Delta `OPTIMIZE ZORDER BY` layout). The z-value is dropped before
+    * write — it's a layout key, not data.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+                    files: Int = 8): Unit =
+    df.withColumn("__z", graft.functions.ZOrder.zValue(col(a), col(b)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a directory into ~`targetFileBytes`
+    * files using the optimizer's size estimate — the maintenance pass every
+    * streaming/append workload needs once file counts hurt scan planning.
+    * (Row-count-based sizing via `maxRecordsPerFile` can't merge files that
+    * are already too small; only a repartition can.)
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0)
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt.max(1)
+    df.repartition(n).write.mode("overwrite").parquet(outPath)
+  }
 }

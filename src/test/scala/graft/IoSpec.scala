@@ -119,4 +119,45 @@ class IoSpec extends SparkSuite {
     assert(a == "1 0.1 0.1 0.1 0.1\n2 0.2 0.2 0.2 0.2\n")
     assert(b == "")
   }
+
+  test("z-value interleaves bits; z-ordered write narrows per-file ranges") {
+    import graft.functions.ZOrder.zValue
+    // hand-checked Morton codes: z(1,0)=1, z(0,1)=2, z(3,3)=15, z(2,1)=6
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L)).toDF("a", "b")
+      .select(zValue(col("a"), col("b")).as("z")).as[Long].collect().toSeq
+    assert(z === Seq(1L, 2L, 15L, 6L))
+    // locality: sort 32×32 grid by z; per-file ranges shrink in BOTH dims
+    val d = tmpDir("zord")
+    val grid = spark.range(1024).select(
+      (col("id") % 32).as("x"), expr("id div 32").as("y"))
+    graft.io.Sinks.writeZOrdered(grid, d.toString + "/out", "x", "y", files = 16)
+    val perFile = spark.read.parquet(d.toString + "/out")
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("xr"),
+        (max(col("y")) - min(col("y"))).as("yr"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(perFile.map(_._4).sum === 1024L)
+    // a 1024-row/16-file z-layout keeps most files within half the 0..31
+    // extent in both dimensions (a random layout would be ~31 everywhere);
+    // files straddling a major Morton-tile transition may span wider, so
+    // allow a couple of exceptions
+    val tight = perFile.count(f => f._2 <= 15 && f._3 <= 15)
+    assert(tight >= perFile.length - 3,
+      s"only $tight/${perFile.length} tight files:\n${perFile.mkString("\n")}")
+  }
+
+  test("compaction rewrites many small files into the size-targeted few") {
+    val d = tmpDir("compact")
+    val src = d.toString + "/in"
+    val out = d.toString + "/out"
+    Tables.lineitem(spark, sf).repartition(50).write.parquet(src)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(src) == 50)
+    graft.io.Sinks.compact(spark, src, out, targetFileBytes = 1L * 1024 * 1024)
+    assert(files(out) < 10, s"expected few files, got ${files(out)}")
+    assert(spark.read.parquet(out).count() ===
+      Tables.lineitem(spark, sf).count())
+  }
 }
