@@ -274,6 +274,10 @@ object SparkEntry {
     // stratified 3-way split + inverse-frequency class weights
     "q90_stratified_split" -> ((s: SparkSession, d: String) =>
       ext.Curation.stratifiedSplit(Tables.documents(s, d))),
+    // SCD2 point-in-time join: validity-interval dimension from signup
+    // events, purchases joined to the version valid at their event time
+    "q93_scd2_join" -> ((s: SparkSession, d: String) =>
+      Sessions.scd2Join(Tables.events(s, d))),
     // Morton (z-order) clustering key — the multi-dimensional data-skipping
     // layout; pure shift/mask integer expression (Sinks.writeZOrdered sorts
     // by it at write time)
@@ -2132,6 +2136,23 @@ object SparkEntry {
         |    round(CAST(tt AS DOUBLE) / CAST(tl * n AS DOUBLE), 6) END
         |    AS class_weight
         |FROM ext""".stripMargin,
+
+    "q93_scd2_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id, ts_us AS valid_from_us,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    coalesce(lead(ts_us) OVER w, 9223372036854775807)
+        |      AS valid_to_us
+        |  FROM e WHERE event_type = 'signup'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT p.user_id, p.event_id AS purchase_id,
+        |  p.ts_us AS purchase_us, d.version, d.valid_from_us, d.valid_to_us
+        |FROM e p JOIN dim d ON d.user_id = p.user_id
+        |WHERE p.event_type = 'purchase'
+        |  AND p.ts_us >= d.valid_from_us AND p.ts_us < d.valid_to_us""".stripMargin,
 
     // the identical shift/mask interleave, generated per bit position
     "q91_zorder_key" -> {

@@ -116,6 +116,45 @@ object Sessions {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** SCD2 (validity-interval) point-in-time join — the feature-store
+    * correctness primitive: build a slowly-changing dimension from each
+    * user's signup events (every signup opens a new version, closed by the
+    * next one), then join every purchase to the version VALID AT ITS EVENT
+    * TIME — never a later one (no training-time leakage).
+    *
+    * Shape: the dimension build is one window (lead) over the signup
+    * slice; the join is an equi-join on user with the validity range as a
+    * residual predicate — one shuffle, and per-user candidates are bounded
+    * by that user's version count (the q45 interval-join argument). An
+    * as-of join (q29) answers "latest before"; SCD2 adds explicit validity
+    * intervals, so deletes/expirations are representable.
+    *
+    * @return (user_id, purchase_id, purchase_us, version, valid_from_us,
+    *         valid_to_us) — purchases before a user's first version are
+    *         absent (inner join; the left form would carry NULL versions)
+    */
+  def scd2Join(events: DataFrame): DataFrame = {
+    val e = withTsUs(events)
+    val wDim = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val dim = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us").as("valid_from_us"),
+        col("event_id"))
+      .withColumn("version", row_number().over(wDim).cast("long"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(wDim),
+          lit(Long.MaxValue)))
+      .drop("event_id")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"))
+    purchases.join(dim, Seq("user_id"))
+      .filter(col("purchase_us") >= col("valid_from_us") &&
+        col("purchase_us") < col("valid_to_us"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_us"),
+        col("version"), col("valid_from_us"), col("valid_to_us"))
+  }
+
   /** Run-length compaction (debounce): collapse each user's CONSECUTIVE
     * same-type events into one row — the stream-compaction / event-dedup
     * shape that turns sensor chatter into state changes. A run breaks when

@@ -236,6 +236,17 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded event stream to a
+    * bounded dimension (here: per-user first-seen metadata computed from a
+    * batch table). The static side is planned as a broadcast per
+    * micro-batch — no stream-side state at all, the cheapest join a stream
+    * can do, and the standard shape for taxonomy/profile enrichment.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
+      "left_outer")
+
   final case class Debounced(user_id: Long, event_id: Long, ts_us: Long,
                              event_type: String)
   final case class DebState(lastType: String, lastTs: Long)

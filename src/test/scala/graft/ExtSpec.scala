@@ -191,6 +191,22 @@ class ExtSpec extends SparkSuite {
     assert(jac.forall(_._6 < 0.8), "jaccard must miss what containment catches")
   }
 
+  test("scd2 join: purchases hit the version valid at their time, never later") {
+    val events = Seq(
+      (1L, 100L, 1L, "signup", 0.0),   // v1 valid [100, 300)
+      (2L, 300L, 1L, "signup", 0.0),   // v2 valid [300, ∞)
+      (3L, 50L, 1L, "purchase", 1.0),  // before v1 → dropped
+      (4L, 200L, 1L, "purchase", 1.0), // → v1
+      (5L, 300L, 1L, "purchase", 1.0), // boundary: valid_from inclusive → v2
+      (6L, 400L, 1L, "purchase", 1.0)  // → v2
+    ).map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ext.Sessions.scd2Join(events)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._2 -> x._4).toMap
+    assert(r === Map(4L -> 1L, 5L -> 2L, 6L -> 2L))
+  }
+
   test("ema: recurrence folds in day order with per-step rounding") {
     val DayNs = 86400000000000L
     val events = Seq(

@@ -270,6 +270,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (20L, "basic")).toDF("user_id", "tier")
+    val src = MemoryStream[Event]
+    val q = StreamOps.enrichStream(src.toDF(), dim)
+      .writeStream.outputMode("append").format("memory").queryName("enr").start()
+    try {
+      src.addData(Event(1, T0, 10, "a", 1.0), Event(2, T0, 30, "b", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("enr")
+        .select(col("event_id"), col("tier"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("streaming source chain: file-drop parquet → same schema as batch") {
     val stream = StreamOps.readEventStream(spark, sf)
     assert(stream.isStreaming)
