@@ -274,6 +274,10 @@ object SparkEntry {
     // stratified 3-way split + inverse-frequency class weights
     "q90_stratified_split" -> ((s: SparkSession, d: String) =>
       ext.Curation.stratifiedSplit(Tables.documents(s, d))),
+    // session occupancy: active sessions/users per hour bucket (interval →
+    // bucket explode, bounded by duration/bucket, then one hash agg)
+    "q94_occupancy" -> ((s: SparkSession, d: String) =>
+      Sessions.occupancy(Tables.events(s, d))),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2136,6 +2140,32 @@ object SparkEntry {
         |    round(CAST(tt AS DOUBLE) / CAST(tl * n AS DOUBLE), 6) END
         |    AS class_weight
         |FROM ext""".stripMargin,
+
+    // q11's session CTE + generate_series over the touched hour buckets
+    "q94_occupancy" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, session_id,
+        |    min(ts_us) // 3600000000 AS b0, max(ts_us) // 3600000000 AS b1
+        |  FROM numbered GROUP BY user_id, session_id)
+        |SELECT u.bucket, count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM sessions, unnest(generate_series(b0, b1)) AS u(bucket)
+        |GROUP BY u.bucket""".stripMargin,
 
     "q93_scd2_join" ->
       """WITH e AS (

@@ -116,6 +116,25 @@ object Sessions {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Session OCCUPANCY (concurrency analysis): how many sessions — and
+    * distinct users — are ACTIVE in each time bucket. Sessions come from
+    * [[sessionize]]; each session explodes into the buckets its
+    * [start, end] interval touches (expansion bounded by duration/bucket,
+    * the same constant-factor-explode argument as hopping windows), then
+    * one hash aggregation. The interval→occupancy reduction behind
+    * concurrent-users, room-occupancy and license-peak reports.
+    */
+  def occupancy(events: DataFrame,
+                bucketUs: Long = 3600L * 1000000): DataFrame =
+    sessionize(events)
+      .select(col("user_id"),
+        explode(sequence(
+          floorDiv(col("start_us"), bucketUs),
+          floorDiv(col("end_us"), bucketUs))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col("user_id")).as("n_users"))
+
   /** SCD2 (validity-interval) point-in-time join — the feature-store
     * correctness primitive: build a slowly-changing dimension from each
     * user's signup events (every signup opens a new version, closed by the

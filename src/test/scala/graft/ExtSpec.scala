@@ -191,6 +191,22 @@ class ExtSpec extends SparkSuite {
     assert(jac.forall(_._6 < 0.8), "jaccard must miss what containment catches")
   }
 
+  test("occupancy: sessions count in every bucket their interval touches") {
+    val HourNs = 3600L * 1000000000L
+    val events = Seq(
+      // user 1: one session spanning hours 0-2 (events 30 min apart)
+      (1L, 0L, 1L, "e", 0.0), (2L, HourNs / 2, 1L, "e", 0.0),
+      (3L, HourNs, 1L, "e", 0.0), (4L, 2 * HourNs, 1L, "e", 0.0),
+      // user 2: short session inside hour 1
+      (5L, HourNs + 1000L, 2L, "e", 0.0)
+    ).map { case (id, ns, u, t, v) => (id, ns, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // gap 30 min: user 1's events 3→4 are 1 h apart → session SPLITS there
+    val r = ext.Sessions.occupancy(events)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(r === Seq((0L, 1L, 1L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
   test("scd2 join: purchases hit the version valid at their time, never later") {
     val events = Seq(
       (1L, 100L, 1L, "signup", 0.0),   // v1 valid [100, 300)
