@@ -278,6 +278,10 @@ object SparkEntry {
     // bucket explode, bounded by duration/bucket, then one hash agg)
     "q94_occupancy" -> ((s: SparkSession, d: String) =>
       Sessions.occupancy(Tables.events(s, d))),
+    // LISTAGG with deterministic order (sort_array before concat)
+    "q95_string_agg" -> Relational.q95StringAgg _,
+    // month-over-month growth from exact decimal monthly sums
+    "q96_period_over_period" -> Relational.q96PeriodOverPeriod _,
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2140,6 +2144,32 @@ object SparkEntry {
         |    round(CAST(tt AS DOUBLE) / CAST(tl * n AS DOUBLE), 6) END
         |    AS class_weight
         |FROM ext""".stripMargin,
+
+    "q95_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q96_period_over_period" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2, 3),
+        |lagged AS (
+        |  SELECT o_orderpriority, yr, mo, rev,
+        |    lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY yr, mo)
+        |      AS prev_rev
+        |  FROM monthly)
+        |SELECT o_orderpriority, yr, mo,
+        |  CAST(rev AS DOUBLE) AS rev,
+        |  CAST(prev_rev AS DOUBLE) AS prev_rev,
+        |  round(CASE WHEN prev_rev > 0
+        |    THEN CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE)
+        |    END, 6) AS mom_growth
+        |FROM lagged""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

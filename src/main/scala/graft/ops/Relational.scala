@@ -725,6 +725,47 @@ object Relational {
         col("purchase_us"), col("view_us"))
   }
 
+  /** Ordered string aggregation (LISTAGG/string_agg): per region, the
+    * nation names concatenated in a DETERMINISTIC order — via
+    * sort_array(collect_list(...)) then join, because engines' native
+    * string_agg input order is otherwise partition-dependent. One shuffle;
+    * the per-group payload must be bounded (names, not documents) — the
+    * same discipline as any collect_list.
+    */
+  def q95StringAgg(spark: SparkSession, d: String): DataFrame =
+    nation(spark, d)
+      .join(broadcast(region(spark, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("nations"))
+
+  /** Period-over-period growth: monthly revenue with the previous month's
+    * value and the month-over-month delta ratio — the reporting staple.
+    * Parity: monthly sums are exact 2-dp decimals (association-free), the
+    * growth ratio is ONE double division of exact inputs rounded at 6 dp;
+    * a first month (no predecessor) and a zero-revenue predecessor both
+    * yield NULL growth on both engines.
+    */
+  def q96PeriodOverPeriod(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("yr"), col("mo"))
+    val monthly = orders(spark, d)
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    monthly
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .select(col("o_orderpriority"), col("yr"), col("mo"),
+        col("rev").cast("double").as("rev"),
+        col("prev_rev").cast("double").as("prev_rev"),
+        round(when(col("prev_rev") > 0,
+          (col("rev") - col("prev_rev")).cast("double") /
+            col("prev_rev").cast("double")), 6).as("mom_growth"))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */
