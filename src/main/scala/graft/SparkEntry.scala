@@ -642,23 +642,27 @@ object SparkEntry {
         |FROM bitc b JOIN n ON n.doc_id = b.doc_id
         |GROUP BY b.doc_id, n.n_shingles""".stripMargin,
 
+    // fixed-point quantized cosines (see Similarity's parity note): the
+    // integer moments are exact, the derived double is raw — no round
     "q19_cosine_topk" ->
-      """WITH nrm AS (
+      """WITH qv AS (
         |  SELECT vec_id,
-        |    sqrt((SELECT sum(CAST(embedding[t.i] AS DOUBLE)
-        |                   * CAST(embedding[t.i] AS DOUBLE))
-        |          FROM generate_series(1, 64) t(i))) AS nv
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
         |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round((SELECT sum(CAST(q.embedding[t.i] AS DOUBLE)
-        |                    * CAST(c.embedding[t.i] AS DOUBLE))
-        |           FROM generate_series(1, 64) t(i)) / (nq.nv * nc.nv), 6) AS cos
-        |  FROM embeddings q
-        |  JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  JOIN nrm nq ON nq.vec_id = q.vec_id
-        |  JOIN nrm nc ON nc.vec_id = c.vec_id
-        |  WHERE q.vec_id % 10 = 0 AND nq.nv > 0 AND nc.nv > 0),
+        |    CAST((SELECT sum(q.q[t.i] * c.q[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+        |      AS cos
+        |  FROM nrm q
+        |  JOIN nrm c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 10 = 0 AND q.n2 > 0 AND c.n2 > 0),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id
@@ -667,21 +671,24 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "q20_cosine_neardup" ->
-      """WITH nrm AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt((SELECT sum(CAST(embedding[t.i] AS DOUBLE)
-        |                   * CAST(embedding[t.i] AS DOUBLE))
-        |          FROM generate_series(1, 64) t(i))) AS nv
-        |  FROM embeddings)
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
-        |                  * CAST(b.embedding[t.i] AS DOUBLE))
-        |         FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6) AS cos
+        |  CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+        |        FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
         |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-        |  AND a.nv > 0 AND b.nv > 0
-        |WHERE round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
-        |                      * CAST(b.embedding[t.i] AS DOUBLE))
-        |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
+        |  AND a.n2 > 0 AND b.n2 > 0
+        |WHERE CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+        |            FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
         |      >= 0.18""".stripMargin,
 
     "q21_yolo_norm" ->
@@ -763,21 +770,24 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN pr > 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
         |         AS BIGINT) AS bucket
         |  FROM proj GROUP BY vec_id),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
         |nrm AS (
-        |  SELECT e.vec_id, e.embedding, b.bucket,
-        |    sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE)
-        |                   * CAST(e.embedding[t.i] AS DOUBLE))
-        |          FROM generate_series(1, 64) t(i))) AS nv
-        |  FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id)
+        |  SELECT v.vec_id, b.bucket, v.q,
+        |    (SELECT sum(v.q[t.i] * v.q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv v JOIN bkt b ON b.vec_id = v.vec_id)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
-        |                  * CAST(b.embedding[t.i] AS DOUBLE))
-        |         FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6) AS cos
+        |  CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+        |        FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
         |FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  AND a.nv > 0 AND b.nv > 0
-        |WHERE round((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE)
-        |                      * CAST(b.embedding[t.i] AS DOUBLE))
-        |             FROM generate_series(1, 64) t(i)) / (a.nv * b.nv), 6)
+        |  AND a.n2 > 0 AND b.n2 > 0
+        |WHERE CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+        |            FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
         |      >= 0.15""".stripMargin,
 
     "q35_bpe_tokens" ->
@@ -1007,41 +1017,44 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // IVF ANN: engine-neutral centroid sample (lowest arithmetic hash),
-    // round-6 assignment, nprobe=4 probe, exact rerank — deterministic end
-    // to end, so the approximate index IS oracle-checkable
+    // quantized-exact assignment (raw double from integer moments),
+    // nprobe=4 probe, exact rerank — deterministic end to end, so the
+    // approximate index IS oracle-checkable
     "q31_ivf_topk" ->
-      """WITH nrm AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt((SELECT sum(CAST(embedding[t.i] AS DOUBLE)
-        |                   * CAST(embedding[t.i] AS DOUBLE))
-        |          FROM generate_series(1, 64) t(i))) AS nv
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
         |  FROM embeddings),
-        |ok AS (SELECT * FROM nrm WHERE nv > 0),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
+        |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv
+        |       FROM nrm WHERE n2 > 0),
         |cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv, nv AS cn FROM ok
+        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn FROM ok
         |  ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id LIMIT 16),
         |asg AS (
-        |  SELECT o.vec_id, o.embedding, o.nv, c.centroid_id,
-        |    round((SELECT sum(CAST(o.embedding[t.i] AS DOUBLE)
-        |                    * CAST(c.cv[t.i] AS DOUBLE))
-        |           FROM generate_series(1, 64) t(i)) / (o.nv * c.cn), 6) AS ccos
+        |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
+        |    CAST((SELECT sum(o.q[t.i] * c.cv[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (o.nv * c.cn) AS ccos
         |  FROM ok o, cent c),
         |ranked AS (
-        |  SELECT vec_id, embedding, nv, centroid_id,
+        |  SELECT vec_id, q, nv, centroid_id,
         |    row_number() OVER (PARTITION BY vec_id
         |                       ORDER BY ccos DESC, centroid_id) AS crk
         |  FROM asg),
-        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, embedding AS nev,
-        |               nv AS nn
+        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, q AS nev, nv AS nn
         |        FROM ranked WHERE crk = 1),
-        |probes AS (SELECT centroid_id, vec_id AS query_id, embedding AS qv,
-        |                  nv AS qn
+        |probes AS (SELECT centroid_id, vec_id AS query_id, q AS pqv, nv AS qn
         |           FROM ranked WHERE crk <= 4 AND vec_id % 10 = 0),
         |scored AS (
         |  SELECT p.query_id, ne.neighbor_id,
-        |    round((SELECT sum(CAST(p.qv[t.i] AS DOUBLE)
-        |                    * CAST(ne.nev[t.i] AS DOUBLE))
-        |           FROM generate_series(1, 64) t(i)) / (p.qn * ne.nn), 6) AS cos
+        |    CAST((SELECT sum(p.pqv[t.i] * ne.nev[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (p.qn * ne.nn) AS cos
         |  FROM probes p JOIN idx ne ON ne.centroid_id = p.centroid_id
         |  WHERE p.query_id <> ne.neighbor_id),
         |rr AS (
@@ -1178,14 +1191,26 @@ object SparkEntry {
         |FROM dfq, n
         |WHERE CAST(df AS DOUBLE) / n_docs >= 0.4""".stripMargin,
 
+    // balances are exact cents: moments accumulate as exact HUGEINTs, and
+    // mean/std/z are the identical raw double derivation as the Spark side
     "q42_zscore" ->
-      """WITH stats AS (
-        |  SELECT c_mktsegment, round(avg(c_acctbal), 6) AS seg_mean,
-        |    round(stddev_pop(c_acctbal), 6) AS seg_std
-        |  FROM customer GROUP BY c_mktsegment)
+      """WITH m AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(round(c_acctbal * 100, 0) AS HUGEINT)) AS DOUBLE)
+        |      AS sx,
+        |    CAST(sum(CAST(round(c_acctbal * 100, 0) AS HUGEINT)
+        |           * CAST(round(c_acctbal * 100, 0) AS HUGEINT)) AS DOUBLE)
+        |      AS sxx
+        |  FROM customer GROUP BY c_mktsegment),
+        |stats AS (
+        |  SELECT c_mktsegment, sx / n / 100.0 AS seg_mean,
+        |    sqrt(CASE WHEN sxx / n - (sx/n) * (sx/n) > 0
+        |              THEN sxx / n - (sx/n) * (sx/n) ELSE 0 END) / 100.0
+        |      AS seg_std
+        |  FROM m)
         |SELECT c_custkey, c.c_mktsegment, c_acctbal, seg_mean, seg_std,
         |  CASE WHEN seg_std > 0.0
-        |       THEN round((c_acctbal - seg_mean) / seg_std, 6)
+        |       THEN (c_acctbal - seg_mean) / seg_std
         |       ELSE 0.0 END AS zscore
         |FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment""".stripMargin,
 
@@ -1585,7 +1610,7 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         |  CAST(sum(CASE WHEN l_extendedprice < p25 - 0.5 * (p75 - p25)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-        |  round(max(p75 + 0.5 * (p75 - p25)), 6) AS high_fence
+        |  max(p75 + 0.5 * (p75 - p25)) AS high_fence
         |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
         |GROUP BY l.l_returnflag""".stripMargin,
 
@@ -1731,18 +1756,24 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS first_us
         |FROM events GROUP BY event_type""".stripMargin,
 
-    // both shares rounded at 6 dp: the totals are fp sums whose association
-    // differs across engines (Spark frame re-eval vs DuckDB segment tree)
+    // balances are exact cents: window sums accumulate as exact HUGEINTs,
+    // and both shares are single raw double divisions of identical inputs —
+    // bit-identical across engines with no rounding
     "q69_share_of_total" ->
-      """SELECT c_custkey, c_mktsegment, c_acctbal,
-        |  round(c_acctbal /
-        |    sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS share,
-        |  round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment
-        |          ORDER BY c_acctbal DESC, c_custkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |        / sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(round(c_acctbal * 100, 0) AS HUGEINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(cents AS DOUBLE) /
+        |    CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |    AS share,
+        |  CAST(sum(cents) OVER (PARTITION BY c_mktsegment
+        |         ORDER BY c_acctbal DESC, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
         |    AS cum_share
-        |FROM customer WHERE c_acctbal > 0""".stripMargin,
+        |FROM c""".stripMargin,
 
     // every event lands in window/slide = 2 hopping windows: starts
     // floor(ts/slide)·slide and one slide earlier (exact µs floor division)
@@ -1790,7 +1821,8 @@ object SparkEntry {
 
     // exact integer sufficient statistics (quantity integral, price exact
     // cents in this corpus) accumulated as HUGEINTs, then the identical
-    // double derivation as the Spark side — only the final 6 dp rounds
+    // double derivation as the Spark side, emitted RAW (IEEE ops on exact
+    // inputs are bit-identical; round(double,6) drifts across engines)
     "q74_corr_regression" ->
       """WITH t AS (
         |  SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x,
@@ -1805,17 +1837,17 @@ object SparkEntry {
         |    CAST(sum(y * y) AS DOUBLE) AS syy
         |  FROM t GROUP BY 1)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
-        |    (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6)
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END
         |    AS corr,
-        |  round(CASE WHEN n*sxx - sx*sx > 0 THEN
-        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope_cents_per_unit,
-        |  round(CASE WHEN n*sxx - sx*sx > 0 THEN
-        |    (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6)
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope_cents_per_unit,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END
         |    AS intercept,
-        |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
         |    ((n*sxy - sx*sy) * (n*sxy - sx*sy))
-        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS r2
         |FROM a""".stripMargin,
 
     "q75_grouping_sets" ->
@@ -1838,7 +1870,9 @@ object SparkEntry {
 
     // daily totals become exact 2-dp decimals BEFORE the frame sums, so the
     // trailing-window sufficient statistics are association-free; μ/σ/z are
-    // the identical double derivation on both sides, rounded at 6 dp
+    // the identical double derivation on both sides, emitted RAW —
+    // division/multiply/sqrt are IEEE-correctly-rounded so the doubles are
+    // bit-identical, whereas round(double, 6) drifts across DuckDB versions
     "q77_moving_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -1853,14 +1887,13 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT event_type, day, revenue, CAST(n AS BIGINT) AS n_frame,
-        |  round(s1 / n, 6) AS mu,
-        |  round(sqrt(CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
-        |                  THEN s2 / n - (s1/n) * (s1/n) ELSE 0 END), 6)
-        |    AS sigma,
-        |  round(CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
-        |             THEN (CAST(revenue AS DOUBLE) - s1/n)
-        |                  / sqrt(s2 / n - (s1/n) * (s1/n))
-        |             ELSE 0.0 END, 6) AS z,
+        |  s1 / n AS mu,
+        |  sqrt(CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
+        |            THEN s2 / n - (s1/n) * (s1/n) ELSE 0 END) AS sigma,
+        |  CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
+        |       THEN (CAST(revenue AS DOUBLE) - s1/n)
+        |            / sqrt(s2 / n - (s1/n) * (s1/n))
+        |       ELSE 0.0 END AS z,
         |  CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
         |       THEN abs((CAST(revenue AS DOUBLE) - s1/n)
         |                / sqrt(s2 / n - (s1/n) * (s1/n))) > 2.0
@@ -1946,8 +1979,9 @@ object SparkEntry {
         |FROM pb JOIN sk s ON s.j = pb.j AND s.bucket = pb.bucket
         |GROUP BY pb.key, pb.n_exact""".stripMargin,
 
-    // lift = exact long products, one double division (sum(len) is HUGEINT
-    // in DuckDB → cast back to BIGINT to mirror Spark's long arithmetic)
+    // lift = exact long products, one raw double division — bit-identical,
+    // no rounding (sum(len) is HUGEINT in DuckDB → cast back to BIGINT to
+    // mirror Spark's long arithmetic)
     "q80_collocations" ->
       """WITH toks AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -1968,8 +2002,8 @@ object SparkEntry {
         |  FROM nz)
         |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
         |  n_pair, u1.nw AS n_w1, u2.nw AS n_w2,
-        |  round(CAST(n_pair * n_tokens * n_tokens AS DOUBLE)
-        |        / CAST(u1.nw * u2.nw * n_bigrams AS DOUBLE), 6) AS lift
+        |  CAST(n_pair * n_tokens * n_tokens AS DOUBLE)
+        |        / CAST(u1.nw * u2.nw * n_bigrams AS DOUBLE) AS lift
         |FROM bic
         |CROSS JOIN tot
         |JOIN unic u1 ON u1.w = string_split(bg, ' ')[1]
@@ -2047,8 +2081,9 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = outer_doc
         |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8""".stripMargin,
 
-    // med/MAD ≡ quantile_cont (the q37-verified interpolation); the outlier
-    // compare uses the UNROUNDED stats on both sides
+    // med/MAD ≡ quantile_cont (the q37-verified bit-level interpolation),
+    // emitted raw — rounding the derived doubles would reintroduce
+    // engine drift; the outlier compare uses the same unrounded stats
     "q85_mad_outliers" ->
       """WITH med AS (
         |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
@@ -2060,8 +2095,8 @@ object SparkEntry {
         |mad AS (
         |  SELECT l_returnflag, quantile_cont(d, 0.5) AS mad
         |  FROM dev GROUP BY 1)
-        |SELECT v.l_returnflag, round(max(v.med), 6) AS med,
-        |  round(max(m.mad), 6) AS mad, count(*) AS n,
+        |SELECT v.l_returnflag, max(v.med) AS med,
+        |  max(m.mad) AS mad, count(*) AS n,
         |  CAST(sum(CASE WHEN v.d > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM dev v JOIN mad m USING (l_returnflag)
@@ -2120,7 +2155,7 @@ object SparkEntry {
         |  CAST(bin AS BIGINT) AS bin, CAST(cum AS BIGINT) AS cum_tokens
         |FROM pack""".stripMargin,
 
-    // counts are exact; both divisions are single double ops rounded at 6
+    // counts are exact; both divisions are single raw double ops
     "q90_stratified_split" ->
       """WITH assigned AS (
         |  SELECT lang,
@@ -2139,9 +2174,9 @@ object SparkEntry {
         |      AS BIGINT) AS tl
         |  FROM counts)
         |SELECT lang, split, n, n_lang,
-        |  round(CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE), 6) AS frac_of_lang,
+        |  CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS frac_of_lang,
         |  CASE WHEN split = 'train' THEN
-        |    round(CAST(tt AS DOUBLE) / CAST(tl * n AS DOUBLE), 6) END
+        |    CAST(tt AS DOUBLE) / CAST(tl * n AS DOUBLE) END
         |    AS class_weight
         |FROM ext""".stripMargin,
 
@@ -2166,9 +2201,9 @@ object SparkEntry {
         |SELECT o_orderpriority, yr, mo,
         |  CAST(rev AS DOUBLE) AS rev,
         |  CAST(prev_rev AS DOUBLE) AS prev_rev,
-        |  round(CASE WHEN prev_rev > 0
+        |  CASE WHEN prev_rev > 0
         |    THEN CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE)
-        |    END, 6) AS mom_growth
+        |    END AS mom_growth
         |FROM lagged""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets

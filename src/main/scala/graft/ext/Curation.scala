@@ -270,9 +270,9 @@ object Curation {
         .withColumnRenamed("nw", "n_w2")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
-        round((col("n_pair") * col("n_tokens") * col("n_tokens"))
+        ((col("n_pair") * col("n_tokens") * col("n_tokens"))
           .cast("double") /
-          (col("n_w1") * col("n_w2") * col("n_bigrams")).cast("double"), 6)
+          (col("n_w1") * col("n_w2") * col("n_bigrams")).cast("double"))
           .as("lift"))
   }
 
@@ -348,15 +348,15 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .withColumn("n_lang", sum(col("n")).over(wLang))
       .withColumn("frac_of_lang",
-        round(col("n").cast("double") / col("n_lang").cast("double"), 6))
+        col("n").cast("double") / col("n_lang").cast("double"))
       .withColumn("__train_total",
         sum(when(col("split") === "train", col("n"))).over(wAll))
       .withColumn("__train_langs",
         count(when(col("split") === "train", lit(1))).over(wAll))
       .withColumn("class_weight",
         when(col("split") === "train",
-          round(col("__train_total").cast("double") /
-            (col("__train_langs") * col("n")).cast("double"), 6)))
+          col("__train_total").cast("double") /
+            (col("__train_langs") * col("n")).cast("double")))
       .select("lang", "split", "n", "n_lang", "frac_of_lang", "class_weight")
   }
 

@@ -218,8 +218,12 @@ object Sessions {
     *
     * Parity: daily totals are rounded to exact 2-dp decimals FIRST, so the
     * frame sums (decimal, exact in both engines) are association-free; μ, σ
-    * and z are then derived in double from identical inputs and rounded at
-    * 6 dp. Population σ (÷n) with a σ=0 / single-row guard.
+    * and z are then derived in double from identical inputs by division,
+    * multiplication and sqrt — all IEEE-correctly-rounded, hence
+    * bit-identical across engines — and emitted RAW. Rounding the derived
+    * doubles would reintroduce engine drift (round(double, n) differs by
+    * 1 ulp across DuckDB versions near .5 ties). Population σ (÷n) with a
+    * σ=0 / single-row guard.
     */
   def movingAnomaly(events: DataFrame, frameDays: Int = 7,
                     zThr: Double = 2.0): DataFrame = {
@@ -240,8 +244,7 @@ object Sessions {
       (col("revenue").cast("double") - mu) / sd).otherwise(lit(0.0))
     daily.select(col("event_type"), col("day"), col("revenue"),
       n.cast("long").as("n_frame"),
-      round(mu, 6).as("mu"), round(sd, 6).as("sigma"),
-      round(z, 6).as("z"),
+      mu.as("mu"), sd.as("sigma"), z.as("z"),
       (abs(z) > zThr).as("anomaly"))
   }
 

@@ -21,12 +21,34 @@ import org.apache.spark.sql.functions._
   * already what the code below declares; Catalyst/AQE pick the physical
   * strategy per size.
   *
-  * All dot products fold left-to-right over the vector (Spark `aggregate`),
-  * matching an ordered SQL sum; cosines are rounded to 6 dp before ranking /
-  * output so cross-engine float-sum association noise (≪1e-9) cannot flip a
-  * hash comparison.
+  * Parity (round-5 hardening): all similarity queries run on FIXED-POINT
+  * QUANTIZED vectors — each float element is mapped once per vector to the
+  * exact integer floor(x·10⁶ + 0.5) (deterministic IEEE multiply + explicit
+  * half-up, no engine round-mode in the path). Dot products and squared
+  * norms are then EXACT integer sums ([[graft.functions.LongVecDot]]):
+  * association-free, so any engine / order / plan produces identical bits,
+  * and the cosine double derived from them (one division, two sqrts — all
+  * IEEE-correctly-rounded) is emitted RAW. The previous design rounded
+  * float-fold cosines at 6 dp; the round-margin audit showed sf0.1 values
+  * within 3e-7 of a 6-dp tie, i.e. inside the territory where DuckDB's
+  * version-dependent fp round can drift — quantization removes the entire
+  * class (no round anywhere). The ~1e-6 relative quantization error is far
+  * below any meaningful similarity-threshold sensitivity.
   */
 object Similarity {
+
+  /** Fixed-point quantization scale: 6 decimal digits. At |x| ≤ ~1 and ≤
+    * 4096 dims the integer moments stay ≤ ~1e15 ≪ 2⁶³.
+    */
+  val QScale = 1e6
+
+  /** `array<float>` → exact `array<long>` fixed-point image. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * QScale + 0.5).cast("long"))
+
+  /** Exact integer Σ aᵢ·bᵢ of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDotLong(a, b)
 
   /** Σ aᵢ·bᵢ as an ordered fold — exact same operation order in any engine.
     * Backed by the codegen'd [[graft.functions.FloatVecDot]] kernel (identical
@@ -51,21 +73,23 @@ object Similarity {
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     // zero-norm vectors are dropped on BOTH sides: cosine is undefined for
     // them, and under ANSI mode the division would throw (DuckDB: NULL) —
-    // oracles carry the same nv > 0 filter.
+    // oracles carry the same n2 > 0 filter (exact integer compare).
     // The pair join is a broadcast nested loop whose parallelism equals the
     // STREAMED side's partition count — a single-file query set would run the
     // whole |Q|×|N| loop on one core, so spread it explicitly (AQE never
     // coalesces a user-requested repartition).
-    val queries = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        norm(col("embedding")).as("qn"))
-      .filter(col("qn") > 0.0)
+    val q = emb.withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        sqrt(col("n2").cast("double")).as("qn"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-      norm(col("embedding")).as("nn"))
-      .filter(col("nn") > 0.0)
+    val cands = q.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+      sqrt(col("n2").cast("double")).as("nn"))
     val scored = queries.join(cands, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("cos",
+        qdot(col("qv"), col("nv")).cast("double") / (col("qn") * col("nn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -103,14 +127,17 @@ object Similarity {
     */
   def lshNearPairs(emb: DataFrame, dim: Int, bits: Int = 8,
                    minCos: Double = 0.9): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nv"),
+    val bucketed = emb
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+      .select(col("vec_id"), col("q"),
+        sqrt(col("n2").cast("double")).as("nv"),
         lshBucket(col("embedding"), dim, bits).as("bucket"))
-      .filter(col("nv") > 0.0)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(
-        dot(col("a.embedding"), col("b.embedding")) / (col("a.nv") * col("b.nv")), 6))
+      .withColumn("cos",
+        qdot(col("a.q"), col("b.q")).cast("double") / (col("a.nv") * col("b.nv")))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
@@ -122,8 +149,9 @@ object Similarity {
     *     `xxhash64(vec_id)` act as centroids — a deterministic pseudo-random
     *     sample computed as a TakeOrdered (no full count/extra scan),
     *     broadcast (tiny);
-    *  2. build: every vector is assigned to its nearest centroid — one
-    *     broadcast join + argmax, no shuffle of the vectors;
+    *  2. build: every vector is assigned to its nearest centroid (exact
+    *     quantized cosine, raw double) — one broadcast join + argmax, no
+    *     shuffle of the vectors;
     *  3. probe: each query scores only vectors in its `nprobe` closest
     *     centroid cells — the candidate set shrinks ≈ nCentroids/nprobe ×.
     *
@@ -139,10 +167,13 @@ object Similarity {
     // of the corpus at plan-construction time. The hash is engine-neutral
     // integer arithmetic (not Murmur3/xxhash), so an external oracle can
     // reproduce the exact centroid set.
+    val quantized = emb
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
     val centroids = broadcast(
-      emb.select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
-          norm(col("embedding")).as("cn"))
-        .filter(col("cn") > 0.0)
+      quantized.select(col("vec_id").as("centroid_id"), col("q").as("cv"),
+          sqrt(col("n2").cast("double")).as("cn"))
         .orderBy(graft.functions.Hashing.knuthMod(col("centroid_id"),
           1000003L, offset = 17L), col("centroid_id"))
         .limit(nCentroids))
@@ -150,31 +181,33 @@ object Similarity {
     def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {
       val w = Window.partitionBy(idCol)
         .orderBy(col("ccos").desc, col("centroid_id"))
-      // round-6 before ranking: a last-ulp fp difference between engines (or
-      // between plan shapes) must not flip a near-tied centroid assignment
+      // assignment cosines are raw doubles from exact integer moments —
+      // bit-identical across engines and plan shapes, so a near-tied
+      // centroid assignment cannot flip (ties break on centroid_id)
       df.join(centroids, col(idCol).isNotNull)
         .withColumn("ccos",
-          round(dot(col(vecCol), col("cv")) / (col("vn") * col("cn")), 6))
+          qdot(col(vecCol), col("cv")).cast("double") / (col("vn") * col("cn")))
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") <= top)
         .drop("cv", "cn", "ccos", "crk")
     }
 
-    val vectors = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("vn")).filter(col("vn") > 0.0)
-    val indexed = assign(vectors, "vec_id", "embedding", 1)
+    val vectors = quantized.select(col("vec_id"), col("q"),
+      sqrt(col("n2").cast("double")).as("vn"))
+    val indexed = assign(vectors, "vec_id", "q", 1)
       .withColumnRenamed("vec_id", "neighbor_id")
-      .withColumnRenamed("embedding", "nv")
+      .withColumnRenamed("q", "nv")
       .withColumnRenamed("vn", "nn")
-    val probes = assign(vectors.filter(queryPred), "vec_id", "embedding", nprobe)
+    val probes = assign(vectors.filter(queryPred), "vec_id", "q", nprobe)
       .withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("embedding", "qv")
+      .withColumnRenamed("q", "qv")
       .withColumnRenamed("vn", "qn")
 
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(indexed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("cos",
+        qdot(col("qv"), col("nv")).cast("double") / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "cos")
@@ -187,13 +220,17 @@ object Similarity {
   def cosineNearDups(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
     // streamed side spread across cores — see cosineTopK; at 100 TB this
     // becomes a block-partitioned matrix multiply, same declared shape
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-      norm(col("embedding")).as("na")).filter(col("na") > 0.0)
+    val q = emb.withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+    val a = q.select(col("vec_id").as("vec_a"), col("q").as("va"),
+      sqrt(col("n2").cast("double")).as("na"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-      norm(col("embedding")).as("nb")).filter(col("nb") > 0.0)
+    val b = q.select(col("vec_id").as("vec_b"), col("q").as("vb"),
+      sqrt(col("n2").cast("double")).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos",
+        qdot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select("vec_a", "vec_b", "cos")
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Σ aᵢ·bᵢ over two `array<float>` columns as a native codegen'd Catalyst
   * expression.
@@ -79,6 +79,73 @@ case class FloatVecDot(left: Expression, right: Expression)
     })
 
   override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ aᵢ·bᵢ over two `array<long>` columns — the EXACT integer companion to
+  * [[FloatVecDot]], for fixed-point-quantized vectors. Because the sum is
+  * integer arithmetic it is association-free: any evaluation order, any
+  * engine, any cluster layout produces the same bits, which is what lets
+  * the similarity queries derive cosines from quantized moments and emit
+  * them raw (no cross-engine rounding in the path at all — see
+  * [[graft.ext.Similarity]]'s parity note). Overflow is the caller's
+  * contract (|qᵢ| ≤ ~1e6 at 64–4096 dims is ≤ ~1e15 ≪ 2⁶³); same strict
+  * NULL semantics as [[FloatVecDot]].
+  */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_vec_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
@@ -164,4 +231,9 @@ object VectorFunctions {
   def vecDotConst(a: Column, weights: Array[Double]): Column =
     GraftBridge.column(
       FloatVecDotConst(GraftBridge.expression(a), weights.toIndexedSeq))
+
+  /** Column-level handle for [[LongVecDot]]. */
+  def vecDotLong(a: Column, b: Column): Column =
+    GraftBridge.column(
+      LongVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -298,18 +298,31 @@ object Relational {
     * c_acctbal) frame — the degenerate-group guard (std = 0 → z = 0, which
     * under ANSI mode would otherwise be a DIVIDE_BY_ZERO crash) is part of
     * THIS code path, so tests exercise the production guard, not a copy.
+    *
+    * Parity: balances are exact 2-dp values, so the per-segment moments are
+    * accumulated as exact decimal CENTS (Σx, Σx² — association-free in both
+    * engines); mean/std/z are then the identical double derivation on both
+    * sides and emitted raw — bit-identical with no rounding, where the old
+    * round(avg(double), 6) form depended on DuckDB's fp round behavior.
     */
   def zscore(customers: DataFrame): DataFrame = {
+    val cents = round(col("c_acctbal") * 100, 0).cast("decimal(18,0)")
     val stats = customers
       .groupBy(col("c_mktsegment"))
-      .agg(round(avg(col("c_acctbal")), 6).as("seg_mean"),
-        round(stddev_pop(col("c_acctbal")), 6).as("seg_std"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(cents).cast("double").as("sx"),
+        sum(cents * cents).cast("double").as("sxx"))
+    val muC = col("sx") / col("n")
+    val varC = col("sxx") / col("n") - muC * muC
+    val resolved = stats.select(col("c_mktsegment"),
+      (muC / 100.0).as("seg_mean"),
+      (sqrt(when(varC > 0.0, varC).otherwise(0.0)) / 100.0).as("seg_std"))
     customers
-      .join(broadcast(stats), Seq("c_mktsegment"))
+      .join(broadcast(resolved), Seq("c_mktsegment"))
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         col("seg_mean"), col("seg_std"),
         when(col("seg_std") > 0.0,
-          round((col("c_acctbal") - col("seg_mean")) / col("seg_std"), 6))
+          (col("c_acctbal") - col("seg_mean")) / col("seg_std"))
           .otherwise(0.0).as("zscore"))
   }
 
@@ -377,7 +390,7 @@ object Relational {
         sum(when(col("l_extendedprice") <
           col("p25") - lit(k) * (col("p75") - col("p25")), 1L).otherwise(0L))
           .as("n_low"),
-        round(max(col("p75") + lit(k) * (col("p75") - col("p25"))), 6)
+        max(col("p75") + lit(k) * (col("p75") - col("p25")))
           .as("high_fence"))
   }
 
@@ -410,8 +423,8 @@ object Relational {
       .select(col("l_returnflag"), col("value").as("mad"))
     dev.join(broadcast(mad), "l_returnflag")
       .groupBy(col("l_returnflag"))
-      .agg(round(max(col("med")), 6).as("med"),
-        round(max(col("mad")), 6).as("mad"),
+      .agg(max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
         count(lit(1)).as("n"),
         sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
@@ -432,13 +445,15 @@ object Relational {
     val cum = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = round(col("c_acctbal") * 100, 0).cast("decimal(18,0)")
     customer(spark, d)
       .filter(col("c_acctbal") > 0.0)
+      .withColumn("__cents", cents)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        round(col("c_acctbal") / sum(col("c_acctbal")).over(bySeg), 6)
-          .as("share"),
-        round(sum(col("c_acctbal")).over(cum) /
-          sum(col("c_acctbal")).over(bySeg), 6).as("cum_share"))
+        (col("__cents").cast("double") /
+          sum(col("__cents")).over(bySeg).cast("double")).as("share"),
+        (sum(col("__cents")).over(cum).cast("double") /
+          sum(col("__cents")).over(bySeg).cast("double")).as("cum_share"))
   }
 
   /** Incremental aggregate maintenance: a BASE partition of the stream and
@@ -518,7 +533,8 @@ object Relational {
     * integral and price is exact cents in this corpus, so Σx, Σy, Σxy, Σx²,
     * Σy² are accumulated as decimals (exact in both engines, no fp
     * association), and corr/slope/intercept are derived in double from
-    * identical inputs — the only rounding is the final 6 dp.
+    * identical inputs and emitted raw — no rounding anywhere (see the
+    * parity note in [[corrRegression]]).
     *
     * The sufficient-statistics form is also the scale form: one map-side-
     * partial hash aggregation (moments are algebraic, merge by addition —
@@ -553,12 +569,16 @@ object Relational {
     // ERRORS on sqrt(<0) — and fp cancellation can land varXN at -0.0-ε, so
     // the guard is > 0, not ≥ 0, on BOTH sides
     val bothVar = varXN > 0.0 && varYN > 0.0
+    // the derived doubles are emitted RAW: inputs are exact moments, and
+    // *, /, sqrt are IEEE-correctly-rounded, so both engines produce
+    // bit-identical values — a final round(6) would REINTRODUCE drift
+    // (round(double, n) differs across DuckDB versions near .5 ties)
     agg.select(group, col("n").cast("long").as("n"),
-      round(when(bothVar, covN / sqrt(varXN * varYN)), 6).as("corr"),
-      round(when(varXN > 0.0, slope), 6).as("slope_cents_per_unit"),
-      round(when(varXN > 0.0, (col("sy") - slope * col("sx")) / col("n")), 6)
+      when(bothVar, covN / sqrt(varXN * varYN)).as("corr"),
+      when(varXN > 0.0, slope).as("slope_cents_per_unit"),
+      when(varXN > 0.0, (col("sy") - slope * col("sx")) / col("n"))
         .as("intercept"),
-      round(when(bothVar, covN * covN / (varXN * varYN)), 6).as("r2"))
+      when(bothVar, covN * covN / (varXN * varYN)).as("r2"))
   }
 
   /** Arbitrary GROUPING SETS — the non-hierarchical case neither rollup nor
@@ -761,9 +781,9 @@ object Relational {
       .select(col("o_orderpriority"), col("yr"), col("mo"),
         col("rev").cast("double").as("rev"),
         col("prev_rev").cast("double").as("prev_rev"),
-        round(when(col("prev_rev") > 0,
+        when(col("prev_rev") > 0,
           (col("rev") - col("prev_rev")).cast("double") /
-            col("prev_rev").cast("double")), 6).as("mom_growth"))
+            col("prev_rev").cast("double")).as("mom_growth"))
   }
 
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the

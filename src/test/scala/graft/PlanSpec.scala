@@ -57,7 +57,7 @@ class PlanSpec extends SparkSuite {
   test("similarity pair join keeps the codegen'd dot kernel in the plan") {
     val p = plan(ext.Similarity.cosineTopK(
       Tables.embeddings(spark, sf), org.apache.spark.sql.functions.col("vec_id") < 5, 3))
-    assert(p.toLowerCase.contains("float_vec_dot"), p)
+    assert(p.toLowerCase.contains("long_vec_dot"), p)
   }
 
   test("q21 geometry pipeline reads only p_partkey (full projection pruning)") {
