@@ -27,6 +27,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Row count of a table from parquet FOOTER metadata only — a driver-side
+    * file-metadata read, NO Spark job. This is what operators that need a
+    * plan-decision cardinality (e.g. [[ops.Percentiles.exactPercentiles]]'s
+    * holistic-vs-distributed cutover) should use on a bare table scan:
+    * `df.count()` at plan-construction time is a blocking distributed job
+    * in the timed path, while the footer already knows the answer. At
+    * cluster scale this is the same footer enumeration the scan planner
+    * performs — O(files) driver work, zero executor time.
+    */
+  def footerRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet"))
+      else Array(root)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** `ts` column is LongType nanoseconds since epoch (see class doc).
     *
     * The nanos-as-long flag must be set at session BUILD time (Bench, Verify

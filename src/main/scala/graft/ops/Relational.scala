@@ -198,9 +198,9 @@ object Relational {
     */
   def q37Percentiles(spark: SparkSession, d: String): DataFrame = {
     val li = lineitem(spark, d)
-    // one count shared by both operator calls (the plan decision needs only
-    // an upper bound, and both calls see the same input)
-    val n = Some(li.count())
+    // one footer-metadata count shared by both operator calls (the plan
+    // decision needs only an upper bound; no blocking job in the path)
+    val n = Some(graft.Tables.footerRowCount(spark, d, "lineitem"))
     val price = Percentiles
       .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9),
         rowCountHint = n)
@@ -375,9 +375,10 @@ object Relational {
   def q61IqrOutliers(spark: SparkSession, d: String,
                      k: Double = 0.5): DataFrame = {
     val li = lineitem(spark, d)
+    // plan-decision cardinality from parquet footers — no job in the path
     val fences = Percentiles
       .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75),
-        rowCountHint = Some(li.count()))
+        rowCountHint = Some(graft.Tables.footerRowCount(spark, d, "lineitem")))
       .groupBy(col("l_returnflag"))
       .agg(max(when(col("p") === 0.25, col("value"))).as("p25"),
         max(when(col("p") === 0.75, col("value"))).as("p75"))
@@ -409,7 +410,10 @@ object Relational {
   def q85MadOutliers(spark: SparkSession, d: String,
                      k: Double = 3.0): DataFrame = {
     val li = lineitem(spark, d)
-    val hint = Some(li.count())
+    // one footer-metadata count serves both percentile passes — no
+    // blocking count() job at plan-construction time (the dev frame is
+    // strictly 1:1 with lineitem, so the same cardinality hint is exact)
+    val hint = Some(graft.Tables.footerRowCount(spark, d, "lineitem"))
     val med = Percentiles
       .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5),
         rowCountHint = hint)
