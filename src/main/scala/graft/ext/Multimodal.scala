@@ -55,20 +55,76 @@ object Multimodal {
     (w, h, feat)
   }
 
+  /** A decoder maps (media_type, bytes) → (width, height, feature vector).
+    * Undecodable media returns (-1, -1, zeros) so callers can apply the
+    * reference's unreadable-drop (F8) as a filter instead of a task failure.
+    */
+  type Decoder = (String, Array[Byte]) => (Int, Int, Array[Float])
+
+  /** REAL image decoder using the JDK's built-in `javax.imageio` (PNG/GIF/
+    * JPEG readers ship with the JVM — no external codec needed). Full pixel
+    * decode: true raster dimensions plus an 8-dim feature = mean R,G,B,A over
+    * the image and mean luma per quadrant. Bulk-raster access (`getRGB` row
+    * batches) rather than per-pixel calls keeps the hot loop allocation-free.
+    */
+  def imageIoDecode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) (-1, -1, new Array[Float](8))
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val rgb = new Array[Int](w)            // one row batch, reused
+      val chan = new Array[Double](4)        // ΣR, ΣG, ΣB, ΣA
+      val quad = new Array[Double](4); val qn = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rgb, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = rgb(x)
+          val a = (p >>> 24) & 0xff; val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff; val b = p & 0xff
+          chan(0) += r; chan(1) += g; chan(2) += b; chan(3) += a
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quad(q) += (r * 299 + g * 587 + b * 114) / 1000.0
+          qn(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val feat = new Array[Float](8)
+      var i = 0
+      while (i < 4) { feat(i) = (chan(i) / (255.0 * n)).toFloat; i += 1 }
+      i = 0
+      while (i < 4) {
+        feat(4 + i) = if (qn(i) == 0) 0f else (quad(i) / (255.0 * qn(i))).toFloat
+        i += 1
+      }
+      (w, h, feat)
+    }
+  }
+
   /** Decode + feature-extract over binary media rows, batch-shaped: the
     * decoder context is initialized once per partition (not per row) — the
-    * seam where a real codec/model library mounts.
+    * seam where a real codec/model library mounts. Defaults to [[stubDecode]]
+    * (exact-arithmetic fake for the oracle); pass [[imageIoDecode]] for a
+    * real pixel decode of PNG/JPEG/GIF via the JDK's ImageIO.
     */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  def decodeFeatures(media: DataFrame,
+                     decoder: Decoder = stubDecode(_, _)): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "media_type", "content")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init happens here (real codec: load once)
+        // per-partition decoder init happens here (real codec: load once);
+        // ImageIO's disk cache is pointless for in-memory byte decodes
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, mt, bytes) =>
           val content = if (bytes == null) Array.emptyByteArray else bytes
-          val (w, h, feat) = stubDecode(mt, content)
+          val (w, h, feat) = decoder(mt, content)
           val checksum = content.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
           MediaFeatures(id, mt, content.length.toLong, w, h, checksum, feat)
         }

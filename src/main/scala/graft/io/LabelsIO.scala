@@ -105,5 +105,31 @@ object LabelsIO {
     }
   }
 
+  /** S10 — image copy sink (converter_to_yolo_data.py:109-111 parity):
+    * binary passthrough of (split, file_name, content) rows into
+    * `outDir/images/<split>/<file_name>`, executor-side `foreachPartition`
+    * (no driver collect — each task writes only its partition's bytes, so
+    * the copy scales with executors). Returns (files, bytes) copied via an
+    * `observe` on the same pass — the reference's copy counter without a
+    * second scan.
+    */
+  def copyImages(images: DataFrame, outDir: String): (Long, Long) = {
+    import org.apache.spark.sql.{Observation, Row}
+    import org.apache.spark.sql.functions.{coalesce, count, length, lit, sum}
+    val obs = Observation("image_copy")
+    images.select("split", "file_name", "content")
+      .observe(obs, count(lit(1)).as("files"),
+        coalesce(sum(length(col("content"))), lit(0L)).as("bytes"))
+      .foreachPartition { it: Iterator[Row] =>
+        it.foreach { r =>
+          val dir = java.nio.file.Paths.get(outDir, "images", r.getString(0))
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(dir.resolve(r.getString(1)),
+            r.getAs[Array[Byte]](2))
+        }
+      }
+    (obs.get("files").asInstanceOf[Long], obs.get("bytes").asInstanceOf[Long])
+  }
+
   private[graft] def predSchema = Schemas.predLabel
 }

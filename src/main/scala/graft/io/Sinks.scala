@@ -66,6 +66,36 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Per-file min/max statistics manifest over `cols` (the data-skipping
+    * metadata a lakehouse table format maintains; q92's generalization).
+    * One scan, grouped by `input_file_name` — columns come back as
+    * `<c>_min` / `<c>_max` plus `n_rows`.
+    */
+  def statsManifest(spark: SparkSession, path: String,
+                    cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap(c =>
+      Seq(min(df.col(c)).as(s"${c}_min"), max(df.col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Data-skipping read: keep only the files whose [min,max] range can
+    * contain a point predicate `col = value` (or overlap `[lo,hi]`), then
+    * scan just those. This is what a lakehouse reader does with its
+    * manifest before handing Spark the file list — on a z-ordered layout a
+    * 2-D selective filter skips most files (PlanSpec-measured).
+    */
+  def filesOverlapping(manifest: DataFrame, ranges: Map[String, (Long, Long)])
+      : Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    val keep = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
+      acc && manifest.col(s"${c}_min") <= hi && manifest.col(s"${c}_max") >= lo
+    }
+    manifest.filter(keep).select("file").collect().map(_.getString(0)).toSeq
+  }
+
   /** Small-file compaction: rewrite a directory into ~`targetFileBytes`
     * files using the optimizer's size estimate — the maintenance pass every
     * streaming/append workload needs once file counts hurt scan planning.

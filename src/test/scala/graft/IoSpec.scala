@@ -159,5 +159,70 @@ class IoSpec extends SparkSuite {
     assert(files(out) < 10, s"expected few files, got ${files(out)}")
     assert(spark.read.parquet(out).count() ===
       Tables.lineitem(spark, sf).count())
+    // size bounds: no output file exceeds ~2× the target (parquet encoding
+    // vs the optimizer's in-memory estimate allows slack, but compaction
+    // must not produce one giant file) and the small-file problem is gone
+    // (every file but the remainder is ≥ 1/8 of target)
+    val sizes = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sorted
+    assert(sizes.forall(_ <= 2L * 1024 * 1024),
+      s"oversized output file: ${sizes.mkString(",")}")
+    assert(sizes.dropRight(1).forall(_ >= 128L * 1024) || sizes.length == 1,
+      s"still-tiny output files: ${sizes.mkString(",")}")
+  }
+
+  test("S10 image copy sink: binary passthrough round-trip with observe counters") {
+    val d = tmpDir("imgcopy")
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val src = Seq(
+      ("train", "a.png", png),
+      ("train", "b.png", Array[Byte](1, 2, 3)),
+      ("val", "c.png", png)).toDF("split", "file_name", "content")
+    val (nFiles, nBytes) = LabelsIO.copyImages(src, d.toString)
+    assert(nFiles == 3L)
+    assert(nBytes == 2L * png.length + 3)
+    // byte-identical copies in the reference's images/<split>/ layout
+    val a = Files.readAllBytes(d.resolve("images/train/a.png"))
+    val b = Files.readAllBytes(d.resolve("images/train/b.png"))
+    val c = Files.readAllBytes(d.resolve("images/val/c.png"))
+    assert(java.util.Arrays.equals(a, png) && java.util.Arrays.equals(c, png))
+    assert(b.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("z-ordered layout + stats manifest: 2-D selective filter skips most files") {
+    val d = tmpDir("zskip")
+    val out = d.toString + "/out"
+    // 64×64 grid z-ordered into 16 files: a point-ish predicate on BOTH
+    // dims should land in very few Morton tiles
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"))
+    graft.io.Sinks.writeZOrdered(grid, out, "x", "y", files = 16)
+    val manifest = graft.io.Sinks.statsManifest(spark, out, Seq("x", "y")).cache()
+    val total = manifest.count()
+    assert(total >= 12, s"expected ~16 files, got $total")
+    val keep = graft.io.Sinks.filesOverlapping(
+      manifest, Map("x" -> ((3L, 6L)), "y" -> ((3L, 6L))))
+    assert(keep.nonEmpty && keep.size * 4 <= total,
+      s"z-order should skip ≥75% of files: kept ${keep.size}/$total")
+    // the pruned read returns exactly the full-scan answer
+    val pruned = spark.read.parquet(keep: _*)
+      .filter(col("x").between(3, 6) && col("y").between(3, 6))
+    val full = spark.read.parquet(out)
+      .filter(col("x").between(3, 6) && col("y").between(3, 6))
+    assert(pruned.count() == 16 && full.count() == 16)
+    // contrast: the same manifest over a row-major (x-sorted) layout prunes
+    // on x but NOT on y — the measured reason z-order exists
+    val rowMajor = d.toString + "/rowmajor"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x", "y")
+      .write.parquet(rowMajor)
+    val m2 = graft.io.Sinks.statsManifest(spark, rowMajor, Seq("x", "y"))
+    val keepY = graft.io.Sinks.filesOverlapping(m2, Map("y" -> ((3L, 6L))))
+    assert(keepY.size >= m2.count() * 3 / 4,
+      s"row-major layout unexpectedly pruned on y: ${keepY.size}")
   }
 }

@@ -43,6 +43,59 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16)
   }
 
+  // ---- real codec through the seam: JDK ImageIO PNG encode → decode ----
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("imageIoDecode through the seam: real PNG pixels, exact dims + features") {
+    // solid-color PNGs make the mean-channel features exact fractions
+    val rows = Seq(
+      (1L, "image/png", pngBytes(64, 32, 0xff0000)),   // pure red
+      (2L, "image/png", pngBytes(16, 48, 0x00ff00)),   // pure green
+      (3L, "image/png", pngBytes(8, 8, 0x102030)))
+      .toDF("media_id", "media_type", "content")
+    val decoded = Multimodal.decodeFeatures(rows, Multimodal.imageIoDecode)
+      .select("media_id", "width", "height", "feature")
+      .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1)
+    assert(decoded.map(d => (d._1, d._2, d._3)).toSeq ==
+      Seq((1L, 64, 32), (2L, 16, 48), (3L, 8, 8)))
+    val red = decoded(0)._4
+    assert(red(0) == 1.0f && red(1) == 0.0f && red(2) == 0.0f && red(3) == 1.0f)
+    // quadrant luma of solid red = 0.299 everywhere
+    (4 to 7).foreach(i => assert(math.abs(red(i) - 0.299f) < 1e-6f))
+    val green = decoded(1)._4
+    assert(green(0) == 0.0f && green(1) == 1.0f && green(2) == 0.0f)
+  }
+
+  test("imageIoDecode dims agree with the IHDR probe on the same bytes") {
+    val bytes = pngBytes(123, 45, 0x336699)
+    val df = Seq((1L, "image/png", bytes)).toDF("media_id", "media_type", "content")
+    val (w, h) = Multimodal.decodeFeatures(df, Multimodal.imageIoDecode)
+      .select("width", "height").as[(Int, Int)].collect()(0)
+    val probed = df.select(
+      graft.io.ImageMeta.pngWidth(col("content")).as("w"),
+      graft.io.ImageMeta.pngHeight(col("content")).as("h"))
+      .as[(Int, Int)].collect()(0)
+    assert((w, h) == ((123, 45)) && probed == ((123, 45)))
+  }
+
+  test("imageIoDecode marks undecodable bytes (-1,-1) instead of failing (F8)") {
+    val df = Seq(
+      (1L, "image/png", Array[Byte](1, 2, 3, 4)),
+      (2L, "image/png", pngBytes(4, 4, 0))).toDF("media_id", "media_type", "content")
+    val r = Multimodal.decodeFeatures(df, Multimodal.imageIoDecode)
+      .select("media_id", "width").as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> -1, 2L -> 4))
+  }
+
   test("sampleFrames explodes k deterministic offsets per row") {
     val df = Seq((1L, "video/x", Array.fill[Byte](100)(7))).toDF("media_id", "media_type", "content")
     val r = Multimodal.sampleFrames(df, k = 4)

@@ -13,4 +13,35 @@ class PdfPagesSpec extends SparkSuite {
     assert(r.toSeq == Seq("report_page1", "report_page2", "report_page3",
       "single_page1"))
   }
+
+  test("renderPages seam: non-stub renderer emits real decodable PNGs per page") {
+    val pdfs = Seq(
+      ("report.pdf", 3, Array[Byte](1, 2, 3)),
+      ("single.pdf", 1, Array[Byte](9)))
+      .toDF("file_name", "n_pages", "content")
+    val rendered = PdfPages.renderPages(pdfs, col("n_pages"),
+      PdfPages.pngFixtureRenderer(width = 40, height = 30)).cache()
+    assert(rendered.count() == 4)
+    // every output is a real PNG: signature + IHDR dims probe correctly…
+    val probed = rendered.select(
+      col("page_name"),
+      graft.io.ImageMeta.isPng(col("page_png")).as("is_png"),
+      graft.io.ImageMeta.pngWidth(col("page_png")).as("w"),
+      graft.io.ImageMeta.pngHeight(col("page_png")).as("h"))
+      .as[(String, Boolean, Int, Int)].collect()
+    assert(probed.forall(p => p._2 && p._3 == 40 && p._4 == 30), probed.mkString(","))
+    // …and full-decodes back through the real ImageIO decoder
+    val dims = graft.ext.Multimodal.decodeFeatures(
+      rendered.select(col("page").cast("long").as("media_id"),
+        lit("image/png").as("media_type"), col("page_png").as("content")),
+      graft.ext.Multimodal.imageIoDecode)
+      .select("width", "height").as[(Int, Int)].collect()
+    assert(dims.forall(_ == ((40, 30))))
+    // determinism: same inputs → byte-identical pages
+    val h1 = rendered.select(col("page_name"), md5(col("page_png"))).collect().toSet
+    val again = PdfPages.renderPages(pdfs, col("n_pages"),
+      PdfPages.pngFixtureRenderer(width = 40, height = 30))
+    val h2 = again.select(col("page_name"), md5(col("page_png"))).collect().toSet
+    assert(h1 == h2)
+  }
 }
