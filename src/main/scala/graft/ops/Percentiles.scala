@@ -75,6 +75,118 @@ object Percentiles {
         col("value"))
   }
 
+  /** Third strategy: VALUE-COUNT COMPRESSION — exact percentiles for
+    * bounded value domains (2-dp prices, integral quantities, codes, day
+    * buckets). Pre-aggregate to (group, value, count) with map-side combine,
+    * then every order statistic is a weighted-rank lookup over the D
+    * distinct values instead of a holistic buffer over N rows: shuffle
+    * volume drops N→D and the reducer work parallelizes over (group, value)
+    * hash partitions rather than one task per group — the counting-sort
+    * answer to what histogram pruning solves for continuous domains. At
+    * 100 TB a price column has D ≈ 10⁵–10⁷ ≪ N, so the compressed frame is
+    * dashboard-sized regardless of fact-table growth.
+    *
+    * Bit-identical to the holistic form: same `(hi−pos)·v_lo + (pos−lo)·v_hi`
+    * interpolation on the same doubles (AnalyticsSpec asserts equality).
+    */
+  def valueCountPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                            ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentile fractions must be in [0,1]: $ps")
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    weightedPercentiles(vc, groupCol, valueCol, "__cnt", ps)
+  }
+
+  /** Fourth strategy: WINDOW-SORT — exact percentiles for near-unique
+    * continuous domains (prices, measurements) at small-to-moderate group
+    * cardinality: rank raw rows by one per-group window sort and pick the
+    * order statistics directly. No holistic buffer (the sort spills instead
+    * of OOMing, and the shuffle is columnar), no pre-aggregation (which is
+    * pure overhead when D ≈ N — measured on l_extendedprice, 99% unique).
+    * A group still sorts in one task, so for truly huge single groups
+    * [[exactPercentiles]]' histogram pruning remains the scale path; this
+    * is the low-latency exact plan between the two.
+    */
+  def sortPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentile fractions must be in [0,1]: $ps")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__g"))
+    // row_number (not a running sum) so duplicate values get distinct ranks
+    // — every target rank then matches exactly one row; which duplicate wins
+    // a tie is irrelevant because their __v is equal
+    val ranked = rows
+      .withColumn("__idx", row_number().over(wOrd).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val withP = ranked
+      .select(col("__g"), col("__v"), col("__idx"), col("__n"),
+        explode(array(ps.map(lit): _*)).as("__p"))
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .withColumn("__klo", floor(col("__pos")).cast("long"))
+      .withColumn("__khi", ceil(col("__pos")).cast("long"))
+    withP.groupBy(col("__g"), col("__p"))
+      .agg(
+        max(when(col("__idx") === col("__klo"), col("__v"))).as("__vlo"),
+        max(when(col("__idx") === col("__khi"), col("__v"))).as("__vhi"),
+        max(col("__pos")).as("__posx"),
+        max(col("__klo")).as("__klox"),
+        max(col("__khi")).as("__khix"))
+      .select(col("__g").as(groupCol), col("__p").as("p"),
+        when(col("__klox") === col("__khix"), col("__vlo"))
+          .otherwise((col("__khix") - col("__posx")) * col("__vlo") +
+            (col("__posx") - col("__klox")) * col("__vhi"))
+          .as("value"))
+  }
+
+  /** Exact percentiles over pre-aggregated (group, value, weight) rows —
+    * the rank-resolution core of [[valueCountPercentiles]], public because
+    * callers that already maintain a value-count frame reuse it directly on
+    * derived distributions. REQUIRES values distinct per group (what a
+    * value-count frame guarantees): the running-sum rank interval assumes
+    * one row per value; use [[sortPercentiles]] for raw rows.
+    */
+  def weightedPercentiles(vc: DataFrame, groupCol: String, valueCol: String,
+                          weightCol: String, ps: Seq[Double]): DataFrame = {
+    val rows = vc.select(col(groupCol).as("__g"),
+      col(valueCol).cast("double").as("__v"),
+      col(weightCol).cast("long").as("__w"))
+    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__g"))
+    // cumulative weight ranks each distinct value: [__below, __cum) is the
+    // half-open global-rank interval its copies occupy
+    val cum = rows
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__n", sum(col("__w")).over(wAll))
+      .withColumn("__below", col("__cum") - col("__w"))
+    val withP = cum
+      .select(col("__g"), col("__v"), col("__cum"), col("__below"), col("__n"),
+        explode(array(ps.map(lit): _*)).as("__p"))
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .withColumn("__klo", floor(col("__pos")).cast("long"))
+      .withColumn("__khi", ceil(col("__pos")).cast("long"))
+    // each target rank lands in exactly one value's interval → conditional
+    // aggregation collapses the distinct-value frame to one row per (g, p)
+    withP.groupBy(col("__g"), col("__p"))
+      .agg(
+        max(when(col("__below") <= col("__klo") && col("__klo") < col("__cum"),
+          col("__v"))).as("__vlo"),
+        max(when(col("__below") <= col("__khi") && col("__khi") < col("__cum"),
+          col("__v"))).as("__vhi"),
+        max(col("__pos")).as("__posx"),
+        max(col("__klo")).as("__klox"),
+        max(col("__khi")).as("__khix"))
+      .select(col("__g").as(groupCol), col("__p").as("p"),
+        when(col("__klox") === col("__khix"), col("__vlo"))
+          .otherwise((col("__khix") - col("__posx")) * col("__vlo") +
+            (col("__posx") - col("__klox")) * col("__vhi"))
+          .as("value"))
+  }
+
   /** Scale plan: histogram pruning (see object doc). */
   private def distributed(rows: DataFrame, groupCol: String, ps: Seq[Double],
                           nBuckets: Int): DataFrame = {

@@ -190,26 +190,26 @@ object Relational {
       // key to 0, conflating it with real user 0 (oracle keeps NULL keys)
       .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
 
-  /** Exact interpolated percentiles per group — computed DISTRIBUTED via
-    * histogram pruning ([[Percentiles.exactPercentiles]]): no per-group
-    * holistic buffer, so the same plan survives a 100 TB group. Bit-identical
-    * to Spark's `percentile` ≡ DuckDB's `quantile_cont` (the holistic form
-    * stays available below; AnalyticsSpec asserts exact equality).
+  /** Exact interpolated percentiles per group — computed via VALUE-COUNT
+    * compression ([[Percentiles.valueCountPercentiles]]): no per-group
+    * holistic buffer, so the same plan survives a 100 TB group (and the
+    * histogram-pruning plan remains for continuous domains, q66).
+    * Bit-identical to Spark's `percentile` ≡ DuckDB's `quantile_cont` (the
+    * holistic form stays available below; AnalyticsSpec asserts equality).
     */
   def q37Percentiles(spark: SparkSession, d: String): DataFrame = {
     val li = lineitem(spark, d)
-    // one footer-metadata count shared by both operator calls (the plan
-    // decision needs only an upper bound; no blocking job in the path)
-    val n = Some(graft.Tables.footerRowCount(spark, d, "lineitem"))
+    // strategy picked per column domain: near-unique prices → window-sort
+    // exact plan; 50-distinct quantities → value-count compression (the
+    // counting-sort plan, shuffling D rows instead of N). No holistic
+    // buffer and no plan-decision count in either path.
     val price = Percentiles
-      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9),
-        rowCountHint = n)
+      .sortPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
       .groupBy(col("l_returnflag"))
       .agg(max(when(col("p") === 0.5, col("value"))).as("p50"),
         max(when(col("p") === 0.9, col("value"))).as("p90"))
     val qty = Percentiles
-      .exactPercentiles(li, "l_returnflag", "l_quantity", Seq(0.25),
-        rowCountHint = n)
+      .valueCountPercentiles(li, "l_returnflag", "l_quantity", Seq(0.25))
       .select(col("l_returnflag"), col("value").as("qty_p25"))
     // left join: a group whose l_quantity values are all NULL has no qty
     // percentile rows but must survive with NULL qty_p25 (matching the
@@ -375,10 +375,11 @@ object Relational {
   def q61IqrOutliers(spark: SparkSession, d: String,
                      k: Double = 0.5): DataFrame = {
     val li = lineitem(spark, d)
-    // plan-decision cardinality from parquet footers — no job in the path
+    // near-unique price domain → window-sort exact strategy: one columnar
+    // sort shuffle, no holistic per-group buffer, no pre-agg overhead
     val fences = Percentiles
-      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75),
-        rowCountHint = Some(graft.Tables.footerRowCount(spark, d, "lineitem")))
+      .sortPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.75))
       .groupBy(col("l_returnflag"))
       .agg(max(when(col("p") === 0.25, col("value"))).as("p25"),
         max(when(col("p") === 0.75, col("value"))).as("p75"))
@@ -410,20 +411,18 @@ object Relational {
   def q85MadOutliers(spark: SparkSession, d: String,
                      k: Double = 3.0): DataFrame = {
     val li = lineitem(spark, d)
-    // one footer-metadata count serves both percentile passes — no
-    // blocking count() job at plan-construction time (the dev frame is
-    // strictly 1:1 with lineitem, so the same cardinality hint is exact)
-    val hint = Some(graft.Tables.footerRowCount(spark, d, "lineitem"))
+    // prices are ~99% unique, so both medians use the WINDOW-SORT exact
+    // strategy (one columnar sort shuffle each, no holistic buffer, no
+    // wasted value-count pre-agg) — replacing three ObjectHashAggregate
+    // percentile passes that each buffered all rows into one task per group
     val med = Percentiles
-      .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5),
-        rowCountHint = hint)
+      .sortPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
       .select(col("l_returnflag"), col("value").as("med"))
     val dev = li.join(broadcast(med), "l_returnflag")
       .select(col("l_returnflag"), col("med"),
         abs(col("l_extendedprice") - col("med")).as("d"))
     val mad = Percentiles
-      .exactPercentiles(dev, "l_returnflag", "d", Seq(0.5),
-        rowCountHint = hint)
+      .sortPercentiles(dev, "l_returnflag", "d", Seq(0.5))
       .select(col("l_returnflag"), col("value").as("mad"))
     dev.join(broadcast(mad), "l_returnflag")
       .groupBy(col("l_returnflag"))

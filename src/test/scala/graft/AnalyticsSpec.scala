@@ -209,6 +209,47 @@ class AnalyticsSpec extends SparkSuite {
       assert(r(("b", 0.0)) === 5.0 && r(("b", 0.5)) === 5.0 && r(("b", 1.0)) === 5.0)
       assert(r(("c", 0.5)) === 3.0)
     }
+    // the value-count (counting-sort) and window-sort strategies agree on
+    // the same edges — duplicates land inside rank intervals in both
+    for (strat <- Seq(Percentiles.valueCountPercentiles _,
+      Percentiles.sortPercentiles _)) {
+      val r = strat(df, "g", "v", Seq(0.0, 0.5, 1.0))
+        .as[(String, Double, Double)].collect()
+        .map { case (g, p, v) => (g, p) -> v }.toMap
+      assert(r(("a", 0.0)) === 1.0 && r(("a", 0.5)) === 2.0 &&
+        r(("a", 1.0)) === 9.0)
+      assert(r(("b", 0.5)) === 5.0 && r(("c", 0.5)) === 3.0)
+    }
+  }
+
+  test("window-sort percentiles are bit-identical to the holistic aggregate") {
+    import graft.ops.Percentiles
+    val li = Tables.lineitem(spark, sf)
+    val srt = Percentiles
+      .sortPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    Relational.q37PercentilesHolistic(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+      .foreach { case (g, p50, p90, _) =>
+        assert(srt((g, 0.5)) === p50 && srt((g, 0.9)) === p90)
+      }
+  }
+
+  test("value-count percentiles are bit-identical to the holistic aggregate") {
+    import graft.ops.Percentiles
+    val li = Tables.lineitem(spark, sf)
+    val vcp = Percentiles
+      .valueCountPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    val hol = Relational.q37PercentilesHolistic(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(hol.nonEmpty)
+    hol.foreach { case (g, p50, p90, _) =>
+      assert(vcp((g, 0.5)) === p50) // exact ==: same order stats, same lerp
+      assert(vcp((g, 0.9)) === p90)
+    }
   }
 
   test("stratified sample: deterministic, ~10% per stratum, counts consistent") {
