@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * sink (a bare `count()` would let Catalyst prune most of the plan and time
   * nothing). One untimed warmup query first so JIT/codegen/session init cost
   * isn't attributed to the first query.
+  *
+  * A SECOND scale point is timed when available — `SPARK_GRAFT_SF_DIR2`, or
+  * the sibling sf0.01 directory when the primary is sf0.1 — and reported in
+  * the same JSON line under `sf2`/`queries2`/`value2`. Two points separate
+  * the fixed JVM/plan floor from data-dependent cost: a query whose time
+  * doesn't move 10× the data is floor-bound; one that scales super-linearly
+  * is the regression to chase.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,54 +28,68 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def run(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
 
-    // warmup: cache every input table in memory (columnar, pruned per query
-    // via CacheManager's canonicalized-plan matching — any query reading the
-    // same parquet path hits the cache automatically). Timed queries then
-    // measure operator compute, not repeated file scans; on a real cluster
-    // this is the hot-table pattern (cache / Delta caching / alluxio).
-    val tables = Seq(
-      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
-      Tables.customer(spark, sfDir), Tables.part(spark, sfDir),
-      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir),
-      Tables.region(spark, sfDir), Tables.documents(spark, sfDir),
-      Tables.embeddings(spark, sfDir), Tables.events(spark, sfDir))
-    tables.foreach(t => t.cache().count())
-    // and one untimed warm-up execution of EVERY query: the first run of a
-    // plan pays whole-stage-codegen compilation + JIT tiers (2-3× steady
-    // state; family-level warmup still left 1.5-2s of compile cost on cold
-    // plans — measured, not guessed). The timed best-of-2 below then reads
-    // steady-state operator compute, which is the number that projects to a
-    // long-running cluster where plans are compiled once and run for hours.
-    for (w <- SparkEntry.queries.keys.toSeq.sorted)
-      try run(w) catch {
-        // logged, not rethrown: a deterministically-failing query still gets
-        // its timed runs below (which report -1), but the warm-up failure
-        // must not be invisible in the bench tail
-        case e: Throwable => System.err.println(
-          s"[bench] warmup $w failed: ${e.getClass.getName}: ${e.getMessage}")
-      }
-
-    // best of two runs per query: the first execution of a plan can cost
-    // 2-3× steady state (codegen compile + JIT tiers) even after family
-    // warmup — the minimum is the honest measure of operator compute
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { run(name); Some((System.nanoTime() - t0) / 1e9) } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+    /** Warm up and time the full suite at one scale factor. */
+    def suite(dir: String): Seq[(String, Double)] = {
+      // warmup: cache every input table in memory (columnar, pruned per
+      // query via CacheManager's canonicalized-plan matching — any query
+      // reading the same parquet path hits the cache automatically). Timed
+      // queries then measure operator compute, not repeated file scans; on
+      // a real cluster this is the hot-table pattern (cache / Delta caching
+      // / alluxio).
+      val tables = Seq(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        Tables.customer(spark, dir), Tables.part(spark, dir),
+        Tables.supplier(spark, dir), Tables.nation(spark, dir),
+        Tables.region(spark, dir), Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir), Tables.events(spark, dir))
+      tables.foreach(t => t.cache().count())
+      // one untimed warm-up execution of EVERY query: the first run of a
+      // plan pays whole-stage-codegen compilation + JIT tiers (2-3× steady
+      // state — measured, not guessed). The timed best-of-2 below then
+      // reads steady-state operator compute, which is the number that
+      // projects to a long-running cluster where plans are compiled once
+      // and run for hours.
+      for (w <- SparkEntry.queries.keys.toSeq.sorted)
+        try run(w, dir) catch {
+          // logged, not rethrown: a deterministically-failing query still
+          // gets its timed runs below (which report -1), but the warm-up
+          // failure must not be invisible in the bench tail
+          case e: Throwable => System.err.println(
+            s"[bench] warmup $w failed: ${e.getClass.getName}: ${e.getMessage}")
         }
+      val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { run(name, dir); Some((System.nanoTime() - t0) / 1e9) } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+          }
+        }
+        name -> (if (times.nonEmpty) times.min else -1.0)
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      tables.foreach(_.unpersist())
+      results
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def total(rs: Seq[(String, Double)]): Double =
+      rs.map(_._2).filter(_ >= 0).sum
+
+    val primary = suite(sfDir)
+    // second scale point: explicit env var, else the sibling sf0.01 dir
+    val sfDir2 = sys.env.get("SPARK_GRAFT_SF_DIR2")
+      .orElse(Option(sfDir.replace("sf0.1", "sf0.01"))
+        .filter(d => d != sfDir && new java.io.File(d).isDirectory))
+    val secondary = sfDir2.map(d => (d, suite(d)))
+    val extra = secondary.map { case (d, rs) =>
+      s""","value2":${total(rs)},"queries2":${json(rs)},"sf2":"$d""""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","queries":${json(primary)},"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }
