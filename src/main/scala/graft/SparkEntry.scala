@@ -282,6 +282,33 @@ object SparkEntry {
     "q95_string_agg" -> Relational.q95StringAgg _,
     // month-over-month growth from exact decimal monthly sums
     "q96_period_over_period" -> Relational.q96PeriodOverPeriod _,
+    // ---- round 5: analytics + graph traversal ----
+    // cohort retention triangle from the deduped (user, day) frame
+    "q97_cohort_retention" -> ((s: SparkSession, d: String) =>
+      Sessions.cohortRetention(Tables.events(s, d))),
+    // exact trailing 7-day distinct users via bounded interval explode
+    "q98_trailing_distinct" -> ((s: SparkSession, d: String) =>
+      Sessions.trailingDistinctUsers(Tables.events(s, d))),
+    // bigram next-token model: exact conditional probabilities, top-3 per
+    // top-100 contexts
+    "q99_bigram_lm" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.bigramNextToken(Tables.documents(s, d))),
+    // 2-D Pareto frontier: O(D log D) running-min pass vs the oracle's
+    // definitional quadratic NOT EXISTS
+    "q100_skyline" -> Relational.q100Skyline _,
+    // level-synchronous BFS (4 hops from node 1) on the deterministic
+    // supplier graph; oracle replays it as a recursive CTE + min(dist)
+    "q101_khop_bfs" -> ((s: SparkSession, d: String) => {
+      val sup = Tables.supplier(s, d)
+      ext.Components.kHopDistances(
+        ext.Components.supplierGraph(sup),
+        sup.filter(col("s_suppkey") === 1).select(col("s_suppkey").as("node")),
+        maxHops = 4)
+    }),
+    // per-node triangle participation via canonicalized wedge-close joins
+    "q102_triangles" -> ((s: SparkSession, d: String) =>
+      ext.Components.triangleCounts(
+        ext.Components.supplierGraph(Tables.supplier(s, d)))),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2205,6 +2232,128 @@ object SparkEntry {
         |    THEN CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE)
         |    END AS mom_growth
         |FROM lagged""".stripMargin,
+
+    // ---- round 5 ----
+    "q97_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |wc AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM ud),
+        |mat AS (
+        |  SELECT cohort_day, (day - cohort_day) // 7 AS week_offset,
+        |    count(DISTINCT user_id) AS n_active
+        |  FROM wc GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+        |  FROM wc WHERE day = cohort_day GROUP BY 1)
+        |SELECT m.cohort_day, m.week_offset, m.n_active, s.cohort_size,
+        |  CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |    AS retention
+        |FROM mat m JOIN sz s USING (cohort_day)""".stripMargin,
+
+    "q98_trailing_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |tgt AS (
+        |  SELECT DISTINCT user_id, t_day FROM (
+        |    SELECT user_id, day + unnest(generate_series(0, 6)) AS t_day
+        |    FROM ud) u),
+        |daily AS (
+        |  SELECT day, count(DISTINCT user_id) AS n_users_1d
+        |  FROM ud GROUP BY 1),
+        |trail AS (
+        |  SELECT t.t_day AS day, count(DISTINCT t.user_id) AS n_users_7d
+        |  FROM tgt t JOIN daily d ON t.t_day = d.day GROUP BY 1)
+        |SELECT d.day, d.n_users_1d, tr.n_users_7d
+        |FROM daily d JOIN trail tr USING (day)""".stripMargin,
+
+    "q99_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT (b).w1 AS w1, (b).w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+        |    FROM toks WHERE len(t) >= 2) u),
+        |pc AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+        |tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS total
+        |        FROM pc GROUP BY 1),
+        |top_ctx AS (
+        |  SELECT w1, total FROM (
+        |    SELECT w1, total,
+        |      row_number() OVER (ORDER BY total DESC, w1) AS rk
+        |    FROM tot) x WHERE rk <= 100)
+        |SELECT p.w1,
+        |  row_number() OVER (PARTITION BY p.w1 ORDER BY p.cnt DESC, p.w2)
+        |    AS "rank",
+        |  p.w2, p.cnt, tc.total,
+        |  CAST(p.cnt AS DOUBLE) / CAST(tc.total AS DOUBLE) AS p
+        |FROM pc p JOIN top_ctx tc USING (w1)
+        |QUALIFY "rank" <= 3""".stripMargin,
+
+    "q100_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT p_retailprice AS price,
+        |    CAST(p_size AS BIGINT) AS "size"
+        |  FROM part WHERE p_brand IN ('Brand#1', 'Brand#2'))
+        |SELECT price, "size" FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price <= a.price AND b."size" <= a."size"
+        |    AND (b.price < a.price OR b."size" < a."size"))""".stripMargin,
+
+    "q101_khop_bfs" ->
+      """WITH RECURSIVE nn AS (SELECT max(s_suppkey) AS n FROM supplier),
+        |e0 AS (
+        |  SELECT s_suppkey AS src, s_suppkey % n + 1 AS dst
+        |  FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey + 1) % n + 1 FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey * 7 + 1) % n + 1 FROM supplier, nn),
+        |sym AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst, src FROM e0 WHERE src <> dst) u),
+        |bfs(node, dist) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN sym e ON e.src = b.node
+        |  WHERE b.dist < 4)
+        |SELECT node, min(dist) AS dist FROM bfs GROUP BY node""".stripMargin,
+
+    "q102_triangles" ->
+      """WITH nn AS (SELECT max(s_suppkey) AS n FROM supplier),
+        |e0 AS (
+        |  SELECT s_suppkey AS src, s_suppkey % n + 1 AS dst
+        |  FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey + 1) % n + 1 FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey * 7 + 1) % n + 1 FROM supplier, nn),
+        |sym AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst, src FROM e0 WHERE src <> dst) u),
+        |canon AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+        |tri AS (
+        |  SELECT x.a AS a, x.b AS b, y.b AS c
+        |  FROM canon x
+        |  JOIN canon y ON y.a = x.b
+        |  JOIN canon z ON z.a = x.a AND z.b = y.b),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM corners GROUP BY node""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

@@ -204,4 +204,80 @@ object Components {
     ranks.join(deg, col("node") === col("src"))
       .select(col("node"), col("deg"), col("rank"))
   }
+
+  /** Deterministic synthetic graph over the supplier key space (ring +
+    * skip-chord + long-range edge per node, all arithmetic on the key) —
+    * the fixture graph for the traversal operators, expressible identically
+    * in the SQL oracle. Modulus comes from a 1-row max() stat frame
+    * broadcast back — no driver-side count job.
+    */
+  def supplierGraph(supplier: DataFrame): DataFrame = {
+    val n = supplier.agg(max(col("s_suppkey")).as("n"))
+    supplier.select(col("s_suppkey").as("i"))
+      .crossJoin(broadcast(n))
+      .select(col("i").as("src"), explode(array(
+        col("i") % col("n") + 1,
+        (col("i") + 1) % col("n") + 1,
+        (col("i") * 7 + 1) % col("n") + 1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** k-hop BFS: minimum hop distance from `sources` to every node within
+    * `maxHops`, as `maxHops` rounds of frontier-expand + anti-join (the
+    * level-synchronous BFS every distributed graph engine runs). Each round
+    * is one join on the (symmetrized) edge list plus an anti-join against
+    * the settled set — no per-node state beyond (node, dist). Rounds are a
+    * FIXED parameter: at 100 TB the edge join shuffles on src and the
+    * frontier stays a fraction of the node set; for deep traversals
+    * checkpoint every few rounds to cap lineage (as [[pageRank]] does).
+    */
+  def kHopDistances(edges: DataFrame, sources: DataFrame,
+                    maxHops: Int = 4): DataFrame = {
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val src0 = sources.select(sources.columns.head).toDF("node")
+    var dist = src0.select(col("node"), lit(0L).as("dist"))
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      // explicit aliases: after round 1 the frontier's `node` lineage IS
+      // sym's `dst`, so unqualified references would be an ambiguous
+      // self-join
+      val next = frontier.select(col("node")).as("f")
+        .join(sym.as("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"), lit(h.toLong).as("dist"))
+        .distinct()
+        .join(dist.select(col("node").as("__seen")),
+          col("node") === col("__seen"), "left_anti")
+      frontier = next
+      dist = dist.union(next)
+    }
+    dist
+  }
+
+  /** Per-node triangle participation counts. Edges are canonicalized
+    * (a < b) so each undirected triangle a < b < c is found exactly once by
+    * the two-join wedge-close: (a,b)⋈(b,c)⋈(a,c). At 100 TB the standard
+    * refinement is degree-orientation (orient each edge toward the
+    * higher-degree endpoint) so wedge counts are bounded by arboricity
+    * rather than max degree; the join shape below is unchanged by it.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val canon = sym.filter(col("src") < col("dst")).localCheckpoint()
+    val tri = canon.select(col("src").as("a"), col("dst").as("b"))
+      .join(canon.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(canon.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

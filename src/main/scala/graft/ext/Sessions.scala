@@ -405,6 +405,70 @@ object Sessions {
         round(sum(col("value")).over(w), 2).as("sum_24h"))
   }
 
+  private val DayUsL = 86400000000L
+
+  /** Cohort retention matrix: users are cohorted by their first active day;
+    * each cohort's distinct-user count per week offset (plus the exact
+    * retention ratio) is the classic product-analytics triangle.
+    *
+    * Scale shape: everything derives from the distinct (user, day) frame —
+    * one dedup shuffle bounds all later work by active-user-days, not raw
+    * events; the per-user min-day window shuffles that compressed frame
+    * once more on user_id. Output is O(cohorts · weeks) — dashboard-sized
+    * at any corpus scale. Parity: counts are exact; retention is one IEEE
+    * division of exact ints (< 2^53) → bit-identical raw, no rounding.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ud = withTsUs(events)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), floorDiv(col("ts_us"), DayUsL).as("day"))
+      .distinct()
+    val withCohort = ud.withColumn("cohort_day",
+      min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val mat = withCohort
+      .groupBy(col("cohort_day"),
+        expr("(day - cohort_day) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = withCohort.filter(col("day") === col("cohort_day"))
+      .groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    mat.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  /** Trailing 7-day distinct users per active day — the "weekly active
+    * users" series, EXACT. `count(distinct)` cannot run over a sliding
+    * window frame, and trailing distinct counts don't merge from daily
+    * ones; the distributed-exact trick is to EXPLODE each (user, day) into
+    * the ≤7 target days it can serve, then one distinct-count per target
+    * day. Shuffle volume is 7× the deduped user-day frame (not 7× the raw
+    * events) — the bounded-interval-explode pattern q94 uses for occupancy.
+    * (At larger windows the sketch alternative is per-day HLL merges; this
+    * operator is the exact form.)
+    */
+  def trailingDistinctUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = withTsUs(events)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), floorDiv(col("ts_us"), DayUsL).as("day"))
+      .distinct()
+    val targets = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+          .as("t_day"))
+      .distinct()
+    val daily = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_1d"))
+    val trailing = targets
+      .join(broadcast(daily.select(col("day").as("t_day"))), "t_day")
+      .groupBy(col("t_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+    daily.join(broadcast(trailing.withColumnRenamed("t_day", "day")), "day")
+      .select(col("day"), col("n_users_1d"), col("n_users_7d"))
+  }
+
   /** Query entries. */
   def qSessionize(spark: SparkSession, sfDir: String): DataFrame =
     sessionize(Tables.events(spark, sfDir))

@@ -227,6 +227,45 @@ object TextStats {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Bigram language model: P(w2 | w1) as exact count ratios, top-`k` next
+    * tokens for the `topPrev` most frequent contexts — the n-gram LM a
+    * data-quality pipeline uses for repetition/perplexity proxies.
+    *
+    * Scale shape: bigram pairs come from an indexed `transform` over the
+    * token array (no self-join on position); the (w1, w2) count is one
+    * shuffle with map-side combine; context totals are a re-aggregation of
+    * the pair frame (vocab-sized, NOT a second corpus scan). The only
+    * single-task step is ranking the vocab-sized context list — O(vocab),
+    * not O(corpus). Parity: counts exact; p is one IEEE division of exact
+    * ints → raw double, no rounding.
+    */
+  def bigramNextToken(docs: DataFrame, topPrev: Int = 100,
+                      k: Int = 3): DataFrame = {
+    val pairs = docs
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("w1")).agg(sum(col("cnt")).as("total"))
+    val topContexts = totals
+      .withColumn("__rk", row_number()
+        .over(Window.orderBy(col("total").desc, col("w1"))).cast("long"))
+      .filter(col("__rk") <= topPrev)
+      .drop("__rk")
+    val wNext = Window.partitionBy(col("w1"))
+      .orderBy(col("cnt").desc, col("w2"))
+    pairs.join(broadcast(topContexts), "w1")
+      .withColumn("rank", row_number().over(wNext).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("rank"), col("w2"), col("cnt"), col("total"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+  }
+
   /** The declarative higher-order-function form of [[fingerprint]] — the
     * executable specification the native kernel is tested against.
     */

@@ -789,6 +789,33 @@ object Relational {
             col("prev_rev").cast("double")).as("mom_growth"))
   }
 
+  /** 2-D SKYLINE (Pareto frontier): parts not dominated on
+    * (p_retailprice ↓, p_size ↓) within a two-brand segment — the
+    * "no part is both cheaper and smaller" query.
+    *
+    * Scalable algorithm instead of the definitional quadratic: collapse to
+    * per-price min size (exact agg; same-price larger sizes are dominated
+    * by construction), then ONE ordered pass — a point survives iff its
+    * size beats the running min over all strictly-cheaper prices. O(D log D)
+    * on the distinct-price frame vs the oracle's O(n²) NOT-EXISTS (which is
+    * the spec, runnable only at oracle scale). The single-task window runs
+    * on the per-price frame (D ≈ distinct prices in the segment), not the
+    * fact table; at 100 TB the pass parallelizes by price-range partitions
+    * whose frontiers merge by the same running-min rule.
+    */
+  def q100Skyline(spark: SparkSession, d: String): DataFrame = {
+    val perPrice = part(spark, d)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2"))
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(min(col("p_size").cast("long")).as("size"))
+    val w = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perPrice
+      .withColumn("__best_prev", min(col("size")).over(w))
+      .filter(col("__best_prev").isNull || col("size") < col("__best_prev"))
+      .select(col("price"), col("size"))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */

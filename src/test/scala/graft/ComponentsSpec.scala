@@ -104,4 +104,38 @@ class ComponentsSpec extends SparkSuite {
     assert(got.maxBy(_._2._2)._1 === 3L)
     assert(got.minBy(_._2._2)._1 === 4L)
   }
+
+  test("kHopDistances: min hop distance wins when multiple paths exist") {
+    // path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop, node 5 is 2 hops
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("a", "b")
+    val src = Seq(1L).toDF("node")
+    val r = Components.kHopDistances(edges, src, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // hop cap respected: from node 5 on the bare path, node 1 is 4 hops
+    val r2 = Components.kHopDistances(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b"),
+      Seq(5L).toDF("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(!r2.contains(1L) && r2(2L) == 3L)
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles; path graph none") {
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("a", "b")
+    val r = Components.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Components.triangleCounts(path).count() === 0L)
+  }
+
+  test("supplierGraph is deterministic, self-loop-free, and in key range") {
+    val sup = (1L to 40L).toDF("s_suppkey")
+    val g = Components.supplierGraph(sup).as[(Long, Long)].collect().toSet
+    assert(g.forall { case (s, t) => s >= 1 && s <= 40 && t >= 1 && t <= 40 && s != t })
+    // ring (1%40+1=2), skip ((1+1)%40+1=3), long-range ((7+1)%40+1=9)
+    assert(g.contains((1L, 2L)) && g.contains((1L, 3L)) && g.contains((1L, 9L)))
+    val g2 = Components.supplierGraph(sup).as[(Long, Long)].collect().toSet
+    assert(g === g2)
+  }
 }

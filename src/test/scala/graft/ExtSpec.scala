@@ -296,4 +296,50 @@ class ExtSpec extends SparkSuite {
       assert(o._6 < fused._6, s"filler pair $o outscored the fused pair")
     }
   }
+
+  private def tinyEvents(rows: (Long, Long, Long)*) = {
+    // (event_id, day, user_id) → events rows at day boundaries (ns ts)
+    rows.map { case (id, day, u) =>
+      (id, day * 86400000000000L, u, "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("cohortRetention: week-offset matrix with exact ratios") {
+    // users 1,2 start day 0 (cohort 0); user 2 returns day 8 (week 1);
+    // user 3 starts day 7 (cohort 7), never returns
+    val ev = tinyEvents((1L, 0L, 1L), (2L, 0L, 2L), (3L, 8L, 2L), (4L, 7L, 3L))
+    val r = ext.Sessions.cohortRetention(ev)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(r === Set(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (7L, 0L, 1L, 1L, 1.0)))
+  }
+
+  test("trailingDistinctUsers: 7-day window counts on active days only") {
+    // user 1 on days 0 and 10; user 2 on day 3
+    val ev = tinyEvents((1L, 0L, 1L), (2L, 10L, 1L), (3L, 3L, 2L),
+      (4L, 3L, 2L)) // duplicate user-day must not double-count
+    val r = ext.Sessions.trailingDistinctUsers(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    // day 0: {1}; day 3: {2} daily, {1,2} trailing (day0 within 7);
+    // day 10: {1} both (day 3 is 7 days back — outside [4,10])
+    assert(r === Set((0L, 1L, 1L), (3L, 1L, 2L), (10L, 1L, 1L)))
+  }
+
+  test("bigramNextToken: exact conditional probabilities and rank order") {
+    val docs = Seq(
+      (1L, "a b a b a c"),
+      (2L, "a b x")).toDF("doc_id", "text")
+    val r = ext.TextStats.bigramNextToken(docs, topPrev = 2, k = 2)
+      .as[(String, Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    // context 'a': 5 bigrams start elsewhere? bigrams: (a,b)x3,(b,a)x2,
+    // (a,c),(a? ...) doc2: (a,b),(b,x) → a→b:3, a→c:1, b→a:2, b→x:1
+    val a = r("a").sortBy(_._2)
+    assert(a.map(x => (x._3, x._4, x._5)).toSeq === Seq(("b", 3L, 4L), ("c", 1L, 4L)))
+    assert(a(0)._6 === 0.75 && a(1)._6 === 0.25)
+    val b = r("b").sortBy(_._2)
+    assert(b.map(x => (x._3, x._4, x._5)).toSeq === Seq(("a", 2L, 3L), ("x", 1L, 3L)))
+  }
 }
