@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Dedup, Sessions, Similarity, TextStats}
-import graft.ops.{Convert, Eval, Predictions, Relational, SyntheticBoxes}
+import graft.ops.{Convert, Eval, Merge, Predictions, Relational, SyntheticBoxes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,13 @@ object SparkEntry {
     "q102_triangles" -> ((s: SparkSession, d: String) =>
       ext.Components.triangleCounts(
         ext.Components.supplierGraph(Tables.supplier(s, d)))),
+    // MERGE INTO semantics: full-outer join + 3-state CASE (update/
+    // insert/delete), exact decimal-cents arithmetic
+    "q103_merge_upsert" -> Merge.q103MergeUpsert _,
+    // inverted-index retrieval: df-capped postings join + exact Jaccard
+    // top-k per query
+    "q104_retrieval" -> ((s: SparkSession, d: String) =>
+      ext.Retrieval.topKByTokenOverlap(Tables.documents(s, d))),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2354,6 +2361,80 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_triangles
         |FROM corners GROUP BY node""".stripMargin,
+
+    "q103_merge_upsert" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer),
+        |mk AS (SELECT max(c_custkey) AS mk FROM cust),
+        |agg AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+        |  FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1),
+        |src AS (
+        |  SELECT CASE WHEN o_custkey % 100 = 0 THEN o_custkey + mk
+        |              ELSE o_custkey END AS c_custkey, delta
+        |  FROM agg, mk),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN t.c_custkey IS NULL THEN s.c_custkey
+        |         ELSE t.c_custkey END AS c_custkey,
+        |    CASE WHEN t.c_custkey IS NULL
+        |           THEN 'Customer#new#' || s.c_custkey
+        |         ELSE t.c_name END AS c_name,
+        |    CASE WHEN t.c_custkey IS NULL THEN 'MERGED'
+        |         ELSE t.c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN t.c_custkey IS NULL
+        |           THEN CAST(s.delta AS DECIMAL(18,2))
+        |         WHEN s.c_custkey IS NOT NULL AND NOT (t.c_acctbal < -900)
+        |           THEN CAST(t.c_acctbal + s.delta AS DECIMAL(18,2))
+        |         ELSE t.c_acctbal END AS c_acctbal,
+        |    CASE WHEN t.c_custkey IS NULL THEN 'insert'
+        |         WHEN s.c_custkey IS NOT NULL AND t.c_acctbal < -900
+        |           THEN 'delete'
+        |         WHEN s.c_custkey IS NOT NULL THEN 'update'
+        |         ELSE 'keep' END AS action
+        |  FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, action
+        |FROM merged WHERE action <> 'delete'""".stripMargin,
+
+    "q104_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM base),
+        |dlen AS (SELECT doc_id,
+        |           CAST(len(list_distinct(t)) AS BIGINT) AS d_len
+        |         FROM base),
+        |dfq AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1),
+        |postings AS (
+        |  SELECT d.term, d.doc_id FROM dtok d JOIN dfq f USING (term)
+        |  WHERE f.df <= 100),
+        |queries AS (
+        |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
+        |  FROM base WHERE doc_id % 97 = 3),
+        |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
+        |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
+        |         FROM queries),
+        |ov AS (
+        |  SELECT q.query_id, p.doc_id, count(*) AS overlap
+        |  FROM qtok q JOIN postings p USING (term)
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT o.query_id, o.doc_id, o.overlap, ql.q_len, dl.d_len,
+        |    CAST(o.overlap AS DOUBLE)
+        |      / CAST(ql.q_len + dl.d_len - o.overlap AS DOUBLE) AS score
+        |  FROM ov o JOIN qlen ql USING (query_id)
+        |  JOIN dlen dl USING (doc_id))
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY score DESC, doc_id) AS "rank",
+        |  doc_id, overlap, q_len, d_len, score
+        |FROM scored
+        |QUALIFY "rank" <= 5""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse retrieval: top-k similar documents per query through an
+  * INVERTED-INDEX join — the blocked form of "score every (query, doc)
+  * pair" that makes lexical search feasible at corpus scale (and the
+  * candidate-generation stage in a RAG pipeline, before any dense rerank).
+  *
+  * Pipeline: build posting lists (term → docs) over distinct tokens, drop
+  * high-document-frequency terms (a df cap is the classic stop-list — they
+  * add candidates, not signal), join query tokens against postings so only
+  * documents sharing ≥1 indexed term are scored, then exact token-set
+  * Jaccard and a per-query top-k window.
+  *
+  * Scale shape: candidates per query = Σ_term df(term) ≤ |q|·maxDf —
+  * independent of corpus size; the postings join shuffles on term once and
+  * the tiny query-token frame broadcasts over it. Parity: overlap/lengths
+  * are exact ints; the Jaccard is one IEEE division → raw double.
+  */
+object Retrieval {
+
+  def topKByTokenOverlap(docs: DataFrame, k: Int = 5, maxDf: Long = 100,
+                         queryEvery: Long = 97, queryLen: Int = 5): DataFrame = {
+    val base = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("t"))
+    val dTok = base.select(col("doc_id"),
+      explode(array_distinct(col("t"))).as("term"))
+    // per-doc distinct-token length: per-row expression, no extra shuffle
+    val dLen = base.select(col("doc_id"),
+      size(array_distinct(col("t"))).cast("long").as("d_len"))
+    val dfq = dTok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = dTok.join(dfq.filter(col("df") <= maxDf), "term")
+      .select(col("term"), col("doc_id"))
+    val queries = base.filter(col("doc_id") % queryEvery === 3)
+      .select(col("doc_id").as("query_id"),
+        array_distinct(slice(col("t"), 1, queryLen)).as("qt"))
+    val qTok = queries.select(col("query_id"), explode(col("qt")).as("term"))
+    val qLen = queries.select(col("query_id"),
+      size(col("qt")).cast("long").as("q_len"))
+    val overlap = postings.join(broadcast(qTok), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val scored = overlap
+      .join(broadcast(qLen), "query_id")
+      .join(dLen, "doc_id")
+      .withColumn("score", col("overlap").cast("double") /
+        (col("q_len") + col("d_len") - col("overlap")).cast("double"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("overlap"),
+        col("q_len"), col("d_len"), col("score"))
+  }
+}

@@ -327,6 +327,51 @@ class ExtSpec extends SparkSuite {
     assert(r === Set((0L, 1L, 1L), (3L, 1L, 2L), (10L, 1L, 1L)))
   }
 
+  test("mergeInto: update/insert/delete/keep all fire with exact arithmetic") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = Seq(
+      (1L, "a", 10.0),   // matched, updated
+      (2L, "b", -950.0), // matched + deleteWhen → dropped
+      (3L, "c", 5.0),    // unmatched target → keep
+      (4L, "d", -999.0)) // negative but NO source match → keep (MERGE rule)
+      .toDF("k", "name", "bal")
+    val source = Seq((1L, 7.0), (2L, 1.0), (9L, 3.0)).toDF("k", "delta")
+    val r = ops.Merge.mergeInto(
+      target, source, "k",
+      updateSet = Seq("bal" -> (col("t.bal") + col("s.delta"))),
+      insertRow = Seq("k" -> col("s.k"), "name" -> lit("new"),
+        "bal" -> col("s.delta")),
+      deleteWhen = col("t.bal") < -900)
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(r === Set(
+      (1L, "a", 17.0, "update"),
+      (3L, "c", 5.0, "keep"),
+      (4L, "d", -999.0, "keep"),
+      (9L, "new", 3.0, "insert")))
+  }
+
+  test("retrieval: df cap drops stop-terms, Jaccard and rank are exact") {
+    // doc 3 is the query (3 % 97 == 3); its first tokens overlap doc 1
+    // heavily, doc 2 barely; 'the' appears everywhere → df-capped out
+    val docs = Seq(
+      (1L, "alpha beta gamma the"),
+      (2L, "delta beta the the"),
+      (3L, "alpha beta gamma the extra"),
+      (4L, "zeta eta theta the"))
+      .toDF("doc_id", "text")
+    val r = ext.Retrieval.topKByTokenOverlap(docs, k = 5, maxDf = 3,
+      queryEvery = 97, queryLen = 5)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .sortBy(_._2)
+    // query terms: {alpha,beta,gamma,the,extra}; 'the' has df 4 > 3 → cut
+    // doc1 overlap {alpha,beta,gamma}=3, J=3/(5+4-3)=0.5
+    // doc2 overlap {beta}=1, J=1/(5+3-1)≈0.1429; doc4 overlap 0 → absent
+    assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq ===
+      Seq((3L, 1L, 1L, 3L), (3L, 2L, 2L, 1L)))
+    assert(r(0)._7 === 0.5)
+    assert(r(1)._7 === 1.0 / 7.0)
+  }
+
   test("bigramNextToken: exact conditional probabilities and rank order") {
     val docs = Seq(
       (1L, "a b a b a c"),
