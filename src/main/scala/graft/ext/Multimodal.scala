@@ -132,6 +132,53 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL image resize stage (decode → scale → re-encode PNG), batch-shaped
+    * like [[decodeFeatures]]: one rendering context per partition, rows map
+    * to (media_id, resized PNG bytes + new dims). Aspect ratio is preserved
+    * against a `maxDim` bounding box — the thumbnail/normalize step of an
+    * image training pipeline. Undecodable rows pass through with null bytes
+    * and (-1,-1) dims (filterable, F8-style). Nearest-neighbor scaling: the
+    * one java2d interpolation mode whose output is a pure pixel-index
+    * function (bilinear may vary in the last bit across JVM pipelines),
+    * keeping output bytes deterministic for tests and retries alike.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int = 64): DataFrame = {
+    require(maxDim > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val src =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                if (bytes == null) Array.emptyByteArray else bytes))
+            catch { case _: java.io.IOException => null }
+          if (src == null) (id, -1, -1, null: Array[Byte])
+          else {
+            val scale = math.min(
+              1.0, maxDim.toDouble / math.max(src.getWidth, src.getHeight))
+            val w = math.max(1, math.round(src.getWidth * scale).toInt)
+            val h = math.max(1, math.round(src.getHeight * scale).toInt)
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(src, 0, 0, w, h, null)
+            g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            (id, w, h, out.toByteArray)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "content")
+  }
+
   /** Frame-sampling shape for video-like media: explode k deterministic
     * offsets per row (a real sampler reads frames at those offsets).
     */

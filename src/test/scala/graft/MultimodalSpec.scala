@@ -96,6 +96,32 @@ class MultimodalSpec extends SparkSuite {
     assert(r == Map(1L -> -1, 2L -> 4))
   }
 
+  test("resizeImages: real decode→scale→re-encode, aspect kept, deterministic") {
+    val rows = Seq(
+      (1L, "image/png", pngBytes(64, 32, 0xff0000)),  // downscale 2:1 box
+      (2L, "image/png", pngBytes(10, 8, 0x00ff00)),   // under maxDim → kept
+      (3L, "image/png", Array[Byte](9, 9, 9)))        // undecodable
+      .toDF("media_id", "media_type", "content")
+    val r = Multimodal.resizeImages(rows, maxDim = 16).cache()
+    val dims = r.select("media_id", "width", "height")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(dims.toSeq == Seq((1L, 16, 8), (2L, 10, 8), (3L, -1, -1)))
+    // outputs are real PNGs that probe + decode back at the new size,
+    // and a solid-color input stays solid after resampling
+    val back = Multimodal.decodeFeatures(
+      r.filter(col("width") > 0).withColumn("media_type", lit("image/png")),
+      Multimodal.imageIoDecode)
+      .select("media_id", "width", "height", "feature")
+      .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1)
+    assert(back.map(b => (b._1, b._2, b._3)).toSeq == Seq((1L, 16, 8), (2L, 10, 8)))
+    assert(back(0)._4(0) == 1.0f && back(0)._4(1) == 0.0f)
+    // determinism: byte-identical on a second run
+    val h1 = r.select(col("media_id"), md5(col("content"))).collect().toSet
+    val h2 = Multimodal.resizeImages(rows, maxDim = 16)
+      .select(col("media_id"), md5(col("content"))).collect().toSet
+    assert(h1 == h2)
+  }
+
   test("sampleFrames explodes k deterministic offsets per row") {
     val df = Seq((1L, "video/x", Array.fill[Byte](100)(7))).toDF("media_id", "media_type", "content")
     val r = Multimodal.sampleFrames(df, k = 4)
