@@ -246,11 +246,15 @@ object Components {
       // explicit aliases: after round 1 the frontier's `node` lineage IS
       // sym's `dst`, so unqualified references would be an ambiguous
       // self-join
-      val next = frontier.select(col("node")).as("f")
-        .join(sym.as("e"), col("f.node") === col("e.src"))
+      // frontier and settled set are node-sized fractions — broadcast both
+      // so each round is map-side against the partitioned edge list (no
+      // edge shuffle per round)
+      val next = sym.as("e")
+        .join(broadcast(frontier.select(col("node")).as("f")),
+          col("f.node") === col("e.src"))
         .select(col("e.dst").as("node"), lit(h.toLong).as("dist"))
         .distinct()
-        .join(dist.select(col("node").as("__seen")),
+        .join(broadcast(dist.select(col("node").as("__seen"))),
           col("node") === col("__seen"), "left_anti")
       frontier = next
       dist = dist.union(next)

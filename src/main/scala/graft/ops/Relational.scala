@@ -415,15 +415,21 @@ object Relational {
     // strategy (one columnar sort shuffle each, no holistic buffer, no
     // wasted value-count pre-agg) — replacing three ObjectHashAggregate
     // percentile passes that each buffered all rows into one task per group
+    // med is 3 rows — localCheckpoint pins the result so the dev lineage
+    // (used by BOTH the MAD pass and the final rollup) doesn't re-run the
+    // median sort per branch: exactly one sort per percentile, one final
+    // aggregation pass
     val med = Percentiles
       .sortPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
       .select(col("l_returnflag"), col("value").as("med"))
+      .localCheckpoint()
     val dev = li.join(broadcast(med), "l_returnflag")
       .select(col("l_returnflag"), col("med"),
         abs(col("l_extendedprice") - col("med")).as("d"))
     val mad = Percentiles
       .sortPercentiles(dev, "l_returnflag", "d", Seq(0.5))
       .select(col("l_returnflag"), col("value").as("mad"))
+      .localCheckpoint()
     dev.join(broadcast(mad), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(max(col("med")).as("med"),
