@@ -183,4 +183,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Subquery"), s"correlated subquery not decorrelated:\n$p")
     assert(p.contains("Join"), p)
   }
+
+  // ---- round 5 ----
+
+  test("q97 cohort retention: cohort sizes broadcast back, no sort-merge join") {
+    val p = plan(SparkEntry.queries("q97_cohort_retention")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"stat frame got shuffle-joined:\n$p")
+  }
+
+  test("q103 MERGE: one full-outer join, no extra exchange beyond its shuffle") {
+    val p = plan(SparkEntry.queries("q103_merge_upsert")(spark, sf))
+    assert(p.contains("FullOuter"), s"MERGE core is not a full-outer join:\n$p")
+    // the source aggregation + the join = bounded exchanges; a CASE-based
+    // merge must not multiply passes over the target
+    assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(p).length <= 1,
+      s"more than one shuffled join in MERGE plan:\n$p")
+  }
+
+  test("q104 retrieval: query tokens broadcast over postings; no cartesian") {
+    val p = plan(SparkEntry.queries("q104_retrieval")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"retrieval degenerated to all-pairs:\n$p")
+  }
+
+  test("sortPercentiles: exactly one exchange feeds the rank window") {
+    val p = plan(ops.Percentiles.sortPercentiles(
+      Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice", Seq(0.5)))
+    // one shuffle partitions by group for the window sort; the final
+    // conditional aggregation must reuse that partitioning (partial +
+    // final HashAggregate, no extra exchange for the groupBy (g, p))
+    assert(p.contains("Window"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"too many exchanges in window-sort percentile plan:\n$p")
+  }
 }
