@@ -316,6 +316,10 @@ object SparkEntry {
     // top-k per query
     "q104_retrieval" -> ((s: SparkSession, d: String) =>
       ext.Retrieval.topKByTokenOverlap(Tables.documents(s, d))),
+    // per-dimension embedding standardization from exact quantized moments
+    "q105_embedding_standardize" -> ((s: SparkSession, d: String) =>
+      Similarity.standardizeDims(Tables.embeddings(s, d),
+        col("vec_id") < 50)),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2435,6 +2439,32 @@ object SparkEntry {
         |  doc_id, overlap, q_len, d_len, score
         |FROM scored
         |QUALIFY "rank" <= 5""".stripMargin,
+
+    "q105_embedding_standardize" ->
+      """WITH flat AS (
+        |  SELECT vec_id, (b).d AS dim, (b).v AS qv FROM (
+        |    SELECT vec_id,
+        |      unnest(list_transform(generate_series(1, len(embedding)),
+        |        i -> struct_pack(
+        |          d := CAST(i - 1 AS BIGINT),
+        |          v := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0
+        |                          + 0.5) AS BIGINT)))) AS b
+        |    FROM embeddings) u),
+        |stats AS (
+        |  SELECT dim, count(*) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS s1,
+        |    CAST(sum(qv * qv) AS BIGINT) AS s2
+        |  FROM flat GROUP BY 1),
+        |derived AS (
+        |  SELECT dim, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |         / CAST(n * n AS DOUBLE)) AS sigma
+        |  FROM stats)
+        |SELECT f.vec_id, f.dim, f.qv,
+        |  CASE WHEN d.sigma > 0
+        |    THEN (CAST(f.qv AS DOUBLE) - d.mu) / d.sigma END AS z
+        |FROM flat f JOIN derived d USING (dim)
+        |WHERE f.vec_id < 50""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

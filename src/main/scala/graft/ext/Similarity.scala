@@ -270,4 +270,36 @@ object Similarity {
             (x, i) => x * pmod(i, lit(97L))),
           lit(0L), (acc, x) => acc + x).as("checksum"))
   }
+
+  /** Per-DIMENSION standardization (feature scaling) of the embedding
+    * corpus: z = (x − μ_d) / σ_d per dimension d — the normalize step
+    * before clustering/ANN when dimensions have unequal scales.
+    *
+    * Parity/scale design: values are fixed-point quantized ([[quantize]]),
+    * so the per-dimension moments Σx and Σx² are EXACT integer sums —
+    * association-free in any engine or plan — and μ/σ/z derive from them
+    * by IEEE ops (÷, √) that are bit-identical everywhere. Bounds: with
+    * |x| ≤ 1 the integer moments stay < 2⁵³ up to ~10⁷ rows/dim; past
+    * that, sum into DECIMAL(38,0) (same trick as the decimal-cents
+    * aggregates) before deriving.
+    *
+    * One explode + one hash agg on dim (64 groups, map-side combined);
+    * the per-dim stat frame broadcasts back over the slice being scored.
+    */
+  def standardizeDims(emb: DataFrame, outPred: Column): DataFrame = {
+    val flat = emb.select(col("vec_id"),
+      posexplode(quantize(col("embedding"))).as(Seq("dim", "qv")))
+    val stats = flat.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s1"),
+        sum(col("qv") * col("qv")).as("s2"))
+      .select(col("dim"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("sigma"))
+    flat.filter(outPred)
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("qv"),
+        when(col("sigma") > 0,
+          (col("qv").cast("double") - col("mu")) / col("sigma")).as("z"))
+  }
 }

@@ -372,6 +372,25 @@ class ExtSpec extends SparkSuite {
     assert(r(1)._7 === 1.0 / 7.0)
   }
 
+  test("standardizeDims: exact per-dimension z-scores; constant dim → null z") {
+    import org.apache.spark.sql.functions.lit
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 1.0f)),
+      (3L, Array(4.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = ext.Similarity.standardizeDims(emb, lit(true))
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    // dim 0 quantized: 0, 2e6, 4e6 → mu 2e6, sigma = sqrt(8/3)e6
+    // (nΣx² − (Σx)²)/n² on exact ints: Σx = 6e6, Σx² = 20e12
+    val sigma = math.sqrt((3.0 * 20e12 - 36e12) / 9.0)
+    assert(r((1L, 0L))._1 == 0L && r((1L, 0L))._2.get === -2e6 / sigma)
+    assert(r((2L, 0L))._2.get === 0.0)
+    assert(r((3L, 0L))._2.get === 2e6 / sigma)
+    // dim 1 is constant → sigma 0 → z null, not NaN/Inf
+    assert(Seq(1L, 2L, 3L).forall(v => r((v, 1L))._2.isEmpty))
+  }
+
   test("bigramNextToken: exact conditional probabilities and rank order") {
     val docs = Seq(
       (1L, "a b a b a c"),
