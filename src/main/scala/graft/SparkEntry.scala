@@ -320,6 +320,8 @@ object SparkEntry {
     "q105_embedding_standardize" -> ((s: SparkSession, d: String) =>
       Similarity.standardizeDims(Tables.embeddings(s, d),
         col("vec_id") < 50)),
+    // winsorized mean: percentile fences broadcast over one fact scan
+    "q106_winsorized_mean" -> Relational.q106WinsorizedMean _,
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2465,6 +2467,23 @@ object SparkEntry {
         |    THEN (CAST(f.qv AS DOUBLE) - d.mu) / d.sigma END AS z
         |FROM flat f JOIN derived d USING (dim)
         |WHERE f.vec_id < 50""".stripMargin,
+
+    "q106_winsorized_mean" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped_hi,
+        |  max(f.lo) AS lo, max(f.hi) AS hi,
+        |  round(avg(least(greatest(l.l_extendedprice, f.lo), f.hi)), 2)
+        |    AS winsorized_mean
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * independent of corpus size; the postings join shuffles on term once and
   * the tiny query-token frame broadcasts over it. Parity: overlap/lengths
   * are exact ints; the Jaccard is one IEEE division → raw double.
+  *
+  * The fixture derives queries as a corpus FRACTION (`queryEvery`) so the
+  * driver oracle has a closed input; a production query set is an external
+  * bounded table — when it outgrows the broadcast threshold, drop the hint
+  * and the same plan shuffle-joins on term (postings side stays put).
   */
 object Retrieval {
 

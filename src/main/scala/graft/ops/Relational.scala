@@ -822,6 +822,31 @@ object Relational {
       .select(col("price"), col("size"))
   }
 
+  /** WINSORIZED mean: clamp to the per-group [p05, p95] band, then average —
+    * the outlier-robust location estimate that (unlike q85's MAD report)
+    * still uses every row. Fences come from the window-sort exact percentile
+    * strategy and broadcast back over one fact scan; the clamped average is
+    * an fp-ordered aggregate → 2-dp round per the parity rules.
+    */
+  def q106WinsorizedMean(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val fences = Percentiles
+      .sortPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("p") === 0.05, col("value"))).as("lo"),
+        max(when(col("p") === 0.95, col("value"))).as("hi"))
+    li.join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+          .as("n_clamped_hi"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        round(avg(least(greatest(col("l_extendedprice"), col("lo")),
+          col("hi"))), 2).as("winsorized_mean"))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */
