@@ -324,4 +324,37 @@ object StreamOps {
         (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
         col("n_events"))
   }
+
+  /** Streaming twin of [[graft.ext.Sessions.trailingDistinctUsers]]: EXACT
+    * trailing `windowDays`-day distinct users, unbounded. Same bounded
+    * interval explode — each event fans out to the day-buckets it can
+    * serve — then `dropDuplicatesWithinWatermark` holds one state entry
+    * per (user, target day) inside the horizon and a per-day count
+    * finalizes in append mode once the watermark passes the day. State is
+    * bounded by users × windowDays within the horizon, never the stream.
+    * (Exploded rows sit up to windowDays AHEAD of their event's true time,
+    * so the watermark must exceed windowDays plus real lateness for late
+    * events to still land in their trailing windows.)
+    *
+    * Emits every covered target day (a day with no direct events still has
+    * trailing actives); the batch operator's active-day filter is a
+    * downstream join.
+    */
+  def trailingDistinctStream(events: DataFrame, windowDays: Int = 7,
+                             watermark: String = "9 days"): DataFrame = {
+    val DayUs = 86400000000L
+    events
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+          .as("t_day"))
+      .withColumn("event_time", timestamp_micros(col("t_day") * DayUs))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "t_day")
+      .groupBy(org.apache.spark.sql.functions.window(
+        col("event_time"), "1 day"))
+      .agg(count(lit(1)).as(s"n_users_${windowDays}d"))
+      .select(expr(s"unix_micros(window.start) div $DayUs").as("day"),
+        col(s"n_users_${windowDays}d"))
+  }
 }

@@ -333,4 +333,44 @@ class StreamingSpec extends SparkSuite {
         "test data should exercise both completed and abandoned funnels")
     } finally q.stop()
   }
+
+  test("streaming trailing distinct ≡ batch interval-explode on random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val Day = 86400L * 1000000
+    val rnd = new scala.util.Random(1331)
+    // 12 users over 20 days, sparse — plenty of partial windows
+    val evts = (1 to 250).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(20).toLong * Day +
+        rnd.nextInt(24 * 60) * Min, 1L + rnd.nextInt(12), "e", 0.0)
+    }
+    val maxTs = evts.map(_.ts_us).max
+
+    // expected: every covered target day's distinct user count (the
+    // streaming form has no active-day filter)
+    val expected = evts.toDF()
+      .withColumn("day", expr(s"ts_us div $Day"))
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("t_day"))
+      .distinct()
+      .groupBy("t_day").count()
+      .as[(Long, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.trailingDistinctStream(src.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("tdeqv").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      // push the watermark far past every open day window (twice: set, flush)
+      src.addData(Event(9001, maxTs + 40 * Day, 999, "z", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 80 * Day, 999, "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tdeqv")
+        .as[(Long, Long)].collect()
+        .filter { case (day, _) => day <= (maxTs / Day) + 6 } // drop flusher rows
+        .toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
