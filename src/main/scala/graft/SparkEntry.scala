@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Dedup, Sessions, Similarity, TextStats}
-import graft.ops.{Convert, Eval, Merge, Predictions, Relational, SyntheticBoxes}
+import graft.ops.{Convert, Eval, Merge, Percentiles, Predictions, Relational, SyntheticBoxes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -322,6 +322,20 @@ object SparkEntry {
         col("vec_id") < 50)),
     // winsorized mean: percentile fences broadcast over one fact scan
     "q106_winsorized_mean" -> Relational.q106WinsorizedMean _,
+    // one BPE training merge step: vocab-weighted pair counts → argmax pair
+    // → greedy left-to-right merge → post-merge pair state
+    "q107_bpe_merge" -> ((s: SparkSession, d: String) =>
+      TextStats.bpeMergeStep(Tables.documents(s, d))),
+    // one k-means Lloyd iteration: broadcast-centroid map-side argmin
+    // assignment + exact-integer centroid update state
+    "q108_kmeans_step" -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansStep(Tables.embeddings(s, d))),
+    // equi-depth histogram: exact-percentile cutpoints broadcast over one
+    // binning scan (equi-width collapses under skew; this doesn't)
+    "q109_equidepth" -> ((s: SparkSession, d: String) =>
+      Percentiles.equiDepthHistogram(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", bins = 8)),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2414,10 +2428,11 @@ object SparkEntry {
         |dlen AS (SELECT doc_id,
         |           CAST(len(list_distinct(t)) AS BIGINT) AS d_len
         |         FROM base),
+        |nn AS (SELECT count(*) AS n FROM base),
         |dfq AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1),
         |postings AS (
-        |  SELECT d.term, d.doc_id FROM dtok d JOIN dfq f USING (term)
-        |  WHERE f.df <= 100),
+        |  SELECT d.term, d.doc_id FROM dtok d JOIN dfq f USING (term), nn
+        |  WHERE f.df * 100 <= 79 * nn.n),
         |queries AS (
         |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
         |  FROM base WHERE doc_id % 97 = 3),
@@ -2484,6 +2499,96 @@ object SparkEntry {
         |    AS winsorized_mean
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY 1""".stripMargin,
+
+    // replace()'s leftmost-non-overlapping scan is the BPE merge order in
+    // both engines; single-char symbols keep the "a b" pattern aligned
+    "q107_bpe_merge" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS wcnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents WHERE length(trim(text)) > 0) u
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        |  GROUP BY 1),
+        |spaced AS (
+        |  SELECT wcnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sp
+        |  FROM words),
+        |pairs1 AS (
+        |  SELECT (b).pa AS pa, (b).pb AS pb, wcnt FROM (
+        |    SELECT wcnt, unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> struct_pack(pa := t[i], pb := t[i + 1]))) AS b
+        |    FROM (SELECT wcnt, string_split(sp, ' ') AS t FROM spaced) s
+        |    WHERE len(t) >= 2) u),
+        |pc1 AS (
+        |  SELECT pa, pb, CAST(sum(wcnt) AS BIGINT) AS total
+        |  FROM pairs1 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT pa AS best_a, pb AS best_b FROM pc1
+        |  ORDER BY total DESC, pa, pb LIMIT 1),
+        |merged AS (
+        |  SELECT s.wcnt,
+        |    replace(s.sp, b.best_a || ' ' || b.best_b,
+        |            b.best_a || b.best_b) AS sp2
+        |  FROM spaced s CROSS JOIN best b),
+        |pairs2 AS (
+        |  SELECT (b).pa AS pa, (b).pb AS pb, wcnt FROM (
+        |    SELECT wcnt, unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> struct_pack(pa := t[i], pb := t[i + 1]))) AS b
+        |    FROM (SELECT wcnt, string_split(sp2, ' ') AS t FROM merged) s
+        |    WHERE len(t) >= 2) u),
+        |pc2 AS (
+        |  SELECT pa, pb, CAST(sum(wcnt) AS BIGINT) AS total
+        |  FROM pairs2 GROUP BY 1, 2)
+        |SELECT b.best_a AS merged_a, b.best_b AS merged_b,
+        |  row_number() OVER (ORDER BY total DESC, pa, pb) AS "rank",
+        |  pa, pb, total
+        |FROM pc2 CROSS JOIN best b
+        |QUALIFY "rank" <= 20""".stripMargin,
+
+    // assignment replayed as a window argmin over the k-row cross join;
+    // all distances/sums are exact ints, new_c is one IEEE division
+    "q108_kmeans_step" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, q AS cq FROM q WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT v.vec_id, c.centroid_id, v.q,
+        |    list_sum(list_transform(generate_series(1, len(v.q)),
+        |      i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist
+        |  FROM q v CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id, q FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY dist, centroid_id) = 1),
+        |flat AS (
+        |  SELECT centroid_id, (b).d AS dim, (b).v AS qv FROM (
+        |    SELECT centroid_id,
+        |      unnest(list_transform(generate_series(1, len(q)),
+        |        i -> struct_pack(d := CAST(i - 1 AS BIGINT), v := q[i]))) AS b
+        |    FROM assigned) u)
+        |SELECT centroid_id, dim,
+        |  CAST(count(*) AS BIGINT) AS n_assigned,
+        |  CAST(sum(qv) AS BIGINT) AS s_dim,
+        |  CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_c
+        |FROM flat GROUP BY 1, 2""".stripMargin,
+
+    // cutpoints are the oracle-verified quantile_cont interpolation doubles
+    // (i/8 fractions are exact dyadics — identical literals on both sides)
+    "q109_equidepth" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(len(list_filter(c.cs, x -> l.l_extendedprice > x)) AS BIGINT)
+        |    AS bin,
+        |  count(*) AS n,
+        |  min(l.l_extendedprice) AS min_v,
+        |  max(l.l_extendedprice) AS max_v
+        |FROM lineitem l JOIN cuts c USING (l_returnflag)
+        |GROUP BY 1, 2""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

@@ -10,15 +10,22 @@ import org.apache.spark.sql.functions._
   * candidate-generation stage in a RAG pipeline, before any dense rerank).
   *
   * Pipeline: build posting lists (term → docs) over distinct tokens, drop
-  * high-document-frequency terms (a df cap is the classic stop-list — they
-  * add candidates, not signal), join query tokens against postings so only
+  * high-document-frequency terms (the classic stop-list — they add
+  * candidates, not signal), join query tokens against postings so only
   * documents sharing ≥1 indexed term are scored, then exact token-set
   * Jaccard and a per-query top-k window.
   *
-  * Scale shape: candidates per query = Σ_term df(term) ≤ |q|·maxDf —
-  * independent of corpus size; the postings join shuffles on term once and
-  * the tiny query-token frame broadcasts over it. Parity: overlap/lengths
-  * are exact ints; the Jaccard is one IEEE division → raw double.
+  * The df cap is RELATIVE (`df·100 ≤ maxDfPct·N`, integer-exact): an
+  * absolute cap either goes degenerate (prunes everything on a small
+  * shared-vocabulary corpus) or inactive (prunes nothing) as the corpus
+  * scales; the stop-band is a corpus fraction, not a constant. N is a
+  * 1-row aggregate broadcast into the filter — no driver-side collect.
+  *
+  * Scale shape: the cap bounds candidates per query to |q|·maxDfPct%·N
+  * postings from the stop-band's absence; the postings join shuffles on
+  * term once and the tiny query-token frame broadcasts over it. Parity:
+  * overlap/lengths are exact ints; the Jaccard is one IEEE division → raw
+  * double.
   *
   * The fixture derives queries as a corpus FRACTION (`queryEvery`) so the
   * driver oracle has a closed input; a production query set is an external
@@ -27,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  def topKByTokenOverlap(docs: DataFrame, k: Int = 5, maxDf: Long = 100,
+  def topKByTokenOverlap(docs: DataFrame, k: Int = 5, maxDfPct: Long = 79,
                          queryEvery: Long = 97, queryLen: Int = 5): DataFrame = {
     val base = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("t"))
     val dTok = base.select(col("doc_id"),
@@ -35,8 +42,14 @@ object Retrieval {
     // per-doc distinct-token length: per-row expression, no extra shuffle
     val dLen = base.select(col("doc_id"),
       size(array_distinct(col("t"))).cast("long").as("d_len"))
+    // non-blank corpus size: 1-row broadcast (blank docs carry no tokens,
+    // matching the oracle's length(trim(text)) > 0 base)
+    val nDocs = base.filter(size(col("t")) > 0).agg(count(lit(1)).as("n"))
     val dfq = dTok.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val postings = dTok.join(dfq.filter(col("df") <= maxDf), "term")
+    val kept = dfq.crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 <= lit(maxDfPct) * col("n"))
+      .select(col("term"))
+    val postings = dTok.join(kept, "term")
       .select(col("term"), col("doc_id"))
     val queries = base.filter(col("doc_id") % queryEvery === 3)
       .select(col("doc_id").as("query_id"),

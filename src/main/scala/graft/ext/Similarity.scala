@@ -302,4 +302,43 @@ object Similarity {
         when(col("sigma") > 0,
           (col("qv").cast("double") - col("mu")) / col("sigma")).as("z"))
   }
+
+  /** One k-means Lloyd iteration over quantized embeddings: assign every
+    * vector to its nearest centroid (exact integer squared-L2, ties to the
+    * lowest centroid id), then emit the update state — per-(centroid, dim)
+    * assignment counts, exact coordinate sums, and the new mean coordinate.
+    * Seeds are the first `k` vectors by id (deterministic; swap for k-means∥
+    * at scale — the iteration body is identical).
+    *
+    * Scale shape: the k seed vectors collapse to ONE broadcast row of
+    * structs, so assignment is a pure map-side expression over the corpus —
+    * `array_sort` of (dist, centroid_id) pairs IS the argmin, no per-vector
+    * shuffle, no |N|×k expansion through an exchange. The only shuffle is
+    * the update's hash agg on (centroid_id, dim): k·dims groups, map-side
+    * combined. Parity: distances and sums are association-free integer
+    * arithmetic; the mean is one IEEE division of exact ints, emitted raw.
+    *
+    * Magnitude guard: |q| ≤ 1e6·|x|, so per-dim dist terms ≤ 4e12·dims and
+    * coordinate sums ≤ 1e6·n — both in long range through petabyte corpora;
+    * the update sum would be the first to need a decimal widen.
+    */
+  def kmeansStep(emb: DataFrame, k: Int = 8): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val centsRow = q.filter(col("vec_id") < k)
+      .select(struct(col("vec_id").as("centroid_id"), col("q").as("cq")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+    val assigned = q.crossJoin(broadcast(centsRow))
+      .withColumn("m", expr(
+        """array_sort(transform(cents, c -> struct(
+          |  aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),
+          |            0L, (acc, x) -> acc + x) AS dist,
+          |  c.centroid_id AS centroid_id)))[0]""".stripMargin))
+      .select(col("m.centroid_id").as("centroid_id"), col("q"))
+    assigned
+      .select(col("centroid_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("centroid_id"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("qv")).as("s_dim"))
+      .withColumn("new_c",
+        col("s_dim").cast("double") / col("n_assigned").cast("double"))
+  }
 }

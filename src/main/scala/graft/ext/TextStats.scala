@@ -266,6 +266,57 @@ object TextStats {
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
   }
 
+  /** One BPE training merge step from the character level (the inner loop of
+    * GPT-style tokenizer training, cf. Sennrich et al. 2016): count adjacent
+    * symbol pairs over the word vocabulary weighted by word frequency, pick
+    * the most frequent pair, merge it greedily left-to-right in every word,
+    * and report the winning pair plus the post-merge top-`k` pair counts —
+    * the state the next merge iteration would consume.
+    *
+    * Scale shape: the corpus collapses to its word vocabulary in the first
+    * aggregation (one shuffle with map-side combine); every later step is
+    * vocab-sized, and the winning pair is a 1-row broadcast. Greedy
+    * non-overlapping merge is `replace` on the space-joined symbol string:
+    * with single-character symbols every symbol sits at an even offset, so
+    * the `"a b"` pattern can only match symbol-aligned, and `replace`'s
+    * leftmost-non-overlapping scan IS the BPE merge order (both engines
+    * share that replace contract, so the step is oracle-exact).
+    */
+  def bpeMergeStep(docs: DataFrame, k: Int = 20): DataFrame = {
+    // corpus → word vocabulary (lowercase alpha words only: the clean
+    // charset standard BPE demos train on; single-letter words carry no pair)
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    val spaced = words.withColumn(
+      "sp", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+    def pairCounts(df: DataFrame, symCol: String): DataFrame = df
+      .select(col("wcnt"), split(col(symCol), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("wcnt"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS pa, element_at(t, i + 1) AS pb))"""
+          .stripMargin)).as("b"))
+      .groupBy(col("b.pa").as("pa"), col("b.pb").as("pb"))
+      .agg(sum(col("wcnt")).as("total"))
+    val best = pairCounts(spaced, "sp")
+      .orderBy(col("total").desc, col("pa"), col("pb"))
+      .limit(1)
+      .select(col("pa").as("best_a"), col("pb").as("best_b"))
+    val merged = spaced.crossJoin(broadcast(best))
+      .withColumn("sp2", expr(
+        "replace(sp, concat(best_a, ' ', best_b), concat(best_a, best_b))"))
+    pairCounts(merged, "sp2")
+      .crossJoin(broadcast(best))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("total").desc, col("pa"), col("pb")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("best_a").as("merged_a"), col("best_b").as("merged_b"),
+        col("rank"), col("pa"), col("pb"), col("total"))
+  }
+
   /** The declarative higher-order-function form of [[fingerprint]] — the
     * executable specification the native kernel is tested against.
     */

@@ -250,4 +250,38 @@ object Percentiles {
             (col("__pos") - col("__klo")) * col("__vhi"))
           .as("value"))
   }
+
+  /** Equi-depth histogram: `bins` buckets per group holding (approximately)
+    * equal row counts — the optimizer-statistics / drift-monitoring shape,
+    * where equi-WIDTH histograms collapse under skew. Cutpoints are the
+    * exact interior percentiles (i/bins), so the operator inherits whichever
+    * percentile strategy fits the input; rows then bin by how many cutpoints
+    * they exceed and collapse to per-(group, bin) count/min/max.
+    *
+    * Scale shape: cutpoints are O(groups·bins) — a broadcast — so binning
+    * is one map-side array expression over the fact scan and the final
+    * rollup is an ordinary hash agg with map-side combine. Two fact scans
+    * total (one inside the percentile pass, one to bin); no sort, no
+    * holistic buffer on the scale path. Parity: cutpoints are the already-
+    * oracle-verified interpolation doubles; bin assignment is exact double
+    * comparison; min/max/count are order-free.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         bins: Int = 8,
+                         rowCountHint: Option[Long] = None): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val cuts = exactPercentiles(df, groupCol, valueCol, ps,
+        rowCountHint = rowCountHint)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("value"))).as("__cuts"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(cuts), groupCol)
+      .withColumn("bin", size(filter(col("__cuts"),
+        c => col(valueCol).cast("double") > c)).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol).cast("double")).as("min_v"),
+        max(col(valueCol).cast("double")).as("max_v"))
+  }
 }

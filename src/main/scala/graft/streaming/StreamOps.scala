@@ -357,4 +357,89 @@ object StreamOps {
       .select(expr(s"unix_micros(window.start) div $DayUs").as("day"),
         col(s"n_users_${windowDays}d"))
   }
+
+  /** One finalized day of the moving-anomaly stream; `revenue_cents` is the
+    * day's revenue in exact cents (the decimal(18,2) batch column ×100 —
+    * a Long keeps the state/output encoders exact and schema-stable).
+    */
+  final case class AnomDayRow(event_type: String, day: Long,
+    revenue_cents: Long, n_frame: Long, mu: Double, sigma: Double,
+    z: Double, anomaly: Boolean)
+  final case class AnomDay(day: Long, cents: Long)
+  final case class AnomState(open: Map[Long, Double], hist: Seq[AnomDay],
+    lastFinal: Long)
+
+  /** Streaming twin of [[graft.ext.Sessions.movingAnomaly]]: per event type,
+    * daily revenue plus trailing-`frameDays` z-score, unbounded. Open days
+    * accumulate in state; once the watermark passes a day's end it is
+    * FINALIZED in day order — rounded to exact cents, appended to the
+    * trailing frame, and emitted with stats derived exactly as the batch
+    * window does (same expression shapes over the same exact decimal
+    * moments, so finalized rows are bit-equal to the batch operator's).
+    *
+    * State per event type is O(open days + frameDays): the trailing frame
+    * spans the last `frameDays` OBSERVED days (row frame, like the batch
+    * `rowsBetween`), so it persists across gaps and never grows. Late
+    * events inside the horizon land in their open day; events for a day
+    * that already finalized (beyond the horizon) are dropped — the same
+    * horizon contract as the other twins.
+    */
+  def movingAnomalyStream(events: Dataset[Event], frameDays: Int = 7,
+                          zThr: Double = 2.0,
+                          watermark: String = "1 day"): Dataset[AnomDayRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayUs = 86400000000L
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomDayRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[AnomState]) =>
+          val st0 = state.getOption
+            .getOrElse(AnomState(Map.empty, Seq.empty, Long.MinValue))
+          var open = st0.open
+          batch.foreach { e =>
+            val d = math.floorDiv(e.ts_us, DayUs)
+            if (d > st0.lastFinal) // beyond-horizon stragglers are dropped
+              open = open.updated(d, open.getOrElse(d, 0.0) + e.value)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, still) = open.partition { case (d, _) =>
+            (d + 1) * DayUs <= wmUs }
+          var hist = st0.hist
+          val out = done.toSeq.sortBy(_._1).map { case (d, sum) =>
+            // exact decimal view of the double sum, HALF_UP at 2 dp — the
+            // same contract as Spark's round(sum(value), 2)
+            val cents = new java.math.BigDecimal(sum)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            hist = (hist :+ AnomDay(d, cents)).takeRight(frameDays)
+            val n = hist.size.toDouble
+            val s1 = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(hist.iterator.map(_.cents).sum), 2)
+              .doubleValue
+            val s2 = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(
+                hist.iterator.map(h => h.cents * h.cents).sum), 4).doubleValue
+            val mu = s1 / n
+            val varPop = s2 / n - mu * mu
+            val sd = if (varPop > 0.0) math.sqrt(varPop) else 0.0
+            val rev = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(cents), 2).doubleValue
+            val z = if (sd > 0.0) (rev - mu) / sd else 0.0
+            AnomDayRow(etype, d, cents, hist.size.toLong, mu, sd, z,
+              math.abs(z) > zThr)
+          }
+          val lastFinal =
+            if (done.isEmpty) st0.lastFinal else done.keys.max
+          state.update(AnomState(still, hist, lastFinal))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(
+              still.keys.map(d => (d + 1) * DayUs / 1000L).min + 1)
+          out.iterator
+      }
+  }
 }

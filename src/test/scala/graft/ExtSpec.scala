@@ -359,17 +359,62 @@ class ExtSpec extends SparkSuite {
       (3L, "alpha beta gamma the extra"),
       (4L, "zeta eta theta the"))
       .toDF("doc_id", "text")
-    val r = ext.Retrieval.topKByTokenOverlap(docs, k = 5, maxDf = 3,
+    val r = ext.Retrieval.topKByTokenOverlap(docs, k = 5, maxDfPct = 79,
       queryEvery = 97, queryLen = 5)
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
       .sortBy(_._2)
-    // query terms: {alpha,beta,gamma,the,extra}; 'the' has df 4 > 3 → cut
+    // query terms: {alpha,beta,gamma,the,extra}; 'the' has df 4 = the whole
+    // corpus, 400 > 79·4 → cut; beta's df 3 (300 ≤ 316) survives the cap
     // doc1 overlap {alpha,beta,gamma}=3, J=3/(5+4-3)=0.5
     // doc2 overlap {beta}=1, J=1/(5+3-1)≈0.1429; doc4 overlap 0 → absent
     assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq ===
       Seq((3L, 1L, 1L, 3L), (3L, 2L, 2L, 1L)))
     assert(r(0)._7 === 0.5)
     assert(r(1)._7 === 1.0 / 7.0)
+  }
+
+  test("bpeMergeStep: argmax pair, greedy left-to-right merge, exact counts") {
+    // vocab: aaab ×3, ab ×1. Pair counts: (a,a)=6, (a,b)=4 → merge (a,a).
+    // "a a a b" merges leftmost-first to "aa a b" (NOT "a aa b"); post-merge
+    // pairs: (a,b)=3+1=4, (aa,a)=3.
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val r = TextStats.bpeMergeStep(docs)
+      .as[(String, String, Long, String, String, Long)].collect()
+      .sortBy(_._3)
+    assert(r.toSeq === Seq(
+      ("a", "a", 1L, "a", "b", 4L),
+      ("a", "a", 2L, "aa", "a", 3L)))
+  }
+
+  test("kmeansStep: integer argmin assignment with id tie-break, exact update") {
+    // seeds: vec 0 = (0,0), vec 1 = (1,1); vec 2 joins c0, vec 3 joins c1,
+    // vec 4 is equidistant → tie broken to the LOWER centroid id (c0)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.1f, 0.0f)), (3L, Array(0.9f, 1.0f)),
+      (4L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansStep(emb, k = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5)).toMap
+    // c0 members {0, 2, 4}: dim0 sums 0 + 100000 + 500000
+    assert(r((0L, 0L)) === ((3L, 600000L, 200000.0)))
+    assert(r((0L, 1L)) === ((3L, 500000L, 500000.0 / 3.0)))
+    // c1 members {1, 3}: dim0 1000000 + 900000, dim1 exact 2e6
+    assert(r((1L, 0L)) === ((2L, 1900000L, 950000.0)))
+    assert(r((1L, 1L)) === ((2L, 2000000L, 1000000.0)))
+  }
+
+  test("equiDepthHistogram: near-equal bin mass, ordered extents, full cover") {
+    val df = (1 to 64).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val r = ops.Percentiles.equiDepthHistogram(df, "g", "v", bins = 4)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._2)
+    assert(r.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(r.map(_._3).sum === 64L)
+    // cutpoints at p∈{.25,.5,.75} of 1..64: 16.75, 32.5, 48.25 → bin
+    // masses 16/16/16/16 and contiguous extents
+    assert(r.map(_._3).toSeq === Seq(16L, 16L, 16L, 16L))
+    assert(r(0)._4 === 1.0 && r(0)._5 === 16.0)
+    assert(r(3)._4 === 49.0 && r(3)._5 === 64.0)
   }
 
   test("standardizeDims: exact per-dimension z-scores; constant dim → null z") {

@@ -373,4 +373,44 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("streaming moving anomaly ≡ batch trailing z-score on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val Day = 86400L * 1000000
+    val rnd = new scala.util.Random(7177)
+    val types = Array("view", "purchase")
+    // values on a 0.25 grid: dyadic doubles sum exactly in ANY order, so
+    // micro-batch accumulation matches the batch shuffle's sum bit-for-bit
+    val evts = (1 to 400).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(15).toLong * Day +
+        rnd.nextInt(24 * 60) * Min, 1L, types(rnd.nextInt(2)),
+        rnd.nextInt(4000) * 0.25)
+    }
+    val maxTs = evts.map(_.ts_us).max
+
+    val batch = graft.ext.Sessions.movingAnomaly(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"))
+      .select(col("event_type"), col("day"),
+        (col("revenue") * 100).cast("long"), col("n_frame"),
+        col("mu"), col("sigma"), col("z"), col("anomaly"))
+      .as[(String, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.movingAnomalyStream(src.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anomeqv")
+      .start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, maxTs + 10 * Day, 999, "flush", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 20 * Day, 999, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("anomeqv")
+        .as[(String, Long, Long, Long, Double, Double, Double, Boolean)]
+        .collect().filter(_._1 != "flush").toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
