@@ -336,6 +336,10 @@ object SparkEntry {
       Percentiles.equiDepthHistogram(
         Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
         "l_returnflag", "l_extendedprice", bins = 8)),
+    // learned BPE merge table: 3 iterated argmax+rewrite rounds over the
+    // piped vocabulary (boundary-safe at multi-char symbols)
+    "q110_bpe_learn" -> ((s: SparkSession, d: String) =>
+      TextStats.bpeLearnMerges(Tables.documents(s, d), nMerges = 3)),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -449,7 +453,46 @@ object SparkEntry {
   }
 
   /** DuckDB oracle SQL, matching column names/types per query. */
+  /** q110's oracle, generated per merge round: the same piped-vocabulary
+    * rewrite as [[graft.ext.TextStats.bpeLearnMerges]], one (pc, best, s)
+    * CTE triple per round, chained. Generated so the SQL and the Scala
+    * plan always iterate the same number of rounds.
+    */
+  private def bpeLearnOracle(nMerges: Int): String = {
+    val words =
+      """WITH words AS (
+        |  SELECT w, count(*) AS wcnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents WHERE length(trim(text)) > 0) u
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        |  GROUP BY 1),
+        |s0 AS (SELECT wcnt, regexp_replace(w, '(.)', '|\1|', 'g') AS piped
+        |       FROM words)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      s"""pc$i AS (
+         |  SELECT pa, pb, CAST(sum(wcnt) AS BIGINT) AS total FROM (
+         |    SELECT wcnt, (b).pa AS pa, (b).pb AS pb FROM (
+         |      SELECT wcnt, unnest(list_transform(generate_series(1, len(t) - 1),
+         |        i -> struct_pack(pa := t[i], pb := t[i + 1]))) AS b
+         |      FROM (SELECT wcnt, string_split(trim(piped, '|'), '||') AS t
+         |            FROM s${i - 1}) x
+         |      WHERE len(t) >= 2) u) v
+         |  GROUP BY 1, 2),
+         |best$i AS (SELECT pa AS ba, pb AS bb, total FROM pc$i
+         |           ORDER BY total DESC, pa, pb LIMIT 1),
+         |s$i AS (SELECT s.wcnt,
+         |  replace(s.piped, '|' || b.ba || '||' || b.bb || '|',
+         |          '|' || b.ba || b.bb || '|') AS piped
+         |  FROM s${i - 1} s CROSS JOIN best$i b)""".stripMargin
+    }
+    val out = (1 to nMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, ba AS merged_a, bb AS merged_b, total FROM best$i"
+    }.mkString("\nUNION ALL ")
+    (words +: rounds).mkString(",\n") + "\n" + out
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q110_bpe_learn" -> bpeLearnOracle(3),
     "q01_pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

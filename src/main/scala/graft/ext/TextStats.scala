@@ -317,6 +317,56 @@ object TextStats {
         col("rank"), col("pa"), col("pb"), col("total"))
   }
 
+  /** Learn the first `nMerges` BPE merges — the iterated form of
+    * [[bpeMergeStep]], emitting the merge TABLE (step, pair, count) a
+    * tokenizer would persist. Each round: vocab-weighted pair counts →
+    * 1-row argmax (pinned with localCheckpoint so the next round's rewrite
+    * and the output row share it without replaying the aggregation
+    * lineage) → greedy merge rewrite of the vocabulary.
+    *
+    * Multi-char symbols break bpeMergeStep's even-offset alignment
+    * argument, so rounds ≥2 use a PIPED representation: every symbol is
+    * wrapped as `|s|` ("abc" → `|a||b||c|`). The merge pattern `|a||b|`
+    * must start and end at a real `|` and symbols contain no `|`, so a
+    * match can only be the complete symbol pair — and because the
+    * replacement `|ab|` keeps the wrapping, replace's leftmost-
+    * non-overlapping scan remains exactly the greedy BPE merge order at
+    * every step. Scale shape per round is bpeMergeStep's: one vocab-sized
+    * aggregation + a 1-row broadcast; the corpus is scanned once total.
+    */
+  def bpeLearnMerges(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    var cur = words.select(col("wcnt"),
+      regexp_replace(col("w"), "(.)", "|$1|").as("piped"))
+    val steps = (1 to nMerges).map { step =>
+      val pc = cur
+        .select(col("wcnt"),
+          split(expr("trim(BOTH '|' FROM piped)"), "\\|\\|").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS pa, element_at(t, i + 1) AS pb))"""
+            .stripMargin)).as("b"))
+        .groupBy(col("b.pa").as("pa"), col("b.pb").as("pb"))
+        .agg(sum(col("wcnt")).as("total"))
+      val best = pc.orderBy(col("total").desc, col("pa"), col("pb")).limit(1)
+        .select(col("pa").as("best_a"), col("pb").as("best_b"), col("total"))
+        .localCheckpoint()
+      cur = cur.crossJoin(broadcast(best.drop("total")))
+        .withColumn("piped", expr(
+          """replace(piped, concat('|', best_a, '||', best_b, '|'),
+            |        concat('|', best_a, best_b, '|'))""".stripMargin))
+        .select(col("wcnt"), col("piped"))
+      best.select(lit(step).cast("long").as("step"),
+        col("best_a").as("merged_a"), col("best_b").as("merged_b"),
+        col("total"))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** The declarative higher-order-function form of [[fingerprint]] — the
     * executable specification the native kernel is tested against.
     */

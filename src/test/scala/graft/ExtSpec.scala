@@ -386,6 +386,17 @@ class ExtSpec extends SparkSuite {
       ("a", "a", 2L, "aa", "a", 3L)))
   }
 
+  test("bpeLearnMerges: chained merges stay greedy at multi-char symbols") {
+    // same vocab as the single-step spec: aaab ×3, ab ×1
+    // step 1: (a,a)=6 → aaab = [aa,a,b]; step 2: (a,b)=3+1=4 →
+    // aaab = [aa,ab], ab = [ab]; step 3: only (aa,ab)=3 remains
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val r = TextStats.bpeLearnMerges(docs, nMerges = 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (1L, "a", "a", 6L), (2L, "a", "b", 4L), (3L, "aa", "ab", 3L)))
+  }
+
   test("kmeansStep: integer argmin assignment with id tie-break, exact update") {
     // seeds: vec 0 = (0,0), vec 1 = (1,1); vec 2 joins c0, vec 3 joins c1,
     // vec 4 is equidistant → tie broken to the LOWER centroid id (c0)
