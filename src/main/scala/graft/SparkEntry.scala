@@ -335,7 +335,10 @@ object SparkEntry {
     "q109_equidepth" -> ((s: SparkSession, d: String) =>
       Percentiles.equiDepthHistogram(
         Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
-        "l_returnflag", "l_extendedprice", bins = 8)),
+        "l_returnflag", "l_extendedprice", bins = 8,
+        // l_extendedprice is ~99% unique → window-sort cutpoints (no
+        // plan-decision count(), no holistic buffer; q37's measurement)
+        cutpointFn = Percentiles.sortPercentiles)),
     // learned BPE merge table: 3 iterated argmax+rewrite rounds over the
     // piped vocabulary (boundary-safe at multi-char symbols)
     "q110_bpe_learn" -> ((s: SparkSession, d: String) =>

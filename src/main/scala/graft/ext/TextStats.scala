@@ -289,8 +289,11 @@ object TextStats {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    // pin the vocab: argmax, merge rewrite, and post-merge counts all
+    // branch from it — unpinned, each branch replays the corpus scan
     val spaced = words.withColumn(
       "sp", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      .localCheckpoint()
     def pairCounts(df: DataFrame, symCol: String): DataFrame = df
       .select(col("wcnt"), split(col(symCol), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -304,6 +307,7 @@ object TextStats {
       .orderBy(col("total").desc, col("pa"), col("pb"))
       .limit(1)
       .select(col("pa").as("best_a"), col("pb").as("best_b"))
+      .localCheckpoint() // 1 row, read by the rewrite AND the output
     val merged = spaced.crossJoin(broadcast(best))
       .withColumn("sp2", expr(
         "replace(sp, concat(best_a, ' ', best_b), concat(best_a, best_b))"))
@@ -339,8 +343,11 @@ object TextStats {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    // pin the initial piped vocab: every round's pair aggregation branches
+    // from it, and without the pin round i replays the corpus scan i times
     var cur = words.select(col("wcnt"),
       regexp_replace(col("w"), "(.)", "|$1|").as("piped"))
+      .localCheckpoint()
     val steps = (1 to nMerges).map { step =>
       val pc = cur
         .select(col("wcnt"),

@@ -123,7 +123,15 @@ object Percentiles {
     val ranked = rows
       .withColumn("__idx", row_number().over(wOrd).cast("long") - 1)
       .withColumn("__n", count(lit(1)).over(wAll))
-    val withP = ranked
+    // a row matters only as the floor- or ceil-rank of SOME target
+    // percentile — prune before the |ps|× fan-out (measured: the fan-out
+    // over every raw row dominated, not the rank sort it rides on)
+    val isTarget = ps.map { p =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      col("__idx") === floor(pos).cast("long") ||
+        col("__idx") === ceil(pos).cast("long")
+    }.reduce(_ || _)
+    val withP = ranked.filter(isTarget)
       .select(col("__g"), col("__v"), col("__idx"), col("__n"),
         explode(array(ps.map(lit): _*)).as("__p"))
       .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
@@ -268,11 +276,20 @@ object Percentiles {
     */
   def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
                          bins: Int = 8,
-                         rowCountHint: Option[Long] = None): DataFrame = {
+                         rowCountHint: Option[Long] = None,
+                         cutpointFn: (DataFrame, String, String, Seq[Double])
+                           => DataFrame = null): DataFrame = {
     require(bins >= 2, s"need at least 2 bins: $bins")
     val ps = (1 until bins).map(_.toDouble / bins)
-    val cuts = exactPercentiles(df, groupCol, valueCol, ps,
+    // every strategy emits the same bit-identical interpolation (asserted
+    // in AnalyticsSpec), so callers pick by value-domain shape alone —
+    // e.g. sortPercentiles for near-unique domains skips both the plan-
+    // decision count() and the holistic buffer
+    val cutRows =
+      if (cutpointFn != null) cutpointFn(df, groupCol, valueCol, ps)
+      else exactPercentiles(df, groupCol, valueCol, ps,
         rowCountHint = rowCountHint)
+    val cuts = cutRows
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(col("value"))).as("__cuts"))
     df.filter(col(valueCol).isNotNull)
