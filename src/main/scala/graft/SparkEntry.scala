@@ -343,6 +343,10 @@ object SparkEntry {
     // piped vocabulary (boundary-safe at multi-char symbols)
     "q110_bpe_learn" -> ((s: SparkSession, d: String) =>
       TextStats.bpeLearnMerges(Tables.documents(s, d), nMerges = 3)),
+    // PCA direction estimate: two exact power-iteration steps, Gram matrix
+    // never materialized (XᵀXv computed as Xᵀ(Xv))
+    "q111_power_iteration" -> ((s: SparkSession, d: String) =>
+      Similarity.gramPowerIteration(Tables.embeddings(s, d))),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2635,6 +2639,39 @@ object SparkEntry {
         |  max(l.l_extendedprice) AS max_v
         |FROM lineitem l JOIN cuts c USING (l_returnflag)
         |GROUP BY 1, 2""".stripMargin,
+
+    // v1 in BIGINT (fits), v2 in HUGEINT ≡ Spark decimal(38,0); output
+    // doubles are casts/divisions of exact integers — engine-neutral
+    "q111_power_iteration" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ws AS (SELECT q, CAST(list_sum(q) AS BIGINT) AS s FROM q),
+        |flat AS (
+        |  SELECT (b).d AS dim, (b).v AS qv, s FROM (
+        |    SELECT s, unnest(list_transform(generate_series(1, len(q)),
+        |      i -> struct_pack(d := CAST(i - 1 AS BIGINT), v := q[i]))) AS b
+        |    FROM ws) u),
+        |v1 AS (SELECT dim, CAST(sum(qv * s) AS BIGINT) AS v1
+        |       FROM flat GROUP BY 1),
+        |v1arr AS (SELECT list(v1 ORDER BY dim) AS a FROM v1),
+        |wt AS (
+        |  SELECT w.q,
+        |    list_sum(list_transform(generate_series(1, len(w.q)),
+        |      i -> CAST(w.q[i] AS HUGEINT) * CAST(va.a[i] AS HUGEINT))) AS t
+        |  FROM ws w CROSS JOIN v1arr va),
+        |flat2 AS (
+        |  SELECT (b).d AS dim, (b).v AS qv, t FROM (
+        |    SELECT t, unnest(list_transform(generate_series(1, len(q)),
+        |      i -> struct_pack(d := CAST(i - 1 AS BIGINT), v := q[i]))) AS b
+        |    FROM wt) u),
+        |v2 AS (SELECT dim, sum(CAST(qv AS HUGEINT) * t) AS v2dec
+        |       FROM flat2 GROUP BY 1),
+        |vmax AS (SELECT max(v2dec) AS m FROM v2)
+        |SELECT v2.dim, v1.v1, CAST(v2.v2dec AS DOUBLE) AS v2,
+        |  CAST(v2.v2dec AS DOUBLE) / CAST(vmax.m AS DOUBLE) AS v2_scaled
+        |FROM v2 JOIN v1 USING (dim) CROSS JOIN vmax""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

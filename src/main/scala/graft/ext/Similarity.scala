@@ -322,6 +322,55 @@ object Similarity {
     * coordinate sums ≤ 1e6·n — both in long range through petabyte corpora;
     * the update sum would be the first to need a decimal widen.
     */
+  /** Two exact power-iteration steps toward the corpus Gram matrix's
+    * dominant eigenvector (the PCA direction estimate) — WITHOUT ever
+    * materializing the dims² Gram matrix: XᵀXv is computed as Xᵀ(Xv), two
+    * corpus-linear passes of per-row dots + weighted column sums. The Gram
+    * form would be a dims²-cell aggregation (fine at 64 dims, ruinous at
+    * 4k) — the factored form is THE scale lesson for spectral methods on
+    * data-parallel engines.
+    *
+    * Starting vector = all-ones. Every quantity is exact integer
+    * arithmetic: v1 fits a long (|q|·Σ|q|·rows ≲ 1e17 here), v2 runs in
+    * decimal(38,0) (≲ 2e33; both engines' 128-bit integers hold it — one
+    * more iteration would overflow, so `iters` stays 2 and a production
+    * loop would rescale between iterations). The doubles in the output are
+    * casts/divisions of those exact values — bit-identical anywhere.
+    *
+    * @return (dim, v1, v2, v2_scaled): raw first step (long), second step
+    *         (double view of the exact decimal), and v2/max(v2)
+    */
+  def gramPowerIteration(emb: DataFrame): DataFrame = {
+    val q = emb.select(quantize(col("embedding")).as("q"))
+    val withS = q.withColumn("s",
+      aggregate(col("q"), lit(0L), (a, x) => a + x))
+    val v1 = withS
+      .select(col("s"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("dim")).agg(sum(col("qv") * col("s")).as("v1"))
+    // dims-sized vector → ONE broadcast row, ordered by dim (same collapse
+    // as kmeansStep's centroids)
+    val v1row = v1
+      .agg(sort_array(collect_list(struct(col("dim"), col("v1")))).as("a"))
+      .select(transform(col("a"), e => e("v1")).as("v1arr"))
+    val withT = withS.crossJoin(broadcast(v1row))
+      .withColumn("t", expr(
+        """aggregate(zip_with(q, v1arr,
+          |            (a, b) -> CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))),
+          |          CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)"""
+          .stripMargin))
+    val v2 = withT
+      .select(col("t"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(sum(col("qv").cast("decimal(38,0)") * col("t")).as("v2dec"))
+    val vmax = v2.agg(max(col("v2dec")).as("vmax"))
+    v2.join(broadcast(v1), "dim")
+      .crossJoin(broadcast(vmax))
+      .select(col("dim").cast("long").as("dim"), col("v1"),
+        col("v2dec").cast("double").as("v2"),
+        (col("v2dec").cast("double") / col("vmax").cast("double"))
+          .as("v2_scaled"))
+  }
+
   def kmeansStep(emb: DataFrame, k: Int = 8): DataFrame = {
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val centsRow = q.filter(col("vec_id") < k)

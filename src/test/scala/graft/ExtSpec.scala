@@ -415,6 +415,22 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 1L)) === ((2L, 2000000L, 1000000.0)))
   }
 
+  test("gramPowerIteration: exact factored XᵀXv, never the Gram matrix") {
+    // X = [[1,0],[1,1]] quantized ×1e6. s = (1e6, 2e6);
+    // v1 = Xᵀ(X·1) = (1e6·1e6 + 1e6·2e6, 0 + 1e6·2e6) = (3e12, 2e12);
+    // t = X·v1 = (3e18, 5e18); v2 = Xᵀt = (8e24, 5e24)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.gramPowerIteration(emb)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val e8 = new java.math.BigDecimal("8000000000000000000000000").doubleValue
+    val e5 = new java.math.BigDecimal("5000000000000000000000000").doubleValue
+    assert(r.toSeq === Seq(
+      (0L, 3000000000000L, e8, 1.0),
+      (1L, 2000000000000L, e5, e5 / e8)))
+  }
+
   test("equiDepthHistogram: near-equal bin mass, ordered extents, full cover") {
     val df = (1 to 64).map(v => ("g", v.toDouble)).toDF("g", "v")
     val r = ops.Percentiles.equiDepthHistogram(df, "g", "v", bins = 4)

@@ -218,4 +218,32 @@ class PlanSpec extends SparkSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
       s"too many exchanges in window-sort percentile plan:\n$p")
   }
+
+  test("kmeansStep: assignment is map-side (no shuffle between corpus scan and update agg)") {
+    val p = plan(ext.Similarity.kmeansStep(Tables.embeddings(spark, sf)))
+    // corpus side: scan → broadcast-joined centroids row → argmin expression
+    // → posexplode → partial HashAggregate, all in one stage. The ONLY
+    // shuffles are the k-row centroid collapse and the (centroid, dim)
+    // final agg — an |N|×k expansion through an exchange would add more.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"assignment leaked a shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q109 equi-depth: cutpoints broadcast; binning join is not a shuffle join") {
+    val p = plan(SparkEntry.queries("q109_equidepth")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"cutpoint join shuffled the fact side:\n$p")
+  }
+
+  test("q111 power iteration: no dims² Gram aggregation — group count stays O(dims)") {
+    val p = plan(ext.Similarity.gramPowerIteration(Tables.embeddings(spark, sf)))
+    // the factored form aggregates by dim (64 groups) twice; a Gram
+    // materialization would show a (dim, dim) grouping / a join of the
+    // corpus with itself
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"v1 vector not broadcast:\n$p")
+  }
 }
