@@ -347,6 +347,14 @@ object SparkEntry {
     // never materialized (XᵀXv computed as Xᵀ(Xv))
     "q111_power_iteration" -> ((s: SparkSession, d: String) =>
       Similarity.gramPowerIteration(Tables.embeddings(s, d))),
+    // linear-interpolation gap-fill: LOCF's sibling for continuous signals
+    // (two frames over one user-partitioned spine)
+    "q112_interpolate" -> ((s: SparkSession, d: String) =>
+      Sessions.interpolateDaily(Tables.events(s, d))),
+    // chi-square contingency cells lang × source: per-cell exact moments,
+    // marginals broadcast back over the cell frame
+    "q113_chi_square" -> ((s: SparkSession, d: String) =>
+      ext.Curation.chiSquareCells(Tables.documents(s, d))),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2672,6 +2680,61 @@ object SparkEntry {
         |SELECT v2.dim, v1.v1, CAST(v2.v2dec AS DOUBLE) AS v2,
         |  CAST(v2.v2dec AS DOUBLE) / CAST(vmax.m AS DOUBLE) AS v2_scaled
         |FROM v2 JOIN v1 USING (dim) CROSS JOIN vmax""".stripMargin,
+
+    // q53's spine + a second (backward) frame; the interpolation expression
+    // shape is shared verbatim with the Spark side
+    "q112_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+        |      AS revenue
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx)) AS day
+        |  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+        |        FROM daily GROUP BY 1) b),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.revenue,
+        |    CASE WHEN d.revenue IS NOT NULL THEN s.day END AS od
+        |  FROM spine s
+        |  LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day),
+        |w AS (
+        |  SELECT user_id, day, revenue,
+        |    last_value(revenue IGNORE NULLS) OVER wp AS vp,
+        |    last_value(od IGNORE NULLS) OVER wp AS dp,
+        |    first_value(revenue IGNORE NULLS) OVER wn AS vn,
+        |    first_value(od IGNORE NULLS) OVER wn AS dn
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, revenue,
+        |  CASE WHEN revenue IS NOT NULL THEN revenue
+        |       WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+        |         vp + (vn - vp) * CAST(day - dp AS DOUBLE)
+        |                        / CAST(dn - dp AS DOUBLE)
+        |       ELSE coalesce(vp, vn) END AS interp,
+        |  revenue IS NULL AS filled
+        |FROM w""".stripMargin,
+
+    // per-cell χ² contributions: sums of per-cell doubles would be
+    // association-order-dependent; each cell alone is exact
+    "q113_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ra
+        |       FROM cells GROUP BY 1),
+        |cb AS (SELECT source, CAST(sum(o) AS BIGINT) AS cb
+        |       FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT c.lang, c.source, c.o, ra.ra, cb.cb, nn.n,
+        |  CAST(ra.ra * cb.cb AS DOUBLE) / CAST(nn.n AS DOUBLE) AS expected,
+        |  CAST((c.o * nn.n - ra.ra * cb.cb) * (c.o * nn.n - ra.ra * cb.cb)
+        |       AS DOUBLE)
+        |    / CAST(nn.n * ra.ra * cb.cb AS DOUBLE) AS chi2_cell
+        |FROM cells c JOIN ra USING (lang) JOIN cb USING (source)
+        |CROSS JOIN nn""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

@@ -387,4 +387,32 @@ object Curation {
       .filter(col("rk") <= col("n_target"))
       .select(col("doc_id"), col("lang"), col("rk"), col("n_target"))
   }
+
+  /** Categorical-association profile (chi-square contingency cells) between
+    * two corpus dimensions — is language independent of source? The
+    * drift/bias check a curation pipeline runs on its metadata columns.
+    * Emitted PER CELL (observed, expected, cell χ² contribution) rather
+    * than as the summed statistic: the sum of per-cell doubles would be
+    * aggregation-order-dependent, while each cell is exact — `(o·n −
+    * ra·cb)² / (n·ra·cb)`, integer moments with ONE final division (the
+    * caller can sum, or rank cells by contribution directly).
+    *
+    * Scale shape: one (a, b) aggregation over the corpus; marginals are
+    * re-aggregations of the cell frame (cells ≪ corpus), broadcast back.
+    */
+  def chiSquareCells(docs: DataFrame, a: String = "lang",
+                     b: String = "source"): DataFrame = {
+    val cells = docs.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col(a)).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col(b)).agg(sum(col("o")).as("cb"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val dev = col("o") * col("n") - col("ra") * col("cb")
+    cells.join(broadcast(ra), a).join(broadcast(cb), b)
+      .crossJoin(broadcast(n))
+      .select(col(a), col(b), col("o"), col("ra"), col("cb"), col("n"),
+        ((col("ra") * col("cb")).cast("double") / col("n").cast("double"))
+          .as("expected"),
+        ((dev * dev).cast("double") /
+          (col("n") * col("ra") * col("cb")).cast("double")).as("chi2_cell"))
+  }
 }

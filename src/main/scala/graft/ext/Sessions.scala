@@ -343,6 +343,55 @@ object Sessions {
       .withColumn("filled", col("n_events") === 0L)
   }
 
+  /** Linear-interpolation gap-fill — [[gapfillDaily]]'s sibling for
+    * continuous signals, where LOCF's step function biases downstream
+    * features: interior gap days get `v_prev + (v_next − v_prev)·(d −
+    * d_prev)/(d_next − d_prev)` between the nearest observed neighbors;
+    * edge gaps fall back to the one-sided neighbor. "Observed" means a
+    * non-null daily revenue (a day with events but no purchases is a gap,
+    * the same IGNORE NULLS contract as LOCF).
+    *
+    * Scale shape is gapfillDaily's: one (user, day) aggregation, one
+    * bounded spine explode, then TWO frames over the same partitioning
+    * (carry-forward and carry-backward) — still a single shuffle on user.
+    * Parity: revenues are 2-dp-rounded before use; deltas are exact day
+    * ints; the interpolation is one shared expression shape → identical
+    * IEEE sequence both engines.
+    *
+    * @return (user_id, day, revenue, interp, filled)
+    */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("user_id"), col("day"))
+      .agg(round(sum(when(col("event_type") === "purchase", col("value"))), 2)
+        .as("revenue"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("user_id"),
+        explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("revenue").isNotNull, col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("vp", last(col("revenue"), ignoreNulls = true).over(wPrev))
+      .withColumn("dp", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("vn", first(col("revenue"), ignoreNulls = true).over(wNext))
+      .withColumn("dn", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("interp",
+        when(col("revenue").isNotNull, col("revenue"))
+          .when(col("vp").isNotNull && col("vn").isNotNull,
+            col("vp") + (col("vn") - col("vp")) *
+              (col("day") - col("dp")).cast("double") /
+              (col("dn") - col("dp")).cast("double"))
+          .otherwise(coalesce(col("vp"), col("vn"))))
+      .select(col("user_id"), col("day"), col("revenue"), col("interp"),
+        col("revenue").isNull.as("filled"))
+  }
+
   /** Multi-stage funnel analysis: for an ordered stage list (event types),
     * the first time each user completed stage i+1 STRICTLY AFTER their
     * stage-i completion and within `convWindowUs` of it. Classic product

@@ -415,6 +415,40 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 1L)) === ((2L, 2000000L, 1000000.0)))
   }
 
+  test("interpolateDaily: interior gaps linear, edges one-sided, event-but-no-purchase days are gaps") {
+    val Day = 86400L * 1000000
+    // user 1: purchases day 0 (10) and day 4 (40), a purchase-less view on
+    // day 1 → days 1-3 interpolate 17.5 / 25 / 32.5
+    // user 2: view day 0, purchase day 1 (8) → leading edge backfills 8
+    val events = Seq(
+      (1L, 0L * Day, "purchase", 10.0), (1L, 1L * Day + 5, "view", 0.0),
+      (1L, 4L * Day, "purchase", 40.0),
+      (2L, 0L * Day, "view", 0.0), (2L, 1L * Day, "purchase", 8.0))
+      .toDF("user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.interpolateDaily(events)
+      .as[(Long, Long, Option[Double], Double, Boolean)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5)).toMap
+    assert(r((1L, 0L)) === ((Some(10.0), 10.0, false)))
+    assert(r((1L, 1L)) === ((None, 17.5, true))) // events but no purchase
+    assert(r((1L, 2L)) === ((None, 25.0, true)))
+    assert(r((1L, 3L)) === ((None, 32.5, true)))
+    assert(r((1L, 4L)) === ((Some(40.0), 40.0, false)))
+    assert(r((2L, 0L)) === ((None, 8.0, true)))
+    assert(r((2L, 1L)) === ((Some(8.0), 8.0, false)))
+  }
+
+  test("chiSquareCells: exact per-cell moments and contributions") {
+    val docs = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "en", "b"),
+      (4L, "fr", "a")).toDF("doc_id", "lang", "source")
+    val r = ext.Curation.chiSquareCells(docs)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r(("en", "a")) === (("en", "a", 2L, 3L, 3L, 4L, 2.25, 1.0 / 36.0)))
+    assert(r(("en", "b")) === (("en", "b", 1L, 3L, 1L, 4L, 0.75, 1.0 / 12.0)))
+    assert(r(("fr", "a")) === (("fr", "a", 1L, 1L, 3L, 4L, 0.75, 1.0 / 12.0)))
+  }
+
   test("gramPowerIteration: exact factored XᵀXv, never the Gram matrix") {
     // X = [[1,0],[1,1]] quantized ×1e6. s = (1e6, 2e6);
     // v1 = Xᵀ(X·1) = (1e6·1e6 + 1e6·2e6, 0 + 1e6·2e6) = (3e12, 2e12);
