@@ -355,6 +355,15 @@ object SparkEntry {
     // marginals broadcast back over the cell frame
     "q113_chi_square" -> ((s: SparkSession, d: String) =>
       ext.Curation.chiSquareCells(Tables.documents(s, d))),
+    // one synchronous label-propagation round on the supplier graph,
+    // seeded with s_suppkey % 3 (neighbor-majority, ties to smallest)
+    "q114_label_prop" -> ((s: SparkSession, d: String) => {
+      val sup = Tables.supplier(s, d)
+      ext.Components.labelPropagationStep(
+        ext.Components.supplierGraph(sup),
+        sup.select(col("s_suppkey").as("node"),
+          (col("s_suppkey") % 3).as("label")))
+    }),
     // SCD2 point-in-time join: validity-interval dimension from signup
     // events, purchases joined to the version valid at their event time
     "q93_scd2_join" -> ((s: SparkSession, d: String) =>
@@ -2735,6 +2744,37 @@ object SparkEntry {
         |    / CAST(nn.n * ra.ra * cb.cb AS DOUBLE) AS chi2_cell
         |FROM cells c JOIN ra USING (lang) JOIN cb USING (source)
         |CROSS JOIN nn""".stripMargin,
+
+    // q101's synthetic edge CTE + a per-node argmax over neighbor labels
+    "q114_label_prop" ->
+      """WITH nn AS (SELECT max(s_suppkey) AS n FROM supplier),
+        |e0 AS (
+        |  SELECT s_suppkey AS src, s_suppkey % n + 1 AS dst
+        |  FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey + 1) % n + 1 FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey * 7 + 1) % n + 1 FROM supplier, nn),
+        |sym AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst, src FROM e0 WHERE src <> dst) u),
+        |labels AS (
+        |  SELECT s_suppkey AS node, s_suppkey % 3 AS label FROM supplier),
+        |nbr AS (
+        |  SELECT s.src AS node, l.label FROM sym s
+        |  JOIN labels l ON l.node = s.dst),
+        |cnt AS (SELECT node, label, count(*) AS cnt FROM nbr GROUP BY 1, 2),
+        |newl AS (
+        |  SELECT node, label AS new_label, cnt AS votes FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY node
+        |                             ORDER BY cnt DESC, label) = 1)
+        |SELECT l.node, l.label AS old_label,
+        |  coalesce(n.new_label, l.label) AS new_label,
+        |  coalesce(n.votes, 0) AS votes,
+        |  coalesce(n.new_label, l.label) <> l.label AS changed
+        |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative connected components over a near-duplicate pair list — the
@@ -211,6 +212,40 @@ object Components {
     * in the SQL oracle. Modulus comes from a 1-row max() stat frame
     * broadcast back — no driver-side count job.
     */
+  /** One synchronous label-propagation round (the community-detection /
+    * semi-supervised-labeling kernel): every node adopts the most frequent
+    * label among its symmetrized neighbors, ties to the SMALLEST label;
+    * isolated nodes keep their own. Emits old/new labels, the winning vote
+    * count, and a changed flag — the convergence signal an iterating
+    * caller monitors.
+    *
+    * Scale shape: one edge-list self-symmetrization, one join edges ⋈
+    * labels (shuffles on the node key), one (node, label) count and a
+    * per-node argmax window over label-cardinality-bounded groups. No
+    * adjacency collection, no per-node state beyond (node, label).
+    */
+  def labelPropagationStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nbr = sym.join(labels, sym("dst") === labels("node"))
+      .select(sym("src").as("node"), labels("label"))
+    val cnt = nbr.groupBy(col("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label"))
+    val newl = cnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("node"), col("label").as("new_label"),
+        col("cnt").as("votes"))
+    labels.join(newl, Seq("node"), "left_outer")
+      .select(col("node"), col("label").as("old_label"),
+        coalesce(col("new_label"), col("label")).as("new_label"),
+        coalesce(col("votes"), lit(0L)).as("votes"),
+        (coalesce(col("new_label"), col("label")) =!= col("label"))
+          .as("changed"))
+  }
+
   def supplierGraph(supplier: DataFrame): DataFrame = {
     val n = supplier.agg(max(col("s_suppkey")).as("n"))
     supplier.select(col("s_suppkey").as("i"))

@@ -449,6 +449,20 @@ class ExtSpec extends SparkSuite {
     assert(r(("fr", "a")) === (("fr", "a", 1L, 1L, 3L, 4L, 0.75, 1.0 / 12.0)))
   }
 
+  test("labelPropagationStep: neighbor majority, smallest-label ties, isolated keeps") {
+    // path 1-2-3 with labels 0,1,1; node 4 isolated with label 2
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L))
+      .toDF("node", "label")
+    val r = ext.Components.labelPropagationStep(edges, labels)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    assert(r(1L) === ((0L, 1L, 1L, true)))  // sole neighbor 2 has label 1
+    assert(r(2L) === ((1L, 0L, 1L, true)))  // tie {0:1, 1:1} → smallest 0
+    assert(r(3L) === ((1L, 1L, 1L, false)))
+    assert(r(4L) === ((2L, 2L, 0L, false))) // isolated: keeps, zero votes
+  }
+
   test("gramPowerIteration: exact factored XᵀXv, never the Gram matrix") {
     // X = [[1,0],[1,1]] quantized ×1e6. s = (1e6, 2e6);
     // v1 = Xᵀ(X·1) = (1e6·1e6 + 1e6·2e6, 0 + 1e6·2e6) = (3e12, 2e12);
