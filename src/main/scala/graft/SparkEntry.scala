@@ -355,6 +355,14 @@ object SparkEntry {
     // marginals broadcast back over the cell frame
     "q113_chi_square" -> ((s: SparkSession, d: String) =>
       ext.Curation.chiSquareCells(Tables.documents(s, d))),
+    // first-order Markov transitions over user event sequences: one lead
+    // window + a |types|²-cell aggregation
+    "q115_markov" -> ((s: SparkSession, d: String) =>
+      Sessions.markovTransitions(Tables.events(s, d))),
+    // per-(label, dim) exact moments → class centroids + within-class
+    // scatter of the embedding corpus
+    "q116_class_scatter" -> ((s: SparkSession, d: String) =>
+      Similarity.classScatter(Tables.embeddings(s, d))),
     // one synchronous label-propagation round on the supplier graph,
     // seeded with s_suppkey % 3 (neighbor-majority, ties to smallest)
     "q114_label_prop" -> ((s: SparkSession, d: String) => {
@@ -2775,6 +2783,42 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    "q115_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS cnt
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS total
+        |        FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.cnt, t.total,
+        |  CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS p
+        |FROM pairs p JOIN tot t USING (from_type)""".stripMargin,
+
+    // same quantized-moment derivation as q105, grouped by class label
+    "q116_class_scatter" ->
+      """WITH flat AS (
+        |  SELECT CAST(label AS BIGINT) AS label, (b).d AS dim, (b).v AS qv
+        |  FROM (
+        |    SELECT label,
+        |      unnest(list_transform(generate_series(1, len(embedding)),
+        |        i -> struct_pack(
+        |          d := CAST(i - 1 AS BIGINT),
+        |          v := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0
+        |                          + 0.5) AS BIGINT)))) AS b
+        |    FROM embeddings) u)
+        |SELECT label, dim, count(*) AS n,
+        |  CAST(sum(qv) AS BIGINT) AS s1,
+        |  CAST(sum(qv * qv) AS BIGINT) AS s2,
+        |  CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+        |  CAST(count(*) * sum(qv * qv) - sum(qv) * sum(qv) AS DOUBLE)
+        |    / CAST(count(*) * count(*) AS DOUBLE) AS var_pop
+        |FROM flat GROUP BY 1, 2""".stripMargin,
 
     // q11's session CTE + generate_series over the touched hour buckets
     "q94_occupancy" ->

@@ -392,6 +392,34 @@ object Sessions {
         col("revenue").isNull.as("filled"))
   }
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: P(next_type | type) as exact count ratios, plus per-state
+    * totals — the behavioral-model summary (and anomaly baseline) product
+    * analytics derives from clickstreams. Sequences are per-user in
+    * (ts_us, event_id) order; transitions never cross users.
+    *
+    * Scale shape: one window `lead` over the user-partitioned event sort
+    * (the same single shuffle every sessionization here pays), then a
+    * (from, to)-state aggregation whose cardinality is |types|² —
+    * dashboard-sized at any corpus scale. Parity: counts exact; p is one
+    * IEEE division of exact longs, raw.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = withTsUs(events)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"), col("total"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+  }
+
   /** Multi-stage funnel analysis: for an ordered stage list (event types),
     * the first time each user completed stage i+1 STRICTLY AFTER their
     * stage-i completion and within `convWindowUs` of it. Classic product

@@ -303,6 +303,28 @@ object Similarity {
           (col("qv").cast("double") - col("mu")) / col("sigma")).as("z"))
   }
 
+  /** Per-class embedding statistics: for every (label, dimension), the
+    * exact quantized moments and the derived mean/population variance —
+    * the class-centroid + within-class-scatter diagnostic behind LDA-style
+    * separability checks and embedding-drift monitoring.
+    *
+    * Scale shape: one posexplode + one hash agg on (label, dim) —
+    * |labels|·dims groups, map-side combined; no joins. Parity: moments
+    * are exact longs; mean/var are divisions of exact ints (n·s2 − s1²
+    * stays within long for |q| ≤ 1e6 through ~10⁶-row classes; widen to
+    * decimal beyond).
+    */
+  def classScatter(emb: DataFrame): DataFrame =
+    emb.select(col("label").cast("long").as("label"),
+        posexplode(quantize(col("embedding"))).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s1"),
+        sum(col("qv") * col("qv")).as("s2"))
+      .select(col("label"), col("dim"), col("n"), col("s1"), col("s2"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("var_pop"))
+
   /** One k-means Lloyd iteration over quantized embeddings: assign every
     * vector to its nearest centroid (exact integer squared-L2, ties to the
     * lowest centroid id), then emit the update state — per-(centroid, dim)

@@ -449,6 +449,34 @@ class ExtSpec extends SparkSuite {
     assert(r(("fr", "a")) === (("fr", "a", 1L, 1L, 3L, 4L, 0.75, 1.0 / 12.0)))
   }
 
+  test("markovTransitions: per-user sequences, exact conditional ratios") {
+    val Day = 86400L * 1000000
+    val events = Seq(
+      (1L, 1L, 1L * Day, "a"), (2L, 1L, 2L * Day, "b"), (3L, 1L, 3L * Day, "a"),
+      (4L, 2L, 1L * Day, "b"), (5L, 2L, 2L * Day, "a"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.markovTransitions(events)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5)).toMap
+    assert(r(("a", "b")) === ((1L, 1L, 1.0)))
+    assert(r(("b", "a")) === ((2L, 2L, 1.0))) // cross-user counts pooled
+    assert(r.size === 2)                      // no cross-user transition
+  }
+
+  test("classScatter: exact per-(label, dim) moments and variance") {
+    val emb = Seq(
+      (1L, Array(0.0f, 2.0f), 0), (2L, Array(2.0f, 2.0f), 0),
+      (3L, Array(4.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.classScatter(emb)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5, x._6, x._7)).toMap
+    assert(r((0L, 0L)) === ((2L, 2000000L, 4000000000000L, 1e6, 1e12)))
+    assert(r((0L, 1L)) === ((2L, 4000000L, 8000000000000L, 2e6, 0.0)))
+    assert(r((1L, 0L)) === ((1L, 4000000L, 16000000000000L, 4e6, 0.0)))
+  }
+
   test("labelPropagationStep: neighbor majority, smallest-label ties, isolated keeps") {
     // path 1-2-3 with labels 0,1,1; node 4 isolated with label 2
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
