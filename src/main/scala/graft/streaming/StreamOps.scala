@@ -358,6 +358,58 @@ object StreamOps {
         col(s"n_users_${windowDays}d"))
   }
 
+  final case class Transition(user_id: Long, from_type: String,
+    to_type: String, ts_us: Long)
+  final case class LastEvent(t: String, ts: Long)
+
+  /** Streaming twin of the Markov-transition counts
+    * ([[graft.ext.Sessions.markovTransitions]] bucketed by day): CHAINED
+    * stateful operators — a flatMapGroupsWithState stage turns each user's
+    * event stream into transition rows (state = last event type), and the
+    * built-in tumbling-window aggregation counts them downstream in the
+    * SAME streaming query. The composition is the point: custom state for
+    * the sequence logic, declarative windowing for the rollup (Spark 4's
+    * multi-stateful-operator support; the watermark is re-declared on the
+    * intermediate frame so the window can finalize).
+    *
+    * Horizon contract: within a micro-batch, events sort by (ts_us,
+    * event_id); ACROSS batches the last-type state follows arrival order —
+    * in-horizon stragglers that cross a batch boundary out of order can
+    * produce a transition the batch operator wouldn't (same caveat family
+    * as the other twins' notes).
+    */
+  def transitionCountsStream(events: Dataset[Event],
+                             watermark: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trans = events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = state.getOption
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            last.foreach(l => out += Transition(user, l.t, e.event_type, e.ts_us))
+            last = Some(LastEvent(e.event_type, e.ts_us))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+    trans
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(
+        col("event_time"), "1 day"),
+        col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+        col("from_type"), col("to_type"), col("cnt"))
+  }
+
   /** One finalized day of the moving-anomaly stream; `revenue_cents` is the
     * day's revenue in exact cents (the decimal(18,2) batch column ×100 —
     * a Long keeps the state/output encoders exact and schema-stable).

@@ -374,6 +374,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("chained stateful ops: streaming daily transition counts ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val Day = 86400L * 1000000
+    val rnd = new scala.util.Random(515)
+    val types = Array("view", "click", "purchase")
+    val evts = (1 to 300).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(5).toLong * Day +
+        rnd.nextInt(24 * 60) * Min, 1L + rnd.nextInt(8),
+        types(rnd.nextInt(3)), 0.0)
+    }
+    val maxTs = evts.map(_.ts_us).max
+
+    // batch expectation: lead over (user, ts, id), bucketed by the LATER
+    // event's day
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val batch = evts.toDF()
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_ts", lead(col("ts_us"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy((col("to_ts") / lit(Day)).cast("long").as("day"),
+        col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, String, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.transitionCountsStream(src.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("mkvs")
+      .start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, maxTs + 5 * Day, 999, "flush", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 10 * Day, 999, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("mkvs")
+        .as[(Long, String, String, Long)].collect()
+        .filter(x => x._2 != "flush" && x._3 != "flush").toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming moving anomaly ≡ batch trailing z-score on the same events") {
     implicit val sqlCtx = spark.sqlContext
     val Day = 86400L * 1000000
