@@ -359,6 +359,10 @@ object SparkEntry {
     // window + a |types|²-cell aggregation
     "q115_markov" -> ((s: SparkSession, d: String) =>
       Sessions.markovTransitions(Tables.events(s, d))),
+    // hybrid RAG retrieval: sparse Jaccard + dense cosine top-k lists,
+    // reciprocal-rank fused on O(queries·k) rows
+    "q117_hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      ext.Retrieval.hybridRRF(Tables.documents(s, d), Tables.embeddings(s, d))),
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2799,6 +2803,85 @@ object SparkEntry {
         |SELECT p.from_type, p.to_type, p.cnt, t.total,
         |  CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS p
         |FROM pairs p JOIN tot t USING (from_type)""".stripMargin,
+
+    // q104's sparse CTEs + q19's dense CTEs on the shared query set, then
+    // the fixed two-term RRF expression (no aggregation → no fp drift)
+    "q117_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM base),
+        |dlen AS (SELECT doc_id,
+        |           CAST(len(list_distinct(t)) AS BIGINT) AS d_len
+        |         FROM base),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |dfq AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1),
+        |postings AS (
+        |  SELECT d.term, d.doc_id FROM dtok d JOIN dfq f USING (term), nn
+        |  WHERE f.df * 100 <= 79 * nn.n),
+        |queries AS (
+        |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
+        |  FROM base WHERE doc_id % 97 = 3),
+        |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
+        |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
+        |         FROM queries),
+        |ov AS (
+        |  SELECT q.query_id, p.doc_id, count(*) AS overlap
+        |  FROM qtok q JOIN postings p USING (term)
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |sscored AS (
+        |  SELECT o.query_id, o.doc_id,
+        |    CAST(o.overlap AS DOUBLE)
+        |      / CAST(ql.q_len + dl.d_len - o.overlap AS DOUBLE) AS score
+        |  FROM ov o JOIN qlen ql USING (query_id)
+        |  JOIN dlen dl USING (doc_id)),
+        |sparse AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS sparse_rank
+        |  FROM sscored
+        |  QUALIFY sparse_rank <= 5),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
+        |dscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    CAST((SELECT sum(q.q[t.i] * c.q[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+        |      AS cos
+        |  FROM nrm q
+        |  JOIN nrm c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 97 = 3 AND q.n2 > 0 AND c.n2 > 0),
+        |dense AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
+        |  FROM dscored
+        |  QUALIFY dense_rank <= 5),
+        |fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    s.sparse_rank, d.dense_rank,
+        |    coalesce(CAST(1 AS DOUBLE) / CAST(60 + s.sparse_rank AS DOUBLE),
+        |             CAST(0 AS DOUBLE)) +
+        |    coalesce(CAST(1 AS DOUBLE) / CAST(60 + d.dense_rank AS DOUBLE),
+        |             CAST(0 AS DOUBLE)) AS rrf
+        |  FROM sparse s
+        |  FULL OUTER JOIN dense d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS final_rank,
+        |  doc_id, sparse_rank, dense_rank, rrf
+        |FROM fused""".stripMargin,
 
     // same quantized-moment derivation as q105, grouped by class label
     "q116_class_scatter" ->

@@ -73,4 +73,40 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("overlap"),
         col("q_len"), col("d_len"), col("score"))
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    * candidate-fusion stage: the sparse (token-Jaccard) and dense
+    * (quantized-cosine) top-k lists for the same query set, full-outer
+    * merged per (query, doc) and re-ranked by `Σ 1/(rrfK + rank)`
+    * (Cormack et al.'s RRF; rank-based, so the two scorers' incomparable
+    * score scales never matter).
+    *
+    * Scale shape: both inputs are already top-k-bounded per query — the
+    * fusion join and re-rank run on O(queries·k) rows regardless of corpus
+    * size; each branch keeps its own scale path (df-capped postings /
+    * LSH-IVF swap-in). Parity: ranks are exact ints; each RRF term is one
+    * IEEE division and the sum is a FIXED two-term expression, not an
+    * aggregation — no association order to drift.
+    */
+  def hybridRRF(docs: DataFrame, emb: DataFrame, k: Int = 5,
+                rrfK: Long = 60, queryEvery: Long = 97): DataFrame = {
+    val sparse = topKByTokenOverlap(docs, k = k, queryEvery = queryEvery)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("sparse_rank"))
+    val dense = Similarity
+      .cosineTopK(emb, col("vec_id") % queryEvery === 3, k = k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("dense_rank"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")).cast("double"),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")).cast("double"),
+          lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("final_rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("final_rank"), col("doc_id"),
+        col("sparse_rank"), col("dense_rank"), col("rrf"))
+  }
 }

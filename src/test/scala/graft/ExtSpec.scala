@@ -373,6 +373,22 @@ class ExtSpec extends SparkSuite {
     assert(r(1)._7 === 1.0 / 7.0)
   }
 
+  test("hybridRRF: per-row RRF consistent with ranks, contiguous final ranks") {
+    val r = SparkEntry.queries("q117_hybrid_rrf")(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, _, _, sr, dr, rrf) =>
+      assert(sr.nonEmpty || dr.nonEmpty) // full-outer never fabricates rows
+      val exp = sr.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        dr.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(rrf === exp)
+    }
+    // final ranks are a contiguous 1..n permutation within every query
+    r.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq === (1 to g.size).map(_.toLong))
+    }
+  }
+
   test("bpeMergeStep: argmax pair, greedy left-to-right merge, exact counts") {
     // vocab: aaab ×3, ab ×1. Pair counts: (a,a)=6, (a,b)=4 → merge (a,a).
     // "a a a b" merges leftmost-first to "aa a b" (NOT "a aa b"); post-merge
