@@ -363,6 +363,14 @@ object SparkEntry {
     // reciprocal-rank fused on O(queries·k) rows
     "q117_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       ext.Retrieval.hybridRRF(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // growth accounting: per-day new/retained/resurrected/churned ledger
+    // from lag/lead over the (user, active-day) frame
+    "q118_growth_accounting" -> ((s: SparkSession, d: String) =>
+      Sessions.growthAccounting(Tables.events(s, d))),
+    // saturating balance recurrence (non-associative fold, exact decimal
+    // per-step clamp): bal = max(0, bal + net) over ordered daily nets
+    "q119_capped_balance" -> ((s: SparkSession, d: String) =>
+      Sessions.cappedRunningBalance(Tables.events(s, d))),
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2787,6 +2795,65 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    // q86's recursive-CTE recurrence pattern with a per-step decimal clamp
+    "q119_capped_balance" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(coalesce(round(sum(CASE WHEN event_type = 'purchase'
+        |                               THEN value END), 2), 0.0)
+        |         - coalesce(round(sum(CASE WHEN event_type = 'error'
+        |                                 THEN value END), 2), 0.0)
+        |      AS DECIMAL(18,2)) AS net
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT user_id, day, net,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+        |  FROM daily),
+        |bal AS (
+        |  SELECT user_id, day, net, i,
+        |    CAST(greatest(CAST(0 AS DECIMAL(18,2)), net) AS DECIMAL(18,2))
+        |      AS bal
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.day, x.net, x.i,
+        |    CAST(greatest(CAST(0 AS DECIMAL(18,2)),
+        |                  CAST(b.bal + x.net AS DECIMAL(18,2)))
+        |         AS DECIMAL(18,2))
+        |  FROM idx x JOIN bal b ON b.user_id = x.user_id AND x.i = b.i + 1)
+        |SELECT user_id, day, CAST(net AS DOUBLE) AS net,
+        |  CAST(bal AS DOUBLE) AS bal FROM bal""".stripMargin,
+
+    "q118_growth_accounting" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |cls AS (
+        |  SELECT user_id, day,
+        |    lag(day) OVER w AS prev, lead(day) OVER w AS next,
+        |    CASE WHEN lag(day) OVER w IS NULL THEN 'new'
+        |         WHEN lag(day) OVER w = day - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM active
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |ledger AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY 1),
+        |churn AS (
+        |  SELECT day + 1 AS day, count(*) AS n_churned FROM cls
+        |  WHERE next IS NULL OR next > day + 1 GROUP BY 1)
+        |SELECT coalesce(l.day, c.day) AS day,
+        |  coalesce(l.n_new, 0) AS n_new,
+        |  coalesce(l.n_retained, 0) AS n_retained,
+        |  coalesce(l.n_resurrected, 0) AS n_resurrected,
+        |  coalesce(c.n_churned, 0) AS n_churned
+        |FROM ledger l FULL OUTER JOIN churn c USING (day)""".stripMargin,
 
     "q115_markov" ->
       """WITH seq AS (

@@ -420,6 +420,104 @@ object Sessions {
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
   }
 
+  /** Saturating running balance: per user, `bal_d = max(0, bal_{d-1} +
+    * net_d)` over the ordered daily net flow (purchase credits minus
+    * 'error' chargebacks) — the inventory/credit/token-bucket recurrence.
+    * The floor makes the fold NON-ASSOCIATIVE (no window frame or prefix
+    * sum expresses it), so like the EMA it runs as an ordered per-group
+    * array fold in EXACT DECIMAL, per the recurrence parity law (NOTES:
+    * round/clamp per step only in decimal, never in doubles).
+    *
+    * Scale shape: the event stream collapses to O(users · active-days)
+    * daily rows in one aggregation; each user's fold input is their
+    * day-series (thousands at most, independent of event volume). Output
+    * doubles are casts of exact decimals.
+    */
+  def cappedRunningBalance(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val zero = lit(new java.math.BigDecimal("0.00")).cast("decimal(18,2)")
+    val daily = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("user_id"), col("day"))
+      .agg((coalesce(round(sum(when(col("event_type") === "purchase",
+            col("value"))), 2), lit(0.0)) -
+          coalesce(round(sum(when(col("event_type") === "error",
+            col("value"))), 2), lit(0.0)))
+        .cast("decimal(18,2)").as("net"))
+    val folded = daily.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("day"), col("net"))))
+        .as("__vals"))
+      .select(col("user_id"), aggregate(
+        col("__vals"),
+        array().cast("array<struct<day:bigint,net:decimal(18,2),bal:decimal(18,2)>>"),
+        (acc, x) => concat(acc, array(struct(
+          x.getField("day").as("day"),
+          x.getField("net").as("net"),
+          // size guard, not try_element_at: ANSI element_at(acc, -1)
+          // throws on the empty accumulator of the first step
+          when(size(acc) === 0, greatest(zero, x.getField("net")))
+            .otherwise(greatest(zero,
+              (element_at(acc, -1).getField("bal") + x.getField("net"))
+                .cast("decimal(18,2)")))
+            .cast("decimal(18,2)").as("bal"))))).as("__series"))
+    folded
+      .select(col("user_id"), explode(col("__series")).as("s"))
+      .select(col("user_id"), col("s.day").as("day"),
+        col("s.net").cast("double").as("net"),
+        col("s.bal").cast("double").as("bal"))
+  }
+
+  /** Growth accounting: every active day classified per user as NEW (first
+    * day ever), RETAINED (also active the previous day), or RESURRECTED
+    * (returning after ≥1 idle day); CHURNED users are attributed to the
+    * day after their last consecutive active day (lead-based, so the
+    * classification needs no self-join against tomorrow). The
+    * new/retained/resurrected/churned ledger per day is the standard
+    * product-growth decomposition (cf. the Social Capital "growth
+    * accounting" framework).
+    *
+    * Scale shape: the event stream collapses to the (user, active-day)
+    * frame in one aggregation; lag/lead run on the user-partitioned sort
+    * of THAT frame (≪ events); the final day rollups are map-side-combined
+    * counts. Churn is a second tiny aggregation of the same frame,
+    * full-outer-merged onto the activity ledger — days with only churn
+    * still appear.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val active = withTsUs(events)
+      .select(col("user_id"), floorDiv(col("ts_us"), DayUs).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val classified = active
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("day") - 1, "retained")
+          .otherwise("resurrected"))
+    val ledger = classified.groupBy(col("day"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // a user churns the day after a run of activity ends (next absent or
+    // non-adjacent); the last run of the corpus churns too — the batch
+    // frame has no "still active" horizon
+    val churn = classified
+      .filter(col("next").isNull || col("next") > col("day") + 1)
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    ledger.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** Multi-stage funnel analysis: for an ordered stage list (event types),
     * the first time each user completed stage i+1 STRICTLY AFTER their
     * stage-i completion and within `convWindowUs` of it. Classic product

@@ -465,6 +465,39 @@ class ExtSpec extends SparkSuite {
     assert(r(("fr", "a")) === (("fr", "a", 1L, 1L, 3L, 4L, 0.75, 1.0 / 12.0)))
   }
 
+  test("cappedRunningBalance: non-associative clamp floors at zero exactly") {
+    val Day = 86400L * 1000000
+    val events = Seq(
+      (1L, 1L, 1L * Day, "purchase", 10.0),
+      (2L, 1L, 2L * Day, "error", 25.0),   // net -25 → clamped to 0
+      (3L, 1L, 3L * Day, "purchase", 5.0)) // restarts from the floor
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.cappedRunningBalance(events)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._2)
+    assert(r.toSeq === Seq(
+      (1L, 1L, 10.0, 10.0), (1L, 2L, -25.0, 0.0), (1L, 3L, 5.0, 5.0)))
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned ledger per day") {
+    val Day = 86400L * 1000000
+    // user 1 active days 1,2,4; user 2 active day 2 only
+    val events = Seq(
+      (1L, 1L, 1L * Day), (2L, 1L, 2L * Day), (3L, 1L, 4L * Day),
+      (4L, 2L, 2L * Day))
+      .toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.growthAccounting(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    assert(r(1L) === ((1L, 0L, 0L, 0L))) // u1 new
+    assert(r(2L) === ((1L, 1L, 0L, 0L))) // u2 new, u1 retained
+    assert(r(3L) === ((0L, 0L, 0L, 2L))) // both runs ended on day 2
+    assert(r(4L) === ((0L, 0L, 1L, 0L))) // u1 resurrected after a gap
+    assert(r(5L) === ((0L, 0L, 0L, 1L))) // u1's last run churns
+    assert(r.size === 5)
+  }
+
   test("markovTransitions: per-user sequences, exact conditional ratios") {
     val Day = 86400L * 1000000
     val events = Seq(
