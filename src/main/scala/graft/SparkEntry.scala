@@ -371,6 +371,10 @@ object SparkEntry {
     // per-step clamp): bal = max(0, bal + net) over ordered daily nets
     "q119_capped_balance" -> ((s: SparkSession, d: String) =>
       Sessions.cappedRunningBalance(Tables.events(s, d))),
+    // A/B readout: user-level exact cents moments per variant hash, Welch
+    // t from a fixed IEEE chain over exact ints
+    "q120_ab_test" -> ((s: SparkSession, d: String) =>
+      Sessions.abTestReadout(Tables.events(s, d))),
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2795,6 +2799,40 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    "q120_ab_test" ->
+      """WITH uc AS (
+        |  SELECT user_id,
+        |    CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |v AS (
+        |  SELECT user_id % 2 AS variant, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s1,
+        |    CAST(sum(cents * cents) AS BIGINT) AS s2
+        |  FROM uc GROUP BY 1),
+        |wide AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    max(CASE WHEN variant = 0 THEN s1 END) AS s1_0,
+        |    max(CASE WHEN variant = 1 THEN s1 END) AS s1_1,
+        |    max(CASE WHEN variant = 0 THEN s2 END) AS s2_0,
+        |    max(CASE WHEN variant = 1 THEN s2 END) AS s2_1
+        |  FROM v),
+        |m AS (
+        |  SELECT n0, n1,
+        |    CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+        |    CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+        |    CAST(n0 * s2_0 - s1_0 * s1_0 AS DOUBLE)
+        |      / CAST(n0 * (n0 - 1) AS DOUBLE) AS var0,
+        |    CAST(n1 * s2_1 - s1_1 * s1_1 AS DOUBLE)
+        |      / CAST(n1 * (n1 - 1) AS DOUBLE) AS var1
+        |  FROM wide)
+        |SELECT n0, n1, mean0, mean1, var0, var1,
+        |  (mean1 - mean0) / sqrt(var1 / CAST(n1 AS DOUBLE)
+        |                         + var0 / CAST(n0 AS DOUBLE)) AS t_welch
+        |FROM m""".stripMargin,
 
     // q86's recursive-CTE recurrence pattern with a per-step decimal clamp
     "q119_capped_balance" ->

@@ -420,6 +420,51 @@ object Sessions {
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
   }
 
+  /** Two-sample experiment readout (A/B shape): users split by a
+    * deterministic variant hash (`user_id % 2`), the metric is per-USER
+    * total purchase cents — the unit-of-analysis collapse that makes
+    * per-event correlation harmless — and the output is one row with both
+    * variants' exact moments, means/variances, and the Welch t statistic.
+    *
+    * Parity: per-user totals are exact cents (2-dp round of the one fp
+    * sum, the protected class); group moments Σx, Σx² are exact longs;
+    * mean/variance/t are a FIXED chain of IEEE ops over those exact ints
+    * — bit-identical in any engine. Scale: two aggregations (events →
+    * users → variants), both map-side combined; the final row is O(1).
+    */
+  def abTestReadout(events: DataFrame): DataFrame = {
+    // cents via DECIMAL, never double·100→long: Spark's double→long cast
+    // truncates while DuckDB's rounds, so 48.19·100 = 4818.999… would
+    // diverge; the decimal route is exact on both sides
+    val userCents = withTsUs(events)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((round(sum(col("value")), 2).cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val v = userCents
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    def stat(c: String)(x: Column): Column = max(when(col("variant") === lit(c.toLong), x))
+    val wide = v.agg(
+      stat("0")(col("n")).as("n0"), stat("1")(col("n")).as("n1"),
+      stat("0")(col("s1")).as("s1_0"), stat("1")(col("s1")).as("s1_1"),
+      stat("0")(col("s2")).as("s2_0"), stat("1")(col("s2")).as("s2_1"))
+    def mean(s1: Column, n: Column): Column =
+      s1.cast("double") / n.cast("double")
+    def svar(n: Column, s1: Column, s2: Column): Column =
+      (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double")
+    wide.select(col("n0"), col("n1"),
+        mean(col("s1_0"), col("n0")).as("mean0"),
+        mean(col("s1_1"), col("n1")).as("mean1"),
+        svar(col("n0"), col("s1_0"), col("s2_0")).as("var0"),
+        svar(col("n1"), col("s1_1"), col("s2_1")).as("var1"))
+      .withColumn("t_welch",
+        (col("mean1") - col("mean0")) /
+          sqrt(col("var1") / col("n1").cast("double") +
+            col("var0") / col("n0").cast("double")))
+  }
+
   /** Saturating running balance: per user, `bal_d = max(0, bal_{d-1} +
     * net_d)` over the ordered daily net flow (purchase credits minus
     * 'error' chargebacks) — the inventory/credit/token-bucket recurrence.

@@ -465,6 +465,25 @@ class ExtSpec extends SparkSuite {
     assert(r(("fr", "a")) === (("fr", "a", 1L, 1L, 3L, 4L, 0.75, 1.0 / 12.0)))
   }
 
+  test("abTestReadout: exact user-level moments and Welch t") {
+    val Day = 86400L * 1000000
+    val events = Seq( // variant = user_id % 2
+      (1L, 1L, "purchase", 300.0), (2L, 2L, "purchase", 100.0),
+      (3L, 3L, "purchase", 500.0), (4L, 4L, "purchase", 200.0),
+      (5L, 1L, "view", 999.0)) // non-purchase ignored
+      .map { case (id, u, t, v) => (id, u, 1L * Day, t, v) }
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val Array(r) = Sessions.abTestReadout(events)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+    // variant 0 = users {2, 4} cents {10000, 20000}; variant 1 = {1, 3}
+    // cents {30000, 50000}
+    assert(r._1 === 2L && r._2 === 2L)
+    assert(r._3 === 15000.0 && r._4 === 40000.0)
+    assert(r._5 === 5e7 && r._6 === 2e8)
+    assert(r._7 === 25000.0 / math.sqrt(2e8 / 2.0 + 5e7 / 2.0))
+  }
+
   test("cappedRunningBalance: non-associative clamp floors at zero exactly") {
     val Day = 86400L * 1000000
     val events = Seq(
