@@ -375,6 +375,15 @@ object SparkEntry {
     // t from a fixed IEEE chain over exact ints
     "q120_ab_test" -> ((s: SparkSession, d: String) =>
       Sessions.abTestReadout(Tables.events(s, d))),
+    // water-filling token-budget allocation across sources (60% budget):
+    // exact integer boundary predicate, one source-sized window sort
+    "q121_waterfill" -> ((s: SparkSession, d: String) =>
+      ext.Curation.waterfillBudget(Tables.documents(s, d))),
+    // exact total-variation drift of the source distribution, en vs rest:
+    // integer numerator, single final division
+    "q122_distribution_drift" -> ((s: SparkSession, d: String) =>
+      ext.Curation.distributionDrift(Tables.documents(s, d), "source",
+        col("lang") === "en")),
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2799,6 +2808,59 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    "q121_waterfill" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(sum(len(regexp_extract_all(text,
+        |    '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |ranked AS (
+        |  SELECT source, n_tokens,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    count(*) OVER () AS m,
+        |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        |  FROM counts
+        |  WINDOW w AS (ORDER BY n_tokens, source)),
+        |flagged AS (
+        |  SELECT *, (total * 3) // 5 AS budget,
+        |    prefix - n_tokens + n_tokens * (m - i + 1)
+        |      <= (total * 3) // 5 AS unconstrained
+        |  FROM ranked),
+        |kf AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN unconstrained THEN 1 ELSE 0 END) OVER ()
+        |      AS BIGINT) AS k,
+        |    CAST(coalesce(sum(CASE WHEN unconstrained THEN n_tokens END)
+        |      OVER (), 0) AS BIGINT) AS s_k
+        |  FROM flagged)
+        |SELECT source, n_tokens, unconstrained,
+        |  CASE WHEN unconstrained THEN CAST(n_tokens AS DOUBLE)
+        |       WHEN k = m THEN CAST(n_tokens AS DOUBLE)
+        |       ELSE CAST(budget - s_k AS DOUBLE) / CAST(m - k AS DOUBLE)
+        |  END AS allocated
+        |FROM kf""".stripMargin,
+
+    "q122_distribution_drift" ->
+      """WITH cells AS (
+        |  SELECT source AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS o1,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS o2
+        |  FROM documents GROUP BY 1),
+        |marg AS (
+        |  SELECT CAST(sum(o1) AS BIGINT) AS n1,
+        |    CAST(sum(o2) AS BIGINT) AS n2 FROM cells)
+        |SELECT m.n1, m.n2, count(*) AS n_values,
+        |  CAST(sum(abs(c.o1 * m.n2 - c.o2 * m.n1)) AS BIGINT) AS tvd_num,
+        |  CASE WHEN m.n1 > 0 AND m.n2 > 0 THEN
+        |    CAST(sum(abs(c.o1 * m.n2 - c.o2 * m.n1)) AS DOUBLE)
+        |      / CAST(2 * m.n1 * m.n2 AS DOUBLE) END AS tvd
+        |FROM cells c CROSS JOIN marg m
+        |GROUP BY m.n1, m.n2""".stripMargin,
 
     "q120_ab_test" ->
       """WITH uc AS (

@@ -388,6 +388,94 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("rk"), col("n_target"))
   }
 
+  /** Water-filling token-budget allocation across corpus sources — the
+    * data-mixing primitive: given per-source token counts and a global
+    * budget, small sources keep everything and large sources are capped at
+    * the common water level `cap` chosen so allocations exactly exhaust
+    * the budget. Source i (sorted ascending by count, S_i the prefix sum)
+    * is UNCONSTRAINED iff `S_{i−1} + c_i·(m−i+1) ≤ budget` — an exact
+    * integer predicate; the cap is one IEEE division of exact longs over
+    * the constrained tail.
+    *
+    * Scale shape: the corpus collapses to per-source counts in one
+    * aggregation; the waterfill itself is a window sort over the
+    * SOURCE-cardinality frame (dashboard-sized at any corpus scale).
+    * `budgetNum/budgetDen` express the budget as an exact fraction of the
+    * total (integer arithmetic — a double fraction would put engine-
+    * dependent rounding inside the boundary predicate).
+    */
+  def waterfillBudget(docs: DataFrame, budgetNum: Long = 3,
+                      budgetDen: Long = 5): DataFrame = {
+    val counts = docs
+      .select(col("source"),
+        size(TextStats.bpeIshTokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val wAll = Window.partitionBy()
+    val ranked = counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("prefix", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      // budget in tokens, exact integer floor of total·num/den (`div`,
+      // not `/`: Spark's Column `/` is fp division even on longs)
+      .withColumn("budget",
+        expr(s"(total * $budgetNum) div $budgetDen"))
+      .withColumn("unconstrained",
+        col("prefix") - col("n_tokens") +
+          col("n_tokens") * (col("m") - col("i") + 1) <= col("budget"))
+    // k = #unconstrained sources; S_k = their token mass (0 when none)
+    val kFrame = ranked
+      .withColumn("k", sum(when(col("unconstrained"), 1L).otherwise(0L))
+        .over(wAll))
+      .withColumn("s_k", coalesce(sum(when(col("unconstrained"),
+        col("n_tokens"))).over(wAll), lit(0L)))
+    kFrame
+      .withColumn("cap",
+        when(col("k") === col("m"), col("n_tokens").cast("double"))
+          .otherwise((col("budget") - col("s_k")).cast("double") /
+            (col("m") - col("k")).cast("double")))
+      .select(col("source"), col("n_tokens"),
+        col("unconstrained"),
+        when(col("unconstrained"), col("n_tokens").cast("double"))
+          .otherwise(col("cap")).as("allocated"))
+  }
+
+  /** Distribution drift between two corpus slices as EXACT total-variation
+    * distance: TVD = ½·Σ_v |p₁(v) − p₂(v)| over a categorical column.
+    * Per-bucket |o₁/n₁ − o₂/n₂| = |o₁·n₂ − o₂·n₁| / (n₁·n₂), so the sum
+    * runs entirely in integers and the single division at the end makes
+    * the statistic itself engine-exact — unlike PSI/KL (which need logs,
+    * banned from oracled outputs) or a sum of per-bucket doubles (fp
+    * association order).
+    *
+    * One aggregation to the (value, slice) cells, marginals re-aggregated
+    * from it, one-row output. The drift monitor a curation pipeline runs
+    * between snapshots or between a slice and the corpus.
+    */
+  def distributionDrift(docs: DataFrame, valueCol: String,
+                        slicePred: Column): DataFrame = {
+    val cells = docs
+      .select(col(valueCol).as("v"),
+        when(slicePred, 1L).otherwise(0L).as("in_a"))
+      .groupBy(col("v"))
+      .agg(sum(col("in_a")).as("o1"),
+        sum(lit(1L) - col("in_a")).as("o2"))
+    val marginals = cells.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    cells.crossJoin(broadcast(marginals))
+      .groupBy(col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(abs(col("o1") * col("n2") - col("o2") * col("n1")))
+          .as("tvd_num"))
+      .select(col("n1"), col("n2"), col("n_values"), col("tvd_num"),
+        // empty-slice guard: ANSI Spark throws DIVIDE_BY_ZERO even for
+        // doubles; NULL is the honest answer (oracle carries the CASE)
+        when(col("n1") > 0 && col("n2") > 0,
+          col("tvd_num").cast("double") /
+            (lit(2L) * col("n1") * col("n2")).cast("double")).as("tvd"))
+  }
+
   /** Categorical-association profile (chi-square contingency cells) between
     * two corpus dimensions — is language independent of source? The
     * drift/bias check a curation pipeline runs on its metadata columns.

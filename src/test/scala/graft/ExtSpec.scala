@@ -454,6 +454,34 @@ class ExtSpec extends SparkSuite {
     assert(r((2L, 1L)) === ((Some(8.0), 8.0, false)))
   }
 
+  test("waterfillBudget: small sources keep all, large ones split the rest") {
+    // tokens per source: a=2, b=4, c=10 (bpe-ish = whitespace words here);
+    // total 16, budget = 16·3/5 = 9. Sorted (a,b,c): a keeps 2
+    // (2 + 2·3 = 8 ≤ 9); b constrained (2 + 4·2 = 10 > 9); cap = (9−2)/2
+    val docs = Seq(
+      (1L, "a", "x y"), (2L, "b", "p q r s"),
+      (3L, "c", "t u v w t u v w t u")).toDF("doc_id", "source", "text")
+    val r = ext.Curation.waterfillBudget(docs)
+      .as[(String, Long, Boolean, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r("a") === ((2L, true, 2.0)))
+    assert(r("b") === ((4L, false, 3.5)))
+    assert(r("c") === ((10L, false, 3.5)))
+  }
+
+  test("distributionDrift: exact integer TVD numerator, one division") {
+    // en: src a×2, b×1 (n1=3); rest: a×1, b×2 (n2=3)
+    // numerator = |2·3−1·3| + |1·3−2·3| = 6; tvd = 6/(2·9) = 1/3
+    val docs = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "b"),
+      (4L, "zh", "a"), (5L, "zh", "b"), (6L, "es", "b"))
+      .toDF("doc_id", "lang", "source")
+    val Array(r) = ext.Curation
+      .distributionDrift(docs, "source", col("lang") === "en")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    assert(r === ((3L, 3L, 2L, 6L, Some(6.0 / 18.0))))
+  }
+
   test("chiSquareCells: exact per-cell moments and contributions") {
     val docs = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "en", "b"),
       (4L, "fr", "a")).toDF("doc_id", "lang", "source")
