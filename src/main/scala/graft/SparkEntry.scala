@@ -384,6 +384,10 @@ object SparkEntry {
     "q122_distribution_drift" -> ((s: SparkSession, d: String) =>
       ext.Curation.distributionDrift(Tables.documents(s, d), "source",
         col("lang") === "en")),
+    // systematic PPS sample: n equally spaced points on the cumulative
+    // token-weight line, pick counts in closed-form integer ceil-divs
+    "q123_systematic_sample" -> ((s: SparkSession, d: String) =>
+      ext.Curation.systematicSample(Tables.documents(s, d))),
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2808,6 +2812,24 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    "q123_systematic_sample" ->
+      """WITH weighted AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |    '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w,
+        |    CAST(sum(w) OVER (ORDER BY w, doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER () AS BIGINT) AS total
+        |  FROM weighted WHERE w > 0)
+        |SELECT doc_id, w, cum, n_picks FROM (
+        |  SELECT doc_id, w, cum,
+        |    ((cum * 100 + total - 1) // total)
+        |      - (((cum - w) * 100 + total - 1) // total) AS n_picks
+        |  FROM pos) x
+        |WHERE n_picks > 0""".stripMargin,
 
     "q121_waterfill" ->
       """WITH counts AS (

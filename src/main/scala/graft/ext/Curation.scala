@@ -388,6 +388,44 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("rk"), col("n_target"))
   }
 
+  /** Systematic probability-proportional-to-size sampling: lay the corpus
+    * on the cumulative-weight line in deterministic (weight, id) order and
+    * take `n` equally spaced points — every document with weight ≥ W/n is
+    * guaranteed in, and expected inclusion is proportional to weight (the
+    * survey-sampling / data-pruning design, deterministic end to end; the
+    * hash-priority samplers cover the randomized designs).
+    *
+    * A document covering cumulative interval [cum−w, cum) is picked once
+    * per sampling point j·W/n inside it — counted EXACTLY in integers:
+    * `(cum−w)·n ≤ j·W < cum·n` inverts to a closed-form count
+    * `ceil(cum·n/W) − ceil((cum−w)·n/W)` (integer ceil-div), so no
+    * per-point explode and no fp grid anywhere.
+    *
+    * Scale shape: one aggregation to per-doc weights, one window prefix
+    * sum over the (weight, id) sort, a per-row closed form. The global
+    * sort is the honest cost (same class as sortPercentiles); at petabyte
+    * scale the line is range-partitioned and prefix sums compose per
+    * partition.
+    */
+  def systematicSample(docs: DataFrame, n: Long = 100): DataFrame = {
+    val weighted = docs.select(col("doc_id"),
+      size(TextStats.bpeIshTokens(col("text"))).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val wOrd = Window.orderBy(col("w"), col("doc_id"))
+    val wAll = Window.partitionBy()
+    weighted
+      .withColumn("cum", sum(col("w"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(wAll))
+      // ceil(a/b) on positives as (a+b−1) div b: Spark `div` truncates and
+      // DuckDB `//` floors — identical for non-negative operands only
+      .withColumn("n_picks", expr(
+        s"""((cum * $n + total - 1) div total)
+           | - (((cum - w) * $n + total - 1) div total)""".stripMargin))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
+  }
+
   /** Water-filling token-budget allocation across corpus sources — the
     * data-mixing primitive: given per-source token counts and a global
     * budget, small sources keep everything and large sources are capped at

@@ -469,6 +469,18 @@ class ExtSpec extends SparkSuite {
     assert(r("c") === ((10L, false, 3.5)))
   }
 
+  test("systematicSample: pick counts exhaust n and follow the weight line") {
+    // weights 1..8 words (total 36); n=100 points spaced total/100 apart —
+    // every doc picked ≥ floor(w·100/36) times, total picks exactly 100
+    val docs = (1 to 8).map(i => (i.toLong, ("w " * i).trim))
+      .toDF("doc_id", "text")
+    val r = ext.Curation.systematicSample(docs, n = 100)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.map(_._4).sum === 100L)
+    r.foreach { case (_, w, _, picks) =>
+      assert(picks >= w * 100 / 36 && picks <= w * 100 / 36 + 1) }
+  }
+
   test("distributionDrift: exact integer TVD numerator, one division") {
     // en: src a×2, b×1 (n1=3); rest: a×1, b×2 (n2=3)
     // numerator = |2·3−1·3| + |1·3−2·3| = 6; tvd = 6/(2·9) = 1/3
