@@ -388,6 +388,11 @@ object SparkEntry {
     // token-weight line, pick counts in closed-form integer ceil-divs
     "q123_systematic_sample" -> ((s: SparkSession, d: String) =>
       ext.Curation.systematicSample(Tables.documents(s, d))),
+    // rendezvous-hash resize 8→9 shards: per-key argmax assignment, the
+    // movement matrix shows only ~1/9 of keys relocating
+    "q124_rendezvous" -> ((s: SparkSession, d: String) =>
+      ext.Skew.rendezvousMovement(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")),
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2812,6 +2817,27 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    // list_sort on (neg score, shard) structs replays the argmax; the LCG
+    // mix stays positive so % ≡ pmod on both sides
+    "q124_rendezvous" ->
+      """WITH assigned AS (
+        |  SELECT doc_id,
+        |    list_sort(list_transform(generate_series(0, 7), s ->
+        |      struct_pack(
+        |        neg := -(((doc_id * 31 + s) * 2654435761 + 1013904223)
+        |                 % 2147483648),
+        |        shard := s)))[1].shard AS shard_old,
+        |    list_sort(list_transform(generate_series(0, 8), s ->
+        |      struct_pack(
+        |        neg := -(((doc_id * 31 + s) * 2654435761 + 1013904223)
+        |                 % 2147483648),
+        |        shard := s)))[1].shard AS shard_new
+        |  FROM documents)
+        |SELECT CAST(shard_old AS BIGINT) AS shard_old,
+        |  CAST(shard_new AS BIGINT) AS shard_new, count(*) AS n,
+        |  shard_old <> shard_new AS moved
+        |FROM assigned GROUP BY 1, 2, 4""".stripMargin,
 
     "q123_systematic_sample" ->
       """WITH weighted AS (

@@ -71,4 +71,33 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment and the movement
+    * matrix of a resize: shard(key) = argmax over shards of a per-(key,
+    * shard) integer hash, so growing `nOld → nNew` shards moves ONLY the
+    * keys whose argmax lands on a new shard (expected fraction
+    * (nNew−nOld)/nNew) — the minimal-movement property `hash mod n` lacks
+    * (mod reshuffles nearly everything). The movement matrix (old shard →
+    * new shard → key count) is the rebalance plan and its audit.
+    *
+    * Per-row argmax is an `array_sort(transform(...))[0]` over the shard
+    * list (no join, no shuffle for assignment — kmeansStep's collapse);
+    * the matrix rollup is one ≤ nOld·nNew-group aggregation. Hashing is
+    * the engine-neutral LCG mix, exact in longs.
+    */
+  def rendezvousMovement(keys: DataFrame, keyCol: String,
+                         nOld: Int = 8, nNew: Int = 9): DataFrame = {
+    def shardOf(n: Int): Column = expr(
+      s"""array_sort(transform(sequence(0, ${n - 1}, 1),
+         |  s -> struct(
+         |    -pmod(($keyCol * 31 + s) * 2654435761 + 1013904223,
+         |          2147483648) AS neg,
+         |    s AS shard)))[0].shard""".stripMargin).cast("long")
+    keys
+      .withColumn("shard_old", shardOf(nOld))
+      .withColumn("shard_new", shardOf(nNew))
+      .groupBy(col("shard_old"), col("shard_new"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("moved", col("shard_old") =!= col("shard_new"))
+  }
 }

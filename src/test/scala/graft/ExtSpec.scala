@@ -469,6 +469,17 @@ class ExtSpec extends SparkSuite {
     assert(r("c") === ((10L, false, 3.5)))
   }
 
+  test("rendezvousMovement: minimal movement on resize — only new-shard keys move") {
+    val keys = (0L until 1000L).toDF("k")
+    val r = ext.Skew.rendezvousMovement(keys, "k")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(r.map(_._3).sum === 1000L)
+    // the HRW property: every moved key lands on the NEW shard (id 8)
+    r.filter(_._4).foreach { case (_, nw, _, _) => assert(nw === 8L) }
+    val moved = r.filter(_._4).map(_._3).sum
+    assert(moved > 0 && moved < 1000 / 4) // ≈ 1/9 of keys, never a reshuffle
+  }
+
   test("systematicSample: pick counts exhaust n and follow the weight line") {
     // weights 1..8 words (total 36); n=100 points spaced total/100 apart —
     // every doc picked ≥ floor(w·100/36) times, total picks exactly 100
