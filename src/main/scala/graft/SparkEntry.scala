@@ -393,6 +393,9 @@ object SparkEntry {
     "q124_rendezvous" -> ((s: SparkSession, d: String) =>
       ext.Skew.rendezvousMovement(
         Tables.documents(s, d).select(col("doc_id")), "doc_id")),
+    // per-segment Gini concentration: rank-weighted closed form in exact
+    // cents (O(n log n) vs the O(n²) pairwise definition)
+    "q125_gini" -> Relational.q125Gini _,
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2817,6 +2820,31 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    // tie order inside equal cents is irrelevant: the rank-weight SUM over
+    // a tied block is permutation-invariant, so both engines agree
+    "q125_gini" ->
+      """WITH cust AS (
+        |  SELECT c_mktsegment,
+        |    greatest(CAST(0 AS BIGINT),
+        |      CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS cents,
+        |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS clamped
+        |  FROM customer),
+        |ranked AS (
+        |  SELECT c_mktsegment, cents, clamped,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, clamped) AS BIGINT) AS i,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM cust)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
+        |  CAST(sum(clamped) AS BIGINT) AS n_clamped,
+        |  CASE WHEN sum(cents) > 0 THEN
+        |    CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+        |      / CAST(max(n) * sum(cents) AS DOUBLE) END AS gini
+        |FROM ranked GROUP BY 1""".stripMargin,
 
     // list_sort on (neg score, shard) structs replays the argmax; the LCG
     // mix stays positive so % ≡ pmod on both sides

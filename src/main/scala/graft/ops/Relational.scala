@@ -847,6 +847,42 @@ object Relational {
           col("hi"))), 2).as("winsorized_mean"))
   }
 
+  /** Per-segment Gini concentration of customer account balances, by the
+    * rank-weighted closed form `G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)` over the
+    * ascending sort — O(n log n) where the textbook pairwise |xᵢ−xⱼ| sum
+    * is O(n²) (the same sorted-prefix trick as the skyline and systematic
+    * sampler). Balances go through exact DECIMAL cents, so the weighted
+    * sum and both divisors are exact longs and the Gini is one final
+    * IEEE division; negative balances are floored at zero (Gini is
+    * defined on non-negative support) with the clamp count reported.
+    */
+  def q125Gini(spark: SparkSession, d: String): DataFrame =
+    q125GiniFrom(customer(spark, d))
+
+  /** [[q125Gini]]'s core on any (c_mktsegment, c_acctbal) frame. */
+  def q125GiniFrom(cust0: DataFrame): DataFrame = {
+    val cust = cust0.select(col("c_mktsegment"),
+      greatest(lit(0L), (col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"),
+      (col("c_acctbal") < 0).cast("long").as("clamped"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents"), col("clamped"))
+    val wAll = Window.partitionBy(col("c_mktsegment"))
+    cust
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("term", (lit(2L) * col("i") - col("n") - 1L) * col("cents"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("term")).as("gini_num"),
+        sum(col("clamped")).as("n_clamped"))
+      .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+        col("gini_num"), col("n_clamped"),
+        when(col("sum_cents") > 0,
+          col("gini_num").cast("double") /
+            (col("n") * col("sum_cents")).cast("double")).as("gini"))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */

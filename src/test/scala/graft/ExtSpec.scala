@@ -469,6 +469,21 @@ class ExtSpec extends SparkSuite {
     assert(r("c") === ((10L, false, 3.5)))
   }
 
+  test("q125 gini: equality → 0, perfect concentration → (n−1)/n") {
+    // all-equal segment: gini 0; one-holder segment of 4: (4−1)/4 = 0.75
+    val cust = (Seq(("E", 10.0), ("E", 10.0), ("E", 10.0)) ++
+      Seq(("C", 0.0), ("C", 0.0), ("C", 0.0), ("C", 40.0)))
+      .toDF("c_mktsegment", "c_acctbal")
+    // route through the registered query shape by writing a temp table?
+    // no — call the op on a frame with the expected column names
+    val r = ops.Relational.q125GiniFrom(cust)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("E")._6 === Some(0.0))
+    assert(r("C")._6 === Some(0.75))
+    assert(r("C")._4 === (3L * 4000L)) // (2·4−4−1)·4000 cents
+  }
+
   test("rendezvousMovement: minimal movement on resize — only new-shard keys move") {
     val keys = (0L until 1000L).toDF("k")
     val r = ext.Skew.rendezvousMovement(keys, "k")
