@@ -396,6 +396,17 @@ object SparkEntry {
     // per-segment Gini concentration: rank-weighted closed form in exact
     // cents (O(n log n) vs the O(n²) pairwise definition)
     "q125_gini" -> Relational.q125Gini _,
+    // revenue-weighted quantity quartiles: the weighted-percentile core on
+    // a value-count frame with exact cents weights
+    "q126_weighted_median" -> ((s: SparkSession, d: String) => {
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("double").as("qty"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("wcents"))
+      Percentiles.weightedPercentiles(vc, "l_returnflag", "qty", "wcents",
+        Seq(0.25, 0.5, 0.75))
+    }),
     // per-(label, dim) exact moments → class centroids + within-class
     // scatter of the embedding corpus
     "q116_class_scatter" -> ((s: SparkSession, d: String) =>
@@ -2820,6 +2831,42 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    // the weightedPercentiles rank-interval logic replayed over running
+    // weight sums; ps cast to DOUBLE (bare 0.25 is DECIMAL in DuckDB)
+    "q126_weighted_median" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM vc),
+        |wp AS (
+        |  SELECT c.l_returnflag, c.v, c.cumw, c.cumw - c.w AS below, c.n,
+        |    p.p, p.p * CAST(c.n - 1 AS DOUBLE) AS pos
+        |  FROM cum c CROSS JOIN (SELECT unnest([CAST(0.25 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE)]) AS p) p),
+        |sel AS (
+        |  SELECT l_returnflag, p,
+        |    max(CASE WHEN below <= CAST(floor(pos) AS BIGINT)
+        |              AND CAST(floor(pos) AS BIGINT) < cumw THEN v END)
+        |      AS vlo,
+        |    max(CASE WHEN below <= CAST(ceil(pos) AS BIGINT)
+        |              AND CAST(ceil(pos) AS BIGINT) < cumw THEN v END)
+        |      AS vhi,
+        |    max(pos) AS posx,
+        |    max(CAST(floor(pos) AS BIGINT)) AS klo,
+        |    max(CAST(ceil(pos) AS BIGINT)) AS khi
+        |  FROM wp GROUP BY 1, 2)
+        |SELECT l_returnflag, p,
+        |  CASE WHEN klo = khi THEN vlo
+        |       ELSE (khi - posx) * vlo + (posx - klo) * vhi END AS value
+        |FROM sel""".stripMargin,
 
     // tie order inside equal cents is irrelevant: the rank-weight SUM over
     // a tied block is permutation-invariant, so both engines agree
