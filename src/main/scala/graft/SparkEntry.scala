@@ -396,6 +396,10 @@ object SparkEntry {
     // per-segment Gini concentration: rank-weighted closed form in exact
     // cents (O(n log n) vs the O(n²) pairwise definition)
     "q125_gini" -> Relational.q125Gini _,
+    // Kaplan–Meier churn survival with right-censoring at the corpus edge;
+    // fixed-order double product fold, no rounding anywhere
+    "q127_kaplan_meier" -> ((s: SparkSession, d: String) =>
+      Sessions.kaplanMeier(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -2831,6 +2835,42 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    // the recursive CTE multiplies factors in the same sorted order as the
+    // Spark fold — identical IEEE chains, so no rounding is needed
+    "q127_kaplan_meier" ->
+      """WITH RECURSIVE users AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS f,
+        |    max(epoch_us(ts) // 86400000000) AS l
+        |  FROM events GROUP BY 1),
+        |maxd AS (SELECT max(l) AS maxd FROM users),
+        |spans AS (
+        |  SELECT l - f AS t, l >= maxd - 2 AS censored
+        |  FROM users CROSS JOIN maxd),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM spans GROUP BY 1),
+        |risk AS (
+        |  SELECT t, d, c,
+        |    CAST(sum(d + c) OVER () AS BIGINT)
+        |      - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_risk,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+        |  FROM byt),
+        |km AS (
+        |  SELECT t, d, c, n_risk, i,
+        |    CAST(1 AS DOUBLE) *
+        |      (CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+        |  FROM risk WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.t, x.d, x.c, x.n_risk, x.i,
+        |    k.s * (CAST(x.n_risk - x.d AS DOUBLE)
+        |           / CAST(x.n_risk AS DOUBLE))
+        |  FROM risk x JOIN km k ON x.i = k.i + 1)
+        |SELECT t, d, c, n_risk, s AS survival FROM km""".stripMargin,
 
     // the weightedPercentiles rank-interval logic replayed over running
     // weight sums; ps cast to DOUBLE (bare 0.25 is DECIMAL in DuckDB)

@@ -420,6 +420,64 @@ object Sessions {
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
   }
 
+  /** Kaplan–Meier survival curve over user lifespans (days between first
+    * and last activity), with users still active near the corpus edge
+    * (last activity within `censorDays` of the global max day) treated as
+    * RIGHT-CENSORED — the churn-analysis estimator that a naive "lifespan
+    * ECDF" gets wrong by counting the still-alive as dead.
+    *
+    * At each distinct lifespan t: d = uncensored exits, c = censored
+    * exits, n_risk = users with lifespan ≥ t (running-sum complement),
+    * and S(t) = Π_{s ≤ t} (1 − d_s/n_s). The product is a sequential
+    * recurrence folded in DOUBLES WITH NO ROUNDING: each factor is one
+    * IEEE division of exact ints and each step one IEEE multiply, and
+    * since the fold order is fixed (sorted by t) the whole chain is
+    * bit-deterministic in any engine — the q86 trap was per-step ROUNDING
+    * of doubles, not sequential multiplication.
+    *
+    * Scale shape: events collapse to per-user (first, last) in one
+    * aggregation; everything after runs on the O(distinct lifespans)
+    * frame.
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Long = 3): DataFrame = {
+    val DayUs = 86400000000L
+    val users = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val maxDay = users.agg(max(col("l")).as("maxd"))
+    val spans = users.crossJoin(broadcast(maxDay))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - censorDays + 1).as("censored"))
+    val byT = spans.groupBy(col("t"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val wOrd = Window.orderBy(col("t"))
+    val risk = byT
+      .withColumn("total", sum(col("d") + col("c"))
+        .over(Window.partitionBy()))
+      .withColumn("exited_before", coalesce(sum(col("d") + col("c"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("total") - col("exited_before"))
+    // ordered double product fold: S_t = S_{t−1} · (n_t − d_t)/n_t
+    risk
+      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("c"),
+        col("n_risk")))).as("__vals"))
+      .select(explode(expr(
+        """aggregate(__vals,
+          |  CAST(array() AS array<struct<t:bigint,d:bigint,c:bigint,
+          |                              n_risk:bigint,s:double>>),
+          |  (acc, x) -> concat(acc, array(struct(
+          |    x.t AS t, x.d AS d, x.c AS c, x.n_risk AS n_risk,
+          |    (CASE WHEN size(acc) = 0 THEN CAST(1 AS DOUBLE)
+          |          ELSE element_at(acc, -1).s END) *
+          |      (CAST(x.n_risk - x.d AS DOUBLE)
+          |       / CAST(x.n_risk AS DOUBLE)) AS s))))""".stripMargin))
+        .as("r"))
+      .select(col("r.t").as("t"), col("r.d").as("d"), col("r.c").as("c"),
+        col("r.n_risk").as("n_risk"), col("r.s").as("survival"))
+  }
+
   /** Two-sample experiment readout (A/B shape): users split by a
     * deterministic variant hash (`user_id % 2`), the metric is per-USER
     * total purchase cents — the unit-of-analysis collapse that makes

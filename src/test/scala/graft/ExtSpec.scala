@@ -531,6 +531,25 @@ class ExtSpec extends SparkSuite {
     assert(r(("fr", "a")) === (("fr", "a", 1L, 1L, 3L, 4L, 0.75, 1.0 / 12.0)))
   }
 
+  test("kaplanMeier: censored users hold the curve, deaths drop it") {
+    val Day = 86400L * 1000000
+    // lifespans: u1 t=2 (death), u2 t=0 (death), u3 t=9 / u4 t=8 censored
+    // (last active within 3 days of maxday 9)
+    val events = Seq(
+      (1L, 1L, 0L), (2L, 1L, 2L), (3L, 2L, 0L),
+      (4L, 3L, 0L), (5L, 3L, 9L), (6L, 4L, 0L), (7L, 4L, 8L))
+      .map { case (id, u, day) => (id, u, day * Day) }
+      .toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.kaplanMeier(events)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (0L, 1L, 0L, 4L, 0.75),              // 4 at risk, 1 death
+      (2L, 1L, 0L, 3L, 0.75 * (2.0 / 3)),  // 3 at risk, 1 death
+      (8L, 0L, 1L, 2L, 0.5),               // censored exit: S holds
+      (9L, 0L, 1L, 1L, 0.5)))
+  }
+
   test("abTestReadout: exact user-level moments and Welch t") {
     val Day = 86400L * 1000000
     val events = Seq( // variant = user_id % 2
