@@ -400,6 +400,17 @@ object SparkEntry {
     // fixed-order double product fold, no rounding anywhere
     "q127_kaplan_meier" -> ((s: SparkSession, d: String) =>
       Sessions.kaplanMeier(Tables.events(s, d))),
+    // per-user behavioral diversity: Gini impurity over event-type counts
+    // (entropy-shaped, no logs — exact rational)
+    "q128_event_diversity" -> ((s: SparkSession, d: String) =>
+      Sessions.eventDiversity(Tables.events(s, d))),
+    // FK referential-integrity audit: orphans + childless parents per
+    // relationship via key-deduped anti-joins
+    "q129_ref_integrity" -> Relational.q129RefIntegrity _,
+    // longest consecutive-day streak per user: gaps-and-islands closed
+    // form (day − row_number constant within a run)
+    "q130_longest_streak" -> ((s: SparkSession, d: String) =>
+      Sessions.longestStreak(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -2835,6 +2846,76 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    "q128_event_diversity" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM tc GROUP BY 1)
+        |SELECT user_id, n, n_types,
+        |  CAST(n * n - sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |    AS gini_impurity
+        |FROM u""".stripMargin,
+
+    "q129_ref_integrity" ->
+      """WITH lo AS (
+        |  SELECT 'lineitem_orders' AS relationship,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+        |      AS n_child_keys,
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+        |     c WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_orderkey = c.l_orderkey))
+        |      AS n_orphans,
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders)
+        |      AS n_parent_keys,
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders)
+        |     p WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                         WHERE l.l_orderkey = p.o_orderkey))
+        |      AS n_childless),
+        |oc AS (
+        |  SELECT 'orders_customer' AS relationship,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders)
+        |     c WHERE NOT EXISTS (SELECT 1 FROM customer p
+        |                         WHERE p.c_custkey = c.o_custkey)),
+        |    (SELECT count(DISTINCT c_custkey) FROM customer),
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer)
+        |     p WHERE NOT EXISTS (SELECT 1 FROM orders c
+        |                         WHERE c.o_custkey = p.c_custkey))),
+        |cn AS (
+        |  SELECT 'customer_nation' AS relationship,
+        |    (SELECT count(DISTINCT c_nationkey) FROM customer),
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer)
+        |     c WHERE NOT EXISTS (SELECT 1 FROM nation p
+        |                         WHERE p.n_nationkey = c.c_nationkey)),
+        |    (SELECT count(DISTINCT n_nationkey) FROM nation),
+        |    (SELECT count(*) FROM (SELECT DISTINCT n_nationkey FROM nation)
+        |     p WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_nationkey = p.n_nationkey)))
+        |SELECT * FROM lo UNION ALL SELECT * FROM oc
+        |UNION ALL SELECT * FROM cn""".stripMargin,
+
+    "q130_longest_streak" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS g
+        |  FROM active),
+        |runs AS (
+        |  SELECT user_id, g, count(*) AS len, min(day) AS streak_start
+        |  FROM grp GROUP BY 1, 2),
+        |x AS (SELECT user_id, CAST(len AS BIGINT) AS streak_len,
+        |        streak_start,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY len DESC, streak_start) AS rk
+        |      FROM runs)
+        |SELECT user_id, streak_len, streak_start FROM x WHERE rk = 1""".stripMargin,
 
     // the recursive CTE multiplies factors in the same sorted order as the
     // Spark fold — identical IEEE chains, so no rounding is needed

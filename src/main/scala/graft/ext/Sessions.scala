@@ -420,6 +420,47 @@ object Sessions {
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
   }
 
+  /** Behavioral diversity per user as Gini IMPURITY over event-type counts
+    * — `1 − Σ(cᵢ/n)² = (n² − Σcᵢ²)/n²` — the entropy-shaped engagement
+    * metric without the engine-unsafe logarithm: numerator and
+    * denominator are exact integers, the impurity one IEEE division.
+    * Two map-side-combined aggregations, no joins.
+    */
+  def eventDiversity(events: DataFrame): DataFrame =
+    withTsUs(events)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        ((col("n") * col("n") - col("sum_sq")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("gini_impurity"))
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands closed form: on the distinct (user, day) frame,
+    * `day − row_number()` is constant exactly within a consecutive run,
+    * so runs fall out of one groupBy with no self-join and no fold.
+    * Ties on length break to the EARLIEST streak.
+    */
+  def longestStreak(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val active = withTsUs(events)
+      .select(col("user_id"), floorDiv(col("ts_us"), DayUs).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = active
+      .withColumn("g", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("g"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+    val pick = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("streak_start"))
+    runs.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("len").as("streak_len"),
+        col("streak_start"))
+  }
+
   /** Kaplan–Meier survival curve over user lifespans (days between first
     * and last activity), with users still active near the corpus edge
     * (last activity within `censorDays` of the global max day) treated as

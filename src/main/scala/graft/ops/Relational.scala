@@ -883,6 +883,38 @@ object Relational {
             (col("n") * col("sum_cents")).cast("double")).as("gini"))
   }
 
+  /** Cross-table referential-integrity audit — the data-quality check
+    * q67's single-table expectations can't express: for each declared
+    * FK relationship, distinct child keys, orphans (child keys with no
+    * parent — broken integrity), parent keys, and childless parents
+    * (reverse coverage). Anti-joins on distinct key frames: each
+    * relationship costs two key-deduped anti-joins, never a fact-to-fact
+    * row join.
+    */
+  def q129RefIntegrity(spark: SparkSession, d: String): DataFrame = {
+    def rel(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val c = child.distinct()
+      val p = parent.distinct()
+      c.agg(count(lit(1)).as("n_child_keys"))
+        .crossJoin(c.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans")))
+        .crossJoin(p.agg(count(lit(1)).as("n_parent_keys")))
+        .crossJoin(p.join(c, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_childless")))
+        .select(lit(name).as("relationship"), col("n_child_keys"),
+          col("n_orphans"), col("n_parent_keys"), col("n_childless"))
+    }
+    rel("lineitem_orders",
+        lineitem(spark, d).select(col("l_orderkey").as("k")),
+        orders(spark, d).select(col("o_orderkey").as("k")))
+      .unionByName(rel("orders_customer",
+        orders(spark, d).select(col("o_custkey").as("k")),
+        customer(spark, d).select(col("c_custkey").as("k"))))
+      .unionByName(rel("customer_nation",
+        customer(spark, d).select(col("c_nationkey").as("k")),
+        nation(spark, d).select(col("n_nationkey").as("k"))))
+  }
+
   /** Multi-way join + aggregation: revenue per supplier nation (broadcast the
     * two small tables, single shuffle for the aggregate).
     */

@@ -531,6 +531,36 @@ class ExtSpec extends SparkSuite {
     assert(r(("fr", "a")) === (("fr", "a", 1L, 1L, 3L, 4L, 0.75, 1.0 / 12.0)))
   }
 
+  test("longestStreak: gaps-and-islands runs, earliest-streak tie-break") {
+    val Day = 86400L * 1000000
+    // u1: days 1,2,3 then 7,8 → longest 3 starting day 1
+    // u2: days 1,2 and 5,6 → tie of 2s → earliest (day 1)
+    val events = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L),
+      (2L, 1L), (2L, 2L), (2L, 5L), (2L, 6L)).zipWithIndex
+      .map { case ((u, day), i) => (i.toLong, u, day * Day) }
+      .toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.longestStreak(events)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L) === ((3L, 1L)))
+    assert(r(2L) === ((2L, 1L)))
+  }
+
+  test("eventDiversity: exact rational impurity") {
+    val Day = 86400L * 1000000
+    // u1: 2×a + 2×b → 1 − (4+4)/16 = 0.5; u2: 3×a → 0
+    val events = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, Day, t) }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.eventDiversity(events)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r(1L) === ((4L, 2L, 0.5)))
+    assert(r(2L) === ((3L, 1L, 0.0)))
+  }
+
   test("kaplanMeier: censored users hold the curve, deaths drop it") {
     val Day = 86400L * 1000000
     // lifespans: u1 t=2 (death), u2 t=0 (death), u3 t=9 / u4 t=8 censored
