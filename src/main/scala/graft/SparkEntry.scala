@@ -411,6 +411,10 @@ object SparkEntry {
     // form (day − row_number constant within a run)
     "q130_longest_streak" -> ((s: SparkSession, d: String) =>
       Sessions.longestStreak(Tables.events(s, d))),
+    // cohort LTV triangle: exact-cents revenue cumulated by months since
+    // first activity, per-user LTV against the broadcast cohort size
+    "q131_ltv_triangle" -> ((s: SparkSession, d: String) =>
+      Sessions.ltvTriangle(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -2846,6 +2850,34 @@ object SparkEntry {
         |  coalesce(n.votes, 0) AS votes,
         |  coalesce(n.new_label, l.label) <> l.label AS changed
         |FROM labels l LEFT JOIN newl n USING (node)""".stripMargin,
+
+    "q131_ltv_triangle" ->
+      """WITH pum AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS ym,
+        |    CAST(CAST(round(sum(CASE WHEN event_type = 'purchase'
+        |                           THEN value ELSE 0.0 END), 2)
+        |         AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |coh AS (SELECT user_id, min(ym) AS cohort_ym FROM pum GROUP BY 1),
+        |sized AS (SELECT cohort_ym, count(*) AS cohort_users
+        |          FROM coh GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_ym, p.ym - c.cohort_ym AS age,
+        |    CAST(sum(p.cents) AS BIGINT) AS rev_cents,
+        |    count(DISTINCT p.user_id) AS active_users
+        |  FROM pum p JOIN coh c USING (user_id)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_ym, age, rev_cents, active_users,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_ym ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM cells)
+        |SELECT CAST(c.cohort_ym AS BIGINT) AS cohort_wk,
+        |  CAST(c.age AS BIGINT) AS age,
+        |  s.cohort_users, c.active_users, c.rev_cents, c.cum_cents,
+        |  CAST(c.cum_cents AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+        |    AS ltv_per_user
+        |FROM cum c JOIN sized s USING (cohort_ym)""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

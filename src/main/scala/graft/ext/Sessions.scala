@@ -420,6 +420,45 @@ object Sessions {
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
   }
 
+  /** Cohort LTV triangle: users grouped by first-activity week, revenue
+    * accumulated by weeks-since-cohort — the lifetime-value artifact
+    * (cohort × age matrix with cumulative revenue per cohort user) that
+    * q97's retention counts feed but don't price. Periods are exact
+    * 7-day integer buckets (the corpus spans ~a month, so calendar months
+    * would collapse the triangle to one cell — the q104 degeneracy
+    * lesson: pick period granularity from the data's span), revenue exact
+    * cents; the running sum is a window over the O(cohorts · ages) frame
+    * and the per-user LTV one division against the broadcast cohort size.
+    */
+  def ltvTriangle(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val withYm = withTsUs(events)
+      .withColumn("ym", floorDiv(col("ts_us"), DayUs * 7))
+    val perUserMonth = withYm
+      .groupBy(col("user_id"), col("ym"))
+      .agg(sum(when(col("event_type") === "purchase",
+          (col("value"))).otherwise(lit(0.0))).as("rev_raw"))
+      .withColumn("cents",
+        (round(col("rev_raw"), 2).cast("decimal(18,2)") * 100).cast("long"))
+    val cohorts = perUserMonth.groupBy(col("user_id"))
+      .agg(min(col("ym")).as("cohort_ym"))
+    val sized = cohorts.groupBy(col("cohort_ym"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = perUserMonth.join(cohorts, "user_id")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("age"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        count_distinct(col("user_id")).as("active_users"))
+    val wCum = Window.partitionBy(col("cohort_ym")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sized), "cohort_ym")
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("cohort_ym").cast("long").as("cohort_wk"),
+        col("age").cast("long").as("age"), col("cohort_users"),
+        col("active_users"), col("rev_cents"), col("cum_cents"),
+        (col("cum_cents").cast("double") /
+          col("cohort_users").cast("double")).as("ltv_per_user"))
+  }
+
   /** Behavioral diversity per user as Gini IMPURITY over event-type counts
     * — `1 − Σ(cᵢ/n)² = (n² − Σcᵢ²)/n²` — the entropy-shaped engagement
     * metric without the engine-unsafe logarithm: numerator and

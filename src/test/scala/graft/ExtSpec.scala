@@ -561,6 +561,24 @@ class ExtSpec extends SparkSuite {
     assert(r(2L) === ((3L, 1L, 0.0)))
   }
 
+  test("ltvTriangle: weekly cohorts, exact cents, cumulative per-user LTV") {
+    val Wk = 7L * 86400L * 1000000
+    // cohort wk0 = {u1, u2}; u2 active-but-unpaying in wk1; u3 cohorts in wk1
+    val events = Seq(
+      (1L, "purchase", 0L, 10.00), (1L, "purchase", 1L, 5.50),
+      (2L, "purchase", 0L, 2.00), (2L, "view", 1L, 99.0),
+      (3L, "purchase", 1L, 4.00)).zipWithIndex
+      .map { case ((u, t, wk, v), i) => (i.toLong, u, wk * Wk, t, v) }
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.ltvTriangle(events)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5, x._6, x._7)).toMap
+    assert(r((0L, 0L)) === ((2L, 2L, 1200L, 1200L, 600.0)))
+    assert(r((0L, 1L)) === ((2L, 2L, 550L, 1750L, 875.0)))
+    assert(r((1L, 0L)) === ((1L, 1L, 400L, 400L, 400.0)))
+  }
+
   test("kaplanMeier: censored users hold the curve, deaths drop it") {
     val Day = 86400L * 1000000
     // lifespans: u1 t=2 (death), u2 t=0 (death), u3 t=9 / u4 t=8 censored
