@@ -415,6 +415,28 @@ object SparkEntry {
     // first activity, per-user LTV against the broadcast cohort size
     "q131_ltv_triangle" -> ((s: SparkSession, d: String) =>
       Sessions.ltvTriangle(Tables.events(s, d))),
+    // RFM segmentation: recency/frequency/monetary ntile(5) scores with
+    // deterministic tiebreaks, rolled up per (r,f,m) segment
+    "q132_rfm" -> ((s: SparkSession, d: String) =>
+      Sessions.rfmSegments(Tables.events(s, d))),
+    // market-basket association rules over order baskets of part brands:
+    // corpus-scaled support floor, exact-rational confidence and lift
+    "q133_assoc_rules" -> Relational.q133AssocRules _,
+    // link prediction on the supplier graph: common-neighbor counts and
+    // Jaccard coefficient for non-edge pairs (wedge join + anti-join)
+    "q134_link_predict" -> ((s: SparkSession, d: String) =>
+      ext.Components.linkPrediction(
+        ext.Components.supplierGraph(Tables.supplier(s, d)))),
+    // Lorenz curve in revenue deciles: cumulative share of exact-cents
+    // customer revenue, ntile(10) with custkey tiebreak
+    "q135_revenue_deciles" -> Relational.q135RevenueDeciles _,
+    // HLL-shaped distinct sketch: integer trailing-zero registers, exact
+    // dyadic harmonic sum — the approximation itself is oracled
+    "q136_hll_distinct" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.hllDistinct(Tables.events(s, d), "event_type", "user_id")),
+    // temporal cross-sell: any-A-before-any-B customer counts per brand
+    // pair, corpus-scaled support floor, exact-rational confidence
+    "q137_cross_sell" -> Relational.q137CrossSell _,
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -2878,6 +2900,168 @@ object SparkEntry {
         |  CAST(c.cum_cents AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
         |    AS ltv_per_user
         |FROM cum c JOIN sized s USING (cohort_ym)""".stripMargin,
+
+    "q132_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (
+        |  SELECT user_id, max(day) AS last_day, count(*) AS freq,
+        |    CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents
+        |  FROM p GROUP BY 1),
+        |md AS (SELECT max(last_day) AS max_day FROM pu),
+        |scored AS (
+        |  SELECT cents,
+        |    ntile(5) OVER (ORDER BY max_day - last_day, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY cents DESC, user_id) AS m_score
+        |  FROM pu CROSS JOIN md)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  count(*) AS users, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+        |FROM scored GROUP BY 1, 2, 3""".stripMargin,
+
+    "q133_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM baskets),
+        |ic AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |  FROM baskets x JOIN baskets y
+        |    ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(a.n_item AS BIGINT) AS n_a, CAST(b.n_item AS BIGINT) AS n_b,
+        |  CAST(n_baskets AS BIGINT) AS n_baskets,
+        |  CAST(n_ab AS DOUBLE) / CAST(a.n_item AS DOUBLE) AS conf_ab,
+        |  CAST(n_ab AS DOUBLE) / CAST(b.n_item AS DOUBLE) AS conf_ba,
+        |  CAST(n_ab * n_baskets AS DOUBLE) /
+        |    CAST(a.n_item * b.n_item AS DOUBLE) AS lift
+        |FROM pairs CROSS JOIN nb
+        |JOIN ic a ON a.item = pairs.item_a
+        |JOIN ic b ON b.item = pairs.item_b
+        |WHERE n_ab * 50 >= n_baskets""".stripMargin,
+
+    "q134_link_predict" ->
+      """WITH nn AS (SELECT max(s_suppkey) AS n FROM supplier),
+        |e0 AS (
+        |  SELECT s_suppkey AS src, s_suppkey % n + 1 AS dst
+        |  FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey + 1) % n + 1 FROM supplier, nn
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey * 7 + 1) % n + 1 FROM supplier, nn),
+        |sym AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst, src FROM e0 WHERE src <> dst) u),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+        |wedges AS (
+        |  SELECT x.dst AS a, y.dst AS b, count(*) AS common
+        |  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT w.* FROM wedges w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sym e WHERE e.src = w.a AND e.dst = w.b))
+        |SELECT a, b, CAST(common AS BIGINT) AS common,
+        |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+        |  CAST(common AS DOUBLE) /
+        |    CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard
+        |FROM nonedge
+        |JOIN deg da ON da.node = nonedge.a
+        |JOIN deg db ON db.node = nonedge.b""".stripMargin,
+
+    "q135_revenue_deciles" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT cents,
+        |    ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+        |  FROM pc),
+        |cells AS (
+        |  SELECT decile, count(*) AS customers,
+        |    CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents
+        |        FROM cells)
+        |SELECT CAST(decile AS BIGINT) AS decile, customers, rev_cents,
+        |  CAST(sum(rev_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |  CAST(sum(rev_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total_cents AS DOUBLE)
+        |    AS cum_share
+        |FROM cells CROSS JOIN tot""".stripMargin,
+
+    "q136_hll_distinct" ->
+      """WITH h0 AS (
+        |  SELECT event_type, user_id,
+        |    (user_id * 2654435761 + 1013904223) % 1099511627776 AS h1
+        |  FROM events),
+        |hx AS (SELECT event_type, user_id,
+        |         xor(h1, h1 // 1048576) AS h2 FROM h0),
+        |hy AS (SELECT event_type, user_id,
+        |         ((h2 % 4294967296) * 1540483477 + 99991) % 1099511627776
+        |           AS h3 FROM hx),
+        |h AS (SELECT event_type, user_id,
+        |        xor(h3, h3 // 131072) AS hv FROM hy),
+        |reg AS (
+        |  SELECT event_type, hv % 32 AS bucket,
+        |    max(CASE WHEN hv // 32 = 0 THEN 36
+        |        ELSE bit_count(((hv // 32) & -(hv // 32)) - 1) + 1
+        |        END) AS rho_max
+        |  FROM h GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type,
+        |    sum(CAST(1.0 AS DOUBLE) /
+        |        CAST(CAST(1 AS BIGINT) << rho_max AS DOUBLE))
+        |      + CAST(32 - count(*) AS DOUBLE) AS zsum,
+        |    count(*) AS filled
+        |  FROM reg GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |       FROM events GROUP BY 1)
+        |SELECT ex.event_type, ex.n_exact,
+        |  CAST(z.filled AS BIGINT) AS filled,
+        |  CAST(0.697 AS DOUBLE) * 32 * 32 / z.zsum AS hll_est,
+        |  (CAST(0.697 AS DOUBLE) * 32 * 32 / z.zsum
+        |    - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE)
+        |    AS rel_err
+        |FROM ex JOIN z USING (event_type)""".stripMargin,
+
+    "q137_cross_sell" ->
+      """WITH pur AS (
+        |  SELECT DISTINCT o_custkey AS cust, o_orderdate AS odate,
+        |    p_brand AS brand
+        |  FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |pairs AS (
+        |  SELECT DISTINCT x.cust, x.brand AS brand_from, y.brand AS brand_to
+        |  FROM pur x JOIN pur y ON x.cust = y.cust
+        |    AND x.odate < y.odate AND x.brand <> y.brand),
+        |fc AS (
+        |  SELECT brand AS brand_from, count(*) AS n_from
+        |  FROM (SELECT DISTINCT cust, brand FROM pur) GROUP BY 1),
+        |nc AS (SELECT count(DISTINCT cust) AS n_cust FROM pur),
+        |pc AS (
+        |  SELECT brand_from, brand_to, count(*) AS n_seq
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT pc.brand_from, pc.brand_to, CAST(pc.n_seq AS BIGINT) AS n_seq,
+        |  CAST(fc.n_from AS BIGINT) AS n_from,
+        |  CAST(nc.n_cust AS BIGINT) AS n_cust,
+        |  CAST(pc.n_seq AS DOUBLE) / CAST(fc.n_from AS DOUBLE) AS conf
+        |FROM pc CROSS JOIN nc
+        |JOIN fc ON fc.brand_from = pc.brand_from
+        |WHERE pc.n_seq * 100 >= nc.n_cust * 43""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

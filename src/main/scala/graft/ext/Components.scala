@@ -297,6 +297,39 @@ object Components {
     dist
   }
 
+  /** Link prediction by neighborhood overlap: for every NON-edge pair with
+    * at least one common neighbor, the common-neighbor count and Jaccard
+    * coefficient |N(a)∩N(b)| / |N(a)∪N(b)| — exact ints and one division
+    * (Adamic–Adar would need the engine-unsafe log). The wedge join is the
+    * same canonical two-hop as [[triangleCounts]]; its cost is Σ deg(z)²
+    * over hub nodes z, so at 100 TB cap or sample super-hub neighborhoods
+    * (the standard refinement) — the join shape is unchanged by it.
+    */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("src").as("z"), col("dst").as("a"))
+      .join(sym.select(col("src").as("z"), col("dst").as("b")), "z")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    wedges
+      .join(sym.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("deg_a"))),
+        "a")
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("deg_b"))),
+        "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Per-node triangle participation counts. Edges are canonicalized
     * (a < b) so each undirected triangle a < b < c is found exactly once by
     * the two-join wedge-close: (a,b)⋈(b,c)⋈(a,c). At 100 TB the standard

@@ -459,6 +459,42 @@ object Sessions {
           col("cohort_users").cast("double")).as("ltv_per_user"))
   }
 
+  /** RFM segmentation: per purchasing user, Recency (days since last
+    * purchase, against the corpus max day), Frequency (purchase count) and
+    * Monetary (exact cents), each scored 1–5 by `ntile` with a `user_id`
+    * tiebreak so bucket edges are deterministic, then rolled up per
+    * (r,f,m) segment. The three global ntiles are single-partition windows
+    * over the USER frame (not the event frame) — fine to ~10⁸ users; past
+    * that, replace the rank windows with percentile-fence binning
+    * ([[graft.ops.Percentiles.valueCountPercentiles]]) so scoring becomes
+    * a broadcast map-side lookup. Average spend is one division of exact
+    * ints (fp-safe on both engines).
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val perUser = withTsUs(events)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        (round(sum(col("value")), 2).cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
+    val scored = perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents").desc, col("user_id"))).cast("long"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("users"), sum(col("cents")).as("total_cents"))
+      .withColumn("avg_cents",
+        col("total_cents").cast("double") / col("users").cast("double"))
+  }
+
   /** Behavioral diversity per user as Gini IMPURITY over event-type counts
     * — `1 − Σ(cᵢ/n)² = (n² − Σcᵢ²)/n²` — the entropy-shaped engagement
     * metric without the engine-unsafe logarithm: numerator and

@@ -29,6 +29,62 @@ object Sketches {
     * @param probePred which keys to probe (evaluated on the same input)
     * @return (key, n_exact, n_est, overcount) for every distinct probed key
     */
+  /** HyperLogLog-shaped distinct-count sketch with every step exact and
+    * engine-neutral, so the APPROXIMATION itself is oracle-checkable (the
+    * same discipline as [[countMin]] and KMV): affine hash into a 2⁴⁰
+    * space, bucket = low 5 bits (m = 32 registers), register = max over
+    * `rho` = trailing-zero count of the 35-bit suffix + 1 (a geometric
+    * observable that a PURELY AFFINE hash cannot feed — linear maps keep
+    * consecutive keys' trailing-zero patterns correlated (+75% bias
+    * measured on 1..200) — so two xorshift rounds break the linearity;
+    * xor/shift are engine-neutral (`^`/`xor()`), and the middle multiply
+    * folds to 32 bits first so ANSI-mode 64-bit overflow is impossible
+    * observable, extracted with pure integer ops — `bit_count((w & −w) − 1)`
+    * — no floating point, no engine hash). The harmonic estimator's
+    * indicator sum Σ2^(−M_b) is a sum of EXACT dyadic doubles (every
+    * partial sum fits 53 bits), so it is association-free and bit-identical
+    * across engines; the final α·m²/Z is one fixed multiply-divide chain.
+    * Bias corrections are intentionally omitted — they need ln/pow, which
+    * are engine-unsafe (libm last-ulp drift), and the raw estimator is the
+    * oracle-checkable contract; `n_exact`/`rel_err` sit alongside so the
+    * approximation quality is visible.
+    *
+    * Scale shape: one hash aggregation to O(groups·m) register cells, then
+    * O(groups) — state independent of input size, the point of a sketch.
+    */
+  def hllDistinct(rows: DataFrame, groupCol: String,
+                  keyCol: String): DataFrame = {
+    val m = 32
+    val logM = 5
+    val maxRho = 36 // empty 35-bit suffix: all 35 positions + 1
+    val h1 = pmod(col(keyCol) * lit(2654435761L) + lit(1013904223L),
+      lit(1L << 40))
+    val h2 = h1.bitwiseXOR(shiftright(h1, 20))
+    val h3 = pmod(pmod(h2, lit(1L << 32)) * lit(1540483477L) + lit(99991L),
+      lit(1L << 40))
+    val hv = h3.bitwiseXOR(shiftright(h3, 17))
+    val w = shiftright(hv, logM)
+    val rho = when(w === 0, lit(maxRho))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
+    val reg = rows
+      .select(col(groupCol).as("grp"), pmod(hv, lit(m.toLong)).as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("rho_max"))
+    val z = reg.groupBy(col("grp"))
+      .agg((sum(lit(1.0) /
+          expr("shiftleft(CAST(1 AS BIGINT), rho_max)").cast("double"))
+        + (lit(m) - count(lit(1))).cast("double")).as("zsum"),
+        count(lit(1)).as("filled"))
+    val exact = rows.groupBy(col(groupCol).as("grp"))
+      .agg(count_distinct(col(keyCol)).as("n_exact"))
+    exact.join(z, "grp")
+      .select(col("grp").as(groupCol), col("n_exact"), col("filled"),
+        (lit(0.697) * m * m / col("zsum")).as("hll_est"),
+        ((lit(0.697) * m * m / col("zsum") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+  }
+
   def countMin(keys: DataFrame, keyCol: String, probePred: Column,
                depth: Int = 3, width: Int = 64): DataFrame = {
     def bucket(j: Int, k: Column): Column =

@@ -891,6 +891,137 @@ object Relational {
     * relationship costs two key-deduped anti-joins, never a fact-to-fact
     * row join.
     */
+  /** Market-basket association rules over order baskets of part brands:
+    * support / confidence / lift for every brand pair co-purchased in at
+    * least 2% of baskets (threshold scales with the corpus — the q104
+    * lesson; an absolute cutoff goes silently degenerate across SFs — and
+    * 2% sits inside the observed support spread at every SF, so the floor
+    * provably filters).
+    * Shapes for scale: baskets are one distinct shuffle on (order, brand),
+    * the pair expansion self-joins on the basket key (bounded by
+    * items-per-basket², ~7² here, NOT data²), item counts broadcast back,
+    * and lift/confidence are single divisions of exact ints (n_ab·N and
+    * n_a·n_b stay far under 2⁵³).
+    */
+  def q133AssocRules(spark: SparkSession, d: String): DataFrame =
+    assocRulesFrom(lineitem(spark, d)
+      .join(broadcast(part(spark, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct())
+
+  /** Core of [[q133AssocRules]] over a deduplicated (basket, item) frame;
+    * `supportPctHundredths` is the support floor in hundredths of a
+    * percent (200 = 2%), applied as an exact integer predicate.
+    */
+  def assocRulesFrom(baskets: DataFrame,
+                     supportPctHundredths: Long = 200L): DataFrame = {
+    val nBaskets = baskets.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = baskets.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"), col("x.basket") === col("y.basket")
+        && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(broadcast(nBaskets))
+      .filter(col("n_ab") * 10000L >= col("n_baskets") * supportPctHundredths)
+      .join(broadcast(itemCounts.select(col("item").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("item").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("conf_ab"),
+        (col("n_ab").cast("double") / col("n_b").cast("double"))
+          .as("conf_ba"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  /** Sequential cross-sell affinity: "customers who bought brand A later
+    * bought brand B" — the TEMPORAL complement of [[q133AssocRules]]'s
+    * same-basket co-occurrence (and of q115's adjacent-step Markov
+    * transitions): A→B counts a customer once if ANY A-purchase strictly
+    * precedes ANY B-purchase. The per-customer date self-join is bounded
+    * by (orders·brands per customer)², never data² — shuffle on the
+    * customer key, with the same super-hub cap remedy as the wedge joins
+    * ([[graft.ext.Components.linkPrediction]]) if a 100 TB customer is
+    * pathological. The 43% support floor sits inside the observed spread
+    * at every SF (the q104 active-threshold discipline); confidence is
+    * one exact-int division.
+    */
+  def q137CrossSell(spark: SparkSession, d: String): DataFrame =
+    crossSellFrom(orders(spark, d)
+      .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(part(spark, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("odate"),
+        col("p_brand").as("brand"))
+      .distinct())
+
+  /** Core of [[q137CrossSell]] over a distinct (cust, odate, brand) frame;
+    * `supportPct` is the customer-share floor in percent.
+    */
+  def crossSellFrom(purchases: DataFrame, supportPct: Long = 43L): DataFrame = {
+    val pairs = purchases.as("x")
+      .join(purchases.as("y"), col("x.cust") === col("y.cust")
+        && col("x.odate") < col("y.odate")
+        && col("x.brand") =!= col("y.brand"))
+      .select(col("x.cust").as("cust"), col("x.brand").as("brand_from"),
+        col("y.brand").as("brand_to"))
+      .distinct()
+    val fromCounts = purchases.select(col("cust"), col("brand")).distinct()
+      .groupBy(col("brand").as("brand_from"))
+      .agg(count(lit(1)).as("n_from"))
+    val nCust = purchases.select(col("cust")).distinct()
+      .agg(count(lit(1)).as("n_cust"))
+    pairs.groupBy(col("brand_from"), col("brand_to"))
+      .agg(count(lit(1)).as("n_seq"))
+      .crossJoin(broadcast(nCust))
+      .filter(col("n_seq") * 100 >= col("n_cust") * supportPct)
+      .join(broadcast(fromCounts), "brand_from")
+      .select(col("brand_from"), col("brand_to"), col("n_seq"),
+        col("n_from"), col("n_cust"),
+        (col("n_seq").cast("double") / col("n_from").cast("double"))
+          .as("conf"))
+  }
+
+  /** Lorenz curve in deciles: customers ranked by exact-cents revenue
+    * (descending, custkey tiebreak), bucketed by ntile(10), with each
+    * decile's cumulative share of total revenue — the 80/20 concentration
+    * readout that complements q125's Gini scalar. The customer-level rank
+    * is the only global window (same caveat/remedy as [[graft.ext.Sessions
+    * .rfmSegments]]); the decile rollup and running sum are O(10).
+    */
+  def q135RevenueDeciles(spark: SparkSession, d: String): DataFrame =
+    revenueDecilesFrom(orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .select(col("o_custkey"), (col("rev") * 100).cast("long").as("cents")))
+
+  /** Core of [[q135RevenueDeciles]] over a per-customer exact-cents frame. */
+  def revenueDecilesFrom(perCust: DataFrame): DataFrame = {
+    val bucketed = perCust.withColumn("decile", ntile(10).over(
+      Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+    val cells = bucketed.groupBy(col("decile"))
+      .agg(count(lit(1)).as("customers"), sum(col("cents")).as("rev_cents"))
+    val total = cells.agg(sum(col("rev_cents")).as("total_cents"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("customers"), col("rev_cents"),
+        col("cum_cents"),
+        (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+          .as("cum_share"))
+  }
+
   def q129RefIntegrity(spark: SparkSession, d: String): DataFrame = {
     def rel(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
       val c = child.distinct()

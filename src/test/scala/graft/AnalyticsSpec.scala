@@ -374,4 +374,33 @@ class AnalyticsSpec extends SparkSuite {
       assert(math.abs(r._6 - r._3 * r._3) < 2e-6, s"r2 != corr² in $r")
     }
   }
+
+  test("assocRules: exact support/confidence/lift; floor provably filters") {
+    // baskets: b1{A,B} b2{A,B} b3{A,C} b4{B} → n=4, A=3, B=3, C=1,
+    // AB=2 (50%), AC=1 (25%)
+    val baskets = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B")).toDF("basket", "item")
+    val r = Relational.assocRulesFrom(baskets)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(x => (x._1, x._2) -> x).toMap
+    assert(r(("A", "B")) ===
+      (("A", "B", 2L, 3L, 3L, 4L, 2.0 / 3, 2.0 / 3, 8.0 / 9)))
+    assert(r(("A", "C")) ===
+      (("A", "C", 1L, 3L, 1L, 4L, 1.0 / 3, 1.0, 4.0 / 3)))
+    // a 30% floor keeps AB (50%) and drops AC (25%)
+    val hi = Relational.assocRulesFrom(baskets, supportPctHundredths = 3000L)
+      .select(col("item_a"), col("item_b")).as[(String, String)].collect()
+    assert(hi.toSeq === Seq(("A", "B")))
+  }
+
+  test("revenueDeciles: equal buckets, cumulative cents, final share 1.0") {
+    // 20 customers, cents 2000, 1900, …, 100 → decile d = custkeys 2d-1, 2d
+    val perCust = (1L to 20L).map(k => (k, 2100L - 100L * k))
+      .toDF("o_custkey", "cents")
+    val r = Relational.revenueDecilesFrom(perCust)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.length === 10 && r.forall(_._2 === 2L))
+    assert(r.head === ((1L, 2L, 3900L, 3900L, 3900.0 / 21000)))
+    assert(r.last._3 === 300L && r.last._4 === 21000L && r.last._5 === 1.0)
+  }
 }

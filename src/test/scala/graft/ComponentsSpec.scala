@@ -129,6 +129,26 @@ class ComponentsSpec extends SparkSuite {
     assert(Components.triangleCounts(path).count() === 0L)
   }
 
+  test("linkPrediction: non-edges scored by overlap, edges excluded") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) share 2 neighbors,
+    // all degrees 2 → jaccard 2/(2+2-2) = 1.0; edges never appear
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val r = Components.linkPrediction(square)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(r((1L, 3L)) === ((1L, 3L, 2L, 2L, 2L, 1.0)))
+    // triangle: every pair is an edge → nothing to predict
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Components.linkPrediction(k3).count() === 0L)
+    // path 1-2-3: (1,3) common neighbor 2, degrees 1 and 1 → jaccard 1.0;
+    // star center 2 with leaf degree 1 keeps the denominator honest
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Components.linkPrediction(path)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(p.toSeq === Seq((1L, 3L, 1L, 1L, 1L, 1.0)))
+  }
+
   test("supplierGraph is deterministic, self-loop-free, and in key range") {
     val sup = (1L to 40L).toDF("s_suppkey")
     val g = Components.supplierGraph(sup).as[(Long, Long)].collect().toSet

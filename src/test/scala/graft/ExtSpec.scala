@@ -261,6 +261,45 @@ class ExtSpec extends SparkSuite {
     assert(narrow.exists(_._4 > 0), "width 4 cannot be collision-free")
   }
 
+  test("hllDistinct: bit-equal to a register replay; sane accuracy") {
+    val keys = (1L to 200L).map(k => (k, "g")).toDF("k", "event_type")
+    val Array(r) = ext.Sketches.hllDistinct(keys, "event_type", "k")
+      .as[(String, Long, Long, Double, Double)].collect()
+    // replay the exact integer register arithmetic in Scala
+    val regs = (1L to 200L)
+      .map { k =>
+        val h1 = (k * 2654435761L + 1013904223L) % (1L << 40)
+        val h2 = h1 ^ (h1 >> 20)
+        val h3 = ((h2 % (1L << 32)) * 1540483477L + 99991L) % (1L << 40)
+        val hv = h3 ^ (h3 >> 17)
+        (hv % 32, if ((hv >> 5) == 0) 36
+          else java.lang.Long.numberOfTrailingZeros(hv >> 5) + 1) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).max }
+    val z = regs.values.map(rho => 1.0 / (1L << rho)).sum +
+      (32 - regs.size).toDouble
+    val est = 0.697 * 32 * 32 / z
+    assert(r._2 === 200L && r._3 === regs.size.toLong)
+    assert(r._4 === est && r._5 === (est - 200.0) / 200.0)
+    // raw HLL σ ≈ 1.04/√32 ≈ 18%; allow 3σ
+    assert(math.abs(r._5) < 0.55, s"estimate off: $r")
+  }
+
+  test("crossSell: strict date order, per-customer dedup, active floor") {
+    // c1: A then B → (A,B); c2: A,B same date → nothing; c3: B then A,
+    // and A twice more (deduped) → (B,A)
+    val pur = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 1L, "A"), (2L, 1L, "B"),
+      (3L, 1L, "B"), (3L, 2L, "A"), (3L, 3L, "A"))
+      .toDF("cust", "odate", "brand")
+    val r = ops.Relational.crossSellFrom(pur, supportPct = 0L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r.keySet === Set(("A", "B"), ("B", "A")))
+    assert(r(("A", "B")) === (("A", "B", 1L, 3L, 3L, 1.0 / 3)))
+    assert(r(("B", "A")) === (("B", "A", 1L, 3L, 3L, 1.0 / 3)))
+    // 34% floor needs n_seq ≥ 2 of the 3 customers → both pairs drop
+    assert(ops.Relational.crossSellFrom(pur, supportPct = 34L).count() === 0L)
+  }
+
   test("canonical mapping: keeper is longest text, doc_id on ties, per component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val docs = Seq(
@@ -577,6 +616,26 @@ class ExtSpec extends SparkSuite {
     assert(r((0L, 0L)) === ((2L, 2L, 1200L, 1200L, 600.0)))
     assert(r((0L, 1L)) === ((2L, 2L, 550L, 1750L, 875.0)))
     assert(r((1L, 0L)) === ((1L, 1L, 400L, 400L, 400.0)))
+  }
+
+  test("rfmSegments: ntile scores with deterministic tiebreaks, per-segment rollup") {
+    val Day = 86400L * 1000000
+    // 5 purchasing users, strictly ordered on all three axes: u_k buys k
+    // times, $10 each, last on day 11-k → r=k, f=6-k, m=6-k
+    val events = (1L to 5L).flatMap { u =>
+      (1L to u).map(i => (u, (11 - u) * Day - i, 10.0))
+    }.zipWithIndex.map { case ((u, tsUs, v), i) =>
+      (i.toLong, u, tsUs, "purchase", v) }
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.rfmSegments(events)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2, x._3) -> (x._4, x._5, x._6)).toMap
+    assert(r.keySet ===
+      (1L to 5L).map(k => (k, 6L - k, 6L - k)).toSet)
+    for (k <- 1L to 5L)
+      assert(r((k, 6L - k, 6L - k)) ===
+        ((1L, 1000L * k, 1000.0 * k)), s"user $k segment")
   }
 
   test("kaplanMeier: censored users hold the curve, deaths drop it") {
