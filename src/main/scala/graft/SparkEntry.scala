@@ -437,6 +437,13 @@ object SparkEntry {
     // temporal cross-sell: any-A-before-any-B customer counts per brand
     // pair, corpus-scaled support floor, exact-rational confidence
     "q137_cross_sell" -> Relational.q137CrossSell _,
+    // skewness/excess kurtosis per group from exact integer power sums —
+    // the fixed-expression standardization chain, raw doubles
+    "q138_higher_moments" -> Relational.q138HigherMoments _,
+    // signup→purchase latency p50/p90 by signup-week cohort (sort-rank
+    // exact percentiles over integer-microsecond latencies)
+    "q139_conversion_latency" -> ((s: SparkSession, d: String) =>
+      Sessions.conversionLatency(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3062,6 +3069,60 @@ object SparkEntry {
         |FROM pc CROSS JOIN nc
         |JOIN fc ON fc.brand_from = pc.brand_from
         |WHERE pc.n_seq * 100 >= nc.n_cust * 43""".stripMargin,
+
+    "q138_higher_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS s1,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS s2,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS s3,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS s4
+        |  FROM lineitem GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM s),
+        |m AS (
+        |  SELECT l_returnflag, n, e1,
+        |    e2 - e1 * e1 AS m2,
+        |    e3 - 3 * e1 * e2 + 2 * e1 * e1 * e1 AS m3,
+        |    e4 - 4 * e1 * e3 + 6 * e1 * e1 * e2
+        |      - 3 * e1 * e1 * e1 * e1 AS m4
+        |  FROM e)
+        |SELECT l_returnflag, n, e1 AS mean, m2 AS variance,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |       ELSE m3 / (m2 * sqrt(m2)) END AS skewness,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |       ELSE m4 / (m2 * m2) - 3 END AS kurtosis_excess
+        |FROM m""".stripMargin,
+
+    "q139_conversion_latency" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |cv AS (
+        |  SELECT e.user_id, su.signup_us, min(epoch_us(e.ts)) AS conv_us
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.signup_us
+        |  GROUP BY 1, 2),
+        |lat AS (
+        |  SELECT signup_us // 604800000000 AS cohort_wk,
+        |    conv_us - signup_us AS latency_us
+        |  FROM cv)
+        |SELECT cohort_wk, CAST(0.5 AS DOUBLE) AS p,
+        |  quantile_cont(latency_us, 0.5) AS value
+        |FROM lat GROUP BY 1
+        |UNION ALL
+        |SELECT cohort_wk, CAST(0.9 AS DOUBLE) AS p,
+        |  quantile_cont(latency_us, 0.9) AS value
+        |FROM lat GROUP BY 1""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

@@ -459,6 +459,31 @@ object Sessions {
           col("cohort_users").cast("double")).as("ltv_per_user"))
   }
 
+  /** Signup→purchase conversion latency percentiles by signup-week cohort:
+    * per user, the first purchase strictly after the first signup; latency
+    * is exact integer microseconds, and the p50/p90 cutpoints come from
+    * [[graft.ops.Percentiles.sortPercentiles]] (window-sort rank pick —
+    * latencies are near-unique, the q37 domain lesson). Two narrow
+    * aggregations plus one percentile window; the funnel (q59) tells you
+    * WHETHER users convert, this tells you HOW FAST.
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val WkUs = 7L * 86400000000L
+    val e = withTsUs(events)
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts_us") > col("signup_us"))
+      .groupBy(col("user_id"), col("signup_us"))
+      .agg(min(col("ts_us")).as("conv_us"))
+    val lat = conv.select(
+      floorDiv(col("signup_us"), WkUs).as("cohort_wk"),
+      (col("conv_us") - col("signup_us")).as("latency_us"))
+    graft.ops.Percentiles.sortPercentiles(lat, "cohort_wk", "latency_us",
+      Seq(0.5, 0.9))
+  }
+
   /** RFM segmentation: per purchasing user, Recency (days since last
     * purchase, against the corpus max day), Frequency (purchase count) and
     * Monetary (exact cents), each scored 1–5 by `ntile` with a `user_id`

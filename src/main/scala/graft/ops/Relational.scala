@@ -898,8 +898,9 @@ object Relational {
     * 2% sits inside the observed support spread at every SF, so the floor
     * provably filters).
     * Shapes for scale: baskets are one distinct shuffle on (order, brand),
-    * the pair expansion self-joins on the basket key (bounded by
-    * items-per-basket², ~7² here, NOT data²), item counts broadcast back,
+    * the pair expansion is a map-side double posexplode over per-basket
+    * sorted item arrays (bounded by items-per-basket², ~7² here, NOT
+    * data², and with no basket-keyed join shuffle), item counts broadcast,
     * and lift/confidence are single divisions of exact ints (n_ab·N and
     * n_a·n_b stay far under 2⁵³).
     */
@@ -908,23 +909,34 @@ object Relational {
       .join(broadcast(part(spark, d)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      .distinct())
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item")))
 
-  /** Core of [[q133AssocRules]] over a deduplicated (basket, item) frame;
-    * `supportPctHundredths` is the support floor in hundredths of a
-    * percent (200 = 2%), applied as an exact integer predicate.
+  /** Core of [[q133AssocRules]] over a (basket, item) frame — duplicates
+    * tolerated, the set aggregation dedups, so callers skip a distinct
+    * shuffle; `supportPctHundredths` is the support floor in hundredths
+    * of a percent (200 = 2%), applied as an exact integer predicate.
     */
   def assocRulesFrom(baskets: DataFrame,
                      supportPctHundredths: Long = 200L): DataFrame = {
-    val nBaskets = baskets.select(col("basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemCounts = baskets.groupBy(col("item"))
+    // ONE shuffle total on the basket key: collect_set dedups while
+    // grouping, the pair lattice is generated MAP-SIDE by a double
+    // posexplode (array sorted + distinct ⇒ ia < ib ⟺ item_a < item_b,
+    // bounded by items-per-basket², never data²), and item/basket counts
+    // re-derive from the checkpointed per-basket arrays
+    val arrs = baskets.groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint()
+    val itemCounts = arrs.select(explode(col("items")).as("item"))
+      .groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
-    val pairs = baskets.as("x")
-      .join(baskets.as("y"), col("x.basket") === col("y.basket")
-        && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    val nBaskets = arrs.agg(count(lit(1)).as("n_baskets"))
+    val pairs = arrs
+      .select(col("items"),
+        posexplode(col("items")).as(Seq("ia", "item_a")))
+      .select(col("ia"), col("item_a"),
+        posexplode(col("items")).as(Seq("ib", "item_b")))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs.crossJoin(broadcast(nBaskets))
       .filter(col("n_ab") * 10000L >= col("n_baskets") * supportPctHundredths)
@@ -942,15 +954,60 @@ object Relational {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Distribution shape per group from exact power sums: mean, population
+    * variance, skewness and excess kurtosis of l_quantity per return flag.
+    * S₁..S₄ are EXACT integer sums (one map-side-combined shuffle); each
+    * raw moment Eₖ = Sₖ/n is one division of exact ints (correctly
+    * rounded), and the central-moment/standardization chain is a FIXED
+    * expression — identical operation order on both engines, so the
+    * doubles are bit-identical raw with no rounding (the q74/q127
+    * discipline, extended to 3rd/4th moments). sqrt is IEEE-exact; no
+    * libm transcendental appears. At 100 TB switch the power sums to
+    * decimal(38,0) before Σq⁴ approaches 2⁵³ (value-domain-dependent;
+    * l_quantity ≤ 50 keeps longs safe to ~10¹² rows per group).
+    */
+  def q138HigherMoments(spark: SparkSession, d: String): DataFrame =
+    higherMomentsFrom(lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_quantity")))
+
+  /** Core of [[q138HigherMoments]] over (l_returnflag, l_quantity) rows. */
+  def higherMomentsFrom(df: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+      .withColumn("e1", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("e2", col("s2").cast("double") / col("n").cast("double"))
+      .withColumn("e3", col("s3").cast("double") / col("n").cast("double"))
+      .withColumn("e4", col("s4").cast("double") / col("n").cast("double"))
+      .withColumn("m2", col("e2") - col("e1") * col("e1"))
+      .withColumn("m3", col("e3") - lit(3) * col("e1") * col("e2")
+        + lit(2) * col("e1") * col("e1") * col("e1"))
+      .withColumn("m4", col("e4") - lit(4) * col("e1") * col("e3")
+        + lit(6) * col("e1") * col("e1") * col("e2")
+        - lit(3) * col("e1") * col("e1") * col("e1") * col("e1"))
+      .select(col("l_returnflag"), col("n"), col("e1").as("mean"),
+        col("m2").as("variance"),
+        when(col("m2") === 0, lit(null).cast("double"))
+          .otherwise(col("m3") / (col("m2") * sqrt(col("m2"))))
+          .as("skewness"),
+        when(col("m2") === 0, lit(null).cast("double"))
+          .otherwise(col("m4") / (col("m2") * col("m2")) - lit(3))
+          .as("kurtosis_excess"))
+  }
+
   /** Sequential cross-sell affinity: "customers who bought brand A later
     * bought brand B" — the TEMPORAL complement of [[q133AssocRules]]'s
     * same-basket co-occurrence (and of q115's adjacent-step Markov
     * transitions): A→B counts a customer once if ANY A-purchase strictly
-    * precedes ANY B-purchase. The per-customer date self-join is bounded
-    * by (orders·brands per customer)², never data² — shuffle on the
-    * customer key, with the same super-hub cap remedy as the wedge joins
-    * ([[graft.ext.Components.linkPrediction]]) if a 100 TB customer is
-    * pathological. The 43% support floor sits inside the observed spread
+    * precedes ANY B-purchase — which reduces to min(A dates) < max(B
+    * dates), so the expensive part runs on a per-(customer, brand) SPAN
+    * frame, bounded by (brands per customer)², never orders² or data² —
+    * one shuffle on the customer key, with the same super-hub cap remedy
+    * as the wedge joins ([[graft.ext.Components.linkPrediction]]) if a
+    * 100 TB customer is pathological. The 43% support floor sits inside
+    * the observed spread
     * at every SF (the q104 active-threshold discipline); confidence is
     * one exact-int division.
     */
@@ -968,17 +1025,24 @@ object Relational {
     * `supportPct` is the customer-share floor in percent.
     */
   def crossSellFrom(purchases: DataFrame, supportPct: Long = 43L): DataFrame = {
-    val pairs = purchases.as("x")
-      .join(purchases.as("y"), col("x.cust") === col("y.cust")
-        && col("x.odate") < col("y.odate")
-        && col("x.brand") =!= col("y.brand"))
-      .select(col("x.cust").as("cust"), col("x.brand").as("brand_from"),
-        col("y.brand").as("brand_to"))
-      .distinct()
-    val fromCounts = purchases.select(col("cust"), col("brand")).distinct()
+    // "any A strictly before any B" ⟺ min(A dates) < max(B dates), so
+    // collapse to one (cust, brand) span row first: the self-join then
+    // runs on the O(brands/cust) frame, emits each (cust, pair) at most
+    // once (no distinct pass), and the row-level purchase history never
+    // crosses a second shuffle
+    val spans = purchases.groupBy(col("cust"), col("brand"))
+      .agg(min(col("odate")).as("first_date"),
+        max(col("odate")).as("last_date"))
+      .localCheckpoint()
+    val pairs = spans.as("x")
+      .join(spans.as("y"), col("x.cust") === col("y.cust")
+        && col("x.brand") =!= col("y.brand")
+        && col("x.first_date") < col("y.last_date"))
+      .select(col("x.brand").as("brand_from"), col("y.brand").as("brand_to"))
+    val fromCounts = spans
       .groupBy(col("brand").as("brand_from"))
       .agg(count(lit(1)).as("n_from"))
-    val nCust = purchases.select(col("cust")).distinct()
+    val nCust = spans.select(col("cust")).distinct()
       .agg(count(lit(1)).as("n_cust"))
     pairs.groupBy(col("brand_from"), col("brand_to"))
       .agg(count(lit(1)).as("n_seq"))

@@ -393,6 +393,18 @@ class AnalyticsSpec extends SparkSuite {
     assert(hi.toSeq === Seq(("A", "B")))
   }
 
+  test("higherMoments: hand-checked moments; constant group yields NULL shape") {
+    // a: {1,2,3,4} → mean 2.5, m2 1.25, symmetric → skew 0,
+    // m4 2.5625 → kurtosis 2.5625/1.5625 − 3 = −1.36; b constant → NULLs
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 5), ("b", 5))
+      .toDF("l_returnflag", "l_quantity")
+    val r = Relational.higherMomentsFrom(df)
+      .as[(String, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("a") === (("a", 4L, 2.5, 1.25, Some(0.0), Some(-1.36))))
+    assert(r("b") === (("b", 2L, 5.0, 0.0, None, None)))
+  }
+
   test("revenueDeciles: equal buckets, cumulative cents, final share 1.0") {
     // 20 customers, cents 2000, 1900, …, 100 → decile d = custkeys 2d-1, 2d
     val perCust = (1L to 20L).map(k => (k, 2100L - 100L * k))

@@ -618,6 +618,27 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 0L)) === ((1L, 1L, 400L, 400L, 400.0)))
   }
 
+  test("conversionLatency: first purchase after first signup, interpolated cutpoints") {
+    val Day = 86400L * 1000000
+    // u1: signup d0, purchases d2 (and a pre-signup one ignored);
+    // u2: signup d0, purchase d4; u3: only a pre-signup purchase → out
+    val events = Seq(
+      (1L, "signup", 0L), (1L, "purchase", -1L), (1L, "purchase", 2L),
+      (2L, "signup", 0L), (2L, "purchase", 4L), (2L, "purchase", 6L),
+      (3L, "purchase", 1L)).zipWithIndex
+      .map { case ((u, t, day), i) => (i.toLong, u, day * Day + 10L * Day, t) }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.conversionLatency(events)
+      .as[(Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    // latencies {2d, 4d}: p50 = 3d; p90 replays the implementation's
+    // exact interpolation shape ((khi−pos)·vlo + (pos−klo)·vhi —
+    // NOT 0.1·vlo + 0.9·vhi, which differs in the last ulp)
+    assert(r((1L, 0.5)) === 3.0 * Day)
+    assert(r((1L, 0.9)) === ((1.0 - 0.9) * (2 * Day) + (0.9 - 0.0) * (4 * Day)))
+  }
+
   test("rfmSegments: ntile scores with deterministic tiebreaks, per-segment rollup") {
     val Day = 86400L * 1000000
     // 5 purchasing users, strictly ordered on all three axes: u_k buys k
