@@ -246,4 +246,41 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange"), s"v1 vector not broadcast:\n$p")
   }
+
+  test("q133 assoc rules: pair lattice generated map-side, counts broadcast back") {
+    val p = plan(ops.Relational.q133AssocRules(spark, sf))
+    // generators (the double posexplode, plus the item-count explode per
+    // consumer branch) replace a basket-keyed self-join; the only
+    // non-broadcast exchanges are the pair/item aggregations over the
+    // checkpointed basket arrays
+    assert("""\(\d+\) Generate""".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"),
+      s"basket pair expansion fell back to a shuffle self-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"item counts not broadcast:\n$p")
+  }
+
+  test("q137 cross-sell: span self-join is the only shuffle join; stats broadcast") {
+    val p = plan(ops.Relational.q137CrossSell(spark, sf))
+    // the (cust, brand) span self-join may legitimately shuffle — but only
+    // ONCE; support/count frames ride broadcasts
+    val shuffled = """\(\d+\) SortMergeJoin""".r.findAllIn(p).length +
+      """\(\d+\) ShuffledHashJoin""".r.findAllIn(p).length
+    assert(shuffled <= 1, s"more than the span join shuffled:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q138 higher moments: one exchange, map-side partial power sums") {
+    val p = plan(ops.Relational.q138HigherMoments(spark, sf))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1, p)
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q134 link prediction: degrees broadcast; existing edges anti-joined") {
+    val p = plan(ext.Components.linkPrediction(
+      ext.Components.supplierGraph(Tables.supplier(spark, sf))))
+    assert(p.toLowerCase.contains("leftanti"), s"no anti-join in:\n$p")
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length >= 2,
+      s"degree frames not broadcast:\n$p")
+  }
 }
