@@ -444,6 +444,16 @@ object SparkEntry {
     // exact percentiles over integer-microsecond latencies)
     "q139_conversion_latency" -> ((s: SparkSession, d: String) =>
       Sessions.conversionLatency(Tables.events(s, d))),
+    // peak concurrent sessions per day: sweep line over session
+    // boundaries, ends before starts at equal timestamps
+    "q140_max_concurrency" -> ((s: SparkSession, d: String) =>
+      Sessions.maxConcurrency(Tables.events(s, d))),
+    // largest-remainder apportionment of a 1M budget across nations by
+    // customer-count weights — integer allocations that sum exactly
+    "q141_largest_remainder" -> ((s: SparkSession, d: String) =>
+      ext.Curation.largestRemainder(
+        Tables.customer(s, d).groupBy(col("c_nationkey").as("key"))
+          .agg(count(lit(1)).as("w")), total = 1000000L)),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3123,6 +3133,62 @@ object SparkEntry {
         |SELECT cohort_wk, CAST(0.9 AS DOUBLE) AS p,
         |  quantile_cont(latency_us, 0.9) AS value
         |FROM lat GROUP BY 1""".stripMargin,
+
+    "q140_max_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts_us) AS start_us,
+        |    max(ts_us) AS end_us
+        |  FROM numbered GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT start_us AS ts, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT end_us, CAST(-1 AS BIGINT) FROM sess),
+        |swept AS (
+        |  SELECT ts, delta,
+        |    CAST(sum(delta) OVER (ORDER BY ts, delta
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM bounds)
+        |SELECT ts // 86400000000 AS day,
+        |  max(conc) AS peak_concurrency, count(*) AS n_boundaries
+        |FROM swept GROUP BY 1""".stripMargin,
+
+    "q141_largest_remainder" ->
+      """WITH wts AS (
+        |  SELECT c_nationkey AS key, count(*) AS w
+        |  FROM customer GROUP BY 1),
+        |ws AS (SELECT key, w, CAST(sum(w) OVER () AS BIGINT) AS wsum
+        |       FROM wts),
+        |based AS (
+        |  SELECT key, w, wsum, (w * 1000000) // wsum AS base,
+        |    (w * 1000000) % wsum AS remainder
+        |  FROM ws),
+        |lo AS (
+        |  SELECT key, w, base, remainder,
+        |    CAST(1000000 - sum(base) OVER () AS BIGINT) AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, key) AS rn
+        |  FROM based)
+        |SELECT key, CAST(w AS BIGINT) AS w, CAST(base AS BIGINT) AS base,
+        |  CAST(remainder AS BIGINT) AS remainder,
+        |  CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM lo""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

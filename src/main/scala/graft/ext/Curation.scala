@@ -426,6 +426,35 @@ object Curation {
       .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment: distribute an integer
+    * `total` across groups proportionally to integer weights so the
+    * allocations are integers that sum EXACTLY to `total` — the other
+    * budget-allocation primitive next to [[waterfillBudget]] (waterfill
+    * caps heavy groups; largest-remainder rounds proportional shares
+    * without drift). base_i = ⌊total·wᵢ/W⌋, and the `total − Σbase`
+    * leftover goes one unit each to the largest remainders
+    * `total·wᵢ mod W` (ties broken by key — deterministic). Every step is
+    * integer arithmetic; `total·wᵢ` stays far under 2⁶³ for any realistic
+    * budget. Scale shape: one aggregation to the group-cardinality frame,
+    * then a window sort over groups (dashboard-sized at any scale).
+    */
+  def largestRemainder(weights: DataFrame, total: Long): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("remainder").desc, col("key"))
+    weights
+      .select(col("key"), col("w").cast("long").as("w"))
+      .withColumn("wsum", sum(col("w")).over(wAll))
+      .withColumn("base", expr(s"(w * $total) div wsum"))
+      .withColumn("remainder", pmod(col("w") * total, col("wsum")))
+      .withColumn("leftover",
+        lit(total) - sum(col("base")).over(wAll))
+      .withColumn("extra",
+        when(row_number().over(wRank).cast("long") <= col("leftover"),
+          lit(1L)).otherwise(lit(0L)))
+      .select(col("key"), col("w"), col("base"), col("remainder"),
+        col("extra"), (col("base") + col("extra")).as("alloc"))
+  }
+
   /** Water-filling token-budget allocation across corpus sources — the
     * data-mixing primitive: given per-source token counts and a global
     * budget, small sources keep everything and large sources are capped at

@@ -459,6 +459,32 @@ object Sessions {
           col("cohort_users").cast("double")).as("ltv_per_user"))
   }
 
+  /** Peak concurrent sessions per day by sweep line over session
+    * boundaries: +1 at each session start, −1 at each end, running sum in
+    * (ts, delta) order — delta ascending so a session ending exactly when
+    * another starts never inflates the peak — then max per boundary day.
+    * Equal-timestamp same-sign boundaries commute, so the per-day max is
+    * order-deterministic without a full tiebreak. The running sum is the
+    * one global window (the textbook sweep-line bottleneck): at 100 TB,
+    * partition the sweep by day and add each day's carry-in (sessions
+    * spanning the day start, one range-join count) as a day-local offset —
+    * the per-day form here measures peaks at boundary events, which is
+    * exact for the corpus's intra-day sessions.
+    */
+  def maxConcurrency(events: DataFrame,
+                     gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val sess = sessionize(events, gapUs)
+    val bounds = sess.select(col("start_us").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("end_us").as("ts"), lit(-1L).as("delta")))
+    val w = Window.orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("conc", sum(col("delta")).over(w))
+      .withColumn("day", floorDiv(col("ts"), 86400000000L))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+  }
+
   /** Signup→purchase conversion latency percentiles by signup-week cohort:
     * per user, the first purchase strictly after the first signup; latency
     * is exact integer microseconds, and the p50/p90 cutpoints come from

@@ -639,6 +639,34 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 0.9)) === ((1.0 - 0.9) * (2 * Day) + (0.9 - 0.0) * (4 * Day)))
   }
 
+  test("maxConcurrency: sweep-line peak; end-meets-start never inflates") {
+    val Min = 60L * 1000000
+    // sessions (gap 30m): u1 [0,10m], u2 [5m,15m], u3 [20m,25m],
+    // u4 [10m,12m] — u4 starts exactly at u1's end → peak stays 2
+    val events = Seq(
+      (1L, 0L), (1L, 10L), (2L, 5L), (2L, 15L),
+      (3L, 20L), (3L, 25L), (4L, 10L), (4L, 12L)).zipWithIndex
+      .map { case ((u, m), i) => (i.toLong, u, m * Min) }
+      .toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val Array(r) = Sessions.maxConcurrency(events)
+      .as[(Long, Long, Long)].collect()
+    assert(r === ((0L, 2L, 8L)))
+  }
+
+  test("largestRemainder: integer allocations sum exactly to the total") {
+    // W=10, total=11: bases 3,3,4 (sum 10), leftover 1 → largest
+    // remainder (c, 4) gets it; a/b tie on remainder 3 ranks after
+    val weights = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("key", "w")
+    val r = ext.Curation.largestRemainder(weights, total = 11L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("a") === (("a", 3L, 3L, 3L, 0L, 3L)))
+    assert(r("b") === (("b", 3L, 3L, 3L, 0L, 3L)))
+    assert(r("c") === (("c", 4L, 4L, 4L, 1L, 5L)))
+    assert(r.values.map(_._6).sum === 11L)
+  }
+
   test("rfmSegments: ntile scores with deterministic tiebreaks, per-segment rollup") {
     val Day = 86400L * 1000000
     // 5 purchasing users, strictly ordered on all three axes: u_k buys k
