@@ -454,6 +454,10 @@ object SparkEntry {
       ext.Curation.largestRemainder(
         Tables.customer(s, d).groupBy(col("c_nationkey").as("key"))
           .agg(count(lit(1)).as("w")), total = 1000000L)),
+    // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection over
+    // the top-40 candidate pool, 6dp-rounded quantized cosines throughout
+    "q142_mmr_rerank" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrSelect(Tables.embeddings(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -629,8 +633,73 @@ object SparkEntry {
     (words +: rounds).mkString(",\n") + "\n" + out
   }
 
+  /** DuckDB replay of [[graft.ext.Similarity.mmrSelect]]'s greedy MMR
+    * loop: pick 1 is pure-relevance argmax, then one (pick, selall) CTE
+    * pair per round — generated so the SQL always unrolls exactly the
+    * rounds the Scala plan iterates (the q110 discipline). Cosines are
+    * 6 dp rounds of exact quantized moments on both sides, so every
+    * argmax compares identical doubles.
+    */
+  private def mmrOracle(k: Int, candN: Int): String = {
+    val base =
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, q,
+         |    (SELECT sum(q[t.i] * q[t.i]) FROM generate_series(1, 64) t(i))
+         |      AS n2
+         |  FROM qv),
+         |qq AS (SELECT q, n2 FROM nrm WHERE vec_id = 0 AND n2 > 0),
+         |cand AS (
+         |  SELECT vec_id, q, n2, rel FROM (
+         |    SELECT vec_id, q, n2, rel,
+         |      row_number() OVER (ORDER BY rel DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT c.vec_id, c.q, c.n2,
+         |        round(CAST((SELECT sum(c.q[t.i] * qq.q[t.i])
+         |                    FROM generate_series(1, 64) t(i)) AS DOUBLE)
+         |          / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(qq.n2
+         |            AS DOUBLE))), 6) AS rel
+         |      FROM nrm c CROSS JOIN qq
+         |      WHERE c.vec_id <> 0 AND c.n2 > 0) r) rr
+         |  WHERE rnk <= $candN),
+         |sims AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    round(CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+         |                FROM generate_series(1, 64) t(i)) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))),
+         |      6) AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |selall1 AS (
+         |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS pick_order,
+         |    rel AS mmr_score
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      s"""pick$i AS (
+         |  SELECT vec_id, rel, CAST($i AS BIGINT) AS pick_order, mmr_score
+         |  FROM (
+         |    SELECT c.vec_id AS vec_id, c.rel AS rel,
+         |      CAST(0.7 AS DOUBLE) * c.rel
+         |        - CAST(0.3 AS DOUBLE) * max(s.sim) AS mmr_score
+         |    FROM cand c
+         |    JOIN sims s ON s.va = c.vec_id
+         |    JOIN selall${i - 1} p ON s.vb = p.vec_id
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM selall${i - 1})
+         |    GROUP BY c.vec_id, c.rel
+         |    ORDER BY mmr_score DESC, c.vec_id LIMIT 1) t),
+         |selall$i AS (SELECT * FROM selall${i - 1}
+         |             UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"\nSELECT vec_id, rel, pick_order, mmr_score FROM selall$k"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q110_bpe_learn" -> bpeLearnOracle(3),
+    "q142_mmr_rerank" -> mmrOracle(5, 40),
     "q01_pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -213,6 +213,70 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "cos")
   }
 
+  /** Maximal Marginal Relevance: k results that balance query relevance
+    * against redundancy — pick₁ = argmax rel, then each round takes
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). THE diversified-
+    * retrieval rerank (a RAG context set of near-duplicate top hits wastes
+    * its token budget; MMR is the standard fix). All cosines come from
+    * exact quantized moments rounded to 6 dp BEFORE any ranking (the q31
+    * argmax discipline), λ·rel − (1−λ)·sim is a fixed two-multiply chain,
+    * and every argmax ties on vec_id — so the greedy trajectory is
+    * bit-reproducible and the driver oracle replays it as k unrolled CTE
+    * rounds. MMR is by definition a RERANK over a candidate pool: the
+    * pool is the top `candN` by relevance (one rank window), the sim
+    * matrix is candN² — both independent of corpus size; the corpus-wide
+    * work is only the relevance scan. Rounds are tiny argmax jobs over
+    * checkpointed frames (the BFS-frontier pinning lesson).
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long = 0L, k: Int = 5,
+                candN: Int = 40, lambdaTenths: Int = 7): DataFrame = {
+    val lam = lit(lambdaTenths.toDouble / 10)
+    val lamC = lit((10 - lambdaTenths).toDouble / 10)
+    def cos6(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+      round(qdot(qa, qb).cast("double") /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))), 6)
+    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0)
+    val qv = vecs.filter(col("vec_id") === queryId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    val wRank = Window.orderBy(col("rel").desc, col("vec_id"))
+    val cands = vecs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .withColumn("rel", cos6(col("q"), col("qq"), col("n2"), col("qn2")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= candN)
+      .select(col("vec_id"), col("q"), col("n2"), col("rel"))
+      .localCheckpoint()
+    val sims = cands.as("a")
+      .join(cands.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cos6(col("a.q"), col("b.q"), col("a.n2"), col("b.n2")).as("sim"))
+      .localCheckpoint()
+    var selected = cands
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1L).as("pick_order"),
+        col("rel").as("mmr_score"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val pick = cands.as("c")
+        .join(broadcast(selected.select(col("vec_id").as("sel_id"))),
+          col("c.vec_id") === col("sel_id"), "left_anti")
+        .join(sims, col("c.vec_id") === col("va"))
+        .join(broadcast(selected.select(col("vec_id").as("sel_id"))),
+          col("vb") === col("sel_id"))
+        .groupBy(col("c.vec_id").as("vec_id"), col("c.rel").as("rel"))
+        .agg(max(col("sim")).as("max_sim"))
+        .select(col("vec_id"), col("rel"),
+          (lam * col("rel") - lamC * col("max_sim")).as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(i.toLong).as("pick_order"),
+          col("mmr_score"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected
+  }
+
   /** Embedding-cosine near-duplicate groups: pairs above `minCos`, then keep
     * the lowest vec_id as the canonical representative (connected-component
     * approximation by min-id, one pass — full CC would iterate).

@@ -67,4 +67,21 @@ class SkewIvfSpec extends SparkSuite {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
     assert(r1.length == 3)
   }
+
+  test("mmrSelect: diversity beats a redundant higher-relevance candidate") {
+    // query (1,0); v1/v2 duplicate it (rel 1), v3 orthogonal (rel 0).
+    // λ=0.3: pick1 v1 (rel tie → id), pick2 v3 (v2's redundancy penalty
+    // 0.3−0.7 < 0), pick3 v2 — and the scores are the exact fixed chain
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrSelect(emb, queryId = 0L, k = 3, candN = 10,
+        lambdaTenths = 3)
+      .as[(Long, Double, Long, Double)].collect().sortBy(_._3)
+    assert(r.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    assert(r(0)._2 === 1.0 && r(0)._4 === 1.0)
+    assert(r(1)._4 === (0.3 * 0.0 - 0.7 * 0.0))
+    assert(r(2)._4 === (0.3 * 1.0 - 0.7 * 1.0))
+  }
 }
