@@ -458,6 +458,10 @@ object SparkEntry {
     // the top-40 candidate pool, 6dp-rounded quantized cosines throughout
     "q142_mmr_rerank" -> ((s: SparkSession, d: String) =>
       Similarity.mmrSelect(Tables.embeddings(s, d))),
+    // day-of-week seasonal baseline: daily revenue vs its weekday-bucket
+    // mean as one exact-int division (cents·n_days / Σ cents)
+    "q143_dow_baseline" -> ((s: SparkSession, d: String) =>
+      Sessions.dowBaseline(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3258,6 +3262,22 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc
         |FROM lo""".stripMargin,
+
+    "q143_dow_baseline" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |dowd AS (SELECT day, day % 7 AS dow, cents FROM daily),
+        |base AS (
+        |  SELECT dow, CAST(sum(cents) AS BIGINT) AS dow_cents,
+        |    count(*) AS dow_days
+        |  FROM dowd GROUP BY 1)
+        |SELECT d.day, d.dow, d.cents, b.dow_cents, b.dow_days,
+        |  CAST(d.cents * b.dow_days AS DOUBLE) / CAST(b.dow_cents AS DOUBLE)
+        |    AS ratio_to_dow_mean
+        |FROM dowd d JOIN base b USING (dow)""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

@@ -459,6 +459,34 @@ object Sessions {
           col("cohort_users").cast("double")).as("ltv_per_user"))
   }
 
+  /** Day-of-week seasonal baseline: each day's purchase revenue against
+    * the mean of its weekday bucket — the seasonality-aware "is today
+    * unusual" readout (a raw day-over-day comparison flags every weekend;
+    * this doesn't). Weekday bucket is `day mod 7` (calendar labeling is
+    * irrelevant to the comparison and engine-neutral this way); revenue
+    * is exact cents; and the ratio to the weekday mean is computed as
+    * cents·n_days / Σ_dow cents — ONE division of exact ints, no
+    * intermediate mean double. One shuffle to the day frame (O(days)),
+    * then a broadcast of the 7-row baseline.
+    */
+  def dowBaseline(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = withTsUs(events)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("day"))
+      .agg((round(sum(col("value")), 2).cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val base = daily.groupBy(col("dow"))
+      .agg(sum(col("cents")).as("dow_cents"), count(lit(1)).as("dow_days"))
+    daily.join(broadcast(base), "dow")
+      .select(col("day"), col("dow"), col("cents"), col("dow_cents"),
+        col("dow_days"),
+        ((col("cents") * col("dow_days")).cast("double") /
+          col("dow_cents").cast("double")).as("ratio_to_dow_mean"))
+  }
+
   /** Peak concurrent sessions per day by sweep line over session
     * boundaries: +1 at each session start, −1 at each end, running sum in
     * (ts, delta) order — delta ascending so a session ending exactly when

@@ -639,6 +639,22 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 0.9)) === ((1.0 - 0.9) * (2 * Day) + (0.9 - 0.0) * (4 * Day)))
   }
 
+  test("dowBaseline: ratio against the weekday-bucket mean, exact cents") {
+    val Day = 86400L * 1000000
+    // dow 0: days 0 and 7 with $1.00 and $3.00 → mean 200¢, ratios .5/1.5;
+    // dow 1: day 1 alone → ratio 1.0
+    val events = Seq((0L, 1.00), (7L, 3.00), (1L, 2.00)).zipWithIndex
+      .map { case ((day, v), i) => (i.toLong, 1L, day * Day, "purchase", v) }
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.dowBaseline(events)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(0L) === ((0L, 0L, 100L, 400L, 2L, 0.5)))
+    assert(r(7L) === ((7L, 0L, 300L, 400L, 2L, 1.5)))
+    assert(r(1L) === ((1L, 1L, 200L, 200L, 1L, 1.0)))
+  }
+
   test("maxConcurrency: sweep-line peak; end-meets-start never inflates") {
     val Min = 60L * 1000000
     // sessions (gap 30m): u1 [0,10m], u2 [5m,15m], u3 [20m,25m],
