@@ -462,6 +462,9 @@ object SparkEntry {
     // mean as one exact-int division (cents·n_days / Σ cents)
     "q143_dow_baseline" -> ((s: SparkSession, d: String) =>
       Sessions.dowBaseline(Tables.events(s, d))),
+    // order→ship latency p25/p50/p90 per priority: value-count percentile
+    // strategy over a joined fact (integer-day domain, D≪N)
+    "q144_ship_latency" -> Relational.q144ShipLatency _,
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3278,6 +3281,24 @@ object SparkEntry {
         |  CAST(d.cents * b.dow_days AS DOUBLE) / CAST(b.dow_cents AS DOUBLE)
         |    AS ratio_to_dow_mean
         |FROM dowd d JOIN base b USING (dow)""".stripMargin,
+
+    "q144_ship_latency" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE)
+        |      AS lat_days
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, CAST(0.25 AS DOUBLE) AS p,
+        |  quantile_cont(lat_days, 0.25) AS value
+        |FROM lat GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(0.5 AS DOUBLE),
+        |  quantile_cont(lat_days, 0.5)
+        |FROM lat GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(0.9 AS DOUBLE),
+        |  quantile_cont(lat_days, 0.9)
+        |FROM lat GROUP BY 1""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

@@ -997,6 +997,22 @@ object Relational {
           .as("kurtosis_excess"))
   }
 
+  /** Order-to-ship fulfillment latency p25/p50/p90 per order priority —
+    * the ops-latency readout over a JOINED fact: integer day latencies
+    * have D ≈ thousands of distinct values ≪ N rows, exactly the
+    * value-count percentile strategy's domain (counting-sort compression,
+    * shuffle N→D — the q37 domain-measurement discipline). The join
+    * shuffles on the order key; at scale co-partition/bucket both tables
+    * on it and the join is exchange-free.
+    */
+  def q144ShipLatency(spark: SparkSession, d: String): DataFrame =
+    Percentiles.valueCountPercentiles(
+      orders(spark, d).join(lineitem(spark, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lat_days")),
+      "o_orderpriority", "lat_days", Seq(0.25, 0.5, 0.9))
+
   /** Sequential cross-sell affinity: "customers who bought brand A later
     * bought brand B" — the TEMPORAL complement of [[q133AssocRules]]'s
     * same-basket co-occurrence (and of q115's adjacent-step Markov

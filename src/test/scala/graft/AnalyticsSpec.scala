@@ -405,6 +405,25 @@ class AnalyticsSpec extends SparkSuite {
     assert(r("b") === (("b", 2L, 5.0, 0.0, None, None)))
   }
 
+  test("shipLatency: 5 priorities x 3 cutpoints, monotone, strategy-agreeing") {
+    val r = Relational.q144ShipLatency(spark, sf)
+      .as[(String, Double, Double)].collect()
+    assert(r.length === 15)
+    r.groupBy(_._1).foreach { case (g, rows) =>
+      val Array(p25, p50, p90) = rows.sortBy(_._2).map(_._3)
+      assert(p25 <= p50 && p50 <= p90, s"$g not monotone") }
+    // value-count strategy must equal the window-sort strategy bit-for-bit
+    val lat = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lat_days"))
+    val viaSort = ops.Percentiles.sortPercentiles(lat, "o_orderpriority",
+        "lat_days", Seq(0.25, 0.5, 0.9))
+      .as[(String, Double, Double)].collect().toSet
+    assert(viaSort === r.toSet)
+  }
+
   test("revenueDeciles: equal buckets, cumulative cents, final share 1.0") {
     // 20 customers, cents 2000, 1900, …, 100 → decile d = custkeys 2d-1, 2d
     val perCust = (1L to 20L).map(k => (k, 2100L - 100L * k))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.io.{AnnotationsIO, ImageMeta, LabelsIO}
+import graft.io.{AnnotationsIO, CsvIO, ImageMeta, LabelsIO}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path}
 
@@ -13,6 +13,30 @@ class IoSpec extends SparkSuite {
   private def tmpDir(prefix: String): Path = {
     val d = Files.createTempDirectory(prefix)
     d.toFile.deleteOnExit(); d
+  }
+
+  test("CSV source: schema'd read, quarantine split, observe tallies, round-trip") {
+    import org.apache.spark.sql.types._
+    val d = tmpDir("csv")
+    Files.writeString(d.resolve("part1.csv"),
+      "id,name,score\n1,alpha,2.5\n2,beta,oops\n3,gamma,4.0\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val raw = CsvIO.read(spark, d.toString, schema).cache()
+    val obs = org.apache.spark.sql.Observation("csv")
+    val clean = CsvIO.valid(raw, Some(obs))
+    val rows = clean.as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "alpha", 2.5), (3L, "gamma", 4.0)))
+    assert(obs.get("bad_rows") === 1L && obs.get("total_rows") === 3L)
+    val quarantined = CsvIO.quarantine(raw).as[String].collect()
+    assert(quarantined.toSeq === Seq("2,beta,oops"))
+    // round-trip through the sink preserves values and schema
+    val out = tmpDir("csvout")
+    CsvIO.write(clean, out.toString)
+    val back = CsvIO.read(spark, out.toString, schema)
+    assert(CsvIO.valid(back).as[(Long, String, Double)].collect().sorted
+      === rows.toSeq.sorted)
+    raw.unpersist()
   }
 
   test("annotation JSON scan: corrupt docs and missing file_name skipped (S1/F1)") {
