@@ -465,6 +465,10 @@ object SparkEntry {
     // order→ship latency p25/p50/p90 per priority: value-count percentile
     // strategy over a joined fact (integer-day domain, D≪N)
     "q144_ship_latency" -> Relational.q144ShipLatency _,
+    // rolling 7-day Pearson r between daily click and purchase counts:
+    // exact integer frame moments, fixed-expression derivation
+    "q145_rolling_corr" -> ((s: SparkSession, d: String) =>
+      Sessions.rollingCorrelation(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3299,6 +3303,34 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(0.9 AS DOUBLE),
         |  quantile_cont(lat_days, 0.9)
         |FROM lat GROUP BY 1""".stripMargin,
+
+    "q145_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |framed AS (
+        |  SELECT day,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING
+        |               AND CURRENT ROW))
+        |SELECT day, n, sx, sy,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |       THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END AS rolling_corr
+        |FROM framed""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

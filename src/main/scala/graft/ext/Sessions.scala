@@ -459,6 +459,43 @@ object Sessions {
           col("cohort_users").cast("double")).as("ltv_per_user"))
   }
 
+  /** Rolling correlation between two daily event series (clicks vs
+    * purchases) over a trailing RANGE frame — "did engagement and buying
+    * move together this week": all six frame moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) are EXACT integer frame sums (the q62 range-frame shape),
+    * and Pearson r is the fixed q74 expression over them — raw double,
+    * no rounding, zero-variance frames → NULL (both engines would
+    * otherwise disagree on inf/NaN). One shuffle to the O(days) frame;
+    * the window is day-keyed RANGE so calendar gaps shrink the frame
+    * instead of silently spanning them.
+    */
+  def rollingCorrelation(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val w = Window.orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0)
+    val framed = daily.select(col("day"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+      sum(col("x") * col("y")).over(w).as("sxy"),
+      sum(col("x") * col("x")).over(w).as("sxx"),
+      sum(col("y") * col("y")).over(w).as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    framed.select(col("day"), col("n"), col("sx"), col("sy"),
+      when(vx === 0 || vy === 0, lit(null).cast("double"))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("rolling_corr"))
+  }
+
   /** Day-of-week seasonal baseline: each day's purchase revenue against
     * the mean of its weekday bucket — the seasonality-aware "is today
     * unusual" readout (a raw day-over-day comparison flags every weekend;

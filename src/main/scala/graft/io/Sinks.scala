@@ -31,6 +31,22 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Incremental partition refresh: overwrite ONLY the partitions present
+    * in `df`, leaving every other partition untouched — dynamic partition
+    * overwrite, the idempotent daily-backfill primitive (static overwrite
+    * mode would silently drop the rest of the table; a 100 TB table
+    * re-lands one day, not the history). The mode is set per-write, not
+    * globally, so other writers in the session keep static semantics.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed table write: rows are hash-bucketed (and optionally sorted)
     * by the join/aggregation key at write time, so subsequent equi-joins and
     * groupBys on that key read co-located, pre-sorted buckets and skip the

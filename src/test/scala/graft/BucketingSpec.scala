@@ -54,4 +54,22 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS li_bucketed2")
     }
   }
+
+  test("dynamic partition overwrite touches only the landed partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("dpo")
+    dir.toFile.deleteOnExit()
+    val p = dir.toString
+    io.Sinks.overwritePartitions(
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day"), p,
+      Seq("day"))
+    // re-land ONLY d2 with different rows; d1 must survive untouched
+    io.Sinks.overwritePartitions(
+      Seq((9L, "d2")).toDF("id", "day"), p, Seq("day"))
+    val back = spark.read.parquet(p)
+      .select(col("id"), col("day")).as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "d1"), (2L, "d1"), (9L, "d2")))
+    // contrast: a STATIC overwrite of d2 would have dropped d1 entirely
+  }
 }

@@ -639,6 +639,25 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 0.9)) === ((1.0 - 0.9) * (2 * Day) + (0.9 - 0.0) * (4 * Day)))
   }
 
+  test("rollingCorrelation: exact frame moments; perfect-linear week; n=1 NULL") {
+    val Day = 86400L * 1000000
+    // daily (x clicks, y purchases): (1,2), (2,4), (3,6) — y = 2x
+    val events = Seq((0L, "click", 1), (0L, "purchase", 2),
+      (1L, "click", 2), (1L, "purchase", 4),
+      (2L, "click", 3), (2L, "purchase", 6))
+      .flatMap { case (day, t, n) => Seq.fill(n)((day, t)) }.zipWithIndex
+      .map { case ((day, t), i) => (i.toLong, 1L, day * Day, t) }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.rollingCorrelation(events)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(0L) === ((0L, 1L, 1L, 2L, None))) // single-point frame
+    assert(r(1L) === ((1L, 2L, 3L, 6L, Some(1.0)))) // vx=1, vy=4: sqrts exact
+    // day 2 replays the exact expression: 12 / (√6·√24)
+    assert(r(2L)._5 === Some(12.0 / (math.sqrt(6.0) * math.sqrt(24.0))))
+  }
+
   test("dowBaseline: ratio against the weekday-bucket mean, exact cents") {
     val Day = 86400L * 1000000
     // dow 0: days 0 and 7 with $1.00 and $3.00 → mean 200¢, ratios .5/1.5;
