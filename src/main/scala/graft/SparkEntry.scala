@@ -469,6 +469,15 @@ object SparkEntry {
     // exact integer frame moments, fixed-expression derivation
     "q145_rolling_corr" -> ((s: SparkSession, d: String) =>
       Sessions.rollingCorrelation(Tables.events(s, d))),
+    // exact two-sample KS statistic (en vs rest over doc length): the
+    // max runs over integers |C1·n2 − C2·n1|, one final division
+    "q146_ks_test" -> ((s: SparkSession, d: String) =>
+      ext.Curation.ksTest(Tables.documents(s, d), "n_chars",
+        col("lang") === "en")),
+    // Cohen's kappa of the lang-ID heuristic vs labels: chance-corrected
+    // agreement from exact confusion-matrix integers
+    "q147_langid_kappa" -> ((s: SparkSession, d: String) =>
+      TextStats.langIdKappa(Tables.documents(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3331,6 +3340,83 @@ object SparkEntry {
         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |  END AS rolling_corr
         |FROM framed""".stripMargin,
+
+    "q146_ks_test" ->
+      """WITH vc AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c2
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |               CAST(sum(c2) AS BIGINT) AS n2 FROM vc),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cc1,
+        |    CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cc2
+        |  FROM vc)
+        |SELECT n1, n2,
+        |  CAST(max(abs(cc1 * n2 - cc2 * n1)) AS BIGINT) AS ks_num,
+        |  CAST(max(abs(cc1 * n2 - cc2 * n1)) AS DOUBLE)
+        |    / CAST(n1 * n2 AS DOUBLE) AS ks
+        |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
+
+    "q147_langid_kappa" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS actual,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','and','of','is','with'))) AS BIGINT)
+        |      AS score_en,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('el','la','de','que','los'))) AS BIGINT)
+        |      AS score_es,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('der','die','und','das','ist'))) AS BIGINT)
+        |      AS score_de,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('le','la','et','les','des'))) AS BIGINT)
+        |      AS score_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('shi','bu','wo','de','ni'))) AS BIGINT)
+        |      AS score_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT actual,
+        |    CASE
+        |      WHEN score_en > 0 AND score_en >= score_es
+        |        AND score_en >= score_de AND score_en >= score_fr
+        |        AND score_en >= score_zh THEN 'en'
+        |      WHEN score_es > 0 AND score_es >= score_en
+        |        AND score_es >= score_de AND score_es >= score_fr
+        |        AND score_es >= score_zh THEN 'es'
+        |      WHEN score_de > 0 AND score_de >= score_en
+        |        AND score_de >= score_es AND score_de >= score_fr
+        |        AND score_de >= score_zh THEN 'de'
+        |      WHEN score_fr > 0 AND score_fr >= score_en
+        |        AND score_fr >= score_es AND score_fr >= score_de
+        |        AND score_fr >= score_zh THEN 'fr'
+        |      WHEN score_zh > 0 AND score_zh >= score_en
+        |        AND score_zh >= score_es AND score_zh >= score_de
+        |        AND score_zh >= score_fr THEN 'zh'
+        |      ELSE 'unknown' END AS pred
+        |  FROM s),
+        |cm AS (SELECT actual, pred, count(*) AS c FROM p GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+        |ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_agree
+        |       FROM cm WHERE actual = pred),
+        |r AS (SELECT actual AS label, sum(c) AS row_c FROM cm GROUP BY 1),
+        |co AS (SELECT pred AS label, sum(c) AS col_c FROM cm GROUP BY 1),
+        |rc AS (SELECT CAST(coalesce(sum(row_c * col_c), 0) AS BIGINT)
+        |         AS sum_rc
+        |       FROM r JOIN co USING (label))
+        |SELECT n, n_agree, sum_rc,
+        |  CASE WHEN n * n = sum_rc THEN NULL
+        |       ELSE CAST(n_agree * n - sum_rc AS DOUBLE)
+        |         / CAST(n * n - sum_rc AS DOUBLE) END AS kappa
+        |FROM nn CROSS JOIN ag CROSS JOIN rc""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

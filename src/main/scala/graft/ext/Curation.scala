@@ -426,6 +426,34 @@ object Curation {
       .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic: D = max |F₁(v) − F₂(v)|
+    * over the merged value domain, computed ENTIRELY in integers —
+    * |C₁(v)·n₂ − C₂(v)·n₁| with one final division by n₁·n₂ — so the
+    * continuous-distribution drift test joins TVD (categorical, q122)
+    * without a single engine-sensitive fp comparison inside the max. The
+    * value-count frame is O(distinct values); its cumulative window is the
+    * one ordered pass (range-partition at 100 TB with per-partition offsets,
+    * the standard distributed prefix-sum shape).
+    */
+  def ksTest(docs: DataFrame, valueCol: String, pred: Column): DataFrame = {
+    val flagged = docs.select(col(valueCol).as("v"),
+      when(pred, 1L).otherwise(0L).as("in1"))
+    val vc = flagged.groupBy(col("v"))
+      .agg(sum(col("in1")).as("c1"), sum(lit(1L) - col("in1")).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    vc.select(col("v"), sum(col("c1")).over(w).as("cc1"),
+        sum(col("c2")).over(w).as("cc2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("cc1") * col("n2") - col("cc2") * col("n1")))
+        .as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment: distribute an integer
     * `total` across groups proportionally to integer weights so the
     * allocations are integers that sum EXACTLY to `total` — the other

@@ -102,6 +102,39 @@ object TextStats {
       col("doc_id") +: col("lang").as("actual_lang") +:
         (langMarkers.map { case (l, _) => col(s"score_$l") } :+ col("pred_lang")): _*)
 
+  /** Cohen's kappa for the language-ID heuristic against the labeled
+    * `lang` column — chance-corrected agreement, the standard "is the
+    * classifier better than the marginals" eval. Everything is integer
+    * counts: observed agreement and the expected-agreement marginal
+    * products stay ints, and κ = (n_agree·n − Σ row·col) / (n² − Σ
+    * row·col) is ONE division (the q74 exact-moments discipline applied
+    * to an eval metric); a degenerate pe = 1 (single class on both
+    * margins) yields NULL on both engines rather than 0/0. The confusion
+    * matrix is O(labels²) after one aggregation over the corpus.
+    */
+  def langIdKappa(doc: DataFrame): DataFrame = {
+    val cm = withLangId(doc)
+      .groupBy(col("lang").as("actual"), col("pred_lang").as("pred"))
+      .agg(count(lit(1)).as("c"))
+    val n = cm.agg(sum(col("c")).as("n"))
+    val agree = cm.filter(col("actual") === col("pred"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_agree"))
+    val rows = cm.groupBy(col("actual").as("label"))
+      .agg(sum(col("c")).as("row_c"))
+    val cols = cm.groupBy(col("pred").as("label"))
+      .agg(sum(col("c")).as("col_c"))
+    val rc = rows.join(cols, "label")
+      .agg(coalesce(sum(col("row_c") * col("col_c")), lit(0L)).as("sum_rc"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(rc))
+      .select(col("n"), col("n_agree"), col("sum_rc"),
+        when(col("n") * col("n") === col("sum_rc"),
+          lit(null).cast("double"))
+          .otherwise((col("n_agree") * col("n") - col("sum_rc"))
+            .cast("double") /
+            (col("n") * col("n") - col("sum_rc")).cast("double"))
+          .as("kappa"))
+  }
+
   /** BPE-ish sub-word tokenization: letter runs, digit runs, and single
     * non-alphanumeric marks as separate tokens (the pre-merge word-splitting
     * shape GPT-style tokenizers apply before BPE merges). Pattern kept to

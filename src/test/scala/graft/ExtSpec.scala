@@ -639,6 +639,32 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 0.9)) === ((1.0 - 0.9) * (2 * Day) + (0.9 - 0.0) * (4 * Day)))
   }
 
+  test("ksTest: exact integer KS numerator, hand-checked D") {
+    // en: {1,2}, rest: {2,3} → F diverges most at v=1: |0.5 − 0| = 0.5
+    val docs = Seq((1L, "en"), (2L, "en"), (2L, "zh"), (3L, "zh"))
+      .toDF("n_chars", "lang")
+    val Array(r) = ext.Curation.ksTest(docs, "n_chars", col("lang") === "en")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r === ((2L, 2L, 2L, 0.5)))
+  }
+
+  test("langIdKappa: chance-corrected agreement from exact counts") {
+    // en/es predicted right, fr text has no markers → unknown: n_agree 2,
+    // marginal products: en 1·1 + es 1·1 = 2 → κ = (2·3−2)/(9−2) = 4/7
+    val docs = Seq(
+      (1L, "the and", "en"), (2L, "el que", "es"), (3L, "xyz", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val Array(r) = TextStats.langIdKappa(docs)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(r === ((3L, 2L, 2L, Some(4.0 / 7))))
+    // degenerate: one class, perfectly predicted → pe = 1 → NULL κ
+    val degen = Seq((1L, "the and", "en"), (2L, "the of", "en"))
+      .toDF("doc_id", "text", "lang")
+    val Array(d) = TextStats.langIdKappa(degen)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(d === ((2L, 2L, 4L, None)))
+  }
+
   test("rollingCorrelation: exact frame moments; perfect-linear week; n=1 NULL") {
     val Day = 86400L * 1000000
     // daily (x clicks, y purchases): (1,2), (2,4), (3,6) — y = 2x
