@@ -478,6 +478,13 @@ object SparkEntry {
     // agreement from exact confusion-matrix integers
     "q147_langid_kappa" -> ((s: SparkSession, d: String) =>
       TextStats.langIdKappa(Tables.documents(s, d))),
+    // HHI supplier-revenue concentration per nation (+ effective
+    // competitor count 1/HHI), shares from exact cents
+    "q148_hhi" -> Relational.q148Hhi _,
+    // index of dispersion of daily counts per event type:
+    // (n·Σx² − (Σx)²)/(n·Σx), one exact-int division, zero-day spine
+    "q149_dispersion" -> ((s: SparkSession, d: String) =>
+      Sessions.dispersionIndex(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3417,6 +3424,54 @@ object SparkEntry {
         |       ELSE CAST(n_agree * n - sum_rc AS DOUBLE)
         |         / CAST(n * n - sum_rc AS DOUBLE) END AS kappa
         |FROM nn CROSS JOIN ag CROSS JOIN rc""".stripMargin,
+
+    "q148_hhi" ->
+      """WITH ps AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nat AS (
+        |  SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS nation_cents,
+        |    count(*) AS n_suppliers
+        |  FROM ps GROUP BY 1),
+        |sh AS (
+        |  SELECT ps.s_nationkey, nat.n_suppliers,
+        |    CAST(ps.cents AS DOUBLE) / CAST(nat.nation_cents AS DOUBLE)
+        |      AS share
+        |  FROM ps JOIN nat USING (s_nationkey))
+        |SELECT s_nationkey, n_suppliers,
+        |  round(sum(share * share), 6) AS hhi,
+        |  CAST(1.0 AS DOUBLE) / round(sum(share * share), 6)
+        |    AS effective_suppliers
+        |FROM sh GROUP BY 1, 2""".stripMargin,
+
+    "q149_dispersion" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events),
+        |spine AS (
+        |  SELECT d.day, t.event_type
+        |  FROM (SELECT DISTINCT day FROM e) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
+        |daily AS (
+        |  SELECT s.day, s.event_type,
+        |    CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM spine s LEFT JOIN (
+        |    SELECT day, event_type, count(*) AS x
+        |    FROM e GROUP BY 1, 2) c
+        |  ON s.day = c.day AND s.event_type = c.event_type),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n, sx,
+        |  CASE WHEN sx = 0 THEN NULL
+        |       ELSE CAST(n * sxx - sx * sx AS DOUBLE)
+        |         / CAST(n * sx AS DOUBLE) END AS dispersion
+        |FROM m""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

@@ -459,6 +459,37 @@ object Sessions {
           col("cohort_users").cast("double")).as("ltv_per_user"))
   }
 
+  /** Index of dispersion (Fano factor) of daily event counts per event
+    * type: variance/mean — 1 for Poisson arrivals, >1 bursty, <1
+    * regular; THE "is this traffic clumped" diagnostic. The whole
+    * statistic reduces to (n·Σx² − (Σx)²) / (n·Σx) — exact integer
+    * numerator and denominator, ONE division (no intermediate mean or
+    * variance double). Days with zero events of a type count as x = 0
+    * via a day-spine cross join (dropping them would bias the mean up);
+    * zero-mean types → NULL.
+    */
+  def dispersionIndex(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val e = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+    val days = e.select(col("day")).distinct()
+    val types = e.select(col("event_type")).distinct()
+    val daily = days.crossJoin(broadcast(types))
+      .join(e.groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("x")),
+        Seq("day", "event_type"), "left_outer")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val num = col("n") * col("sxx") - col("sx") * col("sx")
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sx"),
+        when(col("sx") === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") /
+            (col("n") * col("sx")).cast("double"))
+          .as("dispersion"))
+  }
+
   /** Rolling correlation between two daily event series (clicks vs
     * purchases) over a trailing RANGE frame — "did engagement and buying
     * move together this week": all six frame moments (n, Σx, Σy, Σxy,

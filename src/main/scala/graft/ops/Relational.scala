@@ -954,6 +954,36 @@ object Relational {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Herfindahl–Hirschman concentration of supplier revenue per nation —
+    * the antitrust-standard market-concentration scalar (q125's Gini
+    * measures inequality of the distribution; HHI weights the TOP, which
+    * is what "can one supplier hold the market hostage" asks). Revenue
+    * collapses to exact cents per (nation, supplier); each share is one
+    * exact-long division; HHI = Σ share² is a sum of doubles — fp-order-
+    * sensitive in the last ulp, so it is rounded to 6 dp (parity rule #2,
+    * margin-audited) rather than carried raw. n_sup·10000/HHI-equivalent
+    * inverse ("effective competitor count") is 1/hhi, one more division.
+    */
+  def q148Hhi(spark: SparkSession, d: String): DataFrame = {
+    val perSup = lineitem(spark, d)
+      .join(broadcast(supplier(spark, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+    val nation = perSup.groupBy(col("s_nationkey"))
+      .agg(sum(col("cents")).as("nation_cents"),
+        count(lit(1)).as("n_suppliers"))
+    perSup.join(broadcast(nation), "s_nationkey")
+      .withColumn("share",
+        col("cents").cast("double") / col("nation_cents").cast("double"))
+      .groupBy(col("s_nationkey"), col("n_suppliers"))
+      .agg(round(sum(col("share") * col("share")), 6).as("hhi"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("hhi"),
+        (lit(1.0) / col("hhi")).as("effective_suppliers"))
+  }
+
   /** Distribution shape per group from exact power sums: mean, population
     * variance, skewness and excess kurtosis of l_quantity per return flag.
     * S₁..S₄ are EXACT integer sums (one map-side-combined shuffle); each

@@ -424,6 +424,18 @@ class AnalyticsSpec extends SparkSuite {
     assert(viaSort === r.toSet)
   }
 
+  test("hhi: bounded by 1/n..1, effective competitors within [1, n]") {
+    val r = Relational.q148Hhi(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    // nations PRESENT = nations with ≥1 supplier (10 at sf0.001's
+    // 10-supplier corpus, 25 at larger SFs)
+    assert(r.length >= 10 && r.length <= 25)
+    r.foreach { case (nk, n, hhi, eff) =>
+      assert(hhi > 0.0 && hhi <= 1.0, s"nation $nk hhi $hhi")
+      assert(hhi >= 1.0 / n - 1e-6, s"nation $nk below equal-share floor")
+      assert(eff >= 1.0 - 1e-9 && eff <= n + 1e-6, s"nation $nk eff $eff") }
+  }
+
   test("revenueDeciles: equal buckets, cumulative cents, final share 1.0") {
     // 20 customers, cents 2000, 1900, …, 100 → decile d = custkeys 2d-1, 2d
     val perCust = (1L to 20L).map(k => (k, 2100L - 100L * k))

@@ -639,6 +639,21 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 0.9)) === ((1.0 - 0.9) * (2 * Day) + (0.9 - 0.0) * (4 * Day)))
   }
 
+  test("dispersionIndex: zero-days on the spine; hand-checked Fano factors") {
+    val Day = 86400L * 1000000
+    // a: daily counts [2, 0] → D = (2·4 − 4)/(2·2) = 1.0
+    // b: daily counts [1, 1] → D = (2·2 − 4)/(2·2) = 0.0 (perfectly regular)
+    val events = Seq((0L, "a"), (0L, "a"), (0L, "b"), (1L, "b")).zipWithIndex
+      .map { case ((day, t), i) => (i.toLong, 1L, day * Day, t) }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.dispersionIndex(events)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("a") === (("a", 2L, 2L, Some(1.0))))
+    assert(r("b") === (("b", 2L, 2L, Some(0.0))))
+  }
+
   test("ksTest: exact integer KS numerator, hand-checked D") {
     // en: {1,2}, rest: {2,3} → F diverges most at v=1: |0.5 − 0| = 0.5
     val docs = Seq((1L, "en"), (2L, "en"), (2L, "zh"), (3L, "zh"))
