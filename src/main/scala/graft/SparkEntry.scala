@@ -485,6 +485,10 @@ object SparkEntry {
     // (n·Σx² − (Σx)²)/(n·Σx), one exact-int division, zero-day spine
     "q149_dispersion" -> ((s: SparkSession, d: String) =>
       Sessions.dispersionIndex(Tables.events(s, d))),
+    // per-source corpus-health scorecard: volume, exact-dup mass, mean
+    // length, log-free language diversity — all ints + single divisions
+    "q150_source_scorecard" -> ((s: SparkSession, d: String) =>
+      ext.Curation.sourceScorecard(Tables.documents(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3472,6 +3476,37 @@ object SparkEntry {
         |       ELSE CAST(n * sxx - sx * sx AS DOUBLE)
         |         / CAST(n * sx AS DOUBLE) END AS dispersion
         |FROM m""".stripMargin,
+
+    "q150_source_scorecard" ->
+      """WITH toks AS (
+        |  SELECT source, lang, n_chars, text,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS nch
+        |  FROM toks GROUP BY 1),
+        |dups AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs
+        |  FROM (SELECT source, text, count(*) AS c
+        |        FROM toks GROUP BY 1, 2) g
+        |  GROUP BY 1),
+        |langs AS (
+        |  SELECT source,
+        |    CAST(sum(c) AS BIGINT) AS n, CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM (SELECT source, lang, count(*) AS c
+        |        FROM toks GROUP BY 1, 2) g
+        |  GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.n_tokens, d.n_dup_docs,
+        |  CAST(b.nch AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS mean_chars,
+        |  CAST(l.n * l.n - l.sq AS DOUBLE) / CAST(l.n * l.n AS DOUBLE)
+        |    AS lang_impurity
+        |FROM base b JOIN dups d USING (source)
+        |JOIN langs l USING (source)""".stripMargin,
 
     "q128_event_diversity" ->
       """WITH tc AS (

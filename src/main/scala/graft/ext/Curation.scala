@@ -426,6 +426,43 @@ object Curation {
       .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
   }
 
+  /** Per-source corpus-health scorecard — the one-row-per-source summary a
+    * curation pipeline prints before a training run, composing the
+    * engine's proven primitives into a single frame: doc/token volume,
+    * exact-duplicate mass (text-identical docs), mean length (one exact
+    * division), and language diversity as Gini impurity (the q128
+    * log-free form, (n² − Σcᵢ²)/n²). Two narrow aggregations over the
+    * corpus (one by (source, text) for dup mass, one by (source, lang))
+    * plus a per-source rollup — every output is integers or a single
+    * division of integers.
+    */
+  def sourceScorecard(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), col("lang"), col("n_chars"),
+      size(TextStats.bpeIshTokens(col("text"))).cast("long").as("toks"),
+      col("text"))
+    val base = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val dups = toks.groupBy(col("source"), col("text"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+        .as("n_dup_docs"))
+    val langs = toks.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sq"))
+      .select(col("source"),
+        ((col("n") * col("n") - col("sq")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("lang_impurity"))
+    base.join(dups, "source").join(langs, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"),
+        (col("n_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"),
+        col("lang_impurity"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic: D = max |F₁(v) − F₂(v)|
     * over the merged value domain, computed ENTIRELY in integers —
     * |C₁(v)·n₂ − C₂(v)·n₁| with one final division by n₁·n₂ — so the

@@ -639,6 +639,20 @@ class ExtSpec extends SparkSuite {
     assert(r((1L, 0.9)) === ((1.0 - 0.9) * (2 * Day) + (0.9 - 0.0) * (4 * Day)))
   }
 
+  test("sourceScorecard: dup mass, mean length, impurity — hand-checked") {
+    // s1: "a b" ×2 (dups) + "c" en/en/fr → impurity 1 − (4+1)/9 = 4/9,
+    // tokens 2+2+1 = 5, chars 3+3+1 = 7; s2: one doc, pure
+    val docs = Seq(
+      (1L, "a b", "en", "s1", 3L), (2L, "a b", "en", "s1", 3L),
+      (3L, "c", "fr", "s1", 1L), (4L, "d e f", "en", "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = ext.Curation.sourceScorecard(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("s1") === (("s1", 3L, 5L, 2L, 7.0 / 3, 4.0 / 9)))
+    assert(r("s2") === (("s2", 1L, 3L, 0L, 5.0, 0.0)))
+  }
+
   test("dispersionIndex: zero-days on the spine; hand-checked Fano factors") {
     val Day = 86400L * 1000000
     // a: daily counts [2, 0] → D = (2·4 − 4)/(2·2) = 1.0
