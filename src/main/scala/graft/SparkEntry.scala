@@ -385,9 +385,12 @@ object SparkEntry {
       ext.Curation.distributionDrift(Tables.documents(s, d), "source",
         col("lang") === "en")),
     // systematic PPS sample: n equally spaced points on the cumulative
-    // token-weight line, pick counts in closed-form integer ceil-divs
+    // token-weight line, pick counts in closed-form integer ceil-divs;
+    // the DISTRIBUTED bucketed prefix sum deliberately forced on (q66
+    // precedent: the 100 TB plan is the one the oracle checks)
     "q123_systematic_sample" -> ((s: SparkSession, d: String) =>
-      ext.Curation.systematicSample(Tables.documents(s, d))),
+      ext.Curation.systematicSample(Tables.documents(s, d),
+        holisticMaxTotalRows = 0)),
     // rendezvous-hash resize 8→9 shards: per-key argmax assignment, the
     // movement matrix shows only ~1/9 of keys relocating
     "q124_rendezvous" -> ((s: SparkSession, d: String) =>
@@ -2203,11 +2206,14 @@ object SparkEntry {
         |      EXCEPT ALL SELECT s_nationkey FROM supplier)
         |GROUP BY nationkey""".stripMargin,
 
-    // daily totals become exact 2-dp decimals BEFORE the frame sums, so the
-    // trailing-window sufficient statistics are association-free; μ/σ/z are
-    // the identical double derivation on both sides, emitted RAW —
-    // division/multiply/sqrt are IEEE-correctly-rounded so the doubles are
-    // bit-identical, whereas round(double, 6) drifts across DuckDB versions
+    // every hashed value is EXACT — daily totals become 2-dp decimals BEFORE
+    // the frame sums, μ is a half-up integer construction in e-6 units (NO
+    // decimal division: DuckDB's `/` on decimals returns DOUBLE), var_num =
+    // n·s2 − s1² stays decimal, and the anomaly flag is the pure decimal
+    // inequality (n·x − s1)² > 4·(n·s2 − s1²). Raw derived doubles proved
+    // environment-sensitive two driver rounds running (FMA contraction).
+    // Casts shrink precision only, never scale (DuckDB downcasts don't
+    // round like Spark).
     "q77_moving_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -2215,25 +2221,29 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |f AS (
         |  SELECT event_type, day, revenue,
-        |    CAST(count(*) OVER w AS DOUBLE) AS n,
-        |    CAST(sum(revenue) OVER w AS DOUBLE) AS s1,
-        |    CAST(sum(revenue * revenue) OVER w AS DOUBLE) AS s2
+        |    count(*) OVER w AS n,
+        |    CAST(sum(revenue) OVER w AS DECIMAL(18,2)) AS s1,
+        |    CAST(sum(CAST(revenue * revenue AS DECIMAL(28,4))) OVER w
+        |         AS DECIMAL(28,4)) AS s2
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, day, revenue, CAST(n AS BIGINT) AS n_frame,
-        |  s1 / n AS mu,
-        |  sqrt(CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
-        |            THEN s2 / n - (s1/n) * (s1/n) ELSE 0 END) AS sigma,
-        |  CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
-        |       THEN (CAST(revenue AS DOUBLE) - s1/n)
-        |            / sqrt(s2 / n - (s1/n) * (s1/n))
-        |       ELSE 0.0 END AS z,
-        |  CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
-        |       THEN abs((CAST(revenue AS DOUBLE) - s1/n)
-        |                / sqrt(s2 / n - (s1/n) * (s1/n))) > 2.0
-        |       ELSE false END AS anomaly
-        |FROM f""".stripMargin,
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT event_type, day, revenue, n, s1, s2,
+        |    CAST(s1 * 100 AS BIGINT) AS s1c,
+        |    CAST(CAST(n AS DECIMAL(3,0)) * s2
+        |         - CAST(s1 * s1 AS DECIMAL(30,4)) AS DECIMAL(32,4)) AS var_num,
+        |    CAST(CAST(n AS DECIMAL(3,0)) * revenue - s1
+        |         AS DECIMAL(18,2)) AS dd
+        |  FROM f)
+        |SELECT event_type, day, revenue, n AS n_frame,
+        |  CAST(CAST(CASE WHEN s1c < 0
+        |         THEN -((abs(s1c) * 20000 + n) // (n * 2))
+        |         ELSE (abs(s1c) * 20000 + n) // (n * 2) END AS DECIMAL(20,0))
+        |       * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS mu,
+        |  var_num,
+        |  CAST(dd * dd AS DECIMAL(30,4)) > var_num * 4.0 AS anomaly
+        |FROM g""".stripMargin,
 
     // q36's MinHash→LSH→Jaccard→closure replay, extended by the keeper
     // choice: longest text first, doc_id ties — per component

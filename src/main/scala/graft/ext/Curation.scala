@@ -401,22 +401,61 @@ object Curation {
     * `ceil(cum·n/W) − ceil((cum−w)·n/W)` (integer ceil-div), so no
     * per-point explode and no fp grid anywhere.
     *
-    * Scale shape: one aggregation to per-doc weights, one window prefix
-    * sum over the (weight, id) sort, a per-row closed form. The global
-    * sort is the honest cost (same class as sortPercentiles); at petabyte
-    * scale the line is range-partitioned and prefix sums compose per
-    * partition.
+    * Execution is adaptive, the [[graft.ops.Percentiles]] discipline:
+    * below `holisticMaxTotalRows` the prefix sum is one global window
+    * (optimal small-input latency); above it — or when forced with
+    * `holisticMaxTotalRows = 0` — the weight line is DISTRIBUTED: docs
+    * are bucketed by a fixed integer grid over w (value-range buckets,
+    * monotone in the sort key, no fp), per-bucket weight totals form an
+    * O(nBuckets) frame whose prefix gives each bucket's below-offset, and
+    * within-bucket prefix sums run per-bucket in parallel — below-offset
+    * + local prefix IS the global cumulative weight, bit-identical to the
+    * window form (integer sums, ties on w never cross buckets). Same
+    * graceful degradation as Percentiles on duplicate-heavy w.
+    *
+    * @param rowCountHint caller-supplied row count of `docs` for the plan
+    *        decision (counted footer-cheap otherwise, as in Percentiles)
     */
-  def systematicSample(docs: DataFrame, n: Long = 100): DataFrame = {
+  def systematicSample(docs: DataFrame, n: Long = 100,
+                       holisticMaxTotalRows: Long = 8000000L,
+                       nBuckets: Int = 1024,
+                       rowCountHint: Option[Long] = None): DataFrame = {
     val weighted = docs.select(col("doc_id"),
       size(TextStats.bpeIshTokens(col("text"))).cast("long").as("w"))
       .filter(col("w") > 0)
-    val wOrd = Window.orderBy(col("w"), col("doc_id"))
-    val wAll = Window.partitionBy()
-    weighted
-      .withColumn("cum", sum(col("w"))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("w")).over(wAll))
+    val small = holisticMaxTotalRows > 0 &&
+      rowCountHint.getOrElse(docs.count()) <= holisticMaxTotalRows
+    val lined =
+      if (small) {
+        val wOrd = Window.orderBy(col("w"), col("doc_id"))
+        val wAll = Window.partitionBy()
+        weighted
+          .withColumn("cum", sum(col("w")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("w")).over(wAll))
+      } else {
+        // 1-row extent frame: bucket grid coordinates + grand total
+        val ext = weighted.agg(min(col("w")).as("__lo"),
+          max(col("w")).as("__hi"), sum(col("w")).as("__total"))
+        val bucketed = weighted.crossJoin(broadcast(ext))
+          .withColumn("__b", expr(
+            s"(w - __lo) * $nBuckets div (__hi - __lo + 1)"))
+        val boff = bucketed.groupBy(col("__b"))
+          .agg(sum(col("w")).as("__bw"))
+          .withColumn("__below", coalesce(
+            sum(col("__bw")).over(Window.orderBy(col("__b"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("__b"), col("__below"))
+        val wIn = Window.partitionBy(col("__b"))
+          .orderBy(col("w"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed
+          .withColumn("__loc", sum(col("w")).over(wIn))
+          .join(broadcast(boff), "__b")
+          .withColumn("cum", col("__below") + col("__loc"))
+          .withColumn("total", col("__total"))
+      }
+    lined
       // ceil(a/b) on positives as (a+b−1) div b: Spark `div` truncates and
       // DuckDB `//` floors — identical for non-negative operands only
       .withColumn("n_picks", expr(

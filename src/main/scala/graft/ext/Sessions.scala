@@ -207,23 +207,33 @@ object Sessions {
   }
 
   /** Trailing-window anomaly detection on a daily series: per event type,
-    * each day's total value is scored against the mean/stddev of the
-    * trailing `frameDays` days (inclusive), z = (x − μ)/σ, |z| > `zThr`
-    * flagged. The monitoring shape behind data-drift and pipeline-health
-    * checks.
+    * each day's total value is scored against the mean/variance of the
+    * trailing `frameDays` days (inclusive); |z| > `zThr` flagged. The
+    * monitoring shape behind data-drift and pipeline-health checks.
     *
     * Shape: one (day, type) hash aggregation over the scan, then one window
     * over the tiny daily frame — at 100 TB the window input is O(days ·
     * types), thousands of rows, regardless of event volume.
     *
-    * Parity: daily totals are rounded to exact 2-dp decimals FIRST, so the
-    * frame sums (decimal, exact in both engines) are association-free; μ, σ
-    * and z are then derived in double from identical inputs by division,
-    * multiplication and sqrt — all IEEE-correctly-rounded, hence
-    * bit-identical across engines — and emitted RAW. Rounding the derived
-    * doubles would reintroduce engine drift (round(double, n) differs by
-    * 1 ulp across DuckDB versions near .5 ties). Population σ (÷n) with a
-    * σ=0 / single-row guard.
+    * Parity: every emitted value is EXACT — no raw derived doubles, which
+    * two rounds of driver evidence showed are NOT bit-stable across engines
+    * (an expression like `s2/n − (s1/n)·(s1/n)` is exactly the
+    * multiply-subtract shape a compiler may contract into an FMA, and
+    * neither engine promises an evaluation order). Daily totals are rounded
+    * to exact 2-dp decimals first, so the frame sums s1 (scale 2) and s2
+    * (scale 4) are exact decimals; then
+    *   - `mu` = s1/n rounded HALF_UP to 6 dp, built in pure integer
+    *     arithmetic (floor((|s1|·1e4·2 + n) / 2n) in e-6 units, sign
+    *     reapplied) — decimal division is NOT used because DuckDB's `/` on
+    *     decimals returns DOUBLE;
+    *   - `var_num` = n·s2 − s1² = n²·σ²_pop, an exact DECIMAL(32,4)
+    *     (σ = sqrt(var_num)/n for the consumer);
+    *   - `anomaly` ⟺ |z| > zThr ⟺ (n·x − s1)² > zThr²·(n·s2 − s1²), a pure
+    *     decimal inequality (zThr² as an exact decimal literal of the
+    *     double product).
+    * Decimal casts only ever SHRINK PRECISION on exact values, never reduce
+    * scale (DuckDB's decimal downcast does not round like Spark's HALF_UP).
+    * n = 1 gives var_num = 0 and a calm flag, replacing the old σ=0 guard.
     */
   def movingAnomaly(events: DataFrame, frameDays: Int = 7,
                     zThr: Double = 2.0): DataFrame = {
@@ -234,18 +244,30 @@ object Sessions {
       .agg(round(sum(col("value")), 2).cast("decimal(18,2)").as("revenue"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-(frameDays - 1), Window.currentRow)
-    val n = count(lit(1)).over(w).cast("double")
-    val s1 = sum(col("revenue")).over(w).cast("double")
-    val s2 = sum(col("revenue") * col("revenue")).over(w).cast("double")
-    val mu = s1 / n
-    val varPop = s2 / n - mu * mu
-    val sd = sqrt(when(varPop > 0.0, varPop).otherwise(0.0))
-    val z = when(sd > 0.0,
-      (col("revenue").cast("double") - mu) / sd).otherwise(lit(0.0))
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col("revenue")).over(w).cast("decimal(18,2)")
+    val s2 = sum((col("revenue") * col("revenue")).cast("decimal(28,4)"))
+      .over(w).cast("decimal(28,4)")
+    val nDec = n.cast("decimal(3,0)")
+    val varNum = (nDec * s2 - (s1 * s1).cast("decimal(30,4)"))
+      .cast("decimal(32,4)")
+    // μ in e-6 units: half-up |s1c·1e4| / n via floor((2a + n) / 2n). The
+    // numerator stays < 2^53, so the double true-division floors exactly
+    // (an integer quotient m·2n divides exactly; a fractional one sits
+    // ≥ 1/2n from the nearest integer, far beyond one ulp).
+    val s1c = (s1 * 100).cast("long") // exact cents
+    val muE6mag = floor(
+      ((abs(s1c) * 20000L + n).cast("double")) / (n * 2).cast("double"))
+      .cast("long")
+    val muE6 = when(s1c < 0, -muE6mag).otherwise(muE6mag)
+    val mu = (muE6.cast("decimal(20,0)") *
+      lit(new java.math.BigDecimal("0.000001"))).cast("decimal(24,6)")
+    val d = (nDec * col("revenue") - s1).cast("decimal(18,2)")
+    val zSq = lit(java.math.BigDecimal.valueOf(zThr * zThr))
+    val anomaly = (d * d).cast("decimal(30,4)") > (varNum * zSq)
     daily.select(col("event_type"), col("day"), col("revenue"),
-      n.cast("long").as("n_frame"),
-      mu.as("mu"), sd.as("sigma"), z.as("z"),
-      (abs(z) > zThr).as("anomaly"))
+      n.as("n_frame"), mu.as("mu"), varNum.as("var_num"),
+      anomaly.as("anomaly"))
   }
 
   /** Exponential moving average over the per-type daily revenue series —
@@ -560,22 +582,38 @@ object Sessions {
     * (ts, delta) order — delta ascending so a session ending exactly when
     * another starts never inflates the peak — then max per boundary day.
     * Equal-timestamp same-sign boundaries commute, so the per-day max is
-    * order-deterministic without a full tiebreak. The running sum is the
-    * one global window (the textbook sweep-line bottleneck): at 100 TB,
-    * partition the sweep by day and add each day's carry-in (sessions
-    * spanning the day start, one range-join count) as a day-local offset —
-    * the per-day form here measures peaks at boundary events, which is
-    * exact for the corpus's intra-day sessions.
+    * order-deterministic without a full tiebreak.
+    *
+    * The sweep is DAY-PARTITIONED (no single-task global sort): the
+    * running sum restricted to one day equals the day's local prefix sum
+    * plus a carry-in — the number of sessions open at the day's start,
+    * i.e. sessions with start_day < d ≤ end_day. Each multi-day session
+    * contributes carry-in to exactly the days `sequence(start_day+1,
+    * end_day)`, so the carry counts come from one explode + hash
+    * aggregation (linear in total session-days, fully distributed — no
+    * range join, no prefix sum over days), broadcast back onto the
+    * day-local sweep. Ties on (ts, delta) never cross days (same ts ⇒
+    * same day), so every conc value is bit-identical to the global form.
     */
   def maxConcurrency(events: DataFrame,
                      gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val DayUs = 86400000000L
     val sess = sessionize(events, gapUs)
     val bounds = sess.select(col("start_us").as("ts"), lit(1L).as("delta"))
       .unionAll(sess.select(col("end_us").as("ts"), lit(-1L).as("delta")))
-    val w = Window.orderBy(col("ts"), col("delta"))
+      .withColumn("day", floorDiv(col("ts"), DayUs))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("ts"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounds.withColumn("conc", sum(col("delta")).over(w))
-      .withColumn("day", floorDiv(col("ts"), 86400000000L))
+    val carry = sess
+      .withColumn("sd", floorDiv(col("start_us"), DayUs))
+      .withColumn("ed", floorDiv(col("end_us"), DayUs))
+      .filter(col("ed") > col("sd"))
+      .select(explode(sequence(col("sd") + 1, col("ed"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("carry_in"))
+    bounds.withColumn("conc_local", sum(col("delta")).over(wDay))
+      .join(broadcast(carry), Seq("day"), "left")
+      .withColumn("conc",
+        col("conc_local") + coalesce(col("carry_in"), lit(0L)))
       .groupBy(col("day"))
       .agg(max(col("conc")).as("peak_concurrency"),
         count(lit(1)).as("n_boundaries"))

@@ -223,31 +223,44 @@ object Similarity {
     * and every argmax ties on vec_id — so the greedy trajectory is
     * bit-reproducible and the driver oracle replays it as k unrolled CTE
     * rounds. MMR is by definition a RERANK over a candidate pool: the
-    * pool is the top `candN` by relevance (one rank window), the sim
-    * matrix is candN² — both independent of corpus size; the corpus-wide
-    * work is only the relevance scan. Rounds are tiny argmax jobs over
-    * checkpointed frames (the BFS-frontier pinning lesson).
+    * pool is the top `candN` by relevance (a TakeOrdered, never a global
+    * rank window), the sim matrix is candN² — both independent of corpus
+    * size; the corpus-wide work is only the relevance scan. Rounds are
+    * tiny argmax jobs over checkpointed frames (the BFS-frontier pinning
+    * lesson).
     */
-  def mmrSelect(emb: DataFrame, queryId: Long = 0L, k: Int = 5,
-                candN: Int = 40, lambdaTenths: Int = 7): DataFrame = {
-    val lam = lit(lambdaTenths.toDouble / 10)
-    val lamC = lit((10 - lambdaTenths).toDouble / 10)
-    def cos6(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
-      round(qdot(qa, qb).cast("double") /
-        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))), 6)
+  /** 6-dp cosine from exact quantized moments (the q31 argmax
+    * discipline): one division, two sqrts over association-free integers.
+    */
+  private def cos6(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+    round(qdot(qa, qb).cast("double") /
+      (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))), 6)
+
+  /** The MMR candidate pool: top `candN` by query relevance via
+    * `orderBy().limit()` → TakeOrderedAndProject (per-partition heaps +
+    * driver merge, the q72 lesson) — NOT a global rank window, which
+    * would sort the whole corpus through one task. Exposed for the plan
+    * assertion; [[mmrSelect]] checkpoints it.
+    */
+  private[graft] def mmrPool(emb: DataFrame, queryId: Long,
+                             candN: Int): DataFrame = {
     val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", qdot(col("q"), col("q")))
       .filter(col("n2") > 0)
     val qv = vecs.filter(col("vec_id") === queryId)
       .select(col("q").as("qq"), col("n2").as("qn2"))
-    val wRank = Window.orderBy(col("rel").desc, col("vec_id"))
-    val cands = vecs.filter(col("vec_id") =!= queryId)
+    vecs.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))
       .withColumn("rel", cos6(col("q"), col("qq"), col("n2"), col("qn2")))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= candN)
+      .orderBy(col("rel").desc, col("vec_id")).limit(candN)
       .select(col("vec_id"), col("q"), col("n2"), col("rel"))
-      .localCheckpoint()
+  }
+
+  def mmrSelect(emb: DataFrame, queryId: Long = 0L, k: Int = 5,
+                candN: Int = 40, lambdaTenths: Int = 7): DataFrame = {
+    val lam = lit(lambdaTenths.toDouble / 10)
+    val lamC = lit((10 - lambdaTenths).toDouble / 10)
+    val cands = mmrPool(emb, queryId, candN).localCheckpoint()
     val sims = cands.as("a")
       .join(cands.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -389,25 +402,6 @@ object Similarity {
         ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
           (col("n") * col("n")).cast("double")).as("var_pop"))
 
-  /** One k-means Lloyd iteration over quantized embeddings: assign every
-    * vector to its nearest centroid (exact integer squared-L2, ties to the
-    * lowest centroid id), then emit the update state — per-(centroid, dim)
-    * assignment counts, exact coordinate sums, and the new mean coordinate.
-    * Seeds are the first `k` vectors by id (deterministic; swap for k-means∥
-    * at scale — the iteration body is identical).
-    *
-    * Scale shape: the k seed vectors collapse to ONE broadcast row of
-    * structs, so assignment is a pure map-side expression over the corpus —
-    * `array_sort` of (dist, centroid_id) pairs IS the argmin, no per-vector
-    * shuffle, no |N|×k expansion through an exchange. The only shuffle is
-    * the update's hash agg on (centroid_id, dim): k·dims groups, map-side
-    * combined. Parity: distances and sums are association-free integer
-    * arithmetic; the mean is one IEEE division of exact ints, emitted raw.
-    *
-    * Magnitude guard: |q| ≤ 1e6·|x|, so per-dim dist terms ≤ 4e12·dims and
-    * coordinate sums ≤ 1e6·n — both in long range through petabyte corpora;
-    * the update sum would be the first to need a decimal widen.
-    */
   /** Two exact power-iteration steps toward the corpus Gram matrix's
     * dominant eigenvector (the PCA direction estimate) — WITHOUT ever
     * materializing the dims² Gram matrix: XᵀXv is computed as Xᵀ(Xv), two
@@ -457,6 +451,25 @@ object Similarity {
           .as("v2_scaled"))
   }
 
+  /** One k-means Lloyd iteration over quantized embeddings: assign every
+    * vector to its nearest centroid (exact integer squared-L2, ties to the
+    * lowest centroid id), then emit the update state — per-(centroid, dim)
+    * assignment counts, exact coordinate sums, and the new mean coordinate.
+    * Seeds are the first `k` vectors by id (deterministic; swap for k-means∥
+    * at scale — the iteration body is identical).
+    *
+    * Scale shape: the k seed vectors collapse to ONE broadcast row of
+    * structs, so assignment is a pure map-side expression over the corpus —
+    * `array_sort` of (dist, centroid_id) pairs IS the argmin, no per-vector
+    * shuffle, no |N|×k expansion through an exchange. The only shuffle is
+    * the update's hash agg on (centroid_id, dim): k·dims groups, map-side
+    * combined. Parity: distances and sums are association-free integer
+    * arithmetic; the mean is one IEEE division of exact ints, emitted raw.
+    *
+    * Magnitude guard: |q| ≤ 1e6·|x|, so per-dim dist terms ≤ 4e12·dims and
+    * coordinate sums ≤ 1e6·n — both in long range through petabyte corpora;
+    * the update sum would be the first to need a decimal widen.
+    */
   def kmeansStep(emb: DataFrame, k: Int = 8): DataFrame = {
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val centsRow = q.filter(col("vec_id") < k)

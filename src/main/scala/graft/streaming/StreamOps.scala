@@ -410,13 +410,15 @@ object StreamOps {
         col("from_type"), col("to_type"), col("cnt"))
   }
 
-  /** One finalized day of the moving-anomaly stream; `revenue_cents` is the
-    * day's revenue in exact cents (the decimal(18,2) batch column ×100 —
-    * a Long keeps the state/output encoders exact and schema-stable).
+  /** One finalized day of the moving-anomaly stream, in the batch
+    * operator's exact fixed-point units: `revenue_cents` = revenue×100,
+    * `mu_e6` = μ×10⁶ (half-up), `var_num_e4` = (n·s2 − s1²)×10⁴ — Longs
+    * keep the state/output encoders exact and schema-stable, and exactness
+    * makes "bit-equal to batch" a trivial integer equality.
     */
   final case class AnomDayRow(event_type: String, day: Long,
-    revenue_cents: Long, n_frame: Long, mu: Double, sigma: Double,
-    z: Double, anomaly: Boolean)
+    revenue_cents: Long, n_frame: Long, mu_e6: Long, var_num_e4: Long,
+    anomaly: Boolean)
   final case class AnomDay(day: Long, cents: Long)
   final case class AnomState(open: Map[Long, Double], hist: Seq[AnomDay],
     lastFinal: Long)
@@ -464,26 +466,28 @@ object StreamOps {
           var hist = st0.hist
           val out = done.toSeq.sortBy(_._1).map { case (d, sum) =>
             // exact decimal view of the double sum, HALF_UP at 2 dp — the
-            // same contract as Spark's round(sum(value), 2)
-            val cents = new java.math.BigDecimal(sum)
+            // same contract as Spark's round(sum(value), 2), which goes
+            // through BigDecimal.valueOf (Double.toString shortest repr),
+            // NOT new BigDecimal(double) (exact binary expansion): for a
+            // boundary sum like 2.675 the two differ by one cent.
+            val cents = java.math.BigDecimal.valueOf(sum)
               .setScale(2, java.math.RoundingMode.HALF_UP)
               .movePointRight(2).longValueExact()
             hist = (hist :+ AnomDay(d, cents)).takeRight(frameDays)
-            val n = hist.size.toDouble
-            val s1 = new java.math.BigDecimal(
-              java.math.BigInteger.valueOf(hist.iterator.map(_.cents).sum), 2)
-              .doubleValue
-            val s2 = new java.math.BigDecimal(
-              java.math.BigInteger.valueOf(
-                hist.iterator.map(h => h.cents * h.cents).sum), 4).doubleValue
-            val mu = s1 / n
-            val varPop = s2 / n - mu * mu
-            val sd = if (varPop > 0.0) math.sqrt(varPop) else 0.0
-            val rev = new java.math.BigDecimal(
-              java.math.BigInteger.valueOf(cents), 2).doubleValue
-            val z = if (sd > 0.0) (rev - mu) / sd else 0.0
-            AnomDayRow(etype, d, cents, hist.size.toLong, mu, sd, z,
-              math.abs(z) > zThr)
+            // exact fixed-point mirror of the batch window math: s1 in
+            // cents (e-2), s2 in e-4; μ_e6 = half-up |s1c|·1e4 / n;
+            // var_num_e4 = n·Σc² − s1c²; anomaly ⟺ d² > zThr²·var_num
+            val n = hist.size.toLong
+            val s1c = hist.iterator.map(_.cents).sum
+            val s2e4 = hist.iterator.map(h => h.cents * h.cents).sum
+            val muMag = (math.abs(s1c) * 20000L + n) / (n * 2)
+            val muE6 = if (s1c < 0) -muMag else muMag
+            val varNumE4 = n * s2e4 - s1c * s1c
+            val dC = n * cents - s1c
+            val anomaly = java.math.BigDecimal.valueOf(dC * dC).compareTo(
+              java.math.BigDecimal.valueOf(zThr * zThr).multiply(
+                java.math.BigDecimal.valueOf(varNumE4))) > 0
+            AnomDayRow(etype, d, cents, n, muE6, varNumE4, anomaly)
           }
           val lastFinal =
             if (done.isEmpty) st0.lastFinal else done.keys.max

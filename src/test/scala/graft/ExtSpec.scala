@@ -546,6 +546,19 @@ class ExtSpec extends SparkSuite {
       assert(picks >= w * 100 / 36 && picks <= w * 100 / 36 + 1) }
   }
 
+  test("systematicSample: distributed bucketed prefix sum ≡ global window form") {
+    // duplicate-heavy weights + a few buckets force cross-bucket offsets
+    // and within-bucket ties; both plans must agree to the bit
+    val docs = (1 to 200).map(i => (i.toLong, ("w " * (1 + i % 7)).trim))
+      .toDF("doc_id", "text")
+    val window = ext.Curation.systematicSample(docs, n = 37)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val dist = ext.Curation.systematicSample(docs, n = 37,
+      holisticMaxTotalRows = 0, nBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dist === window)
+  }
+
   test("distributionDrift: exact integer TVD numerator, one division") {
     // en: src a×2, b×1 (n1=3); rest: a×1, b×2 (n2=3)
     // numerator = |2·3−1·3| + |1·3−2·3| = 6; tvd = 6/(2·9) = 1/3
@@ -742,6 +755,27 @@ class ExtSpec extends SparkSuite {
     val Array(r) = Sessions.maxConcurrency(events)
       .as[(Long, Long, Long)].collect()
     assert(r === ((0L, 2L, 8L)))
+  }
+
+  test("maxConcurrency: cross-midnight sessions carry into later days") {
+    val DayUs = 86400000000L
+    val Min = 60L * 1000000
+    // u1 spans day0 23:50 → day1 00:10 (carry-in 1 for day1); u2 and u3
+    // are day1-local overlapping u1's tail: day1 peak must count the
+    // carried-in u1 → 3. u4 keeps day2 independent (no carry).
+    val events = Seq(
+      (1L, DayUs - 10 * Min), (1L, DayUs + 10 * Min),
+      (2L, DayUs + 2 * Min), (2L, DayUs + 8 * Min),
+      (3L, DayUs + 4 * Min), (3L, DayUs + 6 * Min),
+      (4L, 2 * DayUs + 5 * Min), (4L, 2 * DayUs + 7 * Min)).zipWithIndex
+      .map { case ((u, us), i) => (i.toLong, u, us) }
+      .toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = Sessions.maxConcurrency(events)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(0L) === ((0L, 1L, 1L))) // day0: only u1's start boundary
+    assert(r(1L) === ((1L, 3L, 5L))) // u1 end + u2/u3 starts+ends, carry 1
+    assert(r(2L) === ((2L, 1L, 2L)))
   }
 
   test("largestRemainder: integer allocations sum exactly to the total") {

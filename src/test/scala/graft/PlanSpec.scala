@@ -283,4 +283,35 @@ class PlanSpec extends SparkSuite {
     assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length >= 2,
       s"degree frames not broadcast:\n$p")
   }
+
+  test("q140 sweep is day-partitioned: no single-partition exchange in the plan") {
+    val p = plan(ext.Sessions.maxConcurrency(Tables.events(spark, sf)))
+    assert(!p.contains("SinglePartition"),
+      s"global sweep window leaked back into q140:\n$p")
+    assert(p.contains("carry_in"), p) // the explode-based carry path is live
+  }
+
+  test("q123 distributed prefix sum: corpus window bucket-partitioned, no global corpus sort") {
+    val p = plan(ext.Curation.systematicSample(Tables.documents(spark, sf),
+      holisticMaxTotalRows = 0))
+    // the corpus-scale window exchange hashes on the bucket id …
+    assert(p.contains("hashpartitioning(__b"),
+      s"corpus prefix sum not partitioned by bucket:\n$p")
+    // … and nothing range-shuffles the corpus through a global sort; the
+    // surviving SinglePartition exchanges are all post-aggregation tiny
+    // frames (1-row extent aggs + the O(nBuckets) offset window), i.e.
+    // every one sits directly above a HashAggregate or the offset Sort
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into q123:\n$p")
+    val singles = "SinglePartition".r.findAllIn(p).length
+    assert(singles <= 3, s"unexpected single-partition exchanges:\n$p")
+  }
+
+  test("q142 MMR pool selection is TakeOrderedAndProject, not a global rank window") {
+    val p = plan(ext.Similarity.mmrPool(Tables.embeddings(spark, sf),
+      queryId = 0L, candN = 40))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SinglePartition"),
+      s"pool pick must not be a global window/sort:\n$p")
+  }
 }

@@ -435,8 +435,9 @@ class StreamingSpec extends SparkSuite {
       evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"))
       .select(col("event_type"), col("day"),
         (col("revenue") * 100).cast("long"), col("n_frame"),
-        col("mu"), col("sigma"), col("z"), col("anomaly"))
-      .as[(String, Long, Long, Long, Double, Double, Double, Boolean)]
+        (col("mu") * 1000000).cast("long"),
+        (col("var_num") * 10000).cast("long"), col("anomaly"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
       .collect().toSet
 
     val src = MemoryStream[Event]
@@ -451,8 +452,39 @@ class StreamingSpec extends SparkSuite {
       src.addData(Event(9002, maxTs + 20 * Day, 999, "flush", 0.0))
       q.processAllAvailable()
       val streamed = spark.table("anomeqv")
-        .as[(String, Long, Long, Long, Double, Double, Double, Boolean)]
+        .as[(String, Long, Long, Long, Long, Long, Boolean)]
         .collect().filter(_._1 != "flush").toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming moving anomaly rounds a .xx5 boundary sum like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val Day = 86400L * 1000000
+    // 2.675's double sits just BELOW the tie (2.67499…975), but its
+    // shortest repr is "2.675": BigDecimal.valueOf (the batch round()
+    // path) gives 2.68 where new BigDecimal(double) would give 2.67
+    val evts = Seq(
+      Event(1, T0, 1L, "tie", 2.675),
+      Event(2, T0 + Day, 1L, "tie", 1.0))
+    val batch = graft.ext.Sessions.movingAnomaly(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"))
+      .select(col("day"), (col("revenue") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(batch(batch.keys.min) === 268L)
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.movingAnomalyStream(src.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anomtie")
+      .start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, T0 + 20 * Day, 999, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("anomtie")
+        .as[StreamOps.AnomDayRow].collect().filter(_.event_type == "tie")
+        .map(r => r.day -> r.revenue_cents).toMap
       assert(streamed === batch)
     } finally q.stop()
   }
