@@ -2158,9 +2158,12 @@ object SparkEntry {
         |WHERE rk <= n_target""".stripMargin,
 
     // exact integer sufficient statistics (quantity integral, price exact
-    // cents in this corpus) accumulated as HUGEINTs, then the identical
-    // double derivation as the Spark side, emitted RAW (IEEE ops on exact
-    // inputs are bit-identical; round(double,6) drifts across engines)
+    // cents in this corpus) accumulated as HUGEINTs — and the CENTERED
+    // NUMERATORS n·sxy−sx·sy etc. stay HUGEINT too: computing them in
+    // double is the FMA-contractible multiply-subtract that drifted q77
+    // in the driver, plus a catastrophic cancellation. Doubles appear only
+    // after the exact numerators, in non-contractible shapes (single
+    // divisions; div by a product of sqrts; square-over-product)
     "q74_corr_regression" ->
       """WITH t AS (
         |  SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x,
@@ -2168,25 +2171,31 @@ object SparkEntry {
         |  FROM lineitem),
         |a AS (
         |  SELECT l_returnflag,
-        |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
-        |    CAST(sum(y * y) AS DOUBLE) AS syy
-        |  FROM t GROUP BY 1)
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    n * sxy - sx * sy AS covn,
+        |    n * sxx - sx * sx AS vx,
+        |    n * syy - sy * sy AS vy,
+        |    sy, sx
+        |  FROM a)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
-        |    (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END
-        |    AS corr,
-        |  CASE WHEN n*sxx - sx*sx > 0 THEN
-        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope_cents_per_unit,
-        |  CASE WHEN n*sxx - sx*sx > 0 THEN
-        |    (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END
-        |    AS intercept,
-        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
-        |    ((n*sxy - sx*sy) * (n*sxy - sx*sy))
-        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS r2
-        |FROM a""".stripMargin,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(covn AS DOUBLE)
+        |      / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS corr,
+        |  CASE WHEN vx > 0 THEN
+        |    CAST(covn AS DOUBLE) / CAST(vx AS DOUBLE) END
+        |    AS slope_cents_per_unit,
+        |  CASE WHEN vx > 0 THEN
+        |    CAST(vx * sy - covn * sx AS DOUBLE)
+        |      / CAST(n * vx AS DOUBLE) END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+        |      / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r2
+        |FROM c""".stripMargin,
 
     "q75_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
@@ -2916,11 +2925,14 @@ object SparkEntry {
 
     // q53's spine + a second (backward) frame; the interpolation expression
     // shape is shared verbatim with the Spark side
+    // interior interpolation numerator is exact DECIMAL·INTEGER (vp/vn are
+    // 2-dp decimals), one double division — `vp + (vn−vp)·t` on doubles is
+    // the FMA-contractible multiply-into-add (the q77 driver-drift class)
     "q112_interpolate" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-        |    round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
-        |      AS revenue
+        |    CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                   END), 2) AS DECIMAL(18,2)) AS revenue
         |  FROM events GROUP BY 1, 2),
         |spine AS (
         |  SELECT user_id, unnest(generate_series(mn, mx)) AS day
@@ -2943,11 +2955,12 @@ object SparkEntry {
         |         wn AS (PARTITION BY user_id ORDER BY day
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, day, revenue,
-        |  CASE WHEN revenue IS NOT NULL THEN revenue
+        |  CASE WHEN revenue IS NOT NULL THEN CAST(revenue AS DOUBLE)
         |       WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
-        |         vp + (vn - vp) * CAST(day - dp AS DOUBLE)
-        |                        / CAST(dn - dp AS DOUBLE)
-        |       ELSE coalesce(vp, vn) END AS interp,
+        |         CAST(CAST(vp * (dn - day) + vn * (day - dp)
+        |                   AS DECIMAL(38,2)) AS DOUBLE)
+        |           / CAST(dn - dp AS DOUBLE)
+        |       ELSE CAST(coalesce(vp, vn) AS DOUBLE) END AS interp,
         |  revenue IS NULL AS filled
         |FROM w""".stripMargin,
 

@@ -388,7 +388,7 @@ object Sessions {
       .withColumn("day", floorDiv(col("ts_us"), DayUs))
       .groupBy(col("user_id"), col("day"))
       .agg(round(sum(when(col("event_type") === "purchase", col("value"))), 2)
-        .as("revenue"))
+        .cast("decimal(18,2)").as("revenue"))
     val spine = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
       .select(col("user_id"),
@@ -398,18 +398,23 @@ object Sessions {
     val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsDay = when(col("revenue").isNotNull, col("day"))
+    // interior interpolation as (vp·(dn−day) + vn·(day−dp)) / (dn−dp):
+    // the numerator is EXACT decimal·integer arithmetic, leaving ONE
+    // double division — the textbook `vp + (vn−vp)·t` form is a double
+    // multiply feeding an add, i.e. the FMA-contractible q77 shape
     spine.join(daily, Seq("user_id", "day"), "left_outer")
       .withColumn("vp", last(col("revenue"), ignoreNulls = true).over(wPrev))
       .withColumn("dp", last(obsDay, ignoreNulls = true).over(wPrev))
       .withColumn("vn", first(col("revenue"), ignoreNulls = true).over(wNext))
       .withColumn("dn", first(obsDay, ignoreNulls = true).over(wNext))
       .withColumn("interp",
-        when(col("revenue").isNotNull, col("revenue"))
+        when(col("revenue").isNotNull, col("revenue").cast("double"))
           .when(col("vp").isNotNull && col("vn").isNotNull,
-            col("vp") + (col("vn") - col("vp")) *
-              (col("day") - col("dp")).cast("double") /
+            (col("vp") * (col("dn") - col("day")) +
+             col("vn") * (col("day") - col("dp"))).cast("decimal(38,2)")
+              .cast("double") /
               (col("dn") - col("dp")).cast("double"))
-          .otherwise(coalesce(col("vp"), col("vn"))))
+          .otherwise(coalesce(col("vp"), col("vn")).cast("double")))
       .select(col("user_id"), col("day"), col("revenue"), col("interp"),
         col("revenue").isNull.as("filled"))
   }

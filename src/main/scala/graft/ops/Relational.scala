@@ -560,34 +560,51 @@ object Relational {
     */
   def corrRegression(df: DataFrame, group: Column, x: Column,
                      y: Column): DataFrame = {
+    // all sufficient statistics AND the centered numerators stay exact
+    // integers (DECIMAL(38,0) / DuckDB HUGEINT): n·sxy − sx·sy computed in
+    // DOUBLE is the multiply-subtract shape a compiler may contract into an
+    // FMA (the q77 driver-drift class) AND a catastrophic cancellation of
+    // two huge near-equal terms — in integers both hazards vanish. Doubles
+    // appear only downstream of the exact numerators, in shapes with no
+    // contractible a·b±c (single divisions, div-by-product-of-sqrts).
+    // Magnitude envelope: |num| ≤ n·Σ|xy| — for cents-scale y this crosses
+    // the 38-digit ceiling around 10⁶× the sf0.1 corpus; past that, scale
+    // x/y down first (the moments, not the inputs, are what overflow).
     val agg = df
       .select(group, x.as("x"), y.as("y"))
       .groupBy(group)
-      .agg(count(lit(1)).cast("double").as("n"),
-        sum(col("x")).cast("double").as("sx"),
-        sum(col("y")).cast("double").as("sy"),
-        sum(col("x") * col("y")).cast("double").as("sxy"),
-        sum(col("x") * col("x")).cast("double").as("sxx"),
-        sum(col("y") * col("y")).cast("double").as("syy"))
-    val covN = col("n") * col("sxy") - col("sx") * col("sy")
-    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
-    val varYN = col("n") * col("syy") - col("sy") * col("sy")
-    val slope = covN / varXN
-    // degenerate groups (constant x or y, incl. single-row) → NULL stats:
-    // unguarded, Spark emits IEEE inf/NaN while DuckDB NULLs double x/0 and
-    // ERRORS on sqrt(<0) — and fp cancellation can land varXN at -0.0-ε, so
-    // the guard is > 0, not ≥ 0, on BOTH sides
-    val bothVar = varXN > 0.0 && varYN > 0.0
-    // the derived doubles are emitted RAW: inputs are exact moments, and
-    // *, /, sqrt are IEEE-correctly-rounded, so both engines produce
-    // bit-identical values — a final round(6) would REINTRODUCE drift
-    // (round(double, n) differs across DuckDB versions near .5 ties)
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("decimal(38,0)")
+    val varXN = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("decimal(38,0)")
+    val varYN = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("decimal(38,0)")
+    // degenerate groups (constant x or y, incl. single-row) → NULL stats;
+    // the guard is now an EXACT integer compare (no -0.0-ε edge at all)
+    val bothVar = varXN > 0 && varYN > 0
     agg.select(group, col("n").cast("long").as("n"),
-      when(bothVar, covN / sqrt(varXN * varYN)).as("corr"),
-      when(varXN > 0.0, slope).as("slope_cents_per_unit"),
-      when(varXN > 0.0, (col("sy") - slope * col("sx")) / col("n"))
+      when(bothVar, covN.cast("double") /
+        sqrt(varXN.cast("double") * varYN.cast("double"))).as("corr"),
+      // slope: ONE division of two exact integers
+      when(varXN > 0, covN.cast("double") / varXN.cast("double"))
+        .as("slope_cents_per_unit"),
+      // intercept = (varXN·sy − covN·sx) / (n·varXN): exact integer
+      // numerator and denominator, ONE division
+      when(varXN > 0,
+        (varXN * col("sy") - covN * col("sx")).cast("decimal(38,0)")
+          .cast("double") /
+          (col("n") * varXN).cast("decimal(38,0)").cast("double"))
         .as("intercept"),
-      when(bothVar, covN * covN / (varXN * varYN)).as("r2"))
+      // r2 = covN²/(varXN·varYN) exceeds 38 digits → two muls + one div in
+      // double (no additive term, nothing to contract)
+      when(bothVar, covN.cast("double") * covN.cast("double") /
+        (varXN.cast("double") * varYN.cast("double"))).as("r2"))
   }
 
   /** Arbitrary GROUPING SETS — the non-hierarchical case neither rollup nor

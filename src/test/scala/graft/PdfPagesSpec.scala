@@ -1,6 +1,6 @@
 package graft
 
-import graft.io.PdfPages
+import graft.io.{MiniPdf, PdfPages}
 import org.apache.spark.sql.functions._
 
 class PdfPagesSpec extends SparkSuite {
@@ -43,5 +43,42 @@ class PdfPagesSpec extends SparkSuite {
       PdfPages.pngFixtureRenderer(width = 40, height = 30))
     val h2 = again.select(col("page_name"), md5(col("page_png"))).collect().toSet
     assert(h1 == h2)
+  }
+
+  test("MiniPdf backend: a REAL 2-page PDF renders through explode + probe + decode") {
+    // a genuine PDF 1.4 file: page tree, per-page DCTDecode image XObjects,
+    // xref, trailer — any conforming viewer opens it
+    val red = MiniPdf.solidJpeg(0xff0000, 48, 32)
+    val blue = MiniPdf.solidJpeg(0x0000ff, 48, 32)
+    val pdf = MiniPdf.write(Seq((red, 48, 32), (blue, 48, 32)))
+    assert(new String(pdf.take(8), "ASCII").startsWith("%PDF-1.4"))
+    // the structural prober reads /Count via trailer → /Root → /Pages
+    assert(MiniPdf.pageCount(pdf) == 2)
+
+    val pdfs = Seq(("scan.pdf", MiniPdf.pageCount(pdf), pdf))
+      .toDF("file_name", "n_pages", "content")
+    val rendered = PdfPages.renderPages(pdfs, col("n_pages"),
+      MiniPdf.pdfImageRenderer).cache()
+    val names = rendered.select("page_name").as[String].collect().sorted
+    assert(names.toSeq == Seq("scan_page1", "scan_page2"))
+    // rendered pages are real PNGs with the page's MediaBox dimensions…
+    val probed = rendered.select(col("page"),
+      graft.io.ImageMeta.isPng(col("page_png")).as("is_png"),
+      graft.io.ImageMeta.pngWidth(col("page_png")).as("w"),
+      graft.io.ImageMeta.pngHeight(col("page_png")).as("h"))
+      .as[(Int, Boolean, Int, Int)].collect()
+    assert(probed.forall(p => p._2 && p._3 == 48 && p._4 == 32),
+      probed.mkString(","))
+    // …and the page CONTENT survives the render: page 1 is red, page 2
+    // blue (JPEG is lossy → dominant-channel assertion, not exact bytes)
+    val px = rendered.collect().map { r =>
+      val png = r.getAs[Array[Byte]]("page_png")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val c = new java.awt.Color(img.getRGB(24, 16))
+      r.getAs[Int]("page") -> c
+    }.toMap
+    assert(px(1).getRed > 200 && px(1).getBlue < 60, px(1).toString)
+    assert(px(2).getBlue > 200 && px(2).getRed < 60, px(2).toString)
   }
 }

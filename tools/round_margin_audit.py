@@ -32,6 +32,182 @@ import duckdb
 
 ALERT = 1e-6
 
+# ---------------------------------------------------------------------------
+# Raw-double output audit (round-6 extension).
+#
+# Every DOUBLE column a query emits unrounded must fall into a class that is
+# engine-portable BY CONSTRUCTION; anything unclassified (or classified as a
+# contractible chain) is flagged. Classes:
+#
+#   stored   passthrough of a parquet double (min/max/first of it included):
+#            bit-exact by definition.
+#   round    round()-protected — the tie-margin pass above audits these.
+#   div1     ONE fp op (usually a division, sometimes just an int/decimal →
+#            double conversion) applied to EXACT integer/decimal inputs: a
+#            single correctly-rounded IEEE op is bit-identical everywhere.
+#   chain    >1 fp ops but in shapes with NO multiply feeding an add/sub in
+#            double (div-by-product-of-sqrts, square-over-product, adds of
+#            division results, subtract-then-divide, sequential recursive
+#            per-op folds): nothing a compiler may legally contract into an
+#            FMA, every op individually correctly rounded.
+#   pow2     affine combinations whose multiplies are by powers of two
+#            (0.5·x is EXACT, so even a contracted fma(0.5, x, c) is
+#            bit-identical to the uncontracted form).
+#   qcont    the percentile-interpolation formula bit-verified against
+#            DuckDB's quantile_cont (cross-engine-identical on doubles,
+#            driver-green since round 2 — internal to DuckDB's C++, not
+#            rewritable from SQL).
+#   osum     ordered-frame sums/averages of stored doubles (deterministic
+#            frame order on both engines; driver-green since round 3).
+#
+# The q77 class — a multiply-subtract/add OVER DOUBLES (n·sxy − sx·sy,
+# vp + (vn−vp)·t …) — is NOT allowed: those were rewritten to exact integer/
+# decimal numerators in round 6 (q74, q112, q77 itself).
+DOUBLE_CLASSES = {
+    "q01_pricing_rollup": dict.fromkeys(
+        ["sum_qty", "sum_base", "sum_disc_price", "sum_charge"], "round"),
+    "q02_cust_orders": {"total_spent": "round"},
+    "q03_region_rollup": {"sum_acctbal": "round"},
+    "q04_filter_project": {"l_quantity": "stored", "charge": "chain"},
+    "q05_top_orders": {"o_totalprice": "stored"},
+    "q09_nation_revenue": {"revenue": "round"},
+    "q100_skyline": {"price": "stored"},
+    "q103_merge_upsert": {"c_acctbal": "div1"},
+    "q104_retrieval": {"score": "div1"},
+    "q105_embedding_standardize": {"z": "chain"},
+    "q106_winsorized_mean": {"lo": "qcont", "hi": "qcont",
+                             "winsorized_mean": "round"},
+    "q108_kmeans_step": {"new_c": "div1"},
+    "q109_equidepth": {"min_v": "stored", "max_v": "stored"},
+    "q111_power_iteration": {"v2": "div1", "v2_scaled": "div1"},
+    "q112_interpolate": {"revenue": "stored", "interp": "div1"},
+    "q113_chi_square": {"expected": "div1", "chi2_cell": "div1"},
+    "q115_markov": {"p": "div1"},
+    "q116_class_scatter": {"mean": "div1", "var_pop": "div1"},
+    "q117_hybrid_rrf": {"rrf": "chain"},
+    "q119_capped_balance": {"net": "div1", "bal": "div1"},
+    "q120_ab_test": dict.fromkeys(["mean0", "mean1", "var0", "var1"], "div1")
+                    | {"t_welch": "chain"},
+    "q121_waterfill": {"allocated": "div1"},
+    "q122_distribution_drift": {"tvd": "div1"},
+    "q125_gini": {"gini": "div1"},
+    "q126_weighted_median": {"p": "stored", "value": "qcont"},
+    "q127_kaplan_meier": {"survival": "chain"},
+    "q128_event_diversity": {"gini_impurity": "div1"},
+    "q12_tumbling_window": {"sum_value": "round"},
+    "q13_quality_features": dict.fromkeys(
+        ["avg_token_len", "type_token_ratio", "stopword_ratio"], "div1"),
+    "q131_ltv_triangle": {"ltv_per_user": "div1"},
+    "q132_rfm": {"avg_cents": "div1"},
+    "q133_assoc_rules": {"conf_ab": "div1", "conf_ba": "div1",
+                         "lift": "div1"},
+    "q134_link_predict": {"jaccard": "div1"},
+    "q135_revenue_deciles": {"cum_share": "div1"},
+    "q136_hll_distinct": {"hll_est": "chain", "rel_err": "chain"},
+    "q137_cross_sell": {"conf": "div1"},
+    "q138_higher_moments": {"mean": "div1", "variance": "div1",
+                            "skewness": "chain", "kurtosis_excess": "chain"},
+    "q139_conversion_latency": {"p": "stored", "value": "qcont"},
+    "q142_mmr_rerank": {"rel": "chain", "mmr_score": "chain"},
+    "q143_dow_baseline": {"ratio_to_dow_mean": "div1"},
+    "q144_ship_latency": {"p": "stored", "value": "qcont"},
+    "q145_rolling_corr": {"rolling_corr": "chain"},
+    "q146_ks_test": {"ks": "div1"},
+    "q147_langid_kappa": {"kappa": "div1"},
+    "q148_hhi": {"hhi": "round", "effective_suppliers": "div1"},
+    "q149_dispersion": {"dispersion": "div1"},
+    "q150_source_scorecard": {"mean_chars": "div1", "lang_impurity": "div1"},
+    "q16_ngram_jaccard": {"jaccard": "div1"},
+    "q17_minhash_neardup": {"jaccard": "div1"},
+    "q19_cosine_topk": {"cos": "chain"},
+    "q20_cosine_neardup": {"cos": "chain"},
+    "q21_yolo_norm": dict.fromkeys(
+        ["x_center", "y_center", "w_norm", "h_norm"], "pow2"),
+    "q22_best_match": {"iou": "chain"},
+    "q23_greedy_eval": {"precision": "div1", "recall": "div1", "f1": "chain"},
+    "q24_lsh_cosine": {"cos": "chain"},
+    "q28_argmax": {"c_acctbal": "stored"},
+    "q30_curation_pipeline": {"stopword_ratio": "div1"},
+    "q31_ivf_topk": {"cos": "chain"},
+    "q33_cube": {"sum_qty": "round"},
+    "q37_percentiles": dict.fromkeys(["p50", "p90", "qty_p25"], "qcont"),
+    "q38_window_frames": {"o_totalprice": "stored", "prev_price": "stored",
+                          "delta": "chain", "ma3": "osum"},
+    "q39_band_join": {"lo": "stored", "hi": "stored", "sum_price": "round"},
+    "q40_tfidf_topk": {"score": "chain"},
+    "q41_heavy_hitters": {"share": "div1"},
+    "q42_zscore": {"c_acctbal": "stored", "seg_mean": "round",
+                   "seg_std": "round", "zscore": "chain"},
+    "q43_stratified_sample": {"c_acctbal": "stored"},
+    "q44_kmv_distinct": {"kmv_estimate": "div1"},
+    "q47_time_rollup": {"revenue": "round"},
+    "q49_ranking": {"c_acctbal": "stored", "prk": "div1"},
+    "q50_contamination": {"contamination": "div1"},
+    "q51_repetition": dict.fromkeys(
+        ["dup_2gram_frac", "dup_3gram_frac", "top_2gram_share"], "div1"),
+    "q52_chunk_dedup": {"keep_frac": "div1"},
+    "q53_gapfill": {"revenue": "round", "revenue_locf": "round"},
+    "q54_histogram": {"bucket_lo": "chain", "bucket_hi": "chain"},
+    "q55_profile": {"min_num": "stored", "max_num": "stored"},
+    "q56_weighted_sample": {"o_totalprice": "stored",
+                            "priority_key": "div1"},
+    "q57_vec_quantize": {"scale": "stored"},
+    "q58_json_rollup": {"avg_k": "div1"},
+    "q61_iqr_outliers": {"high_fence": "pow2"},
+    "q62_rolling_range": {"sum_24h": "round"},
+    "q64_pagerank": {"rank": "round"},
+    "q65_full_outer": {"cust_bal": "stored"},
+    "q66_percentiles_distributed": {"p": "stored", "value": "qcont"},
+    "q68_incremental_agg": {"sum_value": "round"},
+    "q69_share_of_total": {"c_acctbal": "stored", "share": "div1",
+                           "cum_share": "div1"},
+    "q70_hopping_window": {"sum_value": "round"},
+    "q74_corr_regression": {"corr": "chain", "slope_cents_per_unit": "div1",
+                            "intercept": "div1", "r2": "chain"},
+    "q75_grouping_sets": {"sum_qty": "round"},
+    "q80_collocations": {"lift": "div1"},
+    "q82_delta_join": {"revenue": "round"},
+    "q84_containment": {"containment": "div1"},
+    "q85_mad_outliers": {"med": "qcont", "mad": "qcont"},
+    "q86_ema": {"rev": "round", "ema": "round"},
+    "q88_sql_scalar_subquery": {"sum_qty": "round"},
+    "q90_stratified_split": {"frac_of_lang": "div1", "class_weight": "div1"},
+    "q96_period_over_period": {"rev": "round", "prev_rev": "round",
+                               "mom_growth": "div1"},
+    "q97_cohort_retention": {"retention": "div1"},
+    "q99_bigram_lm": {"p": "div1"},
+}
+OK_CLASSES = {"stored", "round", "div1", "chain", "pow2", "qcont", "osum"}
+
+
+def audit_raw_doubles(out_dir):
+    """Flag any emitted double/float column without a portability class."""
+    import glob
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        print("raw-double audit skipped: pyarrow unavailable")
+        return 0
+    n_cols = n_flag = 0
+    for d in sorted(glob.glob(os.path.join(out_dir, "q*"))):
+        name = os.path.basename(d)
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            continue
+        sch = pq.read_schema(files[0])
+        for f in sch:
+            if str(f.type) not in ("double", "float"):
+                continue
+            n_cols += 1
+            cls = DOUBLE_CLASSES.get(name, {}).get(f.name)
+            if cls not in OK_CLASSES:
+                n_flag += 1
+                print(f"{name}.{f.name}: UNCLASSIFIED raw double — classify "
+                      f"or route through DECIMAL/round")
+    print(f"== raw-double audit: {n_cols} double columns, "
+          f"{n_flag} unclassified ==")
+    return n_flag
+
 
 def depth0_spans(sql):
     """Yield (index, char) for chars at paren depth 0, skipping quoted strings."""
@@ -175,6 +351,7 @@ def main(sf_dir, out_dir):
                 print(f"{name}.{col}: ok margin={v:.3e} (round at {n} dp)")
     print(f"\n== {n_audited} final-projection rounds audited, "
           f"{n_semantic} semantic rounds skipped, {n_alerts} alerts ==")
+    n_alerts += audit_raw_doubles(out_dir)
     return 1 if n_alerts else 0
 
 
