@@ -492,6 +492,14 @@ object SparkEntry {
     // length, log-free language diversity — all ints + single divisions
     "q150_source_scorecard" -> ((s: SparkSession, d: String) =>
       ext.Curation.sourceScorecard(Tables.documents(s, d))),
+    // character-level near-dup: (len-bucket, prefix) blocking self-join +
+    // banded threshold levenshtein — the OCR-noise complement to MinHash
+    "q151_edit_neardup" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.editNearDups(Tables.documents(s, d))),
+    // retrieval ranking quality: NDCG@10 against metadata-graded
+    // relevance, discounts frozen to 9-dp decimal literals (no libm log)
+    "q152_ndcg" -> ((s: SparkSession, d: String) =>
+      ext.Retrieval.ndcgAtK(Tables.documents(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -674,6 +682,90 @@ object SparkEntry {
     * 6 dp rounds of exact quantized moments on both sides, so every
     * argmax compares identical doubles.
     */
+  /** q152 oracle: the q104 retrieval replay at k, then NDCG from the SAME
+    * frozen 9-dp weight literals the operator embeds
+    * ([[graft.ext.Retrieval.ndcgWeights]]) — no libm log in either engine.
+    */
+  private def ndcgOracle(k: Int): String = {
+    val wts = graft.ext.Retrieval.ndcgWeights(k)
+    val wvals = wts.map { case (p, w, _) =>
+      s"($p, CAST($w AS DECIMAL(10,9)))" }.mkString(", ")
+    val cvals = (("(0, CAST(0.000000000 AS DECIMAL(20,9)))") +:
+      wts.map { case (p, _, c) => s"($p, CAST($c AS DECIMAL(20,9)))" })
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM base),
+       |dlen AS (SELECT doc_id,
+       |           CAST(len(list_distinct(t)) AS BIGINT) AS d_len
+       |         FROM base),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |dfq AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1),
+       |postings AS (
+       |  SELECT d.term, d.doc_id FROM dtok d JOIN dfq f USING (term), nn
+       |  WHERE f.df * 100 <= 79 * nn.n),
+       |queries AS (
+       |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
+       |  FROM base WHERE doc_id % 97 = 3),
+       |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
+       |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
+       |         FROM queries),
+       |ov AS (
+       |  SELECT q.query_id, p.doc_id, count(*) AS overlap
+       |  FROM qtok q JOIN postings p USING (term)
+       |  WHERE p.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT o.query_id, o.doc_id, o.overlap, ql.q_len, dl.d_len,
+       |    CAST(o.overlap AS DOUBLE)
+       |      / CAST(ql.q_len + dl.d_len - o.overlap AS DOUBLE) AS score
+       |  FROM ov o JOIN qlen ql USING (query_id)
+       |  JOIN dlen dl USING (doc_id)),
+       |ranked AS (
+       |  SELECT query_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS "rank",
+       |    doc_id
+       |  FROM scored QUALIFY "rank" <= $k),
+       |wts(pos, w) AS (VALUES $wvals),
+       |cumw(m, cw) AS (VALUES $cvals),
+       |meta AS (SELECT doc_id, lang, source FROM documents),
+       |graded AS (
+       |  SELECT r.query_id, r."rank",
+       |    CASE WHEN m.lang = qm.lang AND m.source = qm.source THEN 3
+       |         WHEN m.lang = qm.lang THEN 1 ELSE 0 END AS gain
+       |  FROM ranked r
+       |  JOIN meta m ON m.doc_id = r.doc_id
+       |  JOIN meta qm ON qm.doc_id = r.query_id),
+       |dcg AS (
+       |  SELECT query_id, count(*) AS n_retrieved,
+       |    CAST(sum(gain * w) AS DECIMAL(20,9)) AS dcg
+       |  FROM graded JOIN wts ON "rank" = pos GROUP BY 1),
+       |byls AS (SELECT lang, source, count(*) AS c_ls FROM meta
+       |         GROUP BY 1, 2),
+       |byl AS (SELECT lang, count(*) AS c_l FROM meta GROUP BY 1),
+       |pool AS (
+       |  SELECT qm.doc_id AS query_id,
+       |    ls.c_ls - 1 AS n2, l.c_l - ls.c_ls AS n1,
+       |    least(ls.c_ls - 1, $k) AS a,
+       |    least(l.c_l - ls.c_ls, $k - least(ls.c_ls - 1, $k)) AS b
+       |  FROM meta qm
+       |  JOIN byls ls ON qm.lang = ls.lang AND qm.source = ls.source
+       |  JOIN byl l ON qm.lang = l.lang),
+       |idcg AS (
+       |  SELECT p.query_id, p.n2, p.n1,
+       |    CAST(ca.cw * 2 + cab.cw AS DECIMAL(20,9)) AS idcg
+       |  FROM pool p
+       |  JOIN cumw ca ON p.a = ca.m
+       |  JOIN cumw cab ON p.a + p.b = cab.m)
+       |SELECT d.query_id, d.n_retrieved, i.n2, i.n1, d.dcg, i.idcg,
+       |  CASE WHEN i.idcg > 0
+       |       THEN CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) END
+       |    AS ndcg
+       |FROM dcg d JOIN idcg i USING (query_id)""".stripMargin
+  }
+
   private def mmrOracle(k: Int, candN: Int): String = {
     val base =
       s"""WITH qv AS (
@@ -709,15 +801,21 @@ object SparkEntry {
          |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
          |selall1 AS (
          |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS pick_order,
-         |    rel AS mmr_score
+         |    CAST(rel AS DECIMAL(13,7)) AS mmr_score
          |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    // λ·rel − (1−λ)·sim in EXACT DECIMAL: the 6-dp rounded doubles cast
+    // back to their grid DECIMAL(9,6) identically in both engines, and the
+    // two-multiply-minus chain on doubles would be the FMA-contractible
+    // q77 shape
     val rounds = (2 to k).map { i =>
       s"""pick$i AS (
          |  SELECT vec_id, rel, CAST($i AS BIGINT) AS pick_order, mmr_score
          |  FROM (
          |    SELECT c.vec_id AS vec_id, c.rel AS rel,
-         |      CAST(0.7 AS DOUBLE) * c.rel
-         |        - CAST(0.3 AS DOUBLE) * max(s.sim) AS mmr_score
+         |      CAST(CAST(0.7 AS DECIMAL(2,1)) * CAST(c.rel AS DECIMAL(9,6))
+         |        - CAST(0.3 AS DECIMAL(2,1))
+         |          * CAST(max(s.sim) AS DECIMAL(9,6))
+         |        AS DECIMAL(13,7)) AS mmr_score
          |    FROM cand c
          |    JOIN sims s ON s.va = c.vec_id
          |    JOIN selall${i - 1} p ON s.vb = p.vec_id
@@ -3499,6 +3597,27 @@ object SparkEntry {
         |       ELSE CAST(n * sxx - sx * sx AS DOUBLE)
         |         / CAST(n * sx AS DOUBLE) END AS dispersion
         |FROM m""".stripMargin,
+
+    "q152_ndcg" -> ndcgOracle(10),
+
+    // blocking replayed verbatim; DuckDB's levenshtein is the same
+    // unit-cost DP as Spark's (exact integer), threshold arg is a pure
+    // Spark-side pruning (kept pairs carry identical distances)
+    "q151_edit_neardup" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, text, length(text) // 32 AS lb,
+        |    substr(text, 1, 6) AS pfx
+        |  FROM documents),
+        |probes AS (
+        |  SELECT doc_id, text, pfx, lb + u.d AS lb
+        |  FROM keyed, generate_series(-1, 1) u(d)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    levenshtein(a.text, b.text) AS dist
+        |  FROM probes a JOIN keyed b
+        |    ON a.lb = b.lb AND a.pfx = b.pfx AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist
+        |FROM pairs WHERE dist <= 12""".stripMargin,
 
     "q150_source_scorecard" ->
       """WITH toks AS (

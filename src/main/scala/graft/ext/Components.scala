@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * neighbors; stop at fixpoint (or `maxIter`). Rounds needed = graph
   * diameter, which for near-dup clusters is tiny. Each round is one join +
   * one aggregation — the standard Spark iterative shape: the driver loops
-  * over ACTIONS, the data never leaves the cluster, and `localCheckpoint`
-  * truncates the lineage so plans don't grow with iterations.
+  * over ACTIONS, the data never leaves the cluster, and [[graft.Pin]]
+  * truncates the lineage so plans don't grow with iterations
+  * (localCheckpoint by default; RELIABLE checkpoint — surviving executor
+  * loss — when `sc.setCheckpointDir` is set; PinSpec proves bit-parity).
   */
 object Components {
 
@@ -41,7 +43,7 @@ object Components {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
 
     // sym is already materialized (eager localCheckpoint), so this count is a
     // metadata-cheap scan of cached blocks, not a recomputation
@@ -60,7 +62,7 @@ object Components {
 
     var checkpointed = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     var labels = checkpointed
 
     var iter = 0
@@ -90,7 +92,7 @@ object Components {
         .select(col("node"), col("prev"),
           least(col("tent"), coalesce(col("jcomp"), col("tent")))
             .as("component"))
-        .localCheckpoint()
+        .transform(graft.Pin.apply)
       converged = stepped.filter(col("component") =!= col("prev")).isEmpty
       checkpointed.unpersist(blocking = false)
       checkpointed = stepped
@@ -182,7 +184,7 @@ object Components {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nDf = deg.agg(count(lit(1)).as("cnt"))
     var ranks = deg.crossJoin(broadcast(nDf))
@@ -273,7 +275,7 @@ object Components {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     val src0 = sources.select(sources.columns.head).toDF("node")
     var dist = src0.select(col("node"), lit(0L).as("dist"))
     var frontier = dist
@@ -310,7 +312,7 @@ object Components {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val wedges = sym.select(col("src").as("z"), col("dst").as("a"))
       .join(sym.select(col("src").as("z"), col("dst").as("b")), "z")
@@ -342,7 +344,7 @@ object Components {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-    val canon = sym.filter(col("src") < col("dst")).localCheckpoint()
+    val canon = sym.filter(col("src") < col("dst")).transform(graft.Pin.apply)
     val tri = canon.select(col("src").as("a"), col("dst").as("b"))
       .join(canon.select(col("src").as("b"), col("dst").as("c")), "b")
       .join(canon.select(col("src").as("a"), col("dst").as("c")),

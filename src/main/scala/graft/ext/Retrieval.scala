@@ -109,4 +109,89 @@ object Retrieval {
       .select(col("query_id"), col("final_rank"), col("doc_id"),
         col("sparse_rank"), col("dense_rank"), col("rrf"))
   }
+
+  /** Position-discount weights for NDCG@k: w(p) = 1/log2(p+1) FROZEN to
+    * 9-dp decimals driver-side, with exact decimal prefix sums. Both the
+    * operator and its generated oracle SQL embed these literals, so no
+    * engine's libm log — which IEEE 754 does NOT require to be correctly
+    * rounded, unlike /, sqrt — ever runs in the hashed data path.
+    */
+  private[graft] def ndcgWeights(k: Int)
+      : Seq[(Int, java.math.BigDecimal, java.math.BigDecimal)] = {
+    var cum = java.math.BigDecimal.ZERO.setScale(9)
+    (1 to k).map { p =>
+      val w = java.math.BigDecimal.valueOf(
+        Math.round(1e9 / (Math.log(p + 1.0) / Math.log(2.0))), 9)
+      cum = cum.add(w)
+      (p, w, cum)
+    }
+  }
+
+  /** NDCG@k of the sparse retrieval ranking ([[topKByTokenOverlap]])
+    * against metadata-graded relevance — the standard ranking-quality
+    * readout of a retrieval stack. Relevance: same (lang, source) as the
+    * query doc = 2, same lang = 1, else 0; gain = 2^rel − 1.
+    *
+    * The ideal DCG needs no per-query pool scan: rel depends only on
+    * (lang, source), so the pool's relevant-count n2 = |same lang+source|
+    * − 1 and n1 = |same lang| − |same lang+source| come from two
+    * broadcastable metadata aggregates, and IDCG = 2·cumw(a) + cumw(a+b)
+    * (a = min(n2, k) twos, then b = min(n1, k−a) ones) reads the frozen
+    * prefix-sum table. Everything is exact int/decimal; the only fp op is
+    * the final DCG/IDCG division.
+    */
+  def ndcgAtK(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val wts = ndcgWeights(k)
+    val weights = spark.range(1).select(explode(array(wts.map {
+      case (p, w, _) => struct(lit(p.toLong).as("pos"), lit(w).as("w"))
+    }: _*)).as("s")).select(col("s.pos").as("pos"), col("s.w").as("w"))
+    val zero = java.math.BigDecimal.ZERO.setScale(9)
+    val cumw = spark.range(1).select(explode(array(
+      ((0, zero) +: wts.map(t => (t._1, t._3))).map { case (m, c) =>
+        struct(lit(m.toLong).as("m"), lit(c).as("cw"))
+      }: _*)).as("s")).select(col("s.m").as("m"), col("s.cw").as("cw"))
+
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+    val qMeta = meta.select(col("doc_id").as("query_id"),
+      col("lang").as("q_lang"), col("source").as("q_source"))
+    val rel = topKByTokenOverlap(docs, k = k)
+      .join(broadcast(qMeta), "query_id")
+      .join(meta, "doc_id")
+      .withColumn("rel",
+        when(col("lang") === col("q_lang") &&
+          col("source") === col("q_source"), 2L)
+          .when(col("lang") === col("q_lang"), 1L).otherwise(0L))
+      .withColumn("gain", when(col("rel") === 2, 3L)
+        .when(col("rel") === 1, 1L).otherwise(0L))
+    val dcg = rel.join(broadcast(weights), col("rank") === col("pos"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(col("gain") * col("w")).cast("decimal(20,9)").as("dcg"))
+    val byLS = meta.groupBy(col("lang").as("l1"), col("source").as("s1"))
+      .agg(count(lit(1)).as("c_ls"))
+    val byL = meta.groupBy(col("lang").as("l2"))
+      .agg(count(lit(1)).as("c_l"))
+    val pool = qMeta
+      .join(broadcast(byLS),
+        col("q_lang") === col("l1") && col("q_source") === col("s1"))
+      .join(broadcast(byL), col("q_lang") === col("l2"))
+      .select(col("query_id"), (col("c_ls") - 1).as("n2"),
+        (col("c_l") - col("c_ls")).as("n1"))
+      .withColumn("a", least(col("n2"), lit(k.toLong)))
+      .withColumn("b", least(col("n1"), lit(k.toLong) - col("a")))
+    val idcg = pool
+      .join(broadcast(cumw.select(col("m"), col("cw").as("cwa"))),
+        col("a") === col("m")).drop("m")
+      .join(broadcast(cumw.select(col("m"), col("cw").as("cwab"))),
+        col("a") + col("b") === col("m")).drop("m")
+      .select(col("query_id"), col("n2"), col("n1"),
+        (col("cwa") * 2 + col("cwab")).cast("decimal(20,9)").as("idcg"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("n_retrieved"), col("n2"), col("n1"),
+        col("dcg"), col("idcg"),
+        when(col("idcg") > 0,
+          col("dcg").cast("double") / col("idcg").cast("double"))
+          .as("ndcg"))
+  }
 }

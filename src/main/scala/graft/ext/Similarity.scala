@@ -258,19 +258,24 @@ object Similarity {
 
   def mmrSelect(emb: DataFrame, queryId: Long = 0L, k: Int = 5,
                 candN: Int = 40, lambdaTenths: Int = 7): DataFrame = {
-    val lam = lit(lambdaTenths.toDouble / 10)
-    val lamC = lit((10 - lambdaTenths).toDouble / 10)
-    val cands = mmrPool(emb, queryId, candN).localCheckpoint()
+    // λ·rel − (1−λ)·sim is EXACT DECIMAL arithmetic: rel/sim are 6-dp
+    // rounds, so casting them to DECIMAL(9,6) recovers the grid value
+    // identically in both engines, and the two-multiply-minus chain — the
+    // FMA-contractible shape when run on doubles (q77 class) — becomes
+    // association-free fixed-point. Scores order and hash exactly.
+    val lam = lit(java.math.BigDecimal.valueOf(lambdaTenths.toLong, 1))
+    val lamC = lit(java.math.BigDecimal.valueOf(10L - lambdaTenths, 1))
+    val cands = mmrPool(emb, queryId, candN).transform(graft.Pin.apply)
     val sims = cands.as("a")
       .join(cands.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         cos6(col("a.q"), col("b.q"), col("a.n2"), col("b.n2")).as("sim"))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     var selected = cands
       .orderBy(col("rel").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), col("rel"), lit(1L).as("pick_order"),
-        col("rel").as("mmr_score"))
-      .localCheckpoint()
+        col("rel").cast("decimal(13,7)").as("mmr_score"))
+      .transform(graft.Pin.apply)
     for (i <- 2 to k) {
       val pick = cands.as("c")
         .join(broadcast(selected.select(col("vec_id").as("sel_id"))),
@@ -281,11 +286,13 @@ object Similarity {
         .groupBy(col("c.vec_id").as("vec_id"), col("c.rel").as("rel"))
         .agg(max(col("sim")).as("max_sim"))
         .select(col("vec_id"), col("rel"),
-          (lam * col("rel") - lamC * col("max_sim")).as("mmr_score"))
+          (lam * col("rel").cast("decimal(9,6)") -
+            lamC * col("max_sim").cast("decimal(9,6)"))
+            .cast("decimal(13,7)").as("mmr_score"))
         .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("rel"), lit(i.toLong).as("pick_order"),
           col("mmr_score"))
-      selected = selected.union(pick).localCheckpoint()
+      selected = selected.union(pick).transform(graft.Pin.apply)
     }
     selected
   }

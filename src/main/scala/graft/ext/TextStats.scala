@@ -326,7 +326,7 @@ object TextStats {
     // branch from it — unpinned, each branch replays the corpus scan
     val spaced = words.withColumn(
       "sp", trim(regexp_replace(col("w"), "(.)", "$1 ")))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     def pairCounts(df: DataFrame, symCol: String): DataFrame = df
       .select(col("wcnt"), split(col(symCol), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -340,7 +340,7 @@ object TextStats {
       .orderBy(col("total").desc, col("pa"), col("pb"))
       .limit(1)
       .select(col("pa").as("best_a"), col("pb").as("best_b"))
-      .localCheckpoint() // 1 row, read by the rewrite AND the output
+      .transform(graft.Pin.apply) // 1 row, read by the rewrite AND the output
     val merged = spaced.crossJoin(broadcast(best))
       .withColumn("sp2", expr(
         "replace(sp, concat(best_a, ' ', best_b), concat(best_a, best_b))"))
@@ -380,7 +380,7 @@ object TextStats {
     // from it, and without the pin round i replays the corpus scan i times
     var cur = words.select(col("wcnt"),
       regexp_replace(col("w"), "(.)", "|$1|").as("piped"))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     val steps = (1 to nMerges).map { step =>
       val pc = cur
         .select(col("wcnt"),
@@ -394,7 +394,7 @@ object TextStats {
         .agg(sum(col("wcnt")).as("total"))
       val best = pc.orderBy(col("total").desc, col("pa"), col("pb")).limit(1)
         .select(col("pa").as("best_a"), col("pb").as("best_b"), col("total"))
-        .localCheckpoint()
+        .transform(graft.Pin.apply)
       cur = cur.crossJoin(broadcast(best.drop("total")))
         .withColumn("piped", expr(
           """replace(piped, concat('|', best_a, '||', best_b, '|'),

@@ -47,10 +47,22 @@ object CsvIO {
   /** The rejected rows, raw text preserved for replay/debugging — the
     * quarantine side of [[valid]] (separate scan branch; both ride one
     * cached read in a caller that needs the two together).
+    *
+    * Self-defending: since Spark 2.3 a query whose only referenced column
+    * on a FRESH CSV scan is the internal corrupt-record column throws
+    * AnalysisException (SPARK-21610) — from-cache scans are exempt, so an
+    * uncached input is cached here (a no-op for callers already on the
+    * documented cache-then-split pattern; the cache is the two-branch
+    * read's working set either way).
     */
-  def quarantine(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt_record").isNotNull)
+  def quarantine(raw: DataFrame): DataFrame = {
+    val src =
+      if (raw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        raw.cache()
+      else raw
+    src.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
+  }
 
   /** Write a DataFrame as headered CSV (round-trip partner of [[read]]). */
   def write(df: DataFrame, path: String, sep: String = ","): Unit =

@@ -422,14 +422,14 @@ object Relational {
     val med = Percentiles
       .sortPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
       .select(col("l_returnflag"), col("value").as("med"))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     val dev = li.join(broadcast(med), "l_returnflag")
       .select(col("l_returnflag"), col("med"),
         abs(col("l_extendedprice") - col("med")).as("d"))
     val mad = Percentiles
       .sortPercentiles(dev, "l_returnflag", "d", Seq(0.5))
       .select(col("l_returnflag"), col("value").as("mad"))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     dev.join(broadcast(mad), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(max(col("med")).as("med"),
@@ -942,7 +942,7 @@ object Relational {
     // re-derive from the checkpointed per-basket arrays
     val arrs = baskets.groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     val itemCounts = arrs.select(explode(col("items")).as("item"))
       .groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
@@ -1096,7 +1096,7 @@ object Relational {
     val spans = purchases.groupBy(col("cust"), col("brand"))
       .agg(min(col("odate")).as("first_date"),
         max(col("odate")).as("last_date"))
-      .localCheckpoint()
+      .transform(graft.Pin.apply)
     val pairs = spans.as("x")
       .join(spans.as("y"), col("x.cust") === col("y.cust")
         && col("x.brand") =!= col("y.brand")

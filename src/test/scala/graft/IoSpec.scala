@@ -37,6 +37,12 @@ class IoSpec extends SparkSuite {
     assert(CsvIO.valid(back).as[(Long, String, Double)].collect().sorted
       === rows.toSeq.sorted)
     raw.unpersist()
+    // quarantine on a FRESH (uncached) read must not hit SPARK-21610 —
+    // the corrupt-only-column AnalysisException on raw CSV scans
+    val fresh = CsvIO.read(spark, d.toString, schema)
+    assert(CsvIO.quarantine(fresh).as[String].collect().toSeq
+      === Seq("2,beta,oops"))
+    fresh.unpersist()
   }
 
   test("annotation JSON scan: corrupt docs and missing file_name skipped (S1/F1)") {

@@ -108,7 +108,9 @@ DOUBLE_CLASSES = {
     "q138_higher_moments": {"mean": "div1", "variance": "div1",
                             "skewness": "chain", "kurtosis_excess": "chain"},
     "q139_conversion_latency": {"p": "stored", "value": "qcont"},
-    "q142_mmr_rerank": {"rel": "chain", "mmr_score": "chain"},
+    # mmr_score became exact DECIMAL(13,7) in round 6 (λ·rel − (1−λ)·sim
+    # was the one genuine multiply-into-subtract left on doubles)
+    "q142_mmr_rerank": {"rel": "chain"},
     "q143_dow_baseline": {"ratio_to_dow_mean": "div1"},
     "q144_ship_latency": {"p": "stored", "value": "qcont"},
     "q145_rolling_corr": {"rolling_corr": "chain"},
