@@ -500,6 +500,18 @@ object SparkEntry {
     // relevance, discounts frozen to 9-dp decimal literals (no libm log)
     "q152_ndcg" -> ((s: SparkSession, d: String) =>
       ext.Retrieval.ndcgAtK(Tables.documents(s, d))),
+    // template/boilerplate families by shared leading-token prefix: one
+    // map-side-combined hash agg, multi-source families = scraper chrome
+    "q153_boilerplate" -> ((s: SparkSession, d: String) =>
+      ext.Curation.boilerplatePrefixes(Tables.documents(s, d))),
+    // mergeable KMV bottom-k sketches → union/intersection estimates per
+    // event-type pair, exact pair counts alongside
+    "q154_kmv_set_algebra" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.kmvSetAlgebra(Tables.events(s, d))),
+    // train/val/test n-gram leakage matrix: split vocabularies self-joined
+    // on shingle, containment of the smaller side
+    "q155_split_leakage" -> ((s: SparkSession, d: String) =>
+      ext.Curation.splitLeakage(Tables.documents(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3599,6 +3611,100 @@ object SparkEntry {
         |FROM m""".stripMargin,
 
     "q152_ndcg" -> ndcgOracle(10),
+
+    "q153_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:3],
+        |                    ' ') AS prefix
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT prefix, count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  min(doc_id) AS first_doc
+        |FROM t GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // same spread() affine hash as q44/q72; bottom-k windows run on the
+    // 8k·M/n pre-filter (Chernoff-safe), estimates are single integer-
+    // ratio divisions
+    "q154_kmv_set_algebra" ->
+      """WITH hashes AS (
+        |  SELECT DISTINCT event_type,
+        |    (user_id * 2654435761 + 1013904223) % 2147483648 AS h
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, count(*) AS n_distinct FROM hashes GROUP BY 1),
+        |bk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT hs.event_type, hs.h,
+        |      row_number() OVER (PARTITION BY hs.event_type
+        |                         ORDER BY hs.h) AS rk
+        |    FROM hashes hs JOIN counts c USING (event_type)
+        |    WHERE hs.h * c.n_distinct <= 512 * 2147483648) r
+        |  WHERE rk <= 64),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, a.n_distinct AS n_a,
+        |         b.event_type AS tb, b.n_distinct AS n_b
+        |  FROM counts a JOIN counts b ON a.event_type < b.event_type),
+        |contrib AS (
+        |  SELECT p.ta, p.tb, p.n_a, p.n_b, k.h,
+        |    max(CASE WHEN k.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN k.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p
+        |  JOIN bk k ON k.event_type = p.ta OR k.event_type = p.tb
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |merged AS (
+        |  SELECT ta, tb, n_a, n_b, count(*) AS k_used, max(h) AS kth,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS shared_k
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY ta, tb
+        |                                     ORDER BY h) AS rk
+        |        FROM contrib) x
+        |  WHERE rk <= 64 GROUP BY 1, 2, 3, 4),
+        |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |ei AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    count(*) AS exact_inter
+        |  FROM tu x JOIN tu y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT m.ta, m.tb, m.n_a, m.n_b,
+        |  m.n_a + m.n_b - coalesce(e.exact_inter, 0) AS exact_union,
+        |  coalesce(e.exact_inter, 0) AS exact_inter,
+        |  m.k_used, m.kth, m.shared_k,
+        |  CAST(63 * 2147483648 AS DOUBLE) / m.kth AS union_est,
+        |  CAST(m.shared_k * 63 * 2147483648 AS DOUBLE)
+        |    / CAST(64 * m.kth AS DOUBLE) AS inter_est
+        |FROM merged m LEFT JOIN ei e ON e.ta = m.ta AND e.tb = m.tb""".stripMargin,
+
+    // q90's knuthMod split + q78's 3-byte shingle codes, self-joined at
+    // the split level only (the corpus never joins itself)
+    "q155_split_leakage" ->
+      """WITH sh0 AS (
+        |  SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, length(text) - 2),
+        |      i -> ascii(substr(text, i, 1)) * 65536
+        |         + ascii(substr(text, i + 1, 1)) * 256
+        |         + ascii(substr(text, i + 2, 1))))) AS shingle
+        |  FROM documents WHERE length(text) >= 3),
+        |sh AS (SELECT DISTINCT split, CAST(shingle AS BIGINT) AS shingle
+        |       FROM sh0),
+        |vocab AS (SELECT split, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |shared AS (
+        |  SELECT a.split AS split_a, b.split AS split_b,
+        |    count(*) AS n_shared
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.split < b.split
+        |  GROUP BY 1, 2)
+        |SELECT s.split_a, s.split_b, va.n_shingles AS v_a,
+        |  vb.n_shingles AS v_b, s.n_shared,
+        |  CAST(s.n_shared AS DOUBLE)
+        |    / CAST(least(va.n_shingles, vb.n_shingles) AS DOUBLE)
+        |    AS containment
+        |FROM shared s
+        |JOIN vocab va ON va.split = s.split_a
+        |JOIN vocab vb ON vb.split = s.split_b""".stripMargin,
 
     // blocking replayed verbatim; DuckDB's levenshtein is the same
     // unit-cost DP as Spark's (exact integer), threshold arg is a pure

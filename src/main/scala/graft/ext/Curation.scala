@@ -674,4 +674,68 @@ object Curation {
         ((dev * dev).cast("double") /
           (col("n") * col("ra") * col("cb")).cast("double")).as("chi2_cell"))
   }
+
+  /** Boilerplate/template detection by shared leading-token prefix — the
+    * C4-style curation pass that finds header templates, scraped
+    * navigation chrome, and licence preambles: any prefix opening ≥
+    * `minDocs` documents is a template family, and a family spanning
+    * multiple sources is scraper chrome rather than an organic duplicate.
+    *
+    * Scale shape: a per-row prefix projection into ONE map-side-combined
+    * hash aggregation (prefix cardinality ≤ corpus); no joins, no
+    * windows. The prefix is exact token text — dedup families surface
+    * here too, which is the point: the downstream decision (strip prefix
+    * vs drop doc) differs by n_sources.
+    *
+    * @return (prefix, n_docs, n_sources, first_doc), n_docs ≥ minDocs
+    */
+  def boilerplatePrefixes(docs: DataFrame, nTokens: Int = 3,
+                          minDocs: Long = 2): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(TextStats.tokens(col("text")), 1, nTokens))
+          .as("prefix"))
+      .filter(length(col("prefix")) > 0)
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Cross-split contamination matrix: distinct n-gram (shingle) overlap
+    * between every ordered pair of the seeded hash splits — the
+    * train/val/test LEAKAGE detector run before any training job (a val
+    * set sharing its n-grams with train measures memorization, not
+    * generalization). Composes the engine's own split (G16 contract,
+    * q90's `pmod(xxhash64…)`-free deterministic hash) with the
+    * contamination shingle machinery.
+    *
+    * Scale shape: one explode to distinct (split, shingle) — shuffle
+    * bounded by vocabulary, map-side combined — then a 3×3 self-join of
+    * per-split vocabularies on shingle (the corpus never joins itself).
+    * Output is the split-pair lattice: overlap counts + containment of
+    * the SMALLER side (single integer division), the leakage readout.
+    */
+  def splitLeakage(docs: DataFrame, n: Int = 3): DataFrame = {
+    val h = graft.functions.Hashing.knuthMod(col("doc_id"), 100L)
+    val split = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val sh = docs.select(split.as("split"),
+        explode(Dedup.shingleCodes(col("text"), n)).as("shingle"))
+      .distinct()
+    val vocab = sh.groupBy(col("split")).agg(count(lit(1)).as("n_shingles"))
+    val joined = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    joined
+      .join(broadcast(vocab.select(col("split").as("split_a"),
+        col("n_shingles").as("v_a"))), "split_a")
+      .join(broadcast(vocab.select(col("split").as("split_b"),
+        col("n_shingles").as("v_b"))), "split_b")
+      .select(col("split_a"), col("split_b"), col("v_a"), col("v_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("v_a"), col("v_b")).cast("double"))
+          .as("containment"))
+  }
 }

@@ -314,4 +314,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"),
       s"pool pick must not be a global window/sort:\n$p")
   }
+
+  test("q151 blocking join is an equi-join on (len-bucket, prefix), never a product") {
+    val p = plan(ext.Dedup.editNearDups(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-dedup candidates must come from the equi-join block keys:\n$p")
+  }
+
+  test("q153 boilerplate is one aggregation pipeline: no joins, map-side partials") {
+    val p = plan(ext.Curation.boilerplatePrefixes(Tables.documents(spark, sf)))
+    assert(!p.toLowerCase.contains("join"), s"no join belongs here:\n$p")
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).length >= 2,
+      s"prefix agg should have a partial phase:\n$p")
+  }
 }

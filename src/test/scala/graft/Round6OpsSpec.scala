@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 operator wave: edit-distance near-dup (q151), NDCG@k (q152),
+  * boilerplate prefixes (q153), KMV set algebra (q154), split leakage
+  * (q155).
+  */
+class Round6OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("editNearDups: near pair found, far pair dropped, cross-bucket pair survives") {
+    val base = "the quick brown fox jumps over the lazy dog " * 3 // 132 chars
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(4) + "cat "),           // few edits from 1
+      (3L, "the quick " + ("x " * 80)),           // same prefix, far away
+      (4L, base + "tail of twenty chars"),        // +20 chars: next len bucket
+      (5L, "completely different opening text here")).toDF("doc_id", "text")
+    val r = ext.Dedup.editNearDups(docs, maxDist = 25, prefixChars = 6,
+        lenBucket = 64)
+      .as[(Long, Long, Int)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(r.contains((1L, 2L)) && r((1L, 2L)) <= 4, r.toString)
+    // the cross-bucket pair (1,4): length differs by 20 → adjacent bucket
+    assert(r.contains((1L, 4L)) && r((1L, 4L)) === 20, r.toString)
+    assert(!r.keySet.exists(p => p._1 == 3L || p._2 == 3L), r.toString)
+  }
+
+  test("ndcgAtK: all-relevant retrieval scores exactly 1; weight table is frozen decimals") {
+    // doc 3 is the query (3 % 97 == 3); all docs share lang+source → every
+    // retrieved doc has rel 2, so DCG = IDCG exactly (decimal arithmetic)
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon", "en", "srcA"),
+      (10L, "alpha beta zeta", "en", "srcA"),
+      (11L, "gamma delta eta", "en", "srcA"),
+      (12L, "epsilon alpha theta", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = ext.Retrieval.ndcgAtK(docs, k = 10)
+      .as[(Long, Long, Long, Long, BigDecimal, BigDecimal, Double)]
+      .collect()
+    assert(r.length === 1 && r.head._1 === 3L)
+    val (_, nRet, n2, _, dcg, idcg, ndcg) = r.head
+    assert(n2 === 3L && nRet === 3L)
+    assert(dcg === idcg && ndcg === 1.0, r.head.toString)
+    // the discount table really is the frozen 9-dp literal set
+    val w = ext.Retrieval.ndcgWeights(3)
+    assert(w.head._2 === java.math.BigDecimal.valueOf(1000000000L, 9))
+    assert(w(1)._2 === java.math.BigDecimal.valueOf(630929754L, 9)) // 1/log2(3)
+  }
+
+  test("ndcgAtK: a low-relevance doc outranked by relevant ones still caps ndcg below 1") {
+    // doc 3 queries; doc 20 (bigger overlap, wrong lang → rel 0) outranks
+    // doc 21 (smaller overlap, rel 2) → 0 < ndcg < 1. Tokens are chosen so
+    // nothing hits the 79% df cap (no term is in all three docs).
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon", "en", "srcA"),
+      (20L, "beta gamma delta zeta omega", "fr", "srcB"),
+      (21L, "epsilon alpha theta iota", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = ext.Retrieval.ndcgAtK(docs, k = 10)
+      .as[(Long, Long, Long, Long, BigDecimal, BigDecimal, Double)]
+      .collect()
+    assert(r.length === 1)
+    assert(r.head._7 > 0.0 && r.head._7 < 1.0, r.head.toString)
+  }
+
+  test("boilerplatePrefixes: families need minDocs; multi-source chrome is visible") {
+    val docs = Seq(
+      (1L, "terms of service apply here", "srcA"),
+      (2L, "terms of service for this site", "srcB"),
+      (3L, "terms of service again", "srcA"),
+      (4L, "unique document body", "srcA"),
+      (5L, "", "srcB")).toDF("doc_id", "text", "source")
+    val r = ext.Curation.boilerplatePrefixes(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(("terms of service", 3L, 2L, 1L)))
+  }
+
+  test("kmvSetAlgebra: exact fields, disjoint pair has zero shared, identical pair estimates agree") {
+    val evts = (
+      (1 to 40).map(u => (u.toLong, "a")) ++          // a: users 1..40
+      (1 to 40).map(u => (u.toLong, "b")) ++          // b: identical to a
+      (101 to 140).map(u => (u.toLong, "c"))          // c: disjoint
+    ).zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, 1000L * i, u, t, 0.0) }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = ext.Sketches.kmvSetAlgebra(evts, k = 16)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val ab = r(("a", "b"))
+    assert(ab.getLong(2) === 40L && ab.getLong(3) === 40L) // n_a, n_b
+    assert(ab.getLong(4) === 40L && ab.getLong(5) === 40L) // exact u, i
+    // identical sets: every merged-sketch hash is in both → shared = k
+    assert(ab.getLong(6) === 16L && ab.getLong(8) === 16L) // k_used, shared
+    assert(ab.getDouble(9) === ab.getDouble(10) * 16 / 16) // union = inter
+    val ac = r(("a", "c"))
+    assert(ac.getLong(5) === 0L && ac.getLong(8) === 0L)
+    assert(ac.getDouble(10) === 0.0) // inter_est exactly 0
+  }
+
+  test("splitLeakage: shared shingles counted per split pair, containment exact") {
+    // choose doc ids landing in different splits under knuthMod(id, 100)
+    def splitOf(id: Long): String = {
+      val h = java.lang.Math.floorMod(id * 2654435761L, 100L)
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    val ids = (1L to 200L)
+    val train = ids.find(splitOf(_) == "train").get
+    val vl = ids.find(splitOf(_) == "val").get
+    val docs = Seq(
+      (train, "abcdef"), // shingles: abc bcd cde def
+      (vl, "abcxyz"))    // shingles: abc bcx cxy xyz → shares only "abc"
+      .toDF("doc_id", "text")
+    val r = ext.Curation.splitLeakage(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(r.toSeq === Seq(("train", "val", 4L, 4L, 1L, 0.25)))
+  }
+}

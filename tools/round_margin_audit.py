@@ -111,6 +111,9 @@ DOUBLE_CLASSES = {
     # mmr_score became exact DECIMAL(13,7) in round 6 (λ·rel − (1−λ)·sim
     # was the one genuine multiply-into-subtract left on doubles)
     "q142_mmr_rerank": {"rel": "chain"},
+    "q152_ndcg": {"ndcg": "div1"},  # dcg/idcg are exact decimals
+    "q154_kmv_set_algebra": {"union_est": "div1", "inter_est": "div1"},
+    "q155_split_leakage": {"containment": "div1"},
     "q143_dow_baseline": {"ratio_to_dow_mean": "div1"},
     "q144_ship_latency": {"p": "stored", "value": "qcont"},
     "q145_rolling_corr": {"rolling_corr": "chain"},
