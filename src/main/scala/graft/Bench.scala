@@ -33,6 +33,13 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
 
     /** Warm up and time the full suite at one scale factor. */
+    // optional comma-separated subset for targeted local timing
+    // (driver leaves it unset → full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+
     def suite(dir: String): Seq[(String, Double)] = {
       // warmup: cache every input table in memory (columnar, pruned per
       // query via CacheManager's canonicalized-plan matching — any query
@@ -53,7 +60,7 @@ object Bench {
       // reads steady-state operator compute, which is the number that
       // projects to a long-running cluster where plans are compiled once
       // and run for hours.
-      for (w <- SparkEntry.queries.keys.toSeq.sorted)
+      for (w <- names)
         try run(w, dir) catch {
           // logged, not rethrown: a deterministically-failing query still
           // gets its timed runs below (which report -1), but the warm-up
@@ -61,7 +68,7 @@ object Bench {
           case e: Throwable => System.err.println(
             s"[bench] warmup $w failed: ${e.getClass.getName}: ${e.getMessage}")
         }
-      val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val results = names.map { name =>
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try { run(name, dir); Some((System.nanoTime() - t0) / 1e9) } catch {

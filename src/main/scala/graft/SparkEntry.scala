@@ -512,6 +512,13 @@ object SparkEntry {
     // on shingle, containment of the smaller side
     "q155_split_leakage" -> ((s: SparkSession, d: String) =>
       ext.Curation.splitLeakage(Tables.documents(s, d))),
+    // CUPED variance-reduced A/B readout: pooled θ from exact integer
+    // moments, adjusted mean as ONE division of exact integers
+    "q156_cuped" -> ((s: SparkSession, d: String) =>
+      Sessions.cupedReadout(Tables.events(s, d))),
+    // first-relevant-rank reciprocal per query (MRR inputs)
+    "q157_mrr" -> ((s: SparkSession, d: String) =>
+      ext.Retrieval.mrrAtK(Tables.documents(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -694,18 +701,11 @@ object SparkEntry {
     * 6 dp rounds of exact quantized moments on both sides, so every
     * argmax compares identical doubles.
     */
-  /** q152 oracle: the q104 retrieval replay at k, then NDCG from the SAME
-    * frozen 9-dp weight literals the operator embeds
-    * ([[graft.ext.Retrieval.ndcgWeights]]) — no libm log in either engine.
+  /** Shared q104-style retrieval replay: CTEs through `ranked` (top-k per
+    * query by token Jaccard) — the common prefix of the q152/q157 oracles.
     */
-  private def ndcgOracle(k: Int): String = {
-    val wts = graft.ext.Retrieval.ndcgWeights(k)
-    val wvals = wts.map { case (p, w, _) =>
-      s"($p, CAST($w AS DECIMAL(10,9)))" }.mkString(", ")
-    val cvals = (("(0, CAST(0.000000000 AS DECIMAL(20,9)))") +:
-      wts.map { case (p, _, c) => s"($p, CAST($c AS DECIMAL(20,9)))" })
-      .mkString(", ")
-    s"""WITH base AS (
+  private def retrievalRankedCtes(k: Int): String =
+    s"""base AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents WHERE length(trim(text)) > 0),
        |dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM base),
@@ -739,7 +739,20 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY score DESC, doc_id) AS "rank",
        |    doc_id
-       |  FROM scored QUALIFY "rank" <= $k),
+       |  FROM scored QUALIFY "rank" <= $k)""".stripMargin
+
+  /** q152 oracle: the q104 retrieval replay at k, then NDCG from the SAME
+    * frozen 9-dp weight literals the operator embeds
+    * ([[graft.ext.Retrieval.ndcgWeights]]) — no libm log in either engine.
+    */
+  private def ndcgOracle(k: Int): String = {
+    val wts = graft.ext.Retrieval.ndcgWeights(k)
+    val wvals = wts.map { case (p, w, _) =>
+      s"($p, CAST($w AS DECIMAL(10,9)))" }.mkString(", ")
+    val cvals = (("(0, CAST(0.000000000 AS DECIMAL(20,9)))") +:
+      wts.map { case (p, _, c) => s"($p, CAST($c AS DECIMAL(20,9)))" })
+      .mkString(", ")
+    s"""WITH ${retrievalRankedCtes(k)},
        |wts(pos, w) AS (VALUES $wvals),
        |cumw(m, cw) AS (VALUES $cvals),
        |meta AS (SELECT doc_id, lang, source FROM documents),
@@ -777,6 +790,24 @@ object SparkEntry {
        |    AS ndcg
        |FROM dcg d JOIN idcg i USING (query_id)""".stripMargin
   }
+
+  /** q157 oracle: retrieval replay + first-relevant-rank reciprocal,
+    * anchored on the query set (empty-top-k queries emit rr = 0).
+    */
+  private def mrrOracle(k: Int): String =
+    s"""WITH ${retrievalRankedCtes(k)},
+       |meta AS (SELECT doc_id, lang FROM documents),
+       |g AS (
+       |  SELECT r.query_id,
+       |    min(CASE WHEN m.lang = qm.lang THEN r."rank" END)
+       |      AS first_rel_rank
+       |  FROM ranked r
+       |  JOIN meta m ON m.doc_id = r.doc_id
+       |  JOIN meta qm ON qm.doc_id = r.query_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, g.first_rel_rank,
+       |  coalesce(CAST(1 AS DOUBLE) / g.first_rel_rank, 0.0) AS rr
+       |FROM queries q LEFT JOIN g USING (query_id)""".stripMargin
 
   private def mmrOracle(k: Int, candN: Int): String = {
     val base =
@@ -3611,6 +3642,49 @@ object SparkEntry {
         |FROM m""".stripMargin,
 
     "q152_ndcg" -> ndcgOracle(10),
+    "q157_mrr" -> mrrOracle(10),
+
+    // CUPED: sufficient statistics and centered numerators all HUGEINT
+    // (the q74 discipline); the adjusted mean's closed form
+    // (sy_v·varN·N − covN·(sx_v·N − SX·n_v)) / (n_v·varN·N) is one
+    // division of exact integers — no θ·mean chain on doubles
+    "q156_cuped" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |span AS (
+        |  SELECT min(day) + (max(day) - min(day) + 1) // 2 AS cut FROM p),
+        |uxy AS (
+        |  SELECT user_id,
+        |    CAST(CAST(round(sum(CASE WHEN day < cut THEN value ELSE 0 END),
+        |         2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(round(sum(CASE WHEN day >= cut THEN value ELSE 0 END),
+        |         2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM p CROSS JOIN span GROUP BY 1),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS nn,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM uxy),
+        |m AS (
+        |  SELECT nn, sx, nn * sxy - sx * sy AS covn,
+        |    nn * sxx - sx * sx AS varn
+        |  FROM pooled),
+        |v AS (
+        |  SELECT user_id % 2 AS variant, count(*) AS n_v,
+        |    CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v
+        |  FROM uxy GROUP BY 1)
+        |SELECT v.variant, v.n_v, v.sx_v, v.sy_v,
+        |  CAST(v.sy_v AS DOUBLE) / CAST(v.n_v AS DOUBLE) AS mean_post,
+        |  CASE WHEN m.varn > 0
+        |       THEN CAST(m.covn AS DOUBLE) / CAST(m.varn AS DOUBLE) END
+        |    AS theta,
+        |  CASE WHEN m.varn > 0 THEN
+        |    CAST(v.sy_v * m.varn * m.nn
+        |         - m.covn * (v.sx_v * m.nn - m.sx * v.n_v) AS DOUBLE)
+        |      / CAST(v.n_v * m.varn * m.nn AS DOUBLE) END AS mean_adj
+        |FROM v CROSS JOIN m""".stripMargin,
 
     "q153_boilerplate" ->
       """WITH t AS (

@@ -718,9 +718,13 @@ object Curation {
   def splitLeakage(docs: DataFrame, n: Int = 3): DataFrame = {
     val h = graft.functions.Hashing.knuthMod(col("doc_id"), 100L)
     val split = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    // the distinct (split, shingle) vocabulary is referenced THREE times
+    // (per-split sizes + both join sides) — pinned, so the corpus-scale
+    // shingle explode runs once, not three times
     val sh = docs.select(split.as("split"),
         explode(Dedup.shingleCodes(col("text"), n)).as("shingle"))
       .distinct()
+      .transform(graft.Pin.apply)
     val vocab = sh.groupBy(col("split")).agg(count(lit(1)).as("n_shingles"))
     val joined = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&

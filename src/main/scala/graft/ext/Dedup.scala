@@ -36,16 +36,13 @@ object Dedup {
     * code(i) = ascii(c_i)·65536 + ascii(c_{i+1})·256 + ascii(c_{i+2}).
     * Distinct per document.
     */
-  def shingleCodes(text: Column, n: Int = 3): Column = {
-    val codes = transform(sequence(lit(1), length(text) - (n - 1)), i =>
-      (0 until n).map(k => ascii(text.substr(i + k, lit(1))).cast("long") *
-        lit(math.pow(256, n - 1 - k).toLong)).reduce(_ + _))
-    // guard: sequence(1, x) DESCENDS for x < 1 (Spark quirk) — a doc shorter
-    // than n chars must yield zero shingles, as the oracle's generate_series
-    // does, not phantom codes from a [1, 0, -1] index walk
-    when(length(text) < n, array().cast("array<long>"))
-      .otherwise(array_distinct(codes))
-  }
+  def shingleCodes(text: Column, n: Int = 3): Column =
+    // codegen'd kernel ([[graft.functions.ShingleCodes]]) — bit-identical
+    // (values + first-occurrence order) to the previous HOF formulation
+    // `array_distinct(transform(sequence(1, len−n+1), i → Σ ascii·256^k))`
+    // incl. the len < n empty-array guard, but one primitive loop per row
+    // instead of a per-character interpreter round-trip
+    graft.functions.ShingleCodes.shingleCodesCol(text, n)
 
   /** Document → exploded distinct shingle rows (doc_id, shingle). */
   def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
@@ -300,8 +297,13 @@ object Dedup {
     val keyed = docs.select(col("doc_id"), col("text"),
       (length(col("text")) / lenBucket).cast("long").as("lb"),
       substring(col("text"), 1, prefixChars).as("pfx"))
+    // the scorer runs where the streamed side's partitions are: a
+    // single-file corpus would put every levenshtein on one core (the
+    // cosineTopK lesson) — spread the probe side explicitly
     val probes = keyed.select(col("doc_id"), col("text"), col("pfx"),
       explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("lb"), col("pfx"))
     probes.as("a").join(keyed.as("b"),
         col("a.lb") === col("b.lb") && col("a.pfx") === col("b.pfx") &&
           col("a.doc_id") < col("b.doc_id"))

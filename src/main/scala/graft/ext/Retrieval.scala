@@ -127,6 +127,34 @@ object Retrieval {
     }
   }
 
+  /** Mean-reciprocal-rank inputs per query: the first rank whose doc is
+    * relevant (same lang as the query doc), and rr = 1/rank — the other
+    * standard retrieval-eval readout next to [[ndcgAtK]]. Queries whose
+    * top-k has no relevant doc emit a NULL rank and rr = 0 (the MRR
+    * convention). rr is one division of exact integers.
+    */
+  def mrrAtK(docs: DataFrame, k: Int = 10): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("lang"))
+    val qMeta = meta.select(col("doc_id").as("query_id"),
+      col("lang").as("q_lang"))
+    val firstRel = topKByTokenOverlap(docs, k = k)
+      .join(broadcast(qMeta), "query_id")
+      .join(meta, "doc_id")
+      .groupBy(col("query_id"))
+      .agg(min(when(col("lang") === col("q_lang"), col("rank")))
+        .as("first_rel_rank"))
+    // anchor on the QUERY SET (same selector as topKByTokenOverlap), so a
+    // query whose entire top-k is empty still emits rr = 0 — dropping it
+    // would silently inflate the mean of the reciprocal ranks
+    docs.filter(col("doc_id") % 97 === 3 &&
+        length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("query_id"))
+      .join(firstRel, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0))
+          .as("rr"))
+  }
+
   /** NDCG@k of the sparse retrieval ranking ([[topKByTokenOverlap]])
     * against metadata-graded relevance — the standard ranking-quality
     * readout of a retrieval stack. Relevance: same (lang, source) as the

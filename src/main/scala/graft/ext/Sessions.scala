@@ -829,6 +829,74 @@ object Sessions {
             col("var0") / col("n0").cast("double")))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al.'s controlled-pre-
+    * experiment adjustment, the experimentation-platform standard): per
+    * user, pre-period revenue x (days before the midpoint cut) and
+    * post-period revenue y; θ = cov(x,y)/var(x) pooled over users;
+    * per variant, mean_adj = mean(y) − θ·(mean(x) − mean_all(x)).
+    *
+    * Exactness discipline (the q74/q77 law): every sufficient statistic
+    * and every CENTERED numerator stays exact integer/decimal — covN =
+    * N·Σxy − Σx·Σy, varN = N·Σx² − (Σx)², and the adjusted mean is ONE
+    * division of exact integers via
+    *   mean_adj = (sy_v·varN·N − covN·(sx_v·N − SX·n_v)) / (n_v·varN·N),
+    * so no multiply-into-add ever runs on doubles. Magnitude envelope:
+    * the numerator crosses 38 digits around 10³× the sf0.1 corpus —
+    * past that, scale cents to dollars first.
+    *
+    * Scale shape: one (user, period) aggregation over the scan, one
+    * user-level aggregation to pooled moments (1-row broadcast) + variant
+    * moments (2 rows). Everything after the two hash aggs is row-lattice
+    * arithmetic.
+    */
+  def cupedReadout(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val p = withTsUs(events)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+    val span = p.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select((col("lo") + ((col("hi") - col("lo") + 1) / 2)
+        .cast("long")).as("cut"))
+    val userXY = p.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(
+        (round(sum(when(col("day") < col("cut"), col("value"))
+          .otherwise(0.0)), 2).cast("decimal(18,2)") * 100)
+          .cast("long").as("x"),
+        (round(sum(when(col("day") >= col("cut"), col("value"))
+          .otherwise(0.0)), 2).cast("decimal(18,2)") * 100)
+          .cast("long").as("y"))
+    val pooled = userXY.agg(
+      count(lit(1)).cast("decimal(20,0)").as("nn"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    val moments = pooled.select(col("nn"), col("sx"),
+      (col("nn") * col("sxy") - col("sx") * col("sy"))
+        .cast("decimal(38,0)").as("covn"),
+      (col("nn") * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,0)").as("varn"))
+    val variants = userXY
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_v"),
+        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+    variants.crossJoin(broadcast(moments))
+      .select(col("variant"), col("n_v"), col("sx_v"), col("sy_v"),
+        (col("sy_v").cast("double") / col("n_v").cast("double"))
+          .as("mean_post"),
+        when(col("varn") > 0,
+          col("covn").cast("double") / col("varn").cast("double"))
+          .as("theta"),
+        when(col("varn") > 0,
+          (col("sy_v") * col("varn") * col("nn") -
+            col("covn") * (col("sx_v") * col("nn") - col("sx") * col("n_v")))
+            .cast("decimal(38,0)").cast("double") /
+            (col("n_v") * col("varn") * col("nn")).cast("decimal(38,0)")
+              .cast("double"))
+          .as("mean_adj"))
+  }
+
   /** Saturating running balance: per user, `bal_d = max(0, bal_{d-1} +
     * net_d)` over the ordered daily net flow (purchase credits minus
     * 'error' chargebacks) — the inventory/credit/token-bucket recurrence.

@@ -98,6 +98,51 @@ class Round6OpsSpec extends SparkSuite {
     assert(ac.getDouble(10) === 0.0) // inter_est exactly 0
   }
 
+  test("cupedReadout: zero pre-post covariance keeps means; perfect correlation removes pre-imbalance") {
+    val Day = 86400L * 1000000
+    // span days 0..3 → cut = 2. x = pre cents, y = post cents per user.
+    // Users 1..4: (x, y) = (100, 300), (200, 400), (100, 300), (200, 400):
+    // y = x + 200 exactly → θ = 1, and mean_adj removes ALL pre-period
+    // imbalance: both variants' mean_adj = mean_all(x) + 20000 cents = 350.
+    val rows = Seq(
+      (1L, 0L, 1.0), (1L, 2L, 3.0),
+      (2L, 0L, 2.0), (2L, 2L, 4.0),
+      (3L, 1L, 1.0), (3L, 3L, 3.0),
+      (4L, 1L, 2.0), (4L, 3L, 4.0))
+    val events = rows.zipWithIndex.map { case ((u, d, v), i) =>
+      (i.toLong, u, d * Day, "purchase", v) }
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val r = ext.Sessions.cupedReadout(events)
+      .as[(Long, Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    // variant 0 = users 2,4 (x̄=200); variant 1 = users 1,3 (x̄=100)
+    assert(r(0L)._5 === 4.0 * 100)               // mean_post variant 0
+    assert(r(1L)._5 === 3.0 * 100)
+    assert(r(0L)._6 === Some(1.0))               // θ = cov/var = 1
+    assert(r(0L)._7 === Some(350.0) && r(1L)._7 === Some(350.0),
+      s"CUPED must equalize the pre-balanced metric: $r")
+  }
+
+  test("mrrAtK: first relevant rank reciprocal; no-relevant query emits rr 0") {
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon", "en", "srcA"),
+      (20L, "beta gamma delta zeta omega", "fr", "srcB"),   // rank 1, rel 0
+      (21L, "epsilon alpha theta iota", "en", "srcA"))      // rank 2, rel 1
+      .toDF("doc_id", "text", "lang", "source")
+    val r = ext.Retrieval.mrrAtK(docs).as[(Long, Option[Long], Double)]
+      .collect()
+    assert(r.toSeq === Seq((3L, Some(2L), 0.5)))
+    // all-foreign pool → no relevant doc in the top-k → rr = 0
+    val docs2 = Seq(
+      (3L, "alpha beta gamma", "en", "srcA"),
+      (30L, "alpha beta zeta", "fr", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r2 = ext.Retrieval.mrrAtK(docs2).as[(Long, Option[Long], Double)]
+      .collect()
+    assert(r2.toSeq === Seq((3L, None, 0.0)))
+  }
+
   test("splitLeakage: shared shingles counted per split pair, containment exact") {
     // choose doc ids landing in different splits under knuthMod(id, 100)
     def splitOf(id: Long): String = {

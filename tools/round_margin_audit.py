@@ -114,6 +114,10 @@ DOUBLE_CLASSES = {
     "q152_ndcg": {"ndcg": "div1"},  # dcg/idcg are exact decimals
     "q154_kmv_set_algebra": {"union_est": "div1", "inter_est": "div1"},
     "q155_split_leakage": {"containment": "div1"},
+    # every CUPED readout is one division of exact HUGEINT/DECIMAL(38,0)
+    # terms (the closed-form mean_adj numerator, the q74 discipline)
+    "q156_cuped": dict.fromkeys(["mean_post", "theta", "mean_adj"], "div1"),
+    "q157_mrr": {"rr": "div1"},
     "q143_dow_baseline": {"ratio_to_dow_mean": "div1"},
     "q144_ship_latency": {"p": "stored", "value": "qcont"},
     "q145_rolling_corr": {"rolling_corr": "chain"},
