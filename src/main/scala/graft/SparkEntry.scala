@@ -519,6 +519,13 @@ object SparkEntry {
     // first-relevant-rank reciprocal per query (MRR inputs)
     "q157_mrr" -> ((s: SparkSession, d: String) =>
       ext.Retrieval.mrrAtK(Tables.documents(s, d))),
+    // approximate-index quality: recall/precision of the banded-LSH
+    // near-dup index vs the exact Jaccard ground truth
+    "q158_lsh_quality" -> ((s: SparkSession, d: String) =>
+      Dedup.lshQuality(docs50(s, d))),
+    // snapshot diff ledger: added/removed/changed/unchanged per status
+    // from ONE full-outer join, churn as a single integer division
+    "q159_snapshot_diff" -> Merge.q159SnapshotDiff _,
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3643,6 +3650,101 @@ object SparkEntry {
 
     "q152_ndcg" -> ndcgOracle(10),
     "q157_mrr" -> mrrOracle(10),
+
+    // q16's exact ground truth + q17's LSH replay, full-outer joined on
+    // the pair key; recall/precision are single integer divisions
+    "q158_lsh_quality" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |tp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT p.doc_a, p.doc_b FROM tp p
+        |  JOIN sizes sa ON sa.doc_id = p.doc_a
+        |  JOIN sizes sb ON sb.doc_id = p.doc_b
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647)
+        |      AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |    AND x.doc_id < y.doc_id),
+        |ci AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |found AS (
+        |  SELECT i.doc_a, i.doc_b FROM ci i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
+        |j AS (
+        |  SELECT t.doc_a AS ta, f.doc_a AS fa
+        |  FROM truth t FULL OUTER JOIN found f
+        |    ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+        |SELECT count(ta) AS n_truth, count(fa) AS n_found,
+        |  count(CASE WHEN ta IS NOT NULL AND fa IS NOT NULL THEN 1 END)
+        |    AS n_both,
+        |  count(ta) - count(CASE WHEN ta IS NOT NULL AND fa IS NOT NULL
+        |                    THEN 1 END) AS n_missed,
+        |  CAST(count(CASE WHEN ta IS NOT NULL AND fa IS NOT NULL THEN 1
+        |             END) AS DOUBLE) / count(ta) AS recall,
+        |  CAST(count(CASE WHEN ta IS NOT NULL AND fa IS NOT NULL THEN 1
+        |             END) AS DOUBLE) / count(fa) AS "precision"
+        |FROM j""".stripMargin,
+
+    "q159_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |v1 AS (SELECT o_orderkey, o_orderstatus, cents AS cents1
+        |       FROM base WHERE o_orderkey % 10 <> 0),
+        |v2 AS (SELECT o_orderkey, o_orderstatus AS status2,
+        |         cents + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
+        |           AS cents2
+        |       FROM base WHERE o_orderkey % 10 <> 9),
+        |j AS (
+        |  SELECT coalesce(v1.o_orderstatus, v2.status2) AS status,
+        |    CASE WHEN cents1 IS NULL THEN 'added'
+        |         WHEN cents2 IS NULL THEN 'removed'
+        |         WHEN cents1 <> cents2 THEN 'changed'
+        |         ELSE 'unchanged' END AS cls
+        |  FROM v1 FULL OUTER JOIN v2 USING (o_orderkey))
+        |SELECT status,
+        |  CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN cls <> 'unchanged' THEN 1 ELSE 0 END)
+        |       AS DOUBLE) / count(*) AS churn
+        |FROM j GROUP BY 1""".stripMargin,
 
     // CUPED: sufficient statistics and centered numerators all HUGEINT
     // (the q74 discipline); the adjusted mean's closed form

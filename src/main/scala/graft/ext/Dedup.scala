@@ -272,6 +272,36 @@ object Dedup {
       .withColumn("is_kept", col("doc_id") === col("keep_doc"))
   }
 
+  /** Index-quality readout for the banded-LSH near-dup index: recall and
+    * precision of [[minhashNearDups]] against the exact
+    * [[ngramJaccardPairs]] ground truth at the same threshold — the
+    * measurement a pipeline publishes before trusting an approximate
+    * dedup index (banding trades recall for candidate volume; this makes
+    * the trade visible). Precision is structurally 1 here (candidates are
+    * verified with exact Jaccard before thresholding) — emitted anyway so
+    * the readout stays honest if the verifier is ever relaxed.
+    *
+    * Scale shape: both sides are the existing bounded operators; the
+    * comparison is a full-outer join on the pair key + one 1-row rollup.
+    */
+  def lshQuality(docs: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n, minJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val found = minhashNearDups(docs, k, bands, n, minJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("f"))
+    truth.join(found, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("t")).as("n_truth"), count(col("f")).as("n_found"),
+        count(when(col("t").isNotNull && col("f").isNotNull, lit(1)))
+          .as("n_both"))
+      .select(col("n_truth"), col("n_found"), col("n_both"),
+        (col("n_truth") - col("n_both")).as("n_missed"),
+        (col("n_both").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (col("n_both").cast("double") / col("n_found").cast("double"))
+          .as("precision"))
+  }
+
   /** Edit-distance near-duplicates with BLOCKING — the character-level
     * complement to the token-level MinHash family (catches small in-word
     * edits and reorderings shingles miss; the classic record-linkage /

@@ -97,4 +97,49 @@ object Merge {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("c_acctbal").cast("double").as("c_acctbal"), col("action"))
   }
+
+  /** Snapshot diff ledger — the readout side of CDC/lakehouse versioning
+    * (q103 APPLIES changes; this MEASURES them): per group, how many keys
+    * were added / removed / changed / unchanged between two table
+    * versions, plus churn = changed-or-moved rows over the union (one
+    * integer division). One full-outer join on the key computes all four
+    * classes in a single pass — never one scan per class.
+    *
+    * The two versions are deterministic slices of `orders` (v1 drops keys
+    * ≡0 mod 10, v2 drops ≡9 and shifts every ≡0-mod-7 price by +1.00) —
+    * the same simulated-change technique as q103's synthetic inserts.
+    */
+  def q159SnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val base = orders(spark, d).select(col("o_orderkey"),
+      col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val v1 = base.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("cents").as("cents1"))
+    val v2 = base.filter(col("o_orderkey") % 10 =!= 9)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status2"),
+        (col("cents") + when(col("o_orderkey") % 7 === 0, 100L)
+          .otherwise(0L)).as("cents2"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .select(coalesce(col("o_orderstatus"), col("status2")).as("status"),
+        when(col("cents1").isNull, "added")
+          .when(col("cents2").isNull, "removed")
+          .when(col("cents1") =!= col("cents2"), "changed")
+          .otherwise("unchanged").as("cls"))
+      .groupBy(col("status"))
+      .agg(
+        sum(when(col("cls") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("cls") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("cls") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("cls") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .withColumn("churn",
+        (col("n_added") + col("n_removed") + col("n_changed"))
+          .cast("double") /
+          (col("n_added") + col("n_removed") + col("n_changed") +
+            col("n_unchanged")).cast("double"))
+  }
 }

@@ -45,6 +45,24 @@ class IoSpec extends SparkSuite {
     fresh.unpersist()
   }
 
+  test("ORC source/sink: round-trip preserves values; filters push into the ORC scan") {
+    val d = tmpDir("orc")
+    val src = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    src.write.mode("overwrite").orc(d.toString)
+    val back = spark.read.orc(d.toString)
+    assert(back.count() === src.count())
+    val a = src.as[(Long, Int, Double, String)].collect().sorted.toSeq
+    val b = back.as[(Long, Int, Double, String)].collect().sorted.toSeq
+    assert(a === b)
+    // predicate pushdown reaches the ORC scan, same contract as parquet
+    val p = back.filter(col("l_quantity") >= 30.0)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"ORC scan must receive the pushed predicate:\n$p")
+  }
+
   test("annotation JSON scan: corrupt docs and missing file_name skipped (S1/F1)") {
     val d = tmpDir("anns")
     Files.writeString(d.resolve("good.json"),

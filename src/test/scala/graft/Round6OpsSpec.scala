@@ -143,6 +143,36 @@ class Round6OpsSpec extends SparkSuite {
     assert(r2.toSeq === Seq((3L, None, 0.0)))
   }
 
+  test("lshQuality: found pairs are a verified subset of truth — precision 1, recall bounded") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val Array(r) = ext.Dedup.lshQuality(docs)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    val (nTruth, nFound, nBoth, nMissed, recall, precision) = r
+    assert(nTruth > 0, "corpus should contain near-dup pairs")
+    assert(nBoth === nFound && precision === 1.0,
+      s"verified candidates can never be false positives: $r")
+    assert(nMissed === nTruth - nBoth && recall === nBoth.toDouble / nTruth)
+    assert(recall > 0.5, s"banding should catch most 0.5+ pairs: $r")
+  }
+
+  test("snapshot diff: class counts reconcile with the simulated slices") {
+    val orders = Tables.orders(spark, sf)
+    val r = ops.Merge.q159SnapshotDiff(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    val added = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val removed = orders.filter(col("o_orderkey") % 10 === 9).count()
+    val changed = orders.filter(col("o_orderkey") % 7 === 0 &&
+      col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 10 =!= 9).count()
+    assert(r.map(_._2).sum === added)
+    assert(r.map(_._3).sum === removed)
+    assert(r.map(_._4).sum === changed)
+    assert(r.map(x => x._2 + x._3 + x._4 + x._5).sum ===
+      orders.select("o_orderkey").distinct().count())
+    r.foreach { x =>
+      assert(x._6 === (x._2 + x._3 + x._4).toDouble /
+        (x._2 + x._3 + x._4 + x._5), x.toString) }
+  }
+
   test("splitLeakage: shared shingles counted per split pair, containment exact") {
     // choose doc ids landing in different splits under knuthMod(id, 100)
     def splitOf(id: Long): String = {

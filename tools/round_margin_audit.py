@@ -118,6 +118,8 @@ DOUBLE_CLASSES = {
     # terms (the closed-form mean_adj numerator, the q74 discipline)
     "q156_cuped": dict.fromkeys(["mean_post", "theta", "mean_adj"], "div1"),
     "q157_mrr": {"rr": "div1"},
+    "q158_lsh_quality": {"recall": "div1", "precision": "div1"},
+    "q159_snapshot_diff": {"churn": "div1"},
     "q143_dow_baseline": {"ratio_to_dow_mean": "div1"},
     "q144_ship_latency": {"p": "stored", "value": "qcont"},
     "q145_rolling_corr": {"rolling_corr": "chain"},
