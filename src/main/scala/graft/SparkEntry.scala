@@ -526,6 +526,14 @@ object SparkEntry {
     // snapshot diff ledger: added/removed/changed/unchanged per status
     // from ONE full-outer join, churn as a single integer division
     "q159_snapshot_diff" -> Merge.q159SnapshotDiff _,
+    // reliability diagram: per confidence decile, claimed (mean conf) vs
+    // observed (best-match rate) — all-integer until two final divisions
+    "q160_calibration" -> ((s: SparkSession, d: String) =>
+      SyntheticBoxes.calibration(Tables.part(s, d))),
+    // vocabulary coverage curve at top-k cutpoints — TakeOrdered top-k,
+    // never a global vocab sort
+    "q161_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      TextStats.vocabCoverage(Tables.documents(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3713,6 +3721,79 @@ object SparkEntry {
         |  CAST(count(CASE WHEN ta IS NOT NULL AND fa IS NOT NULL THEN 1
         |             END) AS DOUBLE) / count(fa) AS "precision"
         |FROM j""".stripMargin,
+
+    // q22's synthetic-box replay + a LEFT-JOIN existence rollup; bins and
+    // confidence sums ride the exact integer conf_pct (p_partkey % 100)
+    "q160_calibration" ->
+      """WITH g AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS gt_line,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE) AS gx,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE) AS gy,
+        |    CAST(64 + p_partkey * 13 % 128 AS DOUBLE) AS gw,
+        |    CAST(48 + p_partkey * 17 % 96 AS DOUBLE) AS gh
+        |  FROM part),
+        |p AS (
+        |  SELECT p_partkey // 25 AS page,
+        |    p_partkey % 25 AS pred_line,
+        |    CAST(p_partkey % 6 AS INTEGER) AS class_id,
+        |    CAST(p_partkey * 37 % 960 AS DOUBLE) + CAST(p_partkey % 7 AS DOUBLE) - 3.0 AS px,
+        |    CAST(p_partkey * 59 % 480 AS DOUBLE) + CAST(p_partkey % 11 AS DOUBLE) - 5.0 AS py,
+        |    CAST(64 + p_partkey * 13 % 128 AS DOUBLE) + CAST(p_partkey % 5 AS DOUBLE) - 2.0 AS pw,
+        |    CAST(48 + p_partkey * 17 % 96 AS DOUBLE) + CAST(p_partkey % 9 AS DOUBLE) - 4.0 AS ph
+        |  FROM part),
+        |cand AS (
+        |  SELECT p.page, p.class_id, p.pred_line, g.gt_line,
+        |    greatest(0.0, least(px + pw, gx + gw) - greatest(px, gx))
+        |      * greatest(0.0, least(py + ph, gy + gh) - greatest(py, gy)) AS inter,
+        |    greatest(0.0, pw) * greatest(0.0, ph) AS area_p,
+        |    greatest(0.0, gw) * greatest(0.0, gh) AS area_g
+        |  FROM p JOIN g ON p.page = g.page AND p.class_id = g.class_id),
+        |scored AS (
+        |  SELECT page, pred_line, gt_line,
+        |    CASE WHEN area_p + area_g - inter > 0.0
+        |         THEN inter / (area_p + area_g - inter) ELSE 0.0 END AS iou
+        |  FROM cand),
+        |best AS (
+        |  SELECT page, pred_line,
+        |    row_number() OVER (PARTITION BY page, pred_line
+        |                       ORDER BY iou DESC, gt_line) AS rk
+        |  FROM scored WHERE iou >= 0.3),
+        |m AS (SELECT page, pred_line FROM best WHERE rk = 1),
+        |pr AS (
+        |  SELECT p_partkey // 25 AS page, p_partkey % 25 AS pred_line,
+        |    p_partkey % 100 AS conf_pct
+        |  FROM part)
+        |SELECT pr.conf_pct // 10 AS bin, count(*) AS n_preds,
+        |  CAST(sum(pr.conf_pct) AS BIGINT) AS sum_conf_pct,
+        |  count(m.page) AS n_matched,
+        |  CAST(sum(pr.conf_pct) AS DOUBLE) / (count(*) * 100) AS mean_conf,
+        |  CAST(count(m.page) AS DOUBLE) / count(*) AS accuracy
+        |FROM pr LEFT JOIN m USING (page, pred_line)
+        |GROUP BY 1""".stripMargin,
+
+    "q161_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |totals AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+        |    count(*) AS vocab_size
+        |  FROM counts),
+        |top AS (
+        |  SELECT term, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS rk,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, term
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM counts QUALIFY rk <= 20),
+        |ks AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS k)
+        |SELECT ks.k, least(ks.k, t.vocab_size) AS k_eff, t.vocab_size,
+        |  t.total_tokens, tp.cum AS covered_tokens,
+        |  CAST(tp.cum AS DOUBLE) / t.total_tokens AS coverage
+        |FROM ks CROSS JOIN totals t
+        |JOIN top tp ON least(ks.k, t.vocab_size) = tp.rk""".stripMargin,
 
     "q159_snapshot_diff" ->
       """WITH base AS (

@@ -420,4 +420,43 @@ object TextStats {
             pmod((i0.cast("long") + 1L) * lit(2654435761L), lit(1000003L))),
         lit(0L), (acc, x) => acc + x),
       lit(2147483648L))
+
+  /** Vocabulary coverage curve: what fraction of all token OCCURRENCES the
+    * top-k most frequent terms cover, at each requested k — the readout
+    * behind tokenizer-vocabulary sizing and OOV-rate budgeting (Zipf mass
+    * concentrates fast; this measures exactly how fast, log-free).
+    *
+    * Scale shape: one token-count aggregation (map-side combined), then
+    * `orderBy(count desc).limit(max k)` — TakeOrderedAndProject, per-
+    * partition heaps, NEVER a global vocab sort — and the cumulative sum
+    * runs on that ≤ max(k)-row frame. Coverage is one division of exact
+    * longs; ties rank deterministically by term.
+    *
+    * @return one row per k: (k, k_eff, vocab_size, total_tokens,
+    *         covered_tokens, coverage); k_eff = min(k, vocab_size)
+    */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0))
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val wTop = Window.orderBy(col("c").desc, col("term"))
+    val top = counts.orderBy(col("c").desc, col("term")).limit(ks.max)
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        wTop.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val kdf = docs.sparkSession.range(1).select(
+      explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+    kdf.crossJoin(broadcast(totals))
+      .withColumn("k_eff", least(col("k"), col("vocab_size")))
+      .join(broadcast(top.select(col("rk"), col("cum"))),
+        col("k_eff") === col("rk"))
+      .select(col("k"), col("k_eff"), col("vocab_size"),
+        col("total_tokens"), col("cum").as("covered_tokens"),
+        (col("cum").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+  }
 }

@@ -50,6 +50,10 @@ object SyntheticBoxes {
       .withColumn("y", col("y") + (col("k") % 11).cast("double") - 5.0)
       .withColumn("w", col("w") + (col("k") % 5).cast("double") - 2.0)
       .withColumn("h", col("h") + (col("k") % 9).cast("double") - 4.0)
+      // conf_pct is the EXACT integer the double confidence derives from —
+      // calibration (q160) bins and averages on it, never on the double
+      // (reconstructing k from confidence·100 truncates 0.29 to 28)
+      .withColumn("conf_pct", (col("k") % 100).cast("long"))
       .withColumn("confidence", (col("k") % 100).cast("double") / 100.0)
       .drop("k")
 
@@ -91,6 +95,37 @@ object SyntheticBoxes {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("page"), col("class_id"), col("pred_line"), col("gt_line"), col("iou"))
+  }
+
+  /** Confidence-calibration readout (reliability diagram): predictions
+    * bucketed by confidence decile; per bin, how often the model's claim
+    * is borne out (a best-match at `iouThr` exists) versus what it
+    * claimed (mean confidence) — THE eval artifact behind "is this
+    * detector over-confident". All arithmetic is integer until two final
+    * single divisions: bins and confidence sums ride the exact
+    * `conf_pct`, matched flags are a left-join existence test against
+    * [[bestMatches]].
+    *
+    * Scale shape: the match side is the existing bounded operator; the
+    * rollup is a 10-row hash aggregation. Left join on the prediction
+    * key rides the page partitioning.
+    */
+  def calibration(part: DataFrame, iouThr: Double = 0.3): DataFrame = {
+    val preds = predBoxes(part)
+      .select(col("page"), col("line_no").as("pred_line"), col("conf_pct"))
+    val matched = bestMatches(part, iouThr)
+      .select(col("page"), col("pred_line"), lit(1L).as("m"))
+    preds.join(matched, Seq("page", "pred_line"), "left")
+      .groupBy((col("conf_pct") / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_preds"),
+        sum(col("conf_pct")).as("sum_conf_pct"),
+        count(col("m")).as("n_matched"))
+      .select(col("bin"), col("n_preds"), col("sum_conf_pct"),
+        col("n_matched"),
+        (col("sum_conf_pct").cast("double") /
+          (col("n_preds") * 100).cast("double")).as("mean_conf"),
+        (col("n_matched").cast("double") / col("n_preds").cast("double"))
+          .as("accuracy"))
   }
 
   /** Typed datasets feeding the greedy matcher (corner coordinates). */

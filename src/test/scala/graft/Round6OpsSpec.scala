@@ -173,6 +173,32 @@ class Round6OpsSpec extends SparkSuite {
         (x._2 + x._3 + x._4 + x._5), x.toString) }
   }
 
+  test("calibration: ten deciles cover all predictions; per-bin stats are exact ratios") {
+    val part = Tables.part(spark, sf)
+    val r = ops.SyntheticBoxes.calibration(part)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r.keySet === (0L to 9L).toSet)
+    assert(r.values.map(_._2).sum === part.count())
+    r.values.foreach { case (bin, n, sumPct, m, meanConf, acc) =>
+      assert(m <= n && acc === m.toDouble / n)
+      assert(meanConf === sumPct.toDouble / (n * 100))
+      // decile b holds conf_pct in [10b, 10b+9]
+      assert(sumPct >= 10 * bin * n && sumPct <= (10 * bin + 9) * n)
+    }
+  }
+
+  test("vocabCoverage: exact Zipf-mass cutpoints on a hand corpus") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = ext.TextStats.vocabCoverage(docs, ks = Seq(1, 2, 5))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    // counts: a=3, b=2, c=1; total 6, vocab 3
+    assert(r(1L) === ((1L, 1L, 3L, 6L, 3L, 0.5)))
+    assert(r(2L) === ((2L, 2L, 3L, 6L, 5L, 5.0 / 6)))
+    assert(r(5L) === ((5L, 3L, 3L, 6L, 6L, 1.0))) // k beyond vocab clamps
+  }
+
   test("splitLeakage: shared shingles counted per split pair, containment exact") {
     // choose doc ids landing in different splits under knuthMod(id, 100)
     def splitOf(id: Long): String = {

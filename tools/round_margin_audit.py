@@ -120,6 +120,8 @@ DOUBLE_CLASSES = {
     "q157_mrr": {"rr": "div1"},
     "q158_lsh_quality": {"recall": "div1", "precision": "div1"},
     "q159_snapshot_diff": {"churn": "div1"},
+    "q160_calibration": {"mean_conf": "div1", "accuracy": "div1"},
+    "q161_vocab_coverage": {"coverage": "div1"},
     "q143_dow_baseline": {"ratio_to_dow_mean": "div1"},
     "q144_ship_latency": {"p": "stored", "value": "qcont"},
     "q145_rolling_corr": {"rolling_corr": "chain"},
