@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, StringFingerprint}
+import graft.functions.{FloatVecDot, ShingleCodes, StringFingerprint}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("string_fingerprint"),
       new ExpressionInfo(classOf[StringFingerprint].getName, "string_fingerprint"),
       (args: Seq[Expression]) => StringFingerprint(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_codes"),
+      new ExpressionInfo(classOf[ShingleCodes].getName, "shingle_codes"),
+      (args: Seq[Expression]) => ShingleCodes(args(0),
+        args(1).eval().asInstanceOf[Int])))
   }
 }
 
@@ -32,5 +37,7 @@ object GraftExtensions {
       args => FloatVecDot(args(0), args(1)))
     GraftBridge.registerFunction(spark, "string_fingerprint",
       args => StringFingerprint(args(0)))
+    GraftBridge.registerFunction(spark, "shingle_codes",
+      args => ShingleCodes(args(0), args(1).eval().asInstanceOf[Int]))
   }
 }

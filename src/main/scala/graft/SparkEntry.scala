@@ -534,6 +534,10 @@ object SparkEntry {
     // never a global vocab sort
     "q161_vocab_coverage" -> ((s: SparkSession, d: String) =>
       TextStats.vocabCoverage(Tables.documents(s, d))),
+    // mergeable histogram quantile sketch: locate p50/p90 in O(types·64)
+    // state, exact percentile alongside (sketch-quality visible)
+    "q162_hist_quantile" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.histogramQuantileSketch(Tables.events(s, d))),
     // revenue-weighted quantity quartiles: the weighted-percentile core on
     // a value-count frame with exact cents weights
     "q126_weighted_median" -> ((s: SparkSession, d: String) => {
@@ -3794,6 +3798,46 @@ object SparkEntry {
         |  CAST(tp.cum AS DOUBLE) / t.total_tokens AS coverage
         |FROM ks CROSS JOIN totals t
         |JOIN top tp ON least(ks.k, t.vocab_size) = tp.rk""".stripMargin,
+
+    // fixed-grid bucket arithmetic identical on both sides (q54 class);
+    // the position is the integer rank floor(p·(n−1)); exact = the
+    // quantile_cont parity contract (q37)
+    "q162_hist_quantile" ->
+      """WITH vals AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |ext AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi,
+        |    count(*) AS n,
+        |    quantile_cont(value, 0.5) AS ex50,
+        |    quantile_cont(value, 0.9) AS ex90
+        |  FROM vals GROUP BY 1),
+        |bucketed AS (
+        |  SELECT v.event_type,
+        |    CASE WHEN e.hi > e.lo THEN least(CAST(floor((v.value - e.lo)
+        |      / ((e.hi - e.lo) / 64)) AS BIGINT), 63) ELSE 0 END AS b
+        |  FROM vals v JOIN ext e USING (event_type)),
+        |hist AS (
+        |  SELECT event_type, b, count(*) AS cnt,
+        |    CAST(coalesce(sum(count(*)) OVER (PARTITION BY event_type
+        |      ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS below
+        |  FROM bucketed GROUP BY 1, 2),
+        |targets AS (
+        |  SELECT event_type, lo, hi, n, u.p AS p,
+        |    CASE WHEN u.p = 0.5 THEN ex50 ELSE ex90 END AS exact,
+        |    CAST(floor(u.p * (n - 1)) AS BIGINT) AS rk
+        |  FROM ext, (SELECT unnest([CAST(0.5 AS DOUBLE),
+        |                            CAST(0.9 AS DOUBLE)]) AS p) u)
+        |SELECT t.event_type, t.p, t.n, h.b AS bucket, h.below,
+        |  h.cnt AS bucket_cnt,
+        |  t.lo + h.b * ((t.hi - t.lo) / 64) AS bucket_lo,
+        |  t.lo + (h.b + 1) * ((t.hi - t.lo) / 64) AS bucket_hi,
+        |  t.exact,
+        |  (t.lo + h.b * ((t.hi - t.lo) / 64) <= t.exact AND
+        |   t.exact <= t.lo + (h.b + 1) * ((t.hi - t.lo) / 64))
+        |    AS contained
+        |FROM targets t JOIN hist h USING (event_type)
+        |WHERE t.rk >= h.below AND t.rk < h.below + h.cnt""".stripMargin,
 
     "q159_snapshot_diff" ->
       """WITH base AS (

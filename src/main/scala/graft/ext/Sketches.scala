@@ -127,6 +127,68 @@ object Sketches {
     * on Binomial(n, 8k/n) < k) — not a correctness assumption at any
     * realistic k. Everything after is pair-lattice-sized.
     */
+  /** Histogram quantile SKETCH: per event type, locate each requested
+    * quantile's position in a fixed-width `nBuckets` histogram — the
+    * approximate-quantile member of the sketch family (CM = frequency,
+    * HLL/KMV = distinct, this = order statistics). State is O(types ·
+    * nBuckets) and MERGEABLE (histograms add cell-wise across partitions
+    * or days — the property exact order statistics lack), so the answer
+    * costs one aggregation pass; [[graft.ops.Percentiles]] is the exact
+    * path when a re-scan is affordable.
+    *
+    * Output per (type, p): the located bucket's index and bounds, the
+    * integer mass below it, and the EXACT percentile alongside (q44/q136
+    * discipline: the approximation's quality is visible — `contained`
+    * checks the exact value lies in the located bucket). Bucket bounds
+    * are the q54 fixed-grid arithmetic, identical expressions both
+    * engines; the position is the integer rank floor(p·(n−1)), the
+    * quantile_cont coordinate.
+    */
+  def histogramQuantileSketch(events: DataFrame, nBuckets: Int = 64,
+                              ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val vals = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val ext = vals.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"),
+        expr(s"percentile(value, array(${ps.mkString(", ")}))").as("exa"))
+    val width = (col("hi") - col("lo")) / nBuckets
+    val bucketed = vals.join(broadcast(ext.select(col("event_type"),
+        col("lo"), col("hi"))), "event_type")
+      .select(col("event_type"),
+        when(col("hi") > col("lo"),
+          least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / nBuckets)).cast("long"),
+            lit(nBuckets - 1L))).otherwise(0L).as("b"))
+    val hist = bucketed.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val targets = ext.select(col("event_type"), col("lo"), col("hi"),
+        col("n"),
+        explode(array(ps.indices.map(i =>
+          struct(lit(ps(i)).as("p"), col("exa")(i).as("exact"))): _*))
+          .as("t"))
+      .select(col("event_type"), col("lo"), col("hi"), col("n"),
+        col("t.p").as("p"), col("t.exact").as("exact"))
+      .withColumn("rk", floor(col("p") * (col("n") - 1).cast("double"))
+        .cast("long"))
+    targets.join(hist, Seq("event_type"))
+      .filter(col("rk") >= col("below") &&
+        col("rk") < col("below") + col("cnt"))
+      .select(col("event_type"), col("p"), col("n"), col("b").as("bucket"),
+        col("below"), col("cnt").as("bucket_cnt"),
+        (col("lo") + col("b").cast("double") * width).as("bucket_lo"),
+        (col("lo") + (col("b") + 1).cast("double") * width).as("bucket_hi"),
+        col("exact"),
+        (col("lo") + col("b").cast("double") * width <= col("exact") &&
+          col("exact") <= col("lo") + (col("b") + 1).cast("double") * width)
+          .as("contained"))
+  }
+
   def kmvSetAlgebra(events: DataFrame, k: Int = 64): DataFrame = {
     val M = 2147483648L
     val hashes = events.select(col("event_type"),

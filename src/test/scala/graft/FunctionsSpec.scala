@@ -63,6 +63,27 @@ class FunctionsSpec extends SparkSuite {
     assert(viaSql === viaCol)
   }
 
+  test("shingle_codes is SQL-callable and matches the HOF specification") {
+    import org.apache.spark.sql.functions.{array_distinct, col, lit,
+      sequence, transform, when, length, ascii, array}
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_t")
+    val viaSql = spark.sql(
+      """SELECT shingle_codes(text, 3) AS sh FROM docs_t
+        |WHERE doc_id = 0""".stripMargin).as[Seq[Long]].head()
+    // the pre-kernel HOF formulation, as the executable spec
+    val t = col("text")
+    val hof = when(length(t) < 3, array().cast("array<long>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(t) - 2), i =>
+          (0 until 3).map(k => ascii(t.substr(i + k, lit(1))).cast("long") *
+            lit(math.pow(256, 2 - k).toLong)).reduce(_ + _))))
+    val viaHof = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).select(hof.as("sh"))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaHof)
+  }
+
   test("FloatVecDotConst ≡ zip_with/aggregate fold against a literal plane") {
     val weights = Array.tabulate(64)(i => (i * 7 % 13).toDouble / 13.0 - 0.5)
     val wLit = array(weights.map(lit): _*)

@@ -328,4 +328,11 @@ class PlanSpec extends SparkSuite {
     assert("""\(\d+\) HashAggregate""".r.findAllIn(p).length >= 2,
       s"prefix agg should have a partial phase:\n$p")
   }
+
+  test("q161 vocab top-k is TakeOrderedAndProject — never a global vocab sort") {
+    val p = plan(ext.TextStats.vocabCoverage(Tables.documents(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"vocab must not be globally range-sorted:\n$p")
+  }
 }

@@ -199,6 +199,48 @@ class Round6OpsSpec extends SparkSuite {
     assert(r(5L) === ((5L, 3L, 3L, 6L, 6L, 1.0))) // k beyond vocab clamps
   }
 
+  test("histogramQuantileSketch: located bucket brackets the exact quantile; masses reconcile") {
+    val r = ext.Sketches.histogramQuantileSketch(
+      Tables.events(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, below, cnt) = (row.getAs[Long]("n"),
+        row.getAs[Long]("below"), row.getAs[Long]("bucket_cnt"))
+      val p = row.getAs[Double]("p")
+      val rk = math.floor(p * (n - 1)).toLong
+      assert(below <= rk && rk < below + cnt, row.toString)
+      assert(row.getAs[Boolean]("contained"), row.toString)
+      assert(row.getAs[Double]("bucket_lo") <= row.getAs[Double]("exact") &&
+        row.getAs[Double]("exact") <= row.getAs[Double]("bucket_hi"))
+    }
+    // degenerate group: constant values collapse to bucket 0, contained
+    import spark.implicits._
+    val const = Seq((1L, 0L, "e", 5.0), (2L, 1000000L, "e", 5.0))
+      .toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val Array(d) = ext.Sketches.histogramQuantileSketch(const,
+      ps = Seq(0.5)).collect()
+    assert(d.getAs[Long]("bucket") === 0L &&
+      d.getAs[Boolean]("contained"), d.toString)
+  }
+
+  test("round-6 operators survive empty inputs (no crash, empty or guarded output)") {
+    val noDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val noEvents = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(ext.Dedup.editNearDups(noDocs).count() === 0)
+    assert(ext.Curation.boilerplatePrefixes(noDocs).count() === 0)
+    assert(ext.Curation.splitLeakage(noDocs).count() === 0)
+    assert(ext.TextStats.vocabCoverage(noDocs).count() === 0)
+    assert(ext.Retrieval.ndcgAtK(noDocs).count() === 0)
+    assert(ext.Retrieval.mrrAtK(noDocs).count() === 0)
+    assert(ext.Sketches.kmvSetAlgebra(noEvents).count() === 0)
+    assert(ext.Sketches.histogramQuantileSketch(noEvents).count() === 0)
+    assert(ext.Sessions.cupedReadout(noEvents).count() === 0)
+    assert(ext.Dedup.lshQuality(noDocs).count() === 1) // 1-row rollup of 0s
+  }
+
   test("splitLeakage: shared shingles counted per split pair, containment exact") {
     // choose doc ids landing in different splits under knuthMod(id, 100)
     def splitOf(id: Long): String = {

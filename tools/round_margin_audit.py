@@ -59,6 +59,13 @@ ALERT = 1e-6
 #            rewritable from SQL).
 #   osum     ordered-frame sums/averages of stored doubles (deterministic
 #            frame order on both engines; driver-green since round 3).
+#   grid     fixed-grid bucket-bound arithmetic lo + b·(hi−lo)/nb: DOES
+#            contain a multiply-into-add, but both engines evaluate the
+#            IDENTICAL expression over identical inputs with per-operator
+#            vectorized kernels (no cross-kernel contraction is possible in
+#            either interpreter/JVM), and the class is driver-green since
+#            q54 landed in round 3. Kept distinct from `chain` so the
+#            stricter no-mul-into-add guarantee stays meaningful.
 #
 # The q77 class — a multiply-subtract/add OVER DOUBLES (n·sxy − sx·sy,
 # vp + (vn−vp)·t …) — is NOT allowed: those were rewritten to exact integer/
@@ -122,6 +129,8 @@ DOUBLE_CLASSES = {
     "q159_snapshot_diff": {"churn": "div1"},
     "q160_calibration": {"mean_conf": "div1", "accuracy": "div1"},
     "q161_vocab_coverage": {"coverage": "div1"},
+    "q162_hist_quantile": {"p": "stored", "bucket_lo": "grid",
+                           "bucket_hi": "grid", "exact": "qcont"},
     "q143_dow_baseline": {"ratio_to_dow_mean": "div1"},
     "q144_ship_latency": {"p": "stored", "value": "qcont"},
     "q145_rolling_corr": {"rolling_corr": "chain"},
@@ -160,7 +169,7 @@ DOUBLE_CLASSES = {
         ["dup_2gram_frac", "dup_3gram_frac", "top_2gram_share"], "div1"),
     "q52_chunk_dedup": {"keep_frac": "div1"},
     "q53_gapfill": {"revenue": "round", "revenue_locf": "round"},
-    "q54_histogram": {"bucket_lo": "chain", "bucket_hi": "chain"},
+    "q54_histogram": {"bucket_lo": "grid", "bucket_hi": "grid"},
     "q55_profile": {"min_num": "stored", "max_num": "stored"},
     "q56_weighted_sample": {"o_totalprice": "stored",
                             "priority_key": "div1"},
@@ -190,7 +199,7 @@ DOUBLE_CLASSES = {
     "q97_cohort_retention": {"retention": "div1"},
     "q99_bigram_lm": {"p": "div1"},
 }
-OK_CLASSES = {"stored", "round", "div1", "chain", "pow2", "qcont", "osum"}
+OK_CLASSES = {"stored", "round", "div1", "chain", "pow2", "qcont", "osum", "grid"}
 
 
 def audit_raw_doubles(out_dir):
