@@ -803,7 +803,9 @@ object SparkEntry {
        |  FROM pool p
        |  JOIN cumw ca ON p.a = ca.m
        |  JOIN cumw cab ON p.a + p.b = cab.m)
-       |SELECT d.query_id, d.n_retrieved, i.n2, i.n1, d.dcg, i.idcg,
+       |SELECT d.query_id, d.n_retrieved, i.n2, i.n1,
+       |  CAST(d.dcg * 1000000000 AS BIGINT) AS dcg_e9,
+       |  CAST(i.idcg * 1000000000 AS BIGINT) AS idcg_e9,
        |  CASE WHEN i.idcg > 0
        |       THEN CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) END
        |    AS ndcg
@@ -888,7 +890,11 @@ object SparkEntry {
          |             UNION ALL SELECT * FROM pick$i)""".stripMargin
     }
     (base +: rounds).mkString(",\n") +
-      s"\nSELECT vec_id, rel, pick_order, mmr_score FROM selall$k"
+      // greedy rounds carry exact DECIMAL(13,7); the hashed output is the
+      // e-7 BIGINT (decimal repr is hasher-version-sensitive, round 6)
+      s"""\nSELECT vec_id, rel, pick_order,
+         |  CAST(mmr_score * 10000000 AS BIGINT) AS mmr_score_e7
+         |FROM selall$k""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2377,12 +2383,13 @@ object SparkEntry {
 
     // every hashed value is EXACT — daily totals become 2-dp decimals BEFORE
     // the frame sums, μ is a half-up integer construction in e-6 units (NO
-    // decimal division: DuckDB's `/` on decimals returns DOUBLE), var_num =
-    // n·s2 − s1² stays decimal, and the anomaly flag is the pure decimal
-    // inequality (n·x − s1)² > 4·(n·s2 − s1²). Raw derived doubles proved
-    // environment-sensitive two driver rounds running (FMA contraction).
-    // Casts shrink precision only, never scale (DuckDB downcasts don't
-    // round like Spark).
+    // decimal division: DuckDB's `/` on decimals returns DOUBLE), the
+    // anomaly flag is the pure decimal inequality (n·x − s1)² >
+    // 4·(n·s2 − s1²), and the HASHED OUTPUT is pure fixed-point BIGINT
+    // (revenue_cents / mu_e6 / var_num_e4): round 6 proved the driver's
+    // hasher normalizes DECIMAL values version-sensitively, so decimals
+    // stay internal. Casts shrink precision only, never scale (DuckDB
+    // downcasts don't round like Spark).
     "q77_moving_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -2405,12 +2412,12 @@ object SparkEntry {
         |    CAST(CAST(n AS DECIMAL(3,0)) * revenue - s1
         |         AS DECIMAL(18,2)) AS dd
         |  FROM f)
-        |SELECT event_type, day, revenue, n AS n_frame,
-        |  CAST(CAST(CASE WHEN s1c < 0
-        |         THEN -((abs(s1c) * 20000 + n) // (n * 2))
-        |         ELSE (abs(s1c) * 20000 + n) // (n * 2) END AS DECIMAL(20,0))
-        |       * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS mu,
-        |  var_num,
+        |SELECT event_type, day,
+        |  CAST(revenue * 100 AS BIGINT) AS revenue_cents, n AS n_frame,
+        |  CASE WHEN s1c < 0
+        |       THEN -((abs(s1c) * 20000 + n) // (n * 2))
+        |       ELSE (abs(s1c) * 20000 + n) // (n * 2) END AS mu_e6,
+        |  CAST(var_num * 10000 AS BIGINT) AS var_num_e4,
         |  CAST(dd * dd AS DECIMAL(30,4)) > var_num * 4.0 AS anomaly
         |FROM g""".stripMargin,
 
@@ -3114,7 +3121,8 @@ object SparkEntry {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |         wn AS (PARTITION BY user_id ORDER BY day
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, day, revenue,
+        |SELECT user_id, day,
+        |  CAST(revenue * 100 AS BIGINT) AS revenue_cents,
         |  CASE WHEN revenue IS NOT NULL THEN CAST(revenue AS DOUBLE)
         |       WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
         |         CAST(CAST(vp * (dn - day) + vn * (day - dp)

@@ -216,8 +216,11 @@ object Retrieval {
       .select(col("query_id"), col("n2"), col("n1"),
         (col("cwa") * 2 + col("cwab")).cast("decimal(20,9)").as("idcg"))
     dcg.join(idcg, "query_id")
+      // dcg/idcg stay exact decimals internally; the hashed OUTPUT is the
+      // e-9 fixed-point BIGINT (driver decimal-normalization lesson, r6)
       .select(col("query_id"), col("n_retrieved"), col("n2"), col("n1"),
-        col("dcg"), col("idcg"),
+        (col("dcg") * 1000000000L).cast("long").as("dcg_e9"),
+        (col("idcg") * 1000000000L).cast("long").as("idcg_e9"),
         when(col("idcg") > 0,
           col("dcg").cast("double") / col("idcg").cast("double"))
           .as("ndcg"))

@@ -222,18 +222,23 @@ object Sessions {
     * neither engine promises an evaluation order). Daily totals are rounded
     * to exact 2-dp decimals first, so the frame sums s1 (scale 2) and s2
     * (scale 4) are exact decimals; then
-    *   - `mu` = s1/n rounded HALF_UP to 6 dp, built in pure integer
-    *     arithmetic (floor((|s1|·1e4·2 + n) / 2n) in e-6 units, sign
-    *     reapplied) — decimal division is NOT used because DuckDB's `/` on
-    *     decimals returns DOUBLE;
-    *   - `var_num` = n·s2 − s1² = n²·σ²_pop, an exact DECIMAL(32,4)
-    *     (σ = sqrt(var_num)/n for the consumer);
+    *   - `mu_e6` = s1/n rounded HALF_UP to 6 dp in e-6 units, built in pure
+    *     integer arithmetic ((|s1c|·1e4·2 + n) div 2n, sign reapplied) —
+    *     decimal division is NOT used because DuckDB's `/` on decimals
+    *     returns DOUBLE;
+    *   - `var_num_e4` = (n·s2 − s1²)·1e4 = n²·σ²_pop in e-4 units
+    *     (σ = sqrt(var_num_e4·1e-4)/n for the consumer);
     *   - `anomaly` ⟺ |z| > zThr ⟺ (n·x − s1)² > zThr²·(n·s2 − s1²), a pure
     *     decimal inequality (zThr² as an exact decimal literal of the
     *     double product).
     * Decimal casts only ever SHRINK PRECISION on exact values, never reduce
     * scale (DuckDB's decimal downcast does not round like Spark's HALF_UP).
-    * n = 1 gives var_num = 0 and a calm flag, replacing the old σ=0 guard.
+    * n = 1 gives var_num_e4 = 0 and a calm flag, replacing the old σ=0
+    * guard. The HASHED OUTPUT carries only BIGINT fixed-point columns
+    * (`revenue_cents`, `mu_e6`, `var_num_e4`) — the streaming twin's
+    * [[graft.streaming.StreamOps.AnomDayRow]] units: round 6 showed the
+    * driver's hasher normalizes DECIMAL values differently across
+    * duckdb/pyarrow versions, so DECIMAL never reaches an oracled output.
     */
   def movingAnomaly(events: DataFrame, frameDays: Int = 7,
                     zThr: Double = 2.0): DataFrame = {
@@ -251,23 +256,41 @@ object Sessions {
     val nDec = n.cast("decimal(3,0)")
     val varNum = (nDec * s2 - (s1 * s1).cast("decimal(30,4)"))
       .cast("decimal(32,4)")
-    // μ in e-6 units: half-up |s1c·1e4| / n via floor((2a + n) / 2n). The
-    // numerator stays < 2^53, so the double true-division floors exactly
-    // (an integer quotient m·2n divides exactly; a fractional one sits
-    // ≥ 1/2n from the nearest integer, far beyond one ulp).
     val s1c = (s1 * 100).cast("long") // exact cents
-    val muE6mag = floor(
-      ((abs(s1c) * 20000L + n).cast("double")) / (n * 2).cast("double"))
-      .cast("long")
-    val muE6 = when(s1c < 0, -muE6mag).otherwise(muE6mag)
-    val mu = (muE6.cast("decimal(20,0)") *
-      lit(new java.math.BigDecimal("0.000001"))).cast("decimal(24,6)")
     val d = (nDec * col("revenue") - s1).cast("decimal(18,2)")
     val zSq = lit(java.math.BigDecimal.valueOf(zThr * zThr))
     val anomaly = (d * d).cast("decimal(30,4)") > (varNum * zSq)
+    // Hashed output is pure fixed-point BIGINT (revenue_cents, mu_e6,
+    // var_num_e4) — the streaming twin's AnomDayRow units, and no DECIMAL
+    // ever reaches the driver hasher (decimal repr normalization differs
+    // across duckdb/pyarrow versions; round-6 lesson). μ_e6 = half-up
+    // |s1c·1e4| / n via (2a + n) div 2n in EXACT integer arithmetic
+    // (`div`), no double quotient anywhere. Envelope guards fail loudly
+    // (raise_error) instead of silently wrapping: |s1c| must stay under
+    // (2^63−8)/20000 ≈ 4.6e14 cents per frame, var_num under 2^63/1e4.
+    val muGuard = lit((Long.MaxValue - frameDays.toLong - 1L) / 20000L)
+    val varGuard = lit(new java.math.BigDecimal(Long.MaxValue)
+      .movePointLeft(4))
     daily.select(col("event_type"), col("day"), col("revenue"),
-      n.as("n_frame"), mu.as("mu"), varNum.as("var_num"),
-      anomaly.as("anomaly"))
+        n.as("n_frame"), s1c.as("s1c"), varNum.as("var_num_dec"),
+        anomaly.as("anomaly"))
+      .withColumn("mu_e6",
+        when(abs(col("s1c")) > muGuard,
+          raise_error(lit("movingAnomaly: |s1c| outside exact mu_e6 envelope"))
+            .cast("long"))
+        .otherwise(expr(
+          """CASE WHEN s1c < 0
+            |  THEN -((abs(s1c) * 20000 + n_frame) DIV (n_frame * 2))
+            |  ELSE (abs(s1c) * 20000 + n_frame) DIV (n_frame * 2)
+            |END""".stripMargin)))
+      .withColumn("var_num_e4",
+        when(col("var_num_dec") > varGuard,
+          raise_error(lit("movingAnomaly: var_num outside e-4 long envelope"))
+            .cast("long"))
+        .otherwise((col("var_num_dec") * 10000).cast("long")))
+      .select(col("event_type"), col("day"),
+        (col("revenue") * 100).cast("long").as("revenue_cents"),
+        col("n_frame"), col("mu_e6"), col("var_num_e4"), col("anomaly"))
   }
 
   /** Exponential moving average over the per-type daily revenue series —
@@ -380,7 +403,7 @@ object Sessions {
     * ints; the interpolation is one shared expression shape → identical
     * IEEE sequence both engines.
     *
-    * @return (user_id, day, revenue, interp, filled)
+    * @return (user_id, day, revenue_cents, interp, filled)
     */
   def interpolateDaily(events: DataFrame): DataFrame = {
     val DayUs = 86400000000L
@@ -415,8 +438,11 @@ object Sessions {
               .cast("double") /
               (col("dn") - col("dp")).cast("double"))
           .otherwise(coalesce(col("vp"), col("vn")).cast("double")))
-      .select(col("user_id"), col("day"), col("revenue"), col("interp"),
-        col("revenue").isNull.as("filled"))
+      // hashed output carries cents (BIGINT), never DECIMAL — the driver
+      // hasher's decimal normalization is version-sensitive (round 6)
+      .select(col("user_id"), col("day"),
+        (col("revenue") * 100).cast("long").as("revenue_cents"),
+        col("interp"), col("revenue").isNull.as("filled"))
   }
 
   /** First-order Markov transition matrix over each user's event-type

@@ -294,7 +294,11 @@ object Similarity {
           col("mmr_score"))
       selected = selected.union(pick).transform(graft.Pin.apply)
     }
-    selected
+    // the greedy trajectory runs on exact DECIMAL(13,7) scores; the hashed
+    // OUTPUT is the e-7 fixed-point BIGINT (driver decimal-normalization
+    // lesson, round 6)
+    selected.select(col("vec_id"), col("rel"), col("pick_order"),
+      (col("mmr_score") * 10000000L).cast("long").as("mmr_score_e7"))
   }
 
   /** Embedding-cosine near-duplicate groups: pairs above `minCos`, then keep

@@ -477,12 +477,18 @@ object StreamOps {
             // exact fixed-point mirror of the batch window math: s1 in
             // cents (e-2), s2 in e-4; μ_e6 = half-up |s1c|·1e4 / n;
             // var_num_e4 = n·Σc² − s1c²; anomaly ⟺ d² > zThr²·var_num
+            // Math.*Exact so an envelope violation throws loudly instead of
+            // silently wrapping where the batch decimal(30,4) path cannot
             val n = hist.size.toLong
-            val s1c = hist.iterator.map(_.cents).sum
-            val s2e4 = hist.iterator.map(h => h.cents * h.cents).sum
-            val muMag = (math.abs(s1c) * 20000L + n) / (n * 2)
+            val s1c = hist.iterator.map(_.cents).foldLeft(0L)(Math.addExact)
+            val s2e4 = hist.iterator
+              .map(h => Math.multiplyExact(h.cents, h.cents))
+              .foldLeft(0L)(Math.addExact)
+            val muMag = Math.addExact(
+              Math.multiplyExact(math.abs(s1c), 20000L), n) / (n * 2)
             val muE6 = if (s1c < 0) -muMag else muMag
-            val varNumE4 = n * s2e4 - s1c * s1c
+            val varNumE4 = Math.subtractExact(
+              Math.multiplyExact(n, s2e4), Math.multiplyExact(s1c, s1c))
             val dC = n * cents - s1c
             val anomaly = java.math.BigDecimal.valueOf(dC * dC).compareTo(
               java.math.BigDecimal.valueOf(zThr * zThr).multiply(

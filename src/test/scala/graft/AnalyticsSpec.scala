@@ -294,19 +294,20 @@ class AnalyticsSpec extends SparkSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     val r = ext.Sessions.movingAnomaly(events)
       .orderBy("day")
-      .as[(String, Long, BigDecimal, Long, BigDecimal, BigDecimal, Boolean)]
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
       .collect()
-    // constant prefix: var_num = n·s2 − s1² = 0, never anomalous
-    assert(r.take(7).forall(x => x._5 === BigDecimal(10) && x._6 === BigDecimal(0) && !x._7))
+    // constant prefix: var_num_e4 = (n·s2 − s1²)·1e4 = 0, never anomalous;
+    // mu_e6 = 10·1e6
+    assert(r.take(7).forall(x => x._5 === 10000000L && x._6 === 0L && !x._7))
     assert(r.take(7).map(_._4).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
     // spike day: frame = 6×10 + 100, n = 7, s1 = 160, s2 = 10600;
-    // var_num = 7·10600 − 160² = 48600; d = 7·100 − 160 = 540;
-    // d² = 291600 > 4·48600 = 194400 (z² = d²/var_num = 6 > 4) → anomalous
+    // var_num = 7·10600 − 160² = 48600 (e4 = 486000000); d = 7·100 − 160
+    // = 540; d² = 291600 > 4·48600 = 194400 (z² = 6 > 4) → anomalous
     val s = r.last
     assert(s._4 === 7L && s._7, s.toString)
-    assert(s._6 === BigDecimal(48600), s.toString)
-    // μ = 160/7 half-up at 6 dp
-    assert(s._5 === BigDecimal("22.857143"), s.toString)
+    assert(s._6 === 486000000L, s.toString)
+    // μ = 160/7 half-up at 6 dp = 22.857143
+    assert(s._5 === 22857143L, s.toString)
   }
 
   test("multiset ops: multiplicities are min(c,s) and max(c-s,0) per key") {

@@ -482,15 +482,15 @@ class ExtSpec extends SparkSuite {
       .toDF("user_id", "ts_us", "event_type", "value")
       .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
     val r = Sessions.interpolateDaily(events)
-      .as[(Long, Long, Option[BigDecimal], Double, Boolean)].collect()
-      .map(x => (x._1, x._2) -> (x._3.map(_.toDouble), x._4, x._5)).toMap
-    assert(r((1L, 0L)) === ((Some(10.0), 10.0, false)))
+      .as[(Long, Long, Option[Long], Double, Boolean)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5)).toMap
+    assert(r((1L, 0L)) === ((Some(1000L), 10.0, false)))
     assert(r((1L, 1L)) === ((None, 17.5, true))) // events but no purchase
     assert(r((1L, 2L)) === ((None, 25.0, true)))
     assert(r((1L, 3L)) === ((None, 32.5, true)))
-    assert(r((1L, 4L)) === ((Some(40.0), 40.0, false)))
+    assert(r((1L, 4L)) === ((Some(4000L), 40.0, false)))
     assert(r((2L, 0L)) === ((None, 8.0, true)))
-    assert(r((2L, 1L)) === ((Some(8.0), 8.0, false)))
+    assert(r((2L, 1L)) === ((Some(800L), 8.0, false)))
   }
 
   test("waterfillBudget: small sources keep all, large ones split the rest") {

@@ -36,12 +36,12 @@ class Round6OpsSpec extends SparkSuite {
       (12L, "epsilon alpha theta", "en", "srcA"))
       .toDF("doc_id", "text", "lang", "source")
     val r = ext.Retrieval.ndcgAtK(docs, k = 10)
-      .as[(Long, Long, Long, Long, BigDecimal, BigDecimal, Double)]
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
       .collect()
     assert(r.length === 1 && r.head._1 === 3L)
-    val (_, nRet, n2, _, dcg, idcg, ndcg) = r.head
+    val (_, nRet, n2, _, dcgE9, idcgE9, ndcg) = r.head
     assert(n2 === 3L && nRet === 3L)
-    assert(dcg === idcg && ndcg === 1.0, r.head.toString)
+    assert(dcgE9 === idcgE9 && ndcg === 1.0, r.head.toString)
     // the discount table really is the frozen 9-dp literal set
     val w = ext.Retrieval.ndcgWeights(3)
     assert(w.head._2 === java.math.BigDecimal.valueOf(1000000000L, 9))
@@ -58,7 +58,7 @@ class Round6OpsSpec extends SparkSuite {
       (21L, "epsilon alpha theta iota", "en", "srcA"))
       .toDF("doc_id", "text", "lang", "source")
     val r = ext.Retrieval.ndcgAtK(docs, k = 10)
-      .as[(Long, Long, Long, Long, BigDecimal, BigDecimal, Double)]
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
       .collect()
     assert(r.length === 1)
     assert(r.head._7 > 0.0 && r.head._7 < 1.0, r.head.toString)

@@ -78,10 +78,10 @@ class SkewIvfSpec extends SparkSuite {
       .toDF("vec_id", "embedding")
     val r = Similarity.mmrSelect(emb, queryId = 0L, k = 3, candN = 10,
         lambdaTenths = 3)
-      .as[(Long, Double, Long, BigDecimal)].collect().sortBy(_._3)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._3)
     assert(r.map(_._1).toSeq === Seq(1L, 3L, 2L))
-    assert(r(0)._2 === 1.0 && r(0)._4 === BigDecimal(1))
-    assert(r(1)._4 === BigDecimal(0))          // 0.3·0 − 0.7·0, exact
-    assert(r(2)._4 === BigDecimal("-0.4"))     // 0.3·1 − 0.7·1, exact
+    assert(r(0)._2 === 1.0 && r(0)._4 === 10000000L)
+    assert(r(1)._4 === 0L)          // 0.3·0 − 0.7·0, exact e-7
+    assert(r(2)._4 === -4000000L)   // 0.3·1 − 0.7·1, exact e-7
   }
 }

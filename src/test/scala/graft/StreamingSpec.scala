@@ -431,12 +431,9 @@ class StreamingSpec extends SparkSuite {
     }
     val maxTs = evts.map(_.ts_us).max
 
+    // batch output is ALREADY in AnomDayRow's fixed-point long units
     val batch = graft.ext.Sessions.movingAnomaly(
       evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"))
-      .select(col("event_type"), col("day"),
-        (col("revenue") * 100).cast("long"), col("n_frame"),
-        (col("mu") * 1000000).cast("long"),
-        (col("var_num") * 10000).cast("long"), col("anomaly"))
       .as[(String, Long, Long, Long, Long, Long, Boolean)]
       .collect().toSet
 
@@ -469,7 +466,7 @@ class StreamingSpec extends SparkSuite {
       Event(2, T0 + Day, 1L, "tie", 1.0))
     val batch = graft.ext.Sessions.movingAnomaly(
       evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"))
-      .select(col("day"), (col("revenue") * 100).cast("long"))
+      .select(col("day"), col("revenue_cents"))
       .as[(Long, Long)].collect().toMap
     assert(batch(batch.keys.min) === 268L)
 
