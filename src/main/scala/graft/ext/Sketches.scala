@@ -142,7 +142,10 @@ object Sketches {
     * checks the exact value lies in the located bucket). Bucket bounds
     * are the q54 fixed-grid arithmetic, identical expressions both
     * engines; the position is the integer rank floor(p·(n−1)), the
-    * quantile_cont coordinate.
+    * quantile_cont coordinate. The exact column itself comes from
+    * [[graft.ops.Percentiles.exactPercentiles]]' distributed
+    * histogram-pruned strategy (forced), NOT a holistic per-group buffer
+    * — the quality readout scales with the sketch it grades.
     */
   def histogramQuantileSketch(events: DataFrame, nBuckets: Int = 64,
                               ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
@@ -151,8 +154,17 @@ object Sketches {
       .filter(col("value").isNotNull)
     val ext = vals.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
-        count(lit(1)).as("n"),
-        expr(s"percentile(value, array(${ps.mkString(", ")}))").as("exa"))
+        count(lit(1)).as("n"))
+    // the exact comparison column rides the DISTRIBUTED histogram-pruned
+    // strategy (q66's plan), not a holistic per-group buffer: the readout
+    // must not be the one piece of the sketch query that stops scaling.
+    // rowCountHint = MaxValue forces the scale plan without a count job;
+    // the interpolation doubles are the oracle-proven q37/q66 contract.
+    val exact = graft.ops.Percentiles.exactPercentiles(
+      vals, "event_type", "value", ps,
+      holisticMaxTotalRows = 0L, rowCountHint = Some(Long.MaxValue))
+      .select(col("event_type").as("__et"), col("p").as("__pp"),
+        col("value").as("exact"))
     val width = (col("hi") - col("lo")) / nBuckets
     val bucketed = vals.join(broadcast(ext.select(col("event_type"),
         col("lo"), col("hi"))), "event_type")
@@ -168,12 +180,10 @@ object Sketches {
           .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     val targets = ext.select(col("event_type"), col("lo"), col("hi"),
-        col("n"),
-        explode(array(ps.indices.map(i =>
-          struct(lit(ps(i)).as("p"), col("exa")(i).as("exact"))): _*))
-          .as("t"))
-      .select(col("event_type"), col("lo"), col("hi"), col("n"),
-        col("t.p").as("p"), col("t.exact").as("exact"))
+        col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .join(exact, col("event_type") === col("__et") &&
+        col("p") === col("__pp"))
+      .drop("__et", "__pp")
       .withColumn("rk", floor(col("p") * (col("n") - 1).cast("double"))
         .cast("long"))
     targets.join(hist, Seq("event_type"))

@@ -238,6 +238,18 @@ class PlanSpec extends SparkSuite {
       s"cutpoint join shuffled the fact side:\n$p")
   }
 
+  test("q162 hist quantile: exact readout rides the distributed plan, no holistic percentile") {
+    val p = plan(SparkEntry.queries("q162_hist_quantile")(spark, sf))
+    // the sketch query's exact-comparison column must not smuggle a
+    // per-group value buffer back in: Spark's holistic Percentile agg
+    // shows up as `percentile(` inside an ObjectHashAggregate /
+    // SortAggregate — the r6 verdict's one perf-weak flag
+    assert(!p.toLowerCase.contains("percentile("),
+      s"holistic percentile back in the q162 plan:\n$p")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"object-buffer aggregate in the q162 plan:\n$p")
+  }
+
   test("q111 power iteration: no dims² Gram aggregation — group count stays O(dims)") {
     val p = plan(ext.Similarity.gramPowerIteration(Tables.embeddings(spark, sf)))
     // the factored form aggregates by dim (64 groups) twice; a Gram
