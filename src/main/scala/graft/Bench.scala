@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Each query is fully materialized through the `noop`
   * sink (a bare `count()` would let Catalyst prune most of the plan and time
   * nothing). One untimed warmup query first so JIT/codegen/session init cost
-  * isn't attributed to the first query.
+  * isn't attributed to the first query. Per-query numbers are the MEDIAN of
+  * 3 timed runs (this container shows 2× run-to-run noise on identical
+  * code); the suite's raw wall-clock is reported separately as `wall`.
   *
   * A SECOND scale point is timed when available — `SPARK_GRAFT_SF_DIR2`, or
   * the sibling sf0.01 directory when the primary is sf0.1 — and reported in
@@ -56,8 +58,10 @@ object Bench {
       tables.foreach(t => t.cache().count())
       // one untimed warm-up execution of EVERY query: the first run of a
       // plan pays whole-stage-codegen compilation + JIT tiers (2-3× steady
-      // state — measured, not guessed). The timed best-of-2 below then
-      // reads steady-state operator compute, which is the number that
+      // state — measured, not guessed). The timed MEDIAN-OF-3 below then
+      // reads steady-state operator compute with one-off stalls (GC, this
+      // container's measured 2× run-to-run noise — r6: q72 timed 0.09 s
+      // and 2.34 s on identical code) voted out, which is the number that
       // projects to a long-running cluster where plans are compiled once
       // and run for hours.
       for (w <- names)
@@ -69,14 +73,16 @@ object Bench {
             s"[bench] warmup $w failed: ${e.getClass.getName}: ${e.getMessage}")
         }
       val results = names.map { name =>
-        val times = (1 to 2).flatMap { _ =>
+        val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try { run(name, dir); Some((System.nanoTime() - t0) / 1e9) } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
           }
         }
-        name -> (if (times.nonEmpty) times.min else -1.0)
+        // median of the successful runs (middle of 3, lower-middle of 2)
+        name -> (if (times.nonEmpty) times.sorted.apply((times.size - 1) / 2)
+                 else -1.0)
       }
       tables.foreach(_.unpersist())
       results
@@ -87,16 +93,24 @@ object Bench {
     def total(rs: Seq[(String, Double)]): Double =
       rs.map(_._2).filter(_ >= 0).sum
 
-    val primary = suite(sfDir)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // `value`/`queries` are per-query MEDIANS (noise-voted); `wall` is the
+    // raw wall-clock of the whole suite pass (warm-up + 3 timed runs) so
+    // regression reads use medians and capacity planning reads wall time
+    val (primary, wall1) = timed(suite(sfDir))
     // second scale point: explicit env var, else the sibling sf0.01 dir
     val sfDir2 = sys.env.get("SPARK_GRAFT_SF_DIR2")
       .orElse(Option(sfDir.replace("sf0.1", "sf0.01"))
         .filter(d => d != sfDir && new java.io.File(d).isDirectory))
-    val secondary = sfDir2.map(d => (d, suite(d)))
-    val extra = secondary.map { case (d, rs) =>
-      s""","value2":${total(rs)},"queries2":${json(rs)},"sf2":"$d""""
+    val secondary = sfDir2.map(d => { val (rs, w) = timed(suite(d)); (d, rs, w) })
+    val extra = secondary.map { case (d, rs, w) =>
+      s""","value2":${total(rs)},"queries2":${json(rs)},"sf2":"$d","wall2":$w"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","queries":${json(primary)},"sf":"$sfDir"$extra}""")
+    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","queries":${json(primary)},"sf":"$sfDir","wall":$wall1$extra}""")
     spark.stop()
   }
 }
