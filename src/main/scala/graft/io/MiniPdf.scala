@@ -12,9 +12,10 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * rasterizer at all: rendering such a page IS decoding its embedded image.
   * This object implements that subset for real:
   *
-  *  - [[write]] produces a genuine PDF 1.4 file — catalog, page tree, one
-  *    DCTDecode (JPEG) image XObject per page, content streams, xref table,
-  *    trailer — that any conforming viewer opens;
+  *  - [[write]]/[[writePages]] produce a genuine PDF 1.4 file — catalog,
+  *    page tree, one image XObject per page (DCTDecode/JPEG or
+  *    FlateDecode/raw RGB), content streams, xref table, trailer — that
+  *    any conforming viewer opens;
   *  - [[pageCount]] reads /Count from the page tree via the trailer's
   *    /Root reference (not a substring guess);
   *  - [[extractPageImage]] walks trailer → /Root → /Pages → /Kids[n] →
@@ -25,30 +26,57 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *    real PDF through the real codec.
   *
   * Envelope (documented, asserted by the parser): image-only pages, one
-  * XObject per page, uncompressed object dictionaries (streams themselves
-  * are DCT-compressed). A full engine (pdfbox-class) would replace this
-  * object behind the same [[PdfPages.Renderer]] seam.
+  * XObject per page (DCTDecode/JPEG or FlateDecode/raw-RGB), uncompressed
+  * object dictionaries (the image streams themselves are compressed). A
+  * full engine (pdfbox-class) would replace this object behind the same
+  * [[PdfPages.Renderer]] seam.
   */
 object MiniPdf {
+
+  /** One image-backed page: the stream bytes, their PDF /Filter, and the
+    * pixel dimensions. DCTDecode wraps ready JPEG bytes; FlateDecode wraps
+    * zlib-deflated raw RGB24 rows (top-down, 3 bytes/pixel) — the other
+    * image encoding real scanners/exporters emit (both are public PDF 1.4
+    * stream filters, and `java.util.zip` is the whole codec).
+    */
+  sealed trait PageImage { def w: Int; def h: Int }
+  final case class DctPage(jpeg: Array[Byte], w: Int, h: Int)
+    extends PageImage
+  final case class FlateRgbPage(rawRgb: Array[Byte], w: Int, h: Int)
+    extends PageImage {
+    require(rawRgb.length == w * h * 3,
+      s"raw RGB size ${rawRgb.length} != $w*$h*3")
+  }
 
   /** Build a real one-image-per-page PDF from per-page JPEG bytes
     * (width/height must match the encoded images).
     */
-  def write(pageJpegs: Seq[(Array[Byte], Int, Int)]): Array[Byte] = {
+  def write(pageJpegs: Seq[(Array[Byte], Int, Int)]): Array[Byte] =
+    writePages(pageJpegs.map { case (j, w, h) => DctPage(j, w, h) })
+
+  /** Build a real one-image-per-page PDF; pages may mix DCTDecode and
+    * FlateDecode image XObjects.
+    */
+  def writePages(pages: Seq[PageImage]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def emit(s: String): Unit = out.write(s.getBytes(US_ASCII))
     def beginObj(): Unit = offsets += out.size()
     emit("%PDF-1.4\n")
-    val n = pageJpegs.size
+    val n = pages.size
     // object numbering: 1 catalog, 2 pages; per page i: 3+3i page,
     // 4+3i image, 5+3i content
     beginObj(); emit("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     val kids = (0 until n).map(i => s"${3 + 3 * i} 0 R").mkString(" ")
     beginObj()
     emit(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
-    pageJpegs.zipWithIndex.foreach { case ((jpeg, w, h), i) =>
+    pages.zipWithIndex.foreach { case (pg, i) =>
       val (pObj, iObj, cObj) = (3 + 3 * i, 4 + 3 * i, 5 + 3 * i)
+      val (w, h) = (pg.w, pg.h)
+      val (filter, data) = pg match {
+        case DctPage(jpeg, _, _) => ("DCTDecode", jpeg)
+        case FlateRgbPage(raw, _, _) => ("FlateDecode", deflate(raw))
+      }
       beginObj()
       emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
         s"/MediaBox [0 0 $w $h] " +
@@ -57,8 +85,8 @@ object MiniPdf {
       beginObj()
       emit(s"$iObj 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
         s"/Height $h /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
-        s"/Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
-      out.write(jpeg)
+        s"/Filter /$filter /Length ${data.length} >>\nstream\n")
+      out.write(data)
       emit("\nendstream\nendobj\n")
       val draw = s"q $w 0 0 $h 0 0 cm /Im0 Do Q"
       beginObj()
@@ -73,20 +101,48 @@ object MiniPdf {
     out.toByteArray
   }
 
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var at = 0
+    while (at < expected && !inf.finished())
+      at += inf.inflate(out, at, expected - at)
+    inf.end()
+    require(at == expected, s"inflated $at of expected $expected bytes")
+    out
+  }
+
   // -- parsing ------------------------------------------------------------
 
   private def ascii(b: Array[Byte], from: Int, until: Int): String =
     new String(b, from, (until min b.length) - from, US_ASCII)
 
-  /** Object offsets from the xref table the trailer points at. */
+  /** Object offsets from the xref table the trailer points at. The table
+    * window is SIZED FROM THE XREF HEADER's entry count (each entry is a
+    * fixed 20 bytes) rather than a hard cap, so a large but valid PDF that
+    * [[write]] itself produced parses at any page count.
+    */
   private def xrefOffsets(pdf: Array[Byte]): Map[Int, Int] = {
     val tail = ascii(pdf, math.max(0, pdf.length - 200), pdf.length)
     val sx = """startxref\s+(\d+)""".r.findAllMatchIn(tail).toSeq.lastOption
       .getOrElse(sys.error("no startxref")).group(1).toInt
-    val table = ascii(pdf, sx, math.min(pdf.length, sx + 40000))
-    val head = """xref\s+(\d+)\s+(\d+)""".r.findFirstMatchIn(table)
+    val headWin = ascii(pdf, sx, math.min(pdf.length, sx + 128))
+    val head = """xref\s+(\d+)\s+(\d+)""".r.findFirstMatchIn(headWin)
       .getOrElse(sys.error("no xref header"))
     val (first, count) = (head.group(1).toInt, head.group(2).toInt)
+    val table = ascii(pdf, sx,
+      math.min(pdf.length, sx + head.end + count * 20 + 64))
     val entries = """(\d{10}) (\d{5}) ([nf])""".r.findAllMatchIn(table)
       .toSeq.take(count)
     entries.zipWithIndex.collect {
@@ -94,14 +150,24 @@ object MiniPdf {
     }.toMap
   }
 
-  /** The dictionary text of object `num` (up to its stream/endobj). */
+  /** The dictionary text of object `num` (up to its stream/endobj). The
+    * window GROWS until a terminator is found (a /Kids array alone
+    * outgrows any fixed cap past a few hundred pages).
+    */
   private def objDict(pdf: Array[Byte], offsets: Map[Int, Int],
                       num: Int): String = {
     val at = offsets.getOrElse(num, sys.error(s"object $num not in xref"))
-    val window = ascii(pdf, at, at + 2000)
-    val end = Seq(window.indexOf("stream"), window.indexOf("endobj"))
-      .filter(_ >= 0).min
-    window.substring(0, end)
+    var win = 2000
+    while (true) {
+      val window = ascii(pdf, at, at + win)
+      val ends = Seq(window.indexOf("stream"), window.indexOf("endobj"))
+        .filter(_ >= 0)
+      if (ends.nonEmpty) return window.substring(0, ends.min)
+      if (at + win >= pdf.length)
+        sys.error(s"object $num has no stream/endobj terminator")
+      win *= 4
+    }
+    sys.error("unreachable")
   }
 
   private def ref(dict: String, key: String): Int =
@@ -118,8 +184,11 @@ object MiniPdf {
       .getOrElse(sys.error("no /Count")).group(1).toInt
   }
 
-  /** The embedded image bytes (JPEG for DCTDecode) of 1-based `page`. */
-  def extractPageImage(pdf: Array[Byte], page: Int): Array[Byte] = {
+  /** The 1-based `page`'s image XObject: its dictionary text and raw
+    * stream bytes (still filter-encoded).
+    */
+  private def pageXObject(pdf: Array[Byte],
+                          page: Int): (String, Array[Byte]) = {
     val offs = xrefOffsets(pdf)
     val trailer = ascii(pdf, math.max(0, pdf.length - 400), pdf.length)
     val pagesDict = objDict(pdf, offs, ref(trailer, "/Root")) match {
@@ -135,28 +204,78 @@ object MiniPdf {
       .findFirstMatchIn(pageDict).getOrElse(sys.error("no /XObject"))
       .group(1).toInt
     val at = offs(xobj)
-    val header = ascii(pdf, at, at + 1000)
-    val len = """/Length\s+(\d+)""".r.findFirstMatchIn(header)
+    val dict = objDict(pdf, offs, xobj)
+    val len = """/Length\s+(\d+)""".r.findFirstMatchIn(dict)
       .getOrElse(sys.error("no /Length")).group(1).toInt
+    val header = ascii(pdf, at, at + dict.length + 32)
     val streamKw = header.indexOf("stream")
     require(streamKw >= 0, "no stream keyword")
     // stream data begins after "stream" + EOL
     var s = at + streamKw + "stream".length
     if (pdf(s) == '\r') s += 1
     if (pdf(s) == '\n') s += 1
-    java.util.Arrays.copyOfRange(pdf, s, s + len)
+    (dict, java.util.Arrays.copyOfRange(pdf, s, s + len))
   }
 
-  /** A real [[PdfPages.Renderer]]: page JPEG → full ImageIO pixel decode →
-    * PNG re-encode. Rendering an image-backed page is exactly this.
+  /** The embedded image bytes (JPEG for DCTDecode) of 1-based `page`. */
+  def extractPageImage(pdf: Array[Byte], page: Int): Array[Byte] =
+    pageXObject(pdf, page)._2
+
+  private def dictInt(dict: String, key: String): Int =
+    (key + """\s+(\d+)""").r.findFirstMatchIn(dict)
+      .getOrElse(sys.error(s"no $key in $dict")).group(1).toInt
+
+  /** A real [[PdfPages.Renderer]]: page XObject → pixel decode (ImageIO
+    * for DCTDecode JPEGs, java.util.zip inflate for FlateDecode raw RGB)
+    * → PNG re-encode. Rendering an image-backed page is exactly this.
     */
   def pdfImageRenderer: PdfPages.Renderer = (_, page, pdfBytes) => {
-    val jpeg = extractPageImage(pdfBytes, page)
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
-    require(img != null, s"page $page image did not decode")
+    val (dict, data) = pageXObject(pdfBytes, page)
+    val img =
+      if (dict.contains("/DCTDecode")) {
+        val i = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(data))
+        require(i != null, s"page $page JPEG did not decode")
+        i
+      } else if (dict.contains("/FlateDecode")) {
+        val (w, h) = (dictInt(dict, "/Width"), dictInt(dict, "/Height"))
+        require(dict.contains("/DeviceRGB") &&
+          dictInt(dict, "/BitsPerComponent") == 8,
+          s"unsupported Flate image format: $dict")
+        val raw = inflate(data, w * h * 3)
+        val i = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            i.setRGB(x, y, ((raw(o) & 0xff) << 16) |
+              ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        i
+      } else sys.error(s"page $page: unsupported /Filter in $dict")
     val out = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Solid-color raw-RGB24 fixture page (rows top-down) for
+    * [[FlateRgbPage]].
+    */
+  def solidRgb(rgb: Int, w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      raw(3 * i) = ((rgb >> 16) & 0xff).toByte
+      raw(3 * i + 1) = ((rgb >> 8) & 0xff).toByte
+      raw(3 * i + 2) = (rgb & 0xff).toByte
+      i += 1
+    }
+    raw
   }
 
   /** Solid-color JPEG fixture page (ImageIO-encoded). */

@@ -81,4 +81,48 @@ class PdfPagesSpec extends SparkSuite {
     assert(px(1).getRed > 200 && px(1).getBlue < 60, px(1).toString)
     assert(px(2).getBlue > 200 && px(2).getRed < 60, px(2).toString)
   }
+
+  test("MiniPdf FlateDecode: a Flate-backed 2-page PDF renders losslessly through the same seam") {
+    // the other public PDF 1.4 image encoding: zlib-deflated raw RGB —
+    // lossless, so the render must reproduce EXACT pixel values
+    val pdf = MiniPdf.writePages(Seq(
+      MiniPdf.FlateRgbPage(MiniPdf.solidRgb(0x00ff00, 20, 12), 20, 12),
+      MiniPdf.DctPage(MiniPdf.solidJpeg(0xff0000, 20, 12), 20, 12)))
+    assert(MiniPdf.pageCount(pdf) == 2)
+
+    val pdfs = Seq(("flate.pdf", 2, pdf)).toDF("file_name", "n_pages", "content")
+    val rendered = PdfPages.renderPages(pdfs, col("n_pages"),
+      MiniPdf.pdfImageRenderer).cache()
+    val probed = rendered.select(col("page"),
+      graft.io.ImageMeta.isPng(col("page_png")).as("is_png"),
+      graft.io.ImageMeta.pngWidth(col("page_png")).as("w"),
+      graft.io.ImageMeta.pngHeight(col("page_png")).as("h"))
+      .as[(Int, Boolean, Int, Int)].collect()
+    assert(probed.length == 2 &&
+      probed.forall(p => p._2 && p._3 == 20 && p._4 == 12),
+      probed.mkString(","))
+    val px = rendered.collect().map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("page_png")))
+      r.getAs[Int]("page") -> new java.awt.Color(img.getRGB(10, 6))
+    }.toMap
+    // Flate page is bit-exact; the DCT page in the SAME document still
+    // renders (mixed-filter documents exercise the dict-driven dispatch)
+    assert(px(1).getRGB == new java.awt.Color(0, 255, 0).getRGB, px(1).toString)
+    assert(px(2).getRed > 200 && px(2).getGreen < 60, px(2).toString)
+  }
+
+  test("MiniPdf xref window scales with the entry count (no fixed-cap parse failure)") {
+    // 700 pages → 2101 xref entries ≈ 42 KB of table: past the old fixed
+    // 40000-byte window; header-sized windows parse it fine, and the
+    // growable objDict window survives the ~6 KB /Kids array
+    val page = MiniPdf.FlateRgbPage(MiniPdf.solidRgb(0x123456, 2, 2), 2, 2)
+    val pdf = MiniPdf.writePages(Seq.fill(700)(page))
+    assert(MiniPdf.pageCount(pdf) == 700)
+    val png = MiniPdf.pdfImageRenderer("big.pdf", 700, pdf)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    assert((img.getRGB(1, 1) & 0xffffff) == 0x123456)
+  }
 }
