@@ -6,11 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * TESTDATA.md). One parquet file per table; at cluster scale these would be
   * partitioned directories — the read path is identical.
   *
-  * The `events` table carries TIMESTAMP(NANOS) which Spark 4 refuses by
-  * default; [[Tables.events]] reads it as raw nanosecond longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`), which is also what we want for
-  * exact integer event-time arithmetic (the DuckDB oracle truncates the same
-  * column to microseconds, so downstream code works in microseconds — see
+  * The `events.ts` column has appeared under two physical parquet encodings
+  * across testdata generations: TIMESTAMP(NANOS) (reads as LongType ns under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS)
+  * (reads as TIMESTAMP / TIMESTAMP_NTZ). A 100 TB lake mixes encodings
+  * across files, so [[Tables.events]] binds to the LOGICAL type and
+  * normalizes every encoding to one canonical contract: `ts` is a LongType
+  * count of NANOSECONDS since the epoch, on which all event-time operators
+  * do exact integer arithmetic (the DuckDB oracle reads the same column via
+  * `epoch_us(ts)`, so both sides agree in microseconds — see
   * `ext/Sessions.scala`).
   */
 object Tables {
@@ -53,19 +57,41 @@ object Tables {
     }.sum
   }
 
-  /** `ts` column is LongType nanoseconds since epoch (see class doc).
+  /** `ts` column normalized to LongType nanoseconds since epoch (class doc).
     *
-    * The nanos-as-long flag must be set at session BUILD time (Bench, Verify
-    * and the test suite all do); setting it here as a read side effect would
-    * mutate shared session state behind concurrent users' backs, so instead
-    * the accessor fails loudly with the fix when the flag is absent.
+    * Encoding-adaptive on the LOGICAL type of the stored column:
+    *   - LongType — legacy TIMESTAMP(NANOS) read under the `nanosAsLong`
+    *     builder flag (Bench / Verify / the test suite all set it for
+    *     legacy-file back-compat): already ns, passed through.
+    *   - TimestampType / TimestampNTZType — µs-precision timestamps:
+    *     `unix_micros(cast to TIMESTAMP) * 1000L` (µs→ns is exact in int64
+    *     until 2262). Casting NTZ→TIMESTAMP reinterprets the wall-clock in
+    *     the session timezone, so that path is only identity under UTC; the
+    *     accessor fails loudly on a misconfigured session rather than
+    *     silently shifting every event time.
+    *
+    * The conversion is a codegen'd per-row projection fused into the scan
+    * stage — no shuffle, no UDF; at 100 TB it costs one multiply per row.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") " +
-        "(see graft.Bench / graft.Verify builders)")
-    t(s, d, "events")
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // legacy nanos-as-long: already the contract
+      case TimestampType | TimestampNTZType =>
+        require(
+          s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP/TIMESTAMP_NTZ: normalizing to epoch-ns " +
+            "requires spark.sql.session.timeZone=UTC (NTZ→TIMESTAMP cast " +
+            "applies the session zone; any other zone would silently shift " +
+            "event times). Build the SparkSession with " +
+            ".config(\"spark.sql.session.timeZone\", \"UTC\") " +
+            "(see graft.Bench / graft.Verify builders)")
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other =>
+        sys.error(s"events.ts has unsupported type $other; expected " +
+          "LongType (legacy nanos), TIMESTAMP or TIMESTAMP_NTZ")
+    }
   }
 }

@@ -41,15 +41,40 @@ class QueriesSpec extends SparkSuite {
         s"only-in-oracles=${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
   }
 
-  test("Tables.events fails loudly when the ns-as-long builder conf is absent") {
-    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    try {
-      val e = intercept[IllegalArgumentException](Tables.events(spark, sf))
-      assert(e.getMessage.contains("nanosAsLong"))
-    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  test("Tables.events normalizes ts to epoch-ns long under any parquet encoding") {
+    // the testdata generator has shipped events.ts as both TIMESTAMP(NANOS)
+    // (LongType under nanosAsLong) and TIMESTAMP(MICROS) (TIMESTAMP_NTZ);
+    // the loader must bind to the logical type and always hand downstream
+    // operators the same contract: LongType nanoseconds since epoch
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType.typeName == "long")
-    assert(df.count() > 0)
+    val stats = df.agg(
+      org.apache.spark.sql.functions.min("ts"),
+      org.apache.spark.sql.functions.max("ts"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+    ).head()
+    // sane epoch-ns range: 2000-01-01 .. 2200-01-01
+    assert(stats.getLong(2) > 0)
+    assert(stats.getLong(0) >= 946684800000000000L,
+      s"min ts ${stats.getLong(0)} is below 2000-01-01 in ns — wrong unit?")
+    assert(stats.getLong(1) <= 7258118400000000000L,
+      s"max ts ${stats.getLong(1)} is above 2200-01-01 in ns — wrong unit?")
+  }
+
+  test("Tables.events fails loudly on a non-UTC session for timestamp-encoded ts") {
+    // NTZ→TIMESTAMP casting applies the session timezone; on a µs-encoded
+    // file the loader must refuse a non-UTC session instead of silently
+    // shifting event times. (Legacy LongType-ns files are TZ-free, so the
+    // guard only applies — and this test only bites — on timestamp files.)
+    val rawType = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    if (rawType.typeName != "long") {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try {
+        val e = intercept[IllegalArgumentException](Tables.events(spark, sf))
+        assert(e.getMessage.contains("timeZone"))
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    assert(Tables.events(spark, sf).schema("ts").dataType.typeName == "long")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
