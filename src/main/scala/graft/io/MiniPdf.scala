@@ -44,7 +44,10 @@ object MiniPdf {
     extends PageImage
   final case class FlateRgbPage(rawRgb: Array[Byte], w: Int, h: Int)
     extends PageImage {
-    require(rawRgb.length == w * h * 3,
+    require(w > 0 && h > 0, s"non-positive page dims ${w}x$h")
+    // long arithmetic: w*h*3 overflows Int past ~26k x 26k, and an
+    // Int-wrapped product could let a wrong-size buffer pass validation
+    require(rawRgb.length.toLong == w.toLong * h * 3,
       s"raw RGB size ${rawRgb.length} != $w*$h*3")
   }
 
@@ -94,8 +97,12 @@ object MiniPdf {
         s"$draw\nendstream\nendobj\n")
     }
     val xrefAt = out.size()
-    emit(f"xref%n0 ${offsets.size + 1}%n0000000000 65535 f %n")
-    offsets.foreach(o => emit(f"$o%010d 00000 n %n"))
+    // explicit \n, never %n: the PDF spec fixes xref entries at exactly
+    // 20 bytes ("nnnnnnnnnn ggggg n \n"); %n emits the platform separator,
+    // and a CRLF platform's 21-byte entries overrun the size-derived parse
+    // window in xrefOffsets
+    emit(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => emit(f"$o%010d 00000 n \n"))
     emit(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
@@ -111,13 +118,23 @@ object MiniPdf {
     out.toByteArray
   }
 
-  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+  private[graft] def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
     val out = new Array[Byte](expected)
     var at = 0
-    while (at < expected && !inf.finished())
-      at += inf.inflate(out, at, expected - at)
+    while (at < expected && !inf.finished()) {
+      val got = inf.inflate(out, at, expected - at)
+      // Inflater returns 0 with needsInput() set (and not finished) when a
+      // truncated stream runs dry — without this check a corrupt PDF spins
+      // an executor task forever instead of failing the record loudly
+      if (got == 0) {
+        inf.end()
+        sys.error(s"truncated FlateDecode stream: got $at of $expected " +
+          "bytes before the inflater ran out of input")
+      }
+      at += got
+    }
     inf.end()
     require(at == expected, s"inflated $at of expected $expected bytes")
     out

@@ -125,4 +125,52 @@ class PdfPagesSpec extends SparkSuite {
     assert(img.getWidth == 2 && img.getHeight == 2)
     assert((img.getRGB(1, 1) & 0xffffff) == 0x123456)
   }
+
+  test("MiniPdf inflate: a truncated FlateDecode stream fails loudly, no hang") {
+    // a valid deflate PREFIX makes Inflater consume all input and then
+    // return 0 with needsInput() set but finished() false — the exact shape
+    // that used to spin the decode loop forever on a corrupt PDF
+    val raw = Array.tabulate[Byte](50000)(i => (i % 251).toByte)
+    val full = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    assert(MiniPdf.inflate(full, raw.length).toSeq == raw.toSeq)
+    val truncated = full.take(full.length / 2)
+    val e = intercept[RuntimeException](MiniPdf.inflate(truncated, raw.length))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("MiniPdf FlateRgbPage: size validation is Int-overflow-proof") {
+    // 2 * 715827884 * 3 = 2^32 + 8 wraps to 8 in Int arithmetic — under the
+    // old Int-typed require an 8-byte buffer claiming ~715M rows validated
+    intercept[IllegalArgumentException](
+      MiniPdf.FlateRgbPage(new Array[Byte](8), 2, 715827884))
+    intercept[IllegalArgumentException](
+      MiniPdf.FlateRgbPage(new Array[Byte](0), 0, 5))
+    intercept[IllegalArgumentException](
+      MiniPdf.FlateRgbPage(new Array[Byte](12), 2, -2))
+  }
+
+  test("MiniPdf xref entries are the spec-mandated fixed 20 bytes each") {
+    // the PDF spec fixes every xref entry at exactly 20 bytes; a platform
+    // line separator (%n on CRLF) would emit 21 and overrun the
+    // size-derived parse window on large page trees
+    val pdf = MiniPdf.writePages(Seq(
+      MiniPdf.FlateRgbPage(MiniPdf.solidRgb(0xabcdef, 4, 4), 4, 4)))
+    val text = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // "\nxref\n" so the match can't land inside the trailing "startxref"
+    val xrefAt = text.lastIndexOf("\nxref\n") + 1
+    assert(xrefAt >= 1)
+    val afterHeader = text.indexOf('\n', text.indexOf('\n', xrefAt) + 1) + 1
+    val entries = text.substring(afterHeader, text.indexOf("trailer", afterHeader))
+    assert(entries.length % 20 == 0, s"xref table ${entries.length}B not 20B-aligned")
+    entries.grouped(20).foreach { e =>
+      assert(e.matches("""\d{10} \d{5} [nf] \n"""), s"malformed entry ${e.trim}")
+    }
+  }
 }
