@@ -476,23 +476,32 @@ object StreamOps {
             hist = (hist :+ AnomDay(d, cents)).takeRight(frameDays)
             // exact fixed-point mirror of the batch window math: s1 in
             // cents (e-2), s2 in e-4; μ_e6 = half-up |s1c|·1e4 / n;
-            // var_num_e4 = n·Σc² − s1c²; anomaly ⟺ d² > zThr²·var_num
-            // Math.*Exact so an envelope violation throws loudly instead of
-            // silently wrapping where the batch decimal(30,4) path cannot
+            // var_num_e4 = n·Σc² − s1c²; anomaly ⟺ d² > zThr²·var_num.
+            // The variance numerator is computed in BigInteger: its
+            // INTERMEDIATES (Σc², s1c², n·Σc², n·cents) overflow long for
+            // ~1e10-cent days even when the final difference fits, and the
+            // batch DECIMAL(32,4) twin tolerates exactly those — so the
+            // long conversion happens only on the FINAL value
+            // (longValueExact throws loudly on the same envelope the batch
+            // varGuard raise_error enforces, keeping the twins failing on
+            // identical inputs instead of diverging inside the envelope)
             val n = hist.size.toLong
             val s1c = hist.iterator.map(_.cents).foldLeft(0L)(Math.addExact)
-            val s2e4 = hist.iterator
-              .map(h => Math.multiplyExact(h.cents, h.cents))
-              .foldLeft(0L)(Math.addExact)
             val muMag = Math.addExact(
               Math.multiplyExact(math.abs(s1c), 20000L), n) / (n * 2)
             val muE6 = if (s1c < 0) -muMag else muMag
-            val varNumE4 = Math.subtractExact(
-              Math.multiplyExact(n, s2e4), Math.multiplyExact(s1c, s1c))
-            val dC = n * cents - s1c
-            val anomaly = java.math.BigDecimal.valueOf(dC * dC).compareTo(
+            val bigN = java.math.BigInteger.valueOf(n)
+            val s2e4Big = hist.iterator
+              .map(h => java.math.BigInteger.valueOf(h.cents).pow(2))
+              .foldLeft(java.math.BigInteger.ZERO)(_.add(_))
+            val varNumBig = bigN.multiply(s2e4Big)
+              .subtract(java.math.BigInteger.valueOf(s1c).pow(2))
+            val varNumE4 = varNumBig.longValueExact()
+            val dCBig = bigN.multiply(java.math.BigInteger.valueOf(cents))
+              .subtract(java.math.BigInteger.valueOf(s1c))
+            val anomaly = new java.math.BigDecimal(dCBig.pow(2)).compareTo(
               java.math.BigDecimal.valueOf(zThr * zThr).multiply(
-                java.math.BigDecimal.valueOf(varNumE4))) > 0
+                new java.math.BigDecimal(varNumBig))) > 0
             AnomDayRow(etype, d, cents, n, muE6, varNumE4, anomaly)
           }
           val lastFinal =

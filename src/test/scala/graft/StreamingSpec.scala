@@ -485,4 +485,39 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming moving anomaly ≡ batch at cents² past the long bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val Day = 86400L * 1000000
+    // ~4.3e9 cents/day: a single day's cents² ≈ 1.85e19 exceeds
+    // Long.MaxValue (9.22e18), yet the frame's variance numerator
+    // n·Σc² − s1c² = (c1−c2)² = 10000 fits trivially. The old streaming
+    // path multiplyExact'd the intermediates and KILLED the query here
+    // while the batch DECIMAL(32,4) twin sailed through — inside-envelope
+    // inputs must keep the twins identical, not diverge
+    val evts = Seq(
+      Event(1, T0, 1L, "big", 43000000.0),
+      Event(2, T0 + Day, 1L, "big", 43000001.0))
+    val batch = graft.ext.Sessions.movingAnomaly(
+      evts.toDF().withColumn("ts", col("ts_us") * 1000L).drop("ts_us"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSet
+    assert(batch.exists(r => r._3 == 4300000000L), batch.toString)
+    assert(batch.exists(r => r._6 == 10000L), batch.toString)
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.movingAnomalyStream(src.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anombig")
+      .start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, T0 + 20 * Day, 999, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("anombig")
+        .as[(String, Long, Long, Long, Long, Long, Boolean)]
+        .collect().filter(_._1 != "flush").toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
