@@ -616,6 +616,47 @@ object SparkEntry {
           "status_domain" -> (!col("o_orderstatus").isin("O", "F", "P") ||
             col("o_orderstatus").isNull)),
         uniqueCols = Seq("o_orderkey")))
+    ,
+    // PII scan + redaction scorecard (round 9). The synthetic corpus has no
+    // natural PII, so the query first augments text DETERMINISTICALLY from
+    // doc_id (email when doc_id%3=0, phone when %4=0, IP when %5=0) — the
+    // oracle replays the identical augmentation, so the regex machinery is
+    // what's actually under test. Zero shuffles until the tiny per-source
+    // rollup.
+    "q163_pii_redact" -> ((s: SparkSession, d: String) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail"),
+          (col("doc_id") % 7).cast("string"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")))
+      ext.Safety.piiScorecard(Tables.documents(s, d), aug)
+    }),
+    // C4-style blocklist filter: keep/drop is the exact integer inequality
+    // blocked*100 <= pct*total — bit-reproducible across engines
+    "q164_blocklist" -> ((s: SparkSession, d: String) =>
+      ext.Safety.blocklistScorecard(Tables.documents(s, d), col("text"),
+        Seq("slow", "big", "the"), maxPct = 10)),
+    // Bloom-filter join pruning with engine-neutral hashes: premium buyers
+    // (the selective build side) → 8192-bit filter → probe every customer;
+    // FP tail is deterministic and oracle-counted. At sf0.1 the same
+    // filter is deliberately under-sized (83% load) — the readout SHOWS
+    // sketch saturation instead of hiding it.
+    "q165_bloom_semijoin" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.bloomSemiJoin(
+        Tables.orders(s, d).filter(col("o_totalprice") > 480000.0),
+        col("o_custkey"),
+        Tables.customer(s, d), col("c_custkey"), bits = 8192)),
+    // per-document n-gram novelty vs all earlier docs (corpus-freshness
+    // curve): one shuffle on gram, min-over-window, re-agg by doc
+    "q166_ngram_novelty" -> ((s: SparkSession, d: String) =>
+      ext.Curation.ngramNovelty(Tables.documents(s, d), n = 3))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -4610,6 +4651,110 @@ object SparkEntry {
         |WHERE l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
         |                       FROM lineitem l2
         |                       WHERE l2.l_partkey = l1.l_partkey)
-        |GROUP BY l1.l_returnflag""".stripMargin
+        |GROUP BY l1.l_returnflag""".stripMargin,
+
+    // identical deterministic augmentation on both sides; DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark replaces all
+    // matches by default)
+    "q163_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT source,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+        |            || '@mail' || (doc_id % 7) || '.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-'
+        |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)
+        |            || '.0.' || ((doc_id * 7) % 256) ELSE '' END AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.com')) AS n_e,
+        |    len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_p,
+        |    len(regexp_extract_all(t, '10\.[0-9]{1,3}\.0\.[0-9]{1,3}')) AS n_i,
+        |    length(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '10\.[0-9]{1,3}\.0\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[a-z0-9]+@[a-z0-9]+\.com', '<EMAIL>', 'g')) AS rl
+        |  FROM aug)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n_e + n_p + n_i > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_with_pii,
+        |  CAST(sum(n_e) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_p) AS BIGINT) AS n_phones,
+        |  CAST(sum(n_i) AS BIGINT) AS n_ips,
+        |  CAST(sum(rl) AS BIGINT) AS redacted_chars
+        |FROM sig GROUP BY source""".stripMargin,
+
+    // keep/drop is integer arithmetic — no fp ratio anywhere
+    "q164_blocklist" ->
+      """WITH toks AS (
+        |  SELECT lang, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT lang, source, len(t) AS n_tokens,
+        |    len(list_filter(t, x -> list_contains(['slow','big','the'], x)))
+        |      AS n_blocked
+        |  FROM toks)
+        |SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n_blocked * 100 <= 10 * n_tokens THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_kept,
+        |  CAST(sum(n_blocked) AS BIGINT) AS blocked_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM sig GROUP BY lang, source""".stripMargin,
+
+    // explicit modular bloom hashes (Sketches.BloomHashes) replayed
+    // verbatim; list_has_all ≡ Spark's forall/array_contains test
+    "q165_bloom_semijoin" ->
+      """WITH buyers AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
+        |  WHERE o_totalprice > 480000.0),
+        |hs AS (SELECT * FROM (VALUES (1299721, 15485863),
+        |  (2750161, 32452843), (4256233, 49979687)) t(a, b)),
+        |pos AS (SELECT DISTINCT ((k * a + b) % 2147483647) % 8192 AS p
+        |  FROM buyers, hs),
+        |bitset AS (SELECT list(p) AS bits FROM pos),
+        |probe AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  [((CAST(c_custkey AS BIGINT) * 1299721 + 15485863) % 2147483647) % 8192,
+        |   ((CAST(c_custkey AS BIGINT) * 2750161 + 32452843) % 2147483647) % 8192,
+        |   ((CAST(c_custkey AS BIGINT) * 4256233 + 49979687) % 2147483647) % 8192]
+        |    AS ps
+        |  FROM customer),
+        |cls AS (SELECT p.k, list_has_all(bs.bits, p.ps) AS cand,
+        |    (b.k IS NOT NULL) AS member
+        |  FROM probe p CROSS JOIN bitset bs LEFT JOIN buyers b USING (k))
+        |SELECT count(*)::BIGINT AS n_probed,
+        |  sum(CASE WHEN cand THEN 1 ELSE 0 END)::BIGINT AS n_candidates,
+        |  sum(CASE WHEN member THEN 1 ELSE 0 END)::BIGINT AS n_members,
+        |  sum(CASE WHEN cand AND NOT member THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_false_pos,
+        |  (SELECT count(*) FROM pos)::BIGINT AS bits_set
+        |FROM cls""".stripMargin,
+
+    // DISTINCT applied in a subquery AFTER the unnest (DISTINCT + unnest in
+    // one select would dedup pre-expansion)
+    "q166_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks) q),
+        |fd AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |  FROM g),
+        |pd AS (SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM fd GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(CAST(pd.n_grams AS BIGINT), 0) AS n_grams,
+        |  COALESCE(CAST(pd.n_novel AS BIGINT), 0) AS n_novel
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
   )
 }

@@ -742,4 +742,42 @@ object Curation {
           least(col("v_a"), col("v_b")).cast("double"))
           .as("containment"))
   }
+
+  /** Per-document n-gram NOVELTY against everything that came before it in
+    * `doc_id` order: of a document's distinct word `n`-grams, how many
+    * appear in NO earlier document. The corpus-freshness metric a data
+    * curator reads when deciding whether the next crawl increment still
+    * adds information (novelty trending to zero ⇒ the source is mined out).
+    *
+    * First-occurrence attribution is `min(doc_id)` per gram — ties are
+    * impossible (grams are distinct per document before the window).
+    *
+    * Scale shape: one corpus scan → explode to distinct (doc_id, gram) →
+    * ONE shuffle on gram (the window's partition key; min is computed
+    * without a join-back) → re-aggregate by doc_id. At 100 TB the gram key
+    * would be an 8-byte `xxhash64` instead of the string (the [[chunkDedup]]
+    * trade, kept as strings here for the oracle); the second shuffle
+    * (doc_id) is over the already-collapsed per-doc counts.
+    *
+    * @return (doc_id, n_grams, n_novel) for EVERY document — documents
+    *         shorter than `n` tokens report (0, 0).
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("gram"))
+      .distinct()
+    val firstDoc = Window.partitionBy(col("gram"))
+    val perDoc = grams
+      .withColumn("first_doc", min(col("doc_id")).over(firstDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Safety / compliance operators a large-scale training-data pipeline runs
+  * before anything reaches a trainer (round 9; joins the curation family —
+  * cf. the pre-training filtering passes described in the C4 and RefinedWeb
+  * papers):
+  *
+  *  - PII scan + redaction: regex detection of emails / phone numbers / IP
+  *    addresses, counted per document and replaced with typed placeholder
+  *    tags. At lake scale this is the pass that runs FIRST (compliance
+  *    gates every downstream copy), so its shape matters: pure per-row
+  *    projections, zero shuffles until the final rollup.
+  *  - Blocklist filtering: the C4-style "bad-words" pass — a document is
+  *    dropped when blocklisted tokens exceed a share of its length. The
+  *    keep/drop decision is an exact integer inequality
+  *    (`blocked·100 ≤ pct·total`), never a floating-point ratio, so the
+  *    decision is reproducible bit-for-bit across engines.
+  *
+  * Scale notes: both operators are per-row expression pipelines over one
+  * corpus scan (codegen'd regex / array kernels, no UDFs, no joins); the
+  * per-(lang, source) rollups are standard partial-aggregated hash
+  * aggregations whose result cardinality is the tiny (lang × source) grid.
+  * The blocklist itself is a compile-time literal array — at 100 TB a real
+  * blocklist (10k words) would move into a broadcast set probed via
+  * array_intersect against the same token arrays; the plan shape is
+  * unchanged.
+  */
+object Safety {
+
+  /** The three PII shapes the synthetic corpus carries (see q163's
+    * deterministic augmentation): kept deliberately simple so the Java and
+    * RE2 regex engines agree on every match boundary — character classes,
+    * bounded repetition, no backtracking constructs.
+    */
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+  val IpRe    = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+
+  /** Per-document PII signals over `text`: match counts per PII kind and
+    * the redacted text (typed placeholders, IP → phone → email order so a
+    * placeholder can never partially re-match a later pattern).
+    *
+    * One projection, zero shuffles; every added column is a codegen'd
+    * regexp kernel over the already-loaded string.
+    */
+  def piiScan(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(text, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(text, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(text, lit(IpRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, IpRe, "<IP>"),
+            PhoneRe, "<PHONE>"),
+          EmailRe, "<EMAIL>"))
+
+  /** Corpus-level PII scorecard: per source, how many documents carry PII,
+    * how many of each kind, and the redacted corpus size. The rollup an
+    * auditor reads before clearing a crawl for training.
+    */
+  def piiScorecard(docs: DataFrame, text: Column): DataFrame =
+    piiScan(docs, text)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(length(col("redacted")).cast("long")).as("redacted_chars"))
+
+  /** Per-document blocklist signals: token count, blocklisted-token count,
+    * and the keep decision `blocked·100 ≤ maxPct·total` (empty documents
+    * are kept — zero blocked tokens). Exact integers end to end.
+    */
+  def blocklistScan(docs: DataFrame, text: Column, blockWords: Seq[String],
+                    maxPct: Int): DataFrame = {
+    val blockArr = array(blockWords.map(lit): _*)
+    docs
+      .withColumn("__toks", TextStats.tokens(text))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(col("__toks"), t => array_contains(blockArr, t)))
+          .cast("long"))
+      .withColumn("kept",
+        col("n_blocked") * 100 <= lit(maxPct.toLong) * col("n_tokens"))
+      .drop("__toks")
+  }
+
+  /** Blocklist rollup per (lang, source): document and token totals on both
+    * sides of the filter — the numbers that decide whether a source is
+    * worth crawling at all.
+    */
+  def blocklistScorecard(docs: DataFrame, text: Column,
+                         blockWords: Seq[String], maxPct: Int): DataFrame =
+    blocklistScan(docs, text, blockWords, maxPct)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_blocked")).as("blocked_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+}

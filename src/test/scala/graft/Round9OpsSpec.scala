@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: PII scan/redaction, blocklist filtering, bloom-filter
+  * semi-join, n-gram novelty — value semantics on crafted inputs plus the
+  * plan shapes the scale story depends on.
+  */
+class Round9OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Exchange nodes in the plan TREE (formatted explain repeats every node
+    * name in the detail section, so a bare substring count double-counts).
+    */
+  private def exchanges(p: String): Int =
+    "Exchange \\(\\d+\\)".r.findAllIn(p).length
+
+  test("piiScan: counts each PII kind and redacts with typed placeholders") {
+    val docs = Seq(
+      (1L, "hello bob12@mail3.com call +1-555-0042 from 10.5.0.35 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.com c@d.com and 10.0.0.1 10.255.0.255"))
+      .toDF("doc_id", "text")
+    val r = ext.Safety.piiScan(docs, col("text"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1L, 1L, 1L,
+      "hello <EMAIL> call <PHONE> from <IP> done")))
+    assert(r(1) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+    assert(r(2) == ((3L, 2L, 0L, 2L,
+      "two mails <EMAIL> <EMAIL> and <IP> <IP>")))
+  }
+
+  test("blocklistScan: keep decision is exact at the integer boundary") {
+    val ten = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"bad $ten"),        // 1 blocked of 10 → 100 <= 100, kept
+      (2L, s"bad bad $ten w10 w11"), // 2 of 13 → 200 > 130, dropped
+      (3L, ""),                  // empty → kept, zero tokens
+      (4L, "bad"))               // 1 of 1 → 100 > 10, dropped
+      .toDF("doc_id", "text")
+    val r = ext.Safety.blocklistScan(docs, col("text"), Seq("bad"), maxPct = 10)
+      .select("doc_id", "n_tokens", "n_blocked", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 10L, 1L, true), (2L, 13L, 2L, false),
+      (3L, 0L, 0L, true), (4L, 1L, 1L, false)))
+  }
+
+  test("bloomSemiJoin: zero false negatives; FP tail is deterministic") {
+    val build = (1L to 50L).toDF("k")
+    val probe = (1L to 400L).toDF("k")
+    val r = ext.Sketches.bloomSemiJoin(build, col("k"), probe, col("k"),
+      bits = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (probed, cand, members, fp, bitsSet) = r
+    assert(probed == 400L && members == 50L)
+    // the defining one-sided guarantee: every member IS a candidate
+    assert(cand - fp == members, s"false negatives: $r")
+    assert(bitsSet <= 150L && bitsSet > 0L)
+    // deterministic: same inputs, same sketch, same FP count
+    val again = ext.Sketches.bloomSemiJoin(build, col("k"), probe, col("k"),
+      bits = 256).as[(Long, Long, Long, Long, Long)].head()
+    assert(again == r)
+  }
+
+  test("ngramNovelty: first occurrence wins; short docs report (0,0)") {
+    val docs = Seq(
+      (0L, "a b c d"),   // "a b c", "b c d" — both novel
+      (1L, "a b c x"),   // "a b c" seen in doc 0, "b c x" novel
+      (2L, "q r"))       // shorter than n → no grams
+      .toDF("doc_id", "text")
+    val r = ext.Curation.ngramNovelty(docs, n = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 0L, 0L)))
+  }
+
+  test("q163/q164 plans: pure per-row pipelines — no join, one exchange") {
+    for (name <- Seq("q163_pii_redact", "q164_blocklist")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("Join"), s"$name has a join:\n$p")
+      assert(exchanges(p) == 1,
+        s"$name should shuffle exactly once (final rollup):\n$p")
+    }
+  }
+
+  test("q165 plan: bitset reaches the probe as a 1-row broadcast, not a shuffle") {
+    val p = plan(SparkEntry.queries("q165_bloom_semijoin")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q166 plan: gram window + per-doc re-agg, bounded shuffle count") {
+    val p = plan(SparkEntry.queries("q166_ngram_novelty")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(exchanges(p) <= 4, s"q166 shuffle count grew:\n$p")
+  }
+}

@@ -57,20 +57,28 @@ class TestdataSchemaSpec extends SparkSuite {
       "label" -> int)
   )
 
+  // all three generated sizes: a regeneration can drift one SF and not
+  // another (the footers are written per directory)
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
   for ((table, cols) <- expected.toSeq.sortBy(_._1)) {
     test(s"testdata schema sentinel: $table") {
-      val schema = spark.read.parquet(s"$sf/$table.parquet").schema
-      val actualNames = schema.fields.map(_.name).toSeq
-      val expectedNames = cols.map(_._1)
-      assert(actualNames == expectedNames,
-        s"$table column drift: expected $expectedNames, testdata has $actualNames")
-      for ((name, ok) <- cols) {
-        val actual = schema(name).dataType
-        assert(ok.contains(actual),
-          s"$table.$name type drift: testdata has $actual, engine accepts " +
-            s"${ok.mkString("{", ", ", "}")} — if the generator changed " +
-            "encoding again, teach the loader (see Tables.events), then " +
-            "widen this sentinel")
+      for (dir <- sfDirs) {
+        val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+        val actualNames = schema.fields.map(_.name).toSeq
+        val expectedNames = cols.map(_._1)
+        assert(actualNames == expectedNames,
+          s"$dir/$table column drift: expected $expectedNames, " +
+            s"testdata has $actualNames")
+        for ((name, ok) <- cols) {
+          val actual = schema(name).dataType
+          assert(ok.contains(actual),
+            s"$dir/$table.$name type drift: testdata has $actual, engine " +
+              s"accepts ${ok.mkString("{", ", ", "}")} — if the generator " +
+              "changed encoding again, teach the loader (see Tables.events), " +
+              "then widen this sentinel")
+        }
       }
     }
   }
