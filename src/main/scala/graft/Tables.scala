@@ -57,9 +57,8 @@ object Tables {
     }.sum
   }
 
-  /** `ts` column normalized to LongType nanoseconds since epoch (class doc).
-    *
-    * Encoding-adaptive on the LOGICAL type of the stored column:
+  /** Normalize an already-loaded events frame so `ts` is LongType
+    * nanoseconds since epoch, branching on the LOGICAL type:
     *   - LongType — legacy TIMESTAMP(NANOS) read under the `nanosAsLong`
     *     builder flag (Bench / Verify / the test suite all set it for
     *     legacy-file back-compat): already ns, passed through.
@@ -73,10 +72,9 @@ object Tables {
     * The conversion is a codegen'd per-row projection fused into the scan
     * stage — no shuffle, no UDF; at 100 TB it costs one multiply per row.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  private def normalizeTs(s: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df // legacy nanos-as-long: already the contract
       case TimestampType | TimestampNTZType =>
@@ -93,5 +91,51 @@ object Tables {
         sys.error(s"events.ts has unsupported type $other; expected " +
           "LongType (legacy nanos), TIMESTAMP or TIMESTAMP_NTZ")
     }
+  }
+
+  /** `ts` column normalized to LongType nanoseconds since epoch.
+    *
+    * A real lake mixes timestamp encodings ACROSS FILES of one table (old
+    * nanos-era files next to re-encoded µs files), and one Spark scan
+    * cannot read INT64-ns and TIMESTAMP columns together — so when the
+    * table root is a directory, the loader groups the part files by the
+    * `ts` encoding in their parquet FOOTERS (the same O(files) driver-side
+    * footer enumeration the scan planner performs; cf. [[footerRowCount]])
+    * and unions one normalized scan per encoding group. Homogeneous
+    * directories and single files skip straight to the one-scan path; the
+    * union costs nothing at scale (each file is read exactly once either
+    * way, and both branches push the same projection into the scan).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$d/events.parquet")
+    val conf = s.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    if (!fs.getFileStatus(root).isDirectory)
+      return normalizeTs(s, t(s, d, "events"))
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    // group by the footer's ts annotation: TIMESTAMP(NANOS) / plain INT64
+    // both surface as the legacy ns-long read; MICROS/MILLIS as timestamps
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val (nanoLong, micros) = files.partition { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        r.getFileMetaData.getSchema.getType(Seq("ts"): _*).asPrimitiveType()
+          .getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation =>
+            ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => true // plain INT64: already epoch-ns longs
+        }
+      } finally r.close()
+    }
+    if (nanoLong.isEmpty || micros.isEmpty)
+      normalizeTs(s, t(s, d, "events")) // homogeneous: one scan
+    else
+      normalizeTs(s, s.read.parquet(nanoLong.map(_.toString).toSeq: _*))
+        .unionByName(
+          normalizeTs(s, s.read.parquet(micros.map(_.toString).toSeq: _*)))
   }
 }

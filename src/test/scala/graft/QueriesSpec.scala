@@ -61,6 +61,41 @@ class QueriesSpec extends SparkSuite {
       s"max ts ${stats.getLong(1)} is above 2200-01-01 in ns — wrong unit?")
   }
 
+  test("Tables.events unions a MIXED-encoding directory (ns-long + µs files)") {
+    // a 100 TB lake mixes timestamp encodings across files of one table;
+    // the loader must group part files by footer encoding and union the
+    // normalized scans — one Spark scan cannot read both
+    import spark.implicits._
+    import java.nio.file.{Files, Path => JPath, StandardCopyOption}
+    val root = Files.createTempDirectory("graft-mixed")
+    val table = root.resolve("events.parquet")
+    Files.createDirectories(table)
+    val legacy = Seq(
+      (1L, 1700000000000000000L, 10L, "a", 1.0, "{}"),
+      (2L, 1700000001500000000L, 11L, "b", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ldt = java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 22)
+    val modern = Seq((3L, ldt, 12L, "c", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def landPart(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val out = root.resolve(tag)
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val part = Files.list(out).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, table.resolve(s"$tag.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    landPart(legacy, "legacy-nanos")
+    landPart(modern, "reencoded-micros")
+    val df = Tables.events(spark, root.toString)
+    assert(df.schema("ts").dataType.typeName == "long")
+    val got = df.select("event_id", "ts").as[(Long, Long)].collect().toMap
+    assert(got.size == 3)
+    assert(got(1L) == 1700000000000000000L && got(2L) == 1700000001500000000L)
+    assert(got(3L) ==
+      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L)
+  }
+
   test("Tables.events fails loudly on a non-UTC session for timestamp-encoded ts") {
     // NTZ→TIMESTAMP casting applies the session timezone; on a µs-encoded
     // file the loader must refuse a non-UTC session instead of silently
