@@ -1,6 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 
 /** Uniform access to the driver test tables (`/root/testdata/sf*`, see
   * TESTDATA.md). One parquet file per table; at cluster scale these would be
@@ -31,6 +34,37 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** All data files of a parquet table root — a single file, a flat
+    * directory, or a nested/partitioned tree (recursive enumeration, the
+    * same walk the scan planner performs). Skips `_`-prefixed side files
+    * (_SUCCESS, _metadata).
+    */
+  private def parquetFiles(root: Path, conf: Configuration): Seq[Path] = {
+    val fs = root.getFileSystem(conf)
+    if (!fs.getFileStatus(root).isDirectory) Seq(root)
+    else {
+      val it = fs.listFiles(root, true)
+      val out = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          out += f
+      }
+      out.result()
+    }
+  }
+
+  /** Open each file's parquet footer and fold `f` over it (footer closed
+    * either way). Driver-side metadata reads only — no Spark job.
+    */
+  private def mapFooters[A](root: Path, conf: Configuration)
+                           (f: (Path, ParquetFileReader) => A): Seq[A] =
+    parquetFiles(root, conf).map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = ParquetFileReader.open(in)
+      try f(p, r) finally r.close()
+    }
+
   /** Row count of a table from parquet FOOTER metadata only — a driver-side
     * file-metadata read, NO Spark job. This is what operators that need a
     * plan-decision cardinality (e.g. [[ops.Percentiles.exactPercentiles]]'s
@@ -41,20 +75,9 @@ object Tables {
     * performs — O(files) driver work, zero executor time.
     */
   def footerRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
-    import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(s"$sfDir/$name.parquet")
-    val fs = root.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet"))
-      else Array(root)
-    files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+    mapFooters(new Path(s"$sfDir/$name.parquet"), conf)(
+      (_, r) => r.getRecordCount).sum
   }
 
   /** Normalize an already-loaded events frame so `ts` is LongType
@@ -62,80 +85,94 @@ object Tables {
     *   - LongType — legacy TIMESTAMP(NANOS) read under the `nanosAsLong`
     *     builder flag (Bench / Verify / the test suite all set it for
     *     legacy-file back-compat): already ns, passed through.
-    *   - TimestampType / TimestampNTZType — µs-precision timestamps:
-    *     `unix_micros(cast to TIMESTAMP) * 1000L` (µs→ns is exact in int64
-    *     until 2262). Casting NTZ→TIMESTAMP reinterprets the wall-clock in
-    *     the session timezone, so that path is only identity under UTC; the
-    *     accessor fails loudly on a misconfigured session rather than
-    *     silently shifting every event time.
+    *   - TimestampType — an absolute instant; `unix_micros` is
+    *     timezone-independent, so no session constraint applies.
+    *   - TimestampNTZType — a wall-clock reading; the NTZ→TIMESTAMP cast
+    *     applies the session timezone, so this path is only identity under
+    *     UTC and the accessor fails loudly on a misconfigured session
+    *     rather than silently shifting every event time.
     *
-    * The conversion is a codegen'd per-row projection fused into the scan
-    * stage — no shuffle, no UDF; at 100 TB it costs one multiply per row.
+    * µs→ns (`* 1000L`) is exact in int64 until 2262. The conversion is a
+    * codegen'd per-row projection fused into the scan stage — no shuffle,
+    * no UDF; at 100 TB it costs one multiply per row.
     */
   private def normalizeTs(s: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def toNs = df.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
     df.schema("ts").dataType match {
       case LongType => df // legacy nanos-as-long: already the contract
-      case TimestampType | TimestampNTZType =>
+      case TimestampType => toNs
+      case TimestampNTZType =>
         require(
           s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "events.ts is TIMESTAMP/TIMESTAMP_NTZ: normalizing to epoch-ns " +
-            "requires spark.sql.session.timeZone=UTC (NTZ→TIMESTAMP cast " +
-            "applies the session zone; any other zone would silently shift " +
-            "event times). Build the SparkSession with " +
+          "events.ts is TIMESTAMP_NTZ: normalizing to epoch-ns requires " +
+            "spark.sql.session.timeZone=UTC (the NTZ→TIMESTAMP cast applies " +
+            "the session zone; any other zone would silently shift event " +
+            "times). Build the SparkSession with " +
             ".config(\"spark.sql.session.timeZone\", \"UTC\") " +
             "(see graft.Bench / graft.Verify builders)")
-        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+        toNs
       case other =>
         sys.error(s"events.ts has unsupported type $other; expected " +
           "LongType (legacy nanos), TIMESTAMP or TIMESTAMP_NTZ")
     }
   }
 
+  /** Read event files, converting Spark's opaque refusal of TIMESTAMP(NANOS)
+    * columns (read without the legacy flag) back into the actionable message
+    * the old loader-level `require` used to give.
+    */
+  private def readEvents(s: SparkSession, paths: Seq[String]): DataFrame =
+    try s.read.parquet(paths: _*) catch {
+      case e: AnalysisException if e.getMessage.contains("NANOS") =>
+        throw new IllegalArgumentException(
+          "events.parquet carries TIMESTAMP(NANOS): build the SparkSession " +
+            "with .config(\"spark.sql.legacy.parquet.nanosAsLong\", " +
+            "\"true\") (see graft.Bench / graft.Verify builders)", e)
+    }
+
   /** `ts` column normalized to LongType nanoseconds since epoch.
     *
     * A real lake mixes timestamp encodings ACROSS FILES of one table (old
     * nanos-era files next to re-encoded µs files), and one Spark scan
     * cannot read INT64-ns and TIMESTAMP columns together — so when the
-    * table root is a directory, the loader groups the part files by the
-    * `ts` encoding in their parquet FOOTERS (the same O(files) driver-side
-    * footer enumeration the scan planner performs; cf. [[footerRowCount]])
-    * and unions one normalized scan per encoding group. Homogeneous
-    * directories and single files skip straight to the one-scan path; the
-    * union costs nothing at scale (each file is read exactly once either
-    * way, and both branches push the same projection into the scan).
+    * table root is a directory, the loader groups its files (recursively —
+    * partitioned trees included) by the `ts` encoding in their parquet
+    * FOOTERS (the same O(files) driver-side footer enumeration the scan
+    * planner performs; cf. [[footerRowCount]]) and unions one normalized
+    * scan per encoding group. Homogeneous directories and single files
+    * skip straight to the one-scan path; the union costs nothing at scale
+    * (each file is read exactly once either way, and both branches push
+    * the same projection into the scan). Note the mixed path reads
+    * explicit file lists, so directory-derived partition COLUMNS (absent
+    * from the events schema) would not be inferred on it.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val root = new Path(s"$d/events.parquet")
     val conf = s.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
     if (!fs.getFileStatus(root).isDirectory)
-      return normalizeTs(s, t(s, d, "events"))
-    val files = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
+      return normalizeTs(s, readEvents(s, Seq(root.toString)))
     // group by the footer's ts annotation: TIMESTAMP(NANOS) / plain INT64
     // both surface as the legacy ns-long read; MICROS/MILLIS as timestamps
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-    val (nanoLong, micros) = files.partition { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        r.getFileMetaData.getSchema.getType(Seq("ts"): _*).asPrimitiveType()
-          .getLogicalTypeAnnotation match {
-          case ts: TimestampLogicalTypeAnnotation =>
-            ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-          case _ => true // plain INT64: already epoch-ns longs
-        }
-      } finally r.close()
+    val flags = mapFooters(root, conf) { (p, r) =>
+      val nsLong = r.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+        .asPrimitiveType().getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation =>
+          ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => true // plain INT64: already epoch-ns longs
+      }
+      (p.toString, nsLong)
     }
+    val (nanoLong, micros) = flags.partition(_._2)
     if (nanoLong.isEmpty || micros.isEmpty)
-      normalizeTs(s, t(s, d, "events")) // homogeneous: one scan
+      normalizeTs(s, readEvents(s, Seq(root.toString))) // homogeneous
     else
-      normalizeTs(s, s.read.parquet(nanoLong.map(_.toString).toSeq: _*))
-        .unionByName(
-          normalizeTs(s, s.read.parquet(micros.map(_.toString).toSeq: _*)))
+      normalizeTs(s, readEvents(s, nanoLong.map(_._1)))
+        .unionByName(normalizeTs(s, readEvents(s, micros.map(_._1))))
   }
 }

@@ -80,13 +80,19 @@ object Safety {
     */
   def blocklistScan(docs: DataFrame, text: Column, blockWords: Seq[String],
                     maxPct: Int): DataFrame = {
-    val blockArr = array(blockWords.map(lit): _*)
+    // an empty literal array() is ArrayType(NullType) and array_contains
+    // rejects it at analysis time — an empty blocklist means keep everything
+    val blocked: Column => Column =
+      if (blockWords.isEmpty) _ => lit(0L)
+      else {
+        val blockArr = array(blockWords.map(lit): _*)
+        toks => size(filter(toks, t => array_contains(blockArr, t)))
+          .cast("long")
+      }
     docs
       .withColumn("__toks", TextStats.tokens(text))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("n_blocked",
-        size(filter(col("__toks"), t => array_contains(blockArr, t)))
-          .cast("long"))
+      .withColumn("n_blocked", blocked(col("__toks")))
       .withColumn("kept",
         col("n_blocked") * 100 <= lit(maxPct.toLong) * col("n_tokens"))
       .drop("__toks")

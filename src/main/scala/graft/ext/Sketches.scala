@@ -282,9 +282,15 @@ object Sketches {
                     bits: Int = 4096): DataFrame = {
     require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
     val P = 2147483647L
+    // pmod, not %: the remainder operator is sign-preserving, and a
+    // negative key (hash-derived ids) would yield negative positions —
+    // dropped from the mask on the build side and null-probed on the
+    // probe side, silently breaking the no-false-negative guarantee.
+    // Envelope: |key| ≤ Long.Max/4256233 ≈ 2.2e12 (ANSI long multiply);
+    // wider domains hash into it first.
     def positions(k: Column): Column =
       array(BloomHashes.map { case (a, b) =>
-        (k.cast("long") * a + b) % P % bits }: _*)
+        pmod(k.cast("long") * a + b, lit(P)) % bits }: _*)
     // dynamic-shift 1L << n (the functions-API shiftleft only takes a
     // literal shift; ShiftLeft itself is any-expression)
     def shl1(n: Column): Column = {

@@ -259,7 +259,14 @@ object MiniPdf {
         require(dict.contains("/DeviceRGB") &&
           dictInt(dict, "/BitsPerComponent") == 8,
           s"unsupported Flate image format: $dict")
-        val raw = inflate(data, w * h * 3)
+        // untrusted dims from the parsed dict: validate the pixel-buffer
+        // size in LONG arithmetic before allocating — an Int-wrapped
+        // w*h*3 would accept a tiny buffer for absurd claimed dims and
+        // fail later as an out-of-bounds read instead of loudly here
+        val pixBytes = w.toLong * h * 3
+        require(w > 0 && h > 0 && pixBytes <= Int.MaxValue,
+          s"unreasonable Flate image dims ${w}x$h")
+        val raw = inflate(data, pixBytes.toInt)
         val i = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0

@@ -145,6 +145,19 @@ class PdfPagesSpec extends SparkSuite {
     assert(e.getMessage.contains("truncated"), e.getMessage)
   }
 
+  test("MiniPdf parse side rejects hostile dims before allocating") {
+    // a corrupt/hostile dict claiming /Height 715827884 makes w*h*3 wrap
+    // to 8 in Int arithmetic — the renderer must refuse the dims loudly,
+    // not index out of a tiny buffer later
+    val pdf = MiniPdf.writePages(Seq(
+      MiniPdf.FlateRgbPage(MiniPdf.solidRgb(0x112233, 2, 2), 2, 2)))
+    val hostile = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/Height 2 ", "/Height 715827884 ")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e = intercept[Exception](MiniPdf.pdfImageRenderer("evil.pdf", 1, hostile))
+    assert(e.getMessage.contains("unreasonable"), e.getMessage)
+  }
+
   test("MiniPdf FlateRgbPage: size validation is Int-overflow-proof") {
     // 2 * 715827884 * 3 = 2^32 + 8 wraps to 8 in Int arithmetic — under the
     // old Int-typed require an 8-byte buffer claiming ~715M rows validated

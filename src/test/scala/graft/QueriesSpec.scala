@@ -80,20 +80,33 @@ class QueriesSpec extends SparkSuite {
     def landPart(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
       val out = root.resolve(tag)
       df.coalesce(1).write.mode("overwrite").parquet(out.toString)
-      val part = Files.list(out).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = Files.list(out)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
       Files.move(part, table.resolve(s"$tag.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    landPart(legacy, "legacy-nanos")
-    landPart(modern, "reencoded-micros")
-    val df = Tables.events(spark, root.toString)
-    assert(df.schema("ts").dataType.typeName == "long")
-    val got = df.select("event_id", "ts").as[(Long, Long)].collect().toMap
-    assert(got.size == 3)
-    assert(got(1L) == 1700000000000000000L && got(2L) == 1700000001500000000L)
-    assert(got(3L) ==
-      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L)
+    try {
+      landPart(legacy, "legacy-nanos")
+      landPart(modern, "reencoded-micros")
+      val df = Tables.events(spark, root.toString)
+      assert(df.schema("ts").dataType.typeName == "long")
+      val got = df.select("event_id", "ts").as[(Long, Long)].collect().toMap
+      assert(got.size == 3)
+      assert(got(1L) == 1700000000000000000L && got(2L) == 1700000001500000000L)
+      assert(got(3L) ==
+        ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L)
+    } finally {
+      def rm(p: JPath): Unit = {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[JPath]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      rm(root)
+    }
   }
 
   test("Tables.events fails loudly on a non-UTC session for timestamp-encoded ts") {

@@ -69,6 +69,26 @@ class Round9OpsSpec extends SparkSuite {
     assert(again == r)
   }
 
+  test("bloomSemiJoin: negative keys keep the no-false-negative guarantee") {
+    // sign-preserving % would emit negative positions (dropped from the
+    // mask, null-probed) — pmod keeps hash-derived signed ids safe
+    val build = Seq(-5L, -1000000007L, 17L).toDF("k")
+    val probe = Seq(-5L, -1000000007L, 17L, -99L, 42L).toDF("k")
+    val r = ext.Sketches.bloomSemiJoin(build, col("k"), probe, col("k"),
+      bits = 256).as[(Long, Long, Long, Long, Long)].head()
+    val (_, cand, members, fp, _) = r
+    assert(members == 3L)
+    assert(cand - fp == members, s"false negatives on negative keys: $r")
+  }
+
+  test("blocklistScan: empty blocklist keeps everything") {
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val r = ext.Safety.blocklistScan(docs, col("text"), Seq.empty, maxPct = 0)
+      .select("doc_id", "n_blocked", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1L, 0L, true), (2L, 0L, true)))
+  }
+
   test("ngramNovelty: first occurrence wins; short docs report (0,0)") {
     val docs = Seq(
       (0L, "a b c d"),   // "a b c", "b c d" — both novel
