@@ -14,7 +14,7 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *
   *  - [[write]]/[[writePages]] produce a genuine PDF 1.4 file — catalog,
   *    page tree, one image XObject per page (DCTDecode/JPEG or
-  *    FlateDecode/raw RGB), content streams, xref table, trailer — that
+  *    FlateDecode raw RGB/gray), content streams, xref table, trailer — that
   *    any conforming viewer opens;
   *  - [[pageCount]] reads /Count from the page tree via the trailer's
   *    /Root reference (not a substring guess);
@@ -26,7 +26,8 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *    real PDF through the real codec.
   *
   * Envelope (documented, asserted by the parser): image-only pages, one
-  * XObject per page (DCTDecode/JPEG or FlateDecode/raw-RGB), uncompressed
+  * XObject per page (DCTDecode/JPEG or FlateDecode raw RGB/gray),
+  * uncompressed
   * object dictionaries (the image streams themselves are compressed). A
   * full engine (pdfbox-class) would replace this object behind the same
   * [[PdfPages.Renderer]] seam.
@@ -49,6 +50,15 @@ object MiniPdf {
     // Int-wrapped product could let a wrong-size buffer pass validation
     require(rawRgb.length.toLong == w.toLong * h * 3,
       s"raw RGB size ${rawRgb.length} != $w*$h*3")
+  }
+  /** DeviceGray 8-bit (1 byte/pixel, rows top-down) — the encoding
+    * grayscale scanners emit; the most common scanned-document format.
+    */
+  final case class FlateGrayPage(rawGray: Array[Byte], w: Int, h: Int)
+    extends PageImage {
+    require(w > 0 && h > 0, s"non-positive page dims ${w}x$h")
+    require(rawGray.length.toLong == w.toLong * h,
+      s"raw gray size ${rawGray.length} != $w*$h")
   }
 
   /** Build a real one-image-per-page PDF from per-page JPEG bytes
@@ -76,9 +86,12 @@ object MiniPdf {
     pages.zipWithIndex.foreach { case (pg, i) =>
       val (pObj, iObj, cObj) = (3 + 3 * i, 4 + 3 * i, 5 + 3 * i)
       val (w, h) = (pg.w, pg.h)
-      val (filter, data) = pg match {
-        case DctPage(jpeg, _, _) => ("DCTDecode", jpeg)
-        case FlateRgbPage(raw, _, _) => ("FlateDecode", deflate(raw))
+      val (filter, colorSpace, data) = pg match {
+        case DctPage(jpeg, _, _) => ("DCTDecode", "DeviceRGB", jpeg)
+        case FlateRgbPage(raw, _, _) =>
+          ("FlateDecode", "DeviceRGB", deflate(raw))
+        case FlateGrayPage(raw, _, _) =>
+          ("FlateDecode", "DeviceGray", deflate(raw))
       }
       beginObj()
       emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
@@ -87,7 +100,7 @@ object MiniPdf {
         s"/Contents $cObj 0 R >>\nendobj\n")
       beginObj()
       emit(s"$iObj 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
-        s"/Height $h /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+        s"/Height $h /ColorSpace /$colorSpace /BitsPerComponent 8 " +
         s"/Filter /$filter /Length ${data.length} >>\nstream\n")
       out.write(data)
       emit("\nendstream\nendobj\n")
@@ -256,26 +269,35 @@ object MiniPdf {
         i
       } else if (dict.contains("/FlateDecode")) {
         val (w, h) = (dictInt(dict, "/Width"), dictInt(dict, "/Height"))
-        require(dict.contains("/DeviceRGB") &&
+        val gray = dict.contains("/DeviceGray")
+        require((gray || dict.contains("/DeviceRGB")) &&
           dictInt(dict, "/BitsPerComponent") == 8,
           s"unsupported Flate image format: $dict")
+        val bytesPerPx = if (gray) 1 else 3
         // untrusted dims from the parsed dict: validate the pixel-buffer
         // size in LONG arithmetic before allocating — an Int-wrapped
-        // w*h*3 would accept a tiny buffer for absurd claimed dims and
+        // product would accept a tiny buffer for absurd claimed dims and
         // fail later as an out-of-bounds read instead of loudly here
-        val pixBytes = w.toLong * h * 3
+        val pixBytes = w.toLong * h * bytesPerPx
         require(w > 0 && h > 0 && pixBytes <= Int.MaxValue,
           s"unreasonable Flate image dims ${w}x$h")
         val raw = inflate(data, pixBytes.toInt)
-        val i = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val i = new java.awt.image.BufferedImage(w, h,
+          if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val o = (y * w + x) * 3
-            i.setRGB(x, y, ((raw(o) & 0xff) << 16) |
-              ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff))
+            val o = (y * w + x) * bytesPerPx
+            if (gray)
+              // raw raster sample, NOT setRGB: TYPE_BYTE_GRAY's color
+              // model is linear gray, so setRGB would gamma-convert the
+              // scanner's sample values instead of preserving them
+              i.getRaster.setSample(x, y, 0, raw(o) & 0xff)
+            else
+              i.setRGB(x, y, ((raw(o) & 0xff) << 16) |
+                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff))
             x += 1
           }
           y += 1

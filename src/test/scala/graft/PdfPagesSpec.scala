@@ -112,6 +112,35 @@ class PdfPagesSpec extends SparkSuite {
     assert(px(2).getRed > 200 && px(2).getGreen < 60, px(2).toString)
   }
 
+  test("MiniPdf DeviceGray: a grayscale Flate page renders bit-exact next to color pages") {
+    // 8-bit DeviceGray (1 byte/pixel) is what grayscale scanners emit —
+    // a 3-page document mixing gray, color and JPEG pages exercises the
+    // per-page colorspace dispatch
+    val grayRamp = Array.tabulate[Byte](16 * 4)(i => (i % 251).toByte)
+    val pdf = MiniPdf.writePages(Seq(
+      MiniPdf.FlateGrayPage(grayRamp, 16, 4),
+      MiniPdf.FlateRgbPage(MiniPdf.solidRgb(0x0000ff, 16, 4), 16, 4),
+      MiniPdf.DctPage(MiniPdf.solidJpeg(0xff0000, 16, 4), 16, 4)))
+    assert(MiniPdf.pageCount(pdf) == 3)
+    val pdfs = Seq(("scan.pdf", 3, pdf)).toDF("file_name", "n_pages", "content")
+    val rendered = PdfPages.renderPages(pdfs, col("n_pages"),
+      MiniPdf.pdfImageRenderer).cache()
+    val pages = rendered.collect().map { r =>
+      r.getAs[Int]("page") -> javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("page_png")))
+    }.toMap
+    assert(pages.size == 3)
+    // gray page: every SAMPLE survives the PNG round-trip exactly (raster
+    // samples, not getRGB — the gray color model would gamma-convert)
+    for (y <- 0 until 4; x <- 0 until 16) {
+      val g = grayRamp(y * 16 + x) & 0xff
+      assert(pages(1).getRaster.getSample(x, y, 0) == g,
+        s"gray mismatch at ($x,$y)")
+    }
+    assert((pages(2).getRGB(8, 2) & 0xffffff) == 0x0000ff)
+    assert(new java.awt.Color(pages(3).getRGB(8, 2)).getRed > 200)
+  }
+
   test("MiniPdf xref window scales with the entry count (no fixed-cap parse failure)") {
     // 700 pages → 2101 xref entries ≈ 42 KB of table: past the old fixed
     // 40000-byte window; header-sized windows parse it fine, and the
