@@ -656,7 +656,25 @@ object SparkEntry {
     // per-document n-gram novelty vs all earlier docs (corpus-freshness
     // curve): one shuffle on gram, min-over-window, re-agg by doc
     "q166_ngram_novelty" -> ((s: SparkSession, d: String) =>
-      ext.Curation.ngramNovelty(Tables.documents(s, d), n = 3))
+      ext.Curation.ngramNovelty(Tables.documents(s, d), n = 3)),
+    // bloom-PRUNED fact→dim join: the dim bloom drops fact rows before the
+    // shuffle join; FPs die in the real join, so the oracle is the PLAIN
+    // join — pruning is invisible to correctness, visible to the shuffle
+    "q167_bloom_pruned_join" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.bloomPrunedJoin(
+        Tables.orders(s, d), col("o_custkey"),
+        Tables.customer(s, d).filter(col("c_acctbal") > 9000.0),
+        col("c_custkey"), bits = 8192)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("revenue_cents"))),
+    // group-aware split: whole sources assigned by engine-neutral
+    // fingerprint — the split discipline that stops near-dup leakage
+    // across boundaries; disjointness is structural
+    "q168_group_split" -> ((s: SparkSession, d: String) =>
+      ext.Curation.groupSplit(Tables.documents(s, d), col("source"),
+        col("n_chars")))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -4755,6 +4773,32 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  COALESCE(CAST(pd.n_grams AS BIGINT), 0) AS n_grams,
         |  COALESCE(CAST(pd.n_novel AS BIGINT), 0) AS n_novel
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // the bloom prune is semantics-preserving (no false negatives; FPs
+    // eliminated by the join), so the oracle is the plain join
+    "q167_bloom_pruned_join" ->
+      """SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 9000.0
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
+    // q15's fingerprint replay over the GROUP key; bucket → split
+    "q168_group_split" ->
+      """WITH fp AS (
+        |  SELECT source, n_chars,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      generate_series(1, length(source)),
+        |      i -> CAST(ascii(substr(source, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS BIGINT) % 10 AS b
+        |  FROM documents),
+        |s AS (SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |             ELSE 'test' END AS split, source, n_chars FROM fp)
+        |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+        |  count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split""".stripMargin
   )
 }

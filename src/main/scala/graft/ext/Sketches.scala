@@ -276,33 +276,38 @@ object Sketches {
     */
   val BloomHashes: Seq[(Long, Long)] =
     Seq((1299721L, 15485863L), (2750161L, 32452843L), (4256233L, 49979687L))
+  private val BloomP = 2147483647L
 
-  def bloomSemiJoin(build: DataFrame, buildKey: Column,
-                    probe: DataFrame, probeKey: Column,
-                    bits: Int = 4096): DataFrame = {
-    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
-    val P = 2147483647L
-    // pmod, not %: the remainder operator is sign-preserving, and a
-    // negative key (hash-derived ids) would yield negative positions —
-    // dropped from the mask on the build side and null-probed on the
-    // probe side, silently breaking the no-false-negative guarantee.
-    // Envelope: |key| ≤ Long.Max/4256233 ≈ 2.2e12 (ANSI long multiply);
-    // wider domains hash into it first.
-    def positions(k: Column): Column =
-      array(BloomHashes.map { case (a, b) =>
-        pmod(k.cast("long") * a + b, lit(P)) % bits }: _*)
-    // dynamic-shift 1L << n (the functions-API shiftleft only takes a
-    // literal shift; ShiftLeft itself is any-expression)
-    def shl1(n: Column): Column = {
-      import org.apache.spark.sql.GraftBridge
-      import org.apache.spark.sql.catalyst.expressions.ShiftLeft
-      GraftBridge.column(ShiftLeft(
-        GraftBridge.expression(lit(1L)),
-        GraftBridge.expression(n.cast("int"))))
-    }
-    val keys = build.select(buildKey.cast("long").as("k")).distinct()
-    val bitset = keys
-      .select(explode(positions(col("k"))).as("pos"))
+  /** The k bloom positions of a key. pmod, not %: the remainder operator is
+    * sign-preserving, and a negative key (hash-derived ids) would yield
+    * negative positions — dropped from the mask on the build side and
+    * null-probed on the probe side, silently breaking the no-false-negative
+    * guarantee. Envelope: |key| ≤ Long.Max/4256233 ≈ 2.2e12 (ANSI long
+    * multiply); wider domains hash into it first.
+    */
+  private def bloomPositions(k: Column, bits: Int): Column =
+    array(BloomHashes.map { case (a, b) =>
+      pmod(k.cast("long") * a + b, lit(BloomP)) % bits }: _*)
+
+  /** Dynamic-shift 1L << n (the functions-API shiftleft only takes a
+    * literal shift; ShiftLeft itself is any-expression).
+    */
+  private def shl1(n: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    GraftBridge.column(ShiftLeft(
+      GraftBridge.expression(lit(1L)),
+      GraftBridge.expression(n.cast("int"))))
+  }
+
+  /** ONE row holding the filter over `keys.k` as a packed long bitmask
+    * (`mask`: bits/64 words) plus its set-bit count (`n_bits_set`).
+    */
+  private def bloomMask(keys: DataFrame, bits: Int): DataFrame = {
+    require(bits > 0 && bits % 64 == 0,
+      s"bits must be a positive multiple of 64, got $bits")
+    keys
+      .select(explode(bloomPositions(col("k"), bits)).as("pos"))
       .agg(collect_set(col("pos")).as("ps"))
       .select(
         transform(sequence(lit(0L), lit((bits / 64 - 1).toLong)), w =>
@@ -311,14 +316,23 @@ object Sketches {
             lit(0L),
             (acc, p) => acc.bitwiseOR(shl1(pmod(p, lit(64L)))))).as("mask"),
         size(col("ps")).cast("long").as("n_bits_set"))
+  }
+
+  /** All k bits set ⟺ bloom candidate (O(1) per position). */
+  private def bloomTest(mask: Column, ps: Column): Column =
+    forall(ps, p => get(mask, shiftright(p, 6).cast("int"))
+      .bitwiseAND(shl1(pmod(p, lit(64L)))) =!= 0L)
+
+  def bloomSemiJoin(build: DataFrame, buildKey: Column,
+                    probe: DataFrame, probeKey: Column,
+                    bits: Int = 4096): DataFrame = {
+    val keys = build.select(buildKey.cast("long").as("k")).distinct()
     val members = keys.withColumn("__member", lit(1L))
     val probed = probe
       .select(probeKey.cast("long").as("k"))
-      .withColumn("ps", positions(col("k")))
-      .crossJoin(broadcast(bitset))
-      .withColumn("cand", forall(col("ps"), p =>
-        get(col("mask"), shiftright(p, 6).cast("int"))
-          .bitwiseAND(shl1(pmod(p, lit(64L)))) =!= 0L))
+      .withColumn("ps", bloomPositions(col("k"), bits))
+      .crossJoin(broadcast(bloomMask(keys, bits)))
+      .withColumn("cand", bloomTest(col("mask"), col("ps")))
       .join(members, Seq("k"), "left_outer")
       .withColumn("member", col("__member").isNotNull)
     probed.agg(
@@ -328,5 +342,28 @@ object Sketches {
       sum(when(col("cand") && !col("member"), 1L).otherwise(0L))
         .as("n_false_pos"),
       max(col("n_bits_set")).as("bits_set"))
+  }
+
+  /** Bloom-PRUNED fact→dim equi-join — the production pattern the
+    * [[bloomSemiJoin]] readout evaluates: the dim keys' bloom mask is
+    * broadcast onto the fact scan, fact rows failing the k-bit test are
+    * dropped BEFORE the shuffle join, and the surviving candidate set
+    * (members + the FP tail) goes through the real join, which eliminates
+    * the false positives. Semantics-preserving by construction (no false
+    * negatives), so the result is oracle-checkable as the PLAIN join —
+    * the pruning is invisible to correctness and visible to the shuffle:
+    * at 100 TB a 10%-selective dim turns a full-fact shuffle into a
+    * candidate-only shuffle for the cost of one broadcast KB.
+    */
+  def bloomPrunedJoin(fact: DataFrame, factKey: Column,
+                      dim: DataFrame, dimKey: Column,
+                      bits: Int = 8192): DataFrame = {
+    val keys = dim.select(dimKey.cast("long").as("k")).distinct()
+    fact
+      .withColumn("__ps", bloomPositions(factKey, bits))
+      .crossJoin(broadcast(bloomMask(keys, bits)))
+      .filter(bloomTest(col("mask"), col("__ps")))
+      .drop("__ps", "mask", "n_bits_set")
+      .join(dim, factKey === dimKey)
   }
 }

@@ -89,6 +89,46 @@ class Round9OpsSpec extends SparkSuite {
     assert(r.toSeq == Seq((1L, 0L, true), (2L, 0L, true)))
   }
 
+  test("bloomPrunedJoin ≡ plain join (pruning is semantics-preserving)") {
+    val fact = (1L to 300L).map(i => (i, i % 40)).toDF("o_id", "k")
+    val dim = Seq((3L, "a"), (17L, "b"), (39L, "c")).toDF("dk", "name")
+    val pruned = ext.Sketches.bloomPrunedJoin(fact, col("k"), dim, col("dk"),
+      bits = 256)
+      .select("o_id", "k", "name").as[(Long, Long, String)].collect().toSet
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("o_id", "k", "name").as[(Long, Long, String)].collect().toSet
+    assert(pruned == plain)
+    assert(plain.size == 23) // keys 3,17 hit 8x each, 39 hits 7x in 1..300
+  }
+
+  test("groupSplit: every group lands in exactly one split, deterministically") {
+    val docs = Seq(
+      (1L, "src0", 10L), (2L, "src0", 20L), (3L, "src1", 5L),
+      (4L, "src2", 7L), (5L, "src1", 9L))
+      .toDF("doc_id", "source", "n_chars")
+    // disjointness: per-split group counts sum to the global group count
+    val r = ext.Curation.groupSplit(docs, col("source"), col("n_chars"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.map(_._2).sum == 3L, r.toSeq.toString)
+    assert(r.map(_._3).sum == 5L && r.map(_._4).sum == 51L)
+    // determinism: same inputs → identical assignment
+    val again = ext.Curation.groupSplit(docs, col("source"), col("n_chars"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.toSet == again.toSet)
+  }
+
+  test("q167 plan: bloom prune filters the fact side BEFORE the shuffle join") {
+    val df = SparkEntry.queries("q167_bloom_pruned_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row mask broadcast (BNLJ) must sit UNDER the equi-join: prune
+    // first, join the survivors
+    val joinAt = p.indexOf("HashJoin")
+    val bnljAt = p.indexOf("BroadcastNestedLoopJoin")
+    assert(joinAt >= 0 && bnljAt > joinAt,
+      s"bloom prune not below the equi-join:\n$p")
+  }
+
   test("ngramNovelty: first occurrence wins; short docs report (0,0)") {
     val docs = Seq(
       (0L, "a b c d"),   // "a b c", "b c d" — both novel
