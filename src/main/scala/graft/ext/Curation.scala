@@ -762,38 +762,6 @@ object Curation {
     * @return (doc_id, n_grams, n_novel) for EVERY document — documents
     *         shorter than `n` tokens report (0, 0).
     */
-  /** GROUP-aware train/val/test split: every document of a group (source /
-    * domain / site) lands in the same split, assigned by the deterministic
-    * engine-neutral [[TextStats.fingerprint]] of the group key — the split
-    * discipline that stops near-duplicate documents from one site leaking
-    * across split boundaries (row-level splitting, cf. `Convert.seededSplit`,
-    * cannot give that guarantee).
-    *
-    * Buckets: fingerprint(group) mod 10 → <8 train, =8 val, else test
-    * (80/10/10 in expectation over groups; actual shares depend on the
-    * group-size distribution, which the readout reports).
-    *
-    * Scale shape: one per-row fingerprint projection (codegen'd, no join —
-    * membership is a pure function of the group key) + one rollup shuffle.
-    * Disjointness is structural: a group's split is a function of its key.
-    *
-    * @return one row per non-empty split: split, n_groups, n_docs,
-    *         total_chars
-    */
-  def groupSplit(docs: DataFrame, group: Column,
-                 nChars: Column): DataFrame = {
-    val bucket = pmod(TextStats.fingerprint(group), lit(10L))
-    val split = when(bucket < 8, "train")
-      .when(bucket === 8, "val").otherwise("test")
-    docs
-      .withColumn("split", split)
-      .groupBy(col("split"))
-      .agg(
-        count_distinct(group).as("n_groups"),
-        count(lit(1)).as("n_docs"),
-        sum(nChars.cast("long")).as("total_chars"))
-  }
-
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
     val grams = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
@@ -811,5 +779,40 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
+  /** GROUP-aware train/val/test split: every document of a group (source /
+    * domain / site) lands in the same split, assigned by the deterministic
+    * engine-neutral [[TextStats.fingerprint]] of the group key — the split
+    * discipline that stops near-duplicate documents from one site leaking
+    * across split boundaries (row-level splitting, cf. `ops.Convert.hashSplit`,
+    * cannot give that guarantee).
+    *
+    * Buckets: fingerprint(group) mod 10 → <8 train, =8 val, else test
+    * (80/10/10 in expectation over groups; actual shares depend on the
+    * group-size distribution, which the readout reports). A null group key
+    * buckets to 0 (train) — the same convention as the oracle's
+    * `coalesce(fingerprint, 0)` replay.
+    *
+    * Scale shape: one per-row fingerprint projection (codegen'd, no join —
+    * membership is a pure function of the group key) + one rollup shuffle.
+    * Disjointness is structural: a group's split is a function of its key.
+    *
+    * @return one row per non-empty split: split, n_groups, n_docs,
+    *         total_chars
+    */
+  def groupSplit(docs: DataFrame, group: Column,
+                 nChars: Column): DataFrame = {
+    val bucket = pmod(coalesce(TextStats.fingerprint(group), lit(0L)),
+      lit(10L))
+    val split = when(bucket < 8, "train")
+      .when(bucket === 8, "val").otherwise("test")
+    docs
+      .withColumn("split", split)
+      .groupBy(col("split"))
+      .agg(
+        count_distinct(group).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(nChars.cast("long")).as("total_chars"))
   }
 }

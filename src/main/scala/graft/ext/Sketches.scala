@@ -358,12 +358,22 @@ object Sketches {
   def bloomPrunedJoin(fact: DataFrame, factKey: Column,
                       dim: DataFrame, dimKey: Column,
                       bits: Int = 8192): DataFrame = {
+    // reserved internal names — fail loudly on collision rather than
+    // silently dropping or ambiguating a caller's column
+    val reserved = Seq("__graft_bloom_ps", "__graft_bloom_mask",
+      "__graft_bloom_nbits")
+    val clash = fact.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"fact columns collide with bloomPrunedJoin " +
+      s"internals: ${clash.mkString(", ")}")
     val keys = dim.select(dimKey.cast("long").as("k")).distinct()
+    val mask = bloomMask(keys, bits)
+      .select(col("mask").as("__graft_bloom_mask"),
+        col("n_bits_set").as("__graft_bloom_nbits"))
     fact
-      .withColumn("__ps", bloomPositions(factKey, bits))
-      .crossJoin(broadcast(bloomMask(keys, bits)))
-      .filter(bloomTest(col("mask"), col("__ps")))
-      .drop("__ps", "mask", "n_bits_set")
+      .withColumn("__graft_bloom_ps", bloomPositions(factKey, bits))
+      .crossJoin(broadcast(mask))
+      .filter(bloomTest(col("__graft_bloom_mask"), col("__graft_bloom_ps")))
+      .drop(reserved: _*)
       .join(dim, factKey === dimKey)
   }
 }

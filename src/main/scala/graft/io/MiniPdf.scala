@@ -285,22 +285,25 @@ object MiniPdf {
         val i = new java.awt.image.BufferedImage(w, h,
           if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
           else java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val o = (y * w + x) * bytesPerPx
-            if (gray)
-              // raw raster sample, NOT setRGB: TYPE_BYTE_GRAY's color
-              // model is linear gray, so setRGB would gamma-convert the
-              // scanner's sample values instead of preserving them
-              i.getRaster.setSample(x, y, 0, raw(o) & 0xff)
-            else
+        if (gray)
+          // one bulk raster copy, via the raster and NOT setRGB:
+          // TYPE_BYTE_GRAY's color model is linear gray, so setRGB would
+          // gamma-convert the scanner's sample values instead of
+          // preserving them — and raw IS the top-down 1-byte/pixel plane
+          // the raster stores
+          i.getRaster.setDataElements(0, 0, w, h, raw)
+        else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * bytesPerPx
               i.setRGB(x, y, ((raw(o) & 0xff) << 16) |
                 ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff))
-            x += 1
+              x += 1
+            }
+            y += 1
           }
-          y += 1
         }
         i
       } else sys.error(s"page $page: unsupported /Filter in $dict")

@@ -117,6 +117,26 @@ class Round9OpsSpec extends SparkSuite {
     assert(r.toSet == again.toSet)
   }
 
+  test("groupSplit: a null group key buckets to train, matching the oracle") {
+    val docs = Seq((1L, Option("src0"), 10L), (2L, Option.empty[String], 4L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = ext.Curation.groupSplit(docs, col("source"), col("n_chars"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s, g, d, c) => s -> ((g, d, c)) }.toMap
+    // src0 fingerprints to train; the null-source doc must land there too
+    // (oracle convention: coalesce(fingerprint, 0) → bucket 0), counted in
+    // n_docs/total_chars but not in n_groups (count_distinct skips nulls)
+    assert(r("train") == ((1L, 2L, 14L)), r.toString)
+  }
+
+  test("bloomPrunedJoin fails loudly when fact columns collide with internals") {
+    val fact = Seq((1L, 2L)).toDF("k", "__graft_bloom_mask")
+    val dim = Seq(1L).toDF("dk")
+    val e = intercept[IllegalArgumentException](
+      ext.Sketches.bloomPrunedJoin(fact, col("k"), dim, col("dk"), bits = 64))
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("q167 plan: bloom prune filters the fact side BEFORE the shuffle join") {
     val df = SparkEntry.queries("q167_bloom_pruned_join")(spark, sf)
     df.collect()
