@@ -160,6 +160,44 @@ class Round9OpsSpec extends SparkSuite {
     assert(r.toSeq == Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 0L, 0L)))
   }
 
+  test("property: bloom no-false-negatives over 20 random key universes") {
+    // hand-rolled seeded generator (scalatestplus bridge not in the
+    // offline cache); covers negative keys, duplicates, empty overlap
+    val rnd = new scala.util.Random(90817)
+    for (trial <- 1 to 20) {
+      val nBuild = 1 + rnd.nextInt(60)
+      val build = Seq.fill(nBuild)(rnd.nextLong() % 2000000000L)
+      val probe = build.take(rnd.nextInt(nBuild)) ++
+        Seq.fill(rnd.nextInt(80))(rnd.nextLong() % 2000000000L)
+      val bits = 64 << rnd.nextInt(3)
+      val r = ext.Sketches.bloomSemiJoin(
+        build.toDF("k"), col("k"), probe.toDF("k"), col("k"), bits = bits)
+        .as[(Long, Long, Long, Long, Long)].head()
+      val (probed, cand, members, fp, bitsSet) = r
+      val truth = build.toSet
+      assert(probed == probe.size.toLong, s"trial $trial: $r")
+      assert(members == probe.count(truth), s"trial $trial: $r")
+      assert(cand - fp == members,
+        s"trial $trial (bits=$bits, n=$nBuild): false negatives in $r")
+      assert(bitsSet <= math.min(bits.toLong, 3L * nBuild))
+    }
+  }
+
+  test("property: groupSplit partitions any random group universe") {
+    val rnd = new scala.util.Random(41117)
+    for (trial <- 1 to 10) {
+      val groups = (0 until 1 + rnd.nextInt(30)).map(i => s"g${rnd.nextInt(1000)}_$i")
+      val docs = (1 to 120).map { i =>
+        (i.toLong, groups(rnd.nextInt(groups.size)), rnd.nextInt(500).toLong)
+      }.toDF("doc_id", "source", "n_chars")
+      val r = ext.Curation.groupSplit(docs, col("source"), col("n_chars"))
+        .as[(String, Long, Long, Long)].collect()
+      val distinctGroups = docs.select("source").distinct().count()
+      assert(r.map(_._2).sum == distinctGroups, s"trial $trial: group leak")
+      assert(r.map(_._3).sum == 120L, s"trial $trial: doc count drift")
+    }
+  }
+
   test("q163/q164 plans: pure per-row pipelines — no join, one exchange") {
     for (name <- Seq("q163_pii_redact", "q164_blocklist")) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
