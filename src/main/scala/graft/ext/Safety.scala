@@ -80,22 +80,17 @@ object Safety {
     */
   def blocklistScan(docs: DataFrame, text: Column, blockWords: Seq[String],
                     maxPct: Int): DataFrame = {
-    // an empty literal array() is ArrayType(NullType) and array_contains
-    // rejects it at analysis time — an empty blocklist means keep everything
-    val blocked: Column => Column =
-      if (blockWords.isEmpty) _ => lit(0L)
-      else {
-        val blockArr = array(blockWords.map(lit): _*)
-        toks => size(filter(toks, t => array_contains(blockArr, t)))
-          .cast("long")
-      }
+    // one-pass codegen'd kernel: tokenize once, O(1) hash-set probe per
+    // token (the HOF form's array_contains is O(|blocklist|) per token —
+    // fatal at a production 10k-word list; FunctionsSpec asserts parity)
     docs
-      .withColumn("__toks", TextStats.tokens(text))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("n_blocked", blocked(col("__toks")))
+      .withColumn("__bc",
+        graft.functions.BlocklistCounts.countsCol(text, blockWords))
+      .withColumn("n_tokens", element_at(col("__bc"), 1))
+      .withColumn("n_blocked", element_at(col("__bc"), 2))
       .withColumn("kept",
         col("n_blocked") * 100 <= lit(maxPct.toLong) * col("n_tokens"))
-      .drop("__toks")
+      .drop("__bc")
   }
 
   /** Blocklist rollup per (lang, source): document and token totals on both

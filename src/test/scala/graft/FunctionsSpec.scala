@@ -165,4 +165,34 @@ class FunctionsSpec extends SparkSuite {
       .select(TextStats.fingerprint(col("text"))).as[Option[Long]].collect()
     assert(n.isEmpty)
   }
+
+  test("BlocklistCounts kernel ≡ the HOF formulation on corpus + edge strings") {
+    import graft.functions.BlocklistCounts
+    val words = Seq("slow", "big", "the")
+    val blockArr = array(words.map(lit): _*)
+    val hofTokens = ext.TextStats.tokens(col("text"))
+    // corpus-wide bit parity of [n_tokens, n_blocked] against the HOF spec
+    val diff = Tables.documents(spark, sf)
+      .select(
+        BlocklistCounts.countsCol(col("text"), words).as("fast"),
+        array(
+          size(hofTokens).cast("long"),
+          size(filter(hofTokens, t => array_contains(blockArr, t)))
+            .cast("long")).as("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+      .count()
+    assert(diff == 0)
+    // edges: empty, blank, single blocked token, repeated blocked tokens
+    val edges = Seq("", "   ", "big", "big big the slow x", "nope")
+      .toDF("text")
+      .select(BlocklistCounts.countsCol(col("text"), words).as("c"))
+      .as[Seq[Long]].collect()
+    assert(edges.toSeq == Seq(Seq(0L, 0L), Seq(0L, 0L), Seq(1L, 1L),
+      Seq(5L, 4L), Seq(1L, 0L)))
+    // empty blocklist: everything counts as unblocked
+    val none = Seq("a b c").toDF("text")
+      .select(BlocklistCounts.countsCol(col("text"), Seq.empty).as("c"))
+      .as[Seq[Long]].head()
+    assert(none == Seq(3L, 0L))
+  }
 }
