@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, ShingleCodes, StringFingerprint}
+import graft.functions.{BlocklistCounts, FloatVecDot, ShingleCodes, StringFingerprint}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
@@ -27,10 +27,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleCodes].getName, "shingle_codes"),
       (args: Seq[Expression]) => ShingleCodes(args(0),
         args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("blocklist_counts"),
+      new ExpressionInfo(classOf[BlocklistCounts].getName, "blocklist_counts"),
+      (args: Seq[Expression]) => BlocklistCounts(args(0),
+        GraftExtensions.wordArgs(args.tail))))
   }
 }
 
 object GraftExtensions {
+  /** Trailing foldable string args → the blocklist word list
+    * (`blocklist_counts(text, 'slow', 'big', ...)`).
+    */
+  private[graft] def wordArgs(args: Seq[Expression]): Seq[String] = {
+    require(args.forall(_.foldable),
+      "blocklist_counts: words must be string literals")
+    args.map(_.eval().toString)
+  }
+
   /** Register on an already-built session (tests, driver-owned sessions). */
   def register(spark: SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "float_vec_dot",
@@ -39,5 +53,7 @@ object GraftExtensions {
       args => StringFingerprint(args(0)))
     GraftBridge.registerFunction(spark, "shingle_codes",
       args => ShingleCodes(args(0), args(1).eval().asInstanceOf[Int]))
+    GraftBridge.registerFunction(spark, "blocklist_counts",
+      args => BlocklistCounts(args(0), wordArgs(args.tail)))
   }
 }

@@ -194,5 +194,11 @@ class FunctionsSpec extends SparkSuite {
       .select(BlocklistCounts.countsCol(col("text"), Seq.empty).as("c"))
       .as[Seq[Long]].head()
     assert(none == Seq(3L, 0L))
+    // SQL-callable with literal words, like the rest of the native family
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT blocklist_counts('big the x', 'big', 'the') AS c")
+      .as[Seq[Long]].head()
+    assert(viaSql == Seq(3L, 2L))
   }
 }
