@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * tumbling windows. The batch forms are the oracle-checked contract; the
   * streaming forms (same semantics) live in `graft.streaming`.
   *
-  * All event-time arithmetic is integer microseconds (`ts` arrives as ns
-  * longs, see [[graft.Tables.events]]; the DuckDB oracle's parquet reader
-  * truncates the same column to µs) — exact, timezone-free parity.
+  * All event-time arithmetic is integer microseconds: [[graft.Tables.events]]
+  * normalizes `ts` to epoch-ns longs whatever the parquet encoding
+  * (TIMESTAMP(NANOS), TIMESTAMP(MICROS), or a directory mixing both), and
+  * the DuckDB oracle reads the same column as `epoch_us(ts)` — exact,
+  * timezone-free parity on both sides.
   *
   * Scale notes: sessionization is one shuffle on `user_id` (the window
   * partition key); tumbling windows are one hash aggregation keyed by
