@@ -37,12 +37,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   /** Trailing foldable string args → the blocklist word list
-    * (`blocklist_counts(text, 'slow', 'big', ...)`).
+    * (`blocklist_counts(text, 'slow', 'big', ...)`). Each arg must be a
+    * foldable NON-NULL STRING — an integer literal would otherwise be
+    * silently stringified and a NULL would NPE deep in eval.
     */
   private[graft] def wordArgs(args: Seq[Expression]): Seq[String] = {
     require(args.forall(_.foldable),
       "blocklist_counts: words must be string literals")
-    args.map(_.eval().toString)
+    require(args.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType),
+      "blocklist_counts: words must be string literals, got " +
+        args.map(_.dataType.simpleString).mkString(", "))
+    args.map { e =>
+      val v = e.eval()
+      require(v != null,
+        "blocklist_counts: words must be non-null string literals")
+      v.toString
+    }
   }
 
   /** Register on an already-built session (tests, driver-owned sessions). */

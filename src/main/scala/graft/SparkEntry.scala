@@ -617,23 +617,30 @@ object SparkEntry {
             col("o_orderstatus").isNull)),
         uniqueCols = Seq("o_orderkey")))
     ,
-    // PII scan + redaction scorecard (round 9). The synthetic corpus has no
-    // natural PII, so the query first augments text DETERMINISTICALLY from
-    // doc_id (email when doc_id%3=0, phone when %4=0, IP when %5=0) — the
-    // oracle replays the identical augmentation, so the regex machinery is
-    // what's actually under test. Zero shuffles until the tiny per-source
-    // rollup.
+    // PII scan + redaction scorecard (round 9; round 10 moved the patterns
+    // and this augmentation to production shapes). The synthetic corpus has
+    // no natural PII, so the query first augments text DETERMINISTICALLY
+    // from doc_id — mixed-case dot/plus email on a non-.com TLD when
+    // doc_id%3=0, NANP phone alternating "+1-555-xxx-xxxx" / "(555)
+    // xxx-xxxx" writings when %4=0, arbitrary dotted-quad IP when %5=0 —
+    // the oracle replays the identical augmentation, so the regex machinery
+    // is what's actually under test. Zero shuffles until the tiny
+    // per-source rollup.
     "q163_pii_redact" -> ((s: SparkSession, d: String) => {
       val aug = concat(col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@mail"),
-          (col("doc_id") % 7).cast("string"), lit(".com")))
+        when(col("doc_id") % 3 === 0, concat(lit(" contact User."),
+          col("doc_id").cast("string"), lit("+tag@Mail"),
+          (col("doc_id") % 7).cast("string"), lit(".org")))
           .otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, concat(lit(" call +1-555-"),
+        when(col("doc_id") % 4 === 0, concat(
+          when(col("doc_id") % 8 === 0, lit(" call +1-555-"))
+            .otherwise(lit(" call (555) ")),
+          lpad(((col("doc_id") * 3) % 1000).cast("string"), 3, "0"),
+          lit("-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
-          (col("doc_id") % 256).cast("string"), lit(".0."),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 192.168."),
+          (col("doc_id") % 256).cast("string"), lit("."),
           ((col("doc_id") * 7) % 256).cast("string")))
           .otherwise(lit("")))
       ext.Safety.piiScorecard(Tables.documents(s, d), aug)
@@ -644,15 +651,16 @@ object SparkEntry {
       ext.Safety.blocklistScorecard(Tables.documents(s, d), col("text"),
         Seq("slow", "big", "the"), maxPct = 10)),
     // Bloom-filter join pruning with engine-neutral hashes: premium buyers
-    // (the selective build side) → 8192-bit filter → probe every customer;
-    // FP tail is deterministic and oracle-counted. At sf0.1 the same
-    // filter is deliberately under-sized (83% load) — the readout SHOWS
-    // sketch saturation instead of hiding it.
+    // (the selective build side) → auto-sized filter (~10 bits per distinct
+    // build key, Sketches.bloomBitsFor — round 10: a fixed width was
+    // 83%-saturated at sf0.1 and would prune nothing at 10× keys) → probe
+    // every customer; FP tail is deterministic and oracle-counted, the
+    // oracle re-deriving the same width from the same distinct count.
     "q165_bloom_semijoin" -> ((s: SparkSession, d: String) =>
       ext.Sketches.bloomSemiJoin(
         Tables.orders(s, d).filter(col("o_totalprice") > 480000.0),
         col("o_custkey"),
-        Tables.customer(s, d), col("c_custkey"), bits = 8192)),
+        Tables.customer(s, d), col("c_custkey"))),
     // per-document n-gram novelty vs all earlier docs (corpus-freshness
     // curve): one shuffle on gram, min-over-window, re-agg by doc
     "q166_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -664,7 +672,7 @@ object SparkEntry {
       ext.Sketches.bloomPrunedJoin(
         Tables.orders(s, d), col("o_custkey"),
         Tables.customer(s, d).filter(col("c_acctbal") > 9000.0),
-        col("c_custkey"), bits = 8192)
+        col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -4673,27 +4681,37 @@ object SparkEntry {
 
     // identical deterministic augmentation on both sides; DuckDB
     // regexp_replace needs the explicit 'g' flag (Spark replaces all
-    // matches by default)
+    // matches by default). Patterns are Safety.{EmailRe,PhoneRe,IpRe}
+    // verbatim — the Java ∩ RE2 common subset, so spans agree.
     "q163_pii_redact" ->
       """WITH aug AS (
         |  SELECT source,
         |    text
-        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
-        |            || '@mail' || (doc_id % 7) || '.com' ELSE '' END
-        |    || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-'
-        |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-        |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)
-        |            || '.0.' || ((doc_id * 7) % 256) ELSE '' END AS t
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact User.' || doc_id
+        |            || '+tag@Mail' || (doc_id % 7) || '.org' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN
+        |         CASE WHEN doc_id % 8 = 0 THEN ' call +1-555-'
+        |              ELSE ' call (555) ' END
+        |         || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+        |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.'
+        |            || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+        |       ELSE '' END AS t
         |  FROM documents),
         |sig AS (
         |  SELECT source,
-        |    len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.com')) AS n_e,
-        |    len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_p,
-        |    len(regexp_extract_all(t, '10\.[0-9]{1,3}\.0\.[0-9]{1,3}')) AS n_i,
+        |    len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_e,
+        |    len(regexp_extract_all(t,
+        |      '(?:\+1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_p,
+        |    len(regexp_extract_all(t, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_i,
         |    length(regexp_replace(regexp_replace(regexp_replace(t,
-        |      '10\.[0-9]{1,3}\.0\.[0-9]{1,3}', '<IP>', 'g'),
-        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
-        |      '[a-z0-9]+@[a-z0-9]+\.com', '<EMAIL>', 'g')) AS rl
+        |      '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |      '(?:\+1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+        |      '<PHONE>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g')) AS rl
         |  FROM aug)
         |SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(CASE WHEN n_e + n_p + n_i > 0 THEN 1 ELSE 0 END)::BIGINT
@@ -4704,7 +4722,9 @@ object SparkEntry {
         |  CAST(sum(rl) AS BIGINT) AS redacted_chars
         |FROM sig GROUP BY source""".stripMargin,
 
-    // keep/drop is integer arithmetic — no fp ratio anywhere
+    // keep/drop is integer arithmetic — no fp ratio anywhere; the probe
+    // normalizes each token (ASCII translate-fold + edge-punctuation
+    // strip) exactly as the BlocklistCounts kernel does
     "q164_blocklist" ->
       """WITH toks AS (
         |  SELECT lang, source,
@@ -4713,8 +4733,10 @@ object SparkEntry {
         |  FROM documents),
         |sig AS (
         |  SELECT lang, source, len(t) AS n_tokens,
-        |    len(list_filter(t, x -> list_contains(['slow','big','the'], x)))
-        |      AS n_blocked
+        |    len(list_filter(t, x -> list_contains(['slow','big','the'],
+        |      regexp_replace(translate(x,
+        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |      '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked
         |  FROM toks)
         |SELECT lang, source, count(*)::BIGINT AS n_docs,
         |  sum(CASE WHEN n_blocked * 100 <= 10 * n_tokens THEN 1 ELSE 0 END)
@@ -4724,22 +4746,26 @@ object SparkEntry {
         |FROM sig GROUP BY lang, source""".stripMargin,
 
     // explicit modular bloom hashes (Sketches.BloomHashes) replayed
-    // verbatim; list_has_all ≡ Spark's forall/array_contains test
+    // verbatim; list_has_all ≡ Spark's forall/array_contains test. The
+    // mask width replays Sketches.bloomBitsFor over the same distinct
+    // build-key count: max(1 word, ceil(10·n/64) words), capped 2^22 bits.
     "q165_bloom_semijoin" ->
       """WITH buyers AS (
         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
         |  WHERE o_totalprice > 480000.0),
+        |bw AS (SELECT least(greatest((count(*) * 10 + 63) // 64, 1) * 64,
+        |  4194304) AS m FROM buyers),
         |hs AS (SELECT * FROM (VALUES (1299721, 15485863),
         |  (2750161, 32452843), (4256233, 49979687)) t(a, b)),
-        |pos AS (SELECT DISTINCT ((k * a + b) % 2147483647) % 8192 AS p
-        |  FROM buyers, hs),
+        |pos AS (SELECT DISTINCT ((k * a + b) % 2147483647) % m AS p
+        |  FROM buyers, hs, bw),
         |bitset AS (SELECT list(p) AS bits FROM pos),
         |probe AS (SELECT CAST(c_custkey AS BIGINT) AS k,
-        |  [((CAST(c_custkey AS BIGINT) * 1299721 + 15485863) % 2147483647) % 8192,
-        |   ((CAST(c_custkey AS BIGINT) * 2750161 + 32452843) % 2147483647) % 8192,
-        |   ((CAST(c_custkey AS BIGINT) * 4256233 + 49979687) % 2147483647) % 8192]
+        |  [((CAST(c_custkey AS BIGINT) * 1299721 + 15485863) % 2147483647) % m,
+        |   ((CAST(c_custkey AS BIGINT) * 2750161 + 32452843) % 2147483647) % m,
+        |   ((CAST(c_custkey AS BIGINT) * 4256233 + 49979687) % 2147483647) % m]
         |    AS ps
-        |  FROM customer),
+        |  FROM customer, bw),
         |cls AS (SELECT p.k, list_has_all(bs.bits, p.ps) AS cand,
         |    (b.k IS NOT NULL) AS member
         |  FROM probe p CROSS JOIN bitset bs LEFT JOIN buyers b USING (k))

@@ -105,8 +105,14 @@ object Tables {
       case LongType => df // legacy nanos-as-long: already the contract
       case TimestampType => toNs
       case TimestampNTZType =>
-        require(
-          s.conf.get("spark.sql.session.timeZone") == "UTC",
+        // normalize via ZoneId so "Etc/UTC", "GMT", "+00:00" are accepted
+        // — they resolve to the same fixed zero offset; an unparseable
+        // zone fails the guard (the safe direction)
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
           "events.ts is TIMESTAMP_NTZ: normalizing to epoch-ns requires " +
             "spark.sql.session.timeZone=UTC (the NTZ→TIMESTAMP cast applies " +
             "the session zone; any other zone would silently shift event " +
@@ -124,8 +130,10 @@ object Tables {
     * columns (read without the legacy flag) back into the actionable message
     * the old loader-level `require` used to give.
     */
-  private def readEvents(s: SparkSession, paths: Seq[String]): DataFrame =
-    try s.read.parquet(paths: _*) catch {
+  private def readEvents(s: SparkSession, paths: Seq[String],
+                         basePath: Option[String] = None): DataFrame =
+    try basePath.fold(s.read)(bp => s.read.option("basePath", bp))
+      .parquet(paths: _*) catch {
       case e: AnalysisException if e.getMessage.contains("NANOS") =>
         throw new IllegalArgumentException(
           "events.parquet carries TIMESTAMP(NANOS): build the SparkSession " +
@@ -145,9 +153,11 @@ object Tables {
     * scan per encoding group. Homogeneous directories and single files
     * skip straight to the one-scan path; the union costs nothing at scale
     * (each file is read exactly once either way, and both branches push
-    * the same projection into the scan). Note the mixed path reads
-    * explicit file lists, so directory-derived partition COLUMNS (absent
-    * from the events schema) would not be inferred on it.
+    * the same projection into the scan). The mixed path reads explicit
+    * file lists with `basePath` pinned to the table root, so Hive-style
+    * directory partition columns survive it exactly as they do the
+    * one-scan path (asserted on a partitioned mixed-encoding tree in
+    * QueriesSpec).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val root = new Path(s"$d/events.parquet")
@@ -171,8 +181,10 @@ object Tables {
     val (nanoLong, micros) = flags.partition(_._2)
     if (nanoLong.isEmpty || micros.isEmpty)
       normalizeTs(s, readEvents(s, Seq(root.toString))) // homogeneous
-    else
-      normalizeTs(s, readEvents(s, nanoLong.map(_._1)))
-        .unionByName(normalizeTs(s, readEvents(s, micros.map(_._1))))
+    else {
+      val bp = Some(root.toString)
+      normalizeTs(s, readEvents(s, nanoLong.map(_._1), bp))
+        .unionByName(normalizeTs(s, readEvents(s, micros.map(_._1), bp)))
+    }
   }
 }

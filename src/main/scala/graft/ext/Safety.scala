@@ -30,14 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object Safety {
 
-  /** The three PII shapes the synthetic corpus carries (see q163's
-    * deterministic augmentation): kept deliberately simple so the Java and
-    * RE2 regex engines agree on every match boundary — character classes,
-    * bounded repetition, no backtracking constructs.
+  /** Production-shaped PII patterns (round 10 — the round-9 versions only
+    * matched the synthetic corpus's own shapes, which would clear a real
+    * crawl): general email (mixed case, dot/plus/percent local parts, any
+    * alphabetic TLD), NANP phone in its common writings (`+1` prefix,
+    * parenthesized area code, `-`/`.`/space separators, 3-3-4 digits), and
+    * any dotted-quad IP. Confined to the Java ∩ RE2 common subset so both
+    * engines agree on every match boundary — character classes, bounded
+    * repetition, non-capturing groups; no backreferences, no lookaround,
+    * no case-insensitivity flags (case lives in the classes). Both engines
+    * are leftmost-first with greedy quantifiers, so spans are identical.
     */
-  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
-  val PhoneRe = "\\+1-555-[0-9]{4}"
-  val IpRe    = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "(?:\\+1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+  val IpRe    = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** Per-document PII signals over `text`: match counts per PII kind and
     * the redacted text (typed placeholders, IP → phone → email order so a
@@ -76,7 +82,12 @@ object Safety {
 
   /** Per-document blocklist signals: token count, blocklisted-token count,
     * and the keep decision `blocked·100 ≤ maxPct·total` (empty documents
-    * are kept — zero blocked tokens). Exact integers end to end.
+    * are kept — zero blocked tokens). Exact integers end to end. Matching
+    * is NORMALIZED the way C4's bad-words pass normalizes: tokens are
+    * ASCII-case-folded and stripped of leading/trailing punctuation before
+    * the probe ("Bad" and "bad." both hit a `bad` entry), while `n_tokens`
+    * still counts raw whitespace tokens — see
+    * [[graft.functions.BlocklistCounts]] for the exact contract.
     */
   def blocklistScan(docs: DataFrame, text: Column, blockWords: Seq[String],
                     maxPct: Int): DataFrame = {

@@ -261,6 +261,11 @@ object Sketches {
     * instead of engine hashes, so the sketch's own false positives are
     * deterministic and oracle-checkable.
     *
+    * Sizing: by default `bits` is DERIVED from the build side's distinct
+    * key count (~10 bits/key, [[bloomBitsFor]]) — a fixed width silently
+    * saturates when the key universe grows (an 83%-loaded mask prunes
+    * almost nothing) — with an explicit positive `bits` kept as override.
+    *
     * Plan shape: build = hash-aggregate to distinct keys → explode by the
     * constant k → ONE row holding the filter as a PACKED LONG BITMASK
     * (`bits`/64 words — 8192 bits is 1 KB, broadcast for free); probe =
@@ -278,16 +283,54 @@ object Sketches {
     Seq((1299721L, 15485863L), (2750161L, 32452843L), (4256233L, 49979687L))
   private val BloomP = 2147483647L
 
+  /** |key| bound under which `k·a` cannot overflow a long for any of the
+    * [[BloomHashes]] multipliers (largest is 4256233): ≈ 2.2e12. Enforced
+    * per row — wider domains must hash into the envelope first.
+    */
+  val BloomKeyEnvelope: Long = Long.MaxValue / 4256233L
+
+  /** Mask width for a build side of `nKeys` distinct keys: ~10 bits/key
+    * (3-hash theoretical FP ≈ 1.7% at that load), rounded up to a 64-bit
+    * word, floor one word, capped at [[BloomMaxBits]] (4 Mi bits = a
+    * 512 KiB mask — still a trivially broadcast payload; past the cap the
+    * FP rate rises gracefully instead of the mask growing without bound).
+    */
+  val BloomMaxBits: Int = 1 << 22
+  private[graft] def bloomBitsFor(nKeys: Long): Int = {
+    val words = math.max(1L, (nKeys * 10L + 63L) / 64L)
+    math.min(words * 64L, BloomMaxBits.toLong).toInt
+  }
+
+  /** `bits` ≤ 0 (the default) derives the width from the build side's
+    * distinct-key count. The count is a PLANNING action — one narrow
+    * distinct-count job over the already-deduped dim keys decides a plan
+    * parameter before the data path runs, the same role as the runtime
+    * stats behind AQE's join re-plans; the data path itself stays fully
+    * distributed. A fixed positive `bits` skips the job (and is how the
+    * saturation specs pin their geometry).
+    */
+  private def resolvedBits(bits: Int, keys: DataFrame): Int =
+    if (bits > 0) bits else bloomBitsFor(keys.count())
+
   /** The k bloom positions of a key. pmod, not %: the remainder operator is
     * sign-preserving, and a negative key (hash-derived ids) would yield
     * negative positions — dropped from the mask on the build side and
     * null-probed on the probe side, silently breaking the no-false-negative
-    * guarantee. Envelope: |key| ≤ Long.Max/4256233 ≈ 2.2e12 (ANSI long
-    * multiply); wider domains hash into it first.
+    * guarantee. The [[BloomKeyEnvelope]] is ENFORCED: build and probe would
+    * wrap identically (no false negatives), but positions would silently
+    * diverge from any exact-arithmetic replay of the hash, so an
+    * out-of-envelope key fails loudly instead.
     */
-  private def bloomPositions(k: Column, bits: Int): Column =
+  private def bloomPositions(k: Column, bits: Int): Column = {
+    val kk = k.cast("long")
+    val guarded = when(abs(kk) <= BloomKeyEnvelope, kk).otherwise(
+      raise_error(format_string(
+        "bloom key %d outside the |key| <= %d hash envelope (k*multiplier " +
+          "must not overflow long); hash wide domains into the envelope " +
+          "first", kk, lit(BloomKeyEnvelope))).cast("long"))
     array(BloomHashes.map { case (a, b) =>
-      pmod(k.cast("long") * a + b, lit(BloomP)) % bits }: _*)
+      pmod(guarded * a + b, lit(BloomP)) % bits }: _*)
+  }
 
   /** Dynamic-shift 1L << n (the functions-API shiftleft only takes a
     * literal shift; ShiftLeft itself is any-expression).
@@ -325,13 +368,14 @@ object Sketches {
 
   def bloomSemiJoin(build: DataFrame, buildKey: Column,
                     probe: DataFrame, probeKey: Column,
-                    bits: Int = 4096): DataFrame = {
+                    bits: Int = 0): DataFrame = {
     val keys = build.select(buildKey.cast("long").as("k")).distinct()
+    val width = resolvedBits(bits, keys)
     val members = keys.withColumn("__member", lit(1L))
     val probed = probe
       .select(probeKey.cast("long").as("k"))
-      .withColumn("ps", bloomPositions(col("k"), bits))
-      .crossJoin(broadcast(bloomMask(keys, bits)))
+      .withColumn("ps", bloomPositions(col("k"), width))
+      .crossJoin(broadcast(bloomMask(keys, width)))
       .withColumn("cand", bloomTest(col("mask"), col("ps")))
       .join(members, Seq("k"), "left_outer")
       .withColumn("member", col("__member").isNotNull)
@@ -357,7 +401,7 @@ object Sketches {
     */
   def bloomPrunedJoin(fact: DataFrame, factKey: Column,
                       dim: DataFrame, dimKey: Column,
-                      bits: Int = 8192): DataFrame = {
+                      bits: Int = 0): DataFrame = {
     // reserved internal names — fail loudly on collision rather than
     // silently dropping or ambiguating a caller's column
     val reserved = Seq("__graft_bloom_ps", "__graft_bloom_mask",
@@ -366,11 +410,12 @@ object Sketches {
     require(clash.isEmpty, s"fact columns collide with bloomPrunedJoin " +
       s"internals: ${clash.mkString(", ")}")
     val keys = dim.select(dimKey.cast("long").as("k")).distinct()
-    val mask = bloomMask(keys, bits)
+    val width = resolvedBits(bits, keys)
+    val mask = bloomMask(keys, width)
       .select(col("mask").as("__graft_bloom_mask"),
         col("n_bits_set").as("__graft_bloom_nbits"))
     fact
-      .withColumn("__graft_bloom_ps", bloomPositions(factKey, bits))
+      .withColumn("__graft_bloom_ps", bloomPositions(factKey, width))
       .crossJoin(broadcast(mask))
       .filter(bloomTest(col("__graft_bloom_mask"), col("__graft_bloom_ps")))
       .drop(reserved: _*)

@@ -26,8 +26,8 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *    real PDF through the real codec.
   *
   * Envelope (documented, asserted by the parser): image-only pages, one
-  * XObject per page (DCTDecode/JPEG or FlateDecode raw RGB/gray),
-  * uncompressed
+  * XObject per page (DCTDecode/JPEG, or FlateDecode raw RGB / gray /
+  * 8-bit indexed-palette), uncompressed
   * object dictionaries (the image streams themselves are compressed). A
   * full engine (pdfbox-class) would replace this object behind the same
   * [[PdfPages.Renderer]] seam.
@@ -60,6 +60,24 @@ object MiniPdf {
     require(rawGray.length.toLong == w.toLong * h,
       s"raw gray size ${rawGray.length} != $w*$h")
   }
+  /** Indexed color (8-bit palette indices + an RGB lookup table, the PDF
+    * `[/Indexed /DeviceRGB hival <lookup>]` color space — PNG-PLTE-style
+    * screenshots and plot exports re-encoded into PDFs). `palette` is
+    * 3·(hival+1) bytes of RGB triples, ≤ 256 entries; every index must be
+    * ≤ hival (the renderer rejects out-of-range samples loudly, per spec
+    * they would clamp — a symptom of a corrupt stream, not a rendering
+    * choice this engine should paper over).
+    */
+  final case class FlateIndexedPage(indices: Array[Byte],
+                                    palette: Array[Byte], w: Int, h: Int)
+    extends PageImage {
+    require(w > 0 && h > 0, s"non-positive page dims ${w}x$h")
+    require(indices.length.toLong == w.toLong * h,
+      s"index plane size ${indices.length} != $w*$h")
+    require(palette.length % 3 == 0 && palette.length > 0 &&
+      palette.length <= 768,
+      s"palette must be 3·n bytes, 1 ≤ n ≤ 256, got ${palette.length}")
+  }
 
   /** Build a real one-image-per-page PDF from per-page JPEG bytes
     * (width/height must match the encoded images).
@@ -86,12 +104,20 @@ object MiniPdf {
     pages.zipWithIndex.foreach { case (pg, i) =>
       val (pObj, iObj, cObj) = (3 + 3 * i, 4 + 3 * i, 5 + 3 * i)
       val (w, h) = (pg.w, pg.h)
+      // colorSpace is the complete PDF value: a name for the device
+      // spaces, the 4-element array form for /Indexed (lookup emitted as
+      // a hex string — self-contained, no extra stream object)
       val (filter, colorSpace, data) = pg match {
-        case DctPage(jpeg, _, _) => ("DCTDecode", "DeviceRGB", jpeg)
+        case DctPage(jpeg, _, _) => ("DCTDecode", "/DeviceRGB", jpeg)
         case FlateRgbPage(raw, _, _) =>
-          ("FlateDecode", "DeviceRGB", deflate(raw))
+          ("FlateDecode", "/DeviceRGB", deflate(raw))
         case FlateGrayPage(raw, _, _) =>
-          ("FlateDecode", "DeviceGray", deflate(raw))
+          ("FlateDecode", "/DeviceGray", deflate(raw))
+        case FlateIndexedPage(idx, palette, _, _) =>
+          val hex = palette.map(b => f"${b & 0xff}%02X").mkString
+          ("FlateDecode",
+            s"[/Indexed /DeviceRGB ${palette.length / 3 - 1} <$hex>]",
+            deflate(idx))
       }
       beginObj()
       emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
@@ -100,7 +126,7 @@ object MiniPdf {
         s"/Contents $cObj 0 R >>\nendobj\n")
       beginObj()
       emit(s"$iObj 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
-        s"/Height $h /ColorSpace /$colorSpace /BitsPerComponent 8 " +
+        s"/Height $h /ColorSpace $colorSpace /BitsPerComponent 8 " +
         s"/Filter /$filter /Length ${data.length} >>\nstream\n")
       out.write(data)
       emit("\nendstream\nendobj\n")
@@ -269,43 +295,83 @@ object MiniPdf {
         i
       } else if (dict.contains("/FlateDecode")) {
         val (w, h) = (dictInt(dict, "/Width"), dictInt(dict, "/Height"))
-        val gray = dict.contains("/DeviceGray")
-        require((gray || dict.contains("/DeviceRGB")) &&
-          dictInt(dict, "/BitsPerComponent") == 8,
-          s"unsupported Flate image format: $dict")
-        val bytesPerPx = if (gray) 1 else 3
-        // untrusted dims from the parsed dict: validate the pixel-buffer
-        // size in LONG arithmetic before allocating — an Int-wrapped
-        // product would accept a tiny buffer for absurd claimed dims and
-        // fail later as an out-of-bounds read instead of loudly here
-        val pixBytes = w.toLong * h * bytesPerPx
-        require(w > 0 && h > 0 && pixBytes <= Int.MaxValue,
-          s"unreasonable Flate image dims ${w}x$h")
-        val raw = inflate(data, pixBytes.toInt)
-        val i = new java.awt.image.BufferedImage(w, h,
-          if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
-          else java.awt.image.BufferedImage.TYPE_INT_RGB)
-        if (gray)
-          // one bulk raster copy, via the raster and NOT setRGB:
-          // TYPE_BYTE_GRAY's color model is linear gray, so setRGB would
-          // gamma-convert the scanner's sample values instead of
-          // preserving them — and raw IS the top-down 1-byte/pixel plane
-          // the raster stores
-          i.getRaster.setDataElements(0, 0, w, h, raw)
-        else {
+        // [/Indexed /DeviceRGB hival <hex-lookup>] → RGB triples; parsed
+        // BEFORE the device-space dispatch because the array also contains
+        // the literal /DeviceRGB
+        val indexed =
+          """\[\s*/Indexed\s+/DeviceRGB\s+(\d+)\s*<([0-9A-Fa-f\s]*)>\s*\]""".r
+            .findFirstMatchIn(dict)
+        if (indexed.isDefined) {
+          val m = indexed.get
+          val hival = m.group(1).toInt
+          val hex = m.group(2).filterNot(_.isWhitespace)
+          require(hival >= 0 && hival <= 255 &&
+            hex.length == 6 * (hival + 1),
+            s"palette lookup is ${hex.length} hex chars for hival $hival")
+          val palette = Array.tabulate(hival + 1) { i =>
+            Integer.parseInt(hex.substring(6 * i, 6 * i + 6), 16)
+          }
+          require(dictInt(dict, "/BitsPerComponent") == 8,
+            s"unsupported indexed depth in $dict")
+          val pixBytes = w.toLong * h
+          require(w > 0 && h > 0 && pixBytes <= Int.MaxValue,
+            s"unreasonable indexed image dims ${w}x$h")
+          val idx = inflate(data, pixBytes.toInt)
+          val i = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val o = (y * w + x) * bytesPerPx
-              i.setRGB(x, y, ((raw(o) & 0xff) << 16) |
-                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff))
+              val s = idx(y * w + x) & 0xff
+              require(s <= hival,
+                s"palette index $s > hival $hival at ($x,$y) — corrupt " +
+                  "index plane")
+              i.setRGB(x, y, palette(s))
               x += 1
             }
             y += 1
           }
+          i
+        } else {
+          val gray = dict.contains("/DeviceGray")
+          require((gray || dict.contains("/DeviceRGB")) &&
+            dictInt(dict, "/BitsPerComponent") == 8,
+            s"unsupported Flate image format: $dict")
+          val bytesPerPx = if (gray) 1 else 3
+          // untrusted dims from the parsed dict: validate the pixel-buffer
+          // size in LONG arithmetic before allocating — an Int-wrapped
+          // product would accept a tiny buffer for absurd claimed dims and
+          // fail later as an out-of-bounds read instead of loudly here
+          val pixBytes = w.toLong * h * bytesPerPx
+          require(w > 0 && h > 0 && pixBytes <= Int.MaxValue,
+            s"unreasonable Flate image dims ${w}x$h")
+          val raw = inflate(data, pixBytes.toInt)
+          val i = new java.awt.image.BufferedImage(w, h,
+            if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_INT_RGB)
+          if (gray)
+            // one bulk raster copy, via the raster and NOT setRGB:
+            // TYPE_BYTE_GRAY's color model is linear gray, so setRGB would
+            // gamma-convert the scanner's sample values instead of
+            // preserving them — and raw IS the top-down 1-byte/pixel plane
+            // the raster stores
+            i.getRaster.setDataElements(0, 0, w, h, raw)
+          else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * bytesPerPx
+                i.setRGB(x, y, ((raw(o) & 0xff) << 16) |
+                  ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff))
+                x += 1
+              }
+              y += 1
+            }
+          }
+          i
         }
-        i
       } else sys.error(s"page $page: unsupported /Filter in $dict")
     val out = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)

@@ -171,24 +171,53 @@ class FunctionsSpec extends SparkSuite {
     val words = Seq("slow", "big", "the")
     val blockArr = array(words.map(lit): _*)
     val hofTokens = ext.TextStats.tokens(col("text"))
+    // the probe-side normalization, HOF form: ASCII translate-fold +
+    // edge-punctuation strip — exactly the kernel's normalize()
+    def norm(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(
+      translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz"),
+      "^[^a-z0-9]+|[^a-z0-9]+$", "")
+    def hofCounts: org.apache.spark.sql.Column = array(
+      size(hofTokens).cast("long"),
+      size(filter(hofTokens, t => array_contains(blockArr, norm(t))))
+        .cast("long"))
     // corpus-wide bit parity of [n_tokens, n_blocked] against the HOF spec
     val diff = Tables.documents(spark, sf)
       .select(
         BlocklistCounts.countsCol(col("text"), words).as("fast"),
-        array(
-          size(hofTokens).cast("long"),
-          size(filter(hofTokens, t => array_contains(blockArr, t)))
-            .cast("long")).as("slow"))
+        hofCounts.as("slow"))
       .filter(!(col("fast") <=> col("slow")))
       .count()
     assert(diff == 0)
-    // edges: empty, blank, single blocked token, repeated blocked tokens
-    val edges = Seq("", "   ", "big", "big big the slow x", "nope")
+    // edges: empty, blank, single blocked token, repeated blocked tokens,
+    // case/punctuation normalization, and control-whitespace bounds
+    // ("\tbig the\n": SQL trim strips only spaces, so \s+-split keeps one
+    // empty token each side — 4 raw tokens, 2 blocked; Java String.trim
+    // would have stripped the tabs and disagreed with the HOF/oracle)
+    val edgeStrings = Seq("", "   ", "big", "big big the slow x", "nope",
+      "Big. THE (slow)", "\"Bad\" bad. the", "\tbig the\n", "\t\n",
+      " \t big \n ", "--- ... !!!")
+    val edges = edgeStrings
       .toDF("text")
       .select(BlocklistCounts.countsCol(col("text"), words).as("c"))
       .as[Seq[Long]].collect()
     assert(edges.toSeq == Seq(Seq(0L, 0L), Seq(0L, 0L), Seq(1L, 1L),
-      Seq(5L, 4L), Seq(1L, 0L)))
+      Seq(5L, 4L), Seq(1L, 0L), Seq(3L, 3L), Seq(3L, 1L), Seq(4L, 2L),
+      Seq(2L, 0L), Seq(3L, 1L), Seq(3L, 0L)))
+    // the same edges hold the HOF parity too (tab/newline bounds included)
+    val edgeDiff = edgeStrings.toDF("text")
+      .select(BlocklistCounts.countsCol(col("text"), words).as("fast"),
+        hofCounts.as("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+      .count()
+    assert(edgeDiff == 0)
+    // blocklist itself is case-folded at construction
+    val cased = Seq("Big, the. x").toDF("text")
+      .select(BlocklistCounts.countsCol(col("text"), Seq("BIG", "the"))
+        .as("c"))
+      .as[Seq[Long]].head()
+    assert(cased == Seq(3L, 2L))
     // empty blocklist: everything counts as unblocked
     val none = Seq("a b c").toDF("text")
       .select(BlocklistCounts.countsCol(col("text"), Seq.empty).as("c"))
@@ -200,5 +229,13 @@ class FunctionsSpec extends SparkSuite {
       "SELECT blocklist_counts('big the x', 'big', 'the') AS c")
       .as[Seq[Long]].head()
     assert(viaSql == Seq(3L, 2L))
+    // non-string / NULL word literals are rejected with an actionable
+    // message instead of silent stringification or a raw NPE
+    val badInt = intercept[Exception](spark.sql(
+      "SELECT blocklist_counts('x', 7)").collect())
+    assert(badInt.getMessage.contains("string literals"), badInt.getMessage)
+    val badNull = intercept[Exception](spark.sql(
+      "SELECT blocklist_counts('x', CAST(NULL AS STRING))").collect())
+    assert(badNull.getMessage.contains("non-null"), badNull.getMessage)
   }
 }

@@ -141,6 +141,40 @@ class PdfPagesSpec extends SparkSuite {
     assert(new java.awt.Color(pages(3).getRGB(8, 2)).getRed > 200)
   }
 
+  test("MiniPdf Indexed: a palette-backed page renders with exact lookup colors") {
+    // 8-bit indexed color ([/Indexed /DeviceRGB hival <lookup>]) is the
+    // PNG-PLTE-style encoding screenshots/plots carry into PDFs — the
+    // remaining common image-PDF encoding after JPEG/RGB/gray. The index
+    // plane cycles a 4-color palette; every pixel must come back as its
+    // exact palette triple through write → extract → decode → PNG.
+    val colors = Array(0x112233, 0x44ff66, 0xffffff, 0x000000)
+    val palette = colors.flatMap(c => Array(
+      ((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+    val (w, h) = (16, 6)
+    val indices = Array.tabulate[Byte](w * h)(i => (i % 4).toByte)
+    val pdf = MiniPdf.writePages(Seq(
+      MiniPdf.FlateIndexedPage(indices, palette, w, h),
+      MiniPdf.FlateRgbPage(MiniPdf.solidRgb(0xff8800, w, h), w, h)))
+    assert(MiniPdf.pageCount(pdf) == 2)
+    val pdfs = Seq(("plot.pdf", 2, pdf)).toDF("file_name", "n_pages", "content")
+    val rendered = PdfPages.renderPages(pdfs, col("n_pages"),
+      MiniPdf.pdfImageRenderer).cache()
+    val pages = rendered.collect().map { r =>
+      r.getAs[Int]("page") -> javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("page_png")))
+    }.toMap
+    assert(pages.size == 2)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((pages(1).getRGB(x, y) & 0xffffff) == colors((y * w + x) % 4),
+        s"palette mismatch at ($x,$y)")
+    assert((pages(2).getRGB(8, 3) & 0xffffff) == 0xff8800)
+    // an out-of-range index (sample > hival) is a corrupt plane → loud
+    val bad = MiniPdf.writePages(Seq(MiniPdf.FlateIndexedPage(
+      Array[Byte](0, 1, 2, 5), palette.take(9), 2, 2)))
+    val e = intercept[Exception](MiniPdf.pdfImageRenderer("f.pdf", 1, bad))
+    assert(e.getMessage.contains("hival"), e.getMessage)
+  }
+
   test("MiniPdf xref window scales with the entry count (no fixed-cap parse failure)") {
     // 700 pages → 2101 xref entries ≈ 42 KB of table: past the old fixed
     // 40000-byte window; header-sized windows parse it fine, and the

@@ -109,6 +109,64 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("Tables.events keeps Hive partition columns on the MIXED-encoding path") {
+    // the mixed branch reads explicit per-encoding file lists; without
+    // basePath pinned to the table root, a partitioned 100 TB events tree
+    // would silently LOSE its directory partition columns there while the
+    // homogeneous one-scan path kept them
+    import spark.implicits._
+    import java.nio.file.{Files, Path => JPath, StandardCopyOption}
+    val root = Files.createTempDirectory("graft-mixed-part")
+    val table = root.resolve("events.parquet")
+    val legacy = Seq(
+      (1L, 1700000000000000000L, 10L, "a", 1.0, "{}"),
+      (2L, 1700000001500000000L, 11L, "b", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ldt = java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 22)
+    val modern = Seq((3L, ldt, 12L, "c", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def landPart(df: org.apache.spark.sql.DataFrame, dir: String,
+                 tag: String): Unit = {
+      val stage = root.resolve(s"stage-$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val target = table.resolve(dir)
+      Files.createDirectories(target)
+      val listing = Files.list(stage)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      Files.move(part, target.resolve(s"$tag.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    try {
+      landPart(legacy, "day=1", "legacy-nanos")
+      landPart(modern, "day=2", "reencoded-micros")
+      val df = Tables.events(spark, root.toString)
+      assert(df.schema("ts").dataType.typeName == "long")
+      assert(df.schema.fieldNames.contains("day"),
+        s"partition column lost on the mixed path: ${df.schema.treeString}")
+      import org.apache.spark.sql.functions.col
+      val got = df.select(col("event_id"),
+        col("day").cast("long"), col("ts"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      assert(got.size == 3)
+      assert(got(1L) == ((1L, 1700000000000000000L)))
+      assert(got(2L) == ((1L, 1700000001500000000L)))
+      assert(got(3L) == ((2L,
+        ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L)))
+    } finally {
+      def rm(p: JPath): Unit = {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[JPath]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      rm(root)
+    }
+  }
+
   test("Tables.events fails loudly on a non-UTC session for timestamp-encoded ts") {
     // NTZ→TIMESTAMP casting applies the session timezone; on a µs-encoded
     // file the loader must refuse a non-UTC session instead of silently
@@ -121,6 +179,15 @@ class QueriesSpec extends SparkSuite {
         val e = intercept[IllegalArgumentException](Tables.events(spark, sf))
         assert(e.getMessage.contains("timeZone"))
       } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // zones EQUIVALENT to UTC are accepted (ZoneId-normalized, not a
+      // string compare): "Etc/UTC" and "+00:00" are the same fixed offset
+      for (tz <- Seq("Etc/UTC", "+00:00")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try assert(
+          Tables.events(spark, sf).schema("ts").dataType.typeName == "long",
+          s"zone $tz spuriously rejected")
+        finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+      }
     }
     assert(Tables.events(spark, sf).schema("ts").dataType.typeName == "long")
   }

@@ -22,7 +22,7 @@ class Round9OpsSpec extends SparkSuite {
 
   test("piiScan: counts each PII kind and redacts with typed placeholders") {
     val docs = Seq(
-      (1L, "hello bob12@mail3.com call +1-555-0042 from 10.5.0.35 done"),
+      (1L, "hello bob12@mail3.com call +1-555-123-4567 from 10.5.0.35 done"),
       (2L, "no pii here at all"),
       (3L, "two mails a@b.com c@d.com and 10.0.0.1 10.255.0.255"))
       .toDF("doc_id", "text")
