@@ -80,6 +80,40 @@ class Round10OpsSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("envelope")), e.toString)
   }
 
+  // ------------------------------------------- RFM fence equivalence
+
+  test("rfmSegments distributed grid-rank ≡ the global-ntile windows") {
+    // crafted purchase history with heavy TIES on freq and cents (the
+    // case where a value-fence approximation would diverge from ntile's
+    // fat-tiles-first split — the grid rank must reproduce the exact
+    // (key, user_id) total order) across an awkward n (37 users, 37 =
+    // 5·7+2 → two 8-row tiles then three 7-row tiles)
+    val DayNs = 86400000000L * 1000L
+    val events = (1 to 37).flatMap { u =>
+      val freq = 1 + u % 4           // many users share each freq
+      (0 until freq).map { i =>
+        (u.toLong * 100 + i, (u % 11).toLong * DayNs + i * 1000000000L,
+          u.toLong, "purchase", (u % 5) * 7.5 + 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val window = ext.Sessions.rfmSegments(events)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val grid = ext.Sessions.rfmSegments(events, distributed = true)
+    val gridRows = grid
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(window == gridRows,
+      s"grid-rank RFM diverged:\n window=$window\n grid=$gridRows")
+    // the distributed plan must carry NO ntile window anywhere
+    assert(!grid.queryExecution.executedPlan.toString.contains("ntile"))
+    // and the same equivalence on the real events table
+    val w2 = ext.Sessions.rfmSegments(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val g2 = ext.Sessions.rfmSegments(Tables.events(spark, sf),
+      distributed = true)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(w2 == g2)
+  }
+
   // ------------------------------------- max-concurrency equivalence
 
   /** The single-sort global-window form of [[ext.Sessions.maxConcurrency]]
