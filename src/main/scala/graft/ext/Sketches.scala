@@ -345,20 +345,34 @@ object Sketches {
 
   /** ONE row holding the filter over `keys.k` as a packed long bitmask
     * (`mask`: bits/64 words) plus its set-bit count (`n_bits_set`).
+    *
+    * The pack is LINEAR and distributed (round 10): positions aggregate
+    * into per-word `bit_or` rows, densify against a `range(bits/64)`
+    * frame, and one `sort_array(collect_list)` orders the ≤ bits/64 words
+    * into the array. The previous single-expression pack
+    * (`transform(sequence(words)) × filter(all positions)`) re-scanned
+    * every set position per word — O(words · positions) inside ONE row's
+    * expression evaluation, invisible at a fixed 8 Kbit mask but 39 s at
+    * the 52 Kbit mask auto-sizing derives for a 10× build side.
     */
   private def bloomMask(keys: DataFrame, bits: Int): DataFrame = {
     require(bits > 0 && bits % 64 == 0,
       s"bits must be a positive multiple of 64, got $bits")
-    keys
+    val words = keys
       .select(explode(bloomPositions(col("k"), bits)).as("pos"))
-      .agg(collect_set(col("pos")).as("ps"))
-      .select(
-        transform(sequence(lit(0L), lit((bits / 64 - 1).toLong)), w =>
-          aggregate(
-            filter(col("ps"), p => shiftright(p, 6) === w),
-            lit(0L),
-            (acc, p) => acc.bitwiseOR(shl1(pmod(p, lit(64L)))))).as("mask"),
-        size(col("ps")).cast("long").as("n_bits_set"))
+      .distinct()
+      .select(shiftright(col("pos"), 6).as("w"),
+        shl1(pmod(col("pos"), lit(64L))).as("bit"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(bit)").as("mval"), count(lit(1)).as("nb"))
+    keys.sparkSession.range(bits / 64).select(col("id").as("w"))
+      .join(words, Seq("w"), "left")
+      .agg(
+        sort_array(collect_list(struct(col("w"),
+          coalesce(col("mval"), lit(0L)).as("mval")))).as("wm"),
+        sum(coalesce(col("nb"), lit(0L))).as("n_bits_set"))
+      .select(transform(col("wm"), e => e.getField("mval")).as("mask"),
+        col("n_bits_set"))
   }
 
   /** All k bits set ⟺ bloom candidate (O(1) per position). */
