@@ -80,6 +80,33 @@ class Round10OpsSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("envelope")), e.toString)
   }
 
+  // ------------------------------------------ external retrieval API
+
+  test("topKForQueries: external query table ≡ fixture derivation; " +
+    "non-corpus query ids score cleanly") {
+    val docs = Tables.documents(spark, sf)
+    // replicate the fixture's query derivation as an external table: the
+    // first-5-token prefix re-joined on single spaces tokenizes back to
+    // the identical distinct token set
+    val extQ = docs.filter(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(ext.TextStats.tokens(col("text")), 1, 5), " ")
+          .as("q_text"))
+    val a = ext.Retrieval.topKByTokenOverlap(docs)
+      .collect().map(_.toString).sorted.toSeq
+    val b = ext.Retrieval.topKForQueries(docs, extQ)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // a query id that is NOT a corpus doc: nothing self-excludes, results
+    // still rank corpus docs by overlap
+    val someText = docs.orderBy(col("doc_id")).select(col("text"))
+      .head().getString(0)
+    val novel = Seq((-1L, someText)).toDF("query_id", "q_text")
+    val r = ext.Retrieval.topKForQueries(docs, novel)
+    assert(r.count() > 0)
+    assert(r.filter(col("doc_id") === -1L).count() == 0)
+  }
+
   // ------------------------------------------- RFM fence equivalence
 
   test("rfmSegments distributed grid-rank ≡ the global-ntile windows") {
