@@ -97,6 +97,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "cos")
   }
 
+  /** Brute-force top-k for an EXTERNAL query-vector table
+    * `(query_id, embedding)` (round 10, the [[graft.ext.Retrieval
+    * .topKForQueries]] sibling): every query vector scores against the
+    * whole corpus — the baseline an ANN path (LSH buckets / IVF probes)
+    * is measured against, and the production shape when the query set is
+    * a bounded external table rather than a corpus fraction. External ids
+    * are their own namespace, so NOTHING self-excludes — a query equal to
+    * a corpus vector returns it at rank 1 with cos 1. Same quantized
+    * scoring discipline as [[cosineTopK]]; same output schema.
+    */
+  def cosineTopKForQueries(emb: DataFrame, queries: DataFrame,
+                           k: Int = 5): DataFrame = {
+    val cands = emb.withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+        sqrt(col("n2").cast("double")).as("nn"))
+    val qs = queries.withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+      .select(col("query_id"), col("q").as("qv"),
+        sqrt(col("n2").cast("double")).as("qn"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val scored = qs.crossJoin(cands)
+      .withColumn("cos",
+        qdot(col("qv"), col("nv")).cast("double") / (col("qn") * col("nn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * an LCG-scrambled value mapped to [-0.5, 0.5). Engine-neutral integer
     * arithmetic — computed DRIVER-side (the planes are constants), identical

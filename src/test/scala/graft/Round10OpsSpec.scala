@@ -107,6 +107,24 @@ class Round10OpsSpec extends SparkSuite {
     assert(r.filter(col("doc_id") === -1L).count() == 0)
   }
 
+  test("cosineTopKForQueries: external query vectors rank the corpus, " +
+    "no self-exclusion") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1f, 0f, 0f, 0f)))
+      .toDF("query_id", "embedding")
+    val r = ext.Similarity.cosineTopKForQueries(corpus, queries, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    // exact match first (cos 1 — external ids never self-exclude), then
+    // the near vector, then the cos-0 tie broken by neighbor_id
+    assert(r.map(_._2).toSeq == Seq(1L, 3L, 2L), r.toSeq.toString)
+    assert(r(0)._4 > 0.999 && r(1)._4 > 0.98 && math.abs(r(2)._4) < 1e-9)
+  }
+
   // ------------------------------------------- RFM fence equivalence
 
   test("rfmSegments distributed grid-rank ≡ the global-ntile windows") {
