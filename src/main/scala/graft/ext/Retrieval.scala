@@ -124,6 +124,20 @@ object Retrieval {
       .cosineTopK(emb, col("vec_id") % queryEvery === 3, k = k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rank"))
+    rrfFuse(sparse, dense, rrfK)
+  }
+
+  /** The RRF fusion stage alone (round 10), for composing an external
+    * retrieval stack — e.g. [[topKForQueries]] fused with
+    * [[Similarity.cosineTopKForQueries]] over the same external query
+    * table. Inputs: `sparse` (query_id, doc_id, sparse_rank) and `dense`
+    * (query_id, doc_id, dense_rank), both already top-k-bounded per
+    * query; a doc missing from one list contributes 0 to the sum, per
+    * RRF. Same cost/parity shape as [[hybridRRF]], which now delegates
+    * here (q117's output is unchanged by construction).
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame,
+              rrfK: Long = 60): DataFrame = {
     val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")).cast("double"),

@@ -107,6 +107,22 @@ class Round10OpsSpec extends SparkSuite {
     assert(r.filter(col("doc_id") === -1L).count() == 0)
   }
 
+  test("rrfFuse: one-list-only docs score their single term; ties break " +
+    "by doc_id") {
+    val sparse = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "sparse_rank")
+    val dense = Seq((1L, 11L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "doc_id", "dense_rank")
+    val r = ext.Retrieval.rrfFuse(sparse, dense, rrfK = 60)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Double)]
+      .collect().sortBy(_._2)
+    // doc 11 in both lists: 1/62 + 1/61; doc 10 sparse-only: 1/61;
+    // doc 12 dense-only: 1/62 — so 11, 10, 12
+    assert(r.map(_._3).toSeq == Seq(11L, 10L, 12L), r.toSeq.toString)
+    assert(math.abs(r(0)._6 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(r(1)._5.isEmpty && r(2)._4.isEmpty) // absent-list ranks are NULL
+  }
+
   test("cosineTopKForQueries: external query vectors rank the corpus, " +
     "no self-exclusion") {
     val corpus = Seq(
