@@ -280,14 +280,21 @@ object Curation {
     * into token-budget bins — the context-window packing step of an LLM
     * training pipeline. A doc that would overflow the current bin opens the
     * next one; a doc longer than the budget gets a bin of its own. A true
-    * order-dependent recurrence, implemented as the per-group array fold
-    * (see [[Sessions.emaDaily]]) — pure INTEGER state, so no fp parity
+    * order-dependent recurrence — pure INTEGER state, so no fp parity
     * concerns at all.
     *
-    * Scale shape: one tokenize pass + one fold whose input is O(docs per
-    * source) metadata structs (id + token count — never the text). At
+    * Scale shape (round 10): repartition on the packing unit + sorted
+    * STREAMING scan per partition — one shuffle, then a linear pass over
+    * (id, token-count) metadata (never the text) with O(1) state and no
+    * per-group materialization. This replaced the SQL `aggregate` array
+    * fold, whose `concat(acc, element)` copies the accumulator each step:
+    * O(group²) array copies — 13.5× wall at the r10 10×-scale point, and
+    * a whole-group array per source besides. `mapPartitions` is the
+    * documented last resort, and a per-row O(1)-state recurrence over
+    * unbounded groups is exactly its case (contrast
+    * [[Sessions.emaDaily]], whose fold groups are calendar-bounded). At
     * 100 TB the packing unit (here `source`) is whatever partition the
-    * training shards need; each group folds independently.
+    * training shards need; each partition streams independently.
     *
     * @return (source, doc_id, n_tokens, bin, cum_tokens) — bin is 1-based
     *         per source, cum_tokens the bin's running total after this doc
@@ -296,34 +303,29 @@ object Curation {
     require(budget > 0, s"budget must be positive, got $budget")
     val counts = docs.select(col("source"), col("doc_id"),
       size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
-    val stepType =
-      "array<struct<doc_id:bigint,n_tokens:bigint,bin:bigint,cum:bigint>>"
-    val folded = counts
-      .groupBy(col("source"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_tokens"))))
-        .as("__vals"))
-      .select(col("source"), aggregate(
-        col("__vals"),
-        array().cast(stepType),
-        (acc, x) => {
-          val prev = element_at(acc, -1)
-          val overflow = prev.getField("cum") + x.getField("n_tokens") > budget
-          concat(acc, array(struct(
-            x.getField("doc_id").as("doc_id"),
-            x.getField("n_tokens").as("n_tokens"),
-            when(size(acc) === 0, lit(1L))
-              .otherwise(when(overflow, prev.getField("bin") + 1L)
-                .otherwise(prev.getField("bin"))).as("bin"),
-            when(size(acc) === 0, x.getField("n_tokens"))
-              .otherwise(when(overflow, x.getField("n_tokens"))
-                .otherwise(prev.getField("cum") + x.getField("n_tokens")))
-              .as("cum"))))
-        }).as("__series"))
-    folded
-      .select(col("source"), explode(col("__series")).as("s"))
-      .select(col("source"), col("s.doc_id").as("doc_id"),
-        col("s.n_tokens").as("n_tokens"), col("s.bin").as("bin"),
-        col("s.cum").as("cum_tokens"))
+    import docs.sparkSession.implicits._
+    counts
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { rows =>
+        // hash partitioning puts every row of a source in ONE partition;
+        // the sort makes groups contiguous — the scan resets on the
+        // source boundary (null-safe: null sources are a real group)
+        var src: String = null
+        var started = false
+        var bin = 0L
+        var cum = 0L
+        rows.map { case (s, id, n) =>
+          if (!started || s != src) {
+            started = true; src = s; bin = 1L; cum = n
+          } else if (cum + n > budget) {
+            bin += 1; cum = n
+          } else cum += n
+          (s, id, n, bin, cum)
+        }
+      }
+      .toDF("source", "doc_id", "n_tokens", "bin", "cum_tokens")
   }
 
   /** Deterministic stratified train/val/test split report: every doc is
