@@ -682,7 +682,16 @@ object SparkEntry {
     // across boundaries; disjointness is structural
     "q168_group_split" -> ((s: SparkSession, d: String) =>
       ext.Curation.groupSplit(Tables.documents(s, d), col("source"),
-        col("n_chars")))
+        col("n_chars"))),
+    // incremental dedup (round 10): NEW batch (docs 25..49) near-dup'd
+    // against the EXISTING corpus (docs 0..24) — banded-LSH prune across
+    // the two frames only, exact Jaccard verifies candidates; the
+    // dedup-against-prior-crawl gate, on q17's bounded doc window
+    "q169_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.minhashNewVsCorpus(
+        docs50(s, d).filter(col("doc_id") >= 25),
+        docs50(s, d).filter(col("doc_id") < 25),
+        k = 16, bands = 4, n = 3, minJaccard = 0.5))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -4825,6 +4834,45 @@ object SparkEntry {
         |             ELSE 'test' END AS split, source, n_chars FROM fp)
         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
         |  count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM s GROUP BY split""".stripMargin
+        |FROM s GROUP BY split""".stripMargin,
+
+    // q17's minhash replay with the band join restricted to NEW (>= 25) ×
+    // CORPUS (< 25) — within-frame pairs never form
+    "q169_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |   AND x.doc_id >= 25 AND y.doc_id < 25),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.new_id, c.corpus_id, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.new_id
+        |  JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+        |  GROUP BY c.new_id, c.corpus_id)
+        |SELECT i.new_id, i.corpus_id,
+        |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.new_id
+        |JOIN sizes sb ON sb.doc_id = i.corpus_id
+        |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin
   )
 }

@@ -170,6 +170,64 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup pass (round 10): which NEW-batch docs are
+    * near-dups of an EXISTING corpus — the dedup-against-prior-crawl gate
+    * every refreshed training set runs before admitting a batch. Same
+    * banded-LSH prune + exact-Jaccard-on-candidates shape as
+    * [[minhashNearDups]], but the band join is NEW × CORPUS only:
+    * within-batch and within-corpus pairs never form. At 100 TB the
+    * corpus side's signatures and shingles are exactly the standing
+    * artifacts an incremental pipeline keeps materialized between
+    * batches — the per-batch cost is the new side's hashing plus one
+    * band join against a static table, independent of how many batches
+    * came before.
+    *
+    * @return (new_id, corpus_id, jaccard) for candidate pairs whose exact
+    *         shingle Jaccard ≥ `minJaccard`
+    */
+  def minhashNewVsCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         k: Int = 16, bands: Int = 4, n: Int = 3,
+                         minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "band width must divide signature length")
+    val rows = k / bands
+    def banded(docs: DataFrame): DataFrame =
+      minhashSignatures(docs, k, n).select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("_",
+            (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
+        }: _*)).as(Seq("band", "band_sig")))
+    val cands = banded(newDocs).as("x").join(banded(corpus).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val shNew = docShingles(newDocs, n)
+    val shCorpus = docShingles(corpus, n)
+    val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("size_new"))
+    val sizesCorpus = shCorpus.groupBy("doc_id")
+      .agg(count(lit(1)).as("size_corpus"))
+    // shingle equality inside the join condition (the minhashNearDups
+    // lesson): the intermediate is |A∩B| rows per pair, never |A|×|B|
+    cands
+      .join(shNew.withColumnRenamed("doc_id", "new_id"), "new_id")
+      .join(shCorpus.withColumnRenamed("doc_id", "corpus_id2")
+          .withColumnRenamed("shingle", "shingle_c"),
+        col("corpus_id") === col("corpus_id2") &&
+          col("shingle") === col("shingle_c"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizesNew.withColumnRenamed("doc_id", "new_id"), "new_id")
+      .join(sizesCorpus.withColumnRenamed("doc_id", "corpus_id"),
+        "corpus_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_new") + col("size_corpus") - col("inter"))
+            .cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** Sketch-based distinct counting (the HLL-style extension from SURVEY
     * §2.10): approximate distinct shingles per document — fixed-size HLL
     * registers travel through the shuffle instead of every distinct value

@@ -107,6 +107,27 @@ class Round10OpsSpec extends SparkSuite {
     assert(r.filter(col("doc_id") === -1L).count() == 0)
   }
 
+  test("minhashNewVsCorpus: only NEW×CORPUS pairs form; exact Jaccard " +
+    "verifies the LSH candidates") {
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, body),
+      (2L, "completely different text with no shared content at all here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, body),                                   // exact dup of corpus 1
+      (11L, body),                                   // within-batch dup of 10
+      (12L, "nothing in common with anything else xyzzy plugh frobozz"))
+      .toDF("doc_id", "text")
+    val r = ext.Dedup.minhashNewVsCorpus(batch, corpus)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    // both identical batch docs pair with corpus doc 1 at jaccard 1.0;
+    // the within-batch (10, 11) pair must NOT appear, nor corpus-corpus
+    assert(r.map(p => (p._1, p._2)).toSeq == Seq((10L, 1L), (11L, 1L)),
+      r.toSeq.toString)
+    assert(r.forall(_._3 == 1.0))
+  }
+
   test("rrfFuse: one-list-only docs score their single term; ties break " +
     "by doc_id") {
     val sparse = Seq((1L, 10L, 1L), (1L, 11L, 2L))
