@@ -691,7 +691,25 @@ object SparkEntry {
       ext.Dedup.minhashNewVsCorpus(
         docs50(s, d).filter(col("doc_id") >= 25),
         docs50(s, d).filter(col("doc_id") < 25),
-        k = 16, bands = 4, n = 3, minJaccard = 0.5))
+        k = 16, bands = 4, n = 3, minJaccard = 0.5)),
+    // temperature mixture (round 10): √n-weighted source quotas via exact
+    // largest-remainder apportionment + hash-priority selection — the
+    // pretraining mixture step (τ pinned to 1/2: IEEE sqrt is correctly
+    // rounded, pow is not)
+    "q170_temperature_mixture" -> ((s: SparkSession, d: String) =>
+      ext.Curation.temperatureMixture(Tables.documents(s, d))),
+    // deterministic shuffle + fixed-size shards via distributed grid-rank;
+    // the shard audit a training-shard writer runs
+    "q171_shuffle_shards" -> ((s: SparkSession, d: String) =>
+      ext.Curation.shuffleShards(Tables.documents(s, d), nShards = 16)),
+    // cross-source duplication matrix: shared distinct 3-grams +
+    // containment per source pair — the mirror/syndication diagnostic
+    "q172_source_overlap" -> ((s: SparkSession, d: String) =>
+      ext.Curation.sourceOverlapMatrix(Tables.documents(s, d), n = 3)),
+    // embedding health audit: bad-dim/NaN/zero-vector counts + exact
+    // fixed-point norm² envelope per label
+    "q173_embedding_audit" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.embeddingAudit(Tables.embeddings(s, d), dim = 64))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -4873,6 +4891,103 @@ object SparkEntry {
         |FROM inter i
         |JOIN sizes sa ON sa.doc_id = i.new_id
         |JOIN sizes sb ON sb.doc_id = i.corpus_id
-        |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin
+        |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin,
+
+    // √n weights fixed to ⌊√n·1e6+0.5⌋ longs (IEEE sqrt correctly rounded
+    // ⇒ engine-identical), then q141's integer largest-remainder replay;
+    // selection is the spread() priority with doc_id tie-break
+    "q170_temperature_mixture" ->
+      """WITH n AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS w FROM n),
+        |q AS (SELECT source, n_docs, w,
+        |    sum(w) OVER () AS wsum,
+        |    (sum(n_docs) OVER () * 1) // 2 AS budget FROM w),
+        |l AS (SELECT *, (w * budget) // wsum AS base,
+        |    (w * budget) % wsum AS remainder FROM q),
+        |r AS (SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        |  FROM l),
+        |quota AS (SELECT source, n_docs,
+        |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |  FROM r),
+        |pri AS (SELECT d.source, d.n_chars,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      (d.doc_id * 2654435761 + 1013904223) % 2147483648, d.doc_id)
+        |      AS rk
+        |  FROM documents d),
+        |sel AS (SELECT p.source, count(*) AS sel_docs,
+        |    sum(p.n_chars) AS sel_chars
+        |  FROM pri p JOIN quota q USING (source)
+        |  WHERE p.rk <= q.quota GROUP BY p.source)
+        |SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs,
+        |  CAST(q.quota AS BIGINT) AS quota,
+        |  COALESCE(CAST(s.sel_docs AS BIGINT), 0) AS sel_docs,
+        |  COALESCE(CAST(s.sel_chars AS BIGINT), 0) AS sel_chars
+        |FROM quota q LEFT JOIN sel s USING (source)""".stripMargin,
+
+    // global (key, doc_id) rank cut into ⌈N/16⌉-doc shards; the oracle's
+    // single window IS the spec the distributed grid-rank must match
+    "q171_shuffle_shards" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    (doc_id * 2654435761 + 1013904223) % 2147483648 AS key
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rank,
+        |    count(*) OVER () AS n FROM k)
+        |SELECT CAST((rank - 1) // ((n + 15) // 16) AS BIGINT) AS shard,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(key) AS BIGINT) AS min_key,
+        |  CAST(max(key) AS BIGINT) AS max_key
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // distinct (source, 3-gram) sets, gram-keyed pair join (src_a < src_b),
+    // containment = shared / min(|A|,|B|) — one terminal IEEE division
+    "q172_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS s
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(s) - 2),
+        |      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS gram
+        |  FROM toks),
+        |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS shared_grams
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sh.src_a, sh.src_b,
+        |  CAST(sh.shared_grams AS BIGINT) AS shared_grams,
+        |  CAST(sh.shared_grams AS DOUBLE) /
+        |    CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE) AS containment
+        |FROM sh
+        |JOIN sz sa ON sa.source = sh.src_a
+        |JOIN sz sb ON sb.source = sh.src_b""".stripMargin,
+
+    // per-coordinate quantize ⌊x·1e6+0.5⌋ (exact on the double image of
+    // each float), integer norm² — the q19/q111 fixed-point discipline
+    "q173_embedding_audit" ->
+      """WITH v AS (SELECT label, len(embedding) AS d,
+        |    len(list_filter(embedding,
+        |      x -> isnan(x) OR isinf(x))) > 0 AS non_finite,
+        |    len(list_filter(embedding,
+        |      x -> CAST(x AS DOUBLE) <> 0.0)) = 0 AS all_zero,
+        |    CASE WHEN len(list_filter(embedding,
+        |        x -> isnan(x) OR isinf(x))) > 0 THEN NULL
+        |      ELSE COALESCE(list_sum(list_transform(embedding, x ->
+        |        CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) *
+        |        CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))), 0)
+        |      END AS n2
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, count(*)::BIGINT AS n_vecs,
+        |  sum(CASE WHEN d <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+        |  sum(CASE WHEN non_finite THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_nonfinite,
+        |  sum(CASE WHEN all_zero THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        |  CAST(min(n2) AS BIGINT) AS min_norm2_q,
+        |  CAST(max(n2) AS BIGINT) AS max_norm2_q,
+        |  CAST(sum(n2) AS BIGINT) AS sum_norm2_q
+        |FROM v GROUP BY label""".stripMargin
   )
 }

@@ -817,4 +817,154 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(nChars.cast("long")).as("total_chars"))
   }
+
+  /** Temperature-scaled source mixture sampling — the pretraining mixture
+    * step: per-source quotas ∝ n_s^τ with τ = 1/2 flatten the natural
+    * source distribution (big crawls down-weighted, small curated sources
+    * up-weighted — the mixture design described in the GPT-3/PaLM data
+    * sections), then each source is hash-priority-sampled to its quota.
+    *
+    * Exactness contract: √n is the ONE transcendental-free concession —
+    * IEEE-754 requires sqrt correctly rounded, so both engines produce the
+    * same double from the same integer count (unlike pow(n, 0.7), whose
+    * libm differs in the last ulp; τ is pinned to 1/2 for that reason).
+    * The weight is immediately fixed to an integer w = ⌊√n·10⁶ + 0.5⌋ and
+    * everything downstream — largest-remainder apportionment of the budget
+    * ⌊N·num/den⌋, remainder ties broken by source — is exact integer
+    * arithmetic (q141's discipline). Selection is the engine-neutral
+    * `spread` priority with doc_id tie-break.
+    *
+    * Scale shape: one aggregation to the source-cardinality frame, the
+    * apportionment window over that dashboard-sized frame, then one
+    * per-source top-quota window (at 100 TB the same contract runs as a
+    * sampled priority THRESHOLD + bounded correction — the
+    * languageRebalance note). Quota can exceed n_s for tiny sources
+    * (sampling is without replacement), so `sel_docs = min(quota, n_s)`
+    * is reported alongside.
+    *
+    * @return one row per source: source, n_docs, quota, sel_docs, sel_chars
+    */
+  def temperatureMixture(docs: DataFrame, budgetNum: Long = 1,
+                         budgetDen: Long = 2): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("remainder").desc, col("source"))
+    val quotas = docs
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("wsum", sum(col("w")).over(wAll))
+      .withColumn("budget",
+        expr(s"(sum(n_docs) OVER () * $budgetNum) div $budgetDen"))
+      .withColumn("base", expr("(w * budget) div wsum"))
+      .withColumn("remainder", pmod(col("w") * col("budget"), col("wsum")))
+      .withColumn("leftover", col("budget") - sum(col("base")).over(wAll))
+      .withColumn("quota",
+        col("base") + when(
+          row_number().over(wRank).cast("long") <= col("leftover"),
+          1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("quota"))
+    val wSel = Window.partitionBy(col("source"))
+      .orderBy(col("pri"), col("doc_id"))
+    val selected = docs
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        graft.functions.Hashing.spread(col("doc_id"), 1L << 31).as("pri"))
+      .withColumn("rk", row_number().over(wSel).cast("long"))
+      .join(broadcast(quotas.select(col("source"), col("quota"))),
+        Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sel_docs"), sum(col("n_chars")).as("sel_chars"))
+    quotas.join(selected, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("quota"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_chars"), lit(0L)).as("sel_chars"))
+  }
+
+  /** Deterministic corpus shuffle + fixed-size sharding — the final step
+    * before training-shard writing: every document gets the engine-neutral
+    * pseudo-random key `spread(doc_id)` (an affine bijection mod 2³¹, so
+    * the order is a fixed permutation, reproducible by any engine), the
+    * corpus is ranked in (key, doc_id) order, and rank is cut into
+    * `nShards` contiguous shards of ⌈N/nShards⌉ documents.
+    *
+    * The global rank is DISTRIBUTED (q132's grid-rank discipline, never a
+    * single-partition window): bucket = key div (2³¹/64) is monotone in
+    * key, so per-bucket row_number plus the broadcast count-below offset
+    * IS the global rank, bit-identically. At 100 TB the writer maps this
+    * to `repartitionByRange(key)` + per-partition file writes; the shard
+    * audit here (count / char mass / key range per shard) is the
+    * verification a shard-writer runs before handing shards to a trainer.
+    *
+    * @return one row per shard: shard, n_docs, total_chars, min_key,
+    *         max_key (key ranges of distinct shards never overlap)
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val M = 1L << 31
+    val nBuckets = 64L
+    val keyed = docs.select(
+      col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+      graft.functions.Hashing.spread(col("doc_id"), M).as("key"))
+      .withColumn("bucket", expr(s"key div ${M / nBuckets}"))
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("below",
+        coalesce(sum(col("bn")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bn")).over(Window.partitionBy()))
+      .select(col("bucket"), col("below"), col("n"))
+    val wB = Window.partitionBy(col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(wB).cast("long"))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rank", col("below") + col("rn"))
+      .withColumn("shard",
+        expr(s"(rank - 1) div ((n + ${nShards - 1}) div $nShards)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+  }
+
+  /** Cross-source duplication matrix — which sources copy from which:
+    * for every source pair, the number of distinct word `n`-grams they
+    * share and the containment `shared / min(|A|, |B|)` (the asymmetric-
+    * size-robust overlap measure, same as q78's chunk containment). The
+    * diagnostic a curation pipeline runs to find mirror sites, syndicated
+    * feeds, and scraped-from-each-other source pairs before per-source
+    * quality decisions.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, gram) once;
+    * the pair join is gram-keyed with per-gram fan-out bounded by the
+    * source count (a dashboard-sized dimension), so candidate pairs are
+    * O(grams · sources) worst-case, never corpus². The output matrix is
+    * sources². At 100 TB the gram key is `xxhash64(gram)` (8 bytes); the
+    * string is kept here so the DuckDB oracle can replay it — the chunk-
+    * dedup note applies.
+    *
+    * @return (src_a, src_b, shared_grams, containment) for src_a < src_b
+    *         pairs with at least one shared gram; containment is the one
+    *         terminal IEEE division (div1 class)
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("source"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("source"), explode(wordNgrams(col("__toks"), n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_grams").as("ga"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_grams").as("gb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          least(col("ga"), col("gb")).cast("double")).as("containment"))
+  }
 }

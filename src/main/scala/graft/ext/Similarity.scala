@@ -534,4 +534,51 @@ object Similarity {
       .withColumn("new_c",
         col("s_dim").cast("double") / col("n_assigned").cast("double"))
   }
+
+  /** Embedding health audit — the gate a pipeline runs on a vector column
+    * BEFORE indexing or training on it: per label-class counts of
+    * wrong-dimension vectors, non-finite (NaN/±Inf) vectors, and all-zero
+    * vectors (each of which silently poisons ANN indexes and contrastive
+    * losses), plus the exact fixed-point norm² envelope (min / max /
+    * total) that catches un-normalized or scale-drifted batches.
+    *
+    * Parity: norm² runs on the [[quantize]] image — per-coordinate
+    * ⌊x·10⁶ + 0.5⌋ longs, squared and summed in exact integer arithmetic
+    * — so the envelope is engine-exact with no fp association anywhere
+    * (the q111 discipline). Non-finite vectors are EXCLUDED from the
+    * envelope (null norm²) before quantization touches them: the audit
+    * must report a NaN vector, not die on the ANSI NaN→long cast it
+    * would trigger. Inf detection is exact-equality against ±Float.Inf
+    * (DuckDB `isinf` parity; a magnitude threshold would not agree).
+    * Magnitude: |x| ≤ ~1, 64 dims ⇒ norm² ≤ ~6e13 per vector, corpus
+    * totals within long through billions of vectors.
+    *
+    * Scale shape: pure per-row expressions + one map-side-combined hash
+    * aggregation to the label-cardinality frame. Zero joins, zero windows.
+    *
+    * @return one row per label: label, n_vecs, n_bad_dim, n_nonfinite,
+    *         n_zero, min_norm2_q, max_norm2_q, sum_norm2_q (envelope
+    *         null for labels whose every vector is non-finite)
+    */
+  def embeddingAudit(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val nonFinite = exists(col("embedding"), x =>
+      isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity))
+    val q = quantize(col("embedding"))
+    emb
+      .select(col("label").cast("long").as("label"),
+        (size(col("embedding")) =!= dim).as("bad_dim"),
+        nonFinite.as("non_finite"),
+        forall(col("embedding"), x => x.cast("double") === 0.0).as("all_zero"),
+        when(nonFinite, lit(null).cast("long"))
+          .otherwise(qdot(q, q)).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("bad_dim"), 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("non_finite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("all_zero"), 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_norm2_q"),
+        max(col("n2")).as("max_norm2_q"),
+        sum(col("n2")).as("sum_norm2_q"))
+  }
 }

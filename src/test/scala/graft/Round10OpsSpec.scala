@@ -252,4 +252,100 @@ class Round10OpsSpec extends SparkSuite {
     assert(fast.map(_._1).toSet == Set(0L, 1L, 2L))
     assert(fast.exists { case (d, peak, _) => d == 1L && peak >= 3L })
   }
+
+  // -------------------------------------------- temperature mixture (q170)
+
+  test("temperatureMixture: √n quotas via exact apportionment, budget " +
+    "exhausted, small sources up-weighted") {
+    // sources 16 / 4 / 1 docs → weights 4e6 / 2e6 / 1e6, budget 21/2 = 10;
+    // hand-derived largest-remainder quotas: A 6, B 3, C 1
+    val docs = ((0 until 16).map(i => (i.toLong, "A", 10L)) ++
+      (0 until 4).map(i => (100L + i, "B", 10L)) ++
+      Seq((200L, "C", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val r = ext.Curation.temperatureMixture(docs)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("A", 16L, 6L), ("B", 4L, 3L), ("C", 1L, 1L)))
+    // selection fills every quota here (quota ≤ n_docs for all three)
+    assert(r.forall { case (_, n, q, sel, _) => sel == math.min(q, n) })
+    assert(r.map(_._4).sum == 10L)
+    // the whole point of the temperature: C keeps 100%, A keeps 6/16
+    assert(r.find(_._1 == "C").get._4 == 1L)
+    assert(r.find(_._1 == "A").get._4 < 16L / 2)
+  }
+
+  test("temperatureMixture caps quota at n_docs (without replacement)") {
+    // 100 vs 1 docs: √-weights 10e6/1e6, budget 50 → C's remainder share
+    // can round its quota above its 1 available doc
+    val docs = ((0 until 100).map(i => (i.toLong, "A", 1L)) ++
+      Seq((500L, "C", 1L))).toDF("doc_id", "source", "n_chars")
+    val r = ext.Curation.temperatureMixture(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    r.foreach { case (_, n, _, sel, _) => assert(sel <= n) }
+  }
+
+  // ------------------------------------------------ shuffle shards (q171)
+
+  test("shuffleShards ≡ single global window; shard key ranges disjoint") {
+    val docs = (0 until 100).map(i => (i.toLong, s"s${i % 7}", 10L + i))
+      .toDF("doc_id", "source", "n_chars")
+    val r = ext.Curation.shuffleShards(docs, nShards = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // reference: the oracle's single-window form
+    val ref = docs.select(col("doc_id"), col("n_chars").cast("long").as("nc"),
+      graft.functions.Hashing.spread(col("doc_id"), 1L << 31).as("key"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key"), col("doc_id"))).cast("long"))
+      .withColumn("shard", expr("(rank - 1) div 13")) // ceil(100/8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("nc")).as("tc"),
+        min(col("key")).as("mn"), max(col("key")).as("mx"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == ref.toSeq)
+    // fixed-size shards: 13 docs each, 9 in the last
+    assert(r.map(_._2).toSeq == Seq.fill(7)(13L) :+ 9L)
+    // contiguous rank cut ⇒ strictly increasing, non-overlapping key ranges
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4, s"shard ${a._1} max_key > shard ${b._1} min_key")
+    case _ => ()
+    }
+  }
+
+  // ------------------------------------------- source overlap matrix (q172)
+
+  test("sourceOverlapMatrix: shared grams + containment, zero-overlap " +
+    "pairs absent") {
+    val docs = Seq(
+      (1L, "A", "a b c d"), (2L, "B", "a b c e"), (3L, "C", "x y z w"))
+      .toDF("doc_id", "source", "text")
+    val r = ext.Curation.sourceOverlapMatrix(docs, n = 3)
+      .as[(String, String, Long, Double)].collect()
+    // A={abc,bcd}, B={abc,bce} share exactly "a b c"; C shares nothing
+    assert(r.toSeq == Seq(("A", "B", 1L, 0.5)))
+  }
+
+  // --------------------------------------------- embedding audit (q173)
+
+  test("embeddingAudit counts bad-dim/non-finite/zero vectors and keeps " +
+    "the exact norm² envelope — without dying on NaN/Inf") {
+    val vecs = Seq(
+      (0L, Seq(0.5f, -0.5f), 0),            // clean: norm²_q = 5e11
+      (1L, Seq(0.25f, 0.0f), 0),            // clean: 62500e6
+      (2L, Seq(Float.NaN, 1.0f), 0),        // NaN — excluded from envelope
+      (3L, Seq(Float.PositiveInfinity, 0f), 1), // Inf — ditto
+      (4L, Seq(0.0f, 0.0f), 1),             // all-zero
+      (5L, Seq(1.0f, 2.0f, 3.0f), 1))       // wrong dim (still finite)
+      .toDF("vec_id", "embedding", "label")
+    val r = ext.Similarity.embeddingAudit(vecs, dim = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    val l0 = r(0); val l1 = r(1)
+    assert(l0 == ((0L, 3L, 0L, 1L, 0L, Some(62500000000L),
+      Some(500000000000L), Some(562500000000L))))
+    // label 1: Inf + zero + bad-dim; envelope over the two finite vectors
+    // (zero vec contributes 0, 3-dim vec 1e12+4e12+9e12)
+    assert(l1 == ((1L, 3L, 1L, 1L, 1L, Some(0L),
+      Some(14000000000000L), Some(14000000000000L))))
+  }
 }
