@@ -709,7 +709,31 @@ object SparkEntry {
     // embedding health audit: bad-dim/NaN/zero-vector counts + exact
     // fixed-point norm² envelope per label
     "q173_embedding_audit" -> ((s: SparkSession, d: String) =>
-      ext.Similarity.embeddingAudit(Tables.embeddings(s, d), dim = 64))
+      ext.Similarity.embeddingAudit(Tables.embeddings(s, d), dim = 64)),
+    // URL canonicalization host rollup over a deterministic doc_id-keyed
+    // augmentation (q163's discipline: the NORMALIZER is what's tested —
+    // 7 raw shapes exercise case, default ports, utm params, fragments,
+    // and an already-canonical control)
+    "q174_url_canonical" -> ((s: SparkSession, d: String) => {
+      val sIdx = pmod(col("doc_id"), lit(5L)).cast("string")
+      val id = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(7L))
+      val url = when(m === 0,
+          concat(lit("https://WWW.Site"), sIdx, lit(".COM/path/page")))
+        .when(m === 1, concat(lit("http://site"), sIdx, lit(".com:80/a/b")))
+        .when(m === 2, concat(lit("https://site"), sIdx,
+          lit(".com:443/x?utm_source=feed&id="), id))
+        .when(m === 3, concat(lit("http://blog.site"), sIdx,
+          lit(".org/post?id="), id, lit("&utm_campaign=x&ref=y")))
+        .when(m === 4, concat(lit("https://cdn.site"), sIdx,
+          lit(".net/img/large.png#sec"), id))
+        .when(m === 5, concat(lit("http://site"), sIdx,
+          lit(".com/search?utm_source=a&utm_medium=b")))
+        .otherwise(concat(lit("https://site"), sIdx, lit(".com/clean/"), id))
+      ext.Urls.hostRollup(
+        Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+        col("url"))
+    })
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -4988,6 +5012,64 @@ object SparkEntry {
         |  CAST(min(n2) AS BIGINT) AS min_norm2_q,
         |  CAST(max(n2) AS BIGINT) AS max_norm2_q,
         |  CAST(sum(n2) AS BIGINT) AS sum_norm2_q
-        |FROM v GROUP BY label""".stripMargin
+        |FROM v GROUP BY label""".stripMargin,
+
+    // same augmentation, then the canonicalizer replayed step-by-step in
+    // split_part/strpos/list arithmetic (NO regex — byte parity with the
+    // Spark substring_index/instr/filter chain)
+    "q174_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.COM/path/page'
+        |    WHEN 1 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com:80/a/b'
+        |    WHEN 2 THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com:443/x?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN 'http://blog.site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.org/post?id=' || CAST(doc_id AS VARCHAR)
+        |      || '&utm_campaign=x&ref=y'
+        |    WHEN 4 THEN 'https://cdn.site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.net/img/large.png#sec' || CAST(doc_id AS VARCHAR)
+        |    WHEN 5 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com/search?utm_source=a&utm_medium=b'
+        |    ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com/clean/' || CAST(doc_id AS VARCHAR)
+        |  END AS url FROM documents),
+        |p1 AS (SELECT url,
+        |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |  FROM u),
+        |p2 AS (SELECT *,
+        |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport
+        |  FROM p1),
+        |p3 AS (SELECT *, lower(hostport) AS hostl,
+        |    substr(rest, length(hostport) + 1) AS pathq
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |    CASE WHEN scheme = 'http' AND hostl LIKE '%:80'
+        |        THEN substr(hostl, 1, length(hostl) - 3)
+        |      WHEN scheme = 'https' AND hostl LIKE '%:443'
+        |        THEN substr(hostl, 1, length(hostl) - 4)
+        |      ELSE hostl END AS host,
+        |    split_part(pathq, '?', 1) AS path,
+        |    CASE WHEN strpos(pathq, '?') > 0
+        |      THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS q
+        |  FROM p3),
+        |p45 AS (SELECT *,
+        |    -- COALESCE: array_to_string([]) is NULL in DuckDB where
+        |    -- Spark's concat_ws yields '' — same empty-query result
+        |    COALESCE(array_to_string(list_filter(string_split(q, '&'),
+        |      t -> NOT starts_with(t, 'utm_')), '&'), '') AS kept
+        |  FROM p4),
+        |p5 AS (SELECT url, host,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical
+        |  FROM p45)
+        |SELECT host, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT canonical)::BIGINT AS n_canonical,
+        |  sum(CASE WHEN url <> canonical THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_changed
+        |FROM p5 GROUP BY host""".stripMargin
   )
 }

@@ -935,12 +935,14 @@ object Curation {
     * quality decisions.
     *
     * Scale shape: the corpus collapses to DISTINCT (source, gram) once;
-    * the pair join is gram-keyed with per-gram fan-out bounded by the
-    * source count (a dashboard-sized dimension), so candidate pairs are
-    * O(grams · sources) worst-case, never corpus². The output matrix is
-    * sources². At 100 TB the gram key is `xxhash64(gram)` (8 bytes); the
-    * string is kept here so the DuckDB oracle can replay it — the chunk-
-    * dedup note applies.
+    * each gram's source set (≤ the dashboard-sized source count) is
+    * collected in ONE gram-keyed shuffle and its pairs exploded per row —
+    * a gram self-JOIN would shuffle the same frame twice and rebuild the
+    * pairs through a join for no semantic gain. Candidate pairs are
+    * O(grams · sources²/2) worst-case, never corpus². The output matrix
+    * is sources². At 100 TB the gram key is `xxhash64(gram)` (8 bytes);
+    * the string is kept here so the DuckDB oracle can replay it — the
+    * chunk-dedup note applies.
     *
     * @return (src_a, src_b, shared_grams, containment) for src_a < src_b
     *         pairs with at least one shared gram; containment is the one
@@ -953,10 +955,13 @@ object Curation {
       .distinct()
     val sizes = grams.groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"))
-    val shared = grams.as("a")
-      .join(grams.as("b"), col("a.gram") === col("b.gram") &&
-        col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // per gram: sorted source set → all (a < b) pairs, exploded in place
+    val shared = grams.groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+          struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
     shared
       .join(broadcast(sizes.select(col("source").as("src_a"),

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the crawl-curation normalizer that runs before
+  * URL-level dedup and host-level policy decisions: raw crawl URLs differ
+  * in case, default ports, tracking parameters, and fragments while naming
+  * the same resource, so exact URL dedup without canonicalization both
+  * under-merges (same page, different tracking tag) and over-counts hosts.
+  *
+  * Canonical form applied here (the widely-shared subset of RFC 3986
+  * normalization plus tracking-param hygiene):
+  *   - scheme and host lowercased (path/query case is semantic — kept);
+  *   - default port stripped (`:80` for http, `:443` for https);
+  *   - fragment dropped (never sent to the server);
+  *   - `utm_*` query parameters removed; parameter order otherwise kept
+  *     (re-sorting changes semantics for duplicate keys);
+  *   - empty query suffix (`?` with nothing surviving) dropped.
+  *
+  * Parity: every step is string/array arithmetic with an exact DuckDB
+  * counterpart (`substring_index`↔`split_part`, `instr`↔`strpos`, array
+  * filter + rejoin — NO regex anywhere), so the oracle replays the
+  * transform byte-identically. Envelope: exactly one `://` (the oracle's
+  * `split_part` returns '' where Spark's `substring_index(…,-1)` echoes
+  * the input, so scheme-less strings are out of contract), query splits
+  * on `&` only — `;` separators and percent-encoding normalization need
+  * a full RFC parser (the same out-of-JVM seam as the PDF rasterizer).
+  *
+  * Scale shape: pure per-row projection, zero shuffles until the caller's
+  * rollup; the host rollup is one map-side-combined aggregation.
+  */
+object Urls {
+
+  private val MaxLen = 1 << 20
+
+  /** Lowercased host with the scheme's default port stripped. */
+  private def canonHost(scheme: Column, hostPort: Column): Column = {
+    val host = lower(hostPort)
+    when(scheme === "http" && host.endsWith(":80"),
+      host.substr(lit(1), length(host) - 3))
+      .when(scheme === "https" && host.endsWith(":443"),
+        host.substr(lit(1), length(host) - 4))
+      .otherwise(host)
+  }
+
+  private def parts(url: Column): (Column, Column, Column) = {
+    val noFrag = substring_index(url, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = substring_index(noFrag, "://", -1)
+    val hostPort = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val pathQ = rest.substr(length(hostPort) + 1, lit(MaxLen))
+    (scheme, hostPort, pathQ)
+  }
+
+  /** Canonical form of a URL column (see object doc for the contract). */
+  def canonicalizeUrl(url: Column): Column = {
+    val (scheme, hostPort, pathQ) = parts(url)
+    val path = substring_index(pathQ, "?", 1)
+    val query = when(instr(pathQ, "?") > 0,
+      pathQ.substr(instr(pathQ, "?") + 1, lit(MaxLen))).otherwise("")
+    val kept = filter(split(query, "&"), t => !t.startsWith("utm_"))
+    val keptStr = concat_ws("&", kept)
+    val suffix = when(keptStr === "", "").otherwise(concat(lit("?"), keptStr))
+    concat(scheme, lit("://"), canonHost(scheme, hostPort), path, suffix)
+  }
+
+  /** Canonical host of a URL column (lowercased, default port stripped). */
+  def urlHost(url: Column): Column = {
+    val (scheme, hostPort, _) = parts(url)
+    canonHost(scheme, hostPort)
+  }
+
+  /** Host-level canonicalization rollup — the crawl-frontier readout:
+    * per canonical host, how many raw URLs it received, how many DISTINCT
+    * canonical URLs they collapse to, and how many raw forms the
+    * normalizer actually changed.
+    *
+    * @return one row per host: host, n_urls, n_canonical, n_changed
+    */
+  def hostRollup(urls: DataFrame, urlCol: Column): DataFrame =
+    urls
+      .select(urlHost(urlCol).as("host"), urlCol.as("raw"),
+        canonicalizeUrl(urlCol).as("canonical"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("canonical")).as("n_canonical"),
+        sum(when(col("raw") =!= col("canonical"), 1L).otherwise(0L))
+          .as("n_changed"))
+}

@@ -96,7 +96,8 @@ object StreamOps {
     */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       windowSec: Long = 3600L,
-                      watermark: String = "2 hours"): DataFrame = {
+                      watermark: String = "2 hours",
+                      joinType: String = "inner"): DataFrame = {
     val v = views
       .withColumn("view_time", timestamp_micros(col("ts_us")))
       .withWatermark("view_time", watermark)
@@ -109,10 +110,24 @@ object StreamOps {
         col("purchase_time"))
     p.join(v, col("p_user") === col("v_user") &&
       col("view_time") <= col("purchase_time") &&
-      col("view_time") >= col("purchase_time") - expr(s"INTERVAL $windowSec seconds"))
+      col("view_time") >= col("purchase_time") - expr(s"INTERVAL $windowSec seconds"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         col("purchase_time"), col("view_time"))
   }
+
+  /** LEFT OUTER stream-stream interval join: every purchase emits — matched
+    * rows as they join, unmatched ones with a null view once the watermark
+    * proves no in-window view can still arrive. The outer emission is the
+    * state-EVICTION semantics (Spark holds an unmatched purchase exactly
+    * until `purchase_time` can no longer gain a match, then flushes it
+    * null-extended) — the attribution shape where "organic" purchases must
+    * appear in the output rather than silently drop.
+    */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame,
+                           windowSec: Long = 3600L,
+                           watermark: String = "2 hours"): DataFrame =
+    attributionJoin(views, purchases, windowSec, watermark, "leftOuter")
 
   /** One funnel outcome per user (same shape as the batch funnel's 3-stage
     * instantiation over view → click → purchase).

@@ -348,4 +348,63 @@ class Round10OpsSpec extends SparkSuite {
     assert(l1 == ((1L, 3L, 1L, 1L, 1L, Some(0L),
       Some(14000000000000L), Some(14000000000000L))))
   }
+
+  // ------------------------------------------------- plan shapes (scale)
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q170/q171 plans: quota and shard-offset dims are broadcast; the " +
+    "corpus-sized window is always key-partitioned") {
+    val p170 = planOf(SparkEntry.queries("q170_temperature_mixture")(spark, sf))
+    assert(p170.contains("BroadcastHashJoin"), s"quota dim not broadcast:\n$p170")
+    val p171 = planOf(SparkEntry.queries("q171_shuffle_shards")(spark, sf))
+    assert(p171.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p171")
+    assert(!p171.contains("SortMergeJoin"), s"shuffle join crept in:\n$p171")
+    // the corpus-sized row_number must be partitioned by the grid bucket —
+    // an unpartitioned window over the corpus is the single-partition trap
+    // (the 64-row offsets frame keeps its allowed global window)
+    assert(p171.contains("windowspecdefinition(bucket#"),
+      s"grid-rank window lost its bucket partitioning:\n$p171")
+  }
+
+  test("canonicalizeUrl: case, default ports, utm params, fragments, " +
+    "and non-defaults kept") {
+    val cases = Seq(
+      // scheme+host lowercase; PATH case kept
+      ("HTTPS://WWW.EXample.COM/Path/Page", "https://www.example.com/Path/Page"),
+      // default ports strip per scheme
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("https://a.com:443/x", "https://a.com/x"),
+      // non-default and cross-scheme ports kept
+      ("http://a.com:8080/x", "http://a.com:8080/x"),
+      ("http://a.com:443/x", "http://a.com:443/x"),
+      // fragment dropped
+      ("https://a.com/p#frag", "https://a.com/p"),
+      // utm params removed, order of the rest kept, all-utm drops the '?'
+      ("https://a.com/p?utm_source=x&id=5&utm_medium=y&z=1",
+        "https://a.com/p?id=5&z=1"),
+      ("https://a.com/p?utm_source=x&utm_medium=y", "https://a.com/p"),
+      // bare host, no path/query
+      ("http://a.com", "http://a.com"),
+      // already canonical stays byte-identical
+      ("https://cdn.b.net/img/large.png", "https://cdn.b.net/img/large.png"))
+    val got = cases.map(_._1).toDF("url")
+      .select(ext.Urls.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("q173 plan: pure per-row audit — zero joins, one exchange") {
+    val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
+    df.collect()
+    // the adaptive plan string prints Final AND Initial — count the final
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"unexpected join in the audit:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"audit should shuffle once (label rollup):\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partials:\n$p")
+  }
 }

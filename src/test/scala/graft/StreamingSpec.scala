@@ -107,6 +107,75 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join ≡ batch interval join on 300 random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1717)
+    val Hour = 60 * Min
+    val evts = (1 to 300).map { i =>
+      val kind = if (rnd.nextInt(3) == 0) "purchase" else "view"
+      Event(i.toLong, T0 + rnd.nextInt(36) * 10 * Min, 1 + rnd.nextInt(6),
+        kind, 0.0)
+    }
+    val vEvts = evts.filter(_.event_type == "view")
+    val pEvts = evts.filter(_.event_type == "purchase")
+
+    val batch = pEvts.toDF().as("p").join(vEvts.toDF().as("v"),
+      col("p.user_id") === col("v.user_id") &&
+        col("v.ts_us") <= col("p.ts_us") &&
+        col("v.ts_us") >= col("p.ts_us") - lit(Hour))
+      .select(col("p.event_id"), col("v.event_id"))
+      .as[(Long, Long)].collect().toSet
+
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributionJoin(views.toDF(), purchases.toDF(),
+      windowSec = 3600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_eqv").start()
+    try {
+      views.addData(vEvts: _*)
+      purchases.addData(pEvts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_eqv")
+        .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join: organic purchases null-extend only " +
+    "after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributionJoinOuter(views.toDF(), purchases.toDF(),
+      windowSec = 3600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_outer").start()
+    try {
+      views.addData(Event(1, T0, 10, "view", 0.0))
+      purchases.addData(
+        Event(100, T0 + 30 * Min, 10, "purchase", 9.99), // matched
+        Event(101, T0 + 30 * Min, 20, "purchase", 5.00)) // organic
+      q.processAllAvailable()
+      def got() = spark.table("attr_outer")
+        .filter(col("user_id") =!= 999)
+        .select("purchase_id", "view_id")
+        .as[(Long, Option[Long])].collect().toSet
+      // matched row emits immediately; the organic one is still held —
+      // a view inside its window could arrive
+      assert(got() === Set((100L, Some(1L))))
+      // two watermark pushes on BOTH sides (watermark = min over sources):
+      // first advances past 101's window end, second flushes the eviction
+      for (t <- Seq(T0 + 5000 * Min, T0 + 9000 * Min)) {
+        views.addData(Event(9001, t, 999, "view", 0.0))
+        purchases.addData(Event(9002, t, 999, "purchase", 0.0))
+        q.processAllAvailable()
+      }
+      assert(got().contains((101L, None)),
+        s"organic purchase never null-extended: ${got()}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize ≡ batch sessionize on the same 300 random events") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(4242)
