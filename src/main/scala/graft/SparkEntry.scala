@@ -733,7 +733,40 @@ object SparkEntry {
       ext.Urls.hostRollup(
         Tables.documents(s, d).select(col("doc_id"), url.as("url")),
         col("url"))
-    })
+    }),
+    // SemDeDup-style semantic dedup (round 10): cluster-bucketed cosine
+    // near-dup — the documented scale path for the |N|² brute pair scan
+    // (q20 measured ~20× super-linear at the 10× point; bucketing bounds
+    // work to Σ|cluster|²). Threshold 3/10 as an exact integer inequality.
+    "q175_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.semanticDedup(Tables.embeddings(s, d), k = 8,
+        thrNum = 3, thrDen = 10)),
+    // weak-supervision label fusion: 3 synthetic annotators (deterministic
+    // doc_id-keyed noise, q163's discipline — the FUSION/kappa machinery is
+    // what's tested) → majority vote with lowest-label tie-break → per-
+    // annotator Cohen's kappa vs consensus as exact integer num/den
+    "q176_label_fusion" -> ((s: SparkSession, d: String) => {
+      val truth = pmod(col("doc_id"), lit(4L))
+      val a1 = when(col("doc_id") % 5 === 0, pmod(col("doc_id") + 1, lit(4L)))
+        .otherwise(truth)
+      val a2 = when(col("doc_id") % 3 === 0, pmod(col("doc_id") + 2, lit(4L)))
+        .otherwise(truth)
+      val votes = Tables.documents(s, d).select(
+        col("doc_id").as("item_id"),
+        explode(array(
+          struct(lit("a0").as("annotator"), truth.as("label")),
+          struct(lit("a1").as("annotator"), a1.as("label")),
+          struct(lit("a2").as("annotator"), a2.as("label")))).as("v"))
+        .select(col("item_id"), col("v.annotator"), col("v.label"))
+      ext.Labeling.annotatorReport(votes)
+    }),
+    // k-anonymity release with one-step generalization + l-diversity
+    // readout: (nation, segment) groups ≥ k released intact, small groups
+    // generalized to (nation, *), still-small rows suppressed into one
+    // census row; sensitive attribute = account balance
+    "q177_k_anonymity" -> ((s: SparkSession, d: String) =>
+      ext.Safety.kAnonymize(Tables.customer(s, d), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal"), k = 10))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5070,6 +5103,120 @@ object SparkEntry {
         |  count(DISTINCT canonical)::BIGINT AS n_canonical,
         |  sum(CASE WHEN url <> canonical THEN 1 ELSE 0 END)::BIGINT
         |    AS n_changed
-        |FROM p5 GROUP BY host""".stripMargin
+        |FROM p5 GROUP BY host""".stripMargin,
+
+    // SemDeDup replay: same quantization, exact-integer L2² centroid
+    // argmin (ties to lowest centroid id), and the duplicate decision as
+    // the exact inequality den²·dot² ≥ num²·n2a·n2b in HUGEINT — no fp in
+    // any decision on either engine
+    "q175_semantic_dedup" ->
+      """WITH qv AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+        |      AS q
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
+        |ok AS (SELECT * FROM nrm WHERE n2 > 0),
+        |cent AS (SELECT vec_id AS centroid_id, q AS cq
+        |         FROM ok WHERE vec_id < 8),
+        |asg0 AS (SELECT o.vec_id, o.q, o.n2, c.centroid_id,
+        |    (SELECT sum((o.q[t.i] - c.cq[t.i]) * (o.q[t.i] - c.cq[t.i]))
+        |     FROM generate_series(1, 64) t(i)) AS dist
+        |  FROM ok o, cent c),
+        |asg AS (SELECT vec_id, q, n2, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, centroid_id) AS rk
+        |    FROM asg0) t WHERE rk = 1),
+        |pd AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS na,
+        |    b.n2 AS nb,
+        |    (SELECT sum(a.q[t.i] * b.q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS dot
+        |  FROM asg a JOIN asg b
+        |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id),
+        |dup AS (SELECT va AS vec_id, min(vb) AS dup_of FROM pd
+        |  WHERE dot >= 0
+        |    AND CAST(100 AS HUGEINT) * dot * dot
+        |        >= CAST(9 AS HUGEINT) * na * nb
+        |  GROUP BY va)
+        |SELECT a.vec_id, a.centroid_id, d.dup_of IS NOT NULL AS is_dup,
+        |  d.dup_of
+        |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
+
+    // same synthetic 3-annotator panel, then majority fusion (lowest-label
+    // tie-break) and per-annotator kappa vs consensus as exact integer
+    // num/den + one raw IEEE division
+    "q176_label_fusion" ->
+      """WITH votes AS (
+        |  SELECT doc_id AS item_id, 'a0' AS annotator,
+        |    doc_id % 4 AS label FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'a1',
+        |    CASE WHEN doc_id % 5 = 0 THEN (doc_id + 1) % 4
+        |      ELSE doc_id % 4 END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'a2',
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id + 2) % 4
+        |      ELSE doc_id % 4 END FROM documents),
+        |cnt AS (SELECT item_id, label, count(*) AS n_votes
+        |        FROM votes GROUP BY 1, 2),
+        |fused AS (SELECT item_id, label AS fused FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item_id
+        |      ORDER BY n_votes DESC, label) AS rk FROM cnt) t
+        |  WHERE rk = 1),
+        |j AS (SELECT v.annotator, v.label, f.fused
+        |      FROM votes v JOIN fused f ON v.item_id = f.item_id),
+        |per_ann AS (SELECT annotator, count(*)::BIGINT AS n_items,
+        |    sum(CASE WHEN label = fused THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_agree
+        |  FROM j GROUP BY 1),
+        |ann_marg AS (SELECT annotator, label, count(*) AS n_a
+        |             FROM votes GROUP BY 1, 2),
+        |fused_marg AS (SELECT fused AS label, count(*) AS n_f
+        |               FROM fused GROUP BY 1),
+        |pe AS (SELECT annotator, sum(n_a * n_f)::BIGINT AS pe_num
+        |  FROM ann_marg JOIN fused_marg USING (label) GROUP BY 1)
+        |SELECT p.annotator, p.n_items, p.n_agree,
+        |  (p.n_items * p.n_agree - pe.pe_num)::BIGINT AS kappa_num,
+        |  (p.n_items * p.n_items - pe.pe_num)::BIGINT AS kappa_den,
+        |  CASE WHEN p.n_items * p.n_items - pe.pe_num <> 0
+        |    THEN CAST(p.n_items * p.n_agree - pe.pe_num AS DOUBLE)
+        |       / CAST(p.n_items * p.n_items - pe.pe_num AS DOUBLE)
+        |    END AS kappa
+        |FROM per_ann p JOIN pe USING (annotator)""".stripMargin,
+
+    // k-anonymity replay: ≥k groups intact, <k generalized to (nation, *),
+    // still-<k suppressed into one null-keyed census row; all decisions
+    // integer compares
+    "q177_k_anonymity" ->
+      """WITH rows0 AS (SELECT CAST(c_nationkey AS BIGINT) AS quasi1,
+        |    CAST(c_mktsegment AS VARCHAR) AS quasi2, c_acctbal AS sens
+        |  FROM customer),
+        |g0 AS (SELECT quasi1, quasi2, count(*) AS n
+        |       FROM rows0 GROUP BY 1, 2),
+        |tagged AS (SELECT r.quasi1, r.quasi2, r.sens, g.n
+        |           FROM rows0 r JOIN g0 g USING (quasi1, quasi2)),
+        |lvl0 AS (SELECT quasi1, quasi2, count(*)::BIGINT AS n_records,
+        |    count(DISTINCT sens)::BIGINT AS n_distinct_sensitive,
+        |    0::BIGINT AS "level"
+        |  FROM tagged WHERE n >= 10 GROUP BY 1, 2),
+        |small AS (SELECT quasi1, quasi2, sens FROM tagged WHERE n < 10),
+        |g1 AS (SELECT quasi1, count(*) AS n1 FROM small GROUP BY 1),
+        |tagged1 AS (SELECT s.quasi1, s.sens, g.n1
+        |            FROM small s JOIN g1 g USING (quasi1)),
+        |lvl1 AS (SELECT quasi1, '*' AS quasi2, count(*)::BIGINT
+        |      AS n_records,
+        |    count(DISTINCT sens)::BIGINT AS n_distinct_sensitive,
+        |    1::BIGINT AS "level"
+        |  FROM tagged1 WHERE n1 >= 10 GROUP BY 1),
+        |supp AS (SELECT CAST(NULL AS BIGINT) AS quasi1, '*' AS quasi2,
+        |    count(*)::BIGINT AS n_records,
+        |    count(DISTINCT sens)::BIGINT AS n_distinct_sensitive,
+        |    2::BIGINT AS "level"
+        |  FROM tagged1 WHERE n1 < 10 HAVING count(*) > 0)
+        |SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+        |UNION ALL SELECT * FROM supp""".stripMargin
   )
 }

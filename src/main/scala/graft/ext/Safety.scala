@@ -117,4 +117,58 @@ object Safety {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(col("n_blocked")).as("blocked_tokens"),
         sum(col("n_tokens")).as("total_tokens"))
+
+  /** k-anonymity with one-step hierarchy generalization (Sweeney 2002,
+    * "k-Anonymity: a model for protecting privacy"): rows whose
+    * quasi-identifier pair occurs ≥ k times release the pair intact
+    * (level 0); rows in smaller groups generalize the finer identifier to
+    * `*` and re-test at the coarser grain (level 1); rows still below k
+    * are suppressed entirely and reported only as one census row
+    * (level 2, both identifiers `*`-ed, null key). Alongside each
+    * released group: its size and the distinct count of the sensitive
+    * attribute — the l-diversity readout (a k-anonymous group with ONE
+    * sensitive value still leaks it to anyone who can place a person in
+    * the group).
+    *
+    * Scale shape: the group-size frames are quasi-identifier-cardinality
+    * (tiny vs the data; broadcast back onto the rows), so the data makes
+    * exactly two passes — tag, then aggregate per released grain. The
+    * distinct-sensitive counts run per group grain, map-side partially
+    * aggregated; nothing global except the one suppressed census row.
+    * Decisions are pure integer compares — engine-exact.
+    *
+    * @return (quasi1 nullable, quasi2 `*`-generalized string, n_records,
+    *         n_distinct_sensitive, level 0|1|2); the level-2 row is
+    *         omitted when nothing is suppressed
+    */
+  def kAnonymize(df: DataFrame, quasi1: Column, quasi2: Column,
+                 sensitive: Column, k: Int): DataFrame = {
+    val rows = df.select(quasi1.cast("long").as("quasi1"),
+      quasi2.cast("string").as("quasi2"), sensitive.as("sens"))
+    val g0 = rows.groupBy(col("quasi1"), col("quasi2"))
+      .agg(count(lit(1)).as("n"))
+    val tagged = rows.join(broadcast(g0), Seq("quasi1", "quasi2"))
+    val lvl0 = tagged.filter(col("n") >= k)
+      .groupBy(col("quasi1"), col("quasi2"))
+      .agg(count(lit(1)).as("n_records"),
+        count_distinct(col("sens")).as("n_distinct_sensitive"))
+      .select(col("quasi1"), col("quasi2"), col("n_records"),
+        col("n_distinct_sensitive"), lit(0L).as("level"))
+    val small = tagged.filter(col("n") < k)
+    val g1 = small.groupBy(col("quasi1")).agg(count(lit(1)).as("n1"))
+    val tagged1 = small.drop("n").join(broadcast(g1), Seq("quasi1"))
+    val lvl1 = tagged1.filter(col("n1") >= k)
+      .groupBy(col("quasi1"))
+      .agg(count(lit(1)).as("n_records"),
+        count_distinct(col("sens")).as("n_distinct_sensitive"))
+      .select(col("quasi1"), lit("*").as("quasi2"), col("n_records"),
+        col("n_distinct_sensitive"), lit(1L).as("level"))
+    val suppressed = tagged1.filter(col("n1") < k)
+      .agg(count(lit(1)).as("n_records"),
+        count_distinct(col("sens")).as("n_distinct_sensitive"))
+      .filter(col("n_records") > 0L)
+      .select(lit(null).cast("long").as("quasi1"), lit("*").as("quasi2"),
+        col("n_records"), col("n_distinct_sensitive"), lit(2L).as("level"))
+    lvl0.unionByName(lvl1).unionByName(suppressed)
+  }
 }

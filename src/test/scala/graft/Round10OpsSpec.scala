@@ -396,6 +396,139 @@ class Round10OpsSpec extends SparkSuite {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  // ------------------------------------------------- semantic dedup
+
+  test("semanticDedup: kept set is an independent set under the exact " +
+    "cosine threshold within every cluster; dup_of is a valid lower-id " +
+    "same-cluster neighbor above it") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = ext.Similarity.semanticDedup(emb, k = 8, thrNum = 3, thrDen = 10)
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+    val cluster = r.map(x => x._1 -> x._2).toMap
+    // quantized vectors + norms, exactly as the operator computes them
+    val qv = emb
+      .select(col("vec_id"), ext.Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Array[Long])].collect().toMap
+    def n2(v: Long): BigInt =
+      qv(v).map(x => BigInt(x) * x).sum
+    def above(a: Long, b: Long): Boolean = {
+      val dot = qv(a).zip(qv(b)).map { case (x, y) => BigInt(x) * y }.sum
+      dot >= 0 && dot * dot * 100 >= n2(a) * n2(b) * 9
+    }
+    assert(r.length == 500 && r.map(_._1).distinct.length == 500)
+    for ((v, _, isDup, dupOf) <- r) {
+      assert(isDup == dupOf.isDefined)
+      dupOf.foreach { d =>
+        assert(d < v && cluster(d) == cluster(v) && above(v, d),
+          s"dup_of $d is not a valid duplicate witness for $v")
+      }
+    }
+    val kept = r.filter(!_._3).map(_._1)
+    val keptByCluster = kept.groupBy(cluster)
+    for ((_, vs) <- keptByCluster; i <- vs.indices; j <- 0 until i)
+      assert(!above(vs(i), vs(j)),
+        s"kept vectors ${vs(i)} and ${vs(j)} are near-duplicates")
+    // and the dedup is not vacuous on this fixture
+    assert(r.count(_._3) > 0, "fixture produced zero duplicates")
+  }
+
+  test("q175 plan: centroid assignment is a broadcast; the pair join " +
+    "shuffles on the cluster key, never all-pairs") {
+    val df = SparkEntry.queries("q175_semantic_dedup")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid row not broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"pair join lost its cluster-key equi-join:\n$p")
+  }
+
+  // ---------------------------------------------------- label fusion
+
+  test("majorityVote: most votes wins, ties break to the LOWEST label") {
+    val votes = Seq(
+      (1L, "a0", 2L), (1L, "a1", 0L), (1L, "a2", 1L), // 3-way tie → 0
+      (2L, "a0", 1L), (2L, "a1", 1L), (2L, "a2", 0L), // majority 1
+      (3L, "a0", 2L), (3L, "a1", 2L), (3L, "a2", 2L)) // unanimous 2
+      .toDF("item_id", "annotator", "label")
+    val f = ext.Labeling.majorityVote(votes)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(f.toSeq == Seq((1L, 0L, 1L, 3L), (2L, 1L, 2L, 3L),
+      (3L, 2L, 3L, 3L)))
+  }
+
+  test("annotatorReport: perfect annotator kappa = 1, constant annotator " +
+    "kappa = 0 EXACTLY (integer numerator), degenerate panel null") {
+    // truth skewed 70/30 over labels 0/1; a0+a1 vote truth (consensus =
+    // truth), a2 always votes 0 — raw agreement 0.7 but chance-corrected 0
+    val votes = spark.range(0, 100).select(col("id").as("item_id"))
+      .withColumn("t", when(col("item_id") % 10 < 7, 0L).otherwise(1L))
+      .select(col("item_id"), explode(array(
+        struct(lit("a0").as("annotator"), col("t").as("label")),
+        struct(lit("a1").as("annotator"), col("t").as("label")),
+        struct(lit("a2").as("annotator"), lit(0L).as("label")))).as("v"))
+      .select(col("item_id"), col("v.annotator"), col("v.label"))
+    val r = ext.Labeling.annotatorReport(votes)
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("a0")._6.contains(1.0) && r("a1")._6.contains(1.0))
+    assert(r("a2")._4 == 0L, "constant annotator kappa numerator must be 0")
+    assert(r("a2")._6.contains(0.0))
+    // all-constant panel: chance agreement 1 → kappa undefined (null)
+    val degenerate = spark.range(0, 10).select(col("id").as("item_id"))
+      .select(col("item_id"), explode(array(
+        struct(lit("a0").as("annotator"), lit(5L).as("label")),
+        struct(lit("a1").as("annotator"), lit(5L).as("label")))).as("v"))
+      .select(col("item_id"), col("v.annotator"), col("v.label"))
+    val d = ext.Labeling.annotatorReport(degenerate)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    assert(d.length == 2 && d.forall(x => x._5 == 0L && x._6.isEmpty))
+  }
+
+  // ----------------------------------------------------- k-anonymity
+
+  test("kAnonymize: every released group ≥ k, record counts preserved, " +
+    "generalization and suppression branches both fire") {
+    // quasi1=1: (A,12) released, (B,3) small → nation total 3 < k →
+    //   suppressed; quasi1=2: (A,4)+(B,5)+(C,3)=12 small → generalized;
+    //   quasi1=3: (A,2) small → suppressed (with q1=1's 3: total 5 rows)
+    val rows = Seq.fill(12)((1L, "A")) ++ Seq.fill(3)((1L, "B")) ++
+      Seq.fill(4)((2L, "A")) ++ Seq.fill(5)((2L, "B")) ++
+      Seq.fill(3)((2L, "C")) ++ Seq.fill(2)((3L, "A"))
+    val df = rows.zipWithIndex
+      .map { case ((n, s), i) => (n, s, i.toLong % 7) }
+      .toDF("nat", "seg", "bal")
+    val r = ext.Safety.kAnonymize(df, col("nat"), col("seg"), col("bal"),
+        k = 10)
+      .as[(Option[Long], String, Long, Long, Long)].collect()
+    assert(r.map(_._3).sum == rows.length, "records lost or duplicated")
+    assert(r.filter(_._5 <= 1L).forall(_._3 >= 10L),
+      "a released group is below k")
+    assert(r.count(_._5 == 0L) == 1 && r.count(_._5 == 1L) == 1)
+    val supp = r.filter(_._5 == 2L)
+    assert(supp.length == 1 && supp.head._3 == 5L &&
+      supp.head._1.isEmpty && supp.head._2 == "*")
+    // k above everything: the whole table collapses to the census row
+    val all = ext.Safety.kAnonymize(df, col("nat"), col("seg"), col("bal"),
+        k = 1000)
+      .as[(Option[Long], String, Long, Long, Long)].collect()
+    assert(all.length == 1 && all.head._3 == rows.length &&
+      all.head._5 == 2L)
+    // nothing suppressed at k=1: no census row, all groups level 0
+    val none = ext.Safety.kAnonymize(df, col("nat"), col("seg"), col("bal"),
+        k = 1)
+      .as[(Option[Long], String, Long, Long, Long)].collect()
+    assert(none.forall(_._5 == 0L) && none.map(_._3).sum == rows.length)
+  }
+
+  test("q177 plan: group-size tags join as broadcasts (the stat frames " +
+    "are quasi-identifier-sized), no shuffle join") {
+    val df = SparkEntry.queries("q177_k_anonymity")(spark, sf)
+    val p = planOf(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"group-size tag joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join crept in:\n$p")
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()
