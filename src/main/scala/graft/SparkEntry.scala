@@ -766,7 +766,57 @@ object SparkEntry {
     // census row; sensitive attribute = account balance
     "q177_k_anonymity" -> ((s: SparkSession, d: String) =>
       ext.Safety.kAnonymize(Tables.customer(s, d), col("c_nationkey"),
-        col("c_mktsegment"), col("c_acctbal"), k = 10))
+        col("c_mktsegment"), col("c_acctbal"), k = 10)),
+    // Luhn-checked payment-card scan (q163's augmentation discipline: the
+    // CHECKSUM machinery is what's tested — 2/3 of docs get a
+    // deterministic doc_id-derived 16-digit run, ~10% of which pass Luhn;
+    // 1/5 get a 15-digit near-miss that must not match)
+    "q178_luhn_pan" -> ((s: SparkSession, d: String) => {
+      val two = (m: Int, a: Int) =>
+        lpad(pmod(col("doc_id") * m + a, lit(100L)).cast("string"), 2, "0")
+      val pan = concat(two(7, 1), two(13, 2), two(17, 3), two(19, 4),
+        two(23, 5), two(29, 6), two(31, 7), two(37, 8))
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 < 2, concat(lit(" card "), pan))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" ref "),
+          lpad(pmod(col("doc_id") * 41, lit(1000L)).cast("string"), 15,
+            "0"))).otherwise(lit("")))
+      ext.Safety.panScorecard(Tables.documents(s, d), aug)
+    }),
+    // per-domain document cap: top-5 by char mass per synthetic host —
+    // the anti-mega-site crawl budget; kept/total doc + char rollup
+    "q179_domain_cap" -> ((s: SparkSession, d: String) => {
+      val host = concat(lit("site"), pmod(col("doc_id"), lit(7L))
+        .cast("string"), lit(".com"))
+      ext.Curation.domainCap(Tables.documents(s, d), host, col("n_chars"),
+        k = 5)
+    }),
+    // chat-transcript audit over the event log as a message stream:
+    // role alternation violations + maximal-prefix context-window
+    // truncation (token proxy = props.k + 1, budget 500)
+    "q180_dialogue_audit" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.turnAudit(Tables.events(s, d),
+        get_json_object(col("props"), "$.k").cast("long") + 1L,
+        budget = 500L)),
+    // cross-document duplication mass: per doc, gram occurrences whose
+    // 3-gram lives in ≥2 docs — the span-dedup masking readout
+    "q181_dup_mass" -> ((s: SparkSession, d: String) =>
+      ext.Curation.duplicationMass(Tables.documents(s, d), n = 3)),
+    // code-switching audit: language-ID each half independently, flag
+    // disagreement (q163's discipline: 1/4 of docs get a planted French
+    // tail so the HALF-level machinery demonstrably fires)
+    "q182_code_switch" -> ((s: SparkSession, d: String) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0, repeat(lit(" le la et les des"), 8))
+          .otherwise(lit("")))
+      ext.TextStats.codeSwitchAudit(Tables.documents(s, d), aug)
+    }),
+    // cross-source quantile normalization of the doc score: per-source
+    // rank → pooled midpoint nearest-rank value; pooled rank distributed
+    "q183_quantile_norm" -> ((s: SparkSession, d: String) =>
+      ext.Curation.quantileNormalize(Tables.documents(s, d),
+        col("n_chars"), col("source")))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5217,6 +5267,193 @@ object SparkEntry {
         |    2::BIGINT AS "level"
         |  FROM tagged1 WHERE n1 < 10 HAVING count(*) > 0)
         |SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
-        |UNION ALL SELECT * FROM supp""".stripMargin
+        |UNION ALL SELECT * FROM supp""".stripMargin,
+
+    // same augmentation, then Luhn over every 16-digit run: odd
+    // left-positions doubled with digit-sum reduction, valid ⟺ sum ≡ 0
+    // (mod 10) — exact integers end to end on both engines
+    "q178_luhn_pan" ->
+      """WITH aug AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 3 < 2 THEN ' card '
+        |      || lpad(CAST((doc_id * 7 + 1) % 100 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id * 13 + 2) % 100 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id * 17 + 3) % 100 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id * 19 + 4) % 100 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id * 23 + 5) % 100 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id * 29 + 6) % 100 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id * 31 + 7) % 100 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id * 37 + 8) % 100 AS VARCHAR), 2, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ref '
+        |      || lpad(CAST((doc_id * 41) % 1000 AS VARCHAR), 15, '0')
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |cand AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(t, '[0-9]{16}')) AS c FROM aug),
+        |ls AS (SELECT doc_id,
+        |    (SELECT sum(CASE WHEN sq.i % 2 = 1
+        |        THEN CASE WHEN 2 * (ascii(substr(c, sq.i, 1)) - 48) > 9
+        |          THEN 2 * (ascii(substr(c, sq.i, 1)) - 48) - 9
+        |          ELSE 2 * (ascii(substr(c, sq.i, 1)) - 48) END
+        |        ELSE ascii(substr(c, sq.i, 1)) - 48 END)
+        |     FROM generate_series(1, 16) sq(i)) AS s
+        |  FROM cand),
+        |pd AS (SELECT doc_id, count(*) AS n_pans,
+        |    sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS n_valid
+        |  FROM ls GROUP BY 1)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN COALESCE(n_valid, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_with_valid_pan,
+        |  sum(COALESCE(n_pans, 0))::BIGINT AS n_pans,
+        |  sum(COALESCE(n_valid, 0))::BIGINT AS n_valid_pans
+        |FROM aug LEFT JOIN pd USING (doc_id) GROUP BY source""".stripMargin,
+
+    // per-host top-5 by (n_chars DESC, doc_id) — kept/total rollup
+    "q179_domain_cap" ->
+      """WITH h AS (SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+        |    n_chars FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY host
+        |    ORDER BY n_chars DESC, doc_id) AS rk FROM h)
+        |SELECT host, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN rk <= 5 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM r GROUP BY host""".stripMargin,
+
+    // conversation = user, order = (ts, event_id); same role mapping,
+    // lag/cumsum/row_number over one window; prefix-truncation at 500
+    "q180_dialogue_audit" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type IN ('click', 'purchase', 'signup')
+        |      THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS toks
+        |  FROM events),
+        |w AS (SELECT *,
+        |    lag(role) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev_role,
+        |    sum(toks) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS cum_toks,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS rn
+        |  FROM m)
+        |SELECT user_id, count(*)::BIGINT AS n_msgs,
+        |  sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_role_violations,
+        |  min(CASE WHEN rn = 1 THEN role END) = 'user' AS starts_with_user,
+        |  sum(CASE WHEN cum_toks <= 500 THEN 1 ELSE 0 END)::BIGINT
+        |    AS kept_msgs,
+        |  COALESCE(max(CASE WHEN cum_toks <= 500 THEN cum_toks END),
+        |    0)::BIGINT AS kept_toks
+        |FROM w GROUP BY user_id""".stripMargin,
+
+    // q166's token/gram replay at the occurrence grain: per (doc, gram)
+    // counts, cross-doc doc count as a window over the collapsed frame
+    "q181_dup_mass" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |o AS (SELECT doc_id, gram, count(*) AS occ FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks) q GROUP BY 1, 2),
+        |d2 AS (SELECT doc_id, occ,
+        |    count(*) OVER (PARTITION BY gram) AS ndocs FROM o),
+        |pd AS (SELECT doc_id, sum(occ) AS n_occ,
+        |    sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS n_dup_occ
+        |  FROM d2 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(CAST(pd.n_occ AS BIGINT), 0) AS n_occ,
+        |  COALESCE(CAST(pd.n_dup_occ AS BIGINT), 0) AS n_dup_occ
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // same planted-tail augmentation, halves at ⌊n/2⌋ tokens, q14's
+    // marker-count argmax with the same tie order per half
+    "q182_code_switch" ->
+      """WITH aug AS (SELECT doc_id, lang, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN repeat(' le la et les des', 8)
+        |      ELSE '' END AS t0
+        |  FROM documents),
+        |toks AS (SELECT doc_id, lang,
+        |    CASE WHEN length(trim(t0)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(t0), '\s+') END AS t
+        |  FROM aug),
+        |hs AS (SELECT doc_id, lang,
+        |    t[1:len(t)//2] AS fh, t[len(t)//2+1:len(t)] AS sh FROM toks),
+        |sc AS (SELECT doc_id, lang,
+        |    len(list_filter(fh, x -> x IN ('the','and','of','is','with')))
+        |      AS f_en,
+        |    len(list_filter(fh, x -> x IN ('el','la','de','que','los')))
+        |      AS f_es,
+        |    len(list_filter(fh, x -> x IN ('der','die','und','das','ist')))
+        |      AS f_de,
+        |    len(list_filter(fh, x -> x IN ('le','la','et','les','des')))
+        |      AS f_fr,
+        |    len(list_filter(fh, x -> x IN ('shi','bu','wo','de','ni')))
+        |      AS f_zh,
+        |    len(list_filter(sh, x -> x IN ('the','and','of','is','with')))
+        |      AS s_en,
+        |    len(list_filter(sh, x -> x IN ('el','la','de','que','los')))
+        |      AS s_es,
+        |    len(list_filter(sh, x -> x IN ('der','die','und','das','ist')))
+        |      AS s_de,
+        |    len(list_filter(sh, x -> x IN ('le','la','et','les','des')))
+        |      AS s_fr,
+        |    len(list_filter(sh, x -> x IN ('shi','bu','wo','de','ni')))
+        |      AS s_zh
+        |  FROM hs),
+        |pred AS (SELECT doc_id, lang,
+        |  CASE
+        |    WHEN f_en > 0 AND f_en >= f_es AND f_en >= f_de
+        |         AND f_en >= f_fr AND f_en >= f_zh THEN 'en'
+        |    WHEN f_es > 0 AND f_es >= f_en AND f_es >= f_de
+        |         AND f_es >= f_fr AND f_es >= f_zh THEN 'es'
+        |    WHEN f_de > 0 AND f_de >= f_en AND f_de >= f_es
+        |         AND f_de >= f_fr AND f_de >= f_zh THEN 'de'
+        |    WHEN f_fr > 0 AND f_fr >= f_en AND f_fr >= f_es
+        |         AND f_fr >= f_de AND f_fr >= f_zh THEN 'fr'
+        |    WHEN f_zh > 0 AND f_zh >= f_en AND f_zh >= f_es
+        |         AND f_zh >= f_de AND f_zh >= f_fr THEN 'zh'
+        |    ELSE 'unknown' END AS lang_first,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
+        |         AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de
+        |         AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es
+        |         AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es
+        |         AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_es
+        |         AND s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+        |    ELSE 'unknown' END AS lang_second
+        |  FROM sc)
+        |SELECT doc_id, lang, lang_first, lang_second,
+        |  lang_first <> 'unknown' AND lang_second <> 'unknown'
+        |    AND lang_first <> lang_second AS is_mixed
+        |FROM pred""".stripMargin,
+
+    // per-source midpoint rank → pooled nearest-rank value; HUGEINT ≡
+    // DECIMAL(38,0) product, `//` ≡ `div` on non-negative operands
+    "q183_quantile_norm" ->
+      """WITH r0 AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS s
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM r0),
+        |grp AS (SELECT source, count(*) AS ns FROM r0 GROUP BY 1),
+        |rk AS (SELECT doc_id, source, s,
+        |    row_number() OVER (PARTITION BY source ORDER BY s, doc_id) AS r
+        |  FROM r0),
+        |pool AS (SELECT s AS sp,
+        |    row_number() OVER (ORDER BY s, doc_id) AS pr FROM r0),
+        |tgt AS (SELECT rk.doc_id, rk.source, rk.s,
+        |    CAST(((2*rk.r - 1)::HUGEINT * tot.n + 2*g.ns - 1)
+        |      // (2*g.ns) AS BIGINT) AS idx
+        |  FROM rk JOIN grp g USING (source) CROSS JOIN tot)
+        |SELECT t.doc_id, t.source, t.s AS score, p.sp AS norm_score
+        |FROM tgt t JOIN pool p ON t.idx = p.pr""".stripMargin
   )
 }

@@ -972,4 +972,141 @@ object Curation {
         (col("shared_grams").cast("double") /
           least(col("ga"), col("gb")).cast("double")).as("containment"))
   }
+
+  /** Per-domain document cap — the crawl-curation policy that stops one
+    * mega-site (a mirror farm, a forum dump) from dominating the corpus:
+    * within each host, documents are ranked by quality priority (char
+    * mass desc, doc_id tie-break) and only the top `k` survive. The
+    * rollup reports kept vs total doc and char mass per host — the
+    * numbers behind a per-domain crawl budget.
+    *
+    * Scale shape: one per-host window (the corpus shuffles once on host).
+    * A pathological mega-host makes its partition large; the 100 TB
+    * remedy is the same threshold-selection discipline as
+    * [[temperatureMixture]] — compute the host's k-th priority via a
+    * sampled threshold + bounded correction instead of materializing the
+    * full per-host sort. The policy itself (an ABSOLUTE per-domain cap)
+    * is scale-free.
+    *
+    * @return one row per host: host, n_docs, n_kept, total_chars,
+    *         kept_chars
+    */
+  def domainCap(docs: DataFrame, host: Column, nChars: Column,
+                k: Int): DataFrame = {
+    val w = Window.partitionBy(col("__host"))
+      .orderBy(col("__chars").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), host.as("__host"),
+        nChars.cast("long").as("__chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rk") <= k)
+      .groupBy(col("__host").as("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__chars")).as("total_chars"),
+        sum(when(col("kept"), col("__chars")).otherwise(0L))
+          .as("kept_chars"))
+  }
+
+  /** Cross-document duplication mass (the readout behind span-level exact
+    * dedup, cf. Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for every document, how many of its word
+    * `n`-gram OCCURRENCES are of a gram that appears in ≥ 2 distinct
+    * documents. Where [[ngramNovelty]] measures first-occurrence
+    * freshness (a gram is "novel" in exactly one doc), this measures the
+    * duplicated token mass a span-dedup pass would mask — a doc with
+    * `n_dup_occ ≈ n_occ` is boilerplate already seen elsewhere.
+    *
+    * Scale shape: occurrence counts collapse to the (doc, gram) grain
+    * first (the corpus's one big shuffle), the cross-doc count is a
+    * window over the collapsed frame's gram key, and the re-agg runs on
+    * counts, never re-touching text. No join back to the corpus.
+    *
+    * @return one row per doc: doc_id, n_occ, n_dup_occ
+    */
+  def duplicationMass(docs: DataFrame, n: Int = 3): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+    // rows per gram in `occ` ARE the distinct docs carrying it
+    val wg = Window.partitionBy(col("gram"))
+    val perDoc = occ
+      .withColumn("n_docs_with", count(lit(1)).over(wg))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_occ"),
+        sum(when(col("n_docs_with") >= 2, col("occ")).otherwise(0L))
+          .as("n_dup_occ"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("n_dup_occ"), lit(0L)).as("n_dup_occ"))
+  }
+
+  /** Quantile normalization of a per-document score across heterogeneous
+    * sources (the cross-batch calibration standard from expression-array
+    * analysis, applied to corpus quality scores): a score's meaning drifts
+    * across sources — one crawl's "long doc" is another's median — so
+    * per-source scores are replaced by the POOLED distribution's value at
+    * the same quantile. The r-th of a source's n_s docs (ties broken by
+    * doc_id) maps to pooled rank ⌈(2r−1)·N / (2n_s)⌉ — the midpoint
+    * nearest-rank rule, exact ceil-div integers only (the q123 discipline:
+    * `(a+b−1) div b` is the one ceil form Spark's truncating `div` and
+    * DuckDB's flooring `//` agree on for non-negative operands; the
+    * product rides DECIMAL(38,0) ≡ HUGEINT so rank·count never overflows
+    * a long).
+    *
+    * Scale shape: the per-source rank is a per-source window (sources are
+    * the parallel unit); the pooled rank is DISTRIBUTED (q132/q171
+    * grid-rank discipline — value-grid buckets, per-bucket row_number,
+    * broadcast below-offsets; never a single-partition global window);
+    * the final remap is an equi-join on the rank key. Nothing global but
+    * two 1-row stat frames and the O(buckets) offset map.
+    *
+    * @return doc_id, source, score, norm_score
+    */
+  def quantileNormalize(docs: DataFrame, score: Column,
+                        group: Column, nBuckets: Int = 1024): DataFrame = {
+    val rows = docs.select(col("doc_id"), group.as("source"),
+      score.cast("long").as("s"))
+    val grp = rows.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val tot = rows.agg(count(lit(1)).as("n"))
+    // pooled rank without a global sort: monotone value-grid buckets →
+    // per-bucket row_number + broadcast count-below offsets
+    val ext = rows.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val bucketed = rows.crossJoin(broadcast(ext))
+      .withColumn("b",
+        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
+          expr(s"(s - lo) * $nBuckets div (hi - lo + 1)"))
+          .otherwise(raise_error(format_string(
+            "quantileNormalize score range [%d, %d] overflows the " +
+              s"$nBuckets-bucket grid; rescale the score first",
+            col("lo"), col("hi"))).cast("long")))
+    val boff = bucketed.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+      .withColumn("below", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("below"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("s"), col("doc_id"))
+    val pool = bucketed
+      .withColumn("loc", row_number().over(wIn).cast("long"))
+      .join(broadcast(boff), "b")
+      .select((col("below") + col("loc")).as("pr"),
+        col("s").as("norm_score"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("s"), col("doc_id"))
+    val tgt = rows
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .join(broadcast(grp), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("idx", expr(
+        "cast(((2*r - 1) * cast(n as decimal(38,0)) + 2*ns - 1) " +
+          "div (2*ns) as bigint)"))
+    tgt.join(pool, col("idx") === col("pr"))
+      .select(col("doc_id"), col("source"), col("s").as("score"),
+        col("norm_score"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation / chat-transcript operators — the validation a dialogue
+  * fine-tuning pipeline runs before transcripts become training examples
+  * (round 10; joins the curation family):
+  *
+  *  - role-alternation audit: chat templates require user/assistant turns
+  *    to alternate and the first turn to be a user turn; violations
+  *    (double-sends, assistant-first logs) are the rows a template
+  *    renderer either repairs or drops.
+  *  - context-window truncation: a transcript is kept only up to the
+  *    token budget; because per-message token counts are positive, the
+  *    kept set is the maximal PREFIX whose cumulative count fits — the
+  *    same prefix rule a tokenizer-side packer applies.
+  *
+  * Scale shape: one shuffle on the conversation key, then lag / running
+  * sum / row_number share the single per-conversation sort; the result is
+  * conversation-grain. No self-joins, no driver-side state. At 100 TB the
+  * conversation key is the partition key end to end, so the audit
+  * pipelines with any other per-conversation pass for free.
+  */
+object Dialogue {
+
+  /** Per-conversation audit over an event log viewed as a message stream:
+    * conversation = `user_id`, message order = (ts, event_id), role from
+    * the event type (`userTypes` → "user", everything else "assistant"),
+    * token proxy = `toks`.
+    *
+    * @return one row per conversation: user_id, n_msgs,
+    *         n_role_violations (adjacent same-role pairs),
+    *         starts_with_user, kept_msgs / kept_toks (maximal prefix with
+    *         cumulative toks ≤ budget)
+    */
+  def turnAudit(events: DataFrame, toks: Column, budget: Long,
+                userTypes: Seq[String] = Seq("click", "purchase", "signup"))
+      : DataFrame = {
+    val role = when(col("event_type").isin(userTypes.map(x => x: Any): _*),
+      "user").otherwise("assistant")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        role.as("role"), toks.cast("long").as("toks"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("cum_toks", sum(col("toks"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        sum(when(col("prev_role") === col("role"), 1L).otherwise(0L))
+          .as("n_role_violations"),
+        min(when(col("rn") === 1L, col("role"))).as("__first_role"),
+        sum(when(col("cum_toks") <= budget, 1L).otherwise(0L))
+          .as("kept_msgs"),
+        coalesce(max(when(col("cum_toks") <= budget, col("cum_toks"))),
+          lit(0L)).as("kept_toks"))
+      .select(col("user_id"), col("n_msgs"), col("n_role_violations"),
+        (col("__first_role") === "user").as("starts_with_user"),
+        col("kept_msgs"), col("kept_toks"))
+  }
+}

@@ -118,6 +118,57 @@ object Safety {
         sum(col("n_blocked")).as("blocked_tokens"),
         sum(col("n_tokens")).as("total_tokens"))
 
+  /** Luhn checksum sum of a 16-digit candidate string: digits at odd
+    * left-positions (2nd, 4th, … counting from the RIGHT of a 16-char
+    * string) are doubled with digit-sum reduction (2d > 9 ⇒ 2d − 9), the
+    * rest pass through; a candidate is a valid PAN shape iff the sum is
+    * ≡ 0 (mod 10). Pure integer expression arithmetic — 16 unrolled
+    * terms, no UDF, engine-exact.
+    */
+  private def luhnSum(c: Column): Column =
+    (1 to 16).map { i =>
+      val d = (ascii(substring(c, i, 1)) - lit(48)).cast("long")
+      if (i % 2 == 1) {
+        val t = d * 2
+        when(t > 9, t - 9).otherwise(t)
+      } else d
+    }.reduce(_ + _)
+
+  /** Per-document payment-card (PAN) signals: 16-digit candidate runs and
+    * the subset passing the Luhn checksum — the checksum is what separates
+    * a real card number from an arbitrary digit run, so counting only
+    * regex matches (the q163 pattern style) would drown a compliance
+    * readout in order-id false positives. Candidates are contiguous
+    * 16-digit runs; spaced/dashed writings (`4111 1111 …`) would need a
+    * separator-tolerant pattern plus a strip before the checksum — same
+    * machinery, wider envelope (documented out of contract here).
+    *
+    * Zero shuffles: one codegen'd regex extraction + an O(16) integer
+    * fold per candidate.
+    */
+  def panScan(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .withColumn("__cands",
+        regexp_extract_all(text, lit("[0-9]{16}"), lit(0)))
+      .withColumn("n_pans", size(col("__cands")).cast("long"))
+      .withColumn("n_valid",
+        size(filter(col("__cands"), c => luhnSum(c) % 10 === 0)).cast("long"))
+      .drop("__cands")
+
+  /** Corpus-level PAN scorecard per source: documents carrying a
+    * Luhn-valid card-shaped number vs mere 16-digit runs — the
+    * false-positive split a compliance pass reports before redaction.
+    */
+  def panScorecard(docs: DataFrame, text: Column): DataFrame =
+    panScan(docs, text)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_valid") > 0, 1L).otherwise(0L))
+          .as("docs_with_valid_pan"),
+        sum(col("n_pans")).as("n_pans"),
+        sum(col("n_valid")).as("n_valid_pans"))
+
   /** k-anonymity with one-step hierarchy generalization (Sweeney 2002,
     * "k-Anonymity: a model for protecting privacy"): rows whose
     * quasi-identifier pair occurs ≥ k times release the pair intact

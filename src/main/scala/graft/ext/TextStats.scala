@@ -74,13 +74,31 @@ object TextStats {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("shi", "bu", "wo", "de", "ni"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  /** Marker-hit counts over an already-materialized token array (the HOF
+    * re-evaluation discipline: callers materialize `toks` as a column so
+    * the filter runs once per language, not once per downstream
+    * reference).
+    */
+  def langScoresOf(toks: Column): Seq[(String, Column)] =
     langMarkers.map { case (langName, markers) =>
       val arr = array(markers.map(lit): _*)
       langName -> size(filter(toks, t => array_contains(arr, t))).cast("long")
     }
-  }
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresOf(tokens(text))
+
+  /** Argmax over materialized `<prefix><lang>` score columns with the
+    * deterministic first-wins tie order of `langMarkers`; all-zero scores
+    * predict "unknown".
+    */
+  private def predFrom(prefix: String): Column =
+    langMarkers.map(_._1).foldRight(lit("unknown")) { (l, acc) =>
+      val isMax = langMarkers
+        .map { case (o, _) => col(s"$prefix$l") >= col(s"$prefix$o") }
+        .reduce(_ && _)
+      when(col(s"$prefix$l") > 0 && isMax, lit(l)).otherwise(acc)
+    }
 
   /** Append score_* and pred_lang columns, preserving everything present. */
   def withLangId(doc: DataFrame): DataFrame = {
@@ -88,13 +106,7 @@ object TextStats {
     val scored = scores.foldLeft(doc) { case (df, (l, c)) =>
       df.withColumn(s"score_$l", c)
     }
-    // argmax with first-wins tie-break in declaration order
-    val pred = scores.map(_._1).foldRight(lit("unknown")) { (l, acc) =>
-      val isMax = scores.map { case (o, _) => col(s"score_$l") >= col(s"score_$o") }
-        .reduce(_ && _)
-      when(col(s"score_$l") > 0 && isMax, lit(l)).otherwise(acc)
-    }
-    scored.withColumn("pred_lang", pred)
+    scored.withColumn("pred_lang", predFrom("score_"))
   }
 
   def langId(doc: DataFrame): DataFrame =
@@ -133,6 +145,47 @@ object TextStats {
             .cast("double") /
             (col("n") * col("n") - col("sum_rc")).cast("double"))
           .as("kappa"))
+  }
+
+  /** Code-switching / language-mix audit: language-ID the FIRST and SECOND
+    * half of every document's token stream independently and flag documents
+    * whose halves disagree (both with signal) — the segment-level
+    * consistency check a multilingual-corpus pipeline runs before trusting
+    * a single doc-level language label (mixed docs poison per-language
+    * mixtures and mono-lingual tokenizer training).
+    *
+    * Halves split at ⌊n/2⌋ tokens; each half scores against the
+    * [[langMarkers]] sets with the q14 argmax/tie contract. A half with no
+    * marker hits predicts "unknown" and never flags (no signal ≠
+    * disagreement).
+    *
+    * Scale shape: pure per-row expressions (tokenize once, slice twice,
+    * ten materialized marker counts), zero shuffles — pipelines with any
+    * corpus scan for free. A finer-grained audit (sliding windows) is the
+    * same shape with more slices.
+    *
+    * @return doc_id, lang (labeled), lang_first, lang_second, is_mixed
+    */
+  def codeSwitchAudit(docs: DataFrame, text: Column): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), tokens(text).as("__toks"))
+      .withColumn("__h", expr("size(__toks) div 2").cast("int"))
+      .withColumn("__first", slice(col("__toks"), lit(1), col("__h")))
+      .withColumn("__second", slice(col("__toks"), col("__h") + 1,
+        size(col("__toks")) - col("__h")))
+    val scored = langScoresOf(col("__first")).foldLeft(base) {
+      case (df, (l, c)) => df.withColumn(s"__f_$l", c)
+    }
+    val scored2 = langScoresOf(col("__second")).foldLeft(scored) {
+      case (df, (l, c)) => df.withColumn(s"__s_$l", c)
+    }
+    scored2
+      .withColumn("lang_first", predFrom("__f_"))
+      .withColumn("lang_second", predFrom("__s_"))
+      .select(col("doc_id"), col("lang"), col("lang_first"),
+        col("lang_second"),
+        (col("lang_first") =!= "unknown" && col("lang_second") =!= "unknown"
+          && col("lang_first") =!= col("lang_second")).as("is_mixed"))
   }
 
   /** BPE-ish sub-word tokenization: letter runs, digit runs, and single

@@ -528,4 +528,72 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Per-conversation audit row (same shape as the batch
+    * [[graft.ext.Dialogue.turnAudit]] output).
+    */
+  final case class DlgRow(user_id: Long, n_msgs: Long,
+                          n_role_violations: Long, starts_with_user: Boolean,
+                          kept_msgs: Long, kept_toks: Long)
+
+  // NOT private: the state encoder's generated code needs public accessors
+  final case class DlgState(first: String, prev: String, n: Long, viol: Long,
+                            cum: Long, kept: Long, keptToks: Long,
+                            lastTs: Long)
+
+  /** Streaming twin of [[graft.ext.Dialogue.turnAudit]] — eleventh
+    * batch↔stream pair: the audit accumulates per conversation in O(1)
+    * state (first/previous role, running counts, cumulative token mass)
+    * and emits its row when the conversation goes idle for
+    * `idleTimeoutUs` of event time (watermark-driven timeout — the
+    * transcript-closing rule of a live chat pipeline). Token proxy is
+    * `value.toLong + 1`, mirroring the batch twin's column.
+    *
+    * Same delivery precondition as [[funnelStream]]: per-user event-time
+    * order across micro-batches (batches are sorted internally); the
+    * batch operator is the oracle-checked semantics.
+    */
+  def dialogueAuditStream(events: Dataset[Event], budget: Long = 500L,
+                          idleTimeoutUs: Long = 3600L * 1000000,
+                          watermark: String = "1 hour",
+                          userTypes: Set[String] =
+                            Set("click", "purchase", "signup"))
+      : Dataset[DlgRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DlgState, DlgRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[DlgState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(DlgRow(user, s.n, s.viol, s.first == "user",
+              s.kept, s.keptToks))
+          } else {
+            var s = state.getOption
+              .getOrElse(DlgState(null, null, 0L, 0L, 0L, 0L, 0L, -1L))
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val role =
+                if (userTypes(e.event_type)) "user" else "assistant"
+              val toks = e.value.toLong + 1
+              val cum = s.cum + toks
+              s = DlgState(
+                if (s.first == null) role else s.first, role, s.n + 1,
+                if (s.prev != null && s.prev == role) s.viol + 1 else s.viol,
+                cum,
+                if (cum <= budget) s.kept + 1 else s.kept,
+                if (cum <= budget) cum else s.keptToks,
+                e.ts_us)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs / 1000 + idleTimeoutUs / 1000)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -529,6 +529,139 @@ class Round10OpsSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"shuffle join crept in:\n$p")
   }
 
+  // ------------------------------------------------ Luhn PAN detection
+
+  test("panScan: Luhn separates valid PANs from digit runs; 15-digit " +
+    "runs never match; a 17-digit run matches its first 16") {
+    val docs = Seq(
+      // classic valid test PAN + its corrupted check digit
+      (1L, "pay 4111111111111111 or 4111111111111112 ref 123456789012345"),
+      // 17-digit run: both engines match the first 16 (invalid under Luhn)
+      (2L, "order 12345678901234567 logged"),
+      (3L, "no digits at all"))
+      .toDF("doc_id", "text")
+    val r = ext.Safety.panScan(docs, col("text"))
+      .select("doc_id", "n_pans", "n_valid")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2L, 1L)))
+    assert(r(1) == ((2L, 1L, 0L)))
+    assert(r(2) == ((3L, 0L, 0L)))
+  }
+
+  // ---------------------------------------------------- per-domain cap
+
+  test("domainCap keeps the top-k by char mass per host, doc_id ties") {
+    val docs = Seq(
+      (1L, "a.com", 100L), (2L, "a.com", 300L), (3L, "a.com", 200L),
+      (4L, "a.com", 300L), // ties with doc 2 → doc 2 first (lower id)
+      (5L, "b.com", 50L))
+      .toDF("doc_id", "host", "n_chars")
+    val r = ext.Curation.domainCap(docs, col("host"), col("n_chars"), k = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("a.com") == (("a.com", 4L, 2L, 900L, 600L))) // docs 2 + 4
+    assert(r("b.com") == (("b.com", 1L, 1L, 50L, 50L)))
+  }
+
+  // ------------------------------------------------- dialogue audit
+
+  test("turnAudit: alternation violations counted, assistant-first " +
+    "flagged, truncation keeps the maximal prefix under budget") {
+    val events = Seq(
+      // user 1: user/assistant/user, budget 500 cuts after msg 2
+      (1L, 1L, 101L, "click", 200L),
+      (1L, 2L, 102L, "view", 200L),
+      (1L, 3L, 103L, "purchase", 200L),
+      // user 2: assistant-first double-send
+      (2L, 1L, 104L, "view", 100L),
+      (2L, 2L, 105L, "view", 100L))
+      .toDF("user_id", "ts", "event_id", "event_type", "toks")
+    val r = ext.Dialogue.turnAudit(events, col("toks"), budget = 500L)
+      .as[(Long, Long, Long, Boolean, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 3L, 0L, true, 2L, 400L)))
+    assert(r(2L) == ((2L, 2L, 1L, false, 2L, 200L)))
+  }
+
+  // --------------------------------------------- duplication mass
+
+  test("duplicationMass: occurrences of cross-doc grams counted per " +
+    "doc; empty docs report zero") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // grams: "a b c"×2, "b c a", "c a b"
+      (2L, "a b c"),
+      (3L, "   "))
+      .toDF("doc_id", "text")
+    val r = ext.Curation.duplicationMass(docs, n = 3)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 4L, 2L))) // both "a b c" occurrences are shared
+    assert(r(2L) == ((2L, 1L, 1L)))
+    assert(r(3L) == ((3L, 0L, 0L)))
+  }
+
+  test("q180/q181 plans: the dialogue audit shuffles once on the " +
+    "conversation key; duplication mass never joins back to the corpus " +
+    "text") {
+    val dlg = SparkEntry.queries("q180_dialogue_audit")(spark, sf)
+    dlg.collect()
+    val pd = dlg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(pd).length <= 1,
+      s"dialogue audit should shuffle once (user key):\n$pd")
+    val dm = SparkEntry.queries("q181_dup_mass")(spark, sf)
+    val pm = planOf(dm)
+    // one scan feeds the gram pipeline, one the doc_id spine — the gram
+    // side re-aggregates collapsed counts, never re-reading text
+    assert("Scan parquet".r.findAllIn(pm).length <= 4, // 2 logical scans
+      s"unexpected extra corpus scans:\n$pm")
+  }
+
+  // ----------------------------------------------- code-switch audit
+
+  test("codeSwitchAudit: halves language-ID'd independently; no-signal " +
+    "halves never flag; empty docs stay unknown") {
+    val docs = Seq(
+      // 6 en tokens then 6 fr tokens → halves disagree
+      (1L, "en", "the and of is with the le la et les des le"),
+      (2L, "en", "the and of is with the and of is with"),
+      // first half markerless → unknown, not mixed
+      (3L, "fr", "xxx yyy zzz qqq ppp le la et les des"),
+      (4L, "en", ""))
+      .toDF("doc_id", "lang", "text")
+    val r = ext.TextStats.codeSwitchAudit(docs, col("text"))
+      .as[(Long, String, String, String, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, "en", "en", "fr", true)))
+    assert(r(2L) == ((2L, "en", "en", "en", false)))
+    assert(r(3L) == ((3L, "fr", "unknown", "fr", false)))
+    assert(r(4L) == ((4L, "en", "unknown", "unknown", false)))
+  }
+
+  // ------------------------------------------ quantile normalization
+
+  test("quantileNormalize maps per-source midpoint ranks onto pooled " +
+    "nearest-rank values (distributed pool rank ≡ global order)") {
+    val docs = Seq(
+      (1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L),
+      (5L, "B", 10L), (6L, "B", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = ext.Curation.quantileNormalize(docs, col("n_chars"),
+      col("source"))
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x._4).toMap
+    // pool sorted: 1 2 3 4 10 20; A(n=4): idx 1,3,4,6; B(n=2): idx 2,5
+    assert(r == Map(1L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 20L,
+      5L -> 2L, 6L -> 10L))
+  }
+
+  test("q182 plan: pure per-row audit — zero exchanges") {
+    val df = SparkEntry.queries("q182_code_switch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"),
+      s"code-switch audit should not shuffle:\n$p")
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()

@@ -589,4 +589,43 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming dialogue audit ≡ batch turnAudit on the same 300 " +
+    "random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1555)
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    // 10 users, ≤1 event per minute slot so (ts, event_id) order is stable
+    val evts = (1 to 300).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(12 * 60) * Min,
+        1 + rnd.nextInt(10), types(rnd.nextInt(types.length)),
+        rnd.nextInt(100).toDouble)
+    }
+    val maxTs = evts.map(_.ts_us).max
+    val budget = 300L
+
+    val batch = graft.ext.Dialogue.turnAudit(
+      evts.toDF().withColumn("ts", col("ts_us")),
+      col("value").cast("long") + 1L, budget = budget)
+      .as[(Long, Long, Long, Boolean, Long, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.dialogueAuditStream(src.toDS(), budget = budget)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dlgeqv").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, maxTs + 5000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 9000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("dlgeqv")
+        .as[(Long, Long, Long, Boolean, Long, Long)]
+        .collect().filter(_._1 != 999L).toSet
+      assert(streamed === batch)
+      assert(batch.exists(_._3 > 0) && batch.exists(t => t._5 < t._2),
+        "test data should exercise violations and truncation")
+    } finally q.stop()
+  }
 }
