@@ -816,7 +816,22 @@ object SparkEntry {
     // rank → pooled midpoint nearest-rank value; pooled rank distributed
     "q183_quantile_norm" -> ((s: SparkSession, d: String) =>
       ext.Curation.quantileNormalize(Tables.documents(s, d),
-        col("n_chars"), col("source")))
+        col("n_chars"), col("source"))),
+    // SFT pair extraction: (user turn → next assistant turn) pairs per
+    // conversation with exact µs latency and response token mass
+    "q184_turn_pairs" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.turnPairs(Tables.events(s, d),
+        get_json_object(col("props"), "$.k").cast("long") + 1L)),
+    // per-source data card (composition capstone): mass + boilerplate-
+    // prefix dups + blocklist drops + majority lang, one row per source
+    "q185_source_datacard" -> ((s: SparkSession, d: String) =>
+      ext.Curation.sourceDataCard(Tables.documents(s, d),
+        blockWords = Seq("slow", "big", "the"), maxPct = 10)),
+    // train-tokenizer → encode-corpus in one DAG: q110's learned merges
+    // pivoted to one broadcast row, replayed over the DISTINCT vocab,
+    // joined back onto (source, word) counts — fertility per source
+    "q186_bpe_fertility" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.bpeApplyFertility(Tables.documents(s, d), nMerges = 3))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -912,6 +927,58 @@ object SparkEntry {
       s"SELECT CAST($i AS BIGINT) AS step, ba AS merged_a, bb AS merged_b, total FROM best$i"
     }.mkString("\nUNION ALL ")
     (words +: rounds).mkString(",\n") + "\n" + out
+  }
+
+  /** q186's oracle: q110's generated learn chain with the word key
+    * threaded through every round, then the final piped vocabulary's
+    * symbol counts joined back onto per-(source, word) occurrence counts
+    * — fertility as the one terminal IEEE division of exact longs.
+    */
+  private def bpeApplyOracle(nMerges: Int): String = {
+    val words =
+      """WITH words AS (
+        |  SELECT w, count(*) AS wcnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents WHERE length(trim(text)) > 0) u
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        |  GROUP BY 1),
+        |s0 AS (SELECT w, wcnt, regexp_replace(w, '(.)', '|\1|', 'g') AS piped
+        |       FROM words)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      s"""pc$i AS (
+         |  SELECT pa, pb, CAST(sum(wcnt) AS BIGINT) AS total FROM (
+         |    SELECT wcnt, (b).pa AS pa, (b).pb AS pb FROM (
+         |      SELECT wcnt, unnest(list_transform(generate_series(1, len(t) - 1),
+         |        i -> struct_pack(pa := t[i], pb := t[i + 1]))) AS b
+         |      FROM (SELECT wcnt, string_split(trim(piped, '|'), '||') AS t
+         |            FROM s${i - 1}) x
+         |      WHERE len(t) >= 2) u) v
+         |  GROUP BY 1, 2),
+         |best$i AS (SELECT pa AS ba, pb AS bb FROM pc$i
+         |           ORDER BY total DESC, pa, pb LIMIT 1),
+         |s$i AS (SELECT s.w, s.wcnt,
+         |  replace(s.piped, '|' || b.ba || '||' || b.bb || '|',
+         |          '|' || b.ba || b.bb || '|') AS piped
+         |  FROM s${i - 1} s CROSS JOIN best$i b)""".stripMargin
+    }
+    val tail =
+      s"""applied AS (SELECT w,
+         |    CAST(len(string_split(trim(piped, '|'), '||')) AS BIGINT)
+         |      AS n_sym
+         |  FROM s$nMerges),
+         |wv AS (SELECT source, w, count(*) AS cnt FROM (
+         |    SELECT source,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents WHERE length(trim(text)) > 0) u
+         |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_word_occ,
+         |  CAST(sum(cnt * length(w)) AS BIGINT) AS total_word_chars,
+         |  CAST(sum(cnt * n_sym) AS BIGINT) AS total_symbols,
+         |  CAST(sum(cnt * n_sym) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         |    AS fertility
+         |FROM wv JOIN applied USING (w) GROUP BY source""".stripMargin
+    (words +: rounds).mkString(",\n") + ",\n" + tail
   }
 
   /** DuckDB replay of [[graft.ext.Similarity.mmrSelect]]'s greedy MMR
@@ -5454,6 +5521,70 @@ object SparkEntry {
         |      // (2*g.ns) AS BIGINT) AS idx
         |  FROM rk JOIN grp g USING (source) CROSS JOIN tot)
         |SELECT t.doc_id, t.source, t.s AS score, p.sp AS norm_score
-        |FROM tgt t JOIN pool p ON t.idx = p.pr""".stripMargin
+        |FROM tgt t JOIN pool p ON t.idx = p.pr""".stripMargin,
+
+    // q180's role/toks mapping; pairs via lead over the same window;
+    // latency in exact µs (the ns contract divides out bit-for-bit)
+    "q184_turn_pairs" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type IN ('click', 'purchase', 'signup')
+        |      THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS toks
+        |  FROM events),
+        |w AS (SELECT *,
+        |    lead(role) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS next_role,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS next_ts,
+        |    lead(toks) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS next_toks
+        |  FROM m)
+        |SELECT user_id, count(*)::BIGINT AS n_pairs,
+        |  CAST(sum(next_ts - ts_us) AS BIGINT) AS total_latency_us,
+        |  CAST(sum(next_toks) AS BIGINT) AS response_toks
+        |FROM w WHERE role = 'user' AND next_role = 'assistant'
+        |GROUP BY user_id""".stripMargin,
+
+    // q15's fingerprint replay over the 80-char prefix, q164's normalized
+    // blocklist replay, window dup count on fp, majority lang by
+    // (count DESC, lang) — exact integer share
+    "q185_source_datacard" ->
+      """WITH fpt AS (SELECT doc_id, source, lang, n_chars,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      generate_series(1, length(substr(text, 1, 80))),
+        |      i -> CAST(ascii(substr(substr(text, 1, 80), i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS BIGINT) AS fp,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |sig AS (SELECT doc_id, source, lang, n_chars, fp,
+        |    len(t) AS n_tokens,
+        |    len(list_filter(t, x -> list_contains(['slow','big','the'],
+        |      regexp_replace(translate(x,
+        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |      '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked
+        |  FROM fpt),
+        |dup AS (SELECT *, count(*) OVER (PARTITION BY fp) AS fp_n
+        |        FROM sig),
+        |per_src AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    sum(CASE WHEN fp_n >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_dup_docs,
+        |    sum(CASE WHEN n_blocked * 100 <= 10 * n_tokens THEN 0 ELSE 1
+        |      END)::BIGINT AS n_blocked_docs
+        |  FROM dup GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS c
+        |       FROM documents GROUP BY 1, 2),
+        |mj AS (SELECT source, lang AS majority_lang, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, lang) AS rk FROM lc) z WHERE rk = 1)
+        |SELECT p.source, p.n_docs, p.total_chars, p.total_tokens,
+        |  p.n_dup_docs, p.n_blocked_docs, m.majority_lang,
+        |  CAST(m.c * 100 // p.n_docs AS BIGINT) AS majority_pct
+        |FROM per_src p JOIN mj m USING (source)""".stripMargin,
+
+    "q186_bpe_fertility" -> bpeApplyOracle(3)
   )
 }

@@ -1109,4 +1109,50 @@ object Curation {
       .select(col("doc_id"), col("source"), col("s").as("score"),
         col("norm_score"))
   }
+
+  /** Per-source data card — the one-page summary a corpus steward reads
+    * per source before admitting it to a mixture (composition capstone:
+    * every column is an existing operator's signal at source grain):
+    * doc/char/token mass, boilerplate-prefix duplicate count (exact
+    * fingerprint of the first `prefixLen` chars occurring in ≥2 docs
+    * corpus-wide — the q153 boilerplate signal at doc grain),
+    * blocklist-dropped docs (the q164 decision), and the majority
+    * language with its exact integer share.
+    *
+    * Scale shape: one corpus scan computes every per-doc signal
+    * (fingerprint + blocklist kernel, both codegen'd); the prefix-dup
+    * count is one window on the fingerprint key (the exact-dedup
+    * shuffle); lang majority aggregates to the (source × lang) grid and
+    * joins back as a broadcast. Output is source-cardinality.
+    *
+    * @return source, n_docs, total_chars, total_tokens, n_dup_docs,
+    *         n_blocked_docs, majority_lang, majority_pct
+    */
+  def sourceDataCard(docs: DataFrame, blockWords: Seq[String],
+                     maxPct: Int, prefixLen: Int = 80): DataFrame = {
+    val scanned = graft.ext.Safety
+      .blocklistScan(docs, col("text"), blockWords, maxPct)
+      .withColumn("fp",
+        TextStats.fingerprint(substring(col("text"), 1, prefixLen)))
+      .withColumn("fp_n",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+    val perSrc = scanned.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("long")).as("total_chars"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(when(col("fp_n") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+      sum(when(!col("kept"), 1L).otherwise(0L)).as("n_blocked_docs"))
+    val langCnt = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang"))
+    val major = langCnt
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("majority_lang"),
+        col("c").as("mc"))
+    perSrc.join(broadcast(major), "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("n_dup_docs"), col("n_blocked_docs"),
+        col("majority_lang"), expr("mc * 100 div n_docs").as("majority_pct"))
+  }
 }

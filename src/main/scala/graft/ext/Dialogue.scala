@@ -63,4 +63,42 @@ object Dialogue {
         (col("__first_role") === "user").as("starts_with_user"),
         col("kept_msgs"), col("kept_toks"))
   }
+
+  /** SFT pair extraction: the (user turn → immediately-following assistant
+    * turn) pairs a fine-tuning pipeline mines from transcripts, rolled up
+    * per conversation — pair count, total response latency, and total
+    * response token mass. A user turn answered by another user turn (or
+    * ending the transcript) forms no pair; that is exactly the alternation
+    * discipline [[turnAudit]] audits.
+    *
+    * Latency is exact integer µs: `ts` is the epoch-ns long contract, so
+    * `(next_ts − ts) div 1000` equals the µs difference bit-for-bit (both
+    * stamps are µs·1000).
+    *
+    * Scale shape: the same single conversation-key window as the audit
+    * (lead ×3 share one sort), then a conversation-grain rollup.
+    * Conversations with zero pairs are absent (the rollup is over pairs).
+    *
+    * @return user_id, n_pairs, total_latency_us, response_toks
+    */
+  def turnPairs(events: DataFrame, toks: Column,
+                userTypes: Seq[String] = Seq("click", "purchase", "signup"))
+      : DataFrame = {
+    val role = when(col("event_type").isin(userTypes.map(x => x: Any): _*),
+      "user").otherwise("assistant")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        role.as("role"), toks.cast("long").as("toks"))
+      .withColumn("next_role", lead(col("role"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("next_toks", lead(col("toks"), 1).over(w))
+      .filter(col("role") === "user" && col("next_role") === "assistant")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("(next_ts - ts) div 1000")).as("total_latency_us"),
+        sum(col("next_toks")).as("response_toks"))
+  }
 }

@@ -460,6 +460,55 @@ object TextStats {
     steps.reduce(_ unionByName _)
   }
 
+  /** Apply the learned BPE merge table corpus-wide and report tokenizer
+    * FERTILITY per source (symbols emitted per word occurrence) — the
+    * train-tokenizer → encode-corpus pipeline in one DAG: a high-fertility
+    * source costs proportionally more context budget per word, the number
+    * a mixture designer weighs against the source's quota.
+    *
+    * The merge table comes from [[bpeLearnMerges]] (same greedy piped
+    * rewrite); application PIVOTS the nMerges-row table into ONE broadcast
+    * row and replays the merges as a replace chain over the DISTINCT
+    * vocabulary only — the corpus-sized frame is touched once for (source,
+    * word) counts, the merge rewrite is vocab-sized, and the two meet in a
+    * word-key join. Totals are exact integers; fertility is the one
+    * terminal IEEE division (div1 class).
+    *
+    * @return source, n_word_occ, total_word_chars, total_symbols,
+    *         fertility
+    */
+  def bpeApplyFertility(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val merges = bpeLearnMerges(docs, nMerges)
+    val mCols = (1 to nMerges).flatMap { i =>
+      Seq(max(when(col("step") === i, col("merged_a"))).as(s"a$i"),
+        max(when(col("step") === i, col("merged_b"))).as(s"b$i"))
+    }
+    val mRow = merges.agg(mCols.head, mCols.tail: _*)
+    val wv = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab0 = wv.select(col("w")).distinct()
+      .withColumn("piped", regexp_replace(col("w"), "(.)", "|$1|"))
+      .crossJoin(broadcast(mRow))
+    val applied = (1 to nMerges).foldLeft(vocab0) { (df, i) =>
+      df.withColumn("piped", expr(
+        s"replace(piped, concat('|', a$i, '||', b$i, '|'), " +
+          s"concat('|', a$i, b$i, '|'))"))
+    }
+      .select(col("w"),
+        size(split(expr("trim(BOTH '|' FROM piped)"), "\\|\\|"))
+          .cast("long").as("n_sym"))
+    wv.join(applied, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_word_occ"),
+        sum(col("cnt") * length(col("w")).cast("long"))
+          .as("total_word_chars"),
+        sum(col("cnt") * col("n_sym")).as("total_symbols"))
+      .withColumn("fertility",
+        col("total_symbols").cast("double") / col("n_word_occ").cast("double"))
+  }
+
   /** The declarative higher-order-function form of [[fingerprint]] — the
     * executable specification the native kernel is tested against.
     */

@@ -653,6 +653,53 @@ class Round10OpsSpec extends SparkSuite {
       5L -> 2L, 6L -> 10L))
   }
 
+  test("turnPairs: only user→assistant adjacencies pair; latency is " +
+    "exact µs from the ns contract; pairless conversations are absent") {
+    val events = Seq(
+      (1L, 1000L, 1L, "click", 10L),    // user — pairs with the next view
+      (1L, 2000L, 2L, "view", 20L),     // assistant
+      (1L, 3000L, 3L, "click", 5L),     // user — next is user: no pair
+      (1L, 4000L, 4L, "click", 7L),     // user — pairs with the next view
+      (1L, 5000L, 5L, "view", 30L),     // assistant
+      (2L, 1000L, 6L, "view", 9L))      // assistant-only conv: no pairs
+      .toDF("user_id", "ts", "event_id", "event_type", "toks")
+    val r = ext.Dialogue.turnPairs(events, col("toks"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSet == Set((1L, 2L, 2L, 50L)))
+  }
+
+  test("sourceDataCard: mass, prefix dups, blocklist drops, majority " +
+    "lang with exact share (ties to alphabetical lang)") {
+    val docs = Seq(
+      (1L, "the big cat", "en", "A", 11L),
+      (2L, "the big cat", "en", "A", 11L),  // exact prefix dup of doc 1
+      (3L, "fast row", "fr", "A", 8L),
+      (4L, "slow slow slow slow", "en", "B", 19L),
+      (5L, "clean text here", "fr", "B", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = ext.Curation.sourceDataCard(docs,
+      blockWords = Seq("slow", "big", "the"), maxPct = 10)
+      .as[(String, Long, Long, Long, Long, Long, String, Long)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("A") == (("A", 3L, 30L, 8L, 2L, 2L, "en", 66L)))
+    assert(r("B") == (("B", 2L, 34L, 7L, 0L, 1L, "en", 50L)))
+  }
+
+  test("bpeApplyFertility: learned merges collapse merged words to fewer " +
+    "symbols; untouched words keep one symbol per char") {
+    // merges learned: (a,b) → (ab,c) → (abc,d); "abcd" collapses to one
+    // symbol, "xy" (below every argmax) stays two
+    val docs = Seq(
+      (1L, "abcd abcd xy", "en", "A"),
+      (2L, "abcd abcd xy", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = ext.TextStats.bpeApplyFertility(docs, nMerges = 3)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("A") == (("A", 3L, 10L, 4L, 4.0 / 3.0)))
+    assert(r("B") == (("B", 3L, 10L, 4L, 4.0 / 3.0)))
+  }
+
   test("q182 plan: pure per-row audit — zero exchanges") {
     val df = SparkEntry.queries("q182_code_switch")(spark, sf)
     df.collect()
