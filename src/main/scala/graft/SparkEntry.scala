@@ -831,7 +831,15 @@ object SparkEntry {
     // pivoted to one broadcast row, replayed over the DISTINCT vocab,
     // joined back onto (source, word) counts — fertility per source
     "q186_bpe_fertility" -> ((s: SparkSession, d: String) =>
-      ext.TextStats.bpeApplyFertility(Tables.documents(s, d), nMerges = 3))
+      ext.TextStats.bpeApplyFertility(Tables.documents(s, d), nMerges = 3)),
+    // crawl politeness: per-host hourly fetch buckets → peak rate and
+    // over-limit bucket count (limit 5/hour — active on the fixture's
+    // measured 6–9 peaks)
+    "q187_fetch_rate" -> ((s: SparkSession, d: String) =>
+      ext.Urls.fetchRateAudit(Tables.events(s, d),
+        concat(lit("site"), pmod(col("user_id"), lit(7L)).cast("string"),
+          lit(".com")),
+        bucketNs = 3600L * 1000000000L, limit = 5))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5585,6 +5593,20 @@ object SparkEntry {
         |  CAST(m.c * 100 // p.n_docs AS BIGINT) AS majority_pct
         |FROM per_src p JOIN mj m USING (source)""".stripMargin,
 
-    "q186_bpe_fertility" -> bpeApplyOracle(3)
+    "q186_bpe_fertility" -> bpeApplyOracle(3),
+
+    // hour bucket = epoch_us // 3.6e9 ≡ the ns contract's ts div 3.6e12
+    "q187_fetch_rate" ->
+      """WITH b AS (SELECT
+        |    'site' || CAST(user_id % 7 AS VARCHAR) || '.com' AS host,
+        |    epoch_us(ts) // 3600000000 AS bucket
+        |  FROM events),
+        |c AS (SELECT host, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT host, CAST(sum(n) AS BIGINT) AS n_fetches,
+        |  count(*)::BIGINT AS n_active_buckets,
+        |  CAST(max(n) AS BIGINT) AS peak_per_bucket,
+        |  sum(CASE WHEN n > 5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS over_limit_buckets
+        |FROM c GROUP BY host""".stripMargin
   )
 }

@@ -87,4 +87,32 @@ object Urls {
         count_distinct(col("canonical")).as("n_canonical"),
         sum(when(col("raw") =!= col("canonical"), 1L).otherwise(0L))
           .as("n_changed"))
+
+  /** Crawl politeness audit: per host, fetch counts bucketed into
+    * fixed event-time windows and rolled up to the numbers a crawl
+    * scheduler is judged on — total fetches, active buckets, the PEAK
+    * per-bucket rate, and how many buckets exceeded the politeness
+    * limit. A host with `over_limit_buckets > 0` was hit harder than
+    * policy allows; the readout is the evidence either way.
+    *
+    * `ts` follows the epoch-ns long contract; the bucket is the exact
+    * integer `ts div bucketNs`. Scale shape: two map-side-combined
+    * aggregations — (host, bucket) grain then host grain — no windows,
+    * no joins; output is host-cardinality.
+    *
+    * @return host, n_fetches, n_active_buckets, peak_per_bucket,
+    *         over_limit_buckets
+    */
+  def fetchRateAudit(fetches: DataFrame, host: Column,
+                     bucketNs: Long, limit: Int): DataFrame =
+    fetches
+      .select(host.as("host"), expr(s"ts div ${bucketNs}L").as("bucket"))
+      .groupBy(col("host"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("host"))
+      .agg(sum(col("n")).as("n_fetches"),
+        count(lit(1)).as("n_active_buckets"),
+        max(col("n")).as("peak_per_bucket"),
+        sum(when(col("n") > limit, 1L).otherwise(0L))
+          .as("over_limit_buckets"))
 }

@@ -700,6 +700,23 @@ class Round10OpsSpec extends SparkSuite {
     assert(r("B") == (("B", 3L, 10L, 4L, 4.0 / 3.0)))
   }
 
+  test("fetchRateAudit: per-host bucket peaks and over-limit counts") {
+    val ns = 1000000000L
+    val events = Seq(
+      // host A: 3 fetches in bucket 0, 1 in bucket 1 → peak 3, 1 over-2
+      ("a.com", 1L * ns), ("a.com", 2L * ns), ("a.com", 3L * ns),
+      ("a.com", 3600L * ns + ns),
+      // host B: 1 fetch → peak 1, none over
+      ("b.com", 5L * ns))
+      .toDF("host", "ts")
+    val r = ext.Urls.fetchRateAudit(events, col("host"),
+      bucketNs = 3600L * ns, limit = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("a.com") == (("a.com", 4L, 2L, 3L, 1L)))
+    assert(r("b.com") == (("b.com", 1L, 1L, 1L, 0L)))
+  }
+
   test("q182 plan: pure per-row audit — zero exchanges") {
     val df = SparkEntry.queries("q182_code_switch")(spark, sf)
     df.collect()
