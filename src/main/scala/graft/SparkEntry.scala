@@ -839,7 +839,12 @@ object SparkEntry {
       ext.Urls.fetchRateAudit(Tables.events(s, d),
         concat(lit("site"), pmod(col("user_id"), lit(7L)).cast("string"),
           lit(".com")),
-        bucketNs = 3600L * 1000000000L, limit = 5))
+        bucketNs = 3600L * 1000000000L, limit = 5)),
+    // mixture drift matrix: pairwise exact-integer TVD between sources
+    // over 64-char n_chars buckets — which sources disagree on "typical"
+    "q188_source_drift" -> ((s: SparkSession, d: String) =>
+      ext.Curation.sourceDriftMatrix(Tables.documents(s, d),
+        col("n_chars"), bucketWidth = 64L))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5607,6 +5612,32 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS peak_per_bucket,
         |  sum(CASE WHEN n > 5 THEN 1 ELSE 0 END)::BIGINT
         |    AS over_limit_buckets
-        |FROM c GROUP BY host""".stripMargin
+        |FROM c GROUP BY host""".stripMargin,
+
+    // pairwise TVD: common-bucket lattice term + closed-form missing-
+    // bucket mass; numerator exact integer, one terminal IEEE division
+    "q188_source_drift" ->
+      """WITH t AS (SELECT source, n_chars // 64 AS b FROM documents),
+        |c AS (SELECT source, b, count(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |pairs AS (SELECT a.source AS src_a, b2.source AS src_b,
+        |    a.n AS na, b2.n AS nb
+        |  FROM n a JOIN n b2 ON a.source < b2.source),
+        |common AS (SELECT ca.source AS src_a, cb.source AS src_b,
+        |    sum(abs(ca.c * nb.n - cb.c * na.n)) AS term,
+        |    sum(ca.c) AS ca_common, sum(cb.c) AS cb_common
+        |  FROM c ca JOIN c cb ON ca.b = cb.b AND ca.source < cb.source
+        |  JOIN n na ON na.source = ca.source
+        |  JOIN n nb ON nb.source = cb.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |  CAST(COALESCE(term, 0) + p.nb * (p.na - COALESCE(ca_common, 0))
+        |     + p.na * (p.nb - COALESCE(cb_common, 0)) AS BIGINT)
+        |    AS tvd_num,
+        |  CAST(p.na * p.nb * 2 AS BIGINT) AS tvd_den,
+        |  CAST(COALESCE(term, 0) + p.nb * (p.na - COALESCE(ca_common, 0))
+        |     + p.na * (p.nb - COALESCE(cb_common, 0)) AS DOUBLE)
+        |    / CAST(p.na * p.nb * 2 AS DOUBLE) AS tvd
+        |FROM pairs p LEFT JOIN common USING (src_a, src_b)""".stripMargin
   )
 }

@@ -992,7 +992,18 @@ object Curation {
     *         kept_chars
     */
   def domainCap(docs: DataFrame, host: Column, nChars: Column,
-                k: Int): DataFrame = {
+                k: Int): DataFrame =
+    domainCapRanked(docs, host, nChars, k)
+      .groupBy(col("__host").as("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__chars")).as("total_chars"),
+        sum(when(col("kept"), col("__chars")).otherwise(0L))
+          .as("kept_chars"))
+
+  private def domainCapRanked(docs: DataFrame, host: Column,
+                              nChars: Column, k: Int): DataFrame = {
     val w = Window.partitionBy(col("__host"))
       .orderBy(col("__chars").desc, col("doc_id"))
     docs
@@ -1000,6 +1011,55 @@ object Curation {
         nChars.cast("long").as("__chars"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("kept", col("rk") <= k)
+  }
+
+  /** The mega-host scale path for [[domainCap]], promoted from scaladoc
+    * to code: the window form sorts each host in ONE task — a
+    * billion-doc mirror farm serializes on it. Here membership is
+    * decided at (host, priority-grid-bucket) granularity: per-bucket
+    * counts cumulate from the top, so buckets wholly above the
+    * k-boundary keep every row and buckets wholly below drop every row
+    * by pure count arithmetic; the in-bucket rank (computed per
+    * (host, bucket) partition — nBuckets× smaller than a host, so no
+    * single task owns a mega-host) only DECIDES in the one boundary
+    * bucket. The grid is over the priority value (monotone), so ties
+    * never cross buckets and the same (chars desc, doc_id) contract
+    * yields bit-identical kept sets — spec-asserted against the window
+    * form, ties included.
+    *
+    * @return same rollup as [[domainCap]]
+    */
+  def domainCapDistributed(docs: DataFrame, host: Column, nChars: Column,
+                           k: Int, nBuckets: Int = 256): DataFrame = {
+    val rows = docs.select(col("doc_id"), host.as("__host"),
+      nChars.cast("long").as("__chars"))
+    val ext0 = rows.agg(min(col("__chars")).as("lo"),
+      max(col("__chars")).as("hi"))
+    // bucket 0 holds the HIGHEST priorities (descending order contract)
+    val bucketed = rows.crossJoin(broadcast(ext0))
+      .withColumn("b",
+        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
+          expr(s"(hi - __chars) * $nBuckets div (hi - lo + 1)"))
+          .otherwise(raise_error(format_string(
+            "domainCapDistributed char range [%d, %d] overflows the " +
+              s"$nBuckets-bucket grid; rescale first",
+            col("lo"), col("hi"))).cast("long")))
+    val wCum = Window.partitionBy(col("__host")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bucketed.groupBy(col("__host"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("above", coalesce(sum(col("bn")).over(wCum), lit(0L)))
+    val tagged = bucketed.join(boff, Seq("__host", "b"))
+    // whole-bucket decisions are count arithmetic; only the boundary
+    // bucket (above < k < above + bn) ranks its occupants
+    val wIn = Window.partitionBy(col("__host"), col("b"))
+      .orderBy(col("__chars").desc, col("doc_id"))
+    val kept = tagged.withColumn("kept",
+      when(col("above") + col("bn") <= k, lit(true))
+        .when(col("above") >= k, lit(false))
+        .otherwise(row_number().over(wIn).cast("long") <= lit(k.toLong)
+          - col("above")))
+    kept
       .groupBy(col("__host").as("host"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1108,6 +1168,71 @@ object Curation {
     tgt.join(pool, col("idx") === col("pr"))
       .select(col("doc_id"), col("source"), col("s").as("score"),
         col("norm_score"))
+  }
+
+  /** Source drift matrix: pairwise total-variation distance between the
+    * per-source distributions of a bucketed document score — the mixture
+    * monitor that says WHICH sources disagree about what a "typical"
+    * document looks like (q122's two-sample TVD lifted to the all-pairs
+    * matrix; TVD because PSI/KL need the engine-unsafe logarithm).
+    *
+    * Exactness: TVD = Σ_b |c_a·n_b − c_b·n_a| / (2·n_a·n_b) — the
+    * numerator is summed in exact integers (missing buckets contribute
+    * their closed-form mass n_b·(n_a − Σcommon c_a) + symmetric, so the
+    * sparse per-bucket lattice never materializes empty buckets), and
+    * the distance is one terminal IEEE division. Envelope: count
+    * products must fit a long (n ≤ ~3·10⁹ docs/source; past that the
+    * numerator rides DECIMAL(38,0) — same q123 discipline).
+    *
+    * Scale shape: one (source, bucket) aggregation over the corpus, the
+    * pair lattice explodes per BUCKET over present sources only (q172's
+    * collect_set pattern — fan-out bounded by sources², never corpus²),
+    * totals join as broadcasts, and the full pair grid is a
+    * sources²-row broadcast cross of the totals frame.
+    *
+    * @return one row per source pair (src_a < src_b): src_a, src_b,
+    *         tvd_num, tvd_den, tvd
+    */
+  def sourceDriftMatrix(docs: DataFrame, score: Column,
+                        bucketWidth: Long): DataFrame = {
+    val rows = docs.select(col("source"), score.cast("long").as("__s"))
+      .select(col("source"), expr(s"__s div ${bucketWidth}L").as("b"))
+    val counts = rows.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // per bucket: sorted present-source (source, c) list → (a < b) pairs
+    val lattice = counts.groupBy(col("b"))
+      .agg(sort_array(collect_list(struct(col("source"), col("c"))))
+        .as("sc"))
+      .select(explode(flatten(transform(col("sc"), (a, i) =>
+        transform(slice(col("sc"), i + 2, size(col("sc"))), bb =>
+          struct(a.getField("source").as("src_a"),
+            bb.getField("source").as("src_b"),
+            a.getField("c").as("ca"), bb.getField("c").as("cb"))))))
+        .as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"),
+        col("p.ca").as("ca"), col("p.cb").as("cb"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .as("term"),
+        sum(col("ca")).as("ca_common"), sum(col("cb")).as("cb_common"))
+    val grid = totals.select(col("source").as("src_a"), col("n").as("na"))
+      .crossJoin(totals.select(col("source").as("src_b"),
+        col("n").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+    broadcast(grid).join(lattice, Seq("src_a", "src_b"), "left_outer")
+      .select(col("src_a"), col("src_b"),
+        (coalesce(col("term"), lit(0L))
+          + col("nb") * (col("na") - coalesce(col("ca_common"), lit(0L)))
+          + col("na") * (col("nb") - coalesce(col("cb_common"), lit(0L))))
+          .as("tvd_num"),
+        (col("na") * col("nb") * 2).as("tvd_den"))
+      .withColumn("tvd",
+        col("tvd_num").cast("double") / col("tvd_den").cast("double"))
   }
 
   /** Per-source data card — the one-page summary a corpus steward reads

@@ -563,6 +563,49 @@ class Round10OpsSpec extends SparkSuite {
     assert(r("b.com") == (("b.com", 1L, 1L, 50L, 50L)))
   }
 
+  test("domainCapDistributed ≡ window domainCap on a tie-heavy corpus " +
+    "(and on the real documents fixture)") {
+    import scala.util.Random
+    val rnd = new Random(1717)
+    // heavy ties (chars from a 6-value domain) force boundary-bucket
+    // tie-breaks; one "mega" host dwarfs the rest
+    val docs = (1 to 500).map { i =>
+      (i.toLong, if (i <= 350) "mega.com" else s"h${i % 9}.com",
+        Seq(10L, 10L, 20L, 20L, 20L, 30L)(rnd.nextInt(6)))
+    }.toDF("doc_id", "host", "n_chars")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(
+      norm(ext.Curation.domainCapDistributed(docs, col("host"),
+        col("n_chars"), k = 7, nBuckets = 4)) ===
+        norm(ext.Curation.domainCap(docs, col("host"), col("n_chars"),
+          k = 7)))
+    val real = Tables.documents(spark, sf).withColumn("host",
+      concat(lit("site"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".com")))
+    assert(
+      norm(ext.Curation.domainCapDistributed(real, col("host"),
+        col("n_chars"), k = 5)) ===
+        norm(ext.Curation.domainCap(real, col("host"), col("n_chars"),
+          k = 5)))
+  }
+
+  test("sourceDriftMatrix: identical distributions → 0, disjoint → 1, " +
+    "missing-bucket mass via the closed form") {
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 70L), (4L, "A", 70L),
+      (5L, "B", 10L), (6L, "B", 70L), // same shape as A at half the mass
+      (7L, "C", 200L))                // disjoint bucket
+      .toDF("doc_id", "source", "n_chars")
+    val r = ext.Curation.sourceDriftMatrix(docs, col("n_chars"),
+      bucketWidth = 64L)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r(("A", "B")) == (("A", "B", 0L, 16L, 0.0)))
+    assert(r(("A", "C")) == (("A", "C", 8L, 8L, 1.0)))
+    assert(r(("B", "C")) == (("B", "C", 4L, 4L, 1.0)))
+  }
+
   // ------------------------------------------------- dialogue audit
 
   test("turnAudit: alternation violations counted, assistant-first " +
@@ -715,6 +758,27 @@ class Round10OpsSpec extends SparkSuite {
       .map(x => x._1 -> x).toMap
     assert(r("a.com") == (("a.com", 4L, 2L, 3L, 1L)))
     assert(r("b.com") == (("b.com", 1L, 1L, 1L, 0L)))
+  }
+
+  test("semanticDedup scale contract: growing k with the corpus shrinks " +
+    "the pair-scan bound Σ|cluster|²") {
+    // 400 spread-out vectors; the pair join's work is bounded by
+    // Σ|cluster|², which k ≈ √N keeps ~N·√N instead of N²/k for tiny k —
+    // the attribution behind q175's 10×-replica ratio (k pinned at 8
+    // there as a demo parameter)
+    val emb = spark.range(0, 400).select(col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64), j ->
+             |  cast(pmod(id * j * 2654435761, 97) as float) / 97.0)"""
+        .stripMargin).as("embedding"))
+    def mass(k: Int): Long =
+      ext.Similarity.semanticDedup(emb, k = k, thrNum = 3, thrDen = 10)
+        .groupBy(col("centroid_id")).count()
+        .agg(sum(col("count") * col("count"))).as[Long].head()
+    val m4 = mass(4)
+    val m20 = mass(20)
+    assert(m20 * 3 < m4,
+      s"sum-of-squared-cluster-sizes should drop ≥3× from k=4 ($m4) " +
+        s"to k=20 ($m20)")
   }
 
   test("q182 plan: pure per-row audit — zero exchanges") {

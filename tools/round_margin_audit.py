@@ -139,6 +139,11 @@ DOUBLE_CLASSES = {
     "q148_hhi": {"hhi": "round", "effective_suppliers": "div1"},
     "q149_dispersion": {"dispersion": "div1"},
     "q150_source_scorecard": {"mean_chars": "div1", "lang_impurity": "div1"},
+    "q169_incremental_dedup": {"jaccard": "div1"},
+    "q172_source_overlap": {"containment": "div1"},
+    "q176_label_fusion": {"kappa": "div1"},
+    "q186_bpe_fertility": {"fertility": "div1"},
+    "q188_source_drift": {"tvd": "div1"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
@@ -232,11 +237,18 @@ def audit_raw_doubles(out_dir):
 
 
 def depth0_spans(sql):
-    """Yield (index, char) for chars at paren depth 0, skipping quoted strings."""
+    """Yield (index, char) for chars at paren depth 0, skipping quoted
+    strings and `--` line comments (an apostrophe inside a comment must
+    not open a string — q174's scaladoc-style SQL comment does exactly
+    that)."""
     depth = 0
     i = 0
     while i < len(sql):
         c = sql[i]
+        if c == "-" and i + 1 < len(sql) and sql[i + 1] == "-":
+            while i < len(sql) and sql[i] != "\n":
+                i += 1
+            continue
         if c == "'":
             i += 1
             while i < len(sql) and sql[i] != "'":
@@ -324,6 +336,10 @@ def main(sf_dir, out_dir):
         # restrict finals to the projection list: before the final FROM
         fin_from = None
         up = sql.upper()
+        if fsel is None:
+            print(f"{name}: WARNING — no depth-0 final SELECT found; "
+                  f"rounds (if any) not audited")
+            continue
         for i, _ in depth0_spans(sql):
             if i > fsel and up[i:i + 4] == "FROM" and not up[i - 1].isalnum():
                 fin_from = i
