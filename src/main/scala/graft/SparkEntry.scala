@@ -844,7 +844,12 @@ object SparkEntry {
     // over 64-char n_chars buckets — which sources disagree on "typical"
     "q188_source_drift" -> ((s: SparkSession, d: String) =>
       ext.Curation.sourceDriftMatrix(Tables.documents(s, d),
-        col("n_chars"), bucketWidth = 64L))
+        col("n_chars"), bucketWidth = 64L)),
+    // IVF index quality vs exact truth (q158's sibling for the dense
+    // path): recall/precision of q31's lists against q19's at k=5
+    "q189_ivf_quality" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.ivfQuality(Tables.embeddings(s, d),
+        col("vec_id") % 10 === 0, k = 5))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5638,6 +5643,85 @@ object SparkEntry {
         |  CAST(COALESCE(term, 0) + p.nb * (p.na - COALESCE(ca_common, 0))
         |     + p.na * (p.nb - COALESCE(cb_common, 0)) AS DOUBLE)
         |    / CAST(p.na * p.nb * 2 AS DOUBLE) AS tvd
-        |FROM pairs p LEFT JOIN common USING (src_a, src_b)""".stripMargin
+        |FROM pairs p LEFT JOIN common USING (src_a, src_b)""".stripMargin,
+
+    // q19's brute chain + q31's IVF chain (CTEs renamed), compared by a
+    // full-outer join on (query, neighbor) → one-row recall/precision
+    "q189_ivf_quality" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+        |      AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
+        |bscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST((SELECT sum(q.q[t.i] * c.q[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+        |      AS cos
+        |  FROM nrm q
+        |  JOIN nrm c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 10 = 0 AND q.n2 > 0 AND c.n2 > 0),
+        |branked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM bscored),
+        |truth AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 5),
+        |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv
+        |       FROM nrm WHERE n2 > 0),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn FROM ok
+        |  ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
+        |    CAST((SELECT sum(o.q[t.i] * c.cv[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (o.nv * c.cn) AS ccos
+        |  FROM ok o, cent c),
+        |cranked AS (
+        |  SELECT vec_id, q, nv, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY ccos DESC, centroid_id) AS crk
+        |  FROM asg),
+        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, q AS nev,
+        |          nv AS nn
+        |        FROM cranked WHERE crk = 1),
+        |probes AS (SELECT centroid_id, vec_id AS query_id, q AS pqv,
+        |             nv AS qn
+        |           FROM cranked WHERE crk <= 4 AND vec_id % 10 = 0),
+        |iscored AS (
+        |  SELECT p.query_id, ne.neighbor_id,
+        |    CAST((SELECT sum(p.pqv[t.i] * ne.nev[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (p.qn * ne.nn) AS cos
+        |  FROM probes p JOIN idx ne ON ne.centroid_id = p.centroid_id
+        |  WHERE p.query_id <> ne.neighbor_id),
+        |iranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM iscored),
+        |ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE rnk <= 5),
+        |j AS (SELECT COALESCE(tt.query_id, ii.query_id) AS qid,
+        |    tt.query_id IS NOT NULL AS t, ii.query_id IS NOT NULL AS f
+        |  FROM truth tt FULL OUTER JOIN ivf ii
+        |    ON tt.query_id = ii.query_id
+        |    AND tt.neighbor_id = ii.neighbor_id),
+        |agg AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+        |    sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS n_found,
+        |    sum(CASE WHEN t AND f THEN 1 ELSE 0 END)::BIGINT AS n_both
+        |  FROM j)
+        |SELECT n_queries, n_truth, n_found, n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+        |  CAST(n_both AS DOUBLE) / CAST(n_found AS DOUBLE) AS "precision"
+        |FROM agg""".stripMargin
   )
 }

@@ -97,6 +97,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "cos")
   }
 
+  /** IVF index-quality readout (the [[graft.ext.Dedup.lshQuality]]
+    * sibling for the dense path): the approximate [[ivfTopK]] lists
+    * against the exact [[cosineTopK]] truth at the same k — recall is
+    * what nprobe buys, and this is the eval that justifies an nprobe
+    * setting BEFORE a 100 TB index is built. Both lists are exact sets
+    * of (query, neighbor) ids; the comparison is one full-outer join
+    * and a 1-row rollup (recall/precision each one terminal IEEE
+    * division).
+    */
+  def ivfQuality(emb: DataFrame, queryPred: Column, k: Int = 5,
+                 nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val truth = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("t"))
+    val found = ivfTopK(emb, queryPred, k, nCentroids, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("f"))
+    truth.join(found, Seq("query_id", "neighbor_id"), "full_outer")
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        count(col("t")).as("n_truth"), count(col("f")).as("n_found"),
+        count(when(col("t").isNotNull && col("f").isNotNull, lit(1)))
+          .as("n_both"))
+      .select(col("n_queries"), col("n_truth"), col("n_found"),
+        col("n_both"),
+        (col("n_both").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (col("n_both").cast("double") / col("n_found").cast("double"))
+          .as("precision"))
+  }
+
   /** Brute-force top-k for an EXTERNAL query-vector table
     * `(query_id, embedding)` (round 10, the [[graft.ext.Retrieval
     * .topKForQueries]] sibling): every query vector scores against the

@@ -590,6 +590,22 @@ class Round10OpsSpec extends SparkSuite {
           k = 5)))
   }
 
+  test("ivfQuality: probing every cell recovers the exact truth " +
+    "(recall = precision = 1), and fewer probes only lose recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val pred = col("vec_id") % 10 === 0
+    val full = ext.Similarity.ivfQuality(emb, pred, k = 5,
+      nCentroids = 8, nprobe = 8)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(full._5 == 1.0 && full._6 == 1.0,
+      s"nprobe = nCentroids must be exhaustive: $full")
+    val part = ext.Similarity.ivfQuality(emb, pred, k = 5,
+      nCentroids = 8, nprobe = 2)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(part._5 <= 1.0 && part._2 == full._2,
+      "truth side must not depend on nprobe")
+  }
+
   test("sourceDriftMatrix: identical distributions → 0, disjoint → 1, " +
     "missing-bucket mass via the closed form") {
     val docs = Seq(
