@@ -849,7 +849,16 @@ object SparkEntry {
     // path): recall/precision of q31's lists against q19's at k=5
     "q189_ivf_quality" -> ((s: SparkSession, d: String) =>
       ext.Similarity.ivfQuality(Tables.embeddings(s, d),
-        col("vec_id") % 10 === 0, k = 5))
+        col("vec_id") % 10 === 0, k = 5)),
+    // entry-path mining: first-3-event-type paths per conversation —
+    // the onboarding distribution / scripted-client spike readout
+    "q190_entry_paths" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.entryPaths(Tables.events(s, d), k = 3)),
+    // embedding cluster purity vs labels: majority share + Gini impurity
+    // per exact-L2² cell — the embedding-space health check
+    "q191_cluster_purity" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.clusterPurity(Tables.embeddings(s, d), col("label"),
+        k = 8))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5722,6 +5731,59 @@ object SparkEntry {
         |SELECT n_queries, n_truth, n_found, n_both,
         |  CAST(n_both AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
         |  CAST(n_both AS DOUBLE) / CAST(n_found AS DOUBLE) AS "precision"
+        |FROM agg""".stripMargin,
+
+    // ordered string_agg of the first 3 events per conversation
+    "q190_entry_paths" ->
+      """WITH m AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |        AS path
+        |      FROM m WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY path"""
+        .stripMargin,
+
+    // q175's exact-L2² assignment replay + label counts: majority by
+    // (count DESC, label), Gini impurity (n² − Σc²)/n²
+    "q191_cluster_purity" ->
+      """WITH qv AS (SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+        |      AS q
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, label, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
+        |ok AS (SELECT * FROM nrm WHERE n2 > 0),
+        |cent AS (SELECT vec_id AS centroid_id, q AS cq
+        |         FROM ok WHERE vec_id < 8),
+        |asg0 AS (SELECT o.vec_id, CAST(o.label AS BIGINT) AS label,
+        |    c.centroid_id,
+        |    (SELECT sum((o.q[t.i] - c.cq[t.i]) * (o.q[t.i] - c.cq[t.i]))
+        |     FROM generate_series(1, 64) t(i)) AS dist
+        |  FROM ok o, cent c),
+        |asg AS (SELECT vec_id, label, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, centroid_id) AS rk
+        |    FROM asg0) t WHERE rk = 1),
+        |cl AS (SELECT centroid_id, label, count(*) AS c
+        |       FROM asg GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY centroid_id
+        |    ORDER BY c DESC, label) AS rk FROM cl),
+        |agg AS (SELECT centroid_id,
+        |    CAST(sum(c) AS BIGINT) AS n_vecs,
+        |    min(CASE WHEN rk = 1 THEN label END) AS majority_label,
+        |    CAST(min(CASE WHEN rk = 1 THEN c END) AS BIGINT)
+        |      AS majority_n,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM rk GROUP BY 1)
+        |SELECT centroid_id, n_vecs, majority_label, majority_n,
+        |  CAST(majority_n * 100 // n_vecs AS BIGINT) AS majority_pct,
+        |  CAST(n_vecs * n_vecs - sum_sq AS DOUBLE)
+        |    / CAST(n_vecs * n_vecs AS DOUBLE) AS impurity
         |FROM agg""".stripMargin
   )
 }

@@ -64,6 +64,36 @@ object Dialogue {
         col("kept_msgs"), col("kept_toks"))
   }
 
+  /** Entry-path mining: the distribution of each conversation's FIRST
+    * `k` event types as ordered path strings ("view>click>view") — the
+    * onboarding/funnel-entry readout (how do sessions begin, and which
+    * openings dominate), and with scripted clients the repeated-path
+    * spike IS the bot signature. Conversations shorter than `k`
+    * contribute their full (shorter) path.
+    *
+    * Scale shape: one conversation-key window trimmed to k rows per
+    * conversation, per-conversation path assembly on ≤ k elements, then
+    * a path-grain rollup (cardinality ≤ |event types|^k).
+    *
+    * @return path, n_users
+    */
+  def entryPaths(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** SFT pair extraction: the (user turn → immediately-following assistant
     * turn) pairs a fine-tuning pipeline mines from transcripts, rolled up
     * per conversation — pair count, total response latency, and total

@@ -646,22 +646,7 @@ object Similarity {
                     thrNum: Int = 3, thrDen: Int = 10): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrDen <= 100,
       s"cosine threshold $thrNum/$thrDen outside the exact-decimal envelope")
-    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("n2", qdot(col("q"), col("q")))
-      .filter(col("n2") > 0L)
-    val centsRow = q.filter(col("vec_id") < k)
-      .select(struct(col("vec_id").as("centroid_id"), col("q").as("cq")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cents"))
-    // argmin by exact integer L2² — array_sort on (dist, centroid_id)
-    // structs IS the tie-broken argmin, evaluated map-side per vector
-    val assigned = q.crossJoin(broadcast(centsRow))
-      .withColumn("m", expr(
-        """array_sort(transform(cents, c -> struct(
-          |  aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),
-          |            0L, (acc, x) -> acc + x) AS dist,
-          |  c.centroid_id AS centroid_id)))[0]""".stripMargin))
-      .select(col("vec_id"), col("q"), col("n2"),
-        col("m.centroid_id").as("centroid_id"))
+    val assigned = assignExactL2(emb, k)
     val b = assigned.select(col("centroid_id").as("b_cid"),
       col("vec_id").as("b_vec_id"), col("q").as("bq"), col("n2").as("b_n2"))
     val dec = "decimal(38,0)"
@@ -678,5 +663,70 @@ object Similarity {
     assigned.join(pairs, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("centroid_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** Shared exact-integer centroid assignment (the [[semanticDedup]]
+    * contract): centroids are the `k` lowest-id nonzero vectors, argmin
+    * by exact L2² with ties to the lowest centroid_id, evaluated map-side
+    * against ONE broadcast centroid row.
+    *
+    * @return (vec_id, q, n2, centroid_id) per nonzero vector
+    */
+  private def assignExactL2(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+    val centsRow = q.filter(col("vec_id") < k)
+      .select(struct(col("vec_id").as("centroid_id"), col("q").as("cq")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+    // argmin by exact integer L2² — array_sort on (dist, centroid_id)
+    // structs IS the tie-broken argmin, evaluated map-side per vector
+    q.crossJoin(broadcast(centsRow))
+      .withColumn("m", expr(
+        """array_sort(transform(cents, c -> struct(
+          |  aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),
+          |            0L, (acc, x) -> acc + x) AS dist,
+          |  c.centroid_id AS centroid_id)))[0]""".stripMargin))
+      .select(col("vec_id"), col("q"), col("n2"),
+        col("m.centroid_id").as("centroid_id"))
+  }
+
+  /** Embedding-space cluster purity: assign every vector to its nearest
+    * centroid (the [[semanticDedup]] exact-L2² contract) and measure how
+    * well clusters align with the LABEL column — majority label and its
+    * exact integer share, plus Gini impurity (n² − Σc²)/n² (q128's
+    * log-free entropy stand-in). Low purity means the embedding space
+    * does not separate the labels — the health check before trusting
+    * embedding clusters for semantic dedup, sampling, or retrieval
+    * bucketing.
+    *
+    * Scale shape: map-side assignment (one broadcast centroid row), one
+    * (centroid, label) aggregation, label-grain window argmax per
+    * centroid — output is centroid-cardinality.
+    *
+    * @return centroid_id, n_vecs, majority_label, majority_n,
+    *         majority_pct, impurity
+    */
+  def clusterPurity(emb: DataFrame, labelCol: Column,
+                    k: Int = 8): DataFrame = {
+    val labels = emb.select(col("vec_id"),
+      labelCol.cast("long").as("label"))
+    val cl = assignExactL2(emb, k)
+      .join(labels, "vec_id")
+      .groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("c").desc, col("label"))
+    cl.withColumn("rk", row_number().over(wTop))
+      .groupBy(col("centroid_id"))
+      .agg(sum(col("c")).as("n_vecs"),
+        min(when(col("rk") === 1, col("label"))).as("majority_label"),
+        min(when(col("rk") === 1, col("c"))).as("majority_n"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("centroid_id"), col("n_vecs"), col("majority_label"),
+        col("majority_n"),
+        expr("majority_n * 100 div n_vecs").as("majority_pct"),
+        ((col("n_vecs") * col("n_vecs") - col("sum_sq")).cast("double") /
+          (col("n_vecs") * col("n_vecs")).cast("double")).as("impurity"))
   }
 }

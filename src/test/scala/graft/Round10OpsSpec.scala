@@ -606,6 +606,33 @@ class Round10OpsSpec extends SparkSuite {
       "truth side must not depend on nprobe")
   }
 
+  test("entryPaths: ordered first-k paths; short conversations keep " +
+    "their full shorter path; identical openings aggregate") {
+    val events = Seq(
+      (1L, 1L, 11L, "view"), (1L, 2L, 12L, "click"),
+      (2L, 1L, 21L, "click"), (2L, 2L, 22L, "view"),
+      (2L, 3L, 23L, "view"), (2L, 4L, 24L, "click"),
+      (3L, 5L, 31L, "click"), (3L, 6L, 32L, "view"), (3L, 7L, 33L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = ext.Dialogue.entryPaths(events, k = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("view>click" -> 1L, "click>view>view" -> 2L))
+  }
+
+  test("clusterPurity: exact assignment, majority share, Gini impurity") {
+    val ones = Seq.fill(64)(1.0f)
+    val negs = Seq.fill(64)(-1.0f)
+    val emb = Seq(
+      (0L, ones, 1), (2L, ones, 1), (3L, ones, 1), (4L, ones, 2),
+      (1L, negs, 5), (5L, negs, 5), (6L, negs, 5), (7L, negs, 5))
+      .toDF("vec_id", "embedding", "label")
+    val r = ext.Similarity.clusterPurity(emb, col("label"), k = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(0L) == ((0L, 4L, 1L, 3L, 75L, 0.375)))
+    assert(r(1L) == ((1L, 4L, 5L, 4L, 100L, 0.0)))
+  }
+
   test("sourceDriftMatrix: identical distributions → 0, disjoint → 1, " +
     "missing-bucket mass via the closed form") {
     val docs = Seq(

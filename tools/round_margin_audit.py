@@ -145,6 +145,7 @@ DOUBLE_CLASSES = {
     "q186_bpe_fertility": {"fertility": "div1"},
     "q188_source_drift": {"tvd": "div1"},
     "q189_ivf_quality": {"recall": "div1", "precision": "div1"},
+    "q191_cluster_purity": {"impurity": "div1"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
