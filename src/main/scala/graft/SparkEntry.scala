@@ -858,7 +858,15 @@ object SparkEntry {
     // per exact-L2² cell — the embedding-space health check
     "q191_cluster_purity" -> ((s: SparkSession, d: String) =>
       ext.Similarity.clusterPurity(Tables.embeddings(s, d), col("label"),
-        k = 8))
+        k = 8)),
+    // per-source OOV rate under the frozen global top-20 vocabulary —
+    // who pays for the vocab sizing decision q161 makes globally
+    "q192_oov_rate" -> ((s: SparkSession, d: String) =>
+      TextStats.oovRate(Tables.documents(s, d), vocabK = 20)),
+    // experiment-health SRM gate: spread-hash arms vs 50/50, chi² as the
+    // closed-form (n_a − n_b)²/n over exact integers
+    "q193_srm_check" -> ((s: SparkSession, d: String) =>
+      Sessions.srmCheck(Tables.events(s, d)))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5784,6 +5792,41 @@ object SparkEntry {
         |  CAST(majority_n * 100 // n_vecs AS BIGINT) AS majority_pct,
         |  CAST(n_vecs * n_vecs - sum_sq AS DOUBLE)
         |    / CAST(n_vecs * n_vecs AS DOUBLE) AS impurity
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // frozen vocab = top-20 by (count DESC, w); one broadcast-shaped
+    // left join replay; oov_rate one terminal division
+    "q192_oov_rate" ->
+      """WITH occ AS (
+        |  SELECT source, unnest(CASE WHEN length(trim(text)) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM occ GROUP BY 1
+        |    ORDER BY c DESC, w LIMIT 20) z)
+        |SELECT o.source, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM occ o LEFT JOIN vocab v ON o.w = v.w
+        |GROUP BY o.source""".stripMargin,
+
+    // q72's spread replay mod 2 over distinct users; chi² closed form
+    "q193_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT ((user_id * 2654435761 + 1013904223) % 2147483648
+        |        // 32768) % 2 AS arm FROM u),
+        |g AS (SELECT count(*) AS n_users,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+        |  FROM a)
+        |SELECT CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS BIGINT) AS chi2_num,
+        |  CAST(n_users AS BIGINT) AS chi2_den,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / CAST(n_users AS DOUBLE) AS chi2
+        |FROM g""".stripMargin
   )
 }

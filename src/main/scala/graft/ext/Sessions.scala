@@ -948,6 +948,36 @@ object Sessions {
             col("var0") / col("n0").cast("double")))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the experiment-health gate that
+    * runs BEFORE any A/B readout is believed: users are assigned to two
+    * arms by the engine-neutral `spread` hash and the observed split is
+    * tested against 50/50. The arm bit is a MIDDLE bit (bit 15) of the
+    * hash — the low bit of an affine hash with an odd multiplier is just
+    * the input's parity (consecutive ids would split exactly 50/50 and
+    * the check could never fire), the standard multiplicative-hashing
+    * bucketing caveat. For two equal-expected arms the chi-square
+    * statistic collapses to the closed form (n_a − n_b)² / n — numerator
+    * and denominator exact integers, one terminal IEEE division (a
+    * chi2 ≳ 3.84 split is broken assignment, not noise).
+    *
+    * Scale: one distinct-user aggregation, O(1) output.
+    */
+  def srmCheck(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select(pmod(colDiv(
+        graft.functions.Hashing.spread(col("user_id"), 1L << 31),
+        lit(1L << 15)), lit(2L)).as("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .as("chi2_num"),
+        col("n_users").as("chi2_den"))
+      .withColumn("chi2",
+        col("chi2_num").cast("double") / col("chi2_den").cast("double"))
+
   /** CUPED variance-reduced A/B readout (Deng et al.'s controlled-pre-
     * experiment adjustment, the experimentation-platform standard): per
     * user, pre-period revenue x (days before the midpoint cut) and

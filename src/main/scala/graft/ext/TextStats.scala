@@ -460,6 +460,32 @@ object TextStats {
     steps.reduce(_ unionByName _)
   }
 
+  /** Per-source out-of-vocabulary rate under a FROZEN global vocabulary
+    * (the top `vocabK` terms by corpus frequency, ties to the
+    * lexicographically first term): which sources a fixed tokenizer
+    * vocabulary serves worst. [[vocabCoverage]] answers "how big must the
+    * vocab be" globally; this answers "who pays" once it is frozen — the
+    * per-source fairness readout of the same sizing decision.
+    *
+    * Scale shape: the vocab is a TakeOrdered top-k (never a global sort)
+    * broadcast as a k-row set; the corpus makes one pass with a
+    * broadcast left join; output is source-cardinality. `oov_rate` is
+    * the one terminal IEEE division.
+    */
+  def oovRate(docs: DataFrame, vocabK: Int): DataFrame = {
+    val occ = docs.select(col("source"),
+      explode(tokens(col("text"))).as("w"))
+    val vocab = occ.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(1L).as("inv"))
+    occ.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Apply the learned BPE merge table corpus-wide and report tokenizer
     * FERTILITY per source (symbols emitted per word occurrence) — the
     * train-tokenizer → encode-corpus pipeline in one DAG: a high-fertility

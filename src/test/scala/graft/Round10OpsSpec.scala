@@ -633,6 +633,29 @@ class Round10OpsSpec extends SparkSuite {
     assert(r(1L) == ((1L, 4L, 5L, 4L, 100L, 0.0)))
   }
 
+  test("oovRate: frozen top-k vocab splits occurrences per source; " +
+    "frequency ties freeze to the lexicographically first term") {
+    val docs = Seq(
+      (1L, "aa aa bb", "A"),   // aa:2  bb:1
+      (2L, "aa cc cc", "B"))   // cc:2 ties aa? no: aa:3 total, cc:2, bb:1
+      .toDF("doc_id", "text", "source")
+    // vocabK=2 → vocab {aa, cc}; A: 3 tokens 1 oov (bb); B: 0 oov
+    val r = ext.TextStats.oovRate(docs, vocabK = 2)
+      .as[(String, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r("A") == (("A", 3L, 1L, 1.0 / 3.0)))
+    assert(r("B") == (("B", 3L, 0L, 0.0)))
+  }
+
+  test("srmCheck: arms partition the distinct users; chi² is the exact " +
+    "closed form") {
+    val r = ext.Sessions.srmCheck(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    val (n, na, nb, num, den, chi2) = r
+    assert(na + nb == n && den == n)
+    assert(num == (na - nb) * (na - nb))
+    assert(chi2 == num.toDouble / den.toDouble)
+  }
+
   test("sourceDriftMatrix: identical distributions → 0, disjoint → 1, " +
     "missing-bucket mass via the closed form") {
     val docs = Seq(

@@ -146,6 +146,8 @@ DOUBLE_CLASSES = {
     "q188_source_drift": {"tvd": "div1"},
     "q189_ivf_quality": {"recall": "div1", "precision": "div1"},
     "q191_cluster_purity": {"impurity": "div1"},
+    "q192_oov_rate": {"oov_rate": "div1"},
+    "q193_srm_check": {"chi2": "div1"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
