@@ -548,6 +548,28 @@ class Round10OpsSpec extends SparkSuite {
     assert(r(2) == ((3L, 0L, 0L)))
   }
 
+  test("panScan Luhn agrees with a reference fold on 300 pseudo-random " +
+    "digit runs") {
+    def refLuhn(s: String): Boolean = {
+      val sum = s.zipWithIndex.map { case (ch, i0) =>
+        val d = ch - '0'
+        if ((i0 + 1) % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t }
+        else d
+      }.sum
+      sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, "x " + (1 to 16).map(_ => rnd.nextInt(10)).mkString + " y")
+    }
+    val got = ext.Safety.panScan(rows.toDF("doc_id", "text"), col("text"))
+      .select("doc_id", "n_valid").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, t) =>
+      val expected = if (refLuhn(t.split(" ")(1))) 1L else 0L
+      assert(got(id) == expected, s"doc $id pan ${t.split(" ")(1)}")
+    }
+  }
+
   // ---------------------------------------------------- per-domain cap
 
   test("domainCap keeps the top-k by char mass per host, doc_id ties") {
@@ -854,6 +876,24 @@ class Round10OpsSpec extends SparkSuite {
       .split("== Initial Plan ==")(0)
     assert(!p.contains("Exchange"),
       s"code-switch audit should not shuffle:\n$p")
+  }
+
+  test("q185/q190/q192 plans: data-card joins broadcast; entry paths " +
+    "shuffle at most twice; OOV vocab is a TakeOrdered broadcast") {
+    val p1 = planOf(SparkEntry.queries("q185_source_datacard")(spark, sf))
+    assert(p1.contains("BroadcastHashJoin"), s"majority join:\n$p1")
+    assert(!p1.contains("SortMergeJoin"), s"shuffle join crept in:\n$p1")
+    val ep = SparkEntry.queries("q190_entry_paths")(spark, sf)
+    ep.collect()
+    val p2 = ep.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p2).length <= 2,
+      s"entry paths should shuffle at most twice:\n$p2")
+    val p3 = planOf(SparkEntry.queries("q192_oov_rate")(spark, sf))
+    assert(p3.contains("TakeOrderedAndProject"),
+      s"frozen vocab must be a TakeOrdered, not a global sort:\n$p3")
+    assert(p3.contains("BroadcastHashJoin") && !p3.contains("SortMergeJoin"),
+      s"vocab probe must broadcast:\n$p3")
   }
 
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
