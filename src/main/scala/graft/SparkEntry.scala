@@ -866,7 +866,14 @@ object SparkEntry {
     // experiment-health SRM gate: spread-hash arms vs 50/50, chi² as the
     // closed-form (n_a − n_b)²/n over exact integers
     "q193_srm_check" -> ((s: SparkSession, d: String) =>
-      Sessions.srmCheck(Tables.events(s, d)))
+      Sessions.srmCheck(Tables.events(s, d))),
+    // model-based quality filtering in the LOGIT domain (σ(z)>1/2 ⟺
+    // z>0): frozen micro-unit weights × integer features, pure int gate
+    // (weights chosen against measured feature ranges: ~50% keep rate)
+    "q194_quality_gate" -> ((s: SparkSession, d: String) =>
+      TextStats.linearQualityGate(Tables.documents(s, d),
+        bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
+        wDistinct = 1000000L))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5827,6 +5834,30 @@ object SparkEntry {
         |  CAST(n_users AS BIGINT) AS chi2_den,
         |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
         |    / CAST(n_users AS DOUBLE) AS chi2
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // same frozen micro-unit weights over the same integer features;
+    // mean logit one terminal division
+    "q194_quality_gate" ->
+      """WITH t AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |f AS (SELECT source, len(tk) AS nt,
+        |    len(list_filter(tk, x ->
+        |      x IN ('the','of','and','a','to','in','is'))) AS sh,
+        |    len(list_distinct(tk)) AS nd
+        |  FROM t),
+        |l AS (SELECT source,
+        |    -60000000 + 500000 * nt + 2000000 * sh + 1000000 * nd
+        |      AS logit_micro
+        |  FROM f)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_kept,
+        |  CAST(sum(logit_micro) AS BIGINT) AS sum_logit_micro,
+        |  CAST(sum(logit_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_logit_micro
+        |FROM l GROUP BY source""".stripMargin
   )
 }

@@ -460,6 +460,42 @@ object TextStats {
     steps.reduce(_ unionByName _)
   }
 
+  /** Frozen linear quality-classifier application — the model-based
+    * filtering pass (fastText/logistic-style quality classifiers in the
+    * C4/CCNet lineage) applied corpus-wide WITHOUT the engine-unsafe
+    * sigmoid: the gate `σ(z) > 1/2` is exactly `z > 0`, so scoring stays
+    * in the LOGIT domain — integer micro-unit weights times integer
+    * features, an exact long per document, and a pure integer gate.
+    * Training happens offline; this operator is the trained model's
+    * production application shape.
+    *
+    * Features (all exact ints from one tokenize): token count, stopword
+    * hits, distinct-token count. Scale shape: per-row expressions, one
+    * source rollup; mean logit is the one terminal IEEE division
+    * (micro-units).
+    *
+    * @return source, n_docs, n_kept, sum_logit_micro, mean_logit_micro
+    */
+  def linearQualityGate(docs: DataFrame, bias: Long, wTokens: Long,
+                        wStop: Long, wDistinct: Long): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(col("source"), tokens(col("text")).as("__toks"))
+      .withColumn("nt", size(col("__toks")).cast("long"))
+      .withColumn("sh",
+        size(filter(col("__toks"), t => array_contains(stopArr, t)))
+          .cast("long"))
+      .withColumn("nd", size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("logit_micro",
+        lit(bias) + lit(wTokens) * col("nt") + lit(wStop) * col("sh")
+          + lit(wDistinct) * col("nd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit_micro") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("logit_micro")).as("sum_logit_micro"))
+      .withColumn("mean_logit_micro",
+        col("sum_logit_micro").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Per-source out-of-vocabulary rate under a FROZEN global vocabulary
     * (the top `vocabK` terms by corpus frequency, ties to the
     * lexicographically first term): which sources a fixed tokenizer

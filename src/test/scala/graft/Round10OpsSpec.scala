@@ -655,6 +655,20 @@ class Round10OpsSpec extends SparkSuite {
     assert(r(1L) == ((1L, 4L, 5L, 4L, 100L, 0.0)))
   }
 
+  test("linearQualityGate: logit-domain gate is exact — hand-computed " +
+    "features decide keep/drop at z > 0") {
+    val docs = Seq(
+      // nt=4, sh=2 (the, a), nd=4 → z = -10 + 4 + 4 + 4 = 2 > 0: kept
+      (1L, "the a cat sat", "A"),
+      // nt=2, sh=0, nd=1 → z = -10 + 2 + 0 + 1 = -7: dropped
+      (2L, "cat cat", "A"))
+      .toDF("doc_id", "text", "source")
+    val r = ext.TextStats.linearQualityGate(docs, bias = -10L,
+      wTokens = 1L, wStop = 2L, wDistinct = 1L)
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(r == (("A", 2L, 1L, -5L, -2.5)))
+  }
+
   test("oovRate: frozen top-k vocab splits occurrences per source; " +
     "frequency ties freeze to the lexicographically first term") {
     val docs = Seq(

@@ -148,6 +148,7 @@ DOUBLE_CLASSES = {
     "q191_cluster_purity": {"impurity": "div1"},
     "q192_oov_rate": {"oov_rate": "div1"},
     "q193_srm_check": {"chi2": "div1"},
+    "q194_quality_gate": {"mean_logit_micro": "div1"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
