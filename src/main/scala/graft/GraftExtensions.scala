@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BlocklistCounts].getName, "blocklist_counts"),
       (args: Seq[Expression]) => BlocklistCounts(args(0),
         GraftExtensions.wordArgs(args.tail))))
+    // transparent HOF → kernel rewrite (marker counting); semantics
+    // identical, cost flat in the marker-set size — see MarkerHitsRule
+    e.injectOptimizerRule(_ => graft.plans.MarkerHitsRule)
   }
 }
 

@@ -883,6 +883,48 @@ class Round10OpsSpec extends SparkSuite {
         s"to k=20 ($m20)")
   }
 
+  // ------------------------------------------- MarkerHits rewrite rule
+
+  test("MarkerHitsRule rewrites the HOF marker count to the kernel, " +
+    "bit-identical incl. null arrays and null elements") {
+    // arrays must be data-dependent — fully-literal ones constant-fold
+    // before the rule can fire (and that folding is itself semantics-safe)
+    val df = spark.range(1).select(
+      expr("array('the', 'x', 'the', CAST(NULL AS STRING), " +
+        "CAST(id AS STRING))").as("a"),
+      expr("array('zz', CAST(id AS STRING))").as("b"),
+      expr("IF(id < 0, array('x'), CAST(NULL AS ARRAY<STRING>))").as("c"),
+      expr("slice(array(CAST(id AS STRING)), 1, 0)").as("d"))
+    def score(colName: String) = {
+      val arr = array(lit("the"), lit("a"))
+      size(filter(col(colName), x => array_contains(arr, x)))
+        .as(s"s_$colName")
+    }
+    val q = df.select(score("a"), score("b"), score("c"), score("d"))
+    // the rewrite fired
+    assert(q.queryExecution.optimizedPlan.toString.contains("marker_hits"),
+      q.queryExecution.optimizedPlan.toString)
+    val got = q.collect()(0)
+    // reference: same expressions with the rule excluded
+    val conf = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(conf, "graft.plans.MarkerHitsRule")
+    val ref =
+      try {
+        val rq = df.select(score("a"), score("b"), score("c"), score("d"))
+        assert(!rq.queryExecution.optimizedPlan.toString
+          .contains("marker_hits"), "exclusion did not take")
+        rq.collect()(0)
+      } finally spark.conf.unset(conf)
+    assert(got == ref, s"$got vs $ref")
+    assert(got.getInt(0) == 2 && got.getInt(1) == 0 && got.isNullAt(2)
+      && got.getInt(3) == 0)
+    // and it fires on the real language-ID query (5 marker sets × docs)
+    val q14 = SparkEntry.queries("q14_langid")(spark, sf)
+    assert("marker_hits".r
+      .findAllIn(q14.queryExecution.optimizedPlan.toString).length >= 5,
+      q14.queryExecution.optimizedPlan.toString.take(2000))
+  }
+
   test("q182 plan: pure per-row audit — zero exchanges") {
     val df = SparkEntry.queries("q182_code_switch")(spark, sf)
     df.collect()

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions)
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
