@@ -10,7 +10,16 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)` at builder time) — the standard
   * deployment seam for a library on a shared cluster, no code changes in
-  * user jobs.
+  * user jobs. Also injects the engine's optimizer rules
+  * ([[graft.plans.MarkerHitsRule]]).
+  *
+  * Deliberate envelope note: the extension ladder stops at Expressions +
+  * optimizer Rules. No custom `SparkStrategy`/`SparkPlan` exists because
+  * no operator in this engine needs one — every whole-operator semantic
+  * (as-of join, greedy matcher, banded LSH, grid-rank) is expressible as
+  * built-in operators whose physical plans Catalyst already picks well;
+  * a custom strategy would duplicate planner behavior without changing
+  * any plan we'd want changed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
