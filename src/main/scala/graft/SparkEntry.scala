@@ -873,7 +873,27 @@ object SparkEntry {
     "q194_quality_gate" -> ((s: SparkSession, d: String) =>
       TextStats.linearQualityGate(Tables.documents(s, d),
         bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
-        wDistinct = 1000000L))
+        wDistinct = 1000000L)),
+    // HTML → text extraction scorecard (q163's augmentation discipline:
+    // docs wrapped in deterministic markup — scripts with content,
+    // comments, entities — so the STRIPPER is what's tested)
+    "q195_html_extract" -> ((s: SparkSession, d: String) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><h1>T"), id,
+        lit("</h1><script>var x = \"a\";</script><p>"), col("text"),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>A &amp; B &lt;ok&gt;</p>"))
+          .when(col("doc_id") % 3 === 1,
+            lit("<!-- hidden --><p>Tail &quot;q&quot; &#39;s</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      ext.Html.extractionScorecard(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          html.as("html")),
+        col("html"))
+    })
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5858,6 +5878,49 @@ object SparkEntry {
         |  CAST(sum(logit_micro) AS BIGINT) AS sum_logit_micro,
         |  CAST(sum(logit_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS mean_logit_micro
-        |FROM l GROUP BY source""".stripMargin
+        |FROM l GROUP BY source""".stripMargin,
+
+    // same augmentation; identical regex chain (lazy quantifiers, entity
+    // decode with &amp; last), DuckDB regexp_replace needs the 'g' flag
+    "q195_html_extract" ->
+      """WITH aug AS (SELECT doc_id, source,
+        |    '<html><body><h1>T' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><script>var x = "a";</script><p>' || text || '</p>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<p>A &amp; B &lt;ok&gt;</p>'
+        |         WHEN doc_id % 3 = 1
+        |           THEN '<!-- hidden --><p>Tail &quot;q&quot; &#39;s</p>'
+        |         ELSE '' END
+        |    || '</body></html>' AS h
+        |  FROM documents),
+        |ex AS (SELECT doc_id, source, h,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(
+        |                    regexp_replace(h,
+        |                      '<script[^>]*>.*?</script>', ' ', 'g'),
+        |                    '<style[^>]*>.*?</style>', ' ', 'g'),
+        |                  '<!--.*?-->', ' ', 'g'),
+        |                '<[^>]+>', ' ', 'g'),
+        |              '&lt;', '<', 'g'),
+        |            '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |        '&#39;', '''', 'g'),
+        |      '&amp;', '&', 'g')) AS t0
+        |  FROM aug),
+        |fin AS (SELECT doc_id, source, h,
+        |    regexp_replace(t0, '\s+', ' ', 'g') AS txt FROM ex)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(length(h)) AS BIGINT) AS raw_chars,
+        |  CAST(sum(length(txt)) AS BIGINT) AS text_chars,
+        |  CAST(sum(len(regexp_extract_all(h, '<[^>]+>'))) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(sum(len(regexp_extract_all(h, '&(amp|lt|gt|quot|#39);')))
+        |    AS BIGINT) AS n_entities
+        |FROM fin GROUP BY source""".stripMargin
   )
 }

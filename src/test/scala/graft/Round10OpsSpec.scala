@@ -883,6 +883,26 @@ class Round10OpsSpec extends SparkSuite {
         s"to k=20 ($m20)")
   }
 
+  test("htmlToText: script/style/comment contents die, tag contents " +
+    "live, entities decode single-pass (&amp;lt; stays literal)") {
+    val rows = Seq(
+      (1L, "<html><script>var a = 1;</script><p>Hello <b>world</b></p>" +
+        "</html>", "Hello world"),
+      (2L, "<style>p { color: red }</style>before<!-- gone -->after",
+        "before after"),
+      (3L, "A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s", "A & B <tag> \"q\" 's"),
+      // single-pass rule: &amp;lt; → literal "&lt;", never "<"
+      (4L, "x &amp;lt; y", "x &lt; y"),
+      (5L, "<p  class=\"a\">spaced   out</p>", "spaced out"))
+      .toDF("doc_id", "html", "expected")
+    val r = rows.select(col("doc_id"),
+      ext.Html.htmlToText(col("html")).as("got"), col("expected"))
+      .as[(Long, String, String)].collect()
+    r.foreach { case (id, got, exp) =>
+      assert(got == exp, s"doc $id: '$got' != '$exp'")
+    }
+  }
+
   // ------------------------------------------- MarkerHits rewrite rule
 
   test("MarkerHitsRule rewrites the HOF marker count to the kernel, " +
