@@ -893,7 +893,38 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("source"),
           html.as("html")),
         col("html"))
-    })
+    }),
+    // robots-style disallow filter over q174's URL shapes: literal path
+    // prefixes per canonical host, broadcast rule probe
+    "q196_robots_filter" -> ((s: SparkSession, d: String) => {
+      val sIdx = pmod(col("doc_id"), lit(5L)).cast("string")
+      val id = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(7L))
+      val url = when(m === 0,
+          concat(lit("https://WWW.Site"), sIdx, lit(".COM/path/page")))
+        .when(m === 1, concat(lit("http://site"), sIdx, lit(".com:80/a/b")))
+        .when(m === 2, concat(lit("https://site"), sIdx,
+          lit(".com:443/x?utm_source=feed&id="), id))
+        .when(m === 3, concat(lit("http://blog.site"), sIdx,
+          lit(".org/post?id="), id, lit("&utm_campaign=x&ref=y")))
+        .when(m === 4, concat(lit("https://cdn.site"), sIdx,
+          lit(".net/img/large.png#sec"), id))
+        .when(m === 5, concat(lit("http://site"), sIdx,
+          lit(".com/search?utm_source=a&utm_medium=b")))
+        .otherwise(concat(lit("https://site"), sIdx, lit(".com/clean/"), id))
+      ext.Urls.robotsFilter(
+        Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"),
+        rules = Seq("site0.com" -> "/search", "site2.com" -> "/a",
+          "cdn.site1.net" -> "/img", "site3.com" -> "/clean",
+          "blog.site4.org" -> "/post"))
+    }),
+    // embedding snapshot drift per label: even/odd vec_id halves as two
+    // snapshots; exact floor-mean per-dim deltas (shift-to-non-negative
+    // so div ≡ // holds), drift² + max dim shift
+    "q197_embedding_drift" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.snapshotDrift(Tables.embeddings(s, d),
+        col("vec_id") % 2 === 0))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -5921,6 +5952,87 @@ object SparkEntry {
         |    AS n_tags,
         |  CAST(sum(len(regexp_extract_all(h, '&(amp|lt|gt|quot|#39);')))
         |    AS BIGINT) AS n_entities
-        |FROM fin GROUP BY source""".stripMargin
+        |FROM fin GROUP BY source""".stripMargin,
+
+    // q174's canonicalization chain + literal-prefix rule probe
+    "q196_robots_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.COM/path/page'
+        |    WHEN 1 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com:80/a/b'
+        |    WHEN 2 THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com:443/x?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN 'http://blog.site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.org/post?id=' || CAST(doc_id AS VARCHAR)
+        |      || '&utm_campaign=x&ref=y'
+        |    WHEN 4 THEN 'https://cdn.site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.net/img/large.png#sec' || CAST(doc_id AS VARCHAR)
+        |    WHEN 5 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com/search?utm_source=a&utm_medium=b'
+        |    ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com/clean/' || CAST(doc_id AS VARCHAR)
+        |  END AS url FROM documents),
+        |p1 AS (SELECT doc_id, url,
+        |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |  FROM u),
+        |p2 AS (SELECT *,
+        |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport
+        |  FROM p1),
+        |p3 AS (SELECT *, lower(hostport) AS hostl,
+        |    substr(rest, length(hostport) + 1) AS pathq
+        |  FROM p2),
+        |p4 AS (SELECT doc_id,
+        |    CASE WHEN scheme = 'http' AND hostl LIKE '%:80'
+        |        THEN substr(hostl, 1, length(hostl) - 3)
+        |      WHEN scheme = 'https' AND hostl LIKE '%:443'
+        |        THEN substr(hostl, 1, length(hostl) - 4)
+        |      ELSE hostl END AS host,
+        |    split_part(pathq, '?', 1) AS path
+        |  FROM p3),
+        |rules AS (SELECT * FROM (VALUES
+        |    ('site0.com', '/search'), ('site2.com', '/a'),
+        |    ('cdn.site1.net', '/img'), ('site3.com', '/clean'),
+        |    ('blog.site4.org', '/post')) r(host, prefix)),
+        |hit AS (SELECT p.host, p.doc_id,
+        |    max(CASE WHEN r.prefix IS NOT NULL
+        |      AND starts_with(p.path, r.prefix) THEN 1 ELSE 0 END)
+        |      AS blocked
+        |  FROM p4 p LEFT JOIN rules r ON p.host = r.host
+        |  GROUP BY 1, 2)
+        |SELECT host, count(*)::BIGINT AS n_urls,
+        |  CAST(sum(blocked) AS BIGINT) AS n_blocked
+        |FROM hit GROUP BY host""".stripMargin,
+
+    // shifted quantization (+1e6 keeps sums non-negative so // ≡ div),
+    // per-(label, dim) sums, floor-mean deltas, exact drift² rollup
+    "q197_embedding_drift" ->
+      """WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |        + 1000000) AS q
+        |  FROM embeddings),
+        |cnt AS (SELECT label,
+        |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+        |  FROM qv GROUP BY 1
+        |  HAVING sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+        |     AND sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) > 0),
+        |ex AS (SELECT label, vec_id % 2 = 0 AS in_a, t.d AS d, q[t.d] AS v
+        |  FROM qv, generate_series(1, 64) t(d)),
+        |sums AS (SELECT label, d,
+        |    sum(CASE WHEN in_a THEN v ELSE 0 END) AS sa,
+        |    sum(CASE WHEN NOT in_a THEN v ELSE 0 END) AS sb
+        |  FROM ex GROUP BY 1, 2),
+        |md AS (SELECT s.label, c.na, c.nb,
+        |    (sa // na) - (sb // nb) AS m
+        |  FROM sums s JOIN cnt c USING (label))
+        |SELECT label, CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(sum(m * m) AS BIGINT) AS drift_sq,
+        |  CAST(max(abs(m)) AS BIGINT) AS max_dim_shift
+        |FROM md GROUP BY label""".stripMargin
   )
 }

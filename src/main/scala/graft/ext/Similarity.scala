@@ -665,6 +665,51 @@ object Similarity {
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
+  /** Embedding snapshot drift per label: compares the per-dimension
+    * floor-mean of the quantized vectors between two corpus halves (the
+    * stand-ins for two ingestion snapshots; `halfPred` marks snapshot A)
+    * — the monitor that catches a re-embedding, a model swap, or an
+    * upstream preprocessing change before a drifted space poisons
+    * similarity search and semantic dedup.
+    *
+    * Exactness: per-dim means use FLOOR division of shifted-non-negative
+    * sums — quantized values are shifted by +10⁶ (the quantization bound)
+    * so every sum is ≥ 0, where Spark's truncating `div` and DuckDB's
+    * flooring `//` agree (the q123 rule); the shift cancels exactly in
+    * the mean difference (n·10⁶ / n is integral). drift² = Σ_d m_d² and
+    * max |m_d| stay well inside longs (|m| ≤ 2·10⁶, 64 dims). Labels
+    * with an empty half are excluded (mean undefined — documented, the
+    * readout would otherwise divide by zero).
+    *
+    * Scale shape: one posexplode to (label, dim) sums (map-side
+    * combined), one label-cardinality count frame joined broadcast,
+    * label-grain output. The corpus is touched once.
+    *
+    * @return label, n_a, n_b, drift_sq, max_dim_shift
+    */
+  def snapshotDrift(emb: DataFrame, halfPred: Column,
+                    dim: Int = 64): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      transform(quantize(col("embedding")), v => v + lit(1000000L)).as("q"),
+      halfPred.as("in_a"))
+    val cnt = q.groupBy(col("label"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+    val sums = q
+      .select(col("label"), col("in_a"),
+        posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(when(col("in_a"), col("v")).otherwise(0L)).as("sa"),
+        sum(when(!col("in_a"), col("v")).otherwise(0L)).as("sb"))
+    sums.join(broadcast(cnt), "label")
+      .withColumn("m", expr("(sa div na) - (sb div nb)"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("m") * col("m")).as("drift_sq"),
+        max(abs(col("m"))).as("max_dim_shift"))
+  }
+
   /** Shared exact-integer centroid assignment (the [[semanticDedup]]
     * contract): centroids are the `k` lowest-id nonzero vectors, argmin
     * by exact L2² with ties to the lowest centroid_id, evaluated map-side

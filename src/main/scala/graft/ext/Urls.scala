@@ -88,6 +88,43 @@ object Urls {
         sum(when(col("raw") =!= col("canonical"), 1L).otherwise(0L))
           .as("n_changed"))
 
+  /** Robots-style disallow filtering: a URL is blocked when its canonical
+    * host has a rule whose PATH PREFIX matches — the longest-standing
+    * crawl-compliance contract (robots.txt `Disallow:` lines are literal
+    * prefixes; `*`/`$` wildcard extensions are out of this envelope, the
+    * same documented-subset style as the canonicalizer). Rules are a tiny
+    * broadcast table; a URL matched by several rules is still ONE blocked
+    * URL (max-aggregated per URL before the rollup).
+    *
+    * Scale shape: canonical host/path are per-row projections; the rule
+    * probe is a broadcast left join on host + `startsWith` (O(rules/host)
+    * per URL — real disallow lists are short; a 10k-rule host would move
+    * to a prefix-trie kernel, the BlocklistCounts discipline); rollup is
+    * host-cardinality.
+    *
+    * @return host, n_urls, n_blocked
+    */
+  def robotsFilter(urls: DataFrame, idCol: Column, urlCol: Column,
+                   rules: Seq[(String, String)]): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("host", "prefix")
+    val parsed = urls.select(idCol.as("__id"), urlHost(urlCol).as("host"),
+      canonicalizeUrl(urlCol).as("canon"))
+      .withColumn("path", substring_index(
+        expr("substring(canon, length(host) + instr(canon, '://') + 3)"),
+        "?", 1))
+    parsed
+      .join(broadcast(ruleDf), Seq("host"), "left_outer")
+      .withColumn("hit",
+        when(col("prefix").isNotNull && col("path").startsWith(col("prefix")),
+          1L).otherwise(0L))
+      .groupBy(col("host"), col("__id"))
+      .agg(max(col("hit")).as("blocked"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), sum(col("blocked")).as("n_blocked"))
+  }
+
   /** Crawl politeness audit: per host, fetch counts bucketed into
     * fixed event-time windows and rolled up to the numbers a crawl
     * scheduler is judged on — total fetches, active buckets, the PEAK

@@ -903,6 +903,37 @@ class Round10OpsSpec extends SparkSuite {
     }
   }
 
+  test("robotsFilter: literal path prefixes block per canonical host; " +
+    "query strings are not part of the path; one URL blocks once") {
+    val urls = Seq(
+      (1L, "http://a.com/search?q=1"),      // blocked (path /search)
+      (2L, "http://a.com/searchable/page"), // blocked (prefix match)
+      (3L, "http://a.com/other"),           // clean
+      (4L, "http://b.com/search"),          // no rule for b.com
+      (5L, "HTTP://A.COM:80/search"))       // canonicalizes to a.com
+      .toDF("doc_id", "url")
+    val r = ext.Urls.robotsFilter(urls, col("doc_id"), col("url"),
+      rules = Seq("a.com" -> "/search", "a.com" -> "/never"))
+      .as[(String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("a.com") == (("a.com", 4L, 3L)))
+    assert(r("b.com") == (("b.com", 1L, 0L)))
+  }
+
+  test("snapshotDrift: exact floor-mean deltas; labels with an empty " +
+    "half are excluded") {
+    val half = Seq.fill(64)(0.5f)
+    val quarter = Seq.fill(64)(0.25f)
+    val emb = Seq(
+      (0L, half, 1), (2L, half, 1),    // label 1, snapshot A
+      (1L, quarter, 1),                // label 1, snapshot B
+      (4L, half, 2))                   // label 2: B half empty → excluded
+      .toDF("vec_id", "embedding", "label")
+    val r = ext.Similarity.snapshotDrift(emb, col("vec_id") % 2 === 0)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // per-dim means 500000 vs 250000 → m = 250000 on all 64 dims
+    assert(r.toSeq == Seq((1L, 2L, 1L, 64L * 250000L * 250000L, 250000L)))
+  }
+
   // ------------------------------------------- MarkerHits rewrite rule
 
   test("MarkerHitsRule rewrites the HOF marker count to the kernel, " +
