@@ -924,7 +924,12 @@ object SparkEntry {
     // so div ≡ // holds), drift² + max dim shift
     "q197_embedding_drift" -> ((s: SparkSession, d: String) =>
       ext.Similarity.snapshotDrift(Tables.embeddings(s, d),
-        col("vec_id") % 2 === 0))
+        col("vec_id") % 2 === 0)),
+    // padding efficiency: length-sorted vs shuffled batches of 32 — the
+    // measurement behind length bucketing; both orders distributed ranks
+    "q198_padding_efficiency" -> ((s: SparkSession, d: String) =>
+      ext.Curation.paddingEfficiency(Tables.documents(s, d),
+        expr("(n_chars div 4) + 1"), batchSize = 32))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -6033,6 +6038,31 @@ object SparkEntry {
         |  CAST(max(nb) AS BIGINT) AS n_b,
         |  CAST(sum(m * m) AS BIGINT) AS drift_sq,
         |  CAST(max(abs(m)) AS BIGINT) AS max_dim_shift
-        |FROM md GROUP BY label""".stripMargin
+        |FROM md GROUP BY label""".stripMargin,
+
+    // two global ranks (length-sorted; spread permutation), batches of
+    // 32, waste = n_b·max_b − Σlen_b — exact integers
+    "q198_padding_efficiency" ->
+      """WITH r0 AS (SELECT doc_id, (n_chars // 4) + 1 AS tok
+        |  FROM documents),
+        |s1 AS (SELECT tok,
+        |    row_number() OVER (ORDER BY tok, doc_id) AS rk FROM r0),
+        |w1 AS (SELECT sum(nb * mx - s) AS pad, sum(s) AS toks,
+        |    sum(nb) AS n FROM (
+        |  SELECT (rk - 1) // 32 AS batch, count(*) AS nb,
+        |    max(tok) AS mx, sum(tok) AS s
+        |  FROM s1 GROUP BY 1) z1),
+        |s2 AS (SELECT tok, row_number() OVER (
+        |    ORDER BY (doc_id * 2654435761 + 1013904223) % 2147483648,
+        |      doc_id) AS rk FROM r0),
+        |w2 AS (SELECT sum(nb * mx - s) AS pad FROM (
+        |  SELECT (rk - 1) // 32 AS batch, count(*) AS nb,
+        |    max(tok) AS mx, sum(tok) AS s
+        |  FROM s2 GROUP BY 1) z2)
+        |SELECT CAST(w1.n AS BIGINT) AS n_docs,
+        |  CAST(w1.toks AS BIGINT) AS total_tokens,
+        |  CAST(w1.pad AS BIGINT) AS padding_sorted,
+        |  CAST(w2.pad AS BIGINT) AS padding_shuffled
+        |FROM w1 CROSS JOIN w2""".stripMargin
   )
 }

@@ -1128,6 +1128,39 @@ object Curation {
     *
     * @return doc_id, source, score, norm_score
     */
+  /** Distributed global 1-based rank under `(keyCol asc, doc_id asc)`
+    * without a single-task sort (the q132/q171 grid discipline, shared by
+    * [[quantileNormalize]] and [[paddingEfficiency]]): monotone
+    * value-grid buckets over the key range → per-bucket `row_number` +
+    * broadcast count-below offsets. Input must carry `doc_id` and the
+    * long column named by `keyName`; output appends `out`.
+    */
+  private def gridRankBy(rows: DataFrame, keyName: String, out: String,
+                         op: String, nBuckets: Int = 1024): DataFrame = {
+    val ext = rows.agg(min(col(keyName)).as("lo"),
+      max(col(keyName)).as("hi"))
+    val bucketed = rows.crossJoin(broadcast(ext))
+      .withColumn("b",
+        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
+          expr(s"($keyName - lo) * $nBuckets div (hi - lo + 1)"))
+          .otherwise(raise_error(format_string(
+            s"$op key range [%d, %d] overflows the " +
+              s"$nBuckets-bucket grid; rescale the key first",
+            col("lo"), col("hi"))).cast("long")))
+    val boff = bucketed.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+      .withColumn("below", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("below"))
+    val wIn = Window.partitionBy(col("b"))
+      .orderBy(col(keyName), col("doc_id"))
+    bucketed
+      .withColumn("loc", row_number().over(wIn).cast("long"))
+      .join(broadcast(boff), "b")
+      .withColumn(out, col("below") + col("loc"))
+      .drop("lo", "hi", "b", "below", "loc")
+  }
+
   def quantileNormalize(docs: DataFrame, score: Column,
                         group: Column, nBuckets: Int = 1024): DataFrame = {
     val rows = docs.select(col("doc_id"), group.as("source"),
@@ -1136,26 +1169,8 @@ object Curation {
     val tot = rows.agg(count(lit(1)).as("n"))
     // pooled rank without a global sort: monotone value-grid buckets →
     // per-bucket row_number + broadcast count-below offsets
-    val ext = rows.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
-    val bucketed = rows.crossJoin(broadcast(ext))
-      .withColumn("b",
-        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
-          expr(s"(s - lo) * $nBuckets div (hi - lo + 1)"))
-          .otherwise(raise_error(format_string(
-            "quantileNormalize score range [%d, %d] overflows the " +
-              s"$nBuckets-bucket grid; rescale the score first",
-            col("lo"), col("hi"))).cast("long")))
-    val boff = bucketed.groupBy(col("b")).agg(count(lit(1)).as("bn"))
-      .withColumn("below", coalesce(
-        sum(col("bn")).over(Window.orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("b"), col("below"))
-    val wIn = Window.partitionBy(col("b")).orderBy(col("s"), col("doc_id"))
-    val pool = bucketed
-      .withColumn("loc", row_number().over(wIn).cast("long"))
-      .join(broadcast(boff), "b")
-      .select((col("below") + col("loc")).as("pr"),
-        col("s").as("norm_score"))
+    val pool = gridRankBy(rows, "s", "pr", "quantileNormalize", nBuckets)
+      .select(col("pr"), col("s").as("norm_score"))
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(col("s"), col("doc_id"))
     val tgt = rows
@@ -1233,6 +1248,43 @@ object Curation {
         (col("na") * col("nb") * 2).as("tvd_den"))
       .withColumn("tvd",
         col("tvd_num").cast("double") / col("tvd_den").cast("double"))
+  }
+
+  /** Padding-efficiency readout: tokens wasted to padding when documents
+    * are batched `batchSize` at a time, under LENGTH-SORTED batching vs a
+    * deterministic SHUFFLE order — the measurement behind length
+    * bucketing (every sequence in a batch pads to the batch max, so
+    * random batching wastes a large fraction of compute; sorting by
+    * length makes batches homogeneous). Both orders are exact global
+    * ranks via the shared grid-rank (never a single-task sort); the
+    * shuffle order is the engine-neutral `spread` permutation. Waste per
+    * batch is `n_b·max_b − Σlen_b` (partial last batch pads to its own
+    * size) — exact integers end to end.
+    *
+    * @return one row: n_docs, total_tokens, padding_sorted,
+    *         padding_shuffled
+    */
+  def paddingEfficiency(docs: DataFrame, len: Column,
+                        batchSize: Int): DataFrame = {
+    val rows = docs.select(col("doc_id"), len.cast("long").as("tok"))
+    def waste(ranked: DataFrame): DataFrame = ranked
+      .withColumn("batch", expr(s"(rk - 1) div $batchSize"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("nb"), max(col("tok")).as("mx"),
+        sum(col("tok")).as("s"))
+      .agg(sum(col("nb") * col("mx") - col("s")).as("padding"),
+        sum(col("s")).as("toks"), sum(col("nb")).as("n"))
+    val bySorted = waste(
+      gridRankBy(rows.select(col("doc_id"), col("tok"),
+        col("tok").as("k")), "k", "rk", "paddingEfficiency"))
+    val byShuffle = waste(
+      gridRankBy(rows.withColumn("k",
+        graft.functions.Hashing.spread(col("doc_id"), 1L << 31)),
+        "k", "rk", "paddingEfficiency"))
+    bySorted.select(col("n").as("n_docs"), col("toks").as("total_tokens"),
+      col("padding").as("padding_sorted"))
+      .crossJoin(broadcast(byShuffle.select(
+        col("padding").as("padding_shuffled"))))
   }
 
   /** Per-source data card — the one-page summary a corpus steward reads

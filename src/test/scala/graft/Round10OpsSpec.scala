@@ -934,6 +934,21 @@ class Round10OpsSpec extends SparkSuite {
     assert(r.toSeq == Seq((1L, 2L, 1L, 64L * 250000L * 250000L, 250000L)))
   }
 
+  test("paddingEfficiency: waste is n·max−Σlen per batch; length " +
+    "sorting never pads more than the shuffle order") {
+    val docs = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 10L))
+      .toDF("doc_id", "tok")
+    val r = ext.Curation.paddingEfficiency(docs, col("tok"), batchSize = 2)
+      .as[(Long, Long, Long, Long)].head()
+    // sorted: (1,1) waste 0 + (1,10) waste 2·10−11 = 9
+    assert(r._1 == 4L && r._2 == 13L && r._3 == 9L)
+    assert(r._3 <= r._4, s"sorted ${r._3} > shuffled ${r._4}")
+    val real = ext.Curation.paddingEfficiency(
+      Tables.documents(spark, sf), expr("(n_chars div 4) + 1"), 32)
+      .as[(Long, Long, Long, Long)].head()
+    assert(real._3 <= real._4)
+  }
+
   // ------------------------------------------- MarkerHits rewrite rule
 
   test("MarkerHitsRule rewrites the HOF marker count to the kernel, " +
