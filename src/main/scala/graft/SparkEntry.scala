@@ -929,7 +929,29 @@ object SparkEntry {
     // measurement behind length bucketing; both orders distributed ranks
     "q198_padding_efficiency" -> ((s: SparkSession, d: String) =>
       ext.Curation.paddingEfficiency(Tables.documents(s, d),
-        expr("(n_chars div 4) + 1"), batchSize = 32))
+        expr("(n_chars div 4) + 1"), batchSize = 32)),
+    // the capstone composition: HTML extract → blocklist → quality gate
+    // → corpus-wide exact dedup, per-source survival funnel in one DAG
+    // (q195's markup augmentation feeds the real extractor first)
+    "q199_curation_funnel" -> ((s: SparkSession, d: String) => {
+      val html = concat(
+        lit("<html><body><h1>T</h1>"),
+        lit("<script>var x = \"a\";</script><p>"), col("text"),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>A &amp; B &lt;ok&gt;</p>"))
+          .when(col("doc_id") % 3 === 1,
+            lit("<!-- hidden --><p>Tail &quot;q&quot; &#39;s</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      ext.Curation.curationFunnel(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          html.as("html")),
+        ext.Html.htmlToText(col("html")),
+        blockWords = Seq("slow", "big", "the"), maxPct = 10,
+        bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
+        wDistinct = 1000000L)
+    })
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -6063,6 +6085,78 @@ object SparkEntry {
         |  CAST(w1.toks AS BIGINT) AS total_tokens,
         |  CAST(w1.pad AS BIGINT) AS padding_sorted,
         |  CAST(w2.pad AS BIGINT) AS padding_shuffled
-        |FROM w1 CROSS JOIN w2""".stripMargin
+        |FROM w1 CROSS JOIN w2""".stripMargin,
+
+    // the composition replay: q195's extraction chain, q164's normalized
+    // blocklist, q194's logit gate, q15's fingerprint, window-min dedup
+    "q199_curation_funnel" ->
+      """WITH aug AS (SELECT doc_id, source,
+        |    '<html><body><h1>T</h1>'
+        |    || '<script>var x = "a";</script><p>' || text || '</p>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<p>A &amp; B &lt;ok&gt;</p>'
+        |         WHEN doc_id % 3 = 1
+        |           THEN '<!-- hidden --><p>Tail &quot;q&quot; &#39;s</p>'
+        |         ELSE '' END
+        |    || '</body></html>' AS h
+        |  FROM documents),
+        |ex AS (SELECT doc_id, source,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(
+        |                    regexp_replace(h,
+        |                      '<script[^>]*>.*?</script>', ' ', 'g'),
+        |                    '<style[^>]*>.*?</style>', ' ', 'g'),
+        |                  '<!--.*?-->', ' ', 'g'),
+        |                '<[^>]+>', ' ', 'g'),
+        |              '&lt;', '<', 'g'),
+        |            '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |        '&#39;', '''', 'g'),
+        |      '&amp;', '&', 'g')) AS t0
+        |  FROM aug),
+        |fin AS (SELECT doc_id, source,
+        |    regexp_replace(t0, '\s+', ' ', 'g') AS txt FROM ex),
+        |sig AS (SELECT doc_id, source, txt,
+        |    CASE WHEN length(trim(txt)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(txt), '\s+') END AS t
+        |  FROM fin),
+        |f AS (SELECT doc_id, source, txt, len(t) AS nt,
+        |    len(list_filter(t, x -> list_contains(['slow','big','the'],
+        |      regexp_replace(translate(x,
+        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |      '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked,
+        |    len(list_filter(t, x ->
+        |      x IN ('the','of','and','a','to','in','is'))) AS sh,
+        |    len(list_distinct(t)) AS nd
+        |  FROM sig),
+        |g AS (SELECT doc_id, source, txt,
+        |    n_blocked * 100 <= 10 * nt AS kept,
+        |    (n_blocked * 100 <= 10 * nt) AND
+        |      (-60000000 + 500000 * nt + 2000000 * sh + 1000000 * nd > 0)
+        |      AS kept_q
+        |  FROM f),
+        |fp AS (SELECT *, CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, length(substr(txt, 1, 80))),
+        |    i -> CAST(ascii(substr(substr(txt, 1, 80), i, 1)) AS BIGINT)
+        |         * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |    AS BIGINT) AS fpv
+        |  FROM g),
+        |mn AS (SELECT *, min(CASE WHEN kept_q THEN doc_id END)
+        |    OVER (PARTITION BY fpv) AS min_id FROM fp)
+        |SELECT source, count(*)::BIGINT AS n_raw,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pass_blocklist,
+        |  sum(CASE WHEN kept_q THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pass_quality,
+        |  sum(CASE WHEN kept_q AND doc_id = min_id THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_unique,
+        |  CAST(sum(CASE WHEN kept_q AND doc_id = min_id THEN length(txt)
+        |    ELSE 0 END) AS BIGINT) AS final_chars
+        |FROM mn GROUP BY source""".stripMargin
   )
 }

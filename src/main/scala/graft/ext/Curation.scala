@@ -1287,6 +1287,60 @@ object Curation {
         col("padding").as("padding_shuffled"))))
   }
 
+  /** The full curation funnel in ONE declarative DAG — extraction →
+    * blocklist gate → model quality gate → corpus-wide exact dedup —
+    * with per-source survival counts after every stage: the end-to-end
+    * composition a pipeline owner actually monitors (each stage is an
+    * already-verified operator; the value here is that the whole chain
+    * is one lazily-planned DataFrame, so Catalyst sees every stage at
+    * once and the corpus makes ONE pass until the dedup shuffle).
+    *
+    * Stage semantics: blocklist = [[graft.ext.Safety.blocklistScan]]'s
+    * exact integer decision; quality = the
+    * [[TextStats.linearQualityGate]] logit-domain gate (z > 0); dedup
+    * keeps the LOWEST doc_id per BOILERPLATE-PREFIX fingerprint (first
+    * `prefixLen` chars — full-text exact dup is measure-zero on organic
+    * corpora while shared openings are common, the q185 discipline)
+    * among quality survivors, corpus-wide (a duplicate's survivor can
+    * sit in another source — that is the point of corpus-wide dedup).
+    *
+    * @return per source: source, n_raw, n_pass_blocklist,
+    *         n_pass_quality, n_unique, final_chars
+    */
+  def curationFunnel(docs: DataFrame, text: Column,
+                     blockWords: Seq[String], maxPct: Int,
+                     bias: Long, wTokens: Long, wStop: Long,
+                     wDistinct: Long, prefixLen: Int = 80): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), text.as("text"))
+    val bl = graft.ext.Safety.blocklistScan(base, col("text"), blockWords,
+      maxPct)
+    val stopArr = array(TextStats.stopwords.map(lit): _*)
+    val q = bl
+      .withColumn("__toks", TextStats.tokens(col("text")))
+      .withColumn("__z",
+        lit(bias) + lit(wTokens) * size(col("__toks")).cast("long")
+          + lit(wStop) * size(filter(col("__toks"),
+            t => array_contains(stopArr, t))).cast("long")
+          + lit(wDistinct)
+            * size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("kept_q", col("kept") && col("__z") > 0)
+    val surv = q
+      .withColumn("fp",
+        TextStats.fingerprint(substring(col("text"), 1, prefixLen)))
+      .withColumn("min_id",
+        min(when(col("kept_q"), col("doc_id")))
+          .over(Window.partitionBy(col("fp"))))
+      .withColumn("survivor",
+        col("kept_q") && col("doc_id") === col("min_id"))
+    surv.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_pass_blocklist"),
+        sum(when(col("kept_q"), 1L).otherwise(0L)).as("n_pass_quality"),
+        sum(when(col("survivor"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("survivor"), length(col("text")).cast("long"))
+          .otherwise(0L)).as("final_chars"))
+  }
+
   /** Per-source data card — the one-page summary a corpus steward reads
     * per source before admitting it to a mixture (composition capstone:
     * every column is an existing operator's signal at source grain):

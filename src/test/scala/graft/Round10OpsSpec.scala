@@ -949,6 +949,23 @@ class Round10OpsSpec extends SparkSuite {
     assert(real._3 <= real._4)
   }
 
+  test("curationFunnel: every stage decides — blocklist drop, quality " +
+    "drop, prefix-dup collapse — and counts monotonically shrink") {
+    val docs = Seq(
+      (1L, "A", "the a cat sat"),       // passes everything
+      (2L, "A", "the a cat sat"),       // exact dup → doc 1 survives
+      (3L, "B", "bad bad bad cat sat xx"), // 3/6 blocked > 10% → dropped
+      (4L, "B", "cat cat"))             // z = −7 → quality drop
+      .toDF("doc_id", "source", "text")
+    val r = ext.Curation.curationFunnel(docs, col("text"),
+      blockWords = Seq("bad"), maxPct = 10,
+      bias = -10L, wTokens = 1L, wStop = 2L, wDistinct = 1L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("A") == (("A", 2L, 2L, 2L, 1L, 13L)))
+    assert(r("B") == (("B", 2L, 1L, 0L, 0L, 0L)))
+  }
+
   // ------------------------------------------- MarkerHits rewrite rule
 
   test("MarkerHitsRule rewrites the HOF marker count to the kernel, " +
