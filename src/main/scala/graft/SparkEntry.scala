@@ -951,6 +951,27 @@ object SparkEntry {
         blockWords = Seq("slow", "big", "the"), maxPct = 10,
         bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
         wDistinct = 1000000L)
+    }),
+    // the final manifest: q199's survivors through the group-aware
+    // split — what actually ships to the trainer, and where
+    "q200_corpus_manifest" -> ((s: SparkSession, d: String) => {
+      val html = concat(
+        lit("<html><body><h1>T</h1>"),
+        lit("<script>var x = \"a\";</script><p>"), col("text"),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>A &amp; B &lt;ok&gt;</p>"))
+          .when(col("doc_id") % 3 === 1,
+            lit("<!-- hidden --><p>Tail &quot;q&quot; &#39;s</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      ext.Curation.corpusManifest(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          html.as("html")),
+        ext.Html.htmlToText(col("html")),
+        blockWords = Seq("slow", "big", "the"), maxPct = 10,
+        bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
+        wDistinct = 1000000L)
     })
   )
 
@@ -1048,6 +1069,72 @@ object SparkEntry {
     }.mkString("\nUNION ALL ")
     (words +: rounds).mkString(",\n") + "\n" + out
   }
+
+  /** q199/q200's shared oracle chain: q195's extraction, q164's
+    * normalized blocklist, q194's logit gate, q15's fingerprint over the
+    * 80-char prefix, and the window-min dedup marker — everything up to
+    * (and including) the `mn` CTE; the two queries differ only in their
+    * final readout.
+    */
+  private val Q199_CHAIN: String =
+    """WITH aug AS (SELECT doc_id, source,
+        |    '<html><body><h1>T</h1>'
+        |    || '<script>var x = "a";</script><p>' || text || '</p>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<p>A &amp; B &lt;ok&gt;</p>'
+        |         WHEN doc_id % 3 = 1
+        |           THEN '<!-- hidden --><p>Tail &quot;q&quot; &#39;s</p>'
+        |         ELSE '' END
+        |    || '</body></html>' AS h
+        |  FROM documents),
+        |ex AS (SELECT doc_id, source,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(
+        |                    regexp_replace(h,
+        |                      '<script[^>]*>.*?</script>', ' ', 'g'),
+        |                    '<style[^>]*>.*?</style>', ' ', 'g'),
+        |                  '<!--.*?-->', ' ', 'g'),
+        |                '<[^>]+>', ' ', 'g'),
+        |              '&lt;', '<', 'g'),
+        |            '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |        '&#39;', '''', 'g'),
+        |      '&amp;', '&', 'g')) AS t0
+        |  FROM aug),
+        |fin AS (SELECT doc_id, source,
+        |    regexp_replace(t0, '\s+', ' ', 'g') AS txt FROM ex),
+        |sig AS (SELECT doc_id, source, txt,
+        |    CASE WHEN length(trim(txt)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(txt), '\s+') END AS t
+        |  FROM fin),
+        |f AS (SELECT doc_id, source, txt, len(t) AS nt,
+        |    len(list_filter(t, x -> list_contains(['slow','big','the'],
+        |      regexp_replace(translate(x,
+        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |      '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked,
+        |    len(list_filter(t, x ->
+        |      x IN ('the','of','and','a','to','in','is'))) AS sh,
+        |    len(list_distinct(t)) AS nd
+        |  FROM sig),
+        |g AS (SELECT doc_id, source, txt,
+        |    n_blocked * 100 <= 10 * nt AS kept,
+        |    (n_blocked * 100 <= 10 * nt) AND
+        |      (-60000000 + 500000 * nt + 2000000 * sh + 1000000 * nd > 0)
+        |      AS kept_q
+        |  FROM f),
+        |fp AS (SELECT *, CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, length(substr(txt, 1, 80))),
+        |    i -> CAST(ascii(substr(substr(txt, 1, 80), i, 1)) AS BIGINT)
+        |         * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |    AS BIGINT) AS fpv
+        |  FROM g),
+        |mn AS (SELECT *, min(CASE WHEN kept_q THEN doc_id END)
+        |    OVER (PARTITION BY fpv) AS min_id FROM fp)"""
 
   /** q186's oracle: q110's generated learn chain with the word key
     * threaded through every round, then the final piped vocabulary's
@@ -6090,64 +6177,7 @@ object SparkEntry {
     // the composition replay: q195's extraction chain, q164's normalized
     // blocklist, q194's logit gate, q15's fingerprint, window-min dedup
     "q199_curation_funnel" ->
-      """WITH aug AS (SELECT doc_id, source,
-        |    '<html><body><h1>T</h1>'
-        |    || '<script>var x = "a";</script><p>' || text || '</p>'
-        |    || CASE WHEN doc_id % 3 = 0 THEN '<p>A &amp; B &lt;ok&gt;</p>'
-        |         WHEN doc_id % 3 = 1
-        |           THEN '<!-- hidden --><p>Tail &quot;q&quot; &#39;s</p>'
-        |         ELSE '' END
-        |    || '</body></html>' AS h
-        |  FROM documents),
-        |ex AS (SELECT doc_id, source,
-        |    trim(regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(
-        |              regexp_replace(
-        |                regexp_replace(
-        |                  regexp_replace(
-        |                    regexp_replace(h,
-        |                      '<script[^>]*>.*?</script>', ' ', 'g'),
-        |                    '<style[^>]*>.*?</style>', ' ', 'g'),
-        |                  '<!--.*?-->', ' ', 'g'),
-        |                '<[^>]+>', ' ', 'g'),
-        |              '&lt;', '<', 'g'),
-        |            '&gt;', '>', 'g'),
-        |          '&quot;', '"', 'g'),
-        |        '&#39;', '''', 'g'),
-        |      '&amp;', '&', 'g')) AS t0
-        |  FROM aug),
-        |fin AS (SELECT doc_id, source,
-        |    regexp_replace(t0, '\s+', ' ', 'g') AS txt FROM ex),
-        |sig AS (SELECT doc_id, source, txt,
-        |    CASE WHEN length(trim(txt)) = 0 THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(trim(txt), '\s+') END AS t
-        |  FROM fin),
-        |f AS (SELECT doc_id, source, txt, len(t) AS nt,
-        |    len(list_filter(t, x -> list_contains(['slow','big','the'],
-        |      regexp_replace(translate(x,
-        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
-        |      '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked,
-        |    len(list_filter(t, x ->
-        |      x IN ('the','of','and','a','to','in','is'))) AS sh,
-        |    len(list_distinct(t)) AS nd
-        |  FROM sig),
-        |g AS (SELECT doc_id, source, txt,
-        |    n_blocked * 100 <= 10 * nt AS kept,
-        |    (n_blocked * 100 <= 10 * nt) AND
-        |      (-60000000 + 500000 * nt + 2000000 * sh + 1000000 * nd > 0)
-        |      AS kept_q
-        |  FROM f),
-        |fp AS (SELECT *, CAST(coalesce(list_sum(list_transform(
-        |    generate_series(1, length(substr(txt, 1, 80))),
-        |    i -> CAST(ascii(substr(substr(txt, 1, 80), i, 1)) AS BIGINT)
-        |         * ((i * 2654435761) % 1000003))), 0) % 2147483648
-        |    AS BIGINT) AS fpv
-        |  FROM g),
-        |mn AS (SELECT *, min(CASE WHEN kept_q THEN doc_id END)
-        |    OVER (PARTITION BY fpv) AS min_id FROM fp)
+      (Q199_CHAIN + """
         |SELECT source, count(*)::BIGINT AS n_raw,
         |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pass_blocklist,
@@ -6157,6 +6187,27 @@ object SparkEntry {
         |    ::BIGINT AS n_unique,
         |  CAST(sum(CASE WHEN kept_q AND doc_id = min_id THEN length(txt)
         |    ELSE 0 END) AS BIGINT) AS final_chars
-        |FROM mn GROUP BY source""".stripMargin
+        |FROM mn GROUP BY source""").stripMargin,
+
+    // q199's chain through the survivors, then q168's source-fingerprint
+    // split replay and the per-split manifest rollup
+    "q200_corpus_manifest" ->
+      (Q199_CHAIN +
+      """,
+        |sv AS (SELECT source, txt FROM mn
+        |       WHERE kept_q AND doc_id = min_id),
+        |fps AS (SELECT source, length(txt) AS nc,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      generate_series(1, length(source)),
+        |      i -> CAST(ascii(substr(source, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS BIGINT) % 10 AS b
+        |  FROM sv),
+        |sp AS (SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |              ELSE 'test' END AS split, source, nc FROM fps)
+        |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars
+        |FROM sp GROUP BY split""").stripMargin
   )
 }

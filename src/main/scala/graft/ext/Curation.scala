@@ -1310,7 +1310,25 @@ object Curation {
   def curationFunnel(docs: DataFrame, text: Column,
                      blockWords: Seq[String], maxPct: Int,
                      bias: Long, wTokens: Long, wStop: Long,
-                     wDistinct: Long, prefixLen: Int = 80): DataFrame = {
+                     wDistinct: Long, prefixLen: Int = 80): DataFrame =
+    curationStages(docs, text, blockWords, maxPct, bias, wTokens, wStop,
+      wDistinct, prefixLen)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_pass_blocklist"),
+        sum(when(col("kept_q"), 1L).otherwise(0L)).as("n_pass_quality"),
+        sum(when(col("survivor"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("survivor"), length(col("text")).cast("long"))
+          .otherwise(0L)).as("final_chars"))
+
+  /** The per-document stage frame behind [[curationFunnel]] /
+    * [[corpusManifest]]: doc_id, source, text, kept (blocklist), kept_q
+    * (quality), survivor (dedup).
+    */
+  private def curationStages(docs: DataFrame, text: Column,
+                             blockWords: Seq[String], maxPct: Int,
+                             bias: Long, wTokens: Long, wStop: Long,
+                             wDistinct: Long, prefixLen: Int): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), text.as("text"))
     val bl = graft.ext.Safety.blocklistScan(base, col("text"), blockWords,
       maxPct)
@@ -1332,14 +1350,25 @@ object Curation {
           .over(Window.partitionBy(col("fp"))))
       .withColumn("survivor",
         col("kept_q") && col("doc_id") === col("min_id"))
-    surv.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_raw"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_pass_blocklist"),
-        sum(when(col("kept_q"), 1L).otherwise(0L)).as("n_pass_quality"),
-        sum(when(col("survivor"), 1L).otherwise(0L)).as("n_unique"),
-        sum(when(col("survivor"), length(col("text")).cast("long"))
-          .otherwise(0L)).as("final_chars"))
+    surv
   }
+
+  /** The training-corpus manifest: [[curationFunnel]]'s survivors routed
+    * through the group-aware split ([[groupSplit]]'s whole-source
+    * fingerprint buckets — near-dup leakage cannot cross split
+    * boundaries) and rolled up per split. This is the last readout
+    * before shards are written: what actually ships, where.
+    *
+    * @return per non-empty split: split, n_groups, n_docs, total_chars
+    */
+  def corpusManifest(docs: DataFrame, text: Column,
+                     blockWords: Seq[String], maxPct: Int,
+                     bias: Long, wTokens: Long, wStop: Long,
+                     wDistinct: Long, prefixLen: Int = 80): DataFrame =
+    groupSplit(
+      curationStages(docs, text, blockWords, maxPct, bias, wTokens,
+        wStop, wDistinct, prefixLen).filter(col("survivor")),
+      col("source"), length(col("text")))
 
   /** Per-source data card — the one-page summary a corpus steward reads
     * per source before admitting it to a mixture (composition capstone:
