@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Sessions, Similarity, TextStats}
 import graft.ops.{Convert, Eval, Merge, Percentiles, Predictions, Relational, SyntheticBoxes}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract (SURVEY §5.4): every implemented operator from SURVEY §2 is
@@ -972,7 +972,53 @@ object SparkEntry {
         blockWords = Seq("slow", "big", "the"), maxPct = 10,
         bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
         wDistinct = 1000000L)
-    })
+    }),
+    // fill-in-the-middle example transform: deterministic cuts, 50% rate,
+    // reassembly invariant + fingerprint of the RENDERED <PRE><SUF><MID>
+    // string — pure per-row, zero shuffles
+    "q201_fim_transform" -> ((s: SparkSession, d: String) =>
+      ext.Transforms.fimSplit(Tables.documents(s, d))),
+    // SFT loss-mask geometry: trainable (assistant) token mass, span
+    // count (consecutive assistant msgs = ONE span), first trainable
+    // token offset — same conversation window as q180/q184
+    "q202_loss_mask" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.lossMask(Tables.events(s, d),
+        get_json_object(col("props"), "$.k").cast("long") + 1L)),
+    // reference-LM fluency scoring: bigram model trained on the even-id
+    // half, every doc scored by known-bigram mass — exact integer
+    // sufficient statistics, no logs (NOTES parity rule)
+    "q203_lm_score" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.lmScore(Tables.documents(s, d),
+        col("doc_id") % 2 === 0)),
+    // aspect-ratio bucketing for image batching: exact integer
+    // nearest-ratio assignment, per-bucket padding cost vs the
+    // global-pad baseline (dims deterministic from doc_id — the
+    // ASSIGNMENT machinery is what's tested, q163's discipline)
+    "q204_aspect_buckets" -> ((s: SparkSession, d: String) => {
+      val w = (pmod(col("doc_id") * 7 + 3, lit(8L)) + 1L) * 128L
+      val h = (pmod(col("doc_id") * 11 + 5, lit(8L)) + 1L) * 128L
+      ext.Multimodal.aspectBuckets(Tables.documents(s, d), w, h)
+    }),
+    // consistent pseudonymization audit: entity → deterministic
+    // surrogate; mention/doc/collision counts per surrogate (planted
+    // cross-doc repeated entities so consistency demonstrably fires)
+    "q205_pseudonymize" -> ((s: SparkSession, d: String) => {
+      val em = (i: Column) => concat(lit("person"), i.cast("string"),
+        lit("@example"), pmod(i, lit(7L)).cast("string"), lit(".com"))
+      val e1 = pmod(col("doc_id"), lit(40L))
+      val e2 = pmod(col("doc_id") * 3 + 1, lit(40L))
+      val aug = concat(col("text"), lit(" contact "), em(e1),
+        when(col("doc_id") % 3 === 0, concat(lit(" cc "), em(e1)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" also "), em(e2)))
+          .otherwise(lit("")))
+      ext.Safety.pseudonymize(Tables.documents(s, d), aug)
+    }),
+    // substring-level duplicate span masking (ExactSubstr shape): char
+    // positions whose 20-gram repeats corpus-wide, merged to maximal
+    // per-doc spans — the span-dedup complement of the doc-level family
+    "q206_repeated_spans" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.repeatedSpans(Tables.documents(s, d), l = 20))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -6208,6 +6254,192 @@ object SparkEntry {
         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
         |  count(*)::BIGINT AS n_docs,
         |  CAST(sum(nc) AS BIGINT) AS total_chars
-        |FROM sp GROUP BY split""").stripMargin
+        |FROM sp GROUP BY split""").stripMargin,
+
+    // same affine cuts mod (n+1); non-FIM docs keep (n, 0, 0) and
+    // fingerprint the raw text; q15's fingerprint replay over the
+    // rendered <PRE>p<SUF>s<MID>m string
+    "q201_fim_transform" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS n,
+        |    (doc_id % 2 = 0) AS is_fim,
+        |    (doc_id * 2654435761) % 1000003 % (length(text) + 1) AS h1,
+        |    (doc_id * 1779033703 + 7) % 1000003 % (length(text) + 1) AS h2
+        |  FROM documents),
+        |cut AS (SELECT doc_id, text, n, is_fim,
+        |    CASE WHEN is_fim THEN least(h1, h2) ELSE n END AS a,
+        |    CASE WHEN is_fim THEN greatest(h1, h2) ELSE n END AS b
+        |  FROM c),
+        |r AS (SELECT doc_id, is_fim, a, b, n,
+        |    CASE WHEN is_fim THEN '<PRE>' || substr(text, 1, a)
+        |      || '<SUF>' || substr(text, b + 1)
+        |      || '<MID>' || substr(text, a + 1, b - a)
+        |    ELSE text END AS out
+        |  FROM cut)
+        |SELECT doc_id, is_fim,
+        |  CAST(a AS BIGINT) AS p_chars,
+        |  CAST(b - a AS BIGINT) AS m_chars,
+        |  CAST(n - b AS BIGINT) AS s_chars,
+        |  TRUE AS reassembly_ok,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, length(out)),
+        |    i -> CAST(ascii(substr(out, i, 1)) AS BIGINT)
+        |         * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |    AS BIGINT) AS out_fp
+        |FROM r""".stripMargin,
+
+    // q180's window replay; a span starts where an assistant message
+    // follows a user message (or opens the conversation)
+    "q202_loss_mask" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type IN ('click', 'purchase', 'signup')
+        |      THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS toks
+        |  FROM events),
+        |w AS (SELECT *,
+        |    lag(role) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev_role,
+        |    sum(toks) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS cum_toks
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(sum(toks) AS BIGINT) AS total_toks,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN toks ELSE 0 END)
+        |    AS BIGINT) AS trainable_toks,
+        |  CAST(sum(CASE WHEN role = 'assistant'
+        |      AND (prev_role IS NULL OR prev_role = 'user')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(min(CASE WHEN role = 'assistant'
+        |    THEN cum_toks - toks END), -1) AS BIGINT)
+        |    AS first_trainable_off
+        |FROM w GROUP BY user_id""".stripMargin,
+
+    // bigram model on the even-id half; "w1 w2" join key is
+    // collision-free under whitespace tokenization; occurrence-weighted
+    // integer mass over KNOWN pairs only
+    "q203_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |b0 AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS pair
+        |  FROM b0),
+        |ref AS (SELECT pair, count(*) AS c_pair FROM bg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ctx AS (SELECT w1, count(*) AS c_ctx FROM bg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |dp AS (SELECT doc_id, w1, pair, count(*) AS occ FROM bg
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT dp.doc_id,
+        |    sum(occ) AS n_bigrams,
+        |    sum(CASE WHEN r.pair IS NOT NULL THEN occ ELSE 0 END)
+        |      AS n_known,
+        |    sum(CASE WHEN r.pair IS NOT NULL THEN occ * r.c_pair
+        |      ELSE 0 END) AS known_num,
+        |    sum(CASE WHEN r.pair IS NOT NULL THEN occ * c.c_ctx
+        |      ELSE 0 END) AS known_den
+        |  FROM dp LEFT JOIN ref r ON dp.pair = r.pair
+        |          LEFT JOIN ctx c ON dp.w1 = c.w1
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(CAST(n_bigrams AS BIGINT), 0) AS n_bigrams,
+        |  coalesce(CAST(n_known AS BIGINT), 0) AS n_known,
+        |  coalesce(CAST(known_num AS BIGINT), 0) AS known_num,
+        |  coalesce(CAST(known_den AS BIGINT), 0) AS known_den
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
+    // same ladder, same lcm-cleared integer distance key, ties to the
+    // smaller ladder index; global row = unbucketed padding baseline
+    "q204_aspect_buckets" ->
+      """WITH img AS (SELECT doc_id,
+        |    128 * ((doc_id * 7 + 3) % 8 + 1) AS w,
+        |    128 * ((doc_id * 11 + 5) % 8 + 1) AS h
+        |  FROM documents),
+        |lad AS (SELECT * FROM (VALUES (0, 1, 1), (1, 4, 3), (2, 3, 4),
+        |    (3, 16, 9), (4, 9, 16)) t(idx, wb, hb)),
+        |a2 AS (SELECT doc_id, w, h, wb, hb,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY abs(w * hb - h * wb) * (144 // hb), idx) AS rk
+        |  FROM img CROSS JOIN lad),
+        |asg AS (SELECT w, h,
+        |    CAST(wb AS VARCHAR) || ':' || CAST(hb AS VARCHAR) AS bucket
+        |  FROM a2 WHERE rk = 1),
+        |pb AS (SELECT bucket, count(*) AS n, sum(w * h) AS nat,
+        |    max(w) AS mw, max(h) AS mh FROM asg GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'global', count(*), sum(w * h), max(w), max(h) FROM asg)
+        |SELECT bucket, CAST(n AS BIGINT) AS n_images,
+        |  CAST(nat AS BIGINT) AS nat_pixels,
+        |  CAST(mw AS BIGINT) AS max_w, CAST(mh AS BIGINT) AS max_h,
+        |  CAST(n * mw * mh AS BIGINT) AS padded_pixels,
+        |  CAST(n * mw * mh - nat AS BIGINT) AS waste_pixels
+        |FROM pb""".stripMargin,
+
+    // same augmentation; q163's RE2∩Java email pattern extracts, q15's
+    // fingerprint replay keys the surrogate; entity grain first so
+    // collisions are counted, not silently merged
+    "q205_pseudonymize" ->
+      """WITH aug AS (SELECT doc_id, text || ' contact person'
+        |      || CAST(doc_id % 40 AS VARCHAR) || '@example'
+        |      || CAST(doc_id % 40 % 7 AS VARCHAR) || '.com'
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' cc person'
+        |           || CAST(doc_id % 40 AS VARCHAR) || '@example'
+        |           || CAST(doc_id % 40 % 7 AS VARCHAR) || '.com'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' also person'
+        |           || CAST((doc_id * 3 + 1) % 40 AS VARCHAR) || '@example'
+        |           || CAST((doc_id * 3 + 1) % 40 % 7 AS VARCHAR) || '.com'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email
+        |  FROM aug),
+        |pe AS (SELECT email, count(*) AS n_mentions,
+        |    count(DISTINCT doc_id) AS n_docs FROM m GROUP BY 1),
+        |sg AS (SELECT 'user_' || CAST(
+        |    CAST(coalesce(list_sum(list_transform(
+        |      generate_series(1, length(email)),
+        |      i -> CAST(ascii(substr(email, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS BIGINT) % 1000000 AS VARCHAR) AS surrogate,
+        |    n_mentions, n_docs
+        |  FROM pe)
+        |SELECT surrogate, CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  count(*)::BIGINT AS n_entities
+        |FROM sg GROUP BY surrogate""".stripMargin,
+
+    // exact 20-char gram evidence; interval union as running-max-end →
+    // group-open → running group id (positions are unique per doc, so
+    // the window order is total)
+    "q206_repeated_spans" ->
+      """WITH g AS (SELECT doc_id, i AS pos, substr(text, i, 20) AS gram
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(1, length(text) - 19)) AS i
+        |    FROM documents WHERE length(text) >= 20)),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos, pos + 19 AS e
+        |  FROM g JOIN rep USING (gram)),
+        |w AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+        |  FROM dp),
+        |w2 AS (SELECT *, CASE WHEN meb IS NULL OR pos > meb + 1
+        |    THEN 1 ELSE 0 END AS opens FROM w),
+        |w3 AS (SELECT *, sum(opens) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS grp FROM w2),
+        |sp AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e2,
+        |    count(*) AS n_pos FROM w3 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, sum(n_pos) AS n_dup_positions,
+        |    count(*) AS n_spans, sum(e2 - s + 1) AS dup_chars
+        |  FROM sp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(CAST(n_dup_positions AS BIGINT), 0) AS n_dup_positions,
+        |  coalesce(CAST(n_spans AS BIGINT), 0) AS n_spans,
+        |  coalesce(CAST(dup_chars AS BIGINT), 0) AS dup_chars
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
   )
 }

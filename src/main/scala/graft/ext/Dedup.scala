@@ -400,4 +400,74 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .distinct() // a pair can match in both its own and the probe bucket
   }
+
+  /** Substring-level duplicate SPAN masking (the ExactSubstr shape of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — public literature): a char position is duplicated when the
+    * length-`l` substring starting there occurs ≥2 times in the corpus;
+    * per document, duplicated positions merge into maximal spans — the
+    * ranges a span-dedup pass masks out of the loss (dropping whole
+    * near-dup DOCS misses the boilerplate that repeats INSIDE otherwise
+    * unique pages; this operator is the doc-level dedup family's
+    * complement at the span grain).
+    *
+    * The published implementation builds a corpus suffix array; the
+    * distributed shape here is the standard shuffle equivalent: every
+    * position ships its `l`-gram (exact substring key, no hash
+    * collisions), repeated grams come back as a position set, and the
+    * per-doc interval union is two windows (running max of span end →
+    * group-open flag → running group id). Cost is the deliberate trade:
+    * the gram shuffle carries ~`l`× the corpus bytes, the price of exact
+    * substring evidence without a global suffix array; `l` (default 20,
+    * the paper's 50-token threshold scaled to this corpus's short docs)
+    * bounds it.
+    *
+    * Scale shape: one gram-grain shuffle with map-side combine collapses
+    * the corpus to repeated grams; the per-doc sweep shares one doc-key
+    * sort; the readout is doc-grain. No self-joins, no all-pairs.
+    *
+    * @return doc_id, n_dup_positions, n_spans, dup_chars (0s for clean
+    *         or short docs)
+    */
+  def repeatedSpans(docs: DataFrame, l: Int = 20): DataFrame = {
+    require(l >= 2, "repeatedSpans: gram length must be ≥ 2")
+    val grams = docs
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= l)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, length(text) - ${l - 1}),
+           |  i -> substring(text, i, $l))""".stripMargin))
+        .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("gram"))
+    // corpus-wide occurrence count per gram (map-side combined); only
+    // positions of repeated grams survive to the sweep
+    val rep = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val dupPos = grams.join(rep.select("gram"), "gram")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (l - 1)).cast("long").as("end"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("max_end_before",
+        max(col("end")).over(wOrd.rowsBetween(
+          Window.unboundedPreceding, -1)))
+      .withColumn("opens", when(col("max_end_before").isNull ||
+        col("pos") > col("max_end_before") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("opens")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"),
+        count(lit(1)).as("n_pos"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pos")).as("n_dup_positions"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_chars"))
+    docs.select(col("doc_id")).join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
 }

@@ -111,6 +111,54 @@ object Dialogue {
     *
     * @return user_id, n_pairs, total_latency_us, response_toks
     */
+  /** SFT loss-mask geometry: where, in token space, the trainable spans
+    * of each rendered conversation sit. Supervised fine-tuning computes
+    * loss only on assistant tokens; the collator needs, per conversation,
+    * the token offsets of the assistant runs (a run of consecutive
+    * assistant messages is ONE span — the mask has no interior boundary
+    * at a message edge). This is the mask a packer materializes as
+    * per-example `(start, end)` ranges.
+    *
+    * Exact integer token arithmetic: a message's span is
+    * `[cum − toks, cum)` with `cum` the running token sum in message
+    * order, so span starts/ends are bit-determined by the same window
+    * sort the audit uses.
+    *
+    * Scale shape: one conversation-key shuffle shared by lag + running
+    * sum, then a conversation-grain rollup — identical partitioning to
+    * [[turnAudit]]/[[turnPairs]], so the three audits co-schedule on one
+    * exchange at 100 TB.
+    *
+    * @return user_id, total_toks, trainable_toks, n_spans,
+    *         first_trainable_off (−1 when the conversation has no
+    *         assistant turn)
+    */
+  def lossMask(events: DataFrame, toks: Column,
+               userTypes: Seq[String] = Seq("click", "purchase", "signup"))
+      : DataFrame = {
+    val role = when(col("event_type").isin(userTypes.map(x => x: Any): _*),
+      "user").otherwise("assistant")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        role.as("role"), toks.cast("long").as("toks"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("cum_toks", sum(col("toks"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("toks")).as("total_toks"),
+        sum(when(col("role") === "assistant", col("toks")).otherwise(0L))
+          .as("trainable_toks"),
+        sum(when(col("role") === "assistant" &&
+            (col("prev_role").isNull || col("prev_role") === "user"), 1L)
+          .otherwise(0L)).as("n_spans"),
+        coalesce(min(when(col("role") === "assistant",
+          col("cum_toks") - col("toks"))), lit(-1L))
+          .as("first_trainable_off"))
+  }
+
   def turnPairs(events: DataFrame, toks: Column,
                 userTypes: Seq[String] = Seq("click", "purchase", "signup"))
       : DataFrame = {

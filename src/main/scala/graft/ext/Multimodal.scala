@@ -200,4 +200,67 @@ object Multimodal {
       struct(col("source"),
         lit(null).cast("int").as("declared_w"),
         lit(null).cast("int").as("declared_h")).as("meta"))
+
+  /** Aspect-ratio bucketing for image batching (the SDXL/NovelAI-style
+    * bucketed-batch layout, public literature): every image is assigned
+    * to the ladder ratio nearest its own aspect, and each batch pads only
+    * to its bucket's max dims — the 2-D analog of the length-sorted
+    * text batching q198 measures. The readout prices the layout: per
+    * bucket, native pixel mass vs padded mass when batching to the
+    * bucket max, plus one `global` row giving the unbucketed baseline
+    * (every image padded to the corpus-wide max dims).
+    *
+    * Nearest-ratio assignment is EXACT integer arithmetic: the distance
+    * of `w/h` to ladder ratio `wb/hb` is `|w·hb − h·wb| / (h·hb)`; with
+    * `h` common across candidates, cross-denominators clear by scaling
+    * each distance by `L / hb` (`L` = lcm of ladder heights), so the
+    * argmin is an integer key sort — no floats, no ties decided by
+    * rounding (ties break to the smaller ladder index, pinned).
+    *
+    * Scale shape: assignment is per-row (zero shuffles, codegen'd
+    * array_sort over a 5-element literal ladder); the readout is one
+    * bucket-grain rollup plus a 1-row global aggregate unioned in — at
+    * 100 TB this is scan-bound with a ≤6-row result.
+    *
+    * @return bucket ("w:h" or "global"), n_images, nat_pixels,
+    *         max_w, max_h, padded_pixels, waste_pixels
+    */
+  def aspectBuckets(images: DataFrame, w: Column, h: Column,
+                    ladder: Seq[(Int, Int)] =
+                      Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)))
+      : DataFrame = {
+    require(ladder.nonEmpty && ladder.forall { case (a, b) => a > 0 && b > 0 },
+      "aspectBuckets: ladder ratios must be positive")
+    val lcmH = ladder.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    // candidates reference the ALIASED dims: the caller's w/h expressions
+    // may depend on columns the projection below drops
+    val cands = array(ladder.zipWithIndex.map { case ((wb, hb), i) =>
+      struct(
+        (abs(col("w") * lit(hb.toLong) - col("h") * lit(wb.toLong))
+          * lit(lcmH / hb)).as("key"),
+        lit(i.toLong).as("idx"),
+        lit(s"$wb:$hb").as("name"))
+    }: _*)
+    val base = images.select(w.cast("long").as("w"), h.cast("long").as("h"))
+      .withColumn("__best", element_at(array_sort(cands), 1))
+      .select(col("w"), col("h"), col("__best.name").as("bucket"))
+    val perBucket = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("w") * col("h")).as("nat_pixels"),
+        max(col("w")).as("max_w"), max(col("h")).as("max_h"))
+    val global = base.agg(count(lit(1)).as("n_images"),
+        sum(col("w") * col("h")).as("nat_pixels"),
+        max(col("w")).as("max_w"), max(col("h")).as("max_h"))
+      .select(lit("global").as("bucket"), col("n_images"),
+        col("nat_pixels"), col("max_w"), col("max_h"))
+    perBucket.unionByName(global)
+      .select(col("bucket"), col("n_images"), col("nat_pixels"),
+        col("max_w"), col("max_h"),
+        (col("n_images") * col("max_w") * col("max_h"))
+          .as("padded_pixels"),
+        (col("n_images") * col("max_w") * col("max_h") - col("nat_pixels"))
+          .as("waste_pixels"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

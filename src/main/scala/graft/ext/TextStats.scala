@@ -623,4 +623,71 @@ object TextStats {
         (col("cum").cast("double") / col("total_tokens").cast("double"))
           .as("coverage"))
   }
+
+  /** Reference-LM document scoring (the KenLM-filter shape, cf. CCNet /
+    * LLaMA data prep — public literature): train bigram counts on a
+    * REFERENCE slice of the corpus, then score every document by how
+    * familiar its bigrams are to that model. A document full of bigrams
+    * the reference has never seen is jargon, boilerplate, or noise; one
+    * whose bigrams are all high-probability reference mass is fluent —
+    * the fluency gate runs between the cheap per-row signals (q51) and
+    * the expensive model gate (q194).
+    *
+    * No transcendentals (NOTES parity rule): instead of a per-bigram
+    * log-probability sum, the readout keeps the exact integer sufficient
+    * statistics — occurrence-weighted Σ c(w1 w2) and Σ c(w1 ·) over the
+    * document's KNOWN bigrams — from which any downstream consumer can
+    * form the rational mean probability; plus the unknown-bigram count,
+    * the strongest single signal.
+    *
+    * Scale shape: the reference collapses to its bigram vocabulary in one
+    * map-side-combined shuffle; documents collapse to (doc, bigram)
+    * counts the same way; the score join is keyed on the bigram string
+    * and the model side is vocabulary-bounded (≪ corpus at 100 TB, AQE
+    * broadcasts it when it fits). Tokens are whitespace-split, so the
+    * `"w1 w2"` join key is collision-free by construction.
+    *
+    * @param refPred rows where this predicate holds form the reference
+    * @return doc_id, n_bigrams, n_known, known_num (Σ occ·c(pair)),
+    *         known_den (Σ occ·c(context)) — all exact BIGINT
+    */
+  def lmScore(docs: DataFrame, refPred: Column): DataFrame = {
+    val pairsOf = (df: DataFrame) => df
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1,
+          |              concat_ws(' ', element_at(t, i),
+          |                        element_at(t, i + 1)) AS pair))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.pair"))
+    val ref = pairsOf(docs.filter(refPred))
+    val refPairs = ref.groupBy(col("pair"))
+      .agg(count(lit(1)).as("c_pair"))
+    val refCtx = ref.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c_ctx"))
+    val docPairs = pairsOf(docs)
+      .groupBy(col("doc_id"), col("w1"), col("pair"))
+      .agg(count(lit(1)).as("occ"))
+    val scored = docPairs
+      .join(refPairs, Seq("pair"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(when(col("c_pair").isNotNull, col("occ")).otherwise(0L))
+          .as("n_known"),
+        sum(when(col("c_pair").isNotNull, col("occ") * col("c_pair"))
+          .otherwise(0L)).as("known_num"),
+        sum(when(col("c_pair").isNotNull, col("occ") * col("c_ctx"))
+          .otherwise(0L)).as("known_den"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("known_num"), lit(0L)).as("known_num"),
+        coalesce(col("known_den"), lit(0L)).as("known_den"))
+  }
 }

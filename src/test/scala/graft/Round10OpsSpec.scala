@@ -1035,6 +1035,174 @@ class Round10OpsSpec extends SparkSuite {
       s"vocab probe must broadcast:\n$p3")
   }
 
+  test("fimSplit: segments partition the doc, the rendered PSM string is " +
+      "fingerprint-pinned, autoregressive docs pass through") {
+    val docs = Seq(
+      (2L, "abcdefghij"),   // FIM'd (even id)
+      (3L, "0123456789"),   // autoregressive (odd id)
+      (4L, ""))             // empty doc: all cuts collapse to 0
+      .toDF("doc_id", "text")
+    val r = ext.Transforms.fimSplit(docs)
+      .as[(Long, Boolean, Long, Long, Long, Boolean, Long)]
+      .collect().sortBy(_._1).toList
+    // replicate the cut arithmetic for doc 2 and pin the rendered bytes
+    val n = 10L
+    val h1 = (2L * 2654435761L) % 1000003L % (n + 1)
+    val h2 = (2L * 1779033703L + 7L) % 1000003L % (n + 1)
+    val (a, b) = (math.min(h1, h2), math.max(h1, h2))
+    val t = "abcdefghij"
+    val rendered = "<PRE>" + t.substring(0, a.toInt) + "<SUF>" +
+      t.substring(b.toInt) + "<MID>" + t.substring(a.toInt, b.toInt)
+    val fp = graft.functions.StringFingerprint.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString(rendered))
+    assert(r(0) == ((2L, true, a, b - a, n - b, true, fp)))
+    // segment masses partition the doc
+    assert(r(0)._3 + r(0)._4 + r(0)._5 == n)
+    // odd id: untouched, fingerprint of the raw text
+    val fpRaw = graft.functions.StringFingerprint.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("0123456789"))
+    assert(r(1) == ((3L, false, 10L, 0L, 0L, true, fpRaw)))
+    // empty doc renders sentinels only
+    val fpEmpty = graft.functions.StringFingerprint.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "<PRE><SUF><MID>"))
+    assert(r(2) == ((4L, true, 0L, 0L, 0L, true, fpEmpty)))
+  }
+
+  test("q201 plan: per-row transform — zero exchanges") {
+    val df = SparkEntry.queries("q201_fim_transform")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"FIM transform should not shuffle:\n$p")
+  }
+
+  test("lossMask: assistant runs collapse to one span; offsets are exact " +
+      "token positions; no-assistant conversations report -1") {
+    val base = 1722470400L * 1000000000L
+    // u1: user(3) asst(5) asst(7) user(2) asst(4) → spans {5,7} and {4}
+    // u2: asst(6) user(1) → assistant-first opens a span at offset 0
+    // u3: user(9) user(1) → nothing trainable
+    val events = Seq(
+      (1L, base + 1L, 1L, "click", 2L),      // toks = k+1
+      (2L, base + 2L, 1L, "view", 4L),
+      (3L, base + 3L, 1L, "view", 6L),
+      (4L, base + 4L, 1L, "purchase", 1L),
+      (5L, base + 5L, 1L, "view", 3L),
+      (6L, base + 1L, 2L, "view", 5L),
+      (7L, base + 2L, 2L, "signup", 0L),
+      (8L, base + 1L, 3L, "click", 8L),
+      (9L, base + 2L, 3L, "click", 0L))
+      .toDF("event_id", "ts", "user_id", "event_type", "k")
+    val r = ext.Dialogue.lossMask(events, col("k") + 1L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r(0) == ((1L, 21L, 16L, 2L, 3L)))
+    assert(r(1) == ((2L, 7L, 6L, 1L, 0L)))
+    assert(r(2) == ((3L, 10L, 0L, 0L, -1L)))
+  }
+
+  test("lmScore: known-bigram mass is occurrence-weighted integer " +
+      "sufficient statistics; unseen pairs count as unknown; short docs " +
+      "report zeros") {
+    val docs = Seq(
+      (0L, "a b a c"),   // reference (even id): pairs {a b, b a, a c}
+      (1L, "a b x y"),   // held out: only "a b" is known
+      (3L, "a"),         // single token: no bigrams
+      (5L, ""))          // empty
+      .toDF("doc_id", "text")
+    val r = ext.TextStats.lmScore(docs, col("doc_id") % 2 === 0)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // doc0: all three pairs known (counts 1 each); ctx masses a→2, b→1
+    assert(r(0) == ((0L, 3L, 3L, 3L, 5L)))
+    // doc1: "a b" known (num 1, den = ctx(a) = 2); "b x","x y" unknown
+    assert(r(1) == ((1L, 3L, 1L, 1L, 2L)))
+    assert(r(2) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(r(3) == ((5L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("aspectBuckets: exact nearest-ratio assignment, ties to the " +
+      "smaller ladder index, global row prices the unbucketed baseline") {
+    val imgs = Seq(
+      (1024L, 1024L),  // exactly 1:1
+      (1280L, 960L),   // exactly 4:3
+      (960L, 1280L),   // exactly 3:4
+      (1920L, 1080L),  // exactly 16:9
+      (7L, 6L))        // equidistant 1:1 vs 4:3 → tie → 1:1
+      .toDF("w", "h")
+    val r = ext.Multimodal.aspectBuckets(imgs, col("w"), col("h"))
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("1:1")._2 == 2L)                      // the square + the tie
+    assert(r("4:3") == (("4:3", 1L, 1280L * 960L, 1280L, 960L,
+      1280L * 960L, 0L)))                          // lone image: no waste
+    assert(r("3:4")._2 == 1L && r("16:9")._2 == 1L)
+    assert(!r.contains("9:16"))                    // empty buckets absent
+    // global: pad everything to (1920, 1280)
+    val nat = 1024L*1024 + 1280L*960 + 960L*1280 + 1920L*1080 + 7L*6
+    assert(r("global") == (("global", 5L, nat, 1920L, 1280L,
+      5L * 1920L * 1280L, 5L * 1920L * 1280L - nat)))
+    // 1:1 bucket pads the 7×6 tie image up to 1024×1024
+    assert(r("1:1")._6 == 2L * 1024L * 1024L)
+  }
+
+  test("pseudonymize: one surrogate per entity, mentions and docs " +
+      "rolled up across documents, no spurious collisions on the fixture") {
+    val docs = Seq(
+      (1L, "write a@x.com then a@x.com again"),
+      (2L, "also a@x.com and b@y.org"),
+      (3L, "only b@y.org here"))
+      .toDF("doc_id", "text")
+    val r = ext.Safety.pseudonymize(docs, col("text"))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(r.size == 2, s"expected 2 surrogates, got $r")
+    assert(r.forall(_._4 == 1L), s"fingerprint collision on 2 entities: $r")
+    val byMentions = r.sortBy(_._2)
+    assert(byMentions(0)._2 == 2L && byMentions(0)._3 == 2L) // b@y.org
+    assert(byMentions(1)._2 == 3L && byMentions(1)._3 == 2L) // a@x.com
+    // surrogate is the fingerprint mod 10^6 — deterministic across runs
+    val fpA = graft.functions.StringFingerprint.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a@x.com"))
+    assert(r.exists(_._1 == s"user_${fpA % 1000000L}"))
+  }
+
+  test("q203/q204/q205 plans: LM score joins on the bigram key with " +
+      "broadcast model; bucketing assigns per-row (no join)") {
+    val lm = SparkEntry.queries("q203_lm_score")(spark, sf)
+    lm.collect()
+    val pLm = lm.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(pLm.contains("BroadcastHashJoin"),
+      s"vocab-bounded model side should broadcast under AQE:\n$pLm")
+    val ab = SparkEntry.queries("q204_aspect_buckets")(spark, sf)
+    ab.collect()
+    val pAb = ab.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!pAb.contains("Join"),
+      s"bucket assignment must be per-row, not a ladder join:\n$pAb")
+  }
+
+  test("repeatedSpans: overlapping dup positions merge to maximal spans, " +
+      "intra-doc repeats count, clean and short docs report zeros") {
+    // l = 4. Docs 1/2 share "ABCDE" → positions 1,2 in each (grams ABCD,
+    // BCDE) merge to one span of 5 chars. Doc 3 repeats "XYZW" twice
+    // INSIDE itself (pos 1 and 9, non-adjacent) → two 4-char spans.
+    // Doc 4 is clean; doc 5 is shorter than l.
+    val docs = Seq(
+      (1L, "ABCDEfgh"),
+      (2L, "quABCDEz"),
+      (3L, "XYZWabcdXYZWefgh"),
+      (4L, "nothing-shared!!"),
+      (5L, "abc"))
+      .toDF("doc_id", "text")
+    val r = ext.Dedup.repeatedSpans(docs, l = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r(0) == ((1L, 2L, 1L, 5L)))
+    assert(r(1) == ((2L, 2L, 1L, 5L)))   // span sits at offset 3, same mass
+    assert(r(2) == ((3L, 2L, 2L, 8L)))
+    assert(r(3) == ((4L, 0L, 0L, 0L)))
+    assert(r(4) == ((5L, 0L, 0L, 0L)))
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()
