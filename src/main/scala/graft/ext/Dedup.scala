@@ -440,12 +440,14 @@ object Dedup {
         .as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("gram"))
-    // corpus-wide occurrence count per gram (map-side combined); only
-    // positions of repeated grams survive to the sweep
-    val rep = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_occ"))
+    // corpus-wide occurrence count as a WINDOW over the gram key (the
+    // q166/q181 discipline: one gram shuffle, no join-back — an agg +
+    // self-join would ship the full gram frame through a second
+    // exchange); only positions of repeated grams survive to the sweep
+    val dupPos = grams
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("n_occ") >= 2)
-    val dupPos = grams.join(rep.select("gram"), "gram")
       .select(col("doc_id"), col("pos"),
         (col("pos") + (l - 1)).cast("long").as("end"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
