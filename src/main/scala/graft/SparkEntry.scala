@@ -1018,7 +1018,23 @@ object SparkEntry {
     // positions whose 20-gram repeats corpus-wide, merged to maximal
     // per-doc spans — the span-dedup complement of the doc-level family
     "q206_repeated_spans" -> ((s: SparkSession, d: String) =>
-      ext.Dedup.repeatedSpans(Tables.documents(s, d), l = 20))
+      ext.Dedup.repeatedSpans(Tables.documents(s, d), l = 20)),
+    // GPT-style fixed-context layout: distributed prefix sum of doc
+    // stream offsets, window-fragmentation histogram (c = 512 so
+    // multi-doc windows demonstrably occur on the short synthetic docs)
+    "q207_context_windows" -> ((s: SparkSession, d: String) =>
+      ext.Curation.contextWindows(Tables.documents(s, d), c = 512L)),
+    // contrastive hard-negative mining: top-3 non-positive retrievals
+    // per query (doc-prefix queries, every 97th doc) + the false-negative
+    // safety check (exact Jaccard vs the positive < 1/2)
+    "q208_hard_negatives" -> ((s: SparkSession, d: String) =>
+      ext.Retrieval.hardNegatives(Tables.documents(s, d),
+        col("doc_id") % 97 === 3, k = 3)),
+    // dialogue-family composition capstone: template gate → usability
+    // gate with per-stage conversation/pair/token survival in one DAG
+    "q209_sft_manifest" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.sftManifest(Tables.events(s, d),
+        get_json_object(col("props"), "$.k").cast("long") + 1L))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -6440,6 +6456,122 @@ object SparkEntry {
         |  coalesce(CAST(n_dup_positions AS BIGINT), 0) AS n_dup_positions,
         |  coalesce(CAST(n_spans AS BIGINT), 0) AS n_spans,
         |  coalesce(CAST(dup_chars AS BIGINT), 0) AS dup_chars
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // the oracle's global cumsum IS the definition; the Spark side must
+    // produce identical offsets from the distributed grid form (q123
+    // rule: starts are non-negative so div ≡ //)
+    "q207_context_windows" ->
+      """WITH r AS (SELECT doc_id, length(text) AS len,
+        |    length(text) + 1 AS m FROM documents),
+        |o AS (SELECT doc_id, len,
+        |    CAST(sum(m) OVER (ORDER BY doc_id) - m AS BIGINT) AS strt
+        |  FROM r),
+        |wn AS (SELECT unnest(generate_series(strt // 512,
+        |    (strt + len - 1) // 512)) AS w FROM o WHERE len > 0),
+        |pw AS (SELECT w, count(*) AS docs_touched FROM wn GROUP BY 1)
+        |SELECT CAST(docs_touched AS BIGINT) AS docs_touched,
+        |  count(*)::BIGINT AS n_windows
+        |FROM pw GROUP BY 1""".stripMargin,
+
+    // q104's df-capped core with FULL-text queries; negatives re-joined
+    // to the positive's token set for the false-negative safety check
+    "q208_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM base),
+        |dlen AS (SELECT doc_id,
+        |           CAST(len(list_distinct(t)) AS BIGINT) AS d_len
+        |         FROM base),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |dfq AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1),
+        |postings AS (
+        |  SELECT d.term, d.doc_id FROM dtok d JOIN dfq f USING (term), nn
+        |  WHERE f.df * 100 <= 79 * nn.n),
+        |queries AS (
+        |  SELECT doc_id AS query_id, list_distinct(t) AS qt
+        |  FROM base WHERE doc_id % 97 = 3),
+        |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
+        |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
+        |         FROM queries),
+        |ov AS (
+        |  SELECT q.query_id, p.doc_id, count(*) AS overlap
+        |  FROM qtok q JOIN postings p USING (term)
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT o.query_id, o.doc_id, o.overlap, ql.q_len, dl.d_len,
+        |    CAST(o.overlap AS DOUBLE)
+        |      / CAST(ql.q_len + dl.d_len - o.overlap AS DOUBLE) AS score
+        |  FROM ov o JOIN qlen ql USING (query_id)
+        |  JOIN dlen dl USING (doc_id)),
+        |negs AS (
+        |  SELECT query_id, doc_id AS neg_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored QUALIFY rk <= 3),
+        |inter AS (
+        |  SELECT n.query_id, n.neg_id, count(*) AS pov
+        |  FROM negs n JOIN dtok a ON a.doc_id = n.query_id
+        |              JOIN dtok b ON b.doc_id = n.neg_id
+        |                        AND b.term = a.term
+        |  GROUP BY 1, 2)
+        |SELECT n.query_id, CAST(n.rk AS BIGINT) AS "rank", n.neg_id,
+        |  CAST(coalesce(i.pov, 0) AS BIGINT) AS pos_overlap,
+        |  CAST(pl.d_len + nl.d_len - coalesce(i.pov, 0) AS BIGINT)
+        |    AS pos_union,
+        |  (coalesce(i.pov, 0) * 2 <
+        |    pl.d_len + nl.d_len - coalesce(i.pov, 0)) AS is_safe
+        |FROM negs n
+        |LEFT JOIN inter i ON i.query_id = n.query_id
+        |                 AND i.neg_id = n.neg_id
+        |JOIN dlen pl ON pl.doc_id = n.query_id
+        |JOIN dlen nl ON nl.doc_id = n.neg_id""".stripMargin,
+
+    // q180/q184's window chain, three monotone stages over one
+    // conversation-grain frame
+    "q209_sft_manifest" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type IN ('click', 'purchase', 'signup')
+        |      THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS toks
+        |  FROM events),
+        |w AS (SELECT *,
+        |    lag(role) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev_role,
+        |    lead(role) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS next_role,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS rn
+        |  FROM m),
+        |conv AS (SELECT user_id,
+        |    sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS viol,
+        |    min(CASE WHEN rn = 1 THEN role END) AS first_role,
+        |    sum(CASE WHEN role = 'user' AND next_role = 'assistant'
+        |      THEN 1 ELSE 0 END) AS n_pairs,
+        |    sum(toks) AS total_toks,
+        |    sum(CASE WHEN role = 'assistant' THEN toks ELSE 0 END)
+        |      AS trainable_toks
+        |  FROM w GROUP BY 1),
+        |s AS (
+        |  SELECT 'all' AS stage, count(*) AS n_convs,
+        |    coalesce(sum(n_pairs), 0) AS n_pairs,
+        |    coalesce(sum(total_toks), 0) AS total_toks,
+        |    coalesce(sum(trainable_toks), 0) AS trainable_toks FROM conv
+        |  UNION ALL
+        |  SELECT 'clean', count(*), coalesce(sum(n_pairs), 0),
+        |    coalesce(sum(total_toks), 0), coalesce(sum(trainable_toks), 0)
+        |  FROM conv WHERE viol = 0 AND first_role = 'user'
+        |  UNION ALL
+        |  SELECT 'paired', count(*), coalesce(sum(n_pairs), 0),
+        |    coalesce(sum(total_toks), 0), coalesce(sum(trainable_toks), 0)
+        |  FROM conv WHERE viol = 0 AND first_role = 'user'
+        |    AND n_pairs >= 1)
+        |SELECT stage, CAST(n_convs AS BIGINT) AS n_convs,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(total_toks AS BIGINT) AS total_toks,
+        |  CAST(trainable_toks AS BIGINT) AS trainable_toks
+        |FROM s""".stripMargin
   )
 }

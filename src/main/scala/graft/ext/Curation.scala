@@ -1415,4 +1415,60 @@ object Curation {
         col("total_tokens"), col("n_dup_docs"), col("n_blocked_docs"),
         col("majority_lang"), expr("mc * 100 div n_docs").as("majority_pct"))
   }
+
+  /** Fixed-context training layout: the GPT-style "concatenate the whole
+    * corpus with separators, cut every `c` chars" packing — the DEFAULT
+    * pretraining example builder (vs the greedy per-example bin packing
+    * q89 measures). Each document occupies the half-open stream range
+    * `[start, start + len)` with one separator char after it, where
+    * `start` is the exact prefix sum of `(len + 1)` in `doc_id` order;
+    * window `w` covers `[w·c, (w+1)·c)`. The readout is the histogram of
+    * documents-touched-per-window — how often a context mixes unrelated
+    * documents, the fragmentation cost this layout trades for zero
+    * padding (cf. the attention-mask cross-contamination discussion in
+    * public pretraining writeups).
+    *
+    * Scale shape: the prefix sum is DISTRIBUTED (the grid discipline
+    * shared with [[quantileNormalize]]/q123: monotone doc_id-range
+    * buckets → per-bucket mass + broadcast below-offsets + in-bucket
+    * window), never a single-partition global cumsum; window membership
+    * explodes each doc to its ~len/c + 1 overlapped windows (constant
+    * fan-out in `c`); two map-side-combined rollups end the job.
+    *
+    * @return docs_touched, n_windows (histogram rows)
+    */
+  def contextWindows(docs: DataFrame, c: Long = 2048,
+                     nBuckets: Int = 1024): DataFrame = {
+    require(c >= 2, "contextWindows: window size must be ≥ 2")
+    val rows = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      (length(col("text")) + 1).cast("long").as("m"))
+    val ext = rows.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val bucketed = rows.crossJoin(broadcast(ext))
+      .withColumn("b",
+        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
+          expr(s"(doc_id - lo) * $nBuckets div (hi - lo + 1)"))
+          .otherwise(raise_error(format_string(
+            s"contextWindows doc_id range [%d, %d] overflows the " +
+              s"$nBuckets-bucket grid; rescale the key first",
+            col("lo"), col("hi"))).cast("long")))
+    val boff = bucketed.groupBy(col("b")).agg(sum(col("m")).as("bm"))
+      .withColumn("below", coalesce(
+        sum(col("bm")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("below"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+    val offs = bucketed
+      .withColumn("cum_in", sum(col("m")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(boff), "b")
+      .withColumn("start", col("below") + col("cum_in") - col("m"))
+    offs.filter(col("len") > 0)
+      .select(explode(expr(
+        s"sequence(start div $c, (start + len - 1) div $c)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("docs_touched"))
+      .groupBy(col("docs_touched"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
 }

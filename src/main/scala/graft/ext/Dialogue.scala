@@ -179,4 +179,60 @@ object Dialogue {
         sum(expr("(next_ts - ts) div 1000")).as("total_latency_us"),
         sum(col("next_toks")).as("response_toks"))
   }
+
+  /** SFT dataset build manifest (the dialogue family's composition
+    * capstone, the q199/q200 discipline): transcripts flow through the
+    * template gate ([[turnAudit]]'s alternation + user-first rule) and
+    * the usability gate (≥1 user→assistant pair, [[turnPairs]]'s
+    * extraction condition), with per-stage survival — conversation,
+    * pair, and token mass — in ONE DAG. The three stages a fine-tuning
+    * run reports before training starts: what arrived, what renders
+    * under the chat template, what actually yields examples.
+    *
+    * Scale shape: lag + lead + the rollup share ONE conversation-key
+    * window sort (the reason to compose rather than union three
+    * operators); stage membership is monotone (each stage filters the
+    * previous), so the three stage rows aggregate one conversation-grain
+    * frame — corpus touched once.
+    *
+    * @return stage ('all'|'clean'|'paired'), n_convs, n_pairs,
+    *         total_toks, trainable_toks
+    */
+  def sftManifest(events: DataFrame, toks: Column,
+                  userTypes: Seq[String] = Seq("click", "purchase",
+                    "signup")): DataFrame = {
+    val role = when(col("event_type").isin(userTypes.map(x => x: Any): _*),
+      "user").otherwise("assistant")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val conv = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        role.as("role"), toks.cast("long").as("toks"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("next_role", lead(col("role"), 1).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("prev_role") === col("role"), 1L).otherwise(0L))
+          .as("viol"),
+        min(when(col("rn") === 1L, col("role"))).as("first_role"),
+        sum(when(col("role") === "user" &&
+          col("next_role") === "assistant", 1L).otherwise(0L))
+          .as("n_pairs"),
+        sum(col("toks")).as("total_toks"),
+        sum(when(col("role") === "assistant", col("toks")).otherwise(0L))
+          .as("trainable_toks"))
+    val clean = col("viol") === 0L && col("first_role") === "user"
+    val stage = (name: String, pred: Column) => conv.filter(pred)
+      .agg(count(lit(1)).as("n_convs"),
+        coalesce(sum(col("n_pairs")), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("total_toks")), lit(0L)).as("total_toks"),
+        coalesce(sum(col("trainable_toks")), lit(0L))
+          .as("trainable_toks"))
+      .select(lit(name).as("stage"), col("n_convs"), col("n_pairs"),
+        col("total_toks"), col("trainable_toks"))
+    stage("all", lit(true))
+      .unionByName(stage("clean", clean))
+      .unionByName(stage("paired", clean && col("n_pairs") >= 1L))
+  }
 }

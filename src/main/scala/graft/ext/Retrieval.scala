@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -265,5 +265,59 @@ object Retrieval {
         when(col("idcg") > 0,
           col("dcg").cast("double") / col("idcg").cast("double"))
           .as("ndcg"))
+  }
+
+  /** Hard-negative mining for retrieval training (the contrastive-data
+    * prep step, cf. DPR / sentence-transformers practice — public
+    * literature): each query's top-`k` retrieved NON-positive documents
+    * become its hard negatives, with the safety check that separates a
+    * useful hard negative from a FALSE negative — a candidate too similar
+    * to the positive is probably an unlabeled duplicate answer, and
+    * training against it teaches the model to reject correct evidence.
+    * Here the positive is the query's own source document (queries are
+    * derived from docs, the q104 fixture discipline), retrieval is the
+    * shared df-capped token-overlap core ([[topKForQueries]] already
+    * excludes the positive itself), and safety is exact integer Jaccard
+    * vs the positive: safe ⟺ 2·|neg ∩ pos| < |neg ∪ pos|.
+    *
+    * Scale shape: mining inherits the bounded top-k core (postings
+    * df-capped, per-query window on O(queries·k) rows); the safety check
+    * joins the O(queries·k) negative set back to distinct-token frames —
+    * two joins on doc-grain keys, never corpus×corpus.
+    *
+    * @return query_id, rank, neg_id, pos_overlap, pos_union, is_safe
+    */
+  def hardNegatives(docs: DataFrame, queryPred: Column, k: Int = 3,
+                    maxDfPct: Long = 79): DataFrame = {
+    val queries = docs.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("text").as("q_text"))
+    val negs = topKForQueries(docs, queries, k, maxDfPct)
+      .select(col("query_id"), col("rank"), col("doc_id").as("neg_id"))
+    val dTok = docs.select(col("doc_id"),
+      explode(array_distinct(TextStats.tokens(col("text")))).as("term"))
+    val dLen = docs.select(col("doc_id"),
+      size(array_distinct(TextStats.tokens(col("text"))))
+        .cast("long").as("d_len"))
+    // |neg ∩ pos|: expand mined pairs by the positive's terms, then keep
+    // the terms the negative also carries — never corpus×corpus
+    val inter = negs
+      .join(dTok.withColumnRenamed("doc_id", "query_id"), "query_id")
+      .join(dTok.select(col("doc_id").as("neg_id"), col("term")),
+        Seq("neg_id", "term"))
+      .groupBy(col("query_id"), col("rank"), col("neg_id"))
+      .agg(count(lit(1)).as("pos_overlap"))
+    negs
+      .join(inter, Seq("query_id", "rank", "neg_id"), "left")
+      .join(dLen.withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("d_len", "pos_len"), "query_id")
+      .join(dLen.withColumnRenamed("doc_id", "neg_id")
+        .withColumnRenamed("d_len", "neg_len"), "neg_id")
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        coalesce(col("pos_overlap"), lit(0L)).as("pos_overlap"),
+        (col("pos_len") + col("neg_len") -
+          coalesce(col("pos_overlap"), lit(0L))).as("pos_union"),
+        (coalesce(col("pos_overlap"), lit(0L)) * 2 <
+          col("pos_len") + col("neg_len") -
+            coalesce(col("pos_overlap"), lit(0L))).as("is_safe"))
   }
 }

@@ -1203,6 +1203,56 @@ class Round10OpsSpec extends SparkSuite {
     assert(r(4) == ((5L, 0L, 0L, 0L)))
   }
 
+  test("contextWindows: stream offsets are exact prefix sums with " +
+      "separators; fragmentation histogram counts docs per window; " +
+      "empty docs shift the stream but touch no window") {
+    // c=5. Stream: d1 [0,4)+sep, d2 [5,7)+sep, d3 [8,14)+sep, d4 empty
+    // (sep only). Windows: w0 {d1}, w1 {d2,d3}, w2 {d3} → hist 1→2, 2→1.
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "bb"), (3L, "cccccc"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = ext.Curation.contextWindows(docs, c = 5L)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("hardNegatives: non-positive top-k with the false-negative " +
+      "safety check — a near-duplicate of the positive is flagged unsafe") {
+    val docs = Seq(
+      (0L, "p q r"),
+      (1L, "a b z"),       // shares {a,b} with the positive → UNSAFE
+      (2L, "a y x w"),     // shares {a} → safe
+      (3L, "a b c"))       // the query/positive (3 % 97 = 3... pred below)
+      .toDF("doc_id", "text")
+    val r = ext.Retrieval.hardNegatives(docs, col("doc_id") === 3, k = 3)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._2).toList
+    // doc1 scores 2/4, doc2 scores 1/6; doc0 has no overlap → absent
+    assert(r == List(
+      (3L, 1L, 1L, 2L, 4L, false),   // 2·2 < 4 fails → unsafe
+      (3L, 2L, 2L, 1L, 6L, true)))
+  }
+
+  test("sftManifest: monotone stages — template gate then usability " +
+      "gate — with conversation/pair/token survival") {
+    val base = 1722470400L * 1000000000L
+    val events = Seq(
+      // u1 clean + paired: user(2) asst(5)
+      (1L, base + 1L, 1L, "click", 1L), (2L, base + 2L, 1L, "view", 4L),
+      // u2 violating: user(1) user(2) asst(3)
+      (3L, base + 1L, 2L, "click", 0L), (4L, base + 2L, 2L, "signup", 1L),
+      (5L, base + 3L, 2L, "view", 2L),
+      // u3 clean, unpaired: lone user(7)
+      (6L, base + 1L, 3L, "purchase", 6L))
+      .toDF("event_id", "ts", "user_id", "event_type", "k")
+    val r = ext.Dialogue.sftManifest(events, col("k") + 1L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("all") == (("all", 3L, 2L, 20L, 8L)))
+    assert(r("clean") == (("clean", 2L, 1L, 14L, 5L)))
+    assert(r("paired") == (("paired", 1L, 1L, 7L, 5L)))
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()
