@@ -6474,8 +6474,10 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_windows
         |FROM pw GROUP BY 1""".stripMargin,
 
-    // q104's df-capped core with FULL-text queries; negatives re-joined
-    // to the positive's token set for the false-negative safety check
+    // q104's df-capped core with 5-token PREFIX queries (full-text
+    // queries make the overlap join quadratic — scaladoc'd scale rule);
+    // negatives re-joined to the FULL positive token set for the
+    // false-negative safety check
     "q208_hard_negatives" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -6490,7 +6492,7 @@ object SparkEntry {
         |  SELECT d.term, d.doc_id FROM dtok d JOIN dfq f USING (term), nn
         |  WHERE f.df * 100 <= 79 * nn.n),
         |queries AS (
-        |  SELECT doc_id AS query_id, list_distinct(t) AS qt
+        |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
         |  FROM base WHERE doc_id % 97 = 3),
         |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
         |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len

@@ -274,11 +274,15 @@ object Retrieval {
     * useful hard negative from a FALSE negative — a candidate too similar
     * to the positive is probably an unlabeled duplicate answer, and
     * training against it teaches the model to reject correct evidence.
-    * Here the positive is the query's own source document (queries are
-    * derived from docs, the q104 fixture discipline), retrieval is the
-    * shared df-capped token-overlap core ([[topKForQueries]] already
+    * Here the positive is the query's own source document and the query
+    * is its first-`qTokens` token prefix (the q104 fixture discipline —
+    * and a hard SCALE rule: a full-document query against a shared
+    * vocabulary makes the postings⋈queries overlap join quadratic with a
+    * huge constant, measured as a runaway at the 10× point; short
+    * queries bound the join to O(queries · qTokens · df)); retrieval is
+    * the shared df-capped token-overlap core ([[topKForQueries]] already
     * excludes the positive itself), and safety is exact integer Jaccard
-    * vs the positive: safe ⟺ 2·|neg ∩ pos| < |neg ∪ pos|.
+    * vs the FULL positive document: safe ⟺ 2·|neg ∩ pos| < |neg ∪ pos|.
     *
     * Scale shape: mining inherits the bounded top-k core (postings
     * df-capped, per-query window on O(queries·k) rows); the safety check
@@ -288,9 +292,11 @@ object Retrieval {
     * @return query_id, rank, neg_id, pos_overlap, pos_union, is_safe
     */
   def hardNegatives(docs: DataFrame, queryPred: Column, k: Int = 3,
-                    maxDfPct: Long = 79): DataFrame = {
+                    maxDfPct: Long = 79, qTokens: Int = 5): DataFrame = {
     val queries = docs.filter(queryPred)
-      .select(col("doc_id").as("query_id"), col("text").as("q_text"))
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextStats.tokens(col("text")), 1, qTokens))
+          .as("q_text"))
     val negs = topKForQueries(docs, queries, k, maxDfPct)
       .select(col("query_id"), col("rank"), col("doc_id").as("neg_id"))
     val dTok = docs.select(col("doc_id"),
