@@ -1034,7 +1034,20 @@ object SparkEntry {
     // gate with per-stage conversation/pair/token survival in one DAG
     "q209_sft_manifest" -> ((s: SparkSession, d: String) =>
       ext.Dialogue.sftManifest(Tables.events(s, d),
-        get_json_object(col("props"), "$.k").cast("long") + 1L))
+        get_json_object(col("props"), "$.k").cast("long") + 1L)),
+    // data-parallel shard balance: snake assignment off the distributed
+    // descending grid rank — per-worker doc/char loads
+    "q210_shard_balance" -> ((s: SparkSession, d: String) =>
+      ext.Curation.shardBalance(Tables.documents(s, d),
+        length(col("text")), nWorkers = 8)),
+    // three independent quality gates cross-tabulated: blocklist
+    // heuristic × logit model gate × reference-LM fluency — the
+    // disagreement cells are the human-review queue
+    "q211_gate_agreement" -> ((s: SparkSession, d: String) =>
+      ext.Curation.gateAgreement(Tables.documents(s, d),
+        blockWords = Seq("slow", "big", "the"), maxPct = 10,
+        bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
+        wDistinct = 1000000L, refPred = col("doc_id") % 2 === 0))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -6574,6 +6587,62 @@ object SparkEntry {
         |  CAST(n_pairs AS BIGINT) AS n_pairs,
         |  CAST(total_toks AS BIGINT) AS total_toks,
         |  CAST(trainable_toks AS BIGINT) AS trainable_toks
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // descending global rank (len DESC, doc_id tiebreak) → snake
+    // block/position arithmetic; worker-grain loads
+    "q210_shard_balance" ->
+      """WITH r AS (SELECT doc_id, length(text) AS len FROM documents),
+        |rk AS (SELECT doc_id, len,
+        |    row_number() OVER (ORDER BY len DESC, doc_id) - 1 AS r0
+        |  FROM r),
+        |a AS (SELECT len,
+        |    CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |         ELSE 7 - (r0 % 8) END AS worker
+        |  FROM rk)
+        |SELECT CAST(worker AS BIGINT) AS worker,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS load_chars
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // q164's normalized blocklist + q194's logit gate (per-row) and
+    // q203's bigram chain (lm gate), cross-tabulated at the doc grain
+    "q211_gate_agreement" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, t, len(t) AS nt,
+        |    len(list_filter(t, x -> list_contains(['slow','big','the'],
+        |      regexp_replace(translate(x,
+        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |      '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked,
+        |    len(list_filter(t, x ->
+        |      x IN ('the','of','and','a','to','in','is'))) AS sh,
+        |    len(list_distinct(t)) AS nd
+        |  FROM toks),
+        |flags AS (SELECT doc_id, length(text) AS nc,
+        |    n_blocked * 100 <= 10 * nt AS pass_blocklist,
+        |    -60000000 + 500000 * nt + 2000000 * sh + 1000000 * nd > 0
+        |      AS pass_model
+        |  FROM f),
+        |b0 AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS pair FROM b0),
+        |ref AS (SELECT pair, count(*) AS c_pair FROM bg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |dp AS (SELECT doc_id, pair, count(*) AS occ FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT dp.doc_id, sum(occ) AS nb,
+        |    sum(CASE WHEN r.pair IS NOT NULL THEN occ ELSE 0 END) AS nk
+        |  FROM dp LEFT JOIN ref r ON dp.pair = r.pair GROUP BY 1),
+        |lm AS (SELECT fl.doc_id, fl.nc, fl.pass_blocklist, fl.pass_model,
+        |    (coalesce(sc.nb, 0) > 0 AND
+        |     2 * coalesce(sc.nk, 0) >= coalesce(sc.nb, 0)) AS pass_lm
+        |  FROM flags fl LEFT JOIN sc ON fl.doc_id = sc.doc_id)
+        |SELECT pass_blocklist, pass_model, pass_lm,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars
+        |FROM lm GROUP BY 1, 2, 3""".stripMargin
   )
 }

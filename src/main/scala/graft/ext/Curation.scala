@@ -1471,4 +1471,81 @@ object Curation {
       .groupBy(col("docs_touched"))
       .agg(count(lit(1)).as("n_windows"))
   }
+
+  /** Data-parallel shard balance: assign documents to `nWorkers` workers
+    * so per-worker token mass is even — the skewed-shard problem that
+    * makes one data-parallel rank straggle every step. Greedy LPT is
+    * inherently sequential; the distributed standard is SNAKE (zigzag)
+    * assignment off a descending length sort: rank r → block r÷W, worker
+    * = position within block, reversed in odd blocks — each block of W
+    * docs has similar lengths, and the reversal cancels the within-block
+    * monotonicity, bounding the max−min load gap by one block's spread.
+    *
+    * Scale shape: the descending rank is the DISTRIBUTED grid rank
+    * (shared [[gridRankBy]] — never a single-task global sort); the
+    * snake arithmetic is per-row integers; one worker-grain rollup ends
+    * the job.
+    *
+    * @return worker, n_docs, load_chars
+    */
+  def shardBalance(docs: DataFrame, len: Column, nWorkers: Int = 8,
+                   nBuckets: Int = 1024): DataFrame = {
+    require(nWorkers >= 1, "shardBalance: need at least one worker")
+    val rows = docs.select(col("doc_id"),
+      (-len.cast("long")).as("negLen"))
+    val ranked = gridRankBy(rows, "negLen", "r", "shardBalance", nBuckets)
+      .withColumn("r0", col("r") - 1L)
+      .withColumn("block", expr(s"r0 div $nWorkers"))
+      .withColumn("pos", pmod(col("r0"), lit(nWorkers.toLong)))
+      .withColumn("worker",
+        when(pmod(col("block"), lit(2L)) === 0L, col("pos"))
+          .otherwise(lit(nWorkers.toLong - 1L) - col("pos")))
+    ranked.groupBy(col("worker"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(-col("negLen")).as("load_chars"))
+  }
+
+  /** Quality-gate agreement matrix: three INDEPENDENT keep/drop gates —
+    * the cheap blocklist heuristic (q164's normalized kernel), the
+    * frozen model gate in the logit domain (q194), and the
+    * reference-LM fluency gate (q203's known-bigram majority) — voted
+    * per document and cross-tabulated. The disagreement cells are the
+    * actionable readout: documents the heuristics keep but the model
+    * drops (or vice versa) are exactly the ones worth human review
+    * before a gate is trusted corpus-wide; a gate that never disagrees
+    * is redundant, one that always disagrees is broken.
+    *
+    * Scale shape: the heuristic + model gates are per-row expressions
+    * over one corpus scan; the LM gate contributes its own bigram-grain
+    * shuffles (q203's shape); the final join is doc-grain and the
+    * output is ≤8 rows.
+    *
+    * @return pass_blocklist, pass_model, pass_lm, n_docs, total_chars
+    */
+  def gateAgreement(docs: DataFrame, blockWords: Seq[String], maxPct: Int,
+                    bias: Long, wTokens: Long, wStop: Long,
+                    wDistinct: Long, refPred: Column): DataFrame = {
+    val bl = graft.ext.Safety.blocklistScan(
+      docs.select(col("doc_id"), col("text")), col("text"), blockWords,
+      maxPct)
+    val stopArr = array(TextStats.stopwords.map(lit): _*)
+    val flags = bl
+      .withColumn("__toks", TextStats.tokens(col("text")))
+      .withColumn("__z",
+        lit(bias) + lit(wTokens) * size(col("__toks")).cast("long")
+          + lit(wStop) * size(filter(col("__toks"),
+            t => array_contains(stopArr, t))).cast("long")
+          + lit(wDistinct)
+            * size(array_distinct(col("__toks"))).cast("long"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+        col("kept").as("pass_blocklist"), (col("__z") > 0).as("pass_model"))
+    val lm = TextStats.lmScore(docs, refPred)
+      .select(col("doc_id"),
+        (col("n_bigrams") > 0 &&
+          col("n_known") * 2 >= col("n_bigrams")).as("pass_lm"))
+    flags.join(lm, "doc_id")
+      .groupBy(col("pass_blocklist"), col("pass_model"), col("pass_lm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("total_chars"))
+  }
 }

@@ -1253,6 +1253,38 @@ class Round10OpsSpec extends SparkSuite {
     assert(r("paired") == (("paired", 1L, 1L, 7L, 5L)))
   }
 
+  test("shardBalance: snake assignment off the descending rank balances " +
+      "a linear length spread perfectly") {
+    // lengths 16..1 over 16 docs, 4 workers: blocks {0,1,2,3},{3,2,1,0},…
+    // every worker gets one doc per block → identical 34-char loads
+    val docs = (1 to 16).map(i => (i.toLong, "x" * (17 - i)))
+      .toDF("doc_id", "text")
+    val r = ext.Curation.shardBalance(docs, length(col("text")),
+      nWorkers = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r == List((0L, 4L, 34L), (1L, 4L, 34L), (2L, 4L, 34L),
+      (3L, 4L, 34L)))
+  }
+
+  test("gateAgreement: independent gates cross-tabulate; disagreement " +
+      "cells carry the docs the gates dispute") {
+    val docs = Seq(
+      (0L, "a b a b"),     // ref; all three gates pass
+      (1L, "x y"),         // ref; model gate fails (nt ≤ 3)
+      (2L, "a b a b c"),   // held out; "a b"/"b a" known → lm passes
+      (3L, "bad q"))       // blocklisted, short, unknown bigram → all fail
+      .toDF("doc_id", "text")
+    val r = ext.Curation.gateAgreement(docs, blockWords = Seq("bad"),
+      maxPct = 0, bias = -3L, wTokens = 1L, wStop = 0L, wDistinct = 0L,
+      refPred = col("doc_id") < 2)
+      .as[(Boolean, Boolean, Boolean, Long, Long)].collect()
+      .map(x => (x._1, x._2, x._3) -> (x._4, x._5)).toMap
+    assert(r == Map(
+      (true, true, true) -> ((2L, 16L)),
+      (true, false, true) -> ((1L, 3L)),
+      (false, false, false) -> ((1L, 5L))))
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()
