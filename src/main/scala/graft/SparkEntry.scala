@@ -1047,7 +1047,15 @@ object SparkEntry {
       ext.Curation.gateAgreement(Tables.documents(s, d),
         blockWords = Seq("slow", "big", "the"), maxPct = 10,
         bias = -60000000L, wTokens = 500000L, wStop = 2000000L,
-        wDistinct = 1000000L, refPred = col("doc_id") % 2 === 0))
+        wDistinct = 1000000L, refPred = col("doc_id") % 2 === 0)),
+    // agentic-transcript bracket audit: tool results must answer pending
+    // tool calls — running-balance window, orphan/unclosed counts.
+    // click→call, purchase→result: the two ~equal-mass event types, so
+    // orphans AND unclosed both fire (a 'cart' mapping was degenerate —
+    // the type doesn't exist in the fixture, the q104 activity lesson)
+    "q212_toolcall_audit" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.toolCallAudit(Tables.events(s, d),
+        callTypes = Seq("click"), resultTypes = Seq("purchase")))
   )
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
@@ -6643,6 +6651,27 @@ object SparkEntry {
         |SELECT pass_blocklist, pass_model, pass_lm,
         |  count(*)::BIGINT AS n_docs,
         |  CAST(sum(nc) AS BIGINT) AS total_chars
-        |FROM lm GROUP BY 1, 2, 3""".stripMargin
+        |FROM lm GROUP BY 1, 2, 3""".stripMargin,
+
+    // running balance over (ts, event_id) order; orphans = deepest dip
+    // below zero, unclosed = final balance re-based by the dip
+    "q212_toolcall_audit" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1
+        |         WHEN event_type = 'purchase' THEN -1 ELSE 0 END AS d
+        |  FROM events),
+        |w AS (SELECT *, sum(d) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS bal FROM m),
+        |c AS (SELECT user_id,
+        |    sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_calls,
+        |    sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_results,
+        |    greatest(0, -min(bal)) AS orph
+        |  FROM w GROUP BY 1)
+        |SELECT user_id, CAST(n_calls AS BIGINT) AS n_calls,
+        |  CAST(n_results AS BIGINT) AS n_results,
+        |  CAST(orph AS BIGINT) AS n_orphan_results,
+        |  CAST(n_calls - n_results + orph AS BIGINT) AS n_unclosed_calls,
+        |  (orph = 0 AND n_calls = n_results) AS ok
+        |FROM c""".stripMargin
   )
 }

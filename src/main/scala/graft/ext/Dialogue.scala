@@ -180,6 +180,57 @@ object Dialogue {
         sum(col("next_toks")).as("response_toks"))
   }
 
+  /** Tool-call bracket audit for agentic transcripts: in a tool-use
+    * trace, every tool RESULT must answer a pending tool CALL — the
+    * balanced-brackets invariant a function-calling fine-tune requires
+    * of its training episodes (an orphan result teaches the model to
+    * hallucinate tool output; an unclosed call truncates the loop).
+    * Checked per conversation as a running balance over message order:
+    * calls +1, results −1; a dip below zero is an orphan result, the
+    * final balance counts unclosed calls.
+    *
+    * Exactness: the minimum of the running balance and the final
+    * balance are integer window/rollup facts — orphans = −min(0,
+    * min running balance), unclosed = final + orphans (re-basing the
+    * balance after its deepest dip).
+    *
+    * Scale shape: one conversation-key shuffle; the running sum shares
+    * the sort with everything else in this family; conversation-grain
+    * output. The streaming twin ([[graft.streaming.StreamOps]]) keeps
+    * the same O(1) (balance, min-balance) state per conversation.
+    *
+    * @return user_id, n_calls, n_results, n_orphan_results,
+    *         n_unclosed_calls, ok
+    */
+  def toolCallAudit(events: DataFrame,
+                    callTypes: Seq[String] = Seq("cart"),
+                    resultTypes: Seq[String] = Seq("purchase"))
+      : DataFrame = {
+    val delta = when(col("event_type")
+        .isin(callTypes.map(x => x: Any): _*), 1L)
+      .when(col("event_type").isin(resultTypes.map(x => x: Any): _*), -1L)
+      .otherwise(0L)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        delta.as("d"))
+      .withColumn("bal", sum(col("d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_calls"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_results"),
+        greatest(lit(0L), -min(col("bal"))).as("n_orphan_results"))
+      .select(col("user_id"), col("n_calls"), col("n_results"),
+        col("n_orphan_results"),
+        // final balance = calls − results; re-based by the deepest dip
+        (col("n_calls") - col("n_results") + col("n_orphan_results"))
+          .as("n_unclosed_calls"),
+        (col("n_orphan_results") === 0L &&
+          col("n_calls") === col("n_results")).as("ok"))
+  }
+
   /** SFT dataset build manifest (the dialogue family's composition
     * capstone, the q199/q200 discipline): transcripts flow through the
     * template gate ([[turnAudit]]'s alternation + user-first rule) and

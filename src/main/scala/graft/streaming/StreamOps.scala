@@ -596,4 +596,68 @@ object StreamOps {
           }
       }
   }
+
+  /** Per-conversation bracket-audit row (same shape as the batch
+    * [[graft.ext.Dialogue.toolCallAudit]] output).
+    */
+  final case class ToolRow(user_id: Long, n_calls: Long, n_results: Long,
+                           n_orphan_results: Long, n_unclosed_calls: Long,
+                           ok: Boolean)
+
+  // NOT private: the state encoder's generated code needs public accessors
+  final case class ToolState(calls: Long, results: Long, bal: Long,
+                             minBal: Long, lastTs: Long)
+
+  /** Streaming twin of [[graft.ext.Dialogue.toolCallAudit]] — twelfth
+    * batch↔stream pair: the balanced-brackets invariant of tool-use
+    * transcripts tracked live in O(1) state per conversation (running
+    * balance + its minimum), emitting the audit row when the episode
+    * goes idle (same event-time-timeout closing rule as
+    * [[dialogueAuditStream]]). The batch operator is the oracle-checked
+    * semantics; equivalence is asserted on shared random events.
+    */
+  def toolCallAuditStream(events: Dataset[Event],
+                          idleTimeoutUs: Long = 3600L * 1000000,
+                          watermark: String = "1 hour",
+                          callTypes: Set[String] = Set("cart"),
+                          resultTypes: Set[String] = Set("purchase"))
+      : Dataset[ToolRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ToolState, ToolRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event],
+         state: GroupState[ToolState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val orphans = math.max(0L, -s.minBal)
+            val unclosed = s.calls - s.results + orphans
+            Iterator.single(ToolRow(user, s.calls, s.results, orphans,
+              unclosed, orphans == 0L && s.calls == s.results))
+          } else {
+            var s = state.getOption
+              .getOrElse(ToolState(0L, 0L, 0L, 0L, -1L))
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val d =
+                if (callTypes(e.event_type)) 1L
+                else if (resultTypes(e.event_type)) -1L
+                else 0L
+              val bal = s.bal + d
+              s = ToolState(
+                s.calls + (if (d > 0) 1L else 0L),
+                s.results + (if (d < 0) 1L else 0L),
+                bal, math.min(s.minBal, bal), e.ts_us)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs / 1000 + idleTimeoutUs / 1000)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -1285,6 +1285,33 @@ class Round10OpsSpec extends SparkSuite {
       (false, false, false) -> ((1L, 5L))))
   }
 
+  test("toolCallAudit: orphan results are the deepest dip, unclosed " +
+      "calls the re-based final balance; text turns don't move the " +
+      "balance") {
+    val base = 1722470400L * 1000000000L
+    val events = Seq(
+      // u1 ok: call result text call result
+      (1L, base + 1, 1L, "cart"), (2L, base + 2, 1L, "purchase"),
+      (3L, base + 3, 1L, "view"), (4L, base + 4, 1L, "cart"),
+      (5L, base + 5, 1L, "purchase"),
+      // u2 orphan then unclosed: result call  (calls==results but broken)
+      (6L, base + 1, 2L, "purchase"), (7L, base + 2, 2L, "cart"),
+      // u3 unclosed only: call call result
+      (8L, base + 1, 3L, "cart"), (9L, base + 2, 3L, "cart"),
+      (10L, base + 3, 3L, "purchase"),
+      // u4 no tool traffic at all
+      (11L, base + 1, 4L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = ext.Dialogue.toolCallAudit(events)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).toList
+    assert(r == List(
+      (1L, 2L, 2L, 0L, 0L, true),
+      (2L, 1L, 1L, 1L, 1L, false),
+      (3L, 2L, 1L, 0L, 1L, false),
+      (4L, 0L, 0L, 0L, 0L, true)))
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()

@@ -628,4 +628,46 @@ class StreamingSpec extends SparkSuite {
         "test data should exercise violations and truncation")
     } finally q.stop()
   }
+
+  test("streaming tool-call audit ≡ batch toolCallAudit on the same 300 " +
+    "random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1666)
+    val types = Seq("view", "cart", "purchase", "cart", "click")
+    // 10 random users + one scripted clean episode (random balanced
+    // conversations are rare at 30 events/user)
+    val evts = (1 to 300).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(12 * 60) * Min,
+        1 + rnd.nextInt(10), types(rnd.nextInt(types.length)),
+        rnd.nextInt(100).toDouble)
+    } ++ Seq(
+      Event(901L, T0 + 1 * Min, 11L, "cart", 0.0),
+      Event(902L, T0 + 2 * Min, 11L, "purchase", 0.0))
+    val maxTs = evts.map(_.ts_us).max
+
+    val batch = graft.ext.Dialogue.toolCallAudit(
+      evts.toDF().withColumn("ts", col("ts_us")))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.toolCallAuditStream(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tooleqv").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, maxTs + 5000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 9000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tooleqv")
+        .as[(Long, Long, Long, Long, Long, Boolean)]
+        .collect().filter(_._1 != 999L).toSet
+      assert(streamed === batch)
+      assert(batch.exists(_._4 > 0) && batch.exists(_._5 > 0) &&
+        batch.exists(_._6),
+        "test data should exercise orphans, unclosed calls, and clean " +
+          "episodes")
+    } finally q.stop()
+  }
 }
