@@ -6299,8 +6299,8 @@ object SparkEntry {
     "q201_fim_transform" ->
       """WITH c AS (SELECT doc_id, text, length(text) AS n,
         |    (doc_id % 2 = 0) AS is_fim,
-        |    (doc_id * 2654435761) % 1000003 % (length(text) + 1) AS h1,
-        |    (doc_id * 1779033703 + 7) % 1000003 % (length(text) + 1) AS h2
+        |    (doc_id * 2654435761) % (length(text) + 1) AS h1,
+        |    (doc_id * 1779033703 + 7) % (length(text) + 1) AS h2
         |  FROM documents),
         |cut AS (SELECT doc_id, text, n, is_fim,
         |    CASE WHEN is_fim THEN least(h1, h2) ELSE n END AS a,

@@ -1137,21 +1137,8 @@ object Curation {
     */
   private def gridRankBy(rows: DataFrame, keyName: String, out: String,
                          op: String, nBuckets: Int = 1024): DataFrame = {
-    val ext = rows.agg(min(col(keyName)).as("lo"),
-      max(col(keyName)).as("hi"))
-    val bucketed = rows.crossJoin(broadcast(ext))
-      .withColumn("b",
-        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
-          expr(s"($keyName - lo) * $nBuckets div (hi - lo + 1)"))
-          .otherwise(raise_error(format_string(
-            s"$op key range [%d, %d] overflows the " +
-              s"$nBuckets-bucket grid; rescale the key first",
-            col("lo"), col("hi"))).cast("long")))
-    val boff = bucketed.groupBy(col("b")).agg(count(lit(1)).as("bn"))
-      .withColumn("below", coalesce(
-        sum(col("bn")).over(Window.orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("b"), col("below"))
+    val bucketed = gridBucketed(rows, keyName, op, nBuckets)
+    val boff = gridBelow(bucketed, count(lit(1)))
     val wIn = Window.partitionBy(col("b"))
       .orderBy(col(keyName), col("doc_id"))
     bucketed
@@ -1160,6 +1147,35 @@ object Curation {
       .withColumn(out, col("below") + col("loc"))
       .drop("lo", "hi", "b", "below", "loc")
   }
+
+  /** Monotone value-grid bucketing with the overflow guard — the shared
+    * scaffolding under [[gridRankBy]] and [[contextWindows]]'s prefix
+    * sum (review catch: one bucket formula, one guard).
+    */
+  private def gridBucketed(rows: DataFrame, keyName: String, op: String,
+                           nBuckets: Int): DataFrame = {
+    val ext = rows.agg(min(col(keyName)).as("lo"),
+      max(col(keyName)).as("hi"))
+    rows.crossJoin(broadcast(ext))
+      .withColumn("b",
+        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
+          expr(s"($keyName - lo) * $nBuckets div (hi - lo + 1)"))
+          .otherwise(raise_error(format_string(
+            s"$op key range [%d, %d] overflows the " +
+              s"$nBuckets-bucket grid; rescale the key first",
+            col("lo"), col("hi"))).cast("long")))
+  }
+
+  /** Broadcast per-bucket mass-below offsets: the prefix aggregate of
+    * `mass` over the O(nBuckets) bucket frame (the only global window in
+    * the grid discipline — it runs on buckets, never on rows).
+    */
+  private def gridBelow(bucketed: DataFrame, mass: Column): DataFrame =
+    bucketed.groupBy(col("b")).agg(mass.as("bm"))
+      .withColumn("below", coalesce(
+        sum(col("bm")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("below"))
 
   def quantileNormalize(docs: DataFrame, score: Column,
                         group: Column, nBuckets: Int = 1024): DataFrame = {
@@ -1332,15 +1348,13 @@ object Curation {
     val base = docs.select(col("doc_id"), col("source"), text.as("text"))
     val bl = graft.ext.Safety.blocklistScan(base, col("text"), blockWords,
       maxPct)
-    val stopArr = array(TextStats.stopwords.map(lit): _*)
+    // __toks stays a materialized multi-ref column: inlining tokens()
+    // into the 3-ref logit expression would re-run the regex splitter
+    // three times per row (the q51 HOF-reevaluation lesson)
     val q = bl
       .withColumn("__toks", TextStats.tokens(col("text")))
-      .withColumn("__z",
-        lit(bias) + lit(wTokens) * size(col("__toks")).cast("long")
-          + lit(wStop) * size(filter(col("__toks"),
-            t => array_contains(stopArr, t))).cast("long")
-          + lit(wDistinct)
-            * size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("__z", TextStats.qualityLogitMicro(col("__toks"),
+        bias, wTokens, wStop, wDistinct))
       .withColumn("kept_q", col("kept") && col("__z") > 0)
     val surv = q
       .withColumn("fp",
@@ -1443,21 +1457,8 @@ object Curation {
     val rows = docs.select(col("doc_id"),
       length(col("text")).cast("long").as("len"),
       (length(col("text")) + 1).cast("long").as("m"))
-    val ext = rows.agg(min(col("doc_id")).as("lo"),
-      max(col("doc_id")).as("hi"))
-    val bucketed = rows.crossJoin(broadcast(ext))
-      .withColumn("b",
-        when(col("hi") - col("lo") <= Long.MaxValue / nBuckets,
-          expr(s"(doc_id - lo) * $nBuckets div (hi - lo + 1)"))
-          .otherwise(raise_error(format_string(
-            s"contextWindows doc_id range [%d, %d] overflows the " +
-              s"$nBuckets-bucket grid; rescale the key first",
-            col("lo"), col("hi"))).cast("long")))
-    val boff = bucketed.groupBy(col("b")).agg(sum(col("m")).as("bm"))
-      .withColumn("below", coalesce(
-        sum(col("bm")).over(Window.orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("b"), col("below"))
+    val bucketed = gridBucketed(rows, "doc_id", "contextWindows", nBuckets)
+    val boff = gridBelow(bucketed, sum(col("m")))
     val wIn = Window.partitionBy(col("b")).orderBy(col("doc_id"))
     val offs = bucketed
       .withColumn("cum_in", sum(col("m")).over(
@@ -1528,15 +1529,10 @@ object Curation {
     val bl = graft.ext.Safety.blocklistScan(
       docs.select(col("doc_id"), col("text")), col("text"), blockWords,
       maxPct)
-    val stopArr = array(TextStats.stopwords.map(lit): _*)
     val flags = bl
       .withColumn("__toks", TextStats.tokens(col("text")))
-      .withColumn("__z",
-        lit(bias) + lit(wTokens) * size(col("__toks")).cast("long")
-          + lit(wStop) * size(filter(col("__toks"),
-            t => array_contains(stopArr, t))).cast("long")
-          + lit(wDistinct)
-            * size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("__z", TextStats.qualityLogitMicro(col("__toks"),
+        bias, wTokens, wStop, wDistinct))
       .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
         col("kept").as("pass_blocklist"), (col("__z") > 0).as("pass_model"))
     val lm = TextStats.lmScore(docs, refPred)

@@ -111,6 +111,27 @@ object Dialogue {
     *
     * @return user_id, n_pairs, total_latency_us, response_toks
     */
+  def turnPairs(events: DataFrame, toks: Column,
+                userTypes: Seq[String] = Seq("click", "purchase", "signup"))
+      : DataFrame = {
+    val role = when(col("event_type").isin(userTypes.map(x => x: Any): _*),
+      "user").otherwise("assistant")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        role.as("role"), toks.cast("long").as("toks"))
+      .withColumn("next_role", lead(col("role"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("next_toks", lead(col("toks"), 1).over(w))
+      .filter(col("role") === "user" && col("next_role") === "assistant")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("(next_ts - ts) div 1000")).as("total_latency_us"),
+        sum(col("next_toks")).as("response_toks"))
+  }
+
   /** SFT loss-mask geometry: where, in token space, the trainable spans
     * of each rendered conversation sit. Supervised fine-tuning computes
     * loss only on assistant tokens; the collator needs, per conversation,
@@ -157,27 +178,6 @@ object Dialogue {
         coalesce(min(when(col("role") === "assistant",
           col("cum_toks") - col("toks"))), lit(-1L))
           .as("first_trainable_off"))
-  }
-
-  def turnPairs(events: DataFrame, toks: Column,
-                userTypes: Seq[String] = Seq("click", "purchase", "signup"))
-      : DataFrame = {
-    val role = when(col("event_type").isin(userTypes.map(x => x: Any): _*),
-      "user").otherwise("assistant")
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    events
-      .select(col("user_id"), col("ts"), col("event_id"),
-        role.as("role"), toks.cast("long").as("toks"))
-      .withColumn("next_role", lead(col("role"), 1).over(w))
-      .withColumn("next_ts", lead(col("ts"), 1).over(w))
-      .withColumn("next_toks", lead(col("toks"), 1).over(w))
-      .filter(col("role") === "user" && col("next_role") === "assistant")
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(expr("(next_ts - ts) div 1000")).as("total_latency_us"),
-        sum(col("next_toks")).as("response_toks"))
   }
 
   /** Tool-call bracket audit for agentic transcripts: in a tool-use
@@ -274,16 +274,37 @@ object Dialogue {
         sum(when(col("role") === "assistant", col("toks")).otherwise(0L))
           .as("trainable_toks"))
     val clean = col("viol") === 0L && col("first_role") === "user"
-    val stage = (name: String, pred: Column) => conv.filter(pred)
-      .agg(count(lit(1)).as("n_convs"),
-        coalesce(sum(col("n_pairs")), lit(0L)).as("n_pairs"),
-        coalesce(sum(col("total_toks")), lit(0L)).as("total_toks"),
-        coalesce(sum(col("trainable_toks")), lit(0L))
-          .as("trainable_toks"))
-      .select(lit(name).as("stage"), col("n_convs"), col("n_pairs"),
-        col("total_toks"), col("trainable_toks"))
-    stage("all", lit(true))
-      .unionByName(stage("clean", clean))
-      .unionByName(stage("paired", clean && col("n_pairs") >= 1L))
+    val paired = clean && col("n_pairs") >= 1L
+    // ONE pass over the conversation frame: conditional sums per stage,
+    // reshaped to stage rows (three filtered aggregates would re-run the
+    // window pipeline three times — review catch; this is the q199
+    // conditional-survival discipline)
+    val gated = (pred: Column, c: Column) =>
+      sum(when(pred, c).otherwise(0L))
+    val one = conv.agg(
+      count(lit(1)).as("c_all"),
+      coalesce(sum(col("n_pairs")), lit(0L)).as("p_all"),
+      coalesce(sum(col("total_toks")), lit(0L)).as("t_all"),
+      coalesce(sum(col("trainable_toks")), lit(0L)).as("tr_all"),
+      gated(clean, lit(1L)).as("c_clean"),
+      gated(clean, col("n_pairs")).as("p_clean"),
+      gated(clean, col("total_toks")).as("t_clean"),
+      gated(clean, col("trainable_toks")).as("tr_clean"),
+      gated(paired, lit(1L)).as("c_paired"),
+      gated(paired, col("n_pairs")).as("p_paired"),
+      gated(paired, col("total_toks")).as("t_paired"),
+      gated(paired, col("trainable_toks")).as("tr_paired"))
+    one.select(explode(array(
+        struct(lit("all").as("stage"), col("c_all").as("n_convs"),
+          col("p_all").as("n_pairs"), col("t_all").as("total_toks"),
+          col("tr_all").as("trainable_toks")),
+        struct(lit("clean").as("stage"), col("c_clean").as("n_convs"),
+          col("p_clean").as("n_pairs"), col("t_clean").as("total_toks"),
+          col("tr_clean").as("trainable_toks")),
+        struct(lit("paired").as("stage"), col("c_paired").as("n_convs"),
+          col("p_paired").as("n_pairs"), col("t_paired").as("total_toks"),
+          col("tr_paired").as("trainable_toks")))).as("s"))
+      .select(col("s.stage"), col("s.n_convs"), col("s.n_pairs"),
+        col("s.total_toks"), col("s.trainable_toks"))
   }
 }

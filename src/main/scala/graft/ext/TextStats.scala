@@ -477,23 +477,31 @@ object TextStats {
     * @return source, n_docs, n_kept, sum_logit_micro, mean_logit_micro
     */
   def linearQualityGate(docs: DataFrame, bias: Long, wTokens: Long,
-                        wStop: Long, wDistinct: Long): DataFrame = {
-    val stopArr = array(stopwords.map(lit): _*)
+                        wStop: Long, wDistinct: Long): DataFrame =
     docs.select(col("source"), tokens(col("text")).as("__toks"))
-      .withColumn("nt", size(col("__toks")).cast("long"))
-      .withColumn("sh",
-        size(filter(col("__toks"), t => array_contains(stopArr, t)))
-          .cast("long"))
-      .withColumn("nd", size(array_distinct(col("__toks"))).cast("long"))
       .withColumn("logit_micro",
-        lit(bias) + lit(wTokens) * col("nt") + lit(wStop) * col("sh")
-          + lit(wDistinct) * col("nd"))
+        qualityLogitMicro(col("__toks"), bias, wTokens, wStop, wDistinct))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("logit_micro") > 0, 1L).otherwise(0L)).as("n_kept"),
         sum(col("logit_micro")).as("sum_logit_micro"))
       .withColumn("mean_logit_micro",
         col("sum_logit_micro").cast("double") / col("n_docs").cast("double"))
+
+  /** The frozen linear classifier's logit over a token array, in exact
+    * integer micro-units — the ONE definition of the q194-family model
+    * gate, shared by [[linearQualityGate]], the curation funnel
+    * (q199/q200), and the gate-agreement matrix (q211) so the feature
+    * set can never silently diverge between them (review catch).
+    */
+  private[graft] def qualityLogitMicro(toks: Column, bias: Long,
+                                       wTokens: Long, wStop: Long,
+                                       wDistinct: Long): Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    lit(bias) + lit(wTokens) * size(toks).cast("long") +
+      lit(wStop) * size(filter(toks,
+        t => array_contains(stopArr, t))).cast("long") +
+      lit(wDistinct) * size(array_distinct(toks)).cast("long")
   }
 
   /** Per-source out-of-vocabulary rate under a FROZEN global vocabulary

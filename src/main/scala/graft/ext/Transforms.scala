@@ -45,8 +45,12 @@ object Transforms {
     */
   def fimSplit(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast("long")
-    val h1 = pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) % (n + 1L)
-    val h2 = pmod(col("doc_id") * lit(1779033703L) + 7L, lit(1000003L)) % (n + 1L)
+    // ONE mod by (n+1): a fixed intermediate modulus would cap the cut
+    // points at that constant, so long documents would never split in
+    // their tail (review catch — the oracle replicates the arithmetic,
+    // so the parity harness is structurally blind to such a bias)
+    val h1 = pmod(col("doc_id") * lit(2654435761L), n + 1L)
+    val h2 = pmod(col("doc_id") * lit(1779033703L) + 7L, n + 1L)
     val a = least(h1, h2)
     val b = greatest(h1, h2)
     val isFim = col("doc_id") % 2 === 0

@@ -1047,8 +1047,8 @@ class Round10OpsSpec extends SparkSuite {
       .collect().sortBy(_._1).toList
     // replicate the cut arithmetic for doc 2 and pin the rendered bytes
     val n = 10L
-    val h1 = (2L * 2654435761L) % 1000003L % (n + 1)
-    val h2 = (2L * 1779033703L + 7L) % 1000003L % (n + 1)
+    val h1 = (2L * 2654435761L) % (n + 1)
+    val h2 = (2L * 1779033703L + 7L) % (n + 1)
     val (a, b) = (math.min(h1, h2), math.max(h1, h2))
     val t = "abcdefghij"
     val rendered = "<PRE>" + t.substring(0, a.toInt) + "<SUF>" +
@@ -1179,6 +1179,19 @@ class Round10OpsSpec extends SparkSuite {
       .split("== Initial Plan ==")(0)
     assert(!pAb.contains("Join"),
       s"bucket assignment must be per-row, not a ladder join:\n$pAb")
+    // q205: per-row extraction, then entity + surrogate rollups — ≤3
+    // exchanges (count_distinct(doc_id) is a two-phase aggregate, so the
+    // entity rollup costs two), no joins, map-side partials throughout
+    val ps = SparkEntry.queries("q205_pseudonymize")(spark, sf)
+    ps.collect()
+    val pPs = ps.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!pPs.contains("Join"),
+      s"pseudonymize should never join:\n$pPs")
+    assert("Exchange".r.findAllIn(pPs).length <= 3,
+      s"pseudonymize should shuffle ≤3× (entity distinct ×2, " +
+        s"surrogate):\n$pPs")
+    assert(pPs.contains("partial_"), s"no map-side partials:\n$pPs")
   }
 
   test("repeatedSpans: overlapping dup positions merge to maximal spans, " +
