@@ -1002,18 +1002,8 @@ object SparkEntry {
     // consistent pseudonymization audit: entity → deterministic
     // surrogate; mention/doc/collision counts per surrogate (planted
     // cross-doc repeated entities so consistency demonstrably fires)
-    "q205_pseudonymize" -> ((s: SparkSession, d: String) => {
-      val em = (i: Column) => concat(lit("person"), i.cast("string"),
-        lit("@example"), pmod(i, lit(7L)).cast("string"), lit(".com"))
-      val e1 = pmod(col("doc_id"), lit(40L))
-      val e2 = pmod(col("doc_id") * 3 + 1, lit(40L))
-      val aug = concat(col("text"), lit(" contact "), em(e1),
-        when(col("doc_id") % 3 === 0, concat(lit(" cc "), em(e1)))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, concat(lit(" also "), em(e2)))
-          .otherwise(lit("")))
-      ext.Safety.pseudonymize(Tables.documents(s, d), aug)
-    }),
+    "q205_pseudonymize" -> ((s: SparkSession, d: String) =>
+      ext.Safety.pseudonymize(Tables.documents(s, d), entityAugmented)),
     // substring-level duplicate span masking (ExactSubstr shape): char
     // positions whose 20-gram repeats corpus-wide, merged to maximal
     // per-doc spans — the span-dedup complement of the doc-level family
@@ -1055,8 +1045,48 @@ object SparkEntry {
     // the type doesn't exist in the fixture, the q104 activity lesson)
     "q212_toolcall_audit" -> ((s: SparkSession, d: String) =>
       ext.Dialogue.toolCallAudit(Tables.events(s, d),
-        callTypes = Seq("click"), resultTypes = Seq("purchase")))
+        callTypes = Seq("click"), resultTypes = Seq("purchase"))),
+    // right-to-be-forgotten blast radius: q205's planted entities, a
+    // delete request for every 5th one, per-source tombstone counts
+    "q213_forget_audit" -> ((s: SparkSession, d: String) => {
+      val deletes = s.range(0, 40).filter(col("id") % 5 === 0)
+        .select(entityEmail(col("id")).as("email"))
+      ext.Safety.forgetAudit(Tables.documents(s, d), entityAugmented,
+        deletes)
+    }),
+    // the data-recipe table when budget > corpus: per-source repeat
+    // factors off the shared √-temperature quotas, oversampling flags.
+    // Grouping is by doc_id digit-length bins (10/90/400 docs at
+    // sf0.01) — the real `source` column is perfectly uniform (25 docs
+    // each), which would make √-temperature a no-op and the flag
+    // permanently inactive (the k-core fixture lesson)
+    "q214_mixture_epochs" -> ((s: SparkSession, d: String) =>
+      ext.Curation.mixtureEpochs(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("len"),
+            length(col("doc_id").cast("string")).cast("string"))
+            .as("source")),
+        budgetNum = 3, budgetDen = 1))
   )
+
+  /** q205/q213's planted entity universe: deterministic, cross-doc
+    * repeated emails so pseudonymization consistency and deletion
+    * blast-radius both demonstrably fire (q163's augmentation
+    * discipline — the extraction/linkage machinery is what's tested).
+    */
+  private def entityEmail(i: Column): Column =
+    concat(lit("person"), i.cast("string"),
+      lit("@example"), pmod(i, lit(7L)).cast("string"), lit(".com"))
+
+  private def entityAugmented: Column = {
+    val e1 = pmod(col("doc_id"), lit(40L))
+    val e2 = pmod(col("doc_id") * 3 + 1, lit(40L))
+    concat(col("text"), lit(" contact "), entityEmail(e1),
+      when(col("doc_id") % 3 === 0, concat(lit(" cc "), entityEmail(e1)))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" also "), entityEmail(e2)))
+        .otherwise(lit("")))
+  }
 
   /** §3.2 pipeline demo on synthetic boxes: normalized prediction rows →
     * nested annotation documents (oracled on the count path; nested-assembly
@@ -6672,6 +6702,66 @@ object SparkEntry {
         |  CAST(orph AS BIGINT) AS n_orphan_results,
         |  CAST(n_calls - n_results + orph AS BIGINT) AS n_unclosed_calls,
         |  (orph = 0 AND n_calls = n_results) AS ok
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q205's augmentation + extraction; delete set = every 5th planted
+    // entity; per-source blast radius via a doc-grain left join
+    "q213_forget_audit" ->
+      """WITH aug AS (SELECT doc_id, source, text || ' contact person'
+        |      || CAST(doc_id % 40 AS VARCHAR) || '@example'
+        |      || CAST(doc_id % 40 % 7 AS VARCHAR) || '.com'
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' cc person'
+        |           || CAST(doc_id % 40 AS VARCHAR) || '@example'
+        |           || CAST(doc_id % 40 % 7 AS VARCHAR) || '.com'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' also person'
+        |           || CAST((doc_id * 3 + 1) % 40 AS VARCHAR) || '@example'
+        |           || CAST((doc_id * 3 + 1) % 40 % 7 AS VARCHAR) || '.com'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email
+        |  FROM aug),
+        |del AS (SELECT 'person' || CAST(i AS VARCHAR) || '@example'
+        |      || CAST(i % 7 AS VARCHAR) || '.com' AS email
+        |  FROM (SELECT unnest(generate_series(0, 39)) AS i) s
+        |  WHERE i % 5 = 0),
+        |dm AS (SELECT doc_id, count(*) AS ndm
+        |  FROM m JOIN del USING (email) GROUP BY 1)
+        |SELECT a.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN dm.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_tombstoned,
+        |  CAST(sum(CASE WHEN dm.doc_id IS NOT NULL THEN length(a.text)
+        |    ELSE 0 END) AS BIGINT) AS chars_purged,
+        |  CAST(coalesce(sum(ndm), 0) AS BIGINT) AS n_deleted_mentions
+        |FROM aug a LEFT JOIN dm ON a.doc_id = dm.doc_id
+        |GROUP BY 1""".stripMargin,
+
+    // q170's apportionment fragment over digit-length bins, re-read as
+    // repeat factors at a 3× budget; permille epochs via exact int div
+    "q214_mixture_epochs" ->
+      """WITH n AS (SELECT 'len' ||
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS source,
+        |    count(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS w FROM n),
+        |q AS (SELECT source, n_docs, w,
+        |    sum(w) OVER () AS wsum,
+        |    (sum(n_docs) OVER () * 3) // 1 AS budget FROM w),
+        |l AS (SELECT *, (w * budget) // wsum AS base,
+        |    (w * budget) % wsum AS remainder FROM q),
+        |r AS (SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        |  FROM l),
+        |quota AS (SELECT source, n_docs,
+        |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |  FROM r)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(quota AS BIGINT) AS quota,
+        |  CAST((quota * 1000) // n_docs AS BIGINT) AS epochs_x1000,
+        |  ((quota * 1000) // n_docs) > 4000 AS oversampled
+        |FROM quota""".stripMargin
   )
 }

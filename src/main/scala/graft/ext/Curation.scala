@@ -846,23 +846,7 @@ object Curation {
     */
   def temperatureMixture(docs: DataFrame, budgetNum: Long = 1,
                          budgetDen: Long = 2): DataFrame = {
-    val wAll = Window.partitionBy()
-    val wRank = Window.orderBy(col("remainder").desc, col("source"))
-    val quotas = docs
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("w",
-        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
-      .withColumn("wsum", sum(col("w")).over(wAll))
-      .withColumn("budget",
-        expr(s"(sum(n_docs) OVER () * $budgetNum) div $budgetDen"))
-      .withColumn("base", expr("(w * budget) div wsum"))
-      .withColumn("remainder", pmod(col("w") * col("budget"), col("wsum")))
-      .withColumn("leftover", col("budget") - sum(col("base")).over(wAll))
-      .withColumn("quota",
-        col("base") + when(
-          row_number().over(wRank).cast("long") <= col("leftover"),
-          1L).otherwise(0L))
-      .select(col("source"), col("n_docs"), col("quota"))
+    val quotas = sqrtQuotas(docs, budgetNum, budgetDen)
     val wSel = Window.partitionBy(col("source"))
       .orderBy(col("pri"), col("doc_id"))
     val selected = docs
@@ -879,6 +863,57 @@ object Curation {
       .select(col("source"), col("n_docs"), col("quota"),
         coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
         coalesce(col("sel_chars"), lit(0L)).as("sel_chars"))
+  }
+
+  /** Mixture EPOCHS readout — the data-recipe table (LLaMA-style
+    * per-source sampling proportions, public literature) when the token
+    * budget EXCEEDS the corpus: [[temperatureMixture]]'s √-temperature
+    * largest-remainder quotas, re-read as per-source repeat factors.
+    * `epochs_x1000 = quota·1000 div n_docs` (exact permille, no
+    * floats); sources pushed past `maxEpochsX1000` are flagged — the
+    * oversampling-risk list a recipe review reads first (small
+    * high-weight sources repeat the most and memorize the fastest).
+    *
+    * Scale shape: source-cardinality end to end after one corpus-count
+    * aggregate; the apportionment windows run on the source-grain frame
+    * (≤ thousands of rows at any corpus size).
+    *
+    * @return source, n_docs, quota, epochs_x1000, oversampled
+    */
+  def mixtureEpochs(docs: DataFrame, budgetNum: Long = 3,
+                    budgetDen: Long = 1, maxEpochsX1000: Long = 4000L)
+      : DataFrame =
+    sqrtQuotas(docs, budgetNum, budgetDen)
+      .select(col("source"), col("n_docs"), col("quota"),
+        expr("(quota * 1000) div n_docs").as("epochs_x1000"),
+        (expr("(quota * 1000) div n_docs") > maxEpochsX1000)
+          .as("oversampled"))
+
+  /** √-temperature largest-remainder doc quotas per source — the ONE
+    * apportionment definition shared by [[temperatureMixture]] (budget
+    * below the corpus: subsampling) and [[mixtureEpochs]] (budget above
+    * it: repeat factors). τ is pinned to 1/2 because IEEE sqrt is
+    * correctly rounded where pow is not (the q170 parity note).
+    */
+  private def sqrtQuotas(docs: DataFrame, budgetNum: Long,
+                         budgetDen: Long): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("remainder").desc, col("source"))
+    docs
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("wsum", sum(col("w")).over(wAll))
+      .withColumn("budget",
+        expr(s"(sum(n_docs) OVER () * $budgetNum) div $budgetDen"))
+      .withColumn("base", expr("(w * budget) div wsum"))
+      .withColumn("remainder", pmod(col("w") * col("budget"), col("wsum")))
+      .withColumn("leftover", col("budget") - sum(col("base")).over(wAll))
+      .withColumn("quota",
+        col("base") + when(
+          row_number().over(wRank).cast("long") <= col("leftover"),
+          1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("quota"))
   }
 
   /** Deterministic corpus shuffle + fixed-size sharding — the final step

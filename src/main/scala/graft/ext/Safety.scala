@@ -261,4 +261,43 @@ object Safety {
         sum(col("n_docs")).as("n_docs"),
         count(lit(1)).as("n_entities"))
   }
+
+  /** Right-to-be-forgotten audit (tombstone propagation): given a delete
+    * request table of entities (emails), find every document MENTIONING
+    * a deleted entity — those documents must be dropped or re-redacted
+    * in the next corpus build, and the audit quantifies the blast radius
+    * per source BEFORE the deletion job runs. This is document-level
+    * removal driven by entity linkage — a different operation from span
+    * redaction ([[piiScan]]): deletion requests name a person, not a
+    * span, and every co-occurring document is affected.
+    *
+    * Scale shape: mention extraction is per-row regexp; the delete set
+    * is a broadcast semi-join probe (request tables are human-scale, ≪
+    * corpus); the per-doc flag collapses in one doc-grain aggregate and
+    * the readout is source-cardinality. The corpus is touched once.
+    *
+    * @return source, n_docs, n_tombstoned, chars_purged,
+    *         n_deleted_mentions
+    */
+  def forgetAudit(docs: DataFrame, text: Column,
+                  deleteList: DataFrame): DataFrame = {
+    val mentions = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(text, lit(EmailRe), lit(0)))
+          .as("email"))
+      .join(broadcast(deleteList.select(col("email")).distinct()), "email")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_del_mentions"))
+    docs.select(col("doc_id"), col("source"),
+        length(text).cast("long").as("nc"))
+      .join(mentions, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_del_mentions").isNotNull, 1L).otherwise(0L))
+          .as("n_tombstoned"),
+        sum(when(col("n_del_mentions").isNotNull, col("nc")).otherwise(0L))
+          .as("chars_purged"),
+        coalesce(sum(col("n_del_mentions")), lit(0L))
+          .as("n_deleted_mentions"))
+  }
 }

@@ -1325,6 +1325,38 @@ class Round10OpsSpec extends SparkSuite {
       (4L, 0L, 0L, 0L, 0L, true)))
   }
 
+  test("forgetAudit: documents mentioning any deleted entity are " +
+      "tombstoned; mentions counted; clean sources report zeros") {
+    val docs = Seq(
+      (1L, "s1", "mail a@x.com twice a@x.com"),
+      (2L, "s1", "only b@y.org here"),
+      (3L, "s2", "none at all"))
+      .toDF("doc_id", "source", "text")
+    val deletes = Seq("a@x.com", "unused@z.io").toDF("email")
+    val r = ext.Safety.forgetAudit(docs, col("text"), deletes)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r(0) == (("s1", 2L, 1L, 26L, 2L)))
+    assert(r(1) == (("s2", 1L, 0L, 0L, 0L)))
+  }
+
+  test("mixtureEpochs: 3× budget over √-temperature quotas upsamples " +
+      "small sources hardest; quotas sum to the budget") {
+    // sources of 100 vs 4 docs: √-weights 10:2, budget 312 →
+    // quotas 260/52 → epochs 2.6× vs 13× — the small source gets
+    // flagged at the 4× ceiling
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val r = ext.Curation.mixtureEpochs(docs, budgetNum = 3, budgetDen = 1)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("big")._2 == 100L && r("small")._2 == 4L)
+    assert(r("big")._3 + r("small")._3 == 312L, s"quotas must sum: $r")
+    assert(!r("big")._5 && r("small")._5,
+      s"only the small source should oversample: $r")
+    assert(r("small")._4 > 4000L && r("big")._4 < 4000L)
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()
