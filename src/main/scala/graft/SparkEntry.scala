@@ -1066,7 +1066,12 @@ object SparkEntry {
           concat(lit("len"),
             length(col("doc_id").cast("string")).cast("string"))
             .as("source")),
-        budgetNum = 3, budgetDen = 1))
+        budgetNum = 3, budgetDen = 1)),
+    // GPT-3-style eval decontamination: verbatim 13-gram hits merged to
+    // per-train-doc removal spans (q50 flags; this emits the plan)
+    "q215_decontam_spans" -> ((s: SparkSession, d: String) =>
+      ext.Curation.decontamSpans(Tables.documents(s, d),
+        col("doc_id") % 20 === 0, n = 13))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -6762,6 +6767,41 @@ object SparkEntry {
         |  CAST(quota AS BIGINT) AS quota,
         |  CAST((quota * 1000) // n_docs AS BIGINT) AS epochs_x1000,
         |  ((quota * 1000) // n_docs) > 4000 AS oversampled
-        |FROM quota""".stripMargin
+        |FROM quota""".stripMargin,
+
+    // word 13-gram positions; q206's interval-union sweep on TOKEN
+    // indices; eval side distinct-collapsed before the probe join
+    "q215_decontam_spans" ->
+      """WITH toks AS (SELECT doc_id, (doc_id % 20 = 0) AS is_eval,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, is_eval, i AS pos,
+        |    array_to_string(t[i:i+12], ' ') AS gram
+        |  FROM (SELECT doc_id, is_eval, t,
+        |      unnest(generate_series(1, len(t) - 12)) AS i
+        |    FROM toks WHERE len(t) >= 13)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+        |hits AS (SELECT g.doc_id, g.pos, g.pos + 12 AS e
+        |  FROM g JOIN ev USING (gram) WHERE NOT g.is_eval),
+        |w AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+        |  FROM hits),
+        |w2 AS (SELECT *, CASE WHEN meb IS NULL OR pos > meb + 1
+        |    THEN 1 ELSE 0 END AS opens FROM w),
+        |w3 AS (SELECT *, sum(opens) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS grp FROM w2),
+        |sp AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e2,
+        |    count(*) AS n_pos FROM w3 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, sum(n_pos) AS np, count(*) AS ns,
+        |    sum(e2 - s + 1) AS ct FROM sp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(CAST(np AS BIGINT), 0) AS n_contam_positions,
+        |  coalesce(CAST(ns AS BIGINT), 0) AS n_spans,
+        |  coalesce(CAST(ct AS BIGINT), 0) AS contam_tokens
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |WHERE d.doc_id % 20 <> 0""".stripMargin
   )
 }

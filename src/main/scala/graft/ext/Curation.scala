@@ -865,6 +865,53 @@ object Curation {
         coalesce(col("sel_chars"), lit(0L)).as("sel_chars"))
   }
 
+  /** Eval-set decontamination at the SPAN grain (the GPT-3 appendix-C
+    * procedure, public literature): any train-doc token position whose
+    * 13-word-gram appears verbatim in the eval split is contaminated;
+    * contiguous contaminated positions merge into the removal spans a
+    * decontamination pass cuts (vs [[contamination]], which only FLAGS
+    * docs by overlap fraction — this produces the actual removal plan).
+    * Span merging is [[graft.ext.Dedup.mergeSpans]], shared with the
+    * repeated-substring masker.
+    *
+    * Scale shape: the eval gram set is DISTINCT-collapsed and broadcast
+    * (eval benchmarks are bounded — thousands of docs — regardless of
+    * corpus size); the train side streams its gram positions through the
+    * broadcast probe with no shuffle until the per-doc sweep's doc-key
+    * sort. Measured activity at sf0.01/n=13: 2 train docs, 92 positions
+    * (the corpus's planted near-dups of eval docs) — thin by
+    * construction, but exactly the docs the procedure exists to catch.
+    *
+    * @return per train doc: doc_id, n_contam_positions, n_spans,
+    *         contam_tokens (token-count mass of the merged spans)
+    */
+  def decontamSpans(docs: DataFrame, evalPred: Column, n: Int = 13)
+      : DataFrame = {
+    require(n >= 2, "decontamSpans: gram length must be ≥ 2")
+    val toks = docs.select(col("doc_id"), evalPred.as("is_eval"),
+      TextStats.tokens(col("text")).as("t"))
+    val grams = toks.filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("is_eval"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(t, i, $n)))""".stripMargin))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("is_eval"),
+        (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("gram")).distinct()
+    val hits = grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (n - 1)).cast("long").as("end"))
+    docs.filter(!evalPred).select(col("doc_id"))
+      .join(graft.ext.Dedup.mergeSpans(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_positions"), lit(0L))
+          .as("n_contam_positions"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("contam_tokens"))
+  }
+
   /** Mixture EPOCHS readout — the data-recipe table (LLaMA-style
     * per-source sampling proportions, public literature) when the token
     * budget EXCEEDS the corpus: [[temperatureMixture]]'s √-temperature

@@ -450,8 +450,28 @@ object Dedup {
       .filter(col("n_occ") >= 2)
       .select(col("doc_id"), col("pos"),
         (col("pos") + (l - 1)).cast("long").as("end"))
+    val spans = mergeSpans(dupPos)
+    docs.select(col("doc_id")).join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** Per-doc interval union over flagged positions — the sweep shared by
+    * [[repeatedSpans]] and the eval-set decontamination
+    * ([[graft.ext.Curation.decontamSpans]]): running max of span end →
+    * group-open flag → running group id, then span- and doc-grain
+    * rollups. Input: (doc_id, pos, end) with `pos` unique per doc (a
+    * position index), spans inclusive `[pos, end]`; overlapping OR
+    * abutting spans merge.
+    *
+    * @return doc_id, n_dup_positions, n_spans, dup_chars (docs with no
+    *         input rows are absent — callers left-join zeros)
+    */
+  private[ext] def mergeSpans(dupPos: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = dupPos
+    dupPos
       .withColumn("max_end_before",
         max(col("end")).over(wOrd.rowsBetween(
           Window.unboundedPreceding, -1)))
@@ -466,10 +486,5 @@ object Dedup {
       .agg(sum(col("n_pos")).as("n_dup_positions"),
         count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_chars"))
-    docs.select(col("doc_id")).join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 }

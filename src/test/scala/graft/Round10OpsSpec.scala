@@ -1357,6 +1357,24 @@ class Round10OpsSpec extends SparkSuite {
     assert(r("small")._4 > 4000L && r("big")._4 < 4000L)
   }
 
+  test("decontamSpans: eval-gram hits merge to removal spans at the " +
+      "token grain; non-abutting hits stay separate spans; eval docs " +
+      "are absent from the plan") {
+    val docs = Seq(
+      (0L, "a b c d e"),          // eval (0 % 20 == 0)
+      (1L, "x a b c d y"),        // hits at pos 2,3 → one merged span
+      (2L, "a b c z c d e"),      // hits at pos 1,5 → two spans
+      (3L, "nothing here at all"))
+      .toDF("doc_id", "text")
+    val r = ext.Curation.decontamSpans(docs, col("doc_id") % 20 === 0,
+      n = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r == List(
+      (1L, 2L, 1L, 4L),
+      (2L, 2L, 2L, 6L),
+      (3L, 0L, 0L, 0L)))
+  }
+
   test("q173 plan: pure per-row audit — zero joins, one exchange") {
     val df = SparkEntry.queries("q173_embedding_audit")(spark, sf)
     df.collect()

@@ -670,4 +670,44 @@ class StreamingSpec extends SparkSuite {
           "episodes")
     } finally q.stop()
   }
+
+  test("streaming twin survives the RocksDB state store — the " +
+    "production state backend, not just the in-memory HDFS provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1777)
+    val types = Seq("view", "cart", "purchase", "cart", "click")
+    val evts = (1 to 200).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(12 * 60) * Min,
+        1 + rnd.nextInt(8), types(rnd.nextInt(types.length)),
+        rnd.nextInt(100).toDouble)
+    }
+    val maxTs = evts.map(_.ts_us).max
+    val batch = graft.ext.Dialogue.toolCallAudit(
+      evts.toDF().withColumn("ts", col("ts_us")))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Event]
+      val q = StreamOps.toolCallAuditStream(src.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocksdbeqv").start()
+      try {
+        src.addData(evts: _*)
+        q.processAllAvailable()
+        src.addData(Event(9001, maxTs + 9000 * Min, 999, "view", 0.0))
+        q.processAllAvailable()
+        val streamed = spark.table("rocksdbeqv")
+          .as[(Long, Long, Long, Long, Long, Boolean)]
+          .collect().filter(_._1 != 999L).toSet
+        assert(streamed === batch)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
