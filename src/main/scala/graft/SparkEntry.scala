@@ -1071,7 +1071,27 @@ object SparkEntry {
     // per-train-doc removal spans (q50 flags; this emits the plan)
     "q215_decontam_spans" -> ((s: SparkSession, d: String) =>
       ext.Curation.decontamSpans(Tables.documents(s, d),
-        col("doc_id") % 20 === 0, n = 13))
+        col("doc_id") % 20 === 0, n = 13)),
+    // DPO preference-pair builder: per-user (chosen, rejected) = reward
+    // argmax/argmin in exact cents, margin-gated at $200 (median per-user
+    // spread ≈ $220 at every SF, so the gate provably filters both ways);
+    // the chosen×rejected type matrix is the degenerate-axis check
+    "q216_preference_pairs" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.preferencePairs(Tables.events(s, d))),
+    // data-loader shuffle audit: per-epoch same-source adjacency off the
+    // DISTRIBUTED grid rank, anchored to the closed-form random
+    // expectation and the sorted-order worst case
+    "q217_shuffle_quality" -> ((s: SparkSession, d: String) =>
+      ext.Curation.shuffleQuality(Tables.documents(s, d))),
+    // best-of-n sampling value: E[max of 4 draws] from the empirical
+    // per-source reward CDF — exact order-statistic integers, no pow()
+    "q218_best_of_n" -> ((s: SparkSession, d: String) =>
+      ext.Retrieval.bestOfN(Tables.documents(s, d), col("n_chars"))),
+    // T5 span corruption: deterministic 1–3-token masks at ~15% token
+    // mass, merged spans, sentinel-aware input/target lengths, exact
+    // mask fingerprint
+    "q219_span_corruption" -> ((s: SparkSession, d: String) =>
+      ext.Transforms.spanCorruption(Tables.documents(s, d)))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -6802,6 +6822,157 @@ object SparkEntry {
         |  coalesce(CAST(ns AS BIGINT), 0) AS n_spans,
         |  coalesce(CAST(ct AS BIGINT), 0) AS contam_tokens
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-        |WHERE d.doc_id % 20 <> 0""".stripMargin
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    // per-user argmax/argmin via deterministic row_number windows (the
+    // struct max/min tie-break replayed); cents via the q120 route
+    "q216_preference_pairs" ->
+      """WITH c AS (SELECT user_id, event_id, event_type,
+        |    CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |ch AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY cents DESC, event_id) AS rk FROM c),
+        |rj AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY cents, event_id) AS rk FROM c),
+        |p AS (SELECT ch.event_type AS chosen_type,
+        |    rj.event_type AS rejected_type,
+        |    ch.cents - rj.cents AS margin
+        |  FROM ch JOIN rj ON ch.user_id = rj.user_id
+        |  WHERE ch.rk = 1 AND rj.rk = 1
+        |    AND ch.event_id <> rj.event_id AND ch.cents - rj.cents >= 20000)
+        |SELECT chosen_type, rejected_type,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(margin) AS BIGINT) AS sum_margin_cents,
+        |  CAST(min(margin) AS BIGINT) AS min_margin_cents,
+        |  CAST(max(margin) AS BIGINT) AS max_margin_cents
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // the per-epoch permutation replayed as one global row_number (the
+    // Spark side ranks the same key64 via the distributed grid); the key
+    // is the q136 xorshift mix — a bare affine map is three-distance-
+    // structured and measured 0 same-source pairs (degenerate)
+    "q217_shuffle_quality" ->
+      """WITH ep AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+        |h0 AS (SELECT d.doc_id, d.source, ep.epoch,
+        |    (d.doc_id * 2654435761 + 1013904223 * (ep.epoch + 1))
+        |      % 1099511627776 AS h1
+        |  FROM documents d, ep),
+        |hx AS (SELECT *, xor(h1, h1 // 1048576) AS h2 FROM h0),
+        |hy AS (SELECT *, ((h2 % 4294967296) * 1540483477 + 99991)
+        |    % 1099511627776 AS h3 FROM hx),
+        |rows0 AS (SELECT doc_id, source, epoch,
+        |    epoch * 1099511627776 + xor(h3, h3 // 131072) AS key64
+        |  FROM hy),
+        |r AS (SELECT epoch, source,
+        |    row_number() OVER (ORDER BY key64, doc_id) AS rnk
+        |  FROM rows0),
+        |p AS (SELECT a.epoch, a.source AS sa, b.source AS sb
+        |  FROM r a JOIN r b ON b.rnk = a.rnk + 1 AND b.epoch = a.epoch),
+        |adj AS (SELECT epoch, count(*) AS n_pairs,
+        |    sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS same_src
+        |  FROM p GROUP BY 1),
+        |s AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |st AS (SELECT sum(ns) AS n, count(*) AS n_sources,
+        |    sum(ns * (ns - 1)) AS spn FROM s)
+        |SELECT adj.epoch, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(same_src AS BIGINT) AS same_src_pairs,
+        |  CAST(1 + n_pairs - same_src AS BIGINT) AS n_runs,
+        |  CAST(CAST(same_src AS HUGEINT) * 1000000
+        |    // CAST(n_pairs AS HUGEINT) AS BIGINT) AS obs_rate_e6,
+        |  CAST(CAST(spn AS HUGEINT) * 1000000
+        |    // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS exp_rate_e6,
+        |  CAST(n - n_sources AS BIGINT) AS sorted_same_pairs
+        |FROM adj CROSS JOIN st""".stripMargin,
+
+    // order-statistic E[max of 4]: per-source value-count CDF, HUGEINT
+    // fourth powers, integer ×1e6 fixed-point readout
+    "q218_best_of_n" ->
+      """WITH c AS (SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v) AS f FROM c),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    sum(v * c) AS sv,
+        |    sum(CAST(v AS HUGEINT) *
+        |        (CAST(f AS HUGEINT) * f * f * f
+        |         - CAST(f - c AS HUGEINT) * (f - c) * (f - c) * (f - c)))
+        |      AS num
+        |  FROM cum GROUP BY 1)
+        |SELECT source, n_docs,
+        |  CAST(CAST(sv AS HUGEINT) * 1000000 // CAST(n_docs AS HUGEINT)
+        |    AS BIGINT) AS mean_e6,
+        |  CAST(num * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs * n_docs
+        |    * n_docs) AS BIGINT) AS best_of_n_e6,
+        |  CAST(num * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs * n_docs
+        |    * n_docs)
+        |    - CAST(sv AS HUGEINT) * 1000000 // CAST(n_docs AS HUGEINT)
+        |    AS BIGINT) AS uplift_e6
+        |FROM a""".stripMargin,
+
+    // the doc hash + position-stride draw replayed (q136 xorshift mix,
+    // twice), q215's interval union, and the q15 ascii-fold fingerprint
+    // over the ordered "s:e" span list
+    "q219_span_corruption" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_toks
+        |  FROM documents),
+        |d1 AS (SELECT doc_id, n_toks,
+        |    (doc_id * 2654435761 + 1013904223) % 1099511627776 AS a1
+        |  FROM toks),
+        |d2 AS (SELECT *, xor(a1, a1 // 1048576) AS a2 FROM d1),
+        |d3 AS (SELECT *, ((a2 % 4294967296) * 1540483477 + 99991)
+        |    % 1099511627776 AS a3 FROM d2),
+        |hd AS (SELECT doc_id, n_toks, xor(a3, a3 // 131072) AS hdv
+        |  FROM d3),
+        |p0 AS (SELECT doc_id, n_toks, hdv,
+        |    unnest(generate_series(1, n_toks)) AS i
+        |  FROM hd WHERE n_toks >= 1),
+        |m1 AS (SELECT doc_id, n_toks, i,
+        |    (((hdv + i * 7919) % 2147483648) * 2654435761 + 1013904223)
+        |      % 1099511627776 AS h1
+        |  FROM p0),
+        |m2 AS (SELECT *, xor(h1, h1 // 1048576) AS h2 FROM m1),
+        |m3 AS (SELECT *, ((h2 % 4294967296) * 1540483477 + 99991)
+        |    % 1099511627776 AS h3 FROM m2),
+        |mh AS (SELECT doc_id, n_toks, i, xor(h3, h3 // 131072) AS hv
+        |  FROM m3),
+        |st AS (SELECT doc_id, i AS s,
+        |    least(i + (hv // 128) % 3, n_toks) AS e
+        |  FROM mh WHERE hv % 13 = 0),
+        |w AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+        |  FROM st),
+        |w2 AS (SELECT *, CASE WHEN meb IS NULL OR s > meb + 1
+        |    THEN 1 ELSE 0 END AS opens FROM w),
+        |w3 AS (SELECT *, sum(opens) OVER (PARTITION BY doc_id
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS grp FROM w2),
+        |sp AS (SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+        |  FROM w3 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS n_spans,
+        |    sum(me - ms + 1) AS ct,
+        |    string_agg(CAST(ms AS VARCHAR) || ':' || CAST(me AS VARCHAR),
+        |      ',' ORDER BY ms) AS mstr
+        |  FROM sp GROUP BY 1),
+        |fp AS (SELECT doc_id, n_spans, ct,
+        |    coalesce(list_sum(list_transform(
+        |      generate_series(1, length(mstr)),
+        |      i -> CAST(ascii(substr(mstr, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS mask_fp
+        |  FROM pd)
+        |SELECT t.doc_id, CAST(t.n_toks AS BIGINT) AS n_toks,
+        |  coalesce(CAST(f.n_spans AS BIGINT), 0) AS n_spans,
+        |  coalesce(CAST(f.ct AS BIGINT), 0) AS corrupted_toks,
+        |  CAST(t.n_toks - coalesce(f.ct, 0) + coalesce(f.n_spans, 0)
+        |    AS BIGINT) AS input_len,
+        |  CAST(coalesce(f.ct, 0) + coalesce(f.n_spans, 0) AS BIGINT)
+        |    AS target_len,
+        |  CAST(coalesce(f.mask_fp, 0) AS BIGINT) AS mask_fp
+        |FROM toks t LEFT JOIN fp f ON t.doc_id = f.doc_id""".stripMargin
   )
 }

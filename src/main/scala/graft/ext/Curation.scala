@@ -1008,6 +1008,78 @@ object Curation {
         min(col("key")).as("min_key"), max(col("key")).as("max_key"))
   }
 
+  /** Data-loader shuffle-quality audit: how well the deterministic epoch
+    * permutation interleaves sources. Each epoch `e` orders the corpus by
+    * the engine-neutral affine key `(doc_id·2654435761 + 1013904223·(e+1))
+    * mod 2³¹` (a different fixed permutation per epoch — the property a
+    * multi-epoch loader needs: re-runs reproduce it, epochs differ). The
+    * audit walks each epoch's order and measures same-source ADJACENCY —
+    * long same-source runs are exactly the gradient-correlation pathology
+    * a shuffled loader exists to prevent — against two closed-form
+    * anchors: the expectation under a uniform random permutation
+    * (Σ nₛ(nₛ−1) / (N(N−1)), exact rational ×10⁶) and the sorted-order
+    * worst case (N − |sources|).
+    *
+    * The key is the q136 two-round xorshift mix, NOT a bare affine map:
+    * a purely affine permutation has three-distance structure (sorted
+    * adjacent keys differ by one of ~3 fixed doc_id gaps), so against a
+    * modular source layout (this fixture: source = doc_id mod 20) it
+    * measured EXACTLY 0 same-source pairs in every epoch — a degenerate
+    * readout, the same linearity failure the HLL hash hit. The xorshift
+    * rounds break the linearity; xor/shift replay engine-neutrally.
+    *
+    * Scale shape: the per-epoch global order is materialized as a
+    * DISTRIBUTED rank (the q132 grid discipline — per-bucket row_number
+    * plus broadcast below-offsets; never a single-partition window) with
+    * the epoch folded into the key's high bits, so one grid pass ranks
+    * every epoch. Adjacency is a self-join on rank±1 — an even,
+    * rank-keyed shuffle — and the anchors come from a source-grain frame
+    * joined as one broadcast row. Envelope: the affine key needs
+    * doc_id ≤ ~3.4e9 (the bloom-hash long envelope); N(N−1) and the ×10⁶
+    * scalings run in DECIMAL(38,0).
+    *
+    * @return one row per epoch: epoch, n_pairs (= N−1), same_src_pairs,
+    *         n_runs, obs_rate_e6, exp_rate_e6, sorted_same_pairs
+    */
+  def shuffleQuality(docs: DataFrame, nEpochs: Int = 3): DataFrame = {
+    val T = 1L << 40
+    val rows = docs
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), lit((nEpochs - 1).toLong))).as("epoch"))
+      .withColumn("__h1", pmod(col("doc_id") * lit(2654435761L) +
+        lit(1013904223L) * (col("epoch") + 1L), lit(T)))
+      .withColumn("__h2", col("__h1").bitwiseXOR(shiftright(col("__h1"), 20)))
+      .withColumn("__h3", pmod(pmod(col("__h2"), lit(1L << 32)) *
+        lit(1540483477L) + lit(99991L), lit(T)))
+      .withColumn("key64", col("epoch") * T +
+        col("__h3").bitwiseXOR(shiftright(col("__h3"), 17)))
+    val ranked = gridRankBy(rows, "key64", "rank", "shuffleQuality")
+      .select(col("epoch"), col("rank"), col("source"))
+    val nxt = ranked.select(col("epoch").as("epoch_b"),
+      (col("rank") - 1L).as("rank"), col("source").as("src_b"))
+    val adj = ranked.join(nxt, Seq("rank"))
+      .filter(col("epoch") === col("epoch_b"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("source") === col("src_b"), 1L).otherwise(0L))
+          .as("same_src_pairs"))
+    val anchors = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"))
+      .agg(sum(col("ns")).as("n"), count(lit(1)).as("n_sources"),
+        sum(col("ns") * (col("ns") - 1L)).as("spn"))
+    adj.crossJoin(broadcast(anchors))
+      .select(col("epoch"), col("n_pairs"), col("same_src_pairs"),
+        // a run BREAK is a different-source adjacent pair; runs = breaks+1
+        (lit(1L) + col("n_pairs") - col("same_src_pairs")).as("n_runs"),
+        expr("CAST((CAST(same_src_pairs AS DECIMAL(38,0)) * 1000000) " +
+          "div (CAST(n_pairs AS DECIMAL(38,0))) AS BIGINT)")
+          .as("obs_rate_e6"),
+        expr("CAST((CAST(spn AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+          .as("exp_rate_e6"),
+        (col("n") - col("n_sources")).as("sorted_same_pairs"))
+  }
+
   /** Cross-source duplication matrix — which sources copy from which:
     * for every source pair, the number of distinct word `n`-grams they
     * share and the containment `shared / min(|A|, |B|)` (the asymmetric-

@@ -469,7 +469,19 @@ object Dedup {
     * @return doc_id, n_dup_positions, n_spans, dup_chars (docs with no
     *         input rows are absent — callers left-join zeros)
     */
-  private[ext] def mergeSpans(dupPos: DataFrame): DataFrame = {
+  private[ext] def mergeSpans(dupPos: DataFrame): DataFrame =
+    mergedSpanFrame(dupPos)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pos")).as("n_dup_positions"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_chars"))
+
+  /** The span-grain half of [[mergeSpans]]: maximal merged spans per doc
+    * as (doc_id, s, e, n_pos) rows — for callers that need the spans
+    * themselves (q219 pins the exact mask fingerprint), not just the
+    * doc-grain masses.
+    */
+  private[ext] def mergedSpanFrame(dupPos: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
       .withColumn("max_end_before",
@@ -482,9 +494,5 @@ object Dedup {
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("s"), max(col("end")).as("e"),
         count(lit(1)).as("n_pos"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n_pos")).as("n_dup_positions"),
-        count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + 1).as("dup_chars"))
   }
 }

@@ -307,4 +307,59 @@ object Dialogue {
       .select(col("s.stage"), col("s.n_convs"), col("s.n_pairs"),
         col("s.total_toks"), col("s.trainable_toks"))
   }
+
+  /** Preference-pair builder (the DPO/RLHF data shape — Rafailov et al.
+    * 2023, "Direct Preference Optimization", public literature): each
+    * prompt group (here: user) contributes at most one (chosen, rejected)
+    * pair — its highest- and lowest-reward responses — and the pair is
+    * kept only when the reward margin clears `minMarginCents` (pairs the
+    * annotator barely separated teach the model noise, so DPO corpora
+    * gate on margin). Rewards are exact cents (the q120 DECIMAL(18,2)
+    * route); argmax/argmin tie-break on event_id so the pair is
+    * deterministic under re-runs.
+    *
+    * The readout is the corpus-level preference MATRIX: for every
+    * (chosen_type, rejected_type) cell, pair count and the exact margin
+    * mass/extrema — the table a preference-data review reads to spot a
+    * degenerate axis (one response family always winning says the reward
+    * model collapsed onto a format feature, not quality).
+    *
+    * Scale shape: one shuffle on the prompt key with map-side combine
+    * (max/min of a struct — O(1) state per group, never a per-group
+    * sort), then a type-pair-grain rollup (≤ |types|² rows). At 100 TB
+    * the prompt key is the natural partition key; nothing global.
+    *
+    * @return chosen_type, rejected_type, n_pairs, sum_margin_cents,
+    *         min_margin_cents, max_margin_cents
+    */
+  def preferencePairs(events: DataFrame,
+                      minMarginCents: Long = 20000L): DataFrame = {
+    val cents = (round(col("value"), 2).cast("decimal(18,2)") * 100)
+      .cast("long")
+    val picked = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        // struct order: cents first, then the event_id tie-break
+        // (negated for the max so ties resolve to the SMALLEST id on
+        // both sides — deterministic, oracle-replayable)
+        max(struct(col("cents"), (-col("event_id")).as("nid"),
+          col("event_type"))).as("ch"),
+        min(struct(col("cents"), col("event_id"),
+          col("event_type"))).as("rj"))
+      .select(
+        col("ch.event_type").as("chosen_type"),
+        col("rj.event_type").as("rejected_type"),
+        (col("ch.cents") - col("rj.cents")).as("margin_cents"),
+        (-col("ch.nid")).as("chosen_id"), col("rj.event_id").as("rej_id"))
+      .filter(col("chosen_id") =!= col("rej_id") &&
+        col("margin_cents") >= minMarginCents)
+    picked
+      .groupBy(col("chosen_type"), col("rejected_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("margin_cents")).as("sum_margin_cents"),
+        min(col("margin_cents")).as("min_margin_cents"),
+        max(col("margin_cents")).as("max_margin_cents"))
+  }
 }

@@ -326,4 +326,54 @@ object Retrieval {
           col("pos_len") + col("neg_len") -
             coalesce(col("pos_overlap"), lit(0L))).as("is_safe"))
   }
+
+  /** Best-of-n sampling value readout (the rejection-sampling/BoN
+    * selection stage of an RLHF pipeline — Stiennon et al. 2020 appendix;
+    * Nakano et al. 2021 WebGPT, public literature): if a generator's
+    * reward distribution per group equals the EMPIRICAL distribution of
+    * `value`, the expected reward of keeping the best of `nDraws` iid
+    * samples is  E[max] = Σ_v v · (F(v)ⁿ − F(v⁻)ⁿ) / Nⁿ  — the order-
+    * statistic identity on the empirical CDF. Everything is exact integer
+    * arithmetic: F and N are counts, the powers and the ×10⁶ scaling run
+    * in DECIMAL(38,0) (DuckDB HUGEINT), and the output is fixed-point
+    * BIGINT — no pow(), no doubles (the standing transcendental ban).
+    *
+    * The readout per group: the distribution mean, the best-of-n expected
+    * value, and the uplift — the table that says how much reward headroom
+    * sampling n candidates buys per source before any model change.
+    *
+    * Scale shape: the corpus collapses to (group, value) counts in one
+    * map-side-combined shuffle; the CDF window runs over per-group
+    * DISTINCT values (the value-count percentile discipline — right when
+    * the domain is bounded; a near-unique 10⁸-value domain wants the
+    * grid-rank form first). Envelope: Nⁿ·vmax·10⁶ must fit DECIMAL(38) —
+    * n=4 holds to N ≈ 10⁷ rows/group at vmax 10³; ANSI decimal overflow
+    * fails loudly beyond it.
+    *
+    * @return source, n_docs, mean_e6, best_of_n_e6, uplift_e6
+    */
+  def bestOfN(docs: DataFrame, value: Column, nDraws: Int = 4): DataFrame = {
+    def pow(x: Column): Column = {
+      val d = x.cast("decimal(38,0)")
+      (1 until nDraws).foldLeft(d)((acc, _) => acc * d)
+    }
+    val counts = docs.select(col("source"), value.cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("f", sum(col("c")).over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("v") * col("c")).as("sv"),
+        sum(col("v").cast("decimal(38,0)") *
+          (pow(col("f")) - pow(col("f") - col("c")))).as("num"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(CAST(sv AS DECIMAL(38,0)) * 1000000 " +
+          "div CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)").as("mean_e6"),
+        expr(s"CAST(num * 1000000 div ${
+          Seq.fill(nDraws)("CAST(n_docs AS DECIMAL(38,0))").mkString("(", " * ", ")")
+        } AS BIGINT)").as("best_of_n_e6"))
+      .withColumn("uplift_e6", col("best_of_n_e6") - col("mean_e6"))
+  }
 }

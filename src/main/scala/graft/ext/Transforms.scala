@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-example transforms — the per-row rewrites that turn curated
@@ -73,5 +74,86 @@ object Transforms {
         when(isFim, TextStats.fingerprint(rendered))
           .otherwise(TextStats.fingerprint(col("text")))
           .as("out_fp"))
+  }
+
+  /** The q136 two-round xorshift mix into [0, 2⁴⁰) — span-corruption draws
+    * need a NON-affine position hash for the same reason shuffleQuality
+    * does: an affine draw makes every 13th token a span start, a rigid
+    * lattice instead of a corruption pattern. Input envelope |x| ≲ 3.4e9
+    * (the shared affine-hash long envelope).
+    */
+  private def mix40(x: Column): Column = {
+    val T = 1L << 40
+    val h1 = pmod(x * lit(2654435761L) + lit(1013904223L), lit(T))
+    val h2 = h1.bitwiseXOR(shiftright(h1, 20))
+    val h3 = pmod(pmod(h2, lit(1L << 32)) * lit(1540483477L) + lit(99991L),
+      lit(T))
+    h3.bitwiseXOR(shiftright(h3, 17))
+  }
+
+  /** T5-style span-corruption example accounting (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning…", §3.1.4, public
+    * literature): deterministic pseudo-random spans of 1–3 tokens are
+    * masked at a ~1/13 start rate (≈15% token mass at mean span 2, the
+    * published corruption rate), overlapping draws merge to maximal
+    * spans (the q215 interval-union discipline), and each span becomes
+    * one sentinel in the input and one in the target. The per-doc
+    * readout is the packer's accounting contract: n_toks, merged span
+    * count, corrupted token mass, `input_len = n_toks − corrupted +
+    * n_spans`, `target_len = corrupted + n_spans`, and the engine-neutral
+    * fingerprint of the ordered "s:e" span list — the exact MASK is
+    * pinned, not just its mass.
+    *
+    * Determinism: the draw at (doc, position) is `mix40` of the doc hash
+    * re-reduced with a position stride — reproducible across runs and
+    * engines, the property a re-runnable pipeline needs (same reason
+    * fimSplit's cuts are hashes, not RNG).
+    *
+    * Scale shape: token explode → per-row integer draw → the span merge
+    * runs per-doc windows (doc-bounded partitions, the q206/q215 shape)
+    * → one doc-grain rollup. Nothing global, no joins except the
+    * doc-grain left join back for empty/uncorrupted docs.
+    *
+    * @return doc_id, n_toks, n_spans, corrupted_toks, input_len,
+    *         target_len, mask_fp (0 when no span)
+    */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextStats.tokens(col("text")).as("t"))
+      .withColumn("n_toks", size(col("t")).cast("long"))
+    val pos = toks
+      // sequence(1, 0) steps BACKWARD in Spark — guard the empty doc out
+      .filter(col("n_toks") >= 1L)
+      .select(col("doc_id"), col("n_toks"),
+        explode(sequence(lit(1L), col("n_toks"))).as("i"))
+      .withColumn("__hd", mix40(col("doc_id")))
+      .withColumn("__hv",
+        mix40(pmod(col("__hd") + col("i") * lit(7919L), lit(1L << 31))))
+      .filter(pmod(col("__hv"), lit(13L)) === 0L)
+      .select(col("doc_id"), col("i").as("s"),
+        least(col("i") + pmod(shiftright(col("__hv"), 7), lit(3L)),
+          col("n_toks")).as("e"))
+    // the shared q206/q215 interval-union sweep (Dedup.mergedSpanFrame)
+    val spans = Dedup.mergedSpanFrame(
+        pos.select(col("doc_id"), col("s").as("pos"), col("e").as("end")))
+      .select(col("doc_id"), col("s").as("ms"), col("e").as("me"))
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("me") - col("ms") + 1L).as("corrupted_toks"),
+        TextStats.fingerprint(array_join(transform(
+          sort_array(collect_list(struct(col("ms"), col("me")))),
+          p => concat(p.getField("ms").cast("string"), lit(":"),
+            p.getField("me").cast("string"))), ",")).as("mask_fp"))
+    toks.select(col("doc_id"), col("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("corrupted_toks"), lit(0L)).as("corrupted_toks"),
+        (col("n_toks") - coalesce(col("corrupted_toks"), lit(0L)) +
+          coalesce(col("n_spans"), lit(0L))).as("input_len"),
+        (coalesce(col("corrupted_toks"), lit(0L)) +
+          coalesce(col("n_spans"), lit(0L))).as("target_len"),
+        coalesce(col("mask_fp"), lit(0L)).as("mask_fp"))
   }
 }

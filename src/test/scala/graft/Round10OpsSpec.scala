@@ -1386,4 +1386,156 @@ class Round10OpsSpec extends SparkSuite {
       s"audit should shuffle once (label rollup):\n$p")
     assert(p.contains("partial_sum"), s"no map-side partials:\n$p")
   }
+
+  // ----------------------------------------- preference pairs (q216)
+
+  test("preferencePairs: argmax/argmin per user, deterministic ties, " +
+    "margin gate, degenerate users excluded") {
+    val events = Seq(
+      // user 1: clear margin 80.00 → (view chosen, click rejected)
+      (1L, 1L, "click", 10.00), (1L, 2L, "view", 90.00),
+      (1L, 3L, "error", 50.00),
+      // user 2: all values tie → chosen == rejected row → excluded
+      (2L, 4L, "a", 20.00), (2L, 5L, "b", 20.00),
+      // user 3: margin 20.00 below the 30.00 gate → excluded
+      (3L, 6L, "c", 10.00), (3L, 7L, "d", 30.00),
+      // user 4: singleton → excluded
+      (4L, 8L, "e", 10.00),
+      // user 5: chosen-side value tie → smallest event_id ("x") wins
+      (5L, 9L, "x", 50.00), (5L, 10L, "y", 50.00), (5L, 11L, "z", 10.00))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val r = ext.Dialogue.preferencePairs(events, minMarginCents = 3000L)
+      .as[(String, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      ("view", "click", 1L, 8000L, 8000L, 8000L),
+      ("x", "z", 1L, 4000L, 4000L, 4000L)))
+  }
+
+  test("q216 plan: one prompt-key aggregation, no per-group sort window") {
+    val p = planOf(SparkEntry.queries("q216_preference_pairs")(spark, sf))
+    assert(!p.contains("Window"), s"argmax should be max(struct), " +
+      s"not a rank window:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_min"),
+      s"no map-side combine on the prompt key:\n$p")
+  }
+
+  // ------------------------------------------- shuffle quality (q217)
+
+  test("shuffleQuality: one-source corpus is all same-source runs; " +
+    "all-distinct corpus interleaves perfectly") {
+    val one = (0 until 10).map(i => (i.toLong, "A"))
+      .toDF("doc_id", "source")
+    val r1 = ext.Curation.shuffleQuality(one, nEpochs = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r1.toSeq == Seq(
+      (0L, 9L, 9L, 1L, 1000000L, 1000000L, 9L),
+      (1L, 9L, 9L, 1L, 1000000L, 1000000L, 9L)))
+    val dis = (0 until 10).map(i => (i.toLong, s"s$i"))
+      .toDF("doc_id", "source")
+    val r2 = ext.Curation.shuffleQuality(dis, nEpochs = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r2.toSeq == Seq(
+      (0L, 9L, 0L, 10L, 0L, 0L, 0L),
+      (1L, 9L, 0L, 10L, 0L, 0L, 0L)))
+  }
+
+  test("shuffleQuality epochs are distinct permutations and the readout " +
+    "is alive (a bare affine key measured exactly 0 same-source pairs)") {
+    // modular source layout — the exact shape that zeroed the affine key
+    val docs = (0 until 200).map(i => (i.toLong, s"s${i % 5}"))
+      .toDF("doc_id", "source")
+    val r = ext.Curation.shuffleQuality(docs, nEpochs = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length == 3)
+    // expectation: 5 sources × 40·39 ×1e6 div (200·199) = 195979 ppm
+    assert(r.forall(_._6 == 195979L))
+    // alive on every epoch (not degenerate-0, not sorted-order 195) and
+    // within 3× of the random expectation either way
+    r.foreach { e =>
+      assert(e._3 > 0L && e._3 < 60L, s"degenerate adjacency: $e")
+    }
+    // different epochs produce different adjacency sets (distinct
+    // permutations) — identical counts in all 3 would be suspicious
+    assert(r.map(_._3).distinct.length >= 2, r.toSeq.toString)
+  }
+
+  test("q217 plan: corpus rank is grid-bucket-partitioned — the epoch " +
+    "permutation never sorts the corpus in one partition") {
+    val p = planOf(SparkEntry.queries("q217_shuffle_quality")(spark, sf))
+    assert(p.contains("windowspecdefinition(b#"),
+      s"grid-rank window lost its bucket partitioning:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global corpus sort leaked into the epoch rank:\n$p")
+  }
+
+  // ----------------------------------------------- best-of-n (q218)
+
+  test("bestOfN: hand-computed order statistic, degenerate distribution " +
+    "has zero uplift") {
+    val docs = Seq(
+      (1L, "A", 1L), (2L, "A", 1L), (3L, "A", 2L),
+      (4L, "B", 5L), (5L, "B", 5L))
+      .toDF("doc_id", "source", "v")
+    val r = ext.Retrieval.bestOfN(docs, col("v"), nDraws = 2)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // A: E[max2] = (1·(2²−0) + 2·(3²−2²)) / 3² = 14/9 → 1555555 (floor)
+    assert(r(0) == (("A", 3L, 1333333L, 1555555L, 222222L)))
+    // B: single value — best-of-n buys nothing
+    assert(r(1) == (("B", 2L, 5000000L, 5000000L, 0L)))
+  }
+
+  test("bestOfN uplift is non-negative and bounded by the max value") {
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"s${i % 3}", 50L + (i * 37) % 200))
+      .toDF("doc_id", "source", "v")
+    val r = ext.Retrieval.bestOfN(docs, col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.length == 3)
+    r.foreach { case (_, _, mean, best, uplift) =>
+      assert(uplift >= 0L && best - mean == uplift)
+      assert(best <= 249L * 1000000L)
+      assert(best >= mean)
+    }
+  }
+
+  // ----------------------------------------- span corruption (q219)
+
+  test("spanCorruption: accounting identities, ~15% mass, determinism, " +
+    "empty docs kept as zeros") {
+    val docs = ((0 until 50).map(i =>
+      (i.toLong, (0 until 200).map(j => s"w$j").mkString(" "))) :+
+      (99L, "   "))
+      .toDF("doc_id", "text")
+    val r = ext.Transforms.spanCorruption(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length == 51)
+    val empty = r.find(_._1 == 99L).get
+    assert(empty == ((99L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    r.filter(_._1 != 99L).foreach {
+      case (_, nToks, nSpans, corrupted, inLen, tgtLen, fp) =>
+        assert(nToks == 200L)
+        assert(nSpans >= 1L && corrupted >= nSpans && corrupted <= nToks)
+        // sentinel accounting: input keeps survivors + one sentinel per
+        // span; target is the masked mass + one sentinel per span
+        assert(inLen == nToks - corrupted + nSpans)
+        assert(tgtLen == corrupted + nSpans)
+        assert(inLen + tgtLen == nToks + 2 * nSpans)
+        assert(fp != 0L)
+    }
+    val mass = r.map(_._4).sum.toDouble / r.map(_._2).sum
+    assert(mass > 0.10 && mass < 0.20, s"corruption mass $mass")
+    // deterministic: a re-run is bit-identical
+    val r2 = ext.Transforms.spanCorruption(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
+  }
+
+  test("q219 plan: per-doc windows only — no corpus-global sort or " +
+    "single-partition window on the position path") {
+    val p = planOf(SparkEntry.queries("q219_span_corruption")(spark, sf))
+    assert(p.contains("windowspecdefinition(doc_id#"),
+      s"span merge lost its per-doc partitioning:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into the span merge:\n$p")
+  }
 }
