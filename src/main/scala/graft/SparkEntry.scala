@@ -1091,7 +1091,20 @@ object SparkEntry {
     // mass, merged spans, sentinel-aware input/target lengths, exact
     // mask fingerprint
     "q219_span_corruption" -> ((s: SparkSession, d: String) =>
-      ext.Transforms.spanCorruption(Tables.documents(s, d)))
+      ext.Transforms.spanCorruption(Tables.documents(s, d))),
+    // dedup shifts the source mixture: per-source shares before/after
+    // prefix dedup in exact ppm — the recipe must be re-derived AFTER
+    "q220_dedup_impact" -> ((s: SparkSession, d: String) =>
+      ext.Curation.dedupImpact(Tables.documents(s, d))),
+    // train-readiness preflight capstone: contamination / shard balance /
+    // oversampling / blocklist folded to one pass-fail table (2 pass,
+    // 2 fail at sf0.01 — both branches alive); recipe grouped by the
+    // q214 digit-length bins (the uniform source column is a no-op)
+    "q221_train_preflight" -> ((s: SparkSession, d: String) =>
+      ext.Curation.trainPreflight(Tables.documents(s, d),
+        col("doc_id") % 20 === 0, Seq("slow", "big", "the"), maxPct = 10,
+        recipeGroup = concat(lit("len"),
+          length(col("doc_id").cast("string")).cast("string"))))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -6973,6 +6986,117 @@ object SparkEntry {
         |  CAST(coalesce(f.ct, 0) + coalesce(f.n_spans, 0) AS BIGINT)
         |    AS target_len,
         |  CAST(coalesce(f.mask_fp, 0) AS BIGINT) AS mask_fp
-        |FROM toks t LEFT JOIN fp f ON t.doc_id = f.doc_id""".stripMargin
+        |FROM toks t LEFT JOIN fp f ON t.doc_id = f.doc_id""".stripMargin,
+
+    // q199's prefix-fingerprint keeper replayed; shares via exact // on
+    // broadcast totals
+    "q220_dedup_impact" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    coalesce(list_sum(list_transform(
+        |      generate_series(1, length(substr(text, 1, 32))),
+        |      i -> CAST(ascii(substr(substr(text, 1, 32), i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648 AS fp
+        |  FROM documents),
+        |m AS (SELECT fp, min(doc_id) AS keeper FROM k GROUP BY 1),
+        |per AS (SELECT source, count(*) AS n_before,
+        |    sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS n_kept
+        |  FROM k JOIN m USING (fp) GROUP BY 1),
+        |tot AS (SELECT sum(n_before) AS nb, sum(n_kept) AS nk FROM per)
+        |SELECT source, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_before * 1000000 // nb AS BIGINT) AS share_before_ppm,
+        |  CAST(n_kept * 1000000 // nk AS BIGINT) AS share_after_ppm,
+        |  CAST(n_kept * 1000000 // nk - n_before * 1000000 // nb
+        |    AS BIGINT) AS shift_ppm
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    // four already-oracled readouts (q50 / q171 / q214 / q164 fragments)
+    // folded to the 4-row checklist; pass computed on the union
+    "q221_train_preflight" ->
+      """SELECT "check", "value", threshold,
+        |  "value" <= threshold AS pass FROM (
+        |SELECT * FROM (
+        |  WITH toks AS (
+        |    SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+        |      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |           ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |    FROM documents),
+        |  grams AS (
+        |    SELECT doc_id, is_eval,
+        |      unnest(list_transform(generate_series(1,
+        |        greatest(len(t) - 2, 0)),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |    FROM toks),
+        |  ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+        |  tr AS (SELECT DISTINCT doc_id, gram FROM grams
+        |    WHERE NOT is_eval),
+        |  pd AS (SELECT tr.doc_id, count(*) AS n_ngrams,
+        |      sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS n_overlap
+        |    FROM tr LEFT JOIN ev e USING (gram) GROUP BY tr.doc_id),
+        |  fl AS (SELECT d.doc_id,
+        |      CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0.0
+        |           ELSE CAST(n_overlap AS DOUBLE) / n_ngrams END >= 0.5
+        |        AS c
+        |    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |    WHERE d.doc_id % 20 <> 0)
+        |  SELECT 'eval_contam_ppm' AS "check",
+        |    CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) * 1000000
+        |      // count(*) AS BIGINT) AS "value",
+        |    CAST(20000 AS BIGINT) AS threshold FROM fl) a
+        |UNION ALL
+        |SELECT * FROM (
+        |  WITH k AS (SELECT doc_id, n_chars,
+        |      (doc_id * 2654435761 + 1013904223) % 2147483648 AS key
+        |    FROM documents),
+        |  r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id)
+        |      AS rank, count(*) OVER () AS n FROM k),
+        |  sh AS (SELECT (rank - 1) // ((n + 15) // 16) AS shard,
+        |      sum(n_chars) AS total_chars FROM r GROUP BY 1)
+        |  SELECT 'shard_imbalance_ppm',
+        |    CAST(max(total_chars) * 1000000 // min(total_chars) - 1000000
+        |      AS BIGINT),
+        |    CAST(500000 AS BIGINT) FROM sh) b
+        |UNION ALL
+        |SELECT * FROM (
+        |  WITH n AS (SELECT 'len' ||
+        |      CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS source,
+        |      count(*) AS n_docs
+        |    FROM documents GROUP BY 1),
+        |  w AS (SELECT source, n_docs,
+        |      CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT) AS w FROM n),
+        |  q AS (SELECT source, n_docs, w,
+        |      sum(w) OVER () AS wsum,
+        |      (sum(n_docs) OVER () * 3) // 1 AS budget FROM w),
+        |  l AS (SELECT *, (w * budget) // wsum AS base,
+        |      (w * budget) % wsum AS remainder FROM q),
+        |  r AS (SELECT *, budget - sum(base) OVER () AS leftover,
+        |      row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        |    FROM l),
+        |  quota AS (SELECT source, n_docs,
+        |      base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |    FROM r)
+        |  SELECT 'max_epochs_x1000',
+        |    CAST(max((quota * 1000) // n_docs) AS BIGINT),
+        |    CAST(4000 AS BIGINT) FROM quota) c
+        |UNION ALL
+        |SELECT * FROM (
+        |  WITH toks AS (
+        |    SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |    FROM documents),
+        |  sig AS (
+        |    SELECT len(t) AS n_tokens,
+        |      len(list_filter(t, x -> list_contains(['slow','big','the'],
+        |        regexp_replace(translate(x,
+        |          'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |        '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked
+        |    FROM toks)
+        |  SELECT 'blocked_rate_ppm',
+        |    CAST(sum(CASE WHEN n_blocked * 100 > 10 * n_tokens
+        |      THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT),
+        |    CAST(500000 AS BIGINT) FROM sig) d
+        |) u""".stripMargin
   )
 }

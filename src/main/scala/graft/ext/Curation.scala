@@ -1008,6 +1008,104 @@ object Curation {
         min(col("key")).as("min_key"), max(col("key")).as("max_key"))
   }
 
+  /** Dedup impact on the source mixture — the readout that says the data
+    * recipe must be re-derived AFTER deduplication: dedup never removes
+    * uniformly (mirror-heavy and template-heavy sources lose most), so
+    * per-source corpus shares SHIFT between the raw and deduplicated
+    * corpus, and any mixture weights tuned on raw shares silently train a
+    * different distribution. Keeper = smallest doc_id per text-prefix
+    * fingerprint (the q185/q199 prefix discipline — full-text keys are
+    * inactive on boilerplate-prefixed corpora), shares in exact ppm.
+    *
+    * Scale shape: one fingerprint-key shuffle for the keeper window
+    * (fp-bounded partitions), one source-grain rollup, totals as a
+    * broadcast 1-row frame. Envelope: n·10⁶ in longs holds to ~9·10¹²
+    * docs per source.
+    *
+    * @return source, n_before, n_kept, share_before_ppm, share_after_ppm,
+    *         shift_ppm (signed; positive = the source GAINS weight)
+    */
+  def dedupImpact(docs: DataFrame, prefixLen: Int = 32): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      TextStats.fingerprint(substring(col("text"), 1, prefixLen)).as("fp"))
+    val per = keyed
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("doc_id") === col("min_id"), 1L).otherwise(0L))
+          .as("n_kept"))
+    val tot = per.agg(sum(col("n_before")).as("nb"),
+      sum(col("n_kept")).as("nk"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_before"), col("n_kept"),
+        expr("CAST(n_before * 1000000 div nb AS BIGINT)")
+          .as("share_before_ppm"),
+        expr("CAST(n_kept * 1000000 div nk AS BIGINT)")
+          .as("share_after_ppm"))
+      .withColumn("shift_ppm",
+        col("share_after_ppm") - col("share_before_ppm"))
+  }
+
+  /** Train-readiness preflight (capstone composition): the checklist a
+    * pipeline runs BEFORE handing a corpus to the trainer, four
+    * already-oracled readouts folded to one (check, value, threshold,
+    * pass) table:
+    *
+    *  - `eval_contam_ppm` — flagged-contaminated train docs per million
+    *    ([[contamination]], the q50 gate);
+    *  - `shard_imbalance_ppm` — max/min shard char-load spread of the
+    *    naive count-cut shard plan ([[shuffleShards]]); a failure here
+    *    says "use the snake planner" ([[shardBalance]], q210);
+    *  - `max_epochs_x1000` — the largest per-group repeat factor of the
+    *    √-temperature recipe ([[mixtureEpochs]], q214); a failure is a
+    *    memorization-risk source that needs a cap or re-weighting;
+    *  - `blocked_rate_ppm` — blocklist-dropped docs per million
+    *    ([[graft.ext.Safety.blocklistScan]], the q164 gate).
+    *
+    * Thresholds are parameters with defaults tuned so both branches are
+    * demonstrably ALIVE on the fixture (2 pass / 2 fail at sf0.01) — a
+    * preflight whose checks cannot fail verifies nothing.
+    *
+    * Scale shape: four independent small-output DAGs (each documented at
+    * its home operator) unioned at the 4-row grain; Catalyst schedules
+    * the corpus scans independently — nothing is collected to the driver.
+    */
+  def trainPreflight(docs: DataFrame, evalPred: Column,
+                     blockWords: Seq[String], maxPct: Int,
+                     recipeGroup: Column, budgetNum: Long = 3L,
+                     contamMaxPpm: Long = 20000L,
+                     shardImbMaxPpm: Long = 500000L,
+                     epochsMaxX1000: Long = 4000L,
+                     blockedMaxPpm: Long = 500000L): DataFrame = {
+    val c1 = contamination(docs, evalPred)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("c"))
+      .select(lit("eval_contam_ppm").as("check"),
+        expr("CAST(c * 1000000 div n AS BIGINT)").as("value"),
+        lit(contamMaxPpm).as("threshold"))
+    val c2 = shuffleShards(docs, nShards = 16)
+      .agg(min(col("total_chars")).as("mn"), max(col("total_chars")).as("mx"))
+      .select(lit("shard_imbalance_ppm").as("check"),
+        expr("CAST(mx * 1000000 div mn - 1000000 AS BIGINT)").as("value"),
+        lit(shardImbMaxPpm).as("threshold"))
+    val c3 = mixtureEpochs(
+        docs.select(col("doc_id"), recipeGroup.as("source")),
+        budgetNum, 1L)
+      .agg(max(col("epochs_x1000")).as("mx"))
+      .select(lit("max_epochs_x1000").as("check"),
+        col("mx").as("value"), lit(epochsMaxX1000).as("threshold"))
+    val c4 = graft.ext.Safety
+      .blocklistScan(docs, col("text"), blockWords, maxPct)
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("b"))
+      .select(lit("blocked_rate_ppm").as("check"),
+        expr("CAST(b * 1000000 div n AS BIGINT)").as("value"),
+        lit(blockedMaxPpm).as("threshold"))
+    c1.unionByName(c2).unionByName(c3).unionByName(c4)
+      .withColumn("pass", col("value") <= col("threshold"))
+  }
+
   /** Data-loader shuffle-quality audit: how well the deterministic epoch
     * permutation interleaves sources. Each epoch `e` orders the corpus by
     * the engine-neutral affine key `(doc_id·2654435761 + 1013904223·(e+1))

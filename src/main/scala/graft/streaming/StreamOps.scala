@@ -660,4 +660,81 @@ object StreamOps {
           }
       }
   }
+
+  /** One margin-gated preference pair (the q216 per-prompt grain, before
+    * the type-matrix rollup).
+    */
+  final case class PairRow(user_id: Long, chosen_type: String,
+                           rejected_type: String, margin_cents: Long)
+
+  // NOT private: the state encoder's generated code needs public accessors
+  final case class PrefState(maxC: Long, maxId: Long, maxT: String,
+                             minC: Long, minId: Long, minT: String,
+                             lastTs: Long)
+
+  /** Streaming twin of [[graft.ext.Dialogue.preferencePairs]] —
+    * thirteenth batch↔stream pair: the per-prompt reward argmax/argmin
+    * tracked live in O(1) state (running (cents, id, type) extrema — a
+    * struct max/min is order-independent, so micro-batch arrival order
+    * cannot change the pair), the margin-gated pair emitted when the
+    * prompt group goes idle. Cents are exact (2-dp decimal route, the
+    * q120 rule, via the canonical double repr — bit-equal to the batch
+    * DECIMAL(18,2) cast). The batch operator is the oracle-checked
+    * semantics; the spec aggregates emitted pairs to the type matrix and
+    * asserts equality on shared random events.
+    */
+  def preferencePairsStream(events: Dataset[Event],
+                            minMarginCents: Long = 20000L,
+                            idleTimeoutUs: Long = 3600L * 1000000,
+                            watermark: String = "1 hour")
+      : Dataset[PairRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def cents(v: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PrefState, PairRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event],
+         state: GroupState[PrefState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (s.maxId != s.minId && s.maxC - s.minC >= minMarginCents)
+              Iterator.single(PairRow(user, s.maxT, s.minT, s.maxC - s.minC))
+            else Iterator.empty
+          } else {
+            var s = state.getOption.orNull
+            batch.foreach { e =>
+              val c = cents(e.value)
+              if (s == null)
+                s = PrefState(c, e.event_id, e.event_type,
+                  c, e.event_id, e.event_type, e.ts_us)
+              else {
+                // batch tie-break replayed: chosen = max(cents, −id),
+                // rejected = min(cents, id)
+                val up =
+                  if (c > s.maxC || (c == s.maxC && e.event_id < s.maxId))
+                    s.copy(maxC = c, maxId = e.event_id, maxT = e.event_type)
+                  else s
+                s =
+                  if (c < up.minC || (c == up.minC && e.event_id < up.minId))
+                    up.copy(minC = c, minId = e.event_id,
+                      minT = e.event_type,
+                      lastTs = math.max(up.lastTs, e.ts_us))
+                  else up.copy(lastTs = math.max(up.lastTs, e.ts_us))
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs / 1000 + idleTimeoutUs / 1000)
+            Iterator.empty
+          }
+      }
+  }
 }

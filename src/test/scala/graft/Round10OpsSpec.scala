@@ -1538,4 +1538,35 @@ class Round10OpsSpec extends SparkSuite {
     assert(!p.contains("rangepartitioning"),
       s"global sort leaked into the span merge:\n$p")
   }
+
+  // -------------------------------------------- dedup impact (q220)
+
+  test("dedupImpact: uneven dedup shifts shares; exact ppm arithmetic") {
+    val docs = Seq(
+      (1L, "A", "same prefix text here"), (2L, "A", "same prefix text here"),
+      (3L, "B", "unique one"), (4L, "B", "unique two"))
+      .toDF("doc_id", "source", "text")
+    val r = ext.Curation.dedupImpact(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // A loses its duplicate: 2→1 kept of 4→3 total
+    assert(r(0) == (("A", 2L, 1L, 500000L, 333333L, -166667L)))
+    assert(r(1) == (("B", 2L, 2L, 500000L, 666666L, 166666L)))
+  }
+
+  // ----------------------------------------- train preflight (q221)
+
+  test("q221 trainPreflight: 4 checks, both branches alive, pass is the " +
+    "threshold inequality") {
+    val r = SparkEntry.queries("q221_train_preflight")(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(r.length == 4)
+    assert(r.map(_._1).toSet == Set("eval_contam_ppm",
+      "shard_imbalance_ppm", "max_epochs_x1000", "blocked_rate_ppm"))
+    r.foreach { case (_, v, t, p) => assert(p == (v <= t)) }
+    // both branches demonstrably fire on the fixture
+    assert(r.exists(_._4) && r.exists(!_._4),
+      s"preflight checks all on one side: ${r.toSeq}")
+    // the oversampling check is the designed failure (14.5 epochs max)
+    assert(r.find(_._1 == "max_epochs_x1000").exists(!_._4))
+  }
 }

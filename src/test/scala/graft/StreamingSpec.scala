@@ -710,4 +710,57 @@ class StreamingSpec extends SparkSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("streaming preference pairs ≡ batch preferencePairs matrix on " +
+    "the same 300 random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1777)
+    val types = Seq("view", "cart", "purchase", "click", "signup")
+    val evts = (1 to 300).map { i =>
+      Event(i.toLong, T0 + rnd.nextInt(12 * 60) * Min,
+        1 + rnd.nextInt(10), types(rnd.nextInt(types.length)),
+        rnd.nextInt(40000) / 100.0)
+    } ++ Seq(
+      // scripted: chosen-side value tie → smallest event_id must win
+      Event(901L, T0 + 1 * Min, 21L, "cart", 350.00),
+      Event(902L, T0 + 2 * Min, 21L, "view", 350.00),
+      Event(903L, T0 + 3 * Min, 21L, "click", 10.00),
+      // scripted: margin below the gate → no pair
+      Event(911L, T0 + 1 * Min, 22L, "view", 100.00),
+      Event(912L, T0 + 2 * Min, 22L, "cart", 150.00))
+    val maxTs = evts.map(_.ts_us).max
+
+    val batch = graft.ext.Dialogue.preferencePairs(evts.toDF())
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.preferencePairsStream(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("prefeqv").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      src.addData(Event(9001, maxTs + 5000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(9002, maxTs + 9000 * Min, 999, "view", 0.0))
+      q.processAllAvailable()
+      // per-user pairs → the q216 type matrix
+      val streamed = spark.table("prefeqv")
+        .as[(Long, String, String, Long)].collect()
+        .filter(_._1 != 999L)
+        .groupBy(p => (p._2, p._3))
+        .map { case ((c, r), ps) =>
+          val ms = ps.map(_._4)
+          (c, r, ps.size.toLong, ms.sum, ms.min, ms.max)
+        }.toSet
+      assert(streamed === batch)
+      // tie user emitted with the smallest chosen id's type; gated user
+      // absent
+      val perUser = spark.table("prefeqv")
+        .as[(Long, String, String, Long)].collect()
+      assert(perUser.find(_._1 == 21L).map(p => (p._2, p._3, p._4))
+        .contains(("cart", "click", 34000L)))
+      assert(!perUser.exists(_._1 == 22L))
+    } finally q.stop()
+  }
 }
