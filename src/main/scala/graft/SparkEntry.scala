@@ -1104,7 +1104,24 @@ object SparkEntry {
       ext.Curation.trainPreflight(Tables.documents(s, d),
         col("doc_id") % 20 === 0, Seq("slow", "big", "the"), maxPct = 10,
         recipeGroup = concat(lit("len"),
-          length(col("doc_id").cast("string")).cast("string"))))
+          length(col("doc_id").cast("string")).cast("string")))),
+    // per-source lineage digest: order-invariant content hash + masses —
+    // the O(sources) "did anything change" stamp before q158's diff
+    "q222_corpus_digest" -> ((s: SparkSession, d: String) =>
+      ext.Curation.corpusDigest(Tables.documents(s, d))),
+    // sequence-length selection curve: docs truncated + token mass lost
+    // at each candidate context (32/64/96 straddle the 10–99 token docs)
+    "q223_truncation_audit" -> ((s: SparkSession, d: String) =>
+      ext.Curation.truncationAudit(Tables.documents(s, d))),
+    // degenerate-generation QA: tail periodicity per (source, period);
+    // planted stutter (24× ' spam') and phrase cycle (12× ' foo bar')
+    // so both loop kinds demonstrably fire (q163 augmentation discipline)
+    "q224_generation_loops" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.generationLoops(Tables.documents(s, d),
+        concat(col("text"),
+          when(col("doc_id") % 17 === 0, repeat(lit(" spam"), 24))
+            .when(col("doc_id") % 23 === 0, repeat(lit(" foo bar"), 12))
+            .otherwise(lit("")))))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7097,6 +7114,75 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN n_blocked * 100 > 10 * n_tokens
         |      THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT),
         |    CAST(500000 AS BIGINT) FROM sig) d
-        |) u""".stripMargin
+        |) u""".stripMargin,
+
+    // per-term xorshift mix of (ascii-fold fp + spread id), THEN the
+    // commutative sum — an unmixed additive fold is blind to pairing
+    // swaps (texts exchanged between two ids leave the sum unchanged)
+    "q222_corpus_digest" ->
+      """WITH f AS (SELECT doc_id, source, length(text) AS nc,
+        |    (coalesce(list_sum(list_transform(generate_series(1,
+        |      length(text)),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |     + (doc_id * 2654435761 + 1013904223) % 2147483648)
+        |      % 2147483648 AS inr
+        |  FROM documents),
+        |m1 AS (SELECT source, nc,
+        |    (inr * 2654435761 + 1013904223) % 1099511627776 AS h1
+        |  FROM f),
+        |m2 AS (SELECT source, nc, xor(h1, h1 // 1048576) AS h2 FROM m1),
+        |m3 AS (SELECT source, nc, ((h2 % 4294967296) * 1540483477
+        |    + 99991) % 1099511627776 AS h3 FROM m2),
+        |t AS (SELECT source, nc,
+        |    xor(h3, h3 // 131072) % 2147483648 AS term FROM m3)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  CAST(sum(term) % 2147483648 AS BIGINT) AS digest
+        |FROM t GROUP BY source""".stripMargin,
+
+    "q223_truncation_audit" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_toks
+        |  FROM documents),
+        |x AS (SELECT n_toks, c.context
+        |  FROM t, (SELECT unnest([32, 64, 96]) AS context) c)
+        |SELECT CAST(context AS BIGINT) AS context,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN n_toks > context THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_truncated,
+        |  CAST(sum(CASE WHEN n_toks > context THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS truncated_ppm,
+        |  CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN n_toks > context THEN n_toks - context
+        |    ELSE 0 END) AS BIGINT) AS tokens_lost,
+        |  CAST(sum(CASE WHEN n_toks > context THEN n_toks - context
+        |    ELSE 0 END) * 1000000 // sum(n_toks) AS BIGINT) AS lost_ppm
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // tail periodicity via shifted-slice equality (the standard string
+    // period test); CASE tries periods smallest-first
+    "q224_generation_loops" ->
+      """WITH aug AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 17 = 0 THEN repeat(' spam', 24)
+        |         WHEN doc_id % 23 = 0 THEN repeat(' foo bar', 12)
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM aug),
+        |tl AS (SELECT source, least(len(tk), 24) AS k,
+        |    tk[greatest(len(tk) - 24 + 1, 1):len(tk)] AS tail FROM t),
+        |p AS (SELECT source,
+        |    CASE WHEN k >= 2 AND tail[1:k-1] = tail[2:k] THEN 1
+        |         WHEN k >= 4 AND tail[1:k-2] = tail[3:k] THEN 2
+        |         WHEN k >= 6 AND tail[1:k-3] = tail[4:k] THEN 3
+        |         WHEN k >= 8 AND tail[1:k-4] = tail[5:k] THEN 4
+        |         ELSE 0 END AS period FROM tl)
+        |SELECT source, CAST(period AS BIGINT) AS period,
+        |  count(*)::BIGINT AS n_docs
+        |FROM p GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1106,6 +1106,78 @@ object Curation {
       .withColumn("pass", col("value") <= col("threshold"))
   }
 
+  /** Per-source corpus digest — the dataset-version fingerprint a lineage
+    * system stamps on every pipeline input/output: an ORDER-INVARIANT
+    * content hash (sum of per-doc terms mod 2³¹ — addition commutes, so
+    * file order, partitioning, and shuffle layout cannot change it) plus
+    * doc/char masses. Two corpus versions with equal digests are
+    * almost-surely identical per source; a cheap equality check gates
+    * cache reuse and detects silent upstream drift (q158's snapshot
+    * diff then says WHAT changed — the digest is the O(sources) "did
+    * anything change" primitive that decides whether to run it).
+    *
+    * Each doc's term is the xorshift MIX of (content fingerprint +
+    * spread doc_id) — the mix must be non-linear: a purely additive fold
+    * of independent fp/id terms is BLIND to pairing swaps (swapping the
+    * texts of two ids permutes addends, and addition commutes — the spec
+    * caught exactly this on the first draft), so identity and content
+    * are combined inside the mix, per term, before the commutative sum.
+    *
+    * Scale shape: one per-row fingerprint + one source-grain map-side-
+    * combined aggregation — scan-bound. Envelope: the long sum holds to
+    * ~4·10⁹ docs per source (terms < 2³¹); past that, re-reduce the sum
+    * mod 2³¹ per partial.
+    *
+    * @return source, n_docs, total_chars, digest
+    */
+  def corpusDigest(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        pmod(graft.functions.Hashing.mix40(
+          pmod(TextStats.fingerprint(col("text")) +
+            graft.functions.Hashing.spread(col("doc_id"), 1L << 31),
+            lit(1L << 31))),
+          lit(1L << 31)).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+        pmod(sum(col("term")), lit(1L << 31)).as("digest"))
+
+  /** Context-length truncation audit: for each candidate context size,
+    * how many documents would truncate and how much token mass the cut
+    * discards — the measurement behind choosing a model's sequence
+    * length (every size is a compute/coverage trade; this is the
+    * coverage side, exact). Sizes are token counts; the readout is
+    * per-size so the curve is directly comparable.
+    *
+    * Scale shape: one token-count projection, a constant ×|contexts|
+    * posexplode, one size-grain rollup — scan-bound, output
+    * |contexts| rows. The ×10⁶ rates use non-negative integral division
+    * (the q123 parity rule).
+    *
+    * @return context, n_docs, n_truncated, truncated_ppm, tokens_total,
+    *         tokens_lost, lost_ppm
+    */
+  def truncationAudit(docs: DataFrame,
+                      contexts: Seq[Long] = Seq(32L, 64L, 96L))
+      : DataFrame =
+    docs
+      .select(TextStats.tokenCount(col("text")).cast("long").as("n_toks"))
+      .select(col("n_toks"),
+        explode(array(contexts.map(lit): _*)).as("context"))
+      .groupBy(col("context"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_toks") > col("context"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(when(col("n_toks") > col("context"),
+          col("n_toks") - col("context")).otherwise(0L)).as("tokens_lost"))
+      .select(col("context"), col("n_docs"), col("n_truncated"),
+        expr("CAST(n_truncated * 1000000 div n_docs AS BIGINT)")
+          .as("truncated_ppm"),
+        col("tokens_total"), col("tokens_lost"),
+        expr("CAST(tokens_lost * 1000000 div tokens_total AS BIGINT)")
+          .as("lost_ppm"))
+
   /** Data-loader shuffle-quality audit: how well the deterministic epoch
     * permutation interleaves sources. Each epoch `e` orders the corpus by
     * the engine-neutral affine key `(doc_id·2654435761 + 1013904223·(e+1))

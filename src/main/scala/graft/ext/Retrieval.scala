@@ -348,7 +348,10 @@ object Retrieval {
     * the domain is bounded; a near-unique 10⁸-value domain wants the
     * grid-rank form first). Envelope: Nⁿ·vmax·10⁶ must fit DECIMAL(38) —
     * n=4 holds to N ≈ 10⁷ rows/group at vmax 10³; ANSI decimal overflow
-    * fails loudly beyond it.
+    * fails loudly beyond it. Values must be NON-NEGATIVE: the ×10⁶
+    * readouts use integral division, and Spark `div` truncates where
+    * DuckDB `//` floors (the q123 parity rule) — they agree only on
+    * non-negative operands.
     *
     * @return source, n_docs, mean_e6, best_of_n_e6, uplift_e6
     */

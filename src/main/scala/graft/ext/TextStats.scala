@@ -698,4 +698,42 @@ object TextStats {
         coalesce(col("known_num"), lit(0L)).as("known_num"),
         coalesce(col("known_den"), lit(0L)).as("known_den"))
   }
+
+  /** Generation-loop detector — the model-output QA pass that catches
+    * degenerate repetition (greedy/low-temperature decoders collapsing
+    * into `the the the…` or a cycling phrase; Holtzman et al. 2020, "The
+    * Curious Case of Neural Text Degeneration", public literature): a
+    * document's token TAIL (last `tailLen` tokens — loops live at the
+    * end, where generation got stuck) is flagged with period `p` when
+    * shifting it by p maps it onto itself (`tail[1..k−p] ==
+    * tail[p+1..k]`, the standard string-periodicity test), for the
+    * smallest p ≤ `maxPeriod`; a period needs k ≥ 2p so at least one
+    * full repeat is observed. Rolled up per (source, period) — period 0
+    * rows are the clean mass, the per-period split says WHAT kind of
+    * loop (single-token stutter vs phrase cycle).
+    *
+    * Scale shape: pure per-row array expressions (slice + equality on a
+    * bounded-length tail — O(tailLen·maxPeriod) per row regardless of
+    * document size), one (source, period)-grain rollup. Scan-bound.
+    *
+    * @return source, period (0 = no loop), n_docs
+    */
+  def generationLoops(docs: DataFrame, text: Column, tailLen: Int = 24,
+                      maxPeriod: Int = 4): DataFrame = {
+    val t = tokens(text)
+    val k = least(size(t), lit(tailLen))
+    // start must not be 0 in Spark slice — the greatest() keeps the
+    // empty-doc row legal (length 0 → empty tail, period 0)
+    val tail = slice(t, -greatest(k, lit(1)), k)
+    def periodic(p: Int): Column =
+      (k >= 2 * p) &&
+        (slice(tail, lit(1), k - p) === slice(tail, lit(p + 1), k - p))
+    val period = (maxPeriod to 1 by -1).foldLeft(lit(0L)) { (acc, p) =>
+      when(periodic(p), p.toLong).otherwise(acc)
+    }
+    docs
+      .select(col("source"), period.as("period"))
+      .groupBy(col("source"), col("period"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -76,20 +76,10 @@ object Transforms {
           .as("out_fp"))
   }
 
-  /** The q136 two-round xorshift mix into [0, 2⁴⁰) — span-corruption draws
-    * need a NON-affine position hash for the same reason shuffleQuality
-    * does: an affine draw makes every 13th token a span start, a rigid
-    * lattice instead of a corruption pattern. Input envelope |x| ≲ 3.4e9
-    * (the shared affine-hash long envelope).
-    */
-  private def mix40(x: Column): Column = {
-    val T = 1L << 40
-    val h1 = pmod(x * lit(2654435761L) + lit(1013904223L), lit(T))
-    val h2 = h1.bitwiseXOR(shiftright(h1, 20))
-    val h3 = pmod(pmod(h2, lit(1L << 32)) * lit(1540483477L) + lit(99991L),
-      lit(T))
-    h3.bitwiseXOR(shiftright(h3, 17))
-  }
+  // span-corruption draws need the NON-affine mix for the same reason
+  // shuffleQuality does: an affine draw makes every 13th token a span
+  // start — a rigid lattice instead of a corruption pattern
+  private def mix40(x: Column): Column = graft.functions.Hashing.mix40(x)
 
   /** T5-style span-corruption example accounting (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning…", §3.1.4, public

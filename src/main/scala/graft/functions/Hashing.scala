@@ -27,4 +27,21 @@ object Hashing {
     */
   def spread(x: Column, mod: Long): Column =
     pmod(x * lit(2654435761L) + lit(1013904223L), lit(mod))
+
+  /** The q136 two-round xorshift mix into [0, 2⁴⁰) — the NON-affine hash
+    * for observables a linear map corrupts: trailing-zero geometrics
+    * (HLL), sorted-order adjacency (shuffle audits — an affine key has
+    * three-distance structure), span-draw lattices, and pairing-swap
+    * sensitivity in additive digests. xor/shift replay engine-neutrally
+    * (DuckDB `xor()` / `// 2^k`). Input envelope |x| ≲ 3.4e9 (the shared
+    * affine-hash long envelope — larger inputs overflow the multiply).
+    */
+  def mix40(x: Column): Column = {
+    val T = 1L << 40
+    val h1 = pmod(x * lit(2654435761L) + lit(1013904223L), lit(T))
+    val h2 = h1.bitwiseXOR(shiftright(h1, 20))
+    val h3 = pmod(pmod(h2, lit(1L << 32)) * lit(1540483477L) + lit(99991L),
+      lit(T))
+    h3.bitwiseXOR(shiftright(h3, 17))
+  }
 }

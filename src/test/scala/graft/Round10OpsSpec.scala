@@ -1569,4 +1569,69 @@ class Round10OpsSpec extends SparkSuite {
     // the oversampling check is the designed failure (14.5 epochs max)
     assert(r.find(_._1 == "max_epochs_x1000").exists(!_._4))
   }
+
+  // --------------------------------------------- corpus digest (q222)
+
+  test("corpusDigest: order-invariant, content- and identity-sensitive") {
+    val docs = Seq((1L, "A", "alpha"), (2L, "A", "beta"), (3L, "B", "g"))
+      .toDF("doc_id", "source", "text")
+    val base = ext.Curation.corpusDigest(docs)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // row order cannot change the digest (sum commutes)
+    val shuffled = ext.Curation.corpusDigest(
+      docs.orderBy(col("text").desc).repartition(7))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(base.toSeq == shuffled.toSeq)
+    assert(base(0)._2 == 2L && base(0)._3 == 9L)
+    // swapping texts BETWEEN ids keeps the text multiset but must change
+    // the digest (identity is folded in)
+    val swapped = ext.Curation.corpusDigest(
+      Seq((1L, "A", "beta"), (2L, "A", "alpha"), (3L, "B", "g"))
+        .toDF("doc_id", "source", "text"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(swapped(0)._4 != base(0)._4)
+    assert(swapped(1)._4 == base(1)._4) // untouched source unchanged
+    // one-char edit changes the digest
+    val edited = ext.Curation.corpusDigest(
+      Seq((1L, "A", "alphb"), (2L, "A", "beta"), (3L, "B", "g"))
+        .toDF("doc_id", "source", "text"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(edited(0)._4 != base(0)._4)
+  }
+
+  // ------------------------------------------ truncation audit (q223)
+
+  test("truncationAudit: exact per-context doc and token-loss accounting") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val r = ext.Curation.truncationAudit(docs, contexts = Seq(2L, 4L))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // c=2: docs 1 (3 toks, loses 1) and 2 (5 toks, loses 3) truncate
+    assert(r(0) == ((2L, 3L, 2L, 666666L, 9L, 4L, 444444L)))
+    // c=4: only doc 2 truncates, loses 1
+    assert(r(1) == ((4L, 3L, 1L, 333333L, 9L, 1L, 111111L)))
+  }
+
+  // ---------------------------------------- generation loops (q224)
+
+  test("generationLoops: smallest period wins, tail-window semantics, " +
+    "clean and empty docs are period 0") {
+    val stutter = (1 to 30).map(_ => "x").mkString(" ")   // period 1
+    val cycle = (1 to 15).map(_ => "u v").mkString(" ")   // period 2
+    val four = (1 to 8).map(_ => "a b c d").mkString(" ") // period 4
+    // head differs, but the LAST 24 tokens are pure stutter
+    val tailOnly = "h1 h2 h3 h4 h5 h6 " +
+      (1 to 24).map(_ => "z").mkString(" ")
+    val docs = Seq(
+      (1L, "S", stutter), (2L, "S", cycle), (3L, "S", four),
+      (4L, "S", tailOnly), (5L, "S", "the quick brown fox"),
+      (6L, "S", "   "))
+      .toDF("doc_id", "source", "text")
+    val r = ext.TextStats.generationLoops(docs, col("text"))
+      .as[(String, Long, Long)].collect()
+      .map { case (_, p, n) => p -> n }.toMap
+    // stutter + tailOnly → period 1; cycle → 2; four → 4; clean + empty → 0
+    assert(r == Map(1L -> 2L, 2L -> 1L, 4L -> 1L, 0L -> 2L))
+  }
 }
