@@ -1121,7 +1121,21 @@ object SparkEntry {
         concat(col("text"),
           when(col("doc_id") % 17 === 0, repeat(lit(" spam"), 24))
             .when(col("doc_id") % 23 === 0, repeat(lit(" foo bar"), 12))
-            .otherwise(lit("")))))
+            .otherwise(lit(""))))),
+    // q214's recipe at DOC grain: who gets the extra pass (hash-spread
+    // pick, deterministic); (group, exposures) histogram — the
+    // memorization-exposure readout; q214's digit-length bins
+    "q225_epoch_exposure" -> ((s: SparkSession, d: String) =>
+      ext.Curation.epochExposure(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("len"),
+            length(col("doc_id").cast("string")).cast("string"))
+            .as("source")))),
+    // in-batch false-negative risk for contrastive training: near-dup
+    // pairs co-located by the loader permutation per batch size —
+    // collision mass grows with batch size (16/64/256 curve)
+    "q226_batch_collisions" -> ((s: SparkSession, d: String) =>
+      ext.Curation.batchCollisions(Tables.documents(s, d)))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7183,6 +7197,68 @@ object SparkEntry {
         |         ELSE 0 END AS period FROM tl)
         |SELECT source, CAST(period AS BIGINT) AS period,
         |  count(*)::BIGINT AS n_docs
-        |FROM p GROUP BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // q214's quota chain + per-group spread-hash rank → doc exposure
+    "q225_epoch_exposure" ->
+      """WITH n AS (SELECT doc_id, 'len' ||
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS source
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs FROM n GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS w FROM g),
+        |q AS (SELECT source, n_docs, w,
+        |    sum(w) OVER () AS wsum,
+        |    (sum(n_docs) OVER () * 3) // 1 AS budget FROM w),
+        |l AS (SELECT *, (w * budget) // wsum AS base,
+        |    (w * budget) % wsum AS remainder FROM q),
+        |r AS (SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        |  FROM l),
+        |quota AS (SELECT source, n_docs,
+        |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |  FROM r),
+        |dr AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761 + 1013904223) % 2147483648,
+        |        doc_id) AS drk
+        |  FROM n)
+        |SELECT d.source,
+        |  CAST(quota // n_docs
+        |    + CASE WHEN drk <= quota % n_docs THEN 1 ELSE 0 END
+        |    AS BIGINT) AS exposures,
+        |  count(*)::BIGINT AS n_docs
+        |FROM dr d JOIN quota USING (source) GROUP BY 1, 2""".stripMargin,
+
+    // one global spread-permutation rank, constant batch-size explode,
+    // (bsz, batch, fp) cells; global dup mass as the 1-row anchor
+    "q226_batch_collisions" ->
+      """WITH k AS (SELECT doc_id,
+        |    coalesce(list_sum(list_transform(
+        |      generate_series(1, length(substr(text, 1, 32))),
+        |      i -> CAST(ascii(substr(substr(text, 1, 32), i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS fp,
+        |    (doc_id * 2654435761 + 1013904223) % 2147483648 AS key64
+        |  FROM documents),
+        |r AS (SELECT fp, row_number() OVER (ORDER BY key64, doc_id)
+        |    AS rnk FROM k),
+        |x AS (SELECT fp, rnk, b.bsz
+        |  FROM r, (SELECT unnest([16, 64, 256]) AS bsz) b),
+        |cells AS (SELECT bsz, (rnk - 1) // bsz AS batch, fp,
+        |    count(*) AS c
+        |  FROM x GROUP BY 1, 2, 3),
+        |gd AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+        |      AS total_dup_pairs,
+        |    CAST(sum(c) AS BIGINT) AS n
+        |  FROM (SELECT fp, count(*) AS c FROM k GROUP BY 1) t)
+        |SELECT CAST(bsz AS BIGINT) AS bsz,
+        |  CAST((n + bsz - 1) // bsz AS BIGINT) AS n_batches,
+        |  total_dup_pairs,
+        |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS inbatch_dup_pairs,
+        |  CAST(count(DISTINCT CASE WHEN c > 1 THEN batch END) AS BIGINT)
+        |    AS batches_with_dup
+        |FROM cells CROSS JOIN gd GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -1178,6 +1178,85 @@ object Curation {
         expr("CAST(tokens_lost * 1000000 div tokens_total AS BIGINT)")
           .as("lost_ppm"))
 
+  /** Doc-grain epoch exposure under the √-temperature recipe — q214 says
+    * each GROUP repeats `quota/n` times; this materializes the recipe at
+    * document grain: every doc is seen `quota div n` times and the
+    * `quota mod n` docs with the smallest spread-hash rank get one extra
+    * pass (deterministic — re-runs pick the SAME extras, and the pick is
+    * hash-spread, not doc_id-ordered, so the extra pass isn't biased to
+    * old documents). The histogram per (group, exposures) is the
+    * memorization-exposure readout: any cell at high exposures is the
+    * set of docs the model will see most often.
+    *
+    * Scale shape: the quota frame is group-grain (broadcast); the rank
+    * is one per-group window (group-bounded partitions — a mega-group
+    * wants the gridRankBy form, the q121 note); output is
+    * O(groups · distinct exposures) = O(2·groups).
+    *
+    * @return source, exposures, n_docs
+    */
+  def epochExposure(docs: DataFrame, budgetNum: Long = 3L,
+                    budgetDen: Long = 1L): DataFrame = {
+    val quotas = sqrtQuotas(docs.select(col("doc_id"), col("source")),
+      budgetNum, budgetDen)
+    val wG = Window.partitionBy(col("source"))
+      .orderBy(graft.functions.Hashing.spread(col("doc_id"), 1L << 31),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(wG).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("exposures", expr("quota div n_docs") +
+        when(col("rk") <= pmod(col("quota"), col("n_docs")), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"), col("exposures"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** In-batch duplicate-collision audit for contrastive training: with
+    * in-batch negatives, two near-duplicate positives landing in the SAME
+    * batch make each other false negatives (the model is told its own
+    * paraphrase is wrong) — the standard large-batch contrastive
+    * pathology. For each candidate batch size, this counts how many
+    * near-dup pairs (same text-prefix fingerprint, the q220 key) the
+    * deterministic loader permutation co-locates, against the corpus's
+    * total dup-pair mass: the curve that says how much a bigger batch
+    * costs in label noise (risk grows ~linearly with batch size).
+    *
+    * Scale shape: ONE distributed grid rank orders the corpus; the
+    * constant ×|batchSizes| explode feeds (size, batch, fp)-grain
+    * aggregation — even, key-rich shuffles; the global dup mass rides a
+    * broadcast 1-row frame.
+    *
+    * @return bsz, n_batches, total_dup_pairs, inbatch_dup_pairs,
+    *         batches_with_dup
+    */
+  def batchCollisions(docs: DataFrame,
+                      batchSizes: Seq[Long] = Seq(16L, 64L, 256L),
+                      prefixLen: Int = 32): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      TextStats.fingerprint(substring(col("text"), 1, prefixLen)).as("fp"),
+      graft.functions.Hashing.spread(col("doc_id"), 1L << 31).as("key64"))
+    val ranked = gridRankBy(keyed, "key64", "rank", "batchCollisions")
+    val cells = ranked
+      .select(col("fp"), col("rank"),
+        explode(array(batchSizes.map(lit): _*)).as("bsz"))
+      .withColumn("batch", expr("(rank - 1) div bsz"))
+      .groupBy(col("bsz"), col("batch"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    val globalDups = keyed.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("total_dup_pairs"),
+        sum(col("c")).as("n"))
+    cells.groupBy(col("bsz"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("inbatch_dup_pairs"),
+        count_distinct(when(col("c") > 1L, col("batch")))
+          .as("batches_with_dup"))
+      .crossJoin(broadcast(globalDups))
+      .select(col("bsz"),
+        expr("(n + bsz - 1) div bsz").as("n_batches"),
+        col("total_dup_pairs"), col("inbatch_dup_pairs"),
+        col("batches_with_dup"))
+  }
+
   /** Data-loader shuffle-quality audit: how well the deterministic epoch
     * permutation interleaves sources. Each epoch `e` orders the corpus by
     * the engine-neutral affine key `(doc_id·2654435761 + 1013904223·(e+1))

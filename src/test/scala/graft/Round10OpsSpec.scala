@@ -1634,4 +1634,53 @@ class Round10OpsSpec extends SparkSuite {
     // stutter + tailOnly → period 1; cycle → 2; four → 4; clean + empty → 0
     assert(r == Map(1L -> 2L, 2L -> 1L, 4L -> 1L, 0L -> 2L))
   }
+
+  // --------------------------------------------- epoch exposure (q225)
+
+  test("epochExposure: hand-computed largest-remainder quotas split " +
+    "into base and base+1 exposure cells that sum back to the quota") {
+    val docs = ((1 to 4).map(i => (i.toLong, "A")) :+ (9L, "B"))
+      .toDF("doc_id", "source")
+    val r = ext.Curation.epochExposure(docs, budgetNum = 2L)
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    // budget 10; w = (2e6, 1e6) → quotas A=7, B=3 (A takes the leftover)
+    // A: 7 = 1·4 + 3 extras → {1:1, 2:3}; B: 3 = 3·1 → {3:1}
+    assert(r.toSeq == Seq(("A", 1L, 1L), ("A", 2L, 3L), ("B", 3L, 1L)))
+    // Σ exposures·docs == quota, per group
+    assert(r.filter(_._1 == "A").map(t => t._2 * t._3).sum == 7L)
+    // deterministic extras: a re-run is identical
+    val r2 = ext.Curation.epochExposure(docs, budgetNum = 2L)
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq == r2.toSeq)
+  }
+
+  // ------------------------------------------- batch collisions (q226)
+
+  test("batchCollisions: nested batch sizes give monotone collision " +
+    "mass, full-corpus batch captures every dup pair") {
+    // 12 docs: two dup triples (same text) + 6 unique
+    val docs = (0 until 12).map { i =>
+      val t = if (i < 3) "dup one text" else if (i < 6) "dup two text"
+              else s"unique text number $i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val r = ext.Curation.batchCollisions(docs, batchSizes = Seq(3L, 12L))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // two triples → 3+3 = 6 dup pairs corpus-wide
+    assert(r.forall(_._3 == 6L))
+    val by = r.map(t => t._1 -> t).toMap
+    assert(by(12L)._2 == 1L && by(12L)._4 == 6L && by(12L)._5 == 1L)
+    // batches of 3 nest inside the single batch of 12 → monotone
+    assert(by(3L)._2 == 4L && by(3L)._4 <= 6L)
+  }
+
+  test("q226 plan: batch rank is grid-bucket-partitioned, dup anchor " +
+    "broadcast") {
+    val p = planOf(SparkEntry.queries("q226_batch_collisions")(spark, sf))
+    assert(p.contains("windowspecdefinition(b#"),
+      s"batch rank lost its bucket partitioning:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"global dup anchor not broadcast:\n$p")
+  }
 }
