@@ -7072,8 +7072,9 @@ object SparkEntry {
         |    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
         |    WHERE d.doc_id % 20 <> 0)
         |  SELECT 'eval_contam_ppm' AS "check",
-        |    CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) * 1000000
-        |      // count(*) AS BIGINT) AS "value",
+        |    CAST(CASE WHEN count(*) = 0 THEN 0
+        |      ELSE sum(CASE WHEN c THEN 1 ELSE 0 END) * 1000000
+        |        // count(*) END AS BIGINT) AS "value",
         |    CAST(20000 AS BIGINT) AS threshold FROM fl) a
         |UNION ALL
         |SELECT * FROM (
@@ -7085,8 +7086,9 @@ object SparkEntry {
         |  sh AS (SELECT (rank - 1) // ((n + 15) // 16) AS shard,
         |      sum(n_chars) AS total_chars FROM r GROUP BY 1)
         |  SELECT 'shard_imbalance_ppm',
-        |    CAST(max(total_chars) * 1000000 // min(total_chars) - 1000000
-        |      AS BIGINT),
+        |    CAST(CASE WHEN min(total_chars) = 0 THEN 0
+        |      ELSE max(total_chars) * 1000000 // min(total_chars)
+        |        - 1000000 END AS BIGINT),
         |    CAST(500000 AS BIGINT) FROM sh) b
         |UNION ALL
         |SELECT * FROM (
@@ -7125,8 +7127,9 @@ object SparkEntry {
         |        '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS n_blocked
         |    FROM toks)
         |  SELECT 'blocked_rate_ppm',
-        |    CAST(sum(CASE WHEN n_blocked * 100 > 10 * n_tokens
-        |      THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT),
+        |    CAST(CASE WHEN count(*) = 0 THEN 0
+        |      ELSE sum(CASE WHEN n_blocked * 100 > 10 * n_tokens
+        |        THEN 1 ELSE 0 END) * 1000000 // count(*) END AS BIGINT),
         |    CAST(500000 AS BIGINT) FROM sig) d
         |) u""".stripMargin,
 
@@ -7171,8 +7174,10 @@ object SparkEntry {
         |  CAST(sum(n_toks) AS BIGINT) AS tokens_total,
         |  CAST(sum(CASE WHEN n_toks > context THEN n_toks - context
         |    ELSE 0 END) AS BIGINT) AS tokens_lost,
-        |  CAST(sum(CASE WHEN n_toks > context THEN n_toks - context
-        |    ELSE 0 END) * 1000000 // sum(n_toks) AS BIGINT) AS lost_ppm
+        |  CAST(CASE WHEN sum(n_toks) = 0 THEN 0
+        |    ELSE sum(CASE WHEN n_toks > context THEN n_toks - context
+        |      ELSE 0 END) * 1000000 // sum(n_toks) END AS BIGINT)
+        |    AS lost_ppm
         |FROM x GROUP BY 1""".stripMargin,
 
     // tail periodicity via shifted-slice equality (the standard string

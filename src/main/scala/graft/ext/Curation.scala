@@ -1078,16 +1078,21 @@ object Curation {
                      shardImbMaxPpm: Long = 500000L,
                      epochsMaxX1000: Long = 4000L,
                      blockedMaxPpm: Long = 500000L): DataFrame = {
+    // degenerate denominators (every doc eval-held-out; a shard of only
+    // 0-char docs) report 0, not DIVIDE_BY_ZERO — the check then passes
+    // vacuously, which is the right read of "nothing to measure"
     val c1 = contamination(docs, evalPred)
       .agg(count(lit(1)).as("n"),
         sum(when(col("contaminated"), 1L).otherwise(0L)).as("c"))
       .select(lit("eval_contam_ppm").as("check"),
-        expr("CAST(c * 1000000 div n AS BIGINT)").as("value"),
+        expr("CAST(CASE WHEN n = 0 THEN 0 " +
+          "ELSE c * 1000000 div n END AS BIGINT)").as("value"),
         lit(contamMaxPpm).as("threshold"))
     val c2 = shuffleShards(docs, nShards = 16)
       .agg(min(col("total_chars")).as("mn"), max(col("total_chars")).as("mx"))
       .select(lit("shard_imbalance_ppm").as("check"),
-        expr("CAST(mx * 1000000 div mn - 1000000 AS BIGINT)").as("value"),
+        expr("CAST(CASE WHEN mn = 0 THEN 0 " +
+          "ELSE mx * 1000000 div mn - 1000000 END AS BIGINT)").as("value"),
         lit(shardImbMaxPpm).as("threshold"))
     val c3 = mixtureEpochs(
         docs.select(col("doc_id"), recipeGroup.as("source")),
@@ -1100,7 +1105,8 @@ object Curation {
       .agg(count(lit(1)).as("n"),
         sum(when(!col("kept"), 1L).otherwise(0L)).as("b"))
       .select(lit("blocked_rate_ppm").as("check"),
-        expr("CAST(b * 1000000 div n AS BIGINT)").as("value"),
+        expr("CAST(CASE WHEN n = 0 THEN 0 " +
+          "ELSE b * 1000000 div n END AS BIGINT)").as("value"),
         lit(blockedMaxPpm).as("threshold"))
     c1.unionByName(c2).unionByName(c3).unionByName(c4)
       .withColumn("pass", col("value") <= col("threshold"))
@@ -1175,7 +1181,9 @@ object Curation {
         expr("CAST(n_truncated * 1000000 div n_docs AS BIGINT)")
           .as("truncated_ppm"),
         col("tokens_total"), col("tokens_lost"),
-        expr("CAST(tokens_lost * 1000000 div tokens_total AS BIGINT)")
+        // all-empty corpus: 0 lost of 0 is a clean 0, not DIVIDE_BY_ZERO
+        expr("CAST(CASE WHEN tokens_total = 0 THEN 0 " +
+          "ELSE tokens_lost * 1000000 div tokens_total END AS BIGINT)")
           .as("lost_ppm"))
 
   /** Doc-grain epoch exposure under the √-temperature recipe — q214 says
@@ -1295,13 +1303,11 @@ object Curation {
     val rows = docs
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(0L), lit((nEpochs - 1).toLong))).as("epoch"))
+      // epoch-seeded first affine round, then the SHARED mix tail
       .withColumn("__h1", pmod(col("doc_id") * lit(2654435761L) +
         lit(1013904223L) * (col("epoch") + 1L), lit(T)))
-      .withColumn("__h2", col("__h1").bitwiseXOR(shiftright(col("__h1"), 20)))
-      .withColumn("__h3", pmod(pmod(col("__h2"), lit(1L << 32)) *
-        lit(1540483477L) + lit(99991L), lit(T)))
       .withColumn("key64", col("epoch") * T +
-        col("__h3").bitwiseXOR(shiftright(col("__h3"), 17)))
+        graft.functions.Hashing.mixTail40(col("__h1")))
     val ranked = gridRankBy(rows, "key64", "rank", "shuffleQuality")
       .select(col("epoch"), col("rank"), col("source"))
     val nxt = ranked.select(col("epoch").as("epoch_b"),

@@ -58,12 +58,9 @@ object Sketches {
     val m = 32
     val logM = 5
     val maxRho = 36 // empty 35-bit suffix: all 35 positions + 1
-    val h1 = pmod(col(keyCol) * lit(2654435761L) + lit(1013904223L),
-      lit(1L << 40))
-    val h2 = h1.bitwiseXOR(shiftright(h1, 20))
-    val h3 = pmod(pmod(h2, lit(1L << 32)) * lit(1540483477L) + lit(99991L),
-      lit(1L << 40))
-    val hv = h3.bitwiseXOR(shiftright(h3, 17))
+    // the shared non-affine mix (graft.functions.Hashing.mix40 — q136 is
+    // where the two-round recipe was born; q217/q219/q222 reuse it)
+    val hv = graft.functions.Hashing.mix40(col(keyCol))
     val w = shiftright(hv, logM)
     val rho = when(w === 0, lit(maxRho))
       .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)

@@ -36,12 +36,18 @@ object Hashing {
     * (DuckDB `xor()` / `// 2^k`). Input envelope |x| ≲ 3.4e9 (the shared
     * affine-hash long envelope — larger inputs overflow the multiply).
     */
-  def mix40(x: Column): Column = {
-    val T = 1L << 40
-    val h1 = pmod(x * lit(2654435761L) + lit(1013904223L), lit(T))
+  def mix40(x: Column): Column =
+    mixTail40(pmod(x * lit(2654435761L) + lit(1013904223L), lit(1L << 40)))
+
+  /** Rounds 2–4 of [[mix40]] (xorshift → fold-multiply → xorshift) for
+    * callers that seed the first affine round differently (shuffleQuality
+    * folds the epoch into it). ONE definition of the constants — the
+    * SQL-fragment twins must change in lockstep with this.
+    */
+  def mixTail40(h1: Column): Column = {
     val h2 = h1.bitwiseXOR(shiftright(h1, 20))
     val h3 = pmod(pmod(h2, lit(1L << 32)) * lit(1540483477L) + lit(99991L),
-      lit(T))
+      lit(1L << 40))
     h3.bitwiseXOR(shiftright(h3, 17))
   }
 }

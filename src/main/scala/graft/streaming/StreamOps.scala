@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** Event-time timeout clamped above the current watermark: a straggler
+    * older than (watermark − timeout) would otherwise compute a timestamp
+    * ≤ watermark, and `setTimeoutTimestamp` THROWS on that, killing the
+    * whole query (flatMapGroupsWithState does not drop late rows — only
+    * aggregations do). The clamp fires the timeout at the next trigger
+    * instead: the group is already stale, so immediate closing is the
+    * intended semantics.
+    */
+  private def setIdleTimeout[S](state: GroupState[S], atMs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(atMs, state.getCurrentWatermarkMs + 1))
+
   /** Event row as the streaming source presents it (ts in microseconds). */
   final case class Event(event_id: Long, ts_us: Long, user_id: Long,
                          event_type: String, value: Double)
@@ -200,7 +211,7 @@ object StreamOps {
               state.update(s)
               // deadline: last moment the next hop could still arrive
               val deadlineUs = (if (s.t2 >= 0) s.t2 else s.t1) + convWindowUs
-              state.setTimeoutTimestamp(deadlineUs / 1000 + 1)
+              setIdleTimeout(state, deadlineUs / 1000 + 1)
               Iterator.empty
             } else Iterator.empty
           }
@@ -244,7 +255,7 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.last + gapUs) / 1000 + 1)
+              setIdleTimeout(state, (s.last + gapUs) / 1000 + 1)
             }
           }
           out.iterator
@@ -300,7 +311,7 @@ object StreamOps {
             }
             last.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.lastTs + idleUs) / 1000 + 1)
+              setIdleTimeout(state, (s.lastTs + idleUs) / 1000 + 1)
             }
             out.iterator
           }
@@ -523,7 +534,7 @@ object StreamOps {
             if (done.isEmpty) st0.lastFinal else done.keys.max
           state.update(AnomState(still, hist, lastFinal))
           if (still.nonEmpty)
-            state.setTimeoutTimestamp(
+            setIdleTimeout(state,
               still.keys.map(d => (d + 1) * DayUs / 1000L).min + 1)
           out.iterator
       }
@@ -591,7 +602,7 @@ object StreamOps {
                 e.ts_us)
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastTs / 1000 + idleTimeoutUs / 1000)
+            setIdleTimeout(state, s.lastTs / 1000 + idleTimeoutUs / 1000)
             Iterator.empty
           }
       }
@@ -655,7 +666,7 @@ object StreamOps {
                 bal, math.min(s.minBal, bal), e.ts_us)
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastTs / 1000 + idleTimeoutUs / 1000)
+            setIdleTimeout(state, s.lastTs / 1000 + idleTimeoutUs / 1000)
             Iterator.empty
           }
       }
@@ -732,7 +743,7 @@ object StreamOps {
               }
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastTs / 1000 + idleTimeoutUs / 1000)
+            setIdleTimeout(state, s.lastTs / 1000 + idleTimeoutUs / 1000)
             Iterator.empty
           }
       }
