@@ -1135,7 +1135,17 @@ object SparkEntry {
     // pairs co-located by the loader permutation per batch size —
     // collision mass grows with batch size (16/64/256 curve)
     "q226_batch_collisions" -> ((s: SparkSession, d: String) =>
-      ext.Curation.batchCollisions(Tables.documents(s, d)))
+      ext.Curation.batchCollisions(Tables.documents(s, d))),
+    // snapshot change detection on the lineage digest: v2 revises the
+    // docs of three sources (doc_id mod 20 < 3) → exactly those sources
+    // flag changed, the rest skip recompute
+    "q227_digest_delta" -> ((s: SparkSession, d: String) => {
+      val a = Tables.documents(s, d)
+      val b = a.withColumn("text",
+        when(pmod(col("doc_id"), lit(20L)) < 3,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      ext.Curation.digestDelta(a, b)
+    })
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7264,6 +7274,45 @@ object SparkEntry {
         |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS inbatch_dup_pairs,
         |  CAST(count(DISTINCT CASE WHEN c > 1 THEN batch END) AS BIGINT)
         |    AS batches_with_dup
-        |FROM cells CROSS JOIN gd GROUP BY 1, 2, 3""".stripMargin
+        |FROM cells CROSS JOIN gd GROUP BY 1, 2, 3""".stripMargin,
+
+    // both snapshot sides through ONE q222 digest chain (side-tagged
+    // union), then a full join pivots a vs b; IS DISTINCT FROM is the
+    // null-safe compare (Spark <=>)
+    "q227_digest_delta" ->
+      """WITH u AS (SELECT 'a' AS side, doc_id, source, text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'b', doc_id, source,
+        |    CASE WHEN doc_id % 20 < 3 THEN text || ' revised'
+        |         ELSE text END
+        |  FROM documents),
+        |f AS (SELECT side, source,
+        |    ((coalesce(list_sum(list_transform(generate_series(1,
+        |      length(text)),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648)
+        |     + (doc_id * 2654435761 + 1013904223) % 2147483648)
+        |      % 2147483648 AS inr
+        |  FROM u),
+        |m1 AS (SELECT side, source,
+        |    (inr * 2654435761 + 1013904223) % 1099511627776 AS h1 FROM f),
+        |m2 AS (SELECT side, source, xor(h1, h1 // 1048576) AS h2 FROM m1),
+        |m3 AS (SELECT side, source, ((h2 % 4294967296) * 1540483477
+        |    + 99991) % 1099511627776 AS h3 FROM m2),
+        |t AS (SELECT side, source,
+        |    xor(h3, h3 // 131072) % 2147483648 AS term FROM m3),
+        |g AS (SELECT side, source, count(*) AS n_docs,
+        |    sum(term) % 2147483648 AS digest FROM t GROUP BY 1, 2),
+        |ga AS (SELECT source, n_docs, digest FROM g WHERE side = 'a'),
+        |gb AS (SELECT source, n_docs, digest FROM g WHERE side = 'b')
+        |SELECT coalesce(ga.source, gb.source) AS source,
+        |  CAST(ga.n_docs AS BIGINT) AS n_docs_a,
+        |  CAST(gb.n_docs AS BIGINT) AS n_docs_b,
+        |  CAST(ga.digest AS BIGINT) AS digest_a,
+        |  CAST(gb.digest AS BIGINT) AS digest_b,
+        |  (ga.digest IS DISTINCT FROM gb.digest)
+        |    OR (ga.n_docs IS DISTINCT FROM gb.n_docs) AS changed
+        |FROM ga FULL JOIN gb ON ga.source = gb.source""".stripMargin
   )
 }

@@ -1137,16 +1137,49 @@ object Curation {
     * @return source, n_docs, total_chars, digest
     */
   def corpusDigest(docs: DataFrame): DataFrame =
-    docs
-      .select(col("source"), length(col("text")).cast("long").as("nc"),
-        pmod(graft.functions.Hashing.mix40(
-          pmod(TextStats.fingerprint(col("text")) +
-            graft.functions.Hashing.spread(col("doc_id"), 1L << 31),
-            lit(1L << 31))),
-          lit(1L << 31)).as("term"))
+    digestTerms(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
         pmod(sum(col("term")), lit(1L << 31)).as("digest"))
+
+  /** The per-doc (source, nc, term) projection under [[corpusDigest]] —
+    * shared with the streaming twin (the term sum is commutative, so the
+    * same projection feeds a complete-mode streaming aggregation).
+    */
+  private[graft] def digestTerms(docs: DataFrame): DataFrame =
+    docs.select(col("source"), length(col("text")).cast("long").as("nc"),
+      pmod(graft.functions.Hashing.mix40(
+        pmod(TextStats.fingerprint(col("text")) +
+          graft.functions.Hashing.spread(col("doc_id"), 1L << 31),
+          lit(1L << 31))),
+        lit(1L << 31)).as("term"))
+
+  /** Snapshot change detection on the lineage digest — the two-corpus
+    * form of [[corpusDigest]]: join the per-source stamps of two corpus
+    * versions FULL OUTER (added and removed sources must surface, not
+    * vanish) and flag every source whose digest or masses moved. The
+    * output is the work list an incremental pipeline actually runs:
+    * unchanged sources skip recompute entirely; changed ones go to
+    * q158's row-level diff.
+    *
+    * Scale shape: two scan-bound digest passes + one source-grain join —
+    * the whole comparison is O(sources) after the scans.
+    *
+    * @return source, n_docs_a, n_docs_b, digest_a, digest_b, changed
+    *         (null-safe: a source present on one side only is changed)
+    */
+  def digestDelta(a: DataFrame, b: DataFrame): DataFrame =
+    corpusDigest(a)
+      .select(col("source"), col("n_docs").as("n_docs_a"),
+        col("digest").as("digest_a"))
+      .join(corpusDigest(b)
+        .select(col("source"), col("n_docs").as("n_docs_b"),
+          col("digest").as("digest_b")),
+        Seq("source"), "full_outer")
+      .select(col("source"), col("n_docs_a"), col("n_docs_b"),
+        col("digest_a"), col("digest_b"),
+        (!(col("digest_a") <=> col("digest_b")) ||
+          !(col("n_docs_a") <=> col("n_docs_b"))).as("changed"))
 
   /** Context-length truncation audit: for each candidate context size,
     * how many documents would truncate and how much token mass the cut

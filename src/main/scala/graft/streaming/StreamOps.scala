@@ -672,6 +672,23 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ext.Curation.corpusDigest]] — fourteenth
+    * batch↔stream pair and the first AGGREGATION twin: the digest is a
+    * commutative modular sum, so the identical per-doc term projection
+    * feeds a complete-mode streaming groupBy and micro-batch boundaries
+    * cannot change the stamp (the spec feeds the corpus in two batches
+    * and gets the batch digest bit-for-bit). This is the production
+    * shape of the lineage stamp: maintained incrementally as shards
+    * land, never recomputed over the full snapshot.
+    */
+  def corpusDigestStream(docs: DataFrame): DataFrame =
+    graft.ext.Curation.digestTerms(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+        sum(col("term")).as("term_sum"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        pmod(col("term_sum"), lit(1L << 31)).as("digest"))
+
   /** One margin-gated preference pair (the q216 per-prompt grain, before
     * the type-matrix rollup).
     */

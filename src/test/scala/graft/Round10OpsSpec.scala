@@ -1674,6 +1674,21 @@ class Round10OpsSpec extends SparkSuite {
     assert(by(3L)._2 == 4L && by(3L)._4 <= 6L)
   }
 
+  // ----------------------------------------------- digest delta (q227)
+
+  test("digestDelta: modified, added, and removed sources all flag; " +
+    "identical sources stay clean") {
+    val a = Seq((1L, "A", "alpha"), (2L, "B", "beta"), (3L, "C", "gamma"))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((1L, "A", "alpha"), (2L, "B", "beta CHANGED"),
+      (4L, "D", "brand new"))
+      .toDF("doc_id", "source", "text")
+    val r = ext.Curation.digestDelta(a, b)
+      .select(col("source"), col("changed")).as[(String, Boolean)]
+      .collect().toMap
+    assert(r == Map("A" -> false, "B" -> true, "C" -> true, "D" -> true))
+  }
+
   test("q226 plan: batch rank is grid-bucket-partitioned, dup anchor " +
     "broadcast") {
     val p = planOf(SparkEntry.queries("q226_batch_collisions")(spark, sf))

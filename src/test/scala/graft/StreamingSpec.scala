@@ -763,4 +763,37 @@ class StreamingSpec extends SparkSuite {
       assert(!perUser.exists(_._1 == 22L))
     } finally q.stop()
   }
+
+  test("streaming corpus digest ≡ batch corpusDigest, bit-for-bit, " +
+    "across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"s${i % 4}", s"document number $i body text"))
+    val batch = graft.ext.Curation.corpusDigest(
+      docs.toDF("doc_id", "source", "text"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    val src = MemoryStream[(Long, String, String)]
+    val q = StreamOps.corpusDigestStream(
+      src.toDS().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("digeqv").start()
+    try {
+      // the corpus arrives in TWO micro-batches — the commutative sum
+      // makes the final stamp independent of the split
+      src.addData(docs.take(17): _*)
+      q.processAllAvailable()
+      val mid = spark.table("digeqv")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(mid == graft.ext.Curation.corpusDigest(
+        docs.take(17).toDF("doc_id", "source", "text"))
+        .as[(String, Long, Long, Long)].collect().toSet,
+        "intermediate stamp must equal the batch digest of the prefix")
+      src.addData(docs.drop(17): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("digeqv")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
