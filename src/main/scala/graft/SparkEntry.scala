@@ -1145,7 +1145,13 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(20L)) < 3,
           concat(col("text"), lit(" revised"))).otherwise(col("text")))
       ext.Curation.digestDelta(a, b)
-    })
+    }),
+    // two-phase annealing recipe: 90% uniform + 10% quality-weighted
+    // anneal (gate: n_chars ≥ 300 — 256/500 pass, per-source spread
+    // 7–17, so the shift column demonstrably moves both ways)
+    "q228_annealing_recipe" -> ((s: SparkSession, d: String) =>
+      ext.Curation.annealingRecipe(Tables.documents(s, d),
+        col("n_chars") >= 300L))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7313,6 +7319,46 @@ object SparkEntry {
         |  CAST(gb.digest AS BIGINT) AS digest_b,
         |  (ga.digest IS DISTINCT FROM gb.digest)
         |    OR (ga.n_docs IS DISTINCT FROM gb.n_docs) AS changed
-        |FROM ga FULL JOIN gb ON ga.source = gb.source""".stripMargin
+        |FROM ga FULL JOIN gb ON ga.source = gb.source""".stripMargin,
+
+    // two q141 largest-remainder chains (90k uniform / 10k quality-only)
+    // + the uniform-baseline shift in exact ppm
+    "q228_annealing_recipe" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS n_quality
+        |  FROM documents GROUP BY 1),
+        |w1 AS (SELECT source AS key, n_docs AS w,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS wsum FROM per),
+        |b1 AS (SELECT key, (w * 90000) // wsum AS base,
+        |    (w * 90000) % wsum AS remainder FROM w1),
+        |l1 AS (SELECT key, base,
+        |    CAST(90000 - sum(base) OVER () AS BIGINT) AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, key) AS rn
+        |  FROM b1),
+        |p1 AS (SELECT key AS source,
+        |    base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS p1_quota
+        |  FROM l1),
+        |w2 AS (SELECT source AS key, n_quality AS w,
+        |    CAST(sum(n_quality) OVER () AS BIGINT) AS wsum
+        |  FROM per WHERE n_quality > 0),
+        |b2 AS (SELECT key, (w * 10000) // wsum AS base,
+        |    (w * 10000) % wsum AS remainder FROM w2),
+        |l2 AS (SELECT key, base,
+        |    CAST(10000 - sum(base) OVER () AS BIGINT) AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, key) AS rn
+        |  FROM b2),
+        |p2 AS (SELECT key AS source,
+        |    base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS p2_quota
+        |  FROM l2),
+        |tot AS (SELECT sum(n_docs) AS n FROM per)
+        |SELECT per.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_quality AS BIGINT) AS n_quality,
+        |  CAST(p1_quota AS BIGINT) AS p1_quota,
+        |  CAST(coalesce(p2_quota, 0) AS BIGINT) AS p2_quota,
+        |  CAST(p1_quota + coalesce(p2_quota, 0) AS BIGINT) AS total_quota,
+        |  CAST((p1_quota + coalesce(p2_quota, 0)) * 1000000 // 100000
+        |    - n_docs * 1000000 // n AS BIGINT) AS shift_ppm
+        |FROM per JOIN p1 USING (source) LEFT JOIN p2 USING (source)
+        |CROSS JOIN tot""".stripMargin
   )
 }

@@ -1154,6 +1154,60 @@ object Curation {
           lit(1L << 31))),
         lit(1L << 31)).as("term"))
 
+  /** Two-phase annealing data recipe — the midtraining schedule modern
+    * pretraining runs publish (a long uniform phase, then a short final
+    * phase re-weighted toward high-quality data — the "anneal", e.g.
+    * OLMo / MiniCPM decay-phase mixes, public literature): the token
+    * budget splits `1000−annealPermille : annealPermille`; phase 1
+    * allocates by corpus mass (uniform sampling), phase 2 ONLY by each
+    * source's quality-passing mass — a source with no passing docs gets
+    * zero anneal quota. Both phases are the exact integer
+    * largest-remainder apportionment ([[largestRemainder]], one
+    * definition with q141), so quotas sum to the budget exactly.
+    *
+    * `shift_ppm` is the recipe's effect: each source's total share minus
+    * its uniform-baseline share — positive means the anneal promotes the
+    * source. If NO source passes the gate, the anneal tranche is left
+    * unallocated (Σ total_quota < budget) — visibly, rather than
+    * silently falling back to uniform: an anneal with nothing worth
+    * annealing on is a recipe error the reader must see.
+    *
+    * Scale shape: one corpus pass to (source, n_docs, n_quality), then
+    * two source-cardinality apportionments (global windows on the tiny
+    * group frame only) and a broadcast 1-row total.
+    *
+    * @return source, n_docs, n_quality, p1_quota, p2_quota, total_quota,
+    *         shift_ppm
+    */
+  def annealingRecipe(docs: DataFrame, qualityPass: Column,
+                      budget: Long = 100000L,
+                      annealPermille: Long = 100L): DataFrame = {
+    val p2Total = budget * annealPermille / 1000L
+    val p1Total = budget - p2Total
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(qualityPass, 1L).otherwise(0L)).as("n_quality"))
+    val p1 = largestRemainder(
+      per.select(col("source").as("key"), col("n_docs").as("w")), p1Total)
+      .select(col("key").as("source"), col("alloc").as("p1_quota"))
+    val p2 = largestRemainder(
+      per.filter(col("n_quality") > 0L)
+        .select(col("source").as("key"), col("n_quality").as("w")),
+      p2Total)
+      .select(col("key").as("source"), col("alloc").as("p2_quota"))
+    val tot = per.agg(sum(col("n_docs")).as("n"))
+    per
+      .join(p1, Seq("source"))
+      .join(p2, Seq("source"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_quality"),
+        col("p1_quota"), coalesce(col("p2_quota"), lit(0L)).as("p2_quota"),
+        (col("p1_quota") + coalesce(col("p2_quota"), lit(0L)))
+          .as("total_quota"),
+        (expr(s"(p1_quota + coalesce(p2_quota, 0)) * 1000000 div $budget")
+          - expr("n_docs * 1000000 div n")).as("shift_ppm"))
+  }
+
   /** Snapshot change detection on the lineage digest — the two-corpus
     * form of [[corpusDigest]]: join the per-source stamps of two corpus
     * versions FULL OUTER (added and removed sources must surface, not

@@ -1689,6 +1689,31 @@ class Round10OpsSpec extends SparkSuite {
     assert(r == Map("A" -> false, "B" -> true, "C" -> true, "D" -> true))
   }
 
+  // ------------------------------------------- annealing recipe (q228)
+
+  test("annealingRecipe: hand-computed two-phase quotas conserve the " +
+    "budget; gate-less sources get no anneal; empty gate leaves the " +
+    "tranche visibly unallocated") {
+    val docs = ((1 to 4).map(i => (i.toLong, "A", 400L)) ++
+      (5 to 8).map(i => (i.toLong, "B", 100L)))
+      .toDF("doc_id", "source", "n_chars")
+    val r = ext.Curation.annealingRecipe(docs, col("n_chars") >= 300L,
+      budget = 100L, annealPermille = 200L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // p1 = 80 uniform (40/40); p2 = 20, all to A (B passes nothing)
+    assert(r.toSeq == Seq(
+      ("A", 4L, 4L, 40L, 20L, 60L, 100000L),
+      ("B", 4L, 0L, 40L, 0L, 40L, -100000L)))
+    assert(r.map(_._6).sum == 100L)
+    // nothing passes → anneal tranche unallocated, not silently uniform
+    val none = ext.Curation.annealingRecipe(docs, lit(false),
+      budget = 100L, annealPermille = 200L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(none.map(_._6).sum == 80L)
+    assert(none.forall(_._5 == 0L))
+  }
+
   test("q226 plan: batch rank is grid-bucket-partitioned, dup anchor " +
     "broadcast") {
     val p = planOf(SparkEntry.queries("q226_batch_collisions")(spark, sf))
