@@ -1689,6 +1689,27 @@ class Round10OpsSpec extends SparkSuite {
     assert(r == Map("A" -> false, "B" -> true, "C" -> true, "D" -> true))
   }
 
+  test("q218/q220/q222 plans: value-count window stays source-" +
+    "partitioned, dedup totals broadcast, digest is one exchange with " +
+    "no join") {
+    val p218 = planOf(SparkEntry.queries("q218_best_of_n")(spark, sf))
+    assert(p218.contains("windowspecdefinition(source#"),
+      s"best-of-n CDF window lost its source partitioning:\n$p218")
+    val p220 = planOf(SparkEntry.queries("q220_dedup_impact")(spark, sf))
+    assert(p220.contains("windowspecdefinition(fp#"),
+      s"keeper window lost its fingerprint partitioning:\n$p220")
+    assert(p220.contains("BroadcastNestedLoopJoin") ||
+      p220.contains("BroadcastExchange"),
+      s"share totals not broadcast:\n$p220")
+    val df222 = SparkEntry.queries("q222_corpus_digest")(spark, sf)
+    df222.collect()
+    val p222 = df222.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p222.contains("Join"), s"unexpected join in the digest:\n$p222")
+    assert("Exchange".r.findAllIn(p222).length <= 1,
+      s"digest should shuffle once (source rollup):\n$p222")
+  }
+
   // ------------------------------------------- annealing recipe (q228)
 
   test("annealingRecipe: hand-computed two-phase quotas conserve the " +
