@@ -26,13 +26,16 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Event-time timeout clamped above the current watermark: a straggler
-    * older than (watermark − timeout) would otherwise compute a timestamp
-    * ≤ watermark, and `setTimeoutTimestamp` THROWS on that, killing the
-    * whole query (flatMapGroupsWithState does not drop late rows — only
-    * aggregations do). The clamp fires the timeout at the next trigger
-    * instead: the group is already stale, so immediate closing is the
-    * intended semantics.
+  /** Event-time timeout clamped above the current watermark: a timestamp
+    * ≤ watermark makes `setTimeoutTimestamp` THROW, killing the whole
+    * query. Spark 4's default late-record filtering drops rows below the
+    * watermark before every stateful operator (StreamingSpec pins this —
+    * a straggler never reaches the function), so the clamp is defense in
+    * depth for the residual paths: deployments with
+    * `statefulOperator.allowMultiple=false`, and a watermark that
+    * advances past a surviving group's lastTs between triggers. The
+    * clamp fires the timeout at the next trigger — the group is already
+    * stale, so immediate closing is the intended semantics.
     */
   private def setIdleTimeout[S](state: GroupState[S], atMs: Long): Unit =
     state.setTimeoutTimestamp(math.max(atMs, state.getCurrentWatermarkMs + 1))

@@ -764,6 +764,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a straggler far below the watermark is dropped before the " +
+    "stateful operator and cannot kill the query (the Spark 4 contract " +
+    "the twins rely on; the clamped idle timeout guards residual paths)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.toolCallAuditStream(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stragglereqv").start()
+    try {
+      // push the watermark far past T0
+      src.addData(Event(1L, T0 + 10000 * Min, 1L, "view", 0.0))
+      q.processAllAvailable()
+      // straggler at T0 for a NEW group: its lastTs + idleTimeout sits
+      // far below the watermark. Spark 4 drops late rows before every
+      // stateful operator (the NOTES gotcha), so no state is created;
+      // an unclamped setTimeoutTimestamp would throw and terminate the
+      // query on any path that DOES deliver such a row — the clamped
+      // setIdleTimeout covers those (allowMultiple=false deployments,
+      // watermark advancing past a group's lastTs mid-stream)
+      src.addData(Event(2L, T0, 42L, "cart", 0.0))
+      q.processAllAvailable()
+      assert(q.isActive, "query died on the straggler")
+      src.addData(Event(3L, T0 + 20000 * Min, 1L, "view", 0.0))
+      q.processAllAvailable()
+      assert(q.isActive)
+      val rows = spark.table("stragglereqv")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      // the dropped straggler never created a group — nothing may emit
+      assert(!rows.exists(_._1 == 42L),
+        s"dropped straggler grew state: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming corpus digest ≡ batch corpusDigest, bit-for-bit, " +
     "across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
