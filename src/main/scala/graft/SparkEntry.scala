@@ -1151,7 +1151,30 @@ object SparkEntry {
     // 7–17, so the shift column demonstrably moves both ways)
     "q228_annealing_recipe" -> ((s: SparkSession, d: String) =>
       ext.Curation.annealingRecipe(Tables.documents(s, d),
-        col("n_chars") >= 300L))
+        col("n_chars") >= 300L)),
+    // instruction-template diversity: digit-normalized 2-token template
+    // head with exact-ppm corpus share + cumulative head mass (103
+    // multi-doc templates / 254 of 500 docs at sf0.01 — active)
+    "q229_template_diversity" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.templateDiversity(Tables.documents(s, d))),
+    // Condorcet-cycle audit over (user, dow)-unit preference battles:
+    // per-triple signed majority margins + weakest edge; the sf0.01
+    // tournament has 1 genuine cycle, larger SFs converge to a total
+    // order (margins stay the live readout; both is_cycle branches are
+    // proven on the LabelingSpec panel fixture)
+    "q230_tournament_audit" -> ((s: SparkSession, d: String) =>
+      ext.Labeling.tournamentAudit(Tables.events(s, d))),
+    // Bradley–Terry leaderboard from the same battles: 5 MM passes,
+    // exact-integer wins, 9-dp iterate (the q64 discipline)
+    "q231_bradley_terry" -> ((s: SparkSession, d: String) =>
+      ext.Labeling.bradleyTerry(Tables.events(s, d))),
+    // audio arm of the multimodal seam: 16-bit LE PCM frame energies +
+    // VAD-style self-thresholded activity runs (text bytes stand in as
+    // PCM; decode is REAL byte arithmetic, exact in the oracle because
+    // the corpus is pure ASCII)
+    "q232_audio_activity" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.audioActivity(
+        ext.Multimodal.mediaFromDocuments(Tables.documents(s, d))))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7359,6 +7382,146 @@ object SparkEntry {
         |  CAST((p1_quota + coalesce(p2_quota, 0)) * 1000000 // 100000
         |    - n_docs * 1000000 // n AS BIGINT) AS shift_ppm
         |FROM per JOIN p1 USING (source) LEFT JOIN p2 USING (source)
-        |CROSS JOIN tot""".stripMargin
+        |CROSS JOIN tot""".stripMargin,
+
+    // digit-normalized 2-token template head; exact-ppm shares; the
+    // cumulative window runs on the 15-row top-k only
+    "q229_template_diversity" ->
+      """WITH t AS (SELECT array_to_string(
+        |    regexp_split_to_array(
+        |      regexp_replace(lower(text), '[0-9]+', '0', 'g'), '\s+')[1:2],
+        |    ' ') AS template, source
+        |  FROM documents),
+        |c AS (SELECT template, count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources FROM t GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS total FROM c),
+        |top AS (SELECT * FROM c ORDER BY n_docs DESC, template LIMIT 15),
+        |r AS (SELECT template, n_docs, n_sources,
+        |    row_number() OVER (ORDER BY n_docs DESC, template) AS rank,
+        |    sum(n_docs) OVER (ORDER BY n_docs DESC, template
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs
+        |  FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, template,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(cum_docs * 1000000 // total AS BIGINT) AS cum_share_ppm
+        |FROM r CROSS JOIN tot""".stripMargin,
+
+    // (user, epoch-day%7) battle units on exact cents; triple assembly
+    // joins the 10-row pair frame with itself
+    "q230_tournament_audit" ->
+      """WITH s AS (SELECT user_id,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow, event_type,
+        |    sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    sum(CASE WHEN a.cents > b.cents THEN 1
+        |             WHEN a.cents < b.cents THEN -1 ELSE 0 END) AS net
+        |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.dow = b.dow
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT ab.ta AS type_a, ab.tb AS type_b, bc.tb AS type_c,
+        |    ab.net AS net_ab, bc.net AS net_bc, ac.net AS net_ac
+        |  FROM p ab JOIN p bc ON bc.ta = ab.tb
+        |    JOIN p ac ON ac.ta = ab.ta AND ac.tb = bc.tb)
+        |SELECT type_a, type_b, type_c,
+        |  CAST(net_ab AS BIGINT) AS net_ab,
+        |  CAST(net_bc AS BIGINT) AS net_bc,
+        |  CAST(net_ac AS BIGINT) AS net_ac,
+        |  CAST(least(abs(net_ab), abs(net_bc), abs(net_ac)) AS BIGINT)
+        |    AS min_abs_net,
+        |  (net_ab > 0 AND net_bc > 0 AND net_ac < 0) OR
+        |    (net_ab < 0 AND net_bc < 0 AND net_ac > 0) AS is_cycle
+        |FROM tr""".stripMargin,
+
+    // Bradley–Terry MM unrolled 5 passes (chained CTEs, the q64
+    // per-iteration round(…,9) discipline); wins/games exact integers
+    "q231_bradley_terry" ->
+      """WITH s AS (SELECT user_id,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow, event_type,
+        |    sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    sum(CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END) AS wins_a,
+        |    sum(CASE WHEN a.cents < b.cents THEN 1 ELSE 0 END) AS wins_b
+        |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.dow = b.dow
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |g AS (SELECT ta AS i, tb AS j, wins_a AS wins_i,
+        |    wins_a + wins_b AS n_ij FROM p WHERE wins_a + wins_b > 0
+        |  UNION ALL
+        |  SELECT tb, ta, wins_b, wins_a + wins_b FROM p
+        |  WHERE wins_a + wins_b > 0),
+        |wt AS (SELECT i, CAST(sum(wins_i) AS BIGINT) AS n_wins,
+        |    CAST(sum(n_ij) AS BIGINT) AS n_games FROM g GROUP BY 1),
+        |it0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM wt),
+        |it1 AS (SELECT i, round(raw / sum(raw) OVER (), 9) AS w FROM (
+        |  SELECT wt.i, CAST(wt.n_wins AS DOUBLE) / d.den AS raw FROM wt
+        |  JOIN (SELECT g.i, sum(CAST(g.n_ij AS DOUBLE) / (wa.w + wb.w))
+        |      AS den FROM g JOIN it0 wa ON g.i = wa.i
+        |      JOIN it0 wb ON g.j = wb.i GROUP BY 1) d ON wt.i = d.i)),
+        |it2 AS (SELECT i, round(raw / sum(raw) OVER (), 9) AS w FROM (
+        |  SELECT wt.i, CAST(wt.n_wins AS DOUBLE) / d.den AS raw FROM wt
+        |  JOIN (SELECT g.i, sum(CAST(g.n_ij AS DOUBLE) / (wa.w + wb.w))
+        |      AS den FROM g JOIN it1 wa ON g.i = wa.i
+        |      JOIN it1 wb ON g.j = wb.i GROUP BY 1) d ON wt.i = d.i)),
+        |it3 AS (SELECT i, round(raw / sum(raw) OVER (), 9) AS w FROM (
+        |  SELECT wt.i, CAST(wt.n_wins AS DOUBLE) / d.den AS raw FROM wt
+        |  JOIN (SELECT g.i, sum(CAST(g.n_ij AS DOUBLE) / (wa.w + wb.w))
+        |      AS den FROM g JOIN it2 wa ON g.i = wa.i
+        |      JOIN it2 wb ON g.j = wb.i GROUP BY 1) d ON wt.i = d.i)),
+        |it4 AS (SELECT i, round(raw / sum(raw) OVER (), 9) AS w FROM (
+        |  SELECT wt.i, CAST(wt.n_wins AS DOUBLE) / d.den AS raw FROM wt
+        |  JOIN (SELECT g.i, sum(CAST(g.n_ij AS DOUBLE) / (wa.w + wb.w))
+        |      AS den FROM g JOIN it3 wa ON g.i = wa.i
+        |      JOIN it3 wb ON g.j = wb.i GROUP BY 1) d ON wt.i = d.i)),
+        |it5 AS (SELECT i, round(raw / sum(raw) OVER (), 9) AS w FROM (
+        |  SELECT wt.i, CAST(wt.n_wins AS DOUBLE) / d.den AS raw FROM wt
+        |  JOIN (SELECT g.i, sum(CAST(g.n_ij AS DOUBLE) / (wa.w + wb.w))
+        |      AS den FROM g JOIN it4 wa ON g.i = wa.i
+        |      JOIN it4 wb ON g.j = wb.i GROUP BY 1) d ON wt.i = d.i))
+        |SELECT wt.i AS event_type, n_games, n_wins, it5.w AS strength,
+        |  CAST(row_number() OVER (ORDER BY it5.w DESC, wt.i) AS BIGINT)
+        |    AS rank
+        |FROM wt JOIN it5 ON wt.i = it5.i""".stripMargin,
+
+    // 16-bit LE PCM replayed on the pure-ASCII text bytes (char i IS
+    // byte i); self-thresholded activity + gaps-and-islands runs
+    "q232_audio_activity" ->
+      """WITH f AS (
+        |  SELECT d.doc_id AS media_id, g.fr,
+        |    (SELECT sum(ascii(substr(d.text,
+        |          CAST(g.fr * 32 + 2 * s.i + 1 AS BIGINT), 1))
+        |        + 256 * ascii(substr(d.text,
+        |          CAST(g.fr * 32 + 2 * s.i + 2 AS BIGINT), 1)))
+        |     FROM generate_series(0, 15) s(i)) AS energy
+        |  FROM documents d, LATERAL (SELECT
+        |    unnest(generate_series(0,
+        |      CAST(length(d.text) // 32 - 1 AS BIGINT))) AS fr) g),
+        |m AS (SELECT media_id, count(*) AS nf, sum(energy) AS tot
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT f.media_id, f.fr FROM f JOIN m USING (media_id)
+        |  WHERE f.energy * m.nf > m.tot),
+        |runs AS (SELECT media_id,
+        |    fr - row_number() OVER (PARTITION BY media_id ORDER BY fr)
+        |      AS grp
+        |  FROM a),
+        |rl AS (SELECT media_id, count(*) AS run_len FROM runs
+        |  GROUP BY media_id, grp),
+        |agg AS (SELECT media_id, sum(run_len) AS n_active,
+        |    max(run_len) AS longest FROM rl GROUP BY 1)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(coalesce(m.nf, 0) AS BIGINT) AS n_frames,
+        |  CAST(coalesce(m.tot, 0) AS BIGINT) AS total_energy,
+        |  CAST(coalesce(agg.n_active, 0) AS BIGINT) AS n_active,
+        |  CAST(CASE WHEN coalesce(m.nf, 0) = 0 THEN 0
+        |    ELSE coalesce(agg.n_active, 0) * 1000000 // m.nf END
+        |    AS BIGINT) AS active_ppm,
+        |  CAST(coalesce(agg.longest, 0) AS BIGINT) AS longest_run
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.media_id
+        |LEFT JOIN agg ON d.doc_id = agg.media_id""".stripMargin
   )
 }

@@ -86,4 +86,145 @@ object Labeling {
         when(col("kappa_den") =!= 0L,
           col("kappa_num").cast("double") / col("kappa_den").cast("double")))
   }
+
+  /** Pairwise preference battles from the events stream: the battle unit is
+    * (user, day-of-week) — each unit "judges" every pair of event types it
+    * scored, the type with the larger exact-cents total winning. This is the
+    * preference-aggregation input shape of an LLM eval arena (pairwise
+    * battles from many judges, each judge seeing a different subset), built
+    * here from the behavioral fixture.
+    *
+    * Parity: cents via the q120/q216 route (`round(value,2)` →
+    * DECIMAL(18,2) → ×100 long); day-of-week is epoch-day mod 7 (the q143
+    * convention — calendar-free, encoding-agnostic). Comparisons and win
+    * counts are pure integers.
+    *
+    * Scale shape: one hash aggregation to (user, dow, type) grain, then a
+    * self-join co-partitioned on (user, dow) — per-unit type fan-out is
+    * |types|², bounded by the type vocabulary, never by |events|. The
+    * result is |types|² rows.
+    *
+    * @return one row per unordered type pair (ta < tb): ta, tb,
+    *         n_units (units scoring both), wins_a, wins_b,
+    *         net (wins_a − wins_b; ties count to neither)
+    */
+  def preferenceBattles(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val cents = (round(col("value"), 2).cast("decimal(18,2)") * 100)
+      .cast("long")
+    val scored = Sessions.withTsUs(events)
+      .withColumn("dow", pmod(Sessions.floorDiv(col("ts_us"), DayUs), lit(7L)))
+      .groupBy(col("user_id"), col("dow"), col("event_type"))
+      .agg(sum(cents).as("cents"))
+    val a = scored.select(col("user_id"), col("dow"),
+      col("event_type").as("ta"), col("cents").as("ca"))
+    val b = scored.select(col("user_id"), col("dow"),
+      col("event_type").as("tb"), col("cents").as("cb"))
+    a.join(b, Seq("user_id", "dow")).filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("ca") < col("cb"), 1L).otherwise(0L)).as("wins_b"))
+      .withColumn("net", col("wins_a") - col("wins_b"))
+  }
+
+  /** Tournament transitivity audit over the majority digraph of
+    * [[preferenceBattles]]: every type triple (a < b < c) with its three
+    * signed majority margins and whether the triple forms a Condorcet
+    * cycle (a beats b beats c beats a, in either rotation). Per-pair
+    * electorates differ (each unit only judges pairs it scored), which is
+    * exactly how real preference aggregates go intransitive even though
+    * every individual judge is consistent.
+    *
+    * `min_abs_net` is the robustness readout: the weakest margin in the
+    * triple — how many flipped judgements away the triple is from
+    * changing shape. On a corpus whose majority relation happens to be a
+    * total order, `is_cycle` is uniformly false and the margins carry the
+    * signal (the LabelingSpec fixture proves both branches on an actual
+    * rock-paper-scissors panel).
+    *
+    * Tie edges (net = 0) break no cycle and are reported as 0 margins.
+    *
+    * Scale shape: battles aggregate distributed; the triple assembly
+    * joins the |types|²-row pair frame with itself — broadcast-sized by
+    * the type vocabulary, independent of |events|.
+    *
+    * @return type_a, type_b, type_c (lexicographic), net_ab, net_bc,
+    *         net_ac (positive = lexicographically-first side wins),
+    *         min_abs_net, is_cycle
+    */
+  def tournamentAudit(events: DataFrame): DataFrame = {
+    val p = preferenceBattles(events)
+    val ab = p.select(col("ta").as("type_a"), col("tb").as("type_b"),
+      col("net").as("net_ab"))
+    val bc = p.select(col("ta").as("type_b"), col("tb").as("type_c"),
+      col("net").as("net_bc"))
+    val ac = p.select(col("ta").as("type_a"), col("tb").as("type_c"),
+      col("net").as("net_ac"))
+    ab.join(bc, Seq("type_b"))
+      .join(ac, Seq("type_a", "type_c"))
+      .select(col("type_a"), col("type_b"), col("type_c"),
+        col("net_ab"), col("net_bc"), col("net_ac"))
+      .withColumn("min_abs_net",
+        least(abs(col("net_ab")), abs(col("net_bc")), abs(col("net_ac"))))
+      .withColumn("is_cycle",
+        (col("net_ab") > 0 && col("net_bc") > 0 && col("net_ac") < 0) ||
+          (col("net_ab") < 0 && col("net_bc") < 0 && col("net_ac") > 0))
+  }
+
+  /** Bradley–Terry strength ratings from [[preferenceBattles]] — the
+    * model-leaderboard fit (chatbot-arena style, public literature: Bradley
+    * & Terry 1952; the MM iteration is Hunter 2004). Strength wᵢ satisfies
+    * P(i beats j) = wᵢ/(wᵢ+wⱼ); the minorization-maximization update is
+    *   wᵢ ← Wᵢ / Σ_{j≠i} nᵢⱼ/(wᵢ+wⱼ)
+    * (Wᵢ = total wins, nᵢⱼ = decided games between i and j), normalized to
+    * Σw = 1 each pass. Fixed `iters` unrolled passes from w = 1.
+    *
+    * Parity: wins/games are exact integers; each pass performs the one
+    * double division per node plus the normalization division, and the
+    * iterate is rounded to 9 dp per pass (the q64 PageRank discipline —
+    * keeps last-ulp association drift from compounding across passes).
+    *
+    * Scale shape: the distributed work is the battle aggregation; the MM
+    * iteration runs on |types|-row frames (joins and 1-row normalization
+    * stats, all broadcast-sized). |types| is a vocabulary, not a data
+    * scale; a million-model arena would swap the per-pass frames to the
+    * same grid discipline as q132 without touching the update rule.
+    *
+    * @return event_type, n_games (decided), n_wins, strength (9-dp
+    *         double, Σ = 1), rank (1 = strongest; ties by type)
+    */
+  def bradleyTerry(events: DataFrame, iters: Int = 5): DataFrame = {
+    val p = preferenceBattles(events)
+    val games = p.select(col("ta").as("i"), col("tb").as("j"),
+        col("wins_a").as("wins_i"),
+        (col("wins_a") + col("wins_b")).as("n_ij"))
+      .unionByName(p.select(col("tb").as("i"), col("ta").as("j"),
+        col("wins_b").as("wins_i"),
+        (col("wins_a") + col("wins_b")).as("n_ij")))
+      .filter(col("n_ij") > 0L)
+    val totals = games.groupBy(col("i"))
+      .agg(sum(col("wins_i")).as("n_wins"), sum(col("n_ij")).as("n_games"))
+    var w = totals.select(col("i"), lit(1.0).as("w"))
+    for (_ <- 1 to iters) {
+      val denom = games
+        .join(w.select(col("i"), col("w").as("wi")), Seq("i"))
+        .join(w.select(col("i").as("j"), col("w").as("wj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("n_ij").cast("double") / (col("wi") + col("wj")))
+          .as("den"))
+      val raw = totals.join(denom, Seq("i"))
+        .select(col("i"),
+          (col("n_wins").cast("double") / col("den")).as("raw"))
+      val s = raw.agg(sum(col("raw")).as("s"))
+      w = raw.crossJoin(broadcast(s))
+        .select(col("i"), round(col("raw") / col("s"), 9).as("w"))
+    }
+    totals.join(w, Seq("i"))
+      .select(col("i").as("event_type"), col("n_games"), col("n_wins"),
+        col("w").as("strength"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("strength").desc, col("event_type")))
+        .cast("long"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -263,4 +264,95 @@ object Multimodal {
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Per-frame PCM energy from binary audio content: the content bytes are
+    * read as 16-bit little-endian signed samples, grouped into fixed
+    * `frameBytes` frames (tail partial frame dropped), each frame scoring
+    * Σ|sample| — the exact-integer stand-in for RMS that every VAD-style
+    * segmentation starts from. This is the audio arm of the multimodal
+    * seam: like [[decodeFeatures]], the byte→samples decode runs
+    * batch-shaped in `mapPartitions` (a real codec — MP3/Opus frames —
+    * mounts at this seam; raw PCM is decoded for real here, no stub).
+    *
+    * Scale shape: decode is per-row with frame fan-out `n_bytes/frameBytes`
+    * — linear in scanned bytes, zero shuffles; downstream grains group on
+    * media_id and stay co-partitioned after one exchange.
+    *
+    * @return media_id, frame_no (0-based), energy (Σ|sample| over the
+    *         frame's `frameBytes/2` samples)
+    */
+  def pcmFrameEnergies(media: DataFrame, frameBytes: Int = 32): DataFrame = {
+    require(frameBytes >= 2 && frameBytes % 2 == 0,
+      "pcmFrameEnergies: frameBytes must be a positive multiple of 2")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val nf = b.length / frameBytes
+          (0 until nf).iterator.map { f =>
+            var e = 0L
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) {
+              // 16-bit LE signed: low byte unsigned, high byte carries sign
+              val s = (b(i) & 0xff) | (b(i + 1).toInt << 8)
+              e += math.abs(s)
+              i += 2
+            }
+            (id, f.toLong, e)
+          }
+        }
+      }
+      .toDF("media_id", "frame_no", "energy")
+  }
+
+  /** VAD-style activity segmentation over [[pcmFrameEnergies]]: a frame is
+    * ACTIVE when its energy exceeds the track's own mean frame energy
+    * (exact-integer compare `energy·n_frames > total_energy` — the
+    * self-normalizing threshold needs no corpus-wide calibration constant
+    * and keeps both branches alive at any scale), runs of active frames
+    * found by gaps-and-islands, per-track readout of activity mass and the
+    * longest active burst. Tracks too short for one full frame — or with
+    * no super-mean frame — report zeros.
+    *
+    * Scale shape: one exchange to media grain, then window + rollup stay
+    * co-partitioned on media_id; result cardinality = |tracks|. The
+    * left join back to the media table keeps frameless tracks in the
+    * readout (broadcast-ineligible at scale → plain co-partitioned join).
+    *
+    * @return media_id, n_frames, total_energy, n_active, active_ppm
+    *         (exact `n_active·10⁶ div n_frames`), longest_run
+    */
+  def audioActivity(media: DataFrame, frameBytes: Int = 32): DataFrame = {
+    val frames = pcmFrameEnergies(media, frameBytes)
+    val per = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("energy")).as("total_energy"))
+    val active = frames.join(per, Seq("media_id"))
+      .filter(col("energy") * col("n_frames") > col("total_energy"))
+    // gaps-and-islands: consecutive active frame_nos share one group key
+    val wOrd = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    val runs = active
+      .withColumn("grp", col("frame_no") - row_number().over(wOrd))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("longest_run"),
+        sum(col("run_len")).as("n_active"))
+    media.select(col("media_id")).distinct()
+      .join(per, Seq("media_id"), "left")
+      .join(runs, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("total_energy"), lit(0L)).as("total_energy"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .withColumn("active_ppm",
+        expr("CAST(CASE WHEN n_frames = 0 THEN 0 " +
+          "ELSE n_active * 1000000 div n_frames END AS BIGINT)"))
+      .select(col("media_id"), col("n_frames"), col("total_energy"),
+        col("n_active"), col("active_ppm"), col("longest_run"))
+  }
 }

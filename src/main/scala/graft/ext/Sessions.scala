@@ -34,7 +34,7 @@ object Sessions {
     * double's 2^53 exact range — true division here would silently lose the
     * low microsecond digit.
     */
-  private def floorDiv(a: Column, b: Long): Column = {
+  private[ext] def floorDiv(a: Column, b: Long): Column = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
     val exact = GraftBridge.expression(a - pmod(a, lit(b)))

@@ -736,4 +736,50 @@ object TextStats {
       .groupBy(col("source"), col("period"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Instruction-template diversity audit: normalize each document (lowercase,
+    * digit runs → `0` — so "Example 17" and "example 3" share a template),
+    * key it by its first `nTokens` tokens, and report the top-k templates
+    * with their corpus share and the cumulative share of the head — the
+    * over-templated-synthetic-data readout. A generation pipeline stuck on
+    * few prompt templates shows a steep cumulative curve; organic data shows
+    * a flat one. (Template skew is the self-instruct failure mode the
+    * dataset-diversity literature filters on, e.g. Wang et al. 2023's ROUGE
+    * dedup of generated instructions.)
+    *
+    * Parity: shares are exact integer ppm (`x * 1000000 div total`); ranks
+    * are a deterministic (n_docs desc, template asc) order. Counting is pure
+    * integers.
+    *
+    * Scale shape: one hash aggregation to template grain (map-side partials
+    * absorb the duplicates that matter — the head), then TakeOrdered top-k;
+    * the cumulative window runs on the k-row result, never on the corpus.
+    * The 1-row total joins by broadcast.
+    *
+    * @return rank (1-based), template, n_docs, n_sources, share_ppm,
+    *         cum_share_ppm
+    */
+  def templateDiversity(docs: DataFrame, nTokens: Int = 2,
+                        k: Int = 15): DataFrame = {
+    require(nTokens > 0 && k > 0)
+    val tmpl = concat_ws(" ",
+      slice(split(regexp_replace(lower(col("text")), "[0-9]+", "0"),
+        "\\s+"), 1, nTokens))
+    val counts = docs.select(tmpl.as("template"), col("source"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"))
+    val top = counts.orderBy(col("n_docs").desc, col("template")).limit(k)
+    // the window runs on the k-row TakeOrdered result — bounded, not global
+    val w = Window.orderBy(col("n_docs").desc, col("template"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_docs",
+        sum(col("n_docs")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("template"), col("n_docs"), col("n_sources"),
+        expr("CAST(n_docs * 1000000 div total AS BIGINT)").as("share_ppm"),
+        expr("CAST(cum_docs * 1000000 div total AS BIGINT)")
+          .as("cum_share_ppm"))
+  }
 }

@@ -149,6 +149,7 @@ DOUBLE_CLASSES = {
     "q192_oov_rate": {"oov_rate": "div1"},
     "q193_srm_check": {"chi2": "div1"},
     "q194_quality_gate": {"mean_logit_micro": "div1"},
+    "q231_bradley_terry": {"strength": "round"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
