@@ -66,7 +66,10 @@ object Bench {
       // projects to a long-running cluster where plans are compiled once
       // and run for hours.
       for (w <- names)
-        try run(w, dir) catch {
+        // name printed BEFORE the run so a hung/killed bench (rc=124) has
+        // an attributable tail — the round-10 q231 timeout was only
+        // root-caused by bisection because nothing named the query in flight
+        try { System.err.println(s"[bench] warmup $w"); run(w, dir) } catch {
           // logged, not rethrown: a deterministically-failing query still
           // gets its timed runs below (which report -1), but the warm-up
           // failure must not be invisible in the bench tail
@@ -74,6 +77,7 @@ object Bench {
             s"[bench] warmup $w failed: ${e.getClass.getName}: ${e.getMessage}")
         }
       val results = names.map { name =>
+        System.err.println(s"[bench] timing $name")
         val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try { run(name, dir); Some((System.nanoTime() - t0) / 1e9) } catch {

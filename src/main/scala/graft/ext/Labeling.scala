@@ -196,15 +196,20 @@ object Labeling {
     */
   def bradleyTerry(events: DataFrame, iters: Int = 5): DataFrame = {
     val p = preferenceBattles(events)
-    val games = p.select(col("ta").as("i"), col("tb").as("j"),
+    // Pin the fixed frames once and the iterate each pass (the q64
+    // PageRank / Components loop discipline): every MM pass references
+    // `w` twice (as wi and wj) and `raw` twice (normalization sum +
+    // update), so an unpinned loop multiplies the logical plan ~5x per
+    // iteration — Catalyst analysis alone becomes the bottleneck.
+    val games = graft.Pin(p.select(col("ta").as("i"), col("tb").as("j"),
         col("wins_a").as("wins_i"),
         (col("wins_a") + col("wins_b")).as("n_ij"))
       .unionByName(p.select(col("tb").as("i"), col("ta").as("j"),
         col("wins_b").as("wins_i"),
         (col("wins_a") + col("wins_b")).as("n_ij")))
-      .filter(col("n_ij") > 0L)
-    val totals = games.groupBy(col("i"))
-      .agg(sum(col("wins_i")).as("n_wins"), sum(col("n_ij")).as("n_games"))
+      .filter(col("n_ij") > 0L))
+    val totals = graft.Pin(games.groupBy(col("i"))
+      .agg(sum(col("wins_i")).as("n_wins"), sum(col("n_ij")).as("n_games")))
     var w = totals.select(col("i"), lit(1.0).as("w"))
     for (_ <- 1 to iters) {
       val denom = games
@@ -213,12 +218,12 @@ object Labeling {
         .groupBy(col("i"))
         .agg(sum(col("n_ij").cast("double") / (col("wi") + col("wj")))
           .as("den"))
-      val raw = totals.join(denom, Seq("i"))
+      val raw = graft.Pin(totals.join(denom, Seq("i"))
         .select(col("i"),
-          (col("n_wins").cast("double") / col("den")).as("raw"))
+          (col("n_wins").cast("double") / col("den")).as("raw")))
       val s = raw.agg(sum(col("raw")).as("s"))
-      w = raw.crossJoin(broadcast(s))
-        .select(col("i"), round(col("raw") / col("s"), 9).as("w"))
+      w = graft.Pin(raw.crossJoin(broadcast(s))
+        .select(col("i"), round(col("raw") / col("s"), 9).as("w")))
     }
     totals.join(w, Seq("i"))
       .select(col("i").as("event_type"), col("n_games"), col("n_wins"),

@@ -201,6 +201,19 @@ class QueriesSpec extends SparkSuite {
         s"$name hashed output carries DECIMAL at ${bad.mkString(", ")} — " +
           "driver-hasher decimal normalization is version-sensitive " +
           "(round 6); emit scaled BIGINT or DOUBLE instead")
+      // plan-size regression guard (round-10 incident): an iterative
+      // operator that rebinds its iterate without graft.Pin multiplies the
+      // logical plan per pass — q231's unpinned 5-pass MM loop reached
+      // ~10^5-10^6 nodes and Catalyst ANALYSIS alone ran >11 min, timing
+      // out the driver bench (BENCH_r10 rc=124). Every sane registered
+      // query analyzes to a few hundred nodes; 20k is 2 orders of margin
+      // above today's max and 1+ below the failure.
+      var planNodes = 0
+      df.queryExecution.analyzed.foreach(_ => planNodes += 1)
+      assert(planNodes < 20000,
+        s"$name analyzed logical plan has $planNodes nodes (budget 20000) — " +
+          "likely an unpinned iterative loop; pin the iterate each pass " +
+          "with graft.Pin (see Labeling.bradleyTerry / Components)")
       // q06 (customers without orders) is legitimately empty at tiny SF
       if (name == "q06_no_orders") assert(df.count() >= 0)
       else assert(df.count() > 0, s"$name returned no rows")
