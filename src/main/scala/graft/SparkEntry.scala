@@ -419,9 +419,13 @@ object SparkEntry {
     "q131_ltv_triangle" -> ((s: SparkSession, d: String) =>
       Sessions.ltvTriangle(Tables.events(s, d))),
     // RFM segmentation: recency/frequency/monetary ntile(5) scores with
-    // deterministic tiebreaks, rolled up per (r,f,m) segment
+    // deterministic tiebreaks, rolled up per (r,f,m) segment. Registered
+    // on the DISTRIBUTED gridRank path (round 11): the ntile form's three
+    // global windows single-partition the per-user frame — fine on small
+    // frames, wrong as the default at scale; both modes are
+    // equivalence-asserted bit-identical (Round10OpsSpec)
     "q132_rfm" -> ((s: SparkSession, d: String) =>
-      Sessions.rfmSegments(Tables.events(s, d))),
+      Sessions.rfmSegments(Tables.events(s, d), distributed = true)),
     // market-basket association rules over order baskets of part brands:
     // corpus-scaled support floor, exact-rational confidence and lift
     "q133_assoc_rules" -> Relational.q133AssocRules _,
@@ -1019,7 +1023,7 @@ object SparkEntry {
     // safety check (exact Jaccard vs the positive < 1/2)
     "q208_hard_negatives" -> ((s: SparkSession, d: String) =>
       ext.Retrieval.hardNegatives(Tables.documents(s, d),
-        col("doc_id") % 97 === 3, k = 3)),
+        col("doc_id") % 97 === 3 && col("doc_id") < 97L * 21, k = 3)),
     // dialogue-family composition capstone: template gate → usability
     // gate with per-stage conversation/pair/token survival in one DAG
     "q209_sft_manifest" -> ((s: SparkSession, d: String) =>
@@ -1434,7 +1438,7 @@ object SparkEntry {
        |  WHERE f.df * 100 <= 79 * nn.n),
        |queries AS (
        |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
-       |  FROM base WHERE doc_id % 97 = 3),
+       |  FROM base WHERE doc_id % 97 = 3 AND doc_id < 2037),
        |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
        |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
        |         FROM queries),
@@ -3598,7 +3602,7 @@ object SparkEntry {
         |  WHERE f.df * 100 <= 79 * nn.n),
         |queries AS (
         |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
-        |  FROM base WHERE doc_id % 97 = 3),
+        |  FROM base WHERE doc_id % 97 = 3 AND doc_id < 2037),
         |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
         |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
         |         FROM queries),
@@ -4715,19 +4719,26 @@ object SparkEntry {
     // unit-cost DP as Spark's (exact integer), threshold arg is a pure
     // Spark-side pruning (kept pairs carry identical distances)
     "q151_edit_neardup" ->
-      """WITH keyed AS (
+      """WITH keyed0 AS (
         |  SELECT doc_id, text, length(text) // 32 AS lb,
         |    substr(text, 1, 6) AS pfx
         |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, text, lb, pfx,
+        |    count(*) OVER (PARTITION BY lb, pfx) > 64 AS ovf
+        |  FROM keyed0
+        |  QUALIFY row_number() OVER (PARTITION BY lb, pfx
+        |                             ORDER BY doc_id) <= 64),
         |probes AS (
-        |  SELECT doc_id, text, pfx, lb + u.d AS lb
+        |  SELECT doc_id, text, pfx, ovf, lb + u.d AS lb
         |  FROM keyed, generate_series(-1, 1) u(d)),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    levenshtein(a.text, b.text) AS dist
+        |    levenshtein(a.text, b.text) AS dist,
+        |    (a.ovf OR b.ovf) AS truncated
         |  FROM probes a JOIN keyed b
         |    ON a.lb = b.lb AND a.pfx = b.pfx AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist
+        |SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist, truncated
         |FROM pairs WHERE dist <= 12""".stripMargin,
 
     "q150_source_scorecard" ->
@@ -5146,7 +5157,7 @@ object SparkEntry {
         |  WHERE f.df * 100 <= 79 * nn.n),
         |queries AS (
         |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
-        |  FROM base WHERE doc_id % 97 = 3),
+        |  FROM base WHERE doc_id % 97 = 3 AND doc_id < 2037),
         |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
         |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
         |         FROM queries),
@@ -5184,7 +5195,8 @@ object SparkEntry {
         |      AS cos
         |  FROM nrm q
         |  JOIN nrm c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 97 = 3 AND q.n2 > 0 AND c.n2 > 0),
+        |  WHERE q.vec_id % 97 = 3 AND q.vec_id < 2037
+        |    AND q.n2 > 0 AND c.n2 > 0),
         |dense AS (
         |  SELECT query_id, doc_id,
         |    CAST(row_number() OVER (PARTITION BY query_id
@@ -6652,7 +6664,7 @@ object SparkEntry {
         |  WHERE f.df * 100 <= 79 * nn.n),
         |queries AS (
         |  SELECT doc_id AS query_id, list_distinct(t[1:5]) AS qt
-        |  FROM base WHERE doc_id % 97 = 3),
+        |  FROM base WHERE doc_id % 97 = 3 AND doc_id < 2037),
         |qtok AS (SELECT query_id, unnest(qt) AS term FROM queries),
         |qlen AS (SELECT query_id, CAST(len(qt) AS BIGINT) AS q_len
         |         FROM queries),

@@ -376,28 +376,63 @@ object Dedup {
     * not O(len²) — the 100 TB knob that makes the scorer linear in the
     * candidate list.
     *
-    * @return (doc_a, doc_b, dist) for pairs with distance ≤ `maxDist`
+    * In-block pairs are still quadratic in the BLOCK size, so a skewed
+    * block (boilerplate openings, exact-duplicate floods) re-creates the
+    * all-pairs cost inside one key — the round-10 scale readout measured
+    * 71× wall at 10× data from exactly this. `blockCap` bounds it: only
+    * the first `blockCap` docs (by doc_id — deterministic) of each HOME
+    * (lb, pfx) block participate, capping in-block work at blockCap²; the
+    * `truncated` output column flags every surviving pair whose either
+    * member came from an over-cap block, so the cut is audited, never
+    * silent (a capped block is itself near-dup-saturated: its first
+    * blockCap members already witness the duplication).
+    *
+    * @return (doc_a, doc_b, dist, truncated) for pairs with distance ≤
+    *         `maxDist`; `truncated` = either member's home block exceeded
+    *         `blockCap`
     */
   def editNearDups(docs: DataFrame, maxDist: Int = 12, prefixChars: Int = 6,
-                   lenBucket: Int = 32): DataFrame = {
+                   lenBucket: Int = 32, blockCap: Int = 64): DataFrame = {
     require(lenBucket > 2 * maxDist,
       s"lenBucket $lenBucket must exceed 2*maxDist for the adjacent-bucket guarantee")
-    val keyed = docs.select(col("doc_id"), col("text"),
+    require(blockCap >= 2, s"blockCap $blockCap admits no pairs")
+    val keyed0 = docs.select(col("doc_id"), col("text"),
       (length(col("text")) / lenBucket).cast("long").as("lb"),
       substring(col("text"), 1, prefixChars).as("pfx"))
+    // rank + block size share ONE (lb, pfx) exchange/sort
+    val wOrd = Window.partitionBy(col("lb"), col("pfx")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("lb"), col("pfx"))
+    val keyed = keyed0
+      .withColumn("rnk", row_number().over(wOrd))
+      .withColumn("ovf", count(lit(1)).over(wAll) > blockCap)
+      .filter(col("rnk") <= blockCap)
+      .drop("rnk")
     // the scorer runs where the streamed side's partitions are: a
     // single-file corpus would put every levenshtein on one core (the
     // cosineTopK lesson) — spread the probe side explicitly
     val probes = keyed.select(col("doc_id"), col("text"), col("pfx"),
+      col("ovf"),
       explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("lb"), col("pfx"))
     probes.as("a").join(keyed.as("b"),
         col("a.lb") === col("b.lb") && col("a.pfx") === col("b.pfx") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // necessary condition for dist ≤ maxDist, at length-compare cost:
+          // prunes candidates BEFORE any DP runs
+          abs(length(col("a.text")) - length(col("b.text"))) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.text"), col("b.text"), maxDist).as("dist"))
+        (col("a.ovf") || col("b.ovf")).as("truncated"),
+        // Generate barrier: a plain aliased dist + filter gets PUSHED INTO
+        // the join condition, where Catalyst evaluates the banded DP three
+        // times per candidate (twice in the condition, once in the
+        // projection — measured 23 s vs 2 s at the 10x point). A filter on
+        // a generator output cannot be pushed below the Generate, so the
+        // scorer runs exactly once per candidate here.
+        explode(array(levenshtein(col("a.text"), col("b.text"), maxDist)))
+          .as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("truncated"))
       .distinct() // a pair can match in both its own and the probe bucket
   }
 

@@ -133,6 +133,48 @@ object Multimodal {
       .toDF()
   }
 
+  /** In-engine model inference through the [[decodeFeatures]] seam — the
+    * worked example of the reference's model boundary (Tools/server.py:88
+    * `model.predict` behind the lazy-singleton weights S13): a FROZEN
+    * linear model scores each decoded feature vector. The "model" is
+    * initialized once per partition from the broadcast weights (where a
+    * real runtime would mmap an ONNX session); the row loop then runs a
+    * plain dot product. No out-of-JVM deps, and no transcendental in the
+    * decision path: σ(z) > ½ ⟺ z > 0 (the q194 logit-domain discipline),
+    * so the row is classified on the raw logit.
+    *
+    * Scale shape: weights are a broadcast scalar payload; scoring is
+    * map-only over however `features` is partitioned — no shuffle, no
+    * driver loop. Double accumulation in INDEX ORDER keeps the logit
+    * bit-deterministic across retries/partitionings.
+    *
+    * @param weights one weight per feature lane (length must match the
+    *                decoder's feature width)
+    * @return media_id, media_type, logit (double), positive (z > 0)
+    */
+  def scoreFeatures(features: DataFrame, weights: Array[Double],
+                    bias: Double): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast((weights.clone(), bias))
+    features.select("media_id", "media_type", "feature")
+      .as[(Long, String, Array[Float])]
+      .mapPartitions { it =>
+        // per-partition model init: unpack the broadcast ONCE (a real
+        // model runtime builds its session here, not per row)
+        val (w, b) = bw.value
+        it.map { case (id, mt, feat) =>
+          require(feat.length == w.length,
+            s"feature width ${feat.length} != model width ${w.length}")
+          var z = b
+          var i = 0
+          while (i < w.length) { z += w(i) * feat(i); i += 1 }
+          (id, mt, z, z > 0.0)
+        }
+      }
+      .toDF("media_id", "media_type", "logit", "positive")
+  }
+
   /** REAL image resize stage (decode → scale → re-encode PNG), batch-shaped
     * like [[decodeFeatures]]: one rendering context per partition, rows map
     * to (media_id, resized PNG bytes + new dims). Aspect ratio is preserved

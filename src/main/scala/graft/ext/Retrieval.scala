@@ -27,17 +27,24 @@ import org.apache.spark.sql.functions._
   * overlap/lengths are exact ints; the Jaccard is one IEEE division → raw
   * double.
   *
-  * The fixture derives queries as a corpus FRACTION (`queryEvery`) so the
-  * driver oracle has a closed input; a production query set is an external
-  * bounded table — when it outgrows the broadcast threshold, drop the hint
-  * and the same plan shuffle-joins on term (postings side stays put).
+  * The fixture derives queries from the corpus (`queryEvery`) so the
+  * driver oracle has a closed input, but CAPS the derived set at a
+  * CONSTANT (`queryCap` ids: doc_id < queryEvery·queryCap) — round 10's
+  * scale readout showed the uncapped fraction makes total cost corpus²
+  * (|Q| ∝ N times N-proportional postings). With the cap the measured
+  * plan is |Q|·posting-lengths — linear in the corpus, the same shape as
+  * a production external query table ([[topKForQueries]]); when that
+  * table outgrows the broadcast threshold, drop the hint and the same
+  * plan shuffle-joins on term (postings side stays put).
   */
 object Retrieval {
 
   def topKByTokenOverlap(docs: DataFrame, k: Int = 5, maxDfPct: Long = 79,
-                         queryEvery: Long = 97, queryLen: Int = 5): DataFrame = {
+                         queryEvery: Long = 97, queryLen: Int = 5,
+                         queryCap: Long = 21): DataFrame = {
     val base = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("t"))
-    val queries = base.filter(col("doc_id") % queryEvery === 3)
+    val queries = base.filter(col("doc_id") % queryEvery === 3 &&
+        col("doc_id") < queryEvery * queryCap)
       .select(col("doc_id").as("query_id"),
         array_distinct(slice(col("t"), 1, queryLen)).as("qt"))
     topKCore(base, queries, k, maxDfPct)
@@ -116,12 +123,15 @@ object Retrieval {
     * aggregation — no association order to drift.
     */
   def hybridRRF(docs: DataFrame, emb: DataFrame, k: Int = 5,
-                rrfK: Long = 60, queryEvery: Long = 97): DataFrame = {
-    val sparse = topKByTokenOverlap(docs, k = k, queryEvery = queryEvery)
+                rrfK: Long = 60, queryEvery: Long = 97,
+                queryCap: Long = 21): DataFrame = {
+    val sparse = topKByTokenOverlap(docs, k = k, queryEvery = queryEvery,
+        queryCap = queryCap)
       .select(col("query_id"), col("doc_id"),
         col("rank").as("sparse_rank"))
     val dense = Similarity
-      .cosineTopK(emb, col("vec_id") % queryEvery === 3, k = k)
+      .cosineTopK(emb, col("vec_id") % queryEvery === 3 &&
+        col("vec_id") < lit(queryEvery * queryCap), k = k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rank"))
     rrfFuse(sparse, dense, rrfK)
@@ -184,10 +194,11 @@ object Retrieval {
       .groupBy(col("query_id"))
       .agg(min(when(col("lang") === col("q_lang"), col("rank")))
         .as("first_rel_rank"))
-    // anchor on the QUERY SET (same selector as topKByTokenOverlap), so a
-    // query whose entire top-k is empty still emits rr = 0 — dropping it
-    // would silently inflate the mean of the reciprocal ranks
-    docs.filter(col("doc_id") % 97 === 3 &&
+    // anchor on the QUERY SET (same selector AND cap as
+    // topKByTokenOverlap), so a query whose entire top-k is empty still
+    // emits rr = 0 — dropping it would silently inflate the mean of the
+    // reciprocal ranks
+    docs.filter(col("doc_id") % 97 === 3 && col("doc_id") < 97L * 21 &&
         length(trim(col("text"))) > 0)
       .select(col("doc_id").as("query_id"))
       .join(firstRel, Seq("query_id"), "left")

@@ -102,13 +102,19 @@ object Urls {
     * to a prefix-trie kernel, the BlocklistCounts discipline); rollup is
     * host-cardinality.
     *
+    * Empty-prefix convention: a robots.txt `Disallow:` line with an EMPTY
+    * value means allow-all (RFC 9309 §2.2.2), so empty-prefix rules are
+    * dropped here — a naive `startsWith("")` would invert that common
+    * rule form into block-everything-on-host. Block-all is spelled
+    * `Disallow: /`, which this operator honors as the "/" prefix.
+    *
     * @return host, n_urls, n_blocked
     */
   def robotsFilter(urls: DataFrame, idCol: Column, urlCol: Column,
                    rules: Seq[(String, String)]): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
-    val ruleDf = rules.toDF("host", "prefix")
+    val ruleDf = rules.filter(_._2.nonEmpty).toDF("host", "prefix")
     val parsed = urls.select(idCol.as("__id"), urlHost(urlCol).as("host"),
       canonicalizeUrl(urlCol).as("canon"))
       .withColumn("path", substring_index(

@@ -605,7 +605,11 @@ object StreamOps {
                 e.ts_us)
             }
             state.update(s)
-            setIdleTimeout(state, s.lastTs / 1000 + idleTimeoutUs / 1000)
+            // end-of-interval contract (matches funnel/sessionize at :261/:317):
+            // truncate AFTER the sum and add 1 ms so a boundary-timestamp
+            // straggler still lands inside the open interval — the
+            // per-term truncation fired up to ~1 ms of event time early
+            setIdleTimeout(state, (s.lastTs + idleTimeoutUs) / 1000 + 1)
             Iterator.empty
           }
       }
@@ -669,7 +673,11 @@ object StreamOps {
                 bal, math.min(s.minBal, bal), e.ts_us)
             }
             state.update(s)
-            setIdleTimeout(state, s.lastTs / 1000 + idleTimeoutUs / 1000)
+            // end-of-interval contract (matches funnel/sessionize at :261/:317):
+            // truncate AFTER the sum and add 1 ms so a boundary-timestamp
+            // straggler still lands inside the open interval — the
+            // per-term truncation fired up to ~1 ms of event time early
+            setIdleTimeout(state, (s.lastTs + idleTimeoutUs) / 1000 + 1)
             Iterator.empty
           }
       }
@@ -763,7 +771,11 @@ object StreamOps {
               }
             }
             state.update(s)
-            setIdleTimeout(state, s.lastTs / 1000 + idleTimeoutUs / 1000)
+            // end-of-interval contract (matches funnel/sessionize at :261/:317):
+            // truncate AFTER the sum and add 1 ms so a boundary-timestamp
+            // straggler still lands inside the open interval — the
+            // per-term truncation fired up to ~1 ms of event time early
+            setIdleTimeout(state, (s.lastTs + idleTimeoutUs) / 1000 + 1)
             Iterator.empty
           }
       }

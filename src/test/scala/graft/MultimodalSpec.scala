@@ -36,6 +36,38 @@ class MultimodalSpec extends SparkSuite {
     assert(featLen == 8)
   }
 
+  test("scoreFeatures: broadcast linear model through the seam matches a " +
+    "driver-side computation, end to end on real decoded features") {
+    // frozen model: arbitrary fixed weights over the 8 stub feature lanes
+    val w = Array(0.5, -1.25, 2.0, 0.0, 0.75, -0.5, 1.0, -2.0)
+    val b = -3.5
+    val feats = Multimodal.decodeFeatures(media)
+    val scored = Multimodal.scoreFeatures(feats, w, b)
+      .as[(Long, String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // driver-side replay: identical index-order double accumulation
+    val expect = feats.select("media_id", "feature")
+      .as[(Long, Array[Float])].collect().map { case (id, f) =>
+        var z = b
+        for (i <- w.indices) z += w(i) * f(i)
+        id -> z
+      }.toMap
+    assert(scored.size == expect.size && scored.nonEmpty)
+    for ((id, z) <- expect) {
+      assert(scored(id)._1 == z, s"media $id logit drift")
+      assert(scored(id)._2 == (z > 0.0))
+    }
+    // both classes must be alive on the corpus or the demo demos nothing
+    assert(scored.values.exists(_._2) && scored.values.exists(!_._2),
+      "frozen model must split the corpus into both classes")
+    // width mismatch fails loudly, not silently truncated
+    val bad = intercept[org.apache.spark.SparkException] {
+      Multimodal.scoreFeatures(feats, Array(1.0, 2.0), 0.0).collect()
+    }
+    assert(bad.getMessage.contains("model width") ||
+      bad.getCause != null)
+  }
+
   test("empty binary decodes without error") {
     val df = Seq((1L, "image/x", Array.emptyByteArray)).toDF("media_id", "media_type", "content")
     val r = Multimodal.decodeFeatures(df).collect()(0)

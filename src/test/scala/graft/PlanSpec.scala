@@ -327,6 +327,29 @@ class PlanSpec extends SparkSuite {
       s"pool pick must not be a global window/sort:\n$p")
   }
 
+  test("q132 distributed RFM: no unpartitioned window touches the per-user frame") {
+    // the registered q132 uses the gridRank path (round 11); the ntile
+    // form's three global windows single-partitioned the per-user frame.
+    // Unpartitioned windows may remain ONLY on bucket-grain frames (the
+    // O(nBuckets) below-offset windows — bounded by the grid, not the
+    // data); none may order the user_id-carrying frame.
+    val df = SparkEntry.queries("q132_rfm")(spark, sf)
+    df.collect()
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    // formatted Window print: partitioned = "Window [f], [part], [ord]",
+    // unpartitioned = "Window [f], [ord]" — 2 vs 1 top-level "], [" splits
+    val badWindows = lines.filter { l =>
+      val t = l.trim.dropWhile(c => "+-:| ".contains(c))
+      t.startsWith("Window ") && "\\], \\[".r.findAllIn(t).length == 1 &&
+        t.contains("user_id")
+    }
+    assert(badWindows.isEmpty,
+      s"global window over the per-user frame leaked back into q132:\n" +
+        badWindows.mkString("\n"))
+    assert(!df.queryExecution.executedPlan.toString.contains("ntile"),
+      "registered q132 must run the gridRank path, not ntile windows")
+  }
+
   test("q151 blocking join is an equi-join on (len-bucket, prefix), never a product") {
     val p = plan(ext.Dedup.editNearDups(Tables.documents(spark, sf)))
     assert(!p.contains("CartesianProduct") &&

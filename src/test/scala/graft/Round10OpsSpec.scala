@@ -917,6 +917,14 @@ class Round10OpsSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().map(x => x._1 -> x).toMap
     assert(r("a.com") == (("a.com", 4L, 3L)))
     assert(r("b.com") == (("b.com", 1L, 0L)))
+    // RFC 9309 §2.2.2: an EMPTY Disallow value means allow-all — it must
+    // not block (startsWith("") would have inverted it to block-all)
+    val r2 = ext.Urls.robotsFilter(urls, col("doc_id"), col("url"),
+      rules = Seq("a.com" -> "", "b.com" -> "/search"))
+      .as[(String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r2("a.com") == (("a.com", 4L, 0L)),
+      s"empty Disallow must allow-all: ${r2("a.com")}")
+    assert(r2("b.com") == (("b.com", 1L, 1L)))
   }
 
   test("snapshotDrift: exact floor-mean deltas; labels with an empty " +

@@ -17,13 +17,37 @@ class Round6OpsSpec extends SparkSuite {
       (3L, "the quick " + ("x " * 80)),           // same prefix, far away
       (4L, base + "tail of twenty chars"),        // +20 chars: next len bucket
       (5L, "completely different opening text here")).toDF("doc_id", "text")
-    val r = ext.Dedup.editNearDups(docs, maxDist = 25, prefixChars = 6,
+    val rows = ext.Dedup.editNearDups(docs, maxDist = 25, prefixChars = 6,
         lenBucket = 64)
-      .as[(Long, Long, Int)].collect().map(x => (x._1, x._2) -> x._3).toMap
+      .as[(Long, Long, Int, Boolean)].collect()
+    val r = rows.map(x => (x._1, x._2) -> x._3).toMap
     assert(r.contains((1L, 2L)) && r((1L, 2L)) <= 4, r.toString)
     // the cross-bucket pair (1,4): length differs by 20 → adjacent bucket
     assert(r.contains((1L, 4L)) && r((1L, 4L)) === 20, r.toString)
     assert(!r.keySet.exists(p => p._1 == 3L || p._2 == 3L), r.toString)
+    // no block here is anywhere near the cap → nothing flags truncated
+    assert(rows.forall(!_._4), rows.mkString(","))
+  }
+
+  test("editNearDups: blockCap bounds in-block pairs and AUDITS the cut " +
+    "(truncated column), small blocks stay unflagged") {
+    // one skewed block: 5 same-length same-prefix docs; cap 3 keeps docs
+    // 1..3 → C(3,2)=3 pairs, every one flagged. A clean 2-doc block
+    // (docs 10,11) is untouched and unflagged.
+    val fat = (1L to 5L).map(i => (i, "aaaaaa block body text " + i))
+    val thin = Seq((10L, "zzzzzz other body text x"),
+      (11L, "zzzzzz other body text y"))
+    val docs = (fat ++ thin).toDF("doc_id", "text")
+    val rows = ext.Dedup.editNearDups(docs, maxDist = 12, prefixChars = 6,
+        lenBucket = 32, blockCap = 3)
+      .as[(Long, Long, Int, Boolean)].collect()
+    val fatPairs = rows.filter(_._1 <= 5L)
+    assert(fatPairs.map(x => (x._1, x._2)).toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)), rows.mkString(","))
+    assert(fatPairs.forall(_._4), "over-cap block pairs must flag truncated")
+    val thinPairs = rows.filter(_._1 == 10L)
+    assert(thinPairs.map(x => (x._1, x._2)).toSeq === Seq((10L, 11L)))
+    assert(thinPairs.forall(!_._4), "clean block must not flag truncated")
   }
 
   test("ndcgAtK: all-relevant retrieval scores exactly 1; weight table is frozen decimals") {
