@@ -1178,7 +1178,12 @@ object SparkEntry {
     // the corpus is pure ASCII)
     "q232_audio_activity" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.audioActivity(
-        ext.Multimodal.mediaFromDocuments(Tables.documents(s, d))))
+        ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    // skew playbook capstone: salted join on a deliberately hot key
+    // (~80% of rows on one key), per-key salt-bucket balance readout +
+    // dim-enriched cents proven against the oracle's join-free compute
+    "q233_skew_playbook" -> ((s: SparkSession, d: String) =>
+      ext.Skew.skewPlaybook(Tables.events(s, d)))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7534,6 +7539,34 @@ object SparkEntry {
         |    AS BIGINT) AS active_ppm,
         |  CAST(coalesce(agg.longest, 0) AS BIGINT) AS longest_run
         |FROM documents d LEFT JOIN m ON d.doc_id = m.media_id
-        |LEFT JOIN agg ON d.doc_id = agg.media_id""".stripMargin
+        |LEFT JOIN agg ON d.doc_id = agg.media_id""".stripMargin,
+
+    "q233_skew_playbook" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN user_id % 10 < 8 THEN 0
+        |              ELSE user_id % 100 END AS hot_key,
+        |    event_id,
+        |    CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |h0 AS (SELECT hot_key, cents,
+        |  (event_id * 2654435761 + 1013904223) % 1099511627776 AS h1
+        |  FROM fact),
+        |hx AS (SELECT hot_key, cents, xor(h1, h1 // 1048576) AS h2
+        |  FROM h0),
+        |hy AS (SELECT hot_key, cents,
+        |  ((h2 % 4294967296) * 1540483477 + 99991) % 1099511627776 AS h3
+        |  FROM hx),
+        |h AS (SELECT hot_key, cents, xor(h3, h3 // 131072) % 16 AS salt
+        |  FROM hy),
+        |pb AS (
+        |  SELECT hot_key, salt, count(*) AS bn,
+        |    CAST(sum(cents * (hot_key + 1)) AS BIGINT) AS wc
+        |  FROM h GROUP BY 1, 2)
+        |SELECT hot_key, CAST(sum(bn) AS BIGINT) AS n_rows,
+        |  count(*) AS n_buckets_used,
+        |  max(bn) AS bucket_max, min(bn) AS bucket_min,
+        |  CAST(sum(wc) AS BIGINT) AS sum_weighted_cents
+        |FROM pb GROUP BY 1""".stripMargin
   )
 }

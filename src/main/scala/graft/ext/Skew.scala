@@ -72,6 +72,63 @@ object Skew {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** The skew PLAYBOOK capstone (q233) — the measured form of the
+    * engine's hot-key posture, not an asserted one: a deliberately skewed
+    * fact (≈80% of event rows collapse onto hot_key 0; the rest spread
+    * over the user_id%100 tail ending in 8/9) goes through the
+    * [[saltedJoin]] pattern against a key-grain dim, and the OUTPUT
+    * exposes the balance the salt bought. Per key: row count, salt-bucket
+    * occupancy (used / max / min — the hot key must fill every bucket
+    * with max ≈ min ≈ n/buckets, which is exactly the property that
+    * bounds any one task's share at scale), and the dim-enriched exact
+    * cents sum, which the oracle computes WITHOUT salting — proving the
+    * salted join row-identical to the plain join, the contract
+    * [[saltedJoin]] claims.
+    *
+    * The salt is the engine-neutral [[graft.functions.Hashing.mix40]] of
+    * the row-unique event_id (a bare affine salt has the q136/q217
+    * three-distance structure; Spark's Murmur3 `hash` would be faster but
+    * not oracle-replayable). AQE's own skew-join split is the OTHER half
+    * of the playbook — it needs no code, only
+    * `spark.sql.adaptive.skewJoin.enabled` (default true) — and
+    * SkewSpec demonstrates it splitting a skewed SMJ partition at
+    * forced-small thresholds.
+    *
+    * Scale shape: two hash aggregations — (key, salt) grain then key
+    * grain — and one broadcast-replicated dim join; no global window, no
+    * single-partition stage; every per-task unit is ≤ ~n_hot/buckets.
+    *
+    * @return hot_key, n_rows, n_buckets_used, bucket_max, bucket_min,
+    *         sum_weighted_cents
+    */
+  def skewPlaybook(events: DataFrame, buckets: Int = 16): DataFrame = {
+    val fact = events.select(
+      when(pmod(col("user_id"), lit(10L)) < 8, lit(0L))
+        .otherwise(pmod(col("user_id"), lit(100L))).as("hot_key"),
+      col("event_id"), col("value"))
+    val salted = fact.withColumn("__salt",
+      pmod(graft.functions.Hashing.mix40(col("event_id")),
+        lit(buckets.toLong)))
+    // key-grain dim with a derived weight; replicated across every salt
+    // bucket (the saltedJoin replicate side — buckets× a BROADCAST-sized
+    // frame)
+    val dim = fact.select(col("hot_key")).distinct()
+      .withColumn("weight", col("hot_key") + lit(1L))
+    val dimX = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    val joined = salted.join(broadcast(dimX), Seq("hot_key", "__salt"))
+    val perBucket = joined.groupBy(col("hot_key"), col("__salt"))
+      .agg(count(lit(1)).as("bn"),
+        sum((round(col("value"), 2).cast("decimal(18,2)") * 100)
+          .cast("long") * col("weight")).as("wc"))
+    perBucket.groupBy(col("hot_key"))
+      .agg(sum(col("bn")).as("n_rows"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("bn")).as("bucket_max"),
+        min(col("bn")).as("bucket_min"),
+        sum(col("wc")).as("sum_weighted_cents"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment and the movement
     * matrix of a resize: shard(key) = argmax over shards of a per-(key,
     * shard) integer hash, so growing `nOld → nNew` shards moves ONLY the

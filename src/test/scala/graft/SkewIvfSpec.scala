@@ -47,6 +47,79 @@ class SkewIvfSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("skewPlaybook: salted join row-identical to join-free replay; " +
+    "hot key fills every salt bucket near-evenly") {
+    val events = Tables.events(spark, sf)
+    val r = Skew.skewPlaybook(events)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    // join-free replay of the enriched cents (the oracle's shape, here
+    // in-Spark): weight = hot_key + 1 applied directly, no dim, no salt
+    val replay = events.select(
+        when(pmod(col("user_id"), lit(10L)) < 8, lit(0L))
+          .otherwise(pmod(col("user_id"), lit(100L))).as("hot_key"),
+        ((round(col("value"), 2).cast("decimal(18,2)") * 100).cast("long")
+          * (when(pmod(col("user_id"), lit(10L)) < 8, lit(0L))
+            .otherwise(pmod(col("user_id"), lit(100L))) + 1)).as("wc"))
+      .groupBy("hot_key")
+      .agg(count(lit(1)).as("n"), sum(col("wc")).as("swc"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r.keySet == replay.keySet && r.nonEmpty)
+    for ((k, (_, n, swc)) <- replay) {
+      assert(r(k)._2 == n, s"key $k row count")
+      assert(r(k)._6 == swc, s"key $k enriched cents drift — salted join " +
+        "is not row-identical to the plain semantics")
+    }
+    // the hot key (~80% of rows) must spread: all 16 buckets used, no
+    // bucket holding a skewed share (3x the even split would mean the
+    // salt failed — mix40 keeps this far tighter in practice)
+    val hot = r(0L)
+    assert(hot._2 > replay.values.map(_._2).sum / 2, "key 0 must be hot")
+    assert(hot._3 == 16L, s"hot key used ${hot._3} of 16 buckets")
+    assert(hot._4 <= 3 * (hot._2 / 16 + 1),
+      s"hot-key bucket_max ${hot._4} vs even share ${hot._2 / 16}")
+  }
+
+  test("AQE skew-join splits the hot partition of a skewed SMJ " +
+    "(the zero-code half of the skew playbook)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a shuffle join and make the skew detector's thresholds
+      // reachable at test scale: hot partition ~4 MB vs ~20 KB siblings
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // thresholds compare COMPRESSED shuffle bytes — keep them small
+      // enough that the hot partition clears them after lz4
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16384")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      val pay = "x" * 100
+      val left = spark.range(40000)
+        .select(lit(0L).as("k"), concat(lit(pay), col("id")).as("v"))
+        .unionAll(spark.range(1800)
+          .select((pmod(col("id"), lit(9L)) + 1).as("k"),
+            concat(lit(pay), col("id")).as("v")))
+      val right = spark.range(10).select(col("id").as("k"),
+        col("id").cast("string").as("name"))
+      val j = left.join(right, "k")
+      // execute THIS QueryExecution (count() would build its own, leaving
+      // j's adaptive plan unfinalized — the NOTES AQE-assert trap)
+      assert(j.collect().length == 41800)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n${p.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("IVF top-k: high recall vs brute force at nprobe=4/16 centroids") {
     val emb = Tables.embeddings(spark, sf)
     val pred = col("vec_id") % 25 === 0
