@@ -25,12 +25,15 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *    extract → JDK-ImageIO decode → PNG re-encode, a real render of a
   *    real PDF through the real codec.
   *
-  * Envelope (documented, asserted by the parser): image-only pages, one
-  * XObject per page (DCTDecode/JPEG, or FlateDecode raw RGB / gray /
-  * 8-bit indexed-palette), uncompressed
-  * object dictionaries (the image streams themselves are compressed). A
-  * full engine (pdfbox-class) would replace this object behind the same
-  * [[PdfPages.Renderer]] seam.
+  * Envelope (documented, asserted by the parser): one XObject per image
+  * page (DCTDecode/JPEG, or FlateDecode raw RGB / gray / 8-bit
+  * indexed-palette), PLUS text-operator pages (round 11): [[TextPage]]
+  * writes a real standard-font `Tj` content stream, [[extractPageText]]
+  * reads it back, and the renderer produces a defined, deterministic
+  * metrics-free raster ([[renderTextPage]]) instead of an envelope miss.
+  * Object dictionaries are uncompressed (the image streams themselves are
+  * compressed). A full engine (pdfbox-class) would replace this object
+  * behind the same [[PdfPages.Renderer]] seam.
   */
 object MiniPdf {
 
@@ -78,6 +81,20 @@ object MiniPdf {
       palette.length <= 768,
       s"palette must be 3·n bytes, 1 ≤ n ≤ 256, got ${palette.length}")
   }
+  /** A TEXT-operator page (round 11, closing the vector-content notch of
+    * the S7 envelope): `lines` become a genuine PDF text content stream —
+    * `BT /F0 12 Tf 14 TL ... (line) Tj T* ... ET` against the standard
+    * 14-font /Helvetica (PDF 1.4 §5.5.1: standard fonts need no embedded
+    * program, any conforming viewer supplies them), so the file opens as
+    * real selectable text everywhere. ASCII only (the Type-1 standard
+    * encoding subset this writer targets); parens/backslashes escaped.
+    */
+  final case class TextPage(lines: Seq[String], w: Int = 612, h: Int = 792)
+    extends PageImage {
+    require(w > 0 && h > 0, s"non-positive page dims ${w}x$h")
+    require(lines.forall(_.forall(c => c >= 0x20 && c <= 0x7e)),
+      "TextPage lines must be printable ASCII")
+  }
 
   /** Build a real one-image-per-page PDF from per-page JPEG bytes
     * (width/height must match the encoded images).
@@ -104,36 +121,59 @@ object MiniPdf {
     pages.zipWithIndex.foreach { case (pg, i) =>
       val (pObj, iObj, cObj) = (3 + 3 * i, 4 + 3 * i, 5 + 3 * i)
       val (w, h) = (pg.w, pg.h)
-      // colorSpace is the complete PDF value: a name for the device
-      // spaces, the 4-element array form for /Indexed (lookup emitted as
-      // a hex string — self-contained, no extra stream object)
-      val (filter, colorSpace, data) = pg match {
-        case DctPage(jpeg, _, _) => ("DCTDecode", "/DeviceRGB", jpeg)
-        case FlateRgbPage(raw, _, _) =>
-          ("FlateDecode", "/DeviceRGB", deflate(raw))
-        case FlateGrayPage(raw, _, _) =>
-          ("FlateDecode", "/DeviceGray", deflate(raw))
-        case FlateIndexedPage(idx, palette, _, _) =>
-          val hex = palette.map(b => f"${b & 0xff}%02X").mkString
-          ("FlateDecode",
-            s"[/Indexed /DeviceRGB ${palette.length / 3 - 1} <$hex>]",
-            deflate(idx))
+      pg match {
+        case TextPage(lines, _, _) =>
+          // same 3-object numbering as image pages; the middle object is
+          // the (stream-less) standard-font dict instead of an XObject
+          beginObj()
+          emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 $w $h] " +
+            s"/Resources << /Font << /F0 $iObj 0 R >> >> " +
+            s"/Contents $cObj 0 R >>\nendobj\n")
+          beginObj()
+          emit(s"$iObj 0 obj\n<< /Type /Font /Subtype /Type1 " +
+            "/BaseFont /Helvetica >>\nendobj\n")
+          val esc = lines.map(_.replace("\\", "\\\\")
+            .replace("(", "\\(").replace(")", "\\)"))
+          val body = s"BT /F0 12 Tf 14 TL 1 0 0 1 72 ${h - 72} Tm " +
+            esc.map(l => s"($l) Tj T*").mkString(" ") + " ET"
+          beginObj()
+          emit(s"$cObj 0 obj\n<< /Length ${body.length} >>\nstream\n" +
+            s"$body\nendstream\nendobj\n")
+
+        case img0 =>
+          // colorSpace is the complete PDF value: a name for the device
+          // spaces, the 4-element array form for /Indexed (lookup emitted
+          // as a hex string — self-contained, no extra stream object)
+          val (filter, colorSpace, data) = img0 match {
+            case DctPage(jpeg, _, _) => ("DCTDecode", "/DeviceRGB", jpeg)
+            case FlateRgbPage(raw, _, _) =>
+              ("FlateDecode", "/DeviceRGB", deflate(raw))
+            case FlateGrayPage(raw, _, _) =>
+              ("FlateDecode", "/DeviceGray", deflate(raw))
+            case FlateIndexedPage(idx, palette, _, _) =>
+              val hex = palette.map(b => f"${b & 0xff}%02X").mkString
+              ("FlateDecode",
+                s"[/Indexed /DeviceRGB ${palette.length / 3 - 1} <$hex>]",
+                deflate(idx))
+            case _: TextPage => sys.error("unreachable")
+          }
+          beginObj()
+          emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 $w $h] " +
+            s"/Resources << /XObject << /Im0 $iObj 0 R >> >> " +
+            s"/Contents $cObj 0 R >>\nendobj\n")
+          beginObj()
+          emit(s"$iObj 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
+            s"/Height $h /ColorSpace $colorSpace /BitsPerComponent 8 " +
+            s"/Filter /$filter /Length ${data.length} >>\nstream\n")
+          out.write(data)
+          emit("\nendstream\nendobj\n")
+          val draw = s"q $w 0 0 $h 0 0 cm /Im0 Do Q"
+          beginObj()
+          emit(s"$cObj 0 obj\n<< /Length ${draw.length} >>\nstream\n" +
+            s"$draw\nendstream\nendobj\n")
       }
-      beginObj()
-      emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
-        s"/MediaBox [0 0 $w $h] " +
-        s"/Resources << /XObject << /Im0 $iObj 0 R >> >> " +
-        s"/Contents $cObj 0 R >>\nendobj\n")
-      beginObj()
-      emit(s"$iObj 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
-        s"/Height $h /ColorSpace $colorSpace /BitsPerComponent 8 " +
-        s"/Filter /$filter /Length ${data.length} >>\nstream\n")
-      out.write(data)
-      emit("\nendstream\nendobj\n")
-      val draw = s"q $w 0 0 $h 0 0 cm /Im0 Do Q"
-      beginObj()
-      emit(s"$cObj 0 obj\n<< /Length ${draw.length} >>\nstream\n" +
-        s"$draw\nendstream\nendobj\n")
     }
     val xrefAt = out.size()
     // explicit \n, never %n: the PDF spec fixes xref entries at exactly
@@ -243,8 +283,12 @@ object MiniPdf {
   /** The 1-based `page`'s image XObject: its dictionary text and raw
     * stream bytes (still filter-encoded).
     */
-  private def pageXObject(pdf: Array[Byte],
-                          page: Int): (String, Array[Byte]) = {
+  /** xref offsets + the 1-based page's object dictionary (trailer →
+    * /Root → /Pages → /Kids[page−1]) — the shared walk under the image
+    * and text page paths.
+    */
+  private def pageDictOf(pdf: Array[Byte],
+                         page: Int): (Map[Int, Int], String) = {
     val offs = xrefOffsets(pdf)
     val trailer = ascii(pdf, math.max(0, pdf.length - 400), pdf.length)
     val pagesDict = objDict(pdf, offs, ref(trailer, "/Root")) match {
@@ -255,12 +299,14 @@ object MiniPdf {
     val kidNums = """(\d+)\s+0\s+R""".r.findAllMatchIn(kids)
       .map(_.group(1).toInt).toSeq
     require(page >= 1 && page <= kidNums.size, s"page $page of ${kidNums.size}")
-    val pageDict = objDict(pdf, offs, kidNums(page - 1))
-    val xobj = """/XObject\s*<<[^>]*?(\d+)\s+0\s+R""".r
-      .findFirstMatchIn(pageDict).getOrElse(sys.error("no /XObject"))
-      .group(1).toInt
-    val at = offs(xobj)
-    val dict = objDict(pdf, offs, xobj)
+    (offs, objDict(pdf, offs, kidNums(page - 1)))
+  }
+
+  /** An object's dict plus its stream bytes (/Length-delimited). */
+  private def objStream(pdf: Array[Byte], offs: Map[Int, Int],
+                        objNum: Int): (String, Array[Byte]) = {
+    val at = offs(objNum)
+    val dict = objDict(pdf, offs, objNum)
     val len = """/Length\s+(\d+)""".r.findFirstMatchIn(dict)
       .getOrElse(sys.error("no /Length")).group(1).toInt
     val header = ascii(pdf, at, at + dict.length + 32)
@@ -271,6 +317,30 @@ object MiniPdf {
     if (pdf(s) == '\r') s += 1
     if (pdf(s) == '\n') s += 1
     (dict, java.util.Arrays.copyOfRange(pdf, s, s + len))
+  }
+
+  private def pageXObject(pdf: Array[Byte],
+                          page: Int): (String, Array[Byte]) = {
+    val (offs, pageDict) = pageDictOf(pdf, page)
+    val xobj = """/XObject\s*<<[^>]*?(\d+)\s+0\s+R""".r
+      .findFirstMatchIn(pageDict).getOrElse(sys.error("no /XObject"))
+      .group(1).toInt
+    objStream(pdf, offs, xobj)
+  }
+
+  /** The `(…) Tj` show-text strings of 1-based `page`, in stream order
+    * with PDF string escapes undone — the text-extraction half of the
+    * text-page round-trip (a [[TextPage]] written by [[writePages]] reads
+    * back as exactly its lines).
+    */
+  def extractPageText(pdf: Array[Byte], page: Int): Seq[String] = {
+    val (offs, pageDict) = pageDictOf(pdf, page)
+    val (_, data) = objStream(pdf, offs, ref(pageDict, "/Contents"))
+    val body = new String(data, US_ASCII)
+    """\(((?:\\.|[^\\()])*)\)\s*Tj""".r.findAllMatchIn(body)
+      .map(m => """\\(.)""".r.replaceAllIn(m.group(1),
+        mm => scala.util.matching.Regex.quoteReplacement(mm.group(1))))
+      .toSeq
   }
 
   /** The embedded image bytes (JPEG for DCTDecode) of 1-based `page`. */
@@ -286,7 +356,20 @@ object MiniPdf {
     * → PNG re-encode. Rendering an image-backed page is exactly this.
     */
   def pdfImageRenderer: PdfPages.Renderer = (_, page, pdfBytes) => {
-    val (dict, data) = pageXObject(pdfBytes, page)
+    val (_, pageDict) = pageDictOf(pdfBytes, page)
+    if (!pageDict.contains("/XObject") && pageDict.contains("/Font")) {
+      // text-operator page: extract + metrics-free raster (see
+      // [[renderTextPage]]) — a defined result instead of an envelope miss
+      val mb = """/MediaBox\s*\[\s*0\s+0\s+(\d+)\s+(\d+)\s*\]""".r
+        .findFirstMatchIn(pageDict).getOrElse(sys.error("no /MediaBox"))
+      renderTextPage(extractPageText(pdfBytes, page),
+        mb.group(1).toInt, mb.group(2).toInt)
+    } else renderImagePage(page, pageXObject(pdfBytes, page))
+  }
+
+  private def renderImagePage(page: Int,
+                              dictData: (String, Array[Byte])): Array[Byte] = {
+    val (dict, data) = dictData
     val img =
       if (dict.contains("/DCTDecode")) {
         val i = javax.imageio.ImageIO.read(
@@ -373,6 +456,51 @@ object MiniPdf {
           i
         }
       } else sys.error(s"page $page: unsupported /Filter in $dict")
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Metrics-free deterministic raster of a text page (PNG bytes): white
+    * page at MediaBox dims, each character drawn as a 5×7 ink stipple in a
+    * 7pt-advance / 14pt-leading cell grid from the writer's Tm origin
+    * (72, h−72). Glyph INK is a fixed per-codepoint bit pattern (a pure
+    * integer mix — identical chars raster identically, different chars
+    * differ), not a typographic outline: cell positions, extents and ink
+    * coverage — the layout-analysis signal — are exact and reproducible
+    * across JVMs, which no font-rendering path guarantees (freetype/java2d
+    * hinting varies). A pdfbox-class engine swaps in behind the same
+    * [[PdfPages.Renderer]] seam for faithful glyphs.
+    */
+  private[graft] def renderTextPage(lines: Seq[String], w: Int,
+                                    h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, w, h); g.dispose()
+    lines.zipWithIndex.foreach { case (line, j) =>
+      // writer geometry: baseline j sits at PDF y = (h-72) − j·14 →
+      // image row h − baseline; the 7-row glyph box ends at the baseline
+      val baseTop = 72 + j * 14 - 7
+      line.zipWithIndex.foreach { case (c, k) =>
+        if (c != ' ') {
+          val x0 = 72 + k * 7
+          var r = 0
+          while (r < 7) {
+            var col = 0
+            while (col < 5) {
+              val bit = ((c.toInt * 2654435761L + r * 40503L +
+                col * 9973L) >>> 13) & 1L
+              val (px, py) = (x0 + col, baseTop + r)
+              if (bit == 1L && px >= 0 && px < w && py >= 0 && py < h)
+                img.setRGB(px, py, 0x000000)
+              col += 1
+            }
+            r += 1
+          }
+        }
+      }
+    }
     val out = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

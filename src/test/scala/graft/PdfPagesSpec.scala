@@ -82,6 +82,46 @@ class PdfPagesSpec extends SparkSuite {
     assert(px(2).getBlue > 200 && px(2).getRed < 60, px(2).toString)
   }
 
+  test("MiniPdf TextPage: a text-operator page writes, extracts, and " +
+    "rasters deterministically next to image pages") {
+    // mixed document: image page 1, TEXT page 2, image page 3 — the
+    // vector-content notch of the S7 envelope, now a defined result
+    val lines = Seq("Invoice 42 (final)", "total due: \\ 7.50")
+    val pdf = MiniPdf.writePages(Seq(
+      MiniPdf.DctPage(MiniPdf.solidJpeg(0xff0000, 40, 30), 40, 30),
+      MiniPdf.TextPage(lines, w = 200, h = 120),
+      MiniPdf.FlateGrayPage(Array.fill(40 * 30)(128.toByte), 40, 30)))
+    assert(MiniPdf.pageCount(pdf) == 3)
+    // extraction round-trips the exact lines, escapes undone
+    assert(MiniPdf.extractPageText(pdf, 2) == lines)
+    // and the whole document still renders through the Spark seam
+    val pdfs = Seq(("doc.pdf", 3, pdf)).toDF("file_name", "n_pages", "content")
+    val rendered = PdfPages.renderPages(pdfs, col("n_pages"),
+      MiniPdf.pdfImageRenderer).cache()
+    assert(rendered.count() == 3)
+    val png2 = rendered.filter(col("page") === 2)
+      .select("page_png").as[Array[Byte]].head()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png2))
+    assert(img.getWidth == 200 && img.getHeight == 120)
+    // ink where the glyph grid is (first line box rows 65..71, from x=72),
+    // white margins outside it
+    var ink = 0
+    for (y <- 65 until 72; x <- 72 until (72 + 7 * lines.head.length))
+      if ((img.getRGB(x, y) & 0xffffff) == 0) ink += 1
+    assert(ink > 20, s"expected glyph ink in the first line box, got $ink")
+    for (y <- 0 until 50; x <- 0 until 50)
+      assert((img.getRGB(x, y) & 0xffffff) == 0xffffff,
+        s"margin pixel ($x,$y) not white")
+    // deterministic: same text rasters byte-identically; different text
+    // rasters differently
+    val again = MiniPdf.renderTextPage(lines, 200, 120)
+    assert(java.util.Arrays.equals(again,
+      MiniPdf.renderTextPage(lines, 200, 120)))
+    assert(!java.util.Arrays.equals(again,
+      MiniPdf.renderTextPage(Seq("Invoice 43 (final)", lines(1)), 200, 120)))
+  }
+
   test("MiniPdf FlateDecode: a Flate-backed 2-page PDF renders losslessly through the same seam") {
     // the other public PDF 1.4 image encoding: zlib-deflated raw RGB —
     // lossless, so the render must reproduce EXACT pixel values
