@@ -1183,7 +1183,43 @@ object SparkEntry {
     // (~80% of rows on one key), per-key salt-bucket balance readout +
     // dim-enriched cents proven against the oracle's join-free compute
     "q233_skew_playbook" -> ((s: SparkSession, d: String) =>
-      ext.Skew.skewPlaybook(Tables.events(s, d)))
+      ext.Skew.skewPlaybook(Tables.events(s, d))),
+    // per-lang AUC of "n_chars predicts contains-'spark'": exact
+    // tie-corrected doubled rank-sum U + one IEEE division (every lang
+    // has both classes at every SF — de 53/17 pos/neg at sf0.01 — and
+    // the length→containment correlation keeps 0.5 < auc < 1, so the
+    // tie path and both class branches are live)
+    "q234_group_auc" -> ((s: SparkSession, d: String) =>
+      ext.EvalMetrics.groupAuc(Tables.documents(s, d), col("lang"),
+        col("n_chars"), col("text").contains("spark"))),
+    // per-lang average precision at 10 under the same score/label:
+    // lcm(1..10)=2520-cleared integer numerator, deterministic
+    // (score DESC, doc_id ASC) ranking
+    "q235_avg_precision" -> ((s: SparkSession, d: String) =>
+      ext.EvalMetrics.averagePrecision(Tables.documents(s, d), col("lang"),
+        col("n_chars"), col("text").contains("spark"), col("doc_id"))),
+    // join-fanout pre-flight over the two fact relationships: key-grain
+    // counts on both sides, full-outer audit join at |keys| grain
+    "q236_join_fanout" -> ((s: SparkSession, d: String) =>
+      ops.Relational.fanoutAudit(Tables.orders(s, d), col("o_orderkey"),
+          Tables.lineitem(s, d), col("l_orderkey"), "orders->lineitem")
+        .unionByName(ops.Relational.fanoutAudit(
+          Tables.customer(s, d), col("c_custkey"),
+          Tables.orders(s, d), col("o_custkey"), "customer->orders"))),
+    // serving-template render: per-conversation flat prompt string,
+    // exact length + q15 position-weighted fingerprint
+    "q237_chat_template" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.chatTemplate(Tables.events(s, d))),
+    // markdown structure audit over the deterministic doc_id-keyed
+    // augmentation (fixture corpus has no markdown — q163 discipline)
+    "q238_markdown_audit" -> ((s: SparkSession, d: String) =>
+      ext.Html.markdownAudit(Tables.documents(s, d),
+        ext.Html.markdownFromDoc)),
+    // prefix-cache reuse under a sliding 8-piece context window:
+    // generic zip_with first-mismatch on the engine side vs the
+    // oracle's independent append-only/unique-piece derivation
+    "q239_prefix_cache" -> ((s: SparkSession, d: String) =>
+      ext.Dialogue.prefixCacheAudit(Tables.events(s, d)))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7567,6 +7603,200 @@ object SparkEntry {
         |  count(*) AS n_buckets_used,
         |  max(bn) AS bucket_max, min(bn) AS bucket_min,
         |  CAST(sum(wc) AS BIGINT) AS sum_weighted_cents
-        |FROM pb GROUP BY 1""".stripMargin
+        |FROM pb GROUP BY 1""".stripMargin,
+
+    // exact tie-corrected doubled rank-sum; auc is the single IEEE
+    // division of the integer statistics (div1 class)
+    "q234_group_auc" ->
+      """WITH base AS (
+        |  SELECT lang AS grp, n_chars AS score,
+        |    CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bs AS (SELECT grp, score, CAST(sum(pos) AS BIGINT) AS pc,
+        |    CAST(sum(1 - pos) AS BIGINT) AS nc
+        |  FROM base GROUP BY 1, 2),
+        |c AS (SELECT grp, pc, nc,
+        |    CAST(coalesce(sum(nc) OVER (PARTITION BY grp ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below_neg
+        |  FROM bs)
+        |SELECT grp, CAST(sum(pc) AS BIGINT) AS n_pos,
+        |  CAST(sum(nc) AS BIGINT) AS n_neg,
+        |  CAST(sum(pc * (below_neg * 2 + nc)) AS BIGINT) AS u2,
+        |  CASE WHEN sum(pc) = 0 OR sum(nc) = 0 THEN -1.0
+        |    ELSE CAST(sum(pc * (below_neg * 2 + nc)) AS DOUBLE)
+        |      / CAST(sum(pc) * sum(nc) * 2 AS DOUBLE) END AS auc
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // lcm(1..10)=2520-cleared integer AP numerator; ap is the single
+    // IEEE division (div1 class)
+    "q235_avg_precision" ->
+      """WITH base AS (
+        |  SELECT lang AS grp, n_chars AS score,
+        |    CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS rel,
+        |    doc_id AS tb
+        |  FROM documents),
+        |r AS (SELECT grp, rel,
+        |    CAST(row_number() OVER (PARTITION BY grp
+        |      ORDER BY score DESC, tb) AS BIGINT) AS r,
+        |    CAST(sum(rel) OVER (PARTITION BY grp ORDER BY score DESC, tb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_rel,
+        |    CAST(sum(rel) OVER (PARTITION BY grp) AS BIGINT) AS n_pos
+        |  FROM base)
+        |SELECT grp, CAST(max(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(rel) AS BIGINT) AS pos_at_k,
+        |  CAST(sum(CASE WHEN rel = 1 THEN cum_rel * (2520 // r)
+        |    ELSE 0 END) AS BIGINT) AS ap_num,
+        |  CASE WHEN max(n_pos) = 0 THEN -1.0
+        |    ELSE CAST(sum(CASE WHEN rel = 1 THEN cum_rel * (2520 // r)
+        |        ELSE 0 END) AS DOUBLE)
+        |      / CAST(least(max(n_pos), 10) * 2520 AS DOUBLE) END AS ap
+        |FROM r WHERE r <= 10 GROUP BY 1""".stripMargin,
+
+    "q236_join_fanout" ->
+      """WITH p1 AS (SELECT o_orderkey AS k, count(*) AS pn
+        |    FROM orders GROUP BY 1),
+        |c1 AS (SELECT l_orderkey AS k, count(*) AS cn
+        |    FROM lineitem GROUP BY 1),
+        |j1 AS (SELECT pn, cn FROM p1 FULL OUTER JOIN c1 USING (k)),
+        |p2 AS (SELECT c_custkey AS k, count(*) AS pn
+        |    FROM customer GROUP BY 1),
+        |c2 AS (SELECT o_custkey AS k, count(*) AS cn
+        |    FROM orders GROUP BY 1),
+        |j2 AS (SELECT pn, cn FROM p2 FULL OUTER JOIN c2 USING (k)),
+        |a1 AS (SELECT 'orders->lineitem' AS relationship,
+        |  CAST(sum(CASE WHEN pn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS parent_keys,
+        |  CAST(coalesce(sum(cn), 0) AS BIGINT) AS child_rows,
+        |  CAST(sum(CASE WHEN pn IS NOT NULL AND cn IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS matched_keys,
+        |  CAST(coalesce(sum(CASE WHEN pn IS NULL THEN cn END), 0)
+        |    AS BIGINT) AS orphan_child_rows,
+        |  CAST(coalesce(max(CASE WHEN pn IS NOT NULL
+        |    THEN coalesce(cn, 0) END), 0) AS BIGINT) AS max_fanout,
+        |  CASE WHEN sum(CASE WHEN pn IS NOT NULL AND cn IS NOT NULL
+        |      THEN 1 ELSE 0 END) = 0 THEN -1.0
+        |    ELSE CAST(coalesce(sum(CASE WHEN pn IS NOT NULL THEN cn END),
+        |        0) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN pn IS NOT NULL AND cn IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS DOUBLE) END AS avg_fanout
+        |  FROM j1),
+        |a2 AS (SELECT 'customer->orders' AS relationship,
+        |  CAST(sum(CASE WHEN pn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS parent_keys,
+        |  CAST(coalesce(sum(cn), 0) AS BIGINT) AS child_rows,
+        |  CAST(sum(CASE WHEN pn IS NOT NULL AND cn IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS matched_keys,
+        |  CAST(coalesce(sum(CASE WHEN pn IS NULL THEN cn END), 0)
+        |    AS BIGINT) AS orphan_child_rows,
+        |  CAST(coalesce(max(CASE WHEN pn IS NOT NULL
+        |    THEN coalesce(cn, 0) END), 0) AS BIGINT) AS max_fanout,
+        |  CASE WHEN sum(CASE WHEN pn IS NOT NULL AND cn IS NOT NULL
+        |      THEN 1 ELSE 0 END) = 0 THEN -1.0
+        |    ELSE CAST(coalesce(sum(CASE WHEN pn IS NOT NULL THEN cn END),
+        |        0) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN pn IS NOT NULL AND cn IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS DOUBLE) END AS avg_fanout
+        |  FROM j2)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin,
+
+    // ordered string_agg replays the render; fp is the q15 kernel over
+    // the rendered string
+    "q237_chat_template" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    '<|' || (CASE WHEN event_type IN ('click','purchase','signup')
+        |      THEN 'user' ELSE 'assistant' END)
+        |    || '|>' || event_type || ':' ||
+        |    CAST(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS VARCHAR) || chr(10) AS piece
+        |  FROM events),
+        |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |    '<|sys|>chat' || chr(10) ||
+        |      string_agg(piece, '' ORDER BY ts, event_id) AS rendered
+        |  FROM t GROUP BY 1)
+        |SELECT user_id, n_turns,
+        |  CAST(length(rendered) AS BIGINT) AS render_len,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, length(rendered)),
+        |    i -> CAST(ascii(substr(rendered, i, 1)) AS BIGINT)
+        |         * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |    AS BIGINT) AS fp
+        |FROM r""".stripMargin,
+
+    "q238_markdown_audit" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    (CASE WHEN doc_id % 2 = 0 THEN
+        |      repeat('#', CAST(doc_id % 3 AS INT) + 1) || ' heading'
+        |        || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN
+        |      '- item a' || chr(10) || '- item b' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN
+        |      '```' || chr(10) || 'code ' || CAST(doc_id AS VARCHAR)
+        |        || chr(10) || '```' || chr(10) ELSE '' END)
+        |    || substr(text, 1, 50) || chr(10)
+        |    || repeat('[t](u)', CAST(doc_id % 4 AS INT)) AS md
+        |  FROM documents),
+        |l AS (SELECT source, md, string_split(md, chr(10)) AS lines
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(md)) AS BIGINT) AS md_chars,
+        |  CAST(sum(len(lines)) AS BIGINT) AS n_lines,
+        |  CAST(sum(len(list_filter(lines,
+        |    x -> regexp_matches(x, '^#{1,6} ')))) AS BIGINT)
+        |    AS heading_lines,
+        |  CAST(sum(len(list_filter(lines, x -> x = '```')) // 2)
+        |    AS BIGINT) AS fenced_blocks,
+        |  CAST(sum(len(list_filter(lines, x -> starts_with(x, '- '))))
+        |    AS BIGINT) AS list_items,
+        |  CAST(sum(len(regexp_extract_all(md,
+        |    '\[[^\]]*\]\([^)]*\)'))) AS BIGINT) AS links
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // independent analytic derivation: pieces are globally unique
+    // (event_id suffix), so consecutive sliding windows share a prefix
+    // only while they share their START (rk <= contextPieces within a
+    // segment) — shared = rk-1 pieces / the cumulative char mass; any
+    // slid or fresh-segment window shares nothing
+    "q239_prefix_cache" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    event_type || ':' || CAST(event_id AS VARCHAR) AS piece,
+        |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS rst
+        |  FROM events),
+        |s AS (SELECT *, sum(rst) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM e),
+        |r AS (SELECT user_id, seg, length(piece) AS plen,
+        |    CAST(row_number() OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts, event_id) AS BIGINT) AS rk,
+        |    CAST(sum(length(piece)) OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS win_chars,
+        |    CAST(sum(length(piece)) OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_chars
+        |  FROM s),
+        |p AS (SELECT user_id, seg, rk,
+        |    least(rk, 8) AS prompt_pieces, win_chars AS prompt_chars,
+        |    CASE WHEN rk = 1 THEN 0 WHEN rk <= 8 THEN rk - 1
+        |      ELSE 0 END AS shared_pieces,
+        |    CASE WHEN rk = 1 THEN 0 WHEN rk <= 8 THEN cum_chars - plen
+        |      ELSE 0 END AS shared_chars
+        |  FROM r)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_requests,
+        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_segments,
+        |  CAST(sum(shared_pieces) AS BIGINT) AS shared_pieces,
+        |  CAST(sum(prompt_pieces) AS BIGINT) AS prompt_pieces,
+        |  CAST(sum(shared_chars) AS BIGINT) AS shared_chars,
+        |  CAST(sum(prompt_chars) AS BIGINT) AS prompt_chars,
+        |  CAST(sum(shared_chars) * 1000000 // sum(prompt_chars)
+        |    AS BIGINT) AS reuse_ppm
+        |FROM p GROUP BY 1""".stripMargin
   )
 }

@@ -362,4 +362,112 @@ object Dialogue {
         min(col("margin_cents")).as("min_margin_cents"),
         max(col("margin_cents")).as("max_margin_cents"))
   }
+
+  /** Chat-template rendering: flatten each conversation into the single
+    * prompt string a serving stack would feed the model — a fixed system
+    * header, then `<|role|>body\n` per turn in (ts, event_id) order —
+    * and emit its exact length plus the engine-neutral position-weighted
+    * fingerprint (q15's kernel), so template drift anywhere in the
+    * corpus is one digest compare away.
+    *
+    * Role mapping is the dialogue-family convention ([[turnAudit]]):
+    * `userTypes` → user, everything else → assistant. Turn bodies are
+    * `event_type:cents` with the exact DECIMAL(18,2)·100 cents route, so
+    * the rendered bytes are bit-determined.
+    *
+    * Scale shape: one conversation-key shuffle (the same partitioning as
+    * every dialogue audit), ordered array assembly per group, per-row
+    * render + fingerprint — no second exchange. The rendered string
+    * lives only inside the projection; the output is lengths + digests,
+    * so nothing conversation-sized is shuffled or collected.
+    *
+    * @return user_id, n_turns, render_len, fp
+    */
+  def chatTemplate(events: DataFrame,
+                   userTypes: Seq[String] = Seq("click", "purchase", "signup"))
+      : DataFrame = {
+    val role = when(col("event_type").isin(userTypes.map(x => x: Any): _*),
+      lit("user")).otherwise(lit("assistant"))
+    val cents = (round(col("value"), 2).cast("decimal(18,2)") * 100)
+      .cast("long")
+    val piece = concat(lit("<|"), role, lit("|>"), col("event_type"),
+      lit(":"), cents.cast("string"), lit("\n"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), piece.as("piece"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("piece")))).as("turns"))
+      .select(col("user_id"), col("n_turns"),
+        concat(lit("<|sys|>chat\n"),
+          array_join(expr("transform(turns, t -> t.piece)"), ""))
+          .as("rendered"))
+      .select(col("user_id"), col("n_turns"),
+        length(col("rendered")).cast("long").as("render_len"),
+        TextStats.fingerprint(col("rendered")).as("fp"))
+  }
+
+  /** KV/prefix-cache reuse audit under a sliding context window: per
+    * request, how many leading pieces (and how much char mass) of the
+    * prompt were already the prefix of the PREVIOUS request — the
+    * fraction a prefix cache serves for free. Each request's prompt is
+    * the last `contextPieces` turns of the conversation segment
+    * (segments restart at `resetTypes` events — a new thread), which is
+    * exactly the serving-stack shape where reuse is high while the
+    * history still fits and collapses to zero once the window starts
+    * sliding (the front piece drops, so nothing aligns).
+    *
+    * The shared-prefix computation is GENERIC — `zip_with` null-safe
+    * equality, first mismatch position — not an analytic shortcut; the
+    * oracle independently derives the expected value from the
+    * append-only + unique-piece model, so the two sides prove each
+    * other by different methods.
+    *
+    * Scale shape: one conversation-key window sort shared by the
+    * segment running-sum, the bounded-frame `collect_list` and the lag;
+    * every per-row array is ≤ contextPieces elements, so per-row work
+    * is O(M) and totals are linear in events. reuse_ppm is exact
+    * integer arithmetic.
+    *
+    * @return user_id, n_requests, n_segments, shared_pieces,
+    *         prompt_pieces, shared_chars, prompt_chars, reuse_ppm
+    */
+  def prefixCacheAudit(events: DataFrame, contextPieces: Int = 8,
+                       resetTypes: Seq[String] = Seq("signup")): DataFrame = {
+    require(contextPieces >= 1, "contextPieces must be positive")
+    val isReset = col("event_type").isin(resetTypes.map(x => x: Any): _*)
+    val piece = concat(col("event_type"), lit(":"),
+      col("event_id").cast("string"))
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+        piece.as("piece"), when(isReset, 1L).otherwise(0L).as("rst"))
+      .withColumn("seg",
+        sum(col("rst")).over(wAll.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSeg = Window.partitionBy(col("user_id"), col("seg"))
+      .orderBy(col("ts"), col("event_id"))
+    val mismatch =
+      expr("array_position(zip_with(prompt, prev, (x, y) -> x <=> y), false)")
+    val prompts = base
+      .withColumn("prompt", collect_list(col("piece"))
+        .over(wSeg.rowsBetween(-(contextPieces - 1), 0)))
+      .withColumn("prev", lag(col("prompt"), 1).over(wSeg))
+      .withColumn("shared", when(col("prev").isNull, lit(0L))
+        .otherwise(when(mismatch === 0,
+          least(size(col("prompt")), size(col("prev"))).cast("long"))
+          .otherwise(mismatch - 1)))
+      .withColumn("shared_chars",
+        expr("aggregate(slice(prompt, 1, int(shared)), 0L, (a, x) -> a + length(x))"))
+      .withColumn("prompt_chars",
+        expr("aggregate(prompt, 0L, (a, x) -> a + length(x))"))
+    prompts.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_requests"),
+        countDistinct(col("seg")).as("n_segments"),
+        sum(col("shared")).as("shared_pieces"),
+        sum(size(col("prompt")).cast("long")).as("prompt_pieces"),
+        sum(col("shared_chars")).as("shared_chars"),
+        sum(col("prompt_chars")).as("prompt_chars"))
+      .withColumn("reuse_ppm",
+        expr("shared_chars * 1000000 div prompt_chars"))
+  }
 }

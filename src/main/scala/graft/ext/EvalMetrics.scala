@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality metrics for model evaluation over scored item sets:
+  * per-group AUC from the exact rank-sum form and average precision at a
+  * fixed cutoff. These are the offline metrics a quality-classifier or
+  * retrieval pipeline reports before its scores gate training data
+  * (reference tie-in: `Test/accuracy.ipynb` grades one prediction source
+  * against ground truth; AUC/AP are the threshold-free versions of that
+  * grading for a score-emitting model).
+  *
+  * Parity discipline (the kappa/q176 exact-fraction form): every
+  * sufficient statistic is an exact integer — the Mann–Whitney
+  * tie-corrected doubled U statistic for AUC, an lcm(1..K)-cleared
+  * integer numerator for AP — and the metric itself is ONE raw IEEE
+  * division of those integers (the div1 audit class), bit-identical on
+  * any engine. No ranks are materialized for AUC: the rank-sum collapses
+  * to counts per distinct score value, so ties need no averaging pass.
+  *
+  * Scale shape: AUC is a hash aggregation at (group, score) grain, a
+  * window over the per-group DISTINCT-score frame (bounded by the score
+  * domain, not the row count), and a group-grain rollup. AP is one
+  * per-group window sort with an early rank cutoff. Long envelope: the
+  * doubled U is ≤ 2·n_pos·n_neg, exact through ~3e9 rows per group —
+  * beyond that, compute per-stratum and pool, or lift u2 to DECIMAL(38,0).
+  */
+object EvalMetrics {
+
+  /** Per-group AUC via the tie-corrected rank-sum identity.
+    *
+    * AUC = [#{(p,n): s_p > s_n} + ½·#{s_p = s_n}] / (n_pos·n_neg).
+    * Grouping rows by distinct score value (pc/nc = positive/negative
+    * counts at that score, below_neg = negatives at strictly lower
+    * scores) gives the doubled numerator exactly:
+    * `u2 = Σ_scores pc·(2·below_neg + nc)`.
+    *
+    * Output: group, n_pos, n_neg, u2 (exact doubled numerator), auc —
+    * the one IEEE division u2 / (2·n_pos·n_neg), or -1.0 when the group
+    * is single-class (AUC undefined).
+    */
+  def groupAuc(items: DataFrame, group: Column, score: Column,
+               positive: Column): DataFrame = {
+    val base = items.select(group.as("grp"), score.cast("long").as("score"),
+      when(positive, lit(1L)).otherwise(lit(0L)).as("pos"))
+    val byScore = base.groupBy(col("grp"), col("score"))
+      .agg(sum(col("pos")).as("pc"), sum(lit(1L) - col("pos")).as("nc"))
+    val below = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("below_neg", coalesce(sum(col("nc")).over(below), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("pc")).as("n_pos"), sum(col("nc")).as("n_neg"),
+        sum(col("pc") * (col("below_neg") * 2 + col("nc"))).as("u2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(-1.0))
+          .otherwise(col("u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+  }
+
+  /** Per-group average precision at cutoff `k` (k ≤ 10 so that
+    * lcm(1..10) = 2520 clears every per-rank denominator to an integer —
+    * the q204 lcm discipline).
+    *
+    * Ranking is score DESC with `tieBreak` ASC (deterministic; no engine
+    * ordering leaks). With cum_rel(r) the running count of relevant items
+    * through rank r, `ap_num = Σ_{r≤k, rel(r)} cum_rel(r)·(2520/r)` is an
+    * exact integer and AP@k = ap_num / (2520·min(n_pos, k)) is one IEEE
+    * division. Emits -1.0 when the group has no positives at all.
+    *
+    * Output: group, n_pos (whole group), pos_at_k, ap_num, ap.
+    */
+  def averagePrecision(items: DataFrame, group: Column, score: Column,
+                       positive: Column, tieBreak: Column,
+                       k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1,10] for exact lcm clearing, got $k")
+    val base = items.select(group.as("grp"), score.cast("long").as("score"),
+      when(positive, lit(1L)).otherwise(lit(0L)).as("rel"),
+      tieBreak.as("tb"))
+    val order = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("tb"))
+    val run = order.rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col("grp"))
+    val ranked = base
+      .withColumn("r", row_number().over(order).cast("long"))
+      .withColumn("cum_rel", sum(col("rel")).over(run))
+      .withColumn("n_pos", sum(col("rel")).over(whole))
+    ranked.filter(col("r") <= k)
+      .groupBy(col("grp"))
+      .agg(max(col("n_pos")).as("n_pos"),
+        sum(col("rel")).as("pos_at_k"),
+        sum(when(col("rel") === 1L,
+          col("cum_rel") * expr("2520 div r"))
+          .otherwise(lit(0L))).as("ap_num"))
+      .select(col("grp"), col("n_pos"), col("pos_at_k"), col("ap_num"),
+        when(col("n_pos") === 0, lit(-1.0))
+          .otherwise(col("ap_num").cast("double") /
+            (least(col("n_pos"), lit(k.toLong)) * 2520L).cast("double"))
+          .as("ap"))
+  }
+}

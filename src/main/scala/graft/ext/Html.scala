@@ -67,4 +67,57 @@ object Html {
         sum(col("__text_len")).as("text_chars"),
         sum(col("__tags")).as("n_tags"),
         sum(col("__ents")).as("n_entities"))
+
+  /** Deterministic markdown augmentation of a document row — the q163
+    * discipline: the fixture corpus has no markdown, so both engines
+    * rebuild the same doc_id-keyed constructs (heading of varying depth,
+    * list items, a fenced code block, inline links) around a text slice;
+    * the PARSER below is what's tested, adversarial intent specs live in
+    * HtmlSpec.
+    */
+  def markdownFromDoc: Column =
+    concat(
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+        concat(expr("repeat('#', cast(doc_id % 3 as int) + 1)"),
+          lit(" heading\n"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3L)) === 0, lit("- item a\n- item b\n"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(lit("```\ncode "), col("doc_id").cast("string"),
+          lit("\n```\n"))).otherwise(lit("")),
+      substring(col("text"), 1, 50), lit("\n"),
+      expr("repeat('[t](u)', cast(doc_id % 4 as int))"))
+
+  /** Markdown structure audit: line-grain construct counts a curation
+    * pipeline uses to decide whether a document is prose, a listing, or
+    * code-heavy (and to strip or reweight accordingly). Counted per the
+    * CommonMark core subset that is decidable line-locally: ATX headings
+    * (`^#{1,6} `), dash list items (`^- `), fenced code blocks (paired
+    * ``` fence lines), inline `[text](url)` links.
+    *
+    * Parity envelope: line split on `\n` (both engines keep trailing
+    * empties), anchored regexes in the Java ∩ RE2 subset (character
+    * classes + bounded repetition, no lookaround). Lazy-continuation,
+    * setext headings, indented code blocks are out of contract — this
+    * is a structure-signal audit, not a CommonMark parser.
+    *
+    * Scale shape: pure per-row line/regex work then one source-grain
+    * hash aggregation; the line arrays never cross an exchange.
+    */
+  def markdownAudit(docs: DataFrame, md: Column): DataFrame =
+    docs
+      .withColumn("__md", md)
+      .withColumn("__lines", split(col("__md"), "\n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("__md")).cast("long")).as("md_chars"),
+        sum(size(col("__lines")).cast("long")).as("n_lines"),
+        sum(expr("size(filter(__lines, x -> x rlike '^#{1,6} '))")
+          .cast("long")).as("heading_lines"),
+        sum(expr("size(filter(__lines, x -> x = '```')) div 2")
+          .cast("long")).as("fenced_blocks"),
+        sum(expr("size(filter(__lines, x -> startswith(x, '- ')))")
+          .cast("long")).as("list_items"),
+        sum(regexp_count(col("__md"), lit("""\[[^\]]*\]\([^)]*\)"""))
+          .cast("long")).as("links"))
 }

@@ -1193,4 +1193,48 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
         count(lit(1)).as("n_lines"))
+
+  /** Join-fanout audit for one parent→child relationship: the
+    * pre-flight a pipeline runs before trusting a join not to amplify
+    * (or silently drop) rows. A fanout distribution that surprises you
+    * at 100 TB is a shuffle that kills you at 100 TB — this measures it
+    * at key grain before the real join runs.
+    *
+    * Output (one row): relationship, parent_keys, child_rows,
+    * matched_keys (parent keys with ≥1 child), orphan_child_rows
+    * (children whose key has no parent — referential leaks),
+    * max_fanout, matched_child_rows, avg_fanout (ONE IEEE division of
+    * exact counts, div1 class; -1.0 when nothing matches).
+    *
+    * Scale shape: both sides collapse to key grain with partial
+    * aggregation before the single full-outer key join; the audit's
+    * shuffle is |distinct keys|, never |rows|. No row-grain join
+    * happens at all.
+    */
+  def fanoutAudit(parent: DataFrame, parentKey: Column,
+                  child: DataFrame, childKey: Column,
+                  relationship: String): DataFrame = {
+    val p = parent.select(parentKey.cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("pn"))
+    val c = child.select(childKey.cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cn"))
+    p.join(c, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("pn").isNotNull, 1L).otherwise(0L)).as("parent_keys"),
+        coalesce(sum(col("cn")), lit(0L)).as("child_rows"),
+        sum(when(col("pn").isNotNull && col("cn").isNotNull, 1L)
+          .otherwise(0L)).as("matched_keys"),
+        coalesce(sum(when(col("pn").isNull, col("cn"))), lit(0L))
+          .as("orphan_child_rows"),
+        coalesce(max(when(col("pn").isNotNull, coalesce(col("cn"), lit(0L)))),
+          lit(0L)).as("max_fanout"),
+        coalesce(sum(when(col("pn").isNotNull, col("cn"))), lit(0L))
+          .as("matched_child_rows"))
+      .select(lit(relationship).as("relationship"), col("parent_keys"),
+        col("child_rows"), col("matched_keys"), col("orphan_child_rows"),
+        col("max_fanout"),
+        when(col("matched_keys") === 0, lit(-1.0))
+          .otherwise(col("matched_child_rows").cast("double") /
+            col("matched_keys").cast("double")).as("avg_fanout"))
+  }
 }

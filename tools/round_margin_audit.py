@@ -150,6 +150,9 @@ DOUBLE_CLASSES = {
     "q193_srm_check": {"chi2": "div1"},
     "q194_quality_gate": {"mean_logit_micro": "div1"},
     "q231_bradley_terry": {"strength": "round"},
+    "q234_group_auc": {"auc": "div1"},
+    "q235_avg_precision": {"ap": "div1"},
+    "q236_join_fanout": {"avg_fanout": "div1"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
