@@ -1219,7 +1219,50 @@ object SparkEntry {
     // generic zip_with first-mismatch on the engine side vs the
     // oracle's independent append-only/unique-piece derivation
     "q239_prefix_cache" -> ((s: SparkSession, d: String) =>
-      ext.Dialogue.prefixCacheAudit(Tables.events(s, d)))
+      ext.Dialogue.prefixCacheAudit(Tables.events(s, d))),
+    // green-list watermark detector over a planted watermark: docs with
+    // doc_id%7==0 get 60 appended 'wm' tokens whose self-bigram is green
+    // under mix40∘fingerprint (verified at design time), so the z>4
+    // branch provably fires on exactly the planted family while clean
+    // docs stay ~N(0,1)
+    "q240_watermark_detect" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.watermarkDetect(
+        Tables.documents(s, d).withColumn("text",
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), expr("repeat(' wm', 60)")))
+            .otherwise(col("text"))),
+        col("text"))),
+    // speculative-decode acceptance: draft diverges at the analytic
+    // position 1+(doc_id*7+3)%20 — generic prefix scan vs the oracle's
+    // least(p-1, T) closed form; short docs exercise the full-accept
+    // branch
+    "q241_spec_decode" -> ((s: SparkSession, d: String) =>
+      ext.EvalMetrics.speculativeAcceptance(Tables.documents(s, d),
+        col("text"), pmod(col("doc_id") * 7 + 3, lit(20L)) + 1)),
+    // Krippendorff's alpha over a 3-full + 1-partial annotator panel
+    // (a3 votes on even doc_ids only — m_u ∈ {3,4} exercises the
+    // per-unit lcm clearing)
+    "q242_krippendorff" -> ((s: SparkSession, d: String) => {
+      val truth = pmod(col("doc_id"), lit(4L))
+      val a1 = when(col("doc_id") % 5 === 0,
+        pmod(col("doc_id") + 1, lit(4L))).otherwise(truth)
+      val a2 = when(col("doc_id") % 3 === 0,
+        pmod(col("doc_id") + 2, lit(4L))).otherwise(truth)
+      val a3 = when(col("doc_id") % 4 === 0,
+        pmod(col("doc_id") + 3, lit(4L))).otherwise(truth)
+      val votes = Tables.documents(s, d).select(
+        col("doc_id").as("item_id"),
+        explode(array(
+          struct(lit("a0").as("annotator"), truth.as("label")),
+          struct(lit("a1").as("annotator"), a1.as("label")),
+          struct(lit("a2").as("annotator"), a2.as("label")),
+          struct(lit("a3").as("annotator"),
+            when(pmod(col("doc_id"), lit(2L)) === 0, a3)
+              .otherwise(lit(null).cast("long")).as("label")))).as("v"))
+        .select(col("item_id"), col("v.annotator"), col("v.label"))
+        .filter(col("label").isNotNull)
+      ext.Labeling.krippendorffAlpha(votes)
+    })
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7797,6 +7840,96 @@ object SparkEntry {
         |  CAST(sum(prompt_chars) AS BIGINT) AS prompt_chars,
         |  CAST(sum(shared_chars) * 1000000 // sum(prompt_chars)
         |    AS BIGINT) AS reuse_ppm
-        |FROM p GROUP BY 1""".stripMargin
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // bigram fingerprint -> mix40 low bit (the q233 mix40 replay); z is
+    // the chain class: one IEEE sqrt of an exact int + one division
+    "q240_watermark_detect" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || repeat(' wm', 60)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        |pr AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(2, len(toks)),
+        |      i -> toks[i-1] || '|' || toks[i])) AS pair
+        |  FROM tk),
+        |fp AS (SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      generate_series(1, length(pair)),
+        |      i -> CAST(ascii(substr(pair, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |      AS BIGINT) AS f
+        |  FROM pr),
+        |mx AS (SELECT doc_id, xor(h3, h3 // 131072) % 2 AS par FROM (
+        |    SELECT doc_id, ((h2 % 4294967296) * 1540483477 + 99991)
+        |        % 1099511627776 AS h3 FROM (
+        |      SELECT doc_id, xor(h1, h1 // 1048576) AS h2 FROM (
+        |        SELECT doc_id, (f * 2654435761 + 1013904223)
+        |            % 1099511627776 AS h1 FROM fp)))),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_green
+        |  FROM mx GROUP BY 1)
+        |SELECT a.doc_id, coalesce(g.n_pairs, 0) AS n_pairs,
+        |  coalesce(g.n_green, 0) AS n_green,
+        |  CASE WHEN coalesce(g.n_pairs, 0) = 0 THEN 0.0
+        |    ELSE CAST(2 * g.n_green - g.n_pairs AS DOUBLE)
+        |      / sqrt(CAST(g.n_pairs AS DOUBLE)) END AS z,
+        |  (CASE WHEN coalesce(g.n_pairs, 0) = 0 THEN 0.0
+        |    ELSE CAST(2 * g.n_green - g.n_pairs AS DOUBLE)
+        |      / sqrt(CAST(g.n_pairs AS DOUBLE)) END) > 4.0 AS detected
+        |FROM aug a LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // independent analytic derivation: accepted = least(p - 1, T)
+    "q241_spec_decode" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tt,
+        |    (doc_id * 7 + 3) % 20 + 1 AS p
+        |  FROM documents),
+        |a AS (SELECT source, tt,
+        |    CASE WHEN p <= tt THEN p - 1 ELSE tt END AS acc,
+        |    CASE WHEN p > tt THEN 1 ELSE 0 END AS fl
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tt) AS BIGINT) AS target_toks,
+        |  CAST(sum(acc) AS BIGINT) AS accept_toks,
+        |  CAST(sum(fl) AS BIGINT) AS full_accept_docs,
+        |  CAST(sum(acc) * 1000000 // sum(tt) AS BIGINT) AS accept_ppm
+        |FROM a GROUP BY 1""".stripMargin,
+
+    "q242_krippendorff" ->
+      """WITH v AS (
+        |  SELECT doc_id AS item_id, doc_id % 4 AS label FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN (doc_id + 1) % 4
+        |    ELSE doc_id % 4 END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN (doc_id + 2) % 4
+        |    ELSE doc_id % 4 END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN (doc_id + 3) % 4
+        |    ELSE doc_id % 4 END FROM documents WHERE doc_id % 2 = 0),
+        |uc AS (SELECT item_id, label, count(*) AS n_uc FROM v
+        |  GROUP BY 1, 2),
+        |m AS (SELECT *, sum(n_uc) OVER (PARTITION BY item_id) AS m_u
+        |  FROM uc),
+        |k AS (SELECT * FROM m WHERE m_u >= 2),
+        |a AS (SELECT count(DISTINCT item_id) AS n_units,
+        |    sum(n_uc) AS n_votes,
+        |    sum(n_uc * (m_u - n_uc) * (2520 // (m_u - 1))) AS do_scaled
+        |  FROM k),
+        |lm AS (SELECT label, sum(n_uc) AS n_c FROM k GROUP BY 1),
+        |nn AS (SELECT sum(n_c) AS n FROM lm),
+        |b AS (SELECT sum(n_c * (n - n_c)) AS de_scaled FROM lm, nn)
+        |SELECT CAST(a.n_units AS BIGINT) AS n_units,
+        |  CAST(a.n_votes AS BIGINT) AS n_votes,
+        |  CAST(a.do_scaled AS BIGINT) AS do_scaled,
+        |  CAST(b.de_scaled AS BIGINT) AS de_scaled,
+        |  CASE WHEN b.de_scaled = 0 THEN -1.0
+        |    ELSE CAST(b.de_scaled * 2520 - a.do_scaled * (a.n_votes - 1)
+        |        AS DOUBLE)
+        |      / CAST(b.de_scaled * 2520 AS DOUBLE) END AS alpha
+        |FROM a, b""".stripMargin
   )
 }

@@ -100,4 +100,42 @@ object EvalMetrics {
             (least(col("n_pos"), lit(k.toLong)) * 2520L).cast("double"))
           .as("ap"))
   }
+
+  /** Speculative-decoding acceptance audit: given per-document target
+    * token sequences and a draft that diverges at `corruptAt` (1-based;
+    * past-the-end means the draft matches fully), the accepted length is
+    * the shared prefix — the number of draft tokens a verifier keeps per
+    * round, the single statistic that decides whether speculative
+    * decoding pays. The prefix scan is GENERIC (zip_with null-safe
+    * equality, first mismatch); the oracle derives the expected value
+    * analytically (`least(p − 1, T)`), so the sides prove each other by
+    * different methods (the q239 discipline).
+    *
+    * Scale shape: pure per-row array work (draft synthesis + prefix
+    * scan are O(T) lambdas) then one source-grain hash aggregation.
+    *
+    * @return source, n_docs, target_toks, accept_toks,
+    *         full_accept_docs, accept_ppm
+    */
+  def speculativeAcceptance(docs: DataFrame, text: Column,
+                            corruptAt: Column): DataFrame = {
+    val mismatch =
+      expr("array_position(zip_with(draft, target, (x, y) -> x <=> y), false)")
+    docs
+      .select(col("doc_id"), col("source"), split(text, " ").as("target"),
+        corruptAt.cast("long").as("p"))
+      .withColumn("draft",
+        expr("transform(target, (t, i) -> CASE WHEN i + 1 = p THEN 'X' ELSE t END)"))
+      .withColumn("accept_len",
+        when(mismatch === 0, size(col("target")).cast("long"))
+          .otherwise(mismatch - 1))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("target")).cast("long")).as("target_toks"),
+        sum(col("accept_len")).as("accept_toks"),
+        sum(when(col("accept_len") === size(col("target")).cast("long"),
+          1L).otherwise(0L)).as("full_accept_docs"))
+      .withColumn("accept_ppm",
+        expr("accept_toks * 1000000 div target_toks"))
+  }
 }

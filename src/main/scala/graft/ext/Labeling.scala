@@ -232,4 +232,66 @@ object Labeling {
         Window.orderBy(col("strength").desc, col("event_type")))
         .cast("long"))
   }
+
+  /** Krippendorff's alpha (nominal data) — the agreement coefficient
+    * that, unlike pairwise Cohen's kappa ([[annotatorReport]]), handles
+    * ANY number of annotators and missing votes: units with fewer than 2
+    * votes are dropped (no pairable information), everything else
+    * contributes through the coincidence-matrix form.
+    *
+    * Exactness: with m_u votes on unit u and n_uc of them for category
+    * c, observed disagreement is D_o = (1/n)·Σ_u Σ_c n_uc(m_u−n_uc)/(m_u−1)
+    * and expected D_e = Σ_c n_c(n−n_c)/(n(n−1)). Clearing the per-unit
+    * denominators with lcm(1..8) = 2520 (panel sizes ≤ 9; a larger panel
+    * nulls the factor and surfaces as a NULL alpha rather than a silent
+    * approximation) gives exact integers
+    * `do_scaled = Σ_u Σ_c n_uc(m_u−n_uc)·(2520/(m_u−1))` and
+    * `de_scaled = Σ_c n_c(n−n_c)`, and
+    * α = 1 − D_o/D_e = (2520·de − do·(n−1)) / (2520·de) is one IEEE
+    * division of longs (div1 class). -1.0 when de = 0 (a single observed
+    * category: chance-corrected agreement is undefined). Long envelope:
+    * de ≤ n², so n ≲ 6e7 votes before 2520·de overflows — per-stratum
+    * alphas above that.
+    *
+    * Scale shape: (item, label) hash counts, an item-grain window for
+    * m_u, a |labels|-cardinality marginal frame (the global window runs
+    * on that label-cardinality frame, never on data grain), one-row
+    * output.
+    *
+    * @param votes item_id, annotator, label
+    * @return n_units, n_votes, do_scaled, de_scaled, alpha
+    */
+  def krippendorffAlpha(votes: DataFrame): DataFrame = {
+    val uc = votes.groupBy(col("item_id"), col("label"))
+      .agg(count(lit(1)).as("n_uc"))
+    val withM = uc
+      .withColumn("m_u",
+        sum(col("n_uc")).over(Window.partitionBy(col("item_id"))))
+      .filter(col("m_u") >= 2)
+    val contrib = withM.withColumn("do_c",
+      col("n_uc") * (col("m_u") - col("n_uc")) * expr("2520 div (m_u - 1)"))
+    val aFrame = contrib.agg(
+      countDistinct(col("item_id")).as("n_units"),
+      sum(col("n_uc")).as("n_votes"),
+      sum(col("do_c")).as("do_raw"),
+      max(col("m_u")).as("max_m"))
+    val bFrame = contrib.groupBy(col("label"))
+      .agg(sum(col("n_uc")).as("n_c"))
+      .withColumn("n", sum(col("n_c")).over(Window.partitionBy()))
+      .agg(sum(col("n_c") * (col("n") - col("n_c"))).as("de_scaled"))
+    // a panel wider than 9 breaks the lcm(1..8) clearing — null the
+    // affected outputs LOUDLY (Spark sum would otherwise silently skip
+    // a per-row null factor and understate D_o)
+    val tooWide = col("max_m") > 9
+    aFrame.crossJoin(broadcast(bFrame))
+      .select(col("n_units"), col("n_votes"),
+        when(tooWide, lit(null).cast("long")).otherwise(col("do_raw"))
+          .as("do_scaled"),
+        col("de_scaled"),
+        when(tooWide, lit(null).cast("double"))
+          .otherwise(when(col("de_scaled") === 0, lit(-1.0))
+            .otherwise((col("de_scaled") * 2520L -
+              col("do_raw") * (col("n_votes") - 1)).cast("double") /
+              (col("de_scaled") * 2520L).cast("double"))).as("alpha"))
+  }
 }

@@ -782,4 +782,47 @@ object TextStats {
         expr("CAST(cum_docs * 1000000 div total AS BIGINT)")
           .as("cum_share_ppm"))
   }
+
+  /** Green-list watermark detector (the Kirchenbauer et al. 2023 scheme,
+    * γ = ½): token i is "green" iff a deterministic hash of the bigram
+    * (tokenᵢ₋₁, tokenᵢ) lands in the green half; watermarked generations
+    * oversample green tokens, so the one-sided z statistic
+    * `z = (2g − T)/√T` (exact under γ = ½: mean T/2, sd √T/2) separates
+    * them from organic text. Detection threshold z > 4 ⇒ p < 3.2e-5.
+    *
+    * The hash must be NON-affine (the q136/q193 parity-trap family: the
+    * low bit of an affine map is the input's parity) — the bigram string
+    * goes through the q15 fingerprint then [[graft.functions.Hashing.mix40]],
+    * and greenness is the mixed value's low bit. Measured on the fixture
+    * vocab the green rate is 452/900 pair types — balanced.
+    *
+    * z is the "chain" audit class: one IEEE sqrt of an exact integer
+    * (correctly rounded) and one division — bit-identical across engines.
+    *
+    * Scale shape: bigram explode → fingerprint/mix per row (codegen'd) →
+    * one doc-grain hash aggregation. Linear in corpus tokens.
+    *
+    * @return doc_id, n_pairs, n_green, z, detected
+    */
+  def watermarkDetect(docs: DataFrame, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    val pairs = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode_outer(
+        expr("zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, '|', b))"))
+        .as("pair"))
+    val green = (pmod(graft.functions.Hashing.mix40(
+      graft.functions.StringFingerprint.fingerprintCol(col("pair"))),
+      lit(2L)) === 0).cast("long")
+    pairs
+      .groupBy(col("doc_id"))
+      .agg(count(col("pair")).as("n_pairs"),
+        coalesce(sum(when(col("pair").isNotNull, green)), lit(0L))
+          .as("n_green"))
+      .select(col("doc_id"), col("n_pairs"), col("n_green"),
+        when(col("n_pairs") === 0, lit(0.0))
+          .otherwise((col("n_green") * 2 - col("n_pairs")).cast("double") /
+            sqrt(col("n_pairs").cast("double"))).as("z"))
+      .withColumn("detected", col("z") > 4.0)
+  }
 }

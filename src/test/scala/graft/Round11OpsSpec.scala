@@ -153,4 +153,68 @@ class Round11OpsSpec extends SparkSuite {
     assert(r(0) == (("s", 1L, 51L, 9L, 2L, 1L, 2L, 2L)))
     assert(r(1) == (("t", 1L, 28L, 4L, 0L, 0L, 0L, 1L)))
   }
+
+  // -------------------------------------------------- watermark detect
+
+  /** Driver-side mix40 replay (constants pinned in functions.Hashing). */
+  private def mix40Of(x: Long): Long = {
+    val h1 = java.lang.Math.floorMod(x * 2654435761L + 1013904223L, 1L << 40)
+    val h2 = h1 ^ (h1 >> 20)
+    val h3 = java.lang.Math.floorMod((h2 % (1L << 32)) * 1540483477L + 99991L,
+      1L << 40)
+    h3 ^ (h3 >> 17)
+  }
+
+  test("watermarkDetect: bigram green counts match the driver replay; planted run fires z>4") {
+    val wm = ("wm " * 20).trim // 19 all-green (wm,wm) pairs
+    val docs = Seq((1L, "key agg row scan"), (2L, wm), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = ext.TextStats.watermarkDetect(docs, col("text"))
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val expGreen1 = Seq("key|agg", "agg|row", "row|scan")
+      .count(p => mix40Of(fpOf(p)) % 2 == 0).toLong
+    assert(r(0)._2 == 3L && r(0)._3 == expGreen1 && !r(0)._5)
+    // all 19 pairs green: z = (38-19)/sqrt(19) = sqrt(19) > 4
+    assert(r(1) == ((2L, 19L, 19L, 19.0 / math.sqrt(19.0), true)))
+    // single-token doc: zero pairs, z defined as 0, not detected
+    assert(r(2) == ((3L, 0L, 0L, 0.0, false)))
+  }
+
+  // --------------------------------------------- speculative acceptance
+
+  test("speculativeAcceptance: mismatch at p accepts p-1; past-the-end accepts all") {
+    val docs = Seq((1L, "s", "a b c"), (2L, "s", "a b c"))
+      .toDF("doc_id", "source", "text")
+    // doc 1 -> p=2 (accept 1), doc 2 -> p=5 > T=3 (accept 3, full)
+    val p = when(col("doc_id") === 1L, 2L).otherwise(5L)
+    val r = ext.EvalMetrics.speculativeAcceptance(docs, col("text"), p)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq(("s", 2L, 6L, 4L, 1L, 4L * 1000000L / 6L)))
+  }
+
+  // ------------------------------------------------- Krippendorff alpha
+
+  test("krippendorffAlpha: closed-form 4/9 case, unit drop, degenerate guards") {
+    // u1 [1,1], u2 [2,2], u3 [1,2]: D_o = 1/3, D_e = 3/5, alpha = 4/9
+    // u4 has ONE vote -> dropped entirely (not in n_units/n_votes)
+    val votes = Seq((1L, "x", 1L), (1L, "y", 1L), (2L, "x", 2L),
+      (2L, "y", 2L), (3L, "x", 1L), (3L, "y", 2L), (4L, "x", 3L))
+      .toDF("item_id", "annotator", "label")
+    val r = ext.Labeling.krippendorffAlpha(votes)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r(0)._1 == 3L && r(0)._2 == 6L)
+    assert(math.abs(r(0)._5 - 4.0 / 9.0) < 1e-15)
+    // one observed category: D_e = 0, alpha undefined -> -1.0
+    val same = Seq((1L, "x", 1L), (1L, "y", 1L))
+      .toDF("item_id", "annotator", "label")
+    assert(ext.Labeling.krippendorffAlpha(same)
+      .as[(Long, Long, Long, Long, Double)].collect()(0)._5 == -1.0)
+    // a panel wider than 9 nulls the lcm factor -> NULL alpha, loud
+    val wide = (1 to 10).map(i => (1L, s"a$i", (i % 2).toLong)) ++
+      Seq((2L, "a1", 0L), (2L, "a2", 1L))
+    val rw = ext.Labeling.krippendorffAlpha(
+      wide.toDF("item_id", "annotator", "label"))
+      .select(col("alpha")).collect()
+    assert(rw(0).isNullAt(0))
+  }
 }

@@ -153,6 +153,8 @@ DOUBLE_CLASSES = {
     "q234_group_auc": {"auc": "div1"},
     "q235_avg_precision": {"ap": "div1"},
     "q236_join_fanout": {"avg_fanout": "div1"},
+    "q240_watermark_detect": {"z": "chain"},
+    "q242_krippendorff": {"alpha": "div1"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
