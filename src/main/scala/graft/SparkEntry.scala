@@ -1262,7 +1262,34 @@ object SparkEntry {
         .select(col("item_id"), col("v.annotator"), col("v.label"))
         .filter(col("label").isNotNull)
       ext.Labeling.krippendorffAlpha(votes)
-    })
+    }),
+    // reward-length bias screen: exact-moment correlation (the q74
+    // integer-moments discipline) between token count and the frozen
+    // q194 quality logit — the length-bias audit a reward model gets
+    // before its scores gate RLHF data
+    "q243_reward_length_bias" -> ((s: SparkSession, d: String) => {
+      val base = Tables.documents(s, d)
+        .select(col("source"), ext.TextStats.tokens(col("text")).as("__t"))
+        .select(col("source"),
+          size(col("__t")).cast("decimal(18,0)").as("x"),
+          ext.TextStats.qualityLogitMicro(col("__t"), -60000000L,
+            500000L, 2000000L, 1000000L).cast("decimal(18,0)").as("y"))
+      ops.Relational.corrRegression(base, col("source"), col("x"),
+          col("y"))
+        .select(col("source"), col("n"), col("corr"),
+          col("slope_cents_per_unit").as("slope_micro_per_tok"),
+          col("intercept"), col("r2"))
+    }),
+    // GRPO/RLVR group-relative advantage over (user, dow) units with a
+    // binary verifier reward; degenerate zero-variance groups flagged
+    "q244_group_advantage" -> ((s: SparkSession, d: String) =>
+      ext.EvalMetrics.grpoAudit(Tables.events(s, d))),
+    // near-dup cluster-size histogram: LSH pairs (0.55) closed into
+    // components, keep-one-per-cluster removal mass; 5+23 clusters and
+    // 22 singletons on the docs50 slice
+    "q245_neardup_clusters" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.nearDupClusters(docs50(s, d), k = 16, bands = 4, n = 3,
+        minJaccard = 0.55))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -7930,6 +7957,118 @@ object SparkEntry {
         |    ELSE CAST(b.de_scaled * 2520 - a.do_scaled * (a.n_votes - 1)
         |        AS DOUBLE)
         |      / CAST(b.de_scaled * 2520 AS DOUBLE) END AS alpha
-        |FROM a, b""".stripMargin
+        |FROM a, b""".stripMargin,
+
+    // q194 tokenize/logit + the q74 HUGEINT moments shape; lambda var
+    // deliberately NOT named x/y (would shadow the moment columns)
+    "q243_reward_length_bias" ->
+      """WITH t AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |f AS (SELECT source, CAST(len(tk) AS HUGEINT) AS x,
+        |    CAST(-60000000 + 500000 * len(tk)
+        |      + 2000000 * len(list_filter(tk, q ->
+        |          q IN ('the','of','and','a','to','in','is')))
+        |      + 1000000 * len(list_distinct(tk)) AS HUGEINT) AS y
+        |  FROM t),
+        |a AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT source, n, n * sxy - sx * sy AS covn,
+        |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy, sx, sy
+        |  FROM a)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN CAST(covn AS DOUBLE)
+        |    / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS corr,
+        |  CASE WHEN vx > 0 THEN CAST(covn AS DOUBLE)
+        |    / CAST(vx AS DOUBLE) END AS slope_micro_per_tok,
+        |  CASE WHEN vx > 0 THEN CAST(vx * sy - covn * sx AS DOUBLE)
+        |    / CAST(n * vx AS DOUBLE) END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+        |      / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r2
+        |FROM c""".stripMargin,
+
+    "q244_group_advantage" ->
+      """WITH t AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 % 7 AS dow,
+        |    CASE WHEN CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) > 1000 THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |g AS (SELECT user_id, dow, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS s, CAST(sum(r * r) AS BIGINT) AS s2,
+        |    max(r) AS rmax, min(r) AS rmin
+        |  FROM t GROUP BY 1, 2)
+        |SELECT user_id, dow, n, s AS sum_r,
+        |  n * s2 - s * s AS var_num,
+        |  (n * s2 - s * s = 0) AS degenerate,
+        |  CASE WHEN n * s2 - s * s = 0 THEN 0.0
+        |    ELSE CAST(n * rmax - s AS DOUBLE)
+        |      / sqrt(CAST(n * s2 - s * s AS DOUBLE)) END AS max_adv,
+        |  CASE WHEN n * s2 - s * s = 0 THEN 0.0
+        |    ELSE CAST(n * rmin - s AS DOUBLE)
+        |      / sqrt(CAST(n * s2 - s * s AS DOUBLE)) END AS min_adv
+        |FROM g""".stripMargin,
+
+    // the q36 closure at threshold 0.55, plus singleton clusters and
+    // the size histogram
+    "q245_neardup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647)
+        |      AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |       AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
+        |    >= 0.55),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS node, r.comp FROM edges e
+        |  JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |assign AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+        |  LEFT JOIN comp c ON c.node = d.doc_id),
+        |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM assign GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
+        |FROM cs GROUP BY 1""".stripMargin
   )
 }

@@ -185,6 +185,40 @@ object Dedup {
     * @return (new_id, corpus_id, jaccard) for candidate pairs whose exact
     *         shingle Jaccard ≥ `minJaccard`
     */
+  /** Near-duplicate CLUSTER readout: the [[minhashNearDups]] pair list
+    * closed into connected components (transitive near-duplication — if
+    * A≈B and B≈C, keeping both A and C still trains on the same content
+    * twice), then rolled up as a cluster-size histogram with the
+    * keep-one-per-cluster removal mass. This is the number a dedup run
+    * reports: how much of the corpus a canonical-representative pass
+    * deletes, and whether duplication is many small pairs or a few
+    * giant blobs (the remediation differs).
+    *
+    * Docs in no pair are size-1 clusters — the histogram covers the
+    * WHOLE input, so Σ n_docs equals the corpus slice unconditionally.
+    *
+    * Scale shape: LSH-banded pair generation (never all-pairs), the
+    * q36/CC pointer-jumping closure with its Pin discipline, then two
+    * tiny hash aggregations (component grain, then size grain).
+    */
+  def nearDupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, k, bands, n, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Components.connectedComponents(pairs)
+    val assign = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("comp"))
+    assign.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
+  }
+
   def minhashNewVsCorpus(newDocs: DataFrame, corpus: DataFrame,
                          k: Int = 16, bands: Int = 4, n: Int = 3,
                          minJaccard: Double = 0.5): DataFrame = {

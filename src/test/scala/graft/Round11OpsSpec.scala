@@ -217,4 +217,40 @@ class Round11OpsSpec extends SparkSuite {
       .select(col("alpha")).collect()
     assert(rw(0).isNullAt(0))
   }
+
+  // ---------------------------------------------------- group advantage
+
+  test("groupAdvantage: exact z extremes and the degenerate zero-variance flag") {
+    // g1 rewards 0,0,1,1: mean 1/2, varN = 4*2-4 = 4,
+    //   z(1) = (4-2)/2 = 1, z(0) = (0*4-2)/2 = -1
+    // g2 rewards 1,1: degenerate -> advantages pinned 0
+    val df = Seq(("g1", 0L), ("g1", 0L), ("g1", 1L), ("g1", 1L),
+      ("g2", 1L), ("g2", 1L)).toDF("grp", "r")
+    val r = ext.EvalMetrics.groupAdvantage(df, Seq("grp"), col("r"))
+      .as[(String, Long, Long, Long, Boolean, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(r(0) == (("g1", 4L, 2L, 4L, false, 1.0, -1.0)))
+    assert(r(1) == (("g2", 2L, 2L, 0L, true, 0.0, 0.0)))
+  }
+
+  // ------------------------------------------------- near-dup clusters
+
+  test("nearDupClusters: histogram covers the whole slice incl. singletons") {
+    // 0-1-2 chain into one 3-cluster (0~1, 1~2 near-dup; 0~2 only
+    // transitively), 3 is an exact dup pair with 4, 5 is a singleton
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, base + " aaaa"), (1L, base + " aaab"), (2L, base + " aabb"),
+      (3L, "completely different text body here xyz"),
+      (4L, "completely different text body here xyz"),
+      (5L, "nothing like anything else whatsoever qqq"))
+      .toDF("doc_id", "text")
+    val r = ext.Dedup.nearDupClusters(docs, k = 16, bands = 4, n = 3,
+      minJaccard = 0.5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // sizes: one 1-cluster, one 2-cluster, one 3-cluster
+    assert(r.toSeq == Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 3L, 2L)))
+    assert(r.map(_._3).sum == 6L) // Σ n_docs = whole input
+  }
 }

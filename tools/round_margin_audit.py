@@ -155,6 +155,10 @@ DOUBLE_CLASSES = {
     "q236_join_fanout": {"avg_fanout": "div1"},
     "q240_watermark_detect": {"z": "chain"},
     "q242_krippendorff": {"alpha": "div1"},
+    "q243_reward_length_bias": {"corr": "chain",
+                                "slope_micro_per_tok": "div1",
+                                "intercept": "div1", "r2": "chain"},
+    "q244_group_advantage": {"max_adv": "chain", "min_adv": "chain"},
     "q16_ngram_jaccard": {"jaccard": "div1"},
     "q17_minhash_neardup": {"jaccard": "div1"},
     "q19_cosine_topk": {"cos": "chain"},
