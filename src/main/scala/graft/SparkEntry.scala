@@ -1289,7 +1289,42 @@ object SparkEntry {
     // 22 singletons on the docs50 slice
     "q245_neardup_clusters" -> ((s: SparkSession, d: String) =>
       ext.Dedup.nearDupClusters(docs50(s, d), k = 16, bands = 4, n = 3,
-        minJaccard = 0.55))
+        minJaccard = 0.55)),
+    // binned ECE of the fixed linear squash of the q194 quality logit
+    // as an English-ness predictor — exact integer gap numerators per
+    // decile, one division; worst bin via packed-integer argmax
+    "q246_ece_calibration" -> ((s: SparkSession, d: String) => {
+      val conf = least(lit(1000000L), greatest(lit(0L),
+        expr("(logit + 60000000) div 120")))
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          ext.TextStats.qualityLogitMicro(
+            ext.TextStats.tokens(col("text")), -60000000L,
+            500000L, 2000000L, 1000000L).as("logit"))
+      ext.EvalMetrics.eceCalibration(base, col("source"), conf,
+        col("lang") === "en")
+        .withColumnRenamed("grp", "source")
+    }),
+    // paged KV-cache accounting (16-token pages) over chat-template
+    // contexts: peak pages + internal fragmentation per conversation
+    "q247_kv_cache_pager" -> ((s: SparkSession, d: String) =>
+      ext.Serving.kvCachePager(Tables.events(s, d))),
+    // upward CUSUM drift detector on the daily ingest series via the
+    // prefix-sum/running-min closed form — exact 4N-scaled integers
+    "q248_cusum_daily" -> ((s: SparkSession, d: String) =>
+      ext.Sessions.cusumDaily(Tables.events(s, d))),
+    // Flesch / FK-grade readability per source from exact corpus sums
+    "q249_readability" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.readability(Tables.documents(s, d), col("text"))),
+    // token-bucket admission control (C=5, r=2/s, cost=1) replayed
+    // exactly per user via the packed-BIGINT fold
+    "q250_token_bucket" -> ((s: SparkSession, d: String) =>
+      ext.Serving.tokenBucket(Tables.events(s, d))),
+    // DSIR-shaped frequency-ratio selection score, target = lang 'en':
+    // exact cross-rate evidence summed per doc, rolled up per source
+    "q251_freq_ratio_select" -> ((s: SparkSession, d: String) =>
+      ext.TextStats.freqRatioScore(Tables.documents(s, d), col("text"),
+        col("lang") === "en"))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -8069,6 +8104,172 @@ object SparkEntry {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
-        |FROM cs GROUP BY 1""".stripMargin
+        |FROM cs GROUP BY 1""".stripMargin,
+
+    // q194 logit -> fixed linear squash to [0,1e6]; per-decile exact
+    // integer gaps; worst bin via the packed-BIGINT argmax
+    "q246_ece_calibration" ->
+      """WITH t AS (SELECT source, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    CAST(-60000000 + 500000 * len(tk)
+        |      + 2000000 * len(list_filter(tk, q ->
+        |          q IN ('the','of','and','a','to','in','is')))
+        |      + 1000000 * len(list_distinct(tk)) AS BIGINT) AS logit
+        |  FROM t),
+        |c AS (SELECT source, pos,
+        |    least(1000000, greatest(0, (logit + 60000000) // 120)) AS conf
+        |  FROM f),
+        |b AS (SELECT source, least(conf // 100000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS nb, CAST(sum(pos) AS BIGINT) AS pb,
+        |    CAST(sum(conf) AS BIGINT) AS sc
+        |  FROM c GROUP BY 1, 2),
+        |g AS (SELECT source, bin, nb, pb, sc,
+        |    abs(pb * 1000000 - sc) AS gap_num FROM b)
+        |SELECT source, CAST(sum(nb) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(gap_num) AS BIGINT) AS ece_num,
+        |  CAST(sum(gap_num) AS DOUBLE)
+        |    / CAST(sum(nb) * 1000000 AS DOUBLE) AS ece,
+        |  CAST(max(gap_num * 16 + bin) % 16 AS BIGINT) AS worst_bin,
+        |  CAST(max(gap_num * 16 + bin) // 16 AS BIGINT) AS worst_gap_num
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // chat-template piece chars (q237 cents rendering), running context,
+    // ceil-div 16-token pages; frag_ppm = one division of exact ints
+    "q247_kv_cache_pager" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CAST(length(event_type) + 2 + length(CAST(
+        |      CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS VARCHAR)) AS BIGINT) AS piece_len
+        |  FROM events),
+        |c AS (SELECT user_id,
+        |    CAST(sum(piece_len) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS ctx
+        |  FROM t),
+        |p AS (SELECT user_id, ctx, (ctx + 15) // 16 AS pages FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  max(ctx) AS peak_ctx, max(pages) AS peak_pages,
+        |  CAST(sum(pages) AS BIGINT) AS page_turns,
+        |  CAST(sum(pages * 16 - ctx) AS BIGINT) AS frag_tokens,
+        |  CAST(sum(pages * 16 - ctx) * 1000000 AS DOUBLE)
+        |    / CAST(sum(pages) * 16 AS DOUBLE) AS frag_ppm
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // CUSUM closed form: prefix sum of 4N-scaled residuals, running min,
+    // S = P - min(0, min P); alarm at h = mean (4T scaled) — all integers
+    "q248_cusum_daily" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT day, x,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_days,
+        |    CAST(sum(x) OVER () AS BIGINT) AS total
+        |  FROM d),
+        |p AS (SELECT day, x, n_days, total,
+        |    CAST(sum(x * 4 * n_days - total * 5) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p_scaled
+        |  FROM s),
+        |m AS (SELECT day, x, n_days, total, p_scaled,
+        |    p_scaled - least(CAST(0 AS BIGINT), min(p_scaled)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS s_scaled
+        |  FROM p)
+        |SELECT day, x, n_days, total, p_scaled, s_scaled,
+        |  s_scaled > total * 4 AS alarm
+        |FROM m""".stripMargin,
+
+    // exact corpus sums; the two scores in the same written form on both
+    // engines (integer-fed per-row IEEE arithmetic, parity rule 1)
+    "q249_readability" ->
+      """WITH t AS (SELECT source,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS s,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(s) AS BIGINT) AS n_sentences,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(y) AS BIGINT) AS n_syllables,
+        |  CASE WHEN sum(w) = 0 THEN NULL
+        |    ELSE 206.835 - 1.015 * (CAST(sum(w) AS DOUBLE)
+        |        / CAST(sum(s) AS DOUBLE))
+        |      - 84.6 * (CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+        |    END AS flesch,
+        |  CASE WHEN sum(w) = 0 THEN NULL
+        |    ELSE 0.39 * (CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE))
+        |      + 11.8 * (CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+        |      - 15.59 END AS fk_grade
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // the packed-BIGINT bucket fold replayed by list_reduce over the
+    // same (ts, event_id)-sorted inter-arrival list: acc = adm*1e7+level
+    "q250_token_bucket" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |d AS (SELECT user_id, ts_us, event_id,
+        |    coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id), 0) AS dt
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    list(dt ORDER BY ts_us, event_id) AS dts
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT user_id, n_events,
+        |    list_reduce(list_prepend(CAST(5000000 AS BIGINT),
+        |      list_transform(dts, q -> CAST(q AS BIGINT))),
+        |      (a, x) -> CASE
+        |        WHEN least(CAST(5000000 AS BIGINT),
+        |            a % 10000000 + x * 2) >= 1000000
+        |        THEN (a // 10000000 + 1) * 10000000
+        |          + least(CAST(5000000 AS BIGINT), a % 10000000 + x * 2)
+        |          - 1000000
+        |        ELSE (a // 10000000) * 10000000
+        |          + least(CAST(5000000 AS BIGINT), a % 10000000 + x * 2)
+        |        END) AS acc
+        |  FROM g)
+        |SELECT user_id, n_events,
+        |  CAST(acc // 10000000 AS BIGINT) AS n_admitted,
+        |  CAST(n_events - acc // 10000000 AS BIGINT) AS n_rejected,
+        |  CAST(acc % 10000000 AS BIGINT) AS final_level_micro,
+        |  CAST(acc // 10000000 * 1000000 // n_events AS BIGINT)
+        |    AS admit_ppm
+        |FROM f""".stripMargin,
+
+    // exact cross-rate evidence per token occurrence, doc then source
+    // rollup; empty docs never reach the readout (no occurrences)
+    "q251_freq_ratio_select" ->
+      """WITH occ AS (SELECT doc_id, source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(sum(is_t) AS BIGINT) AS ct,
+        |    CAST(sum(1 - is_t) AS BIGINT) AS cr
+        |  FROM occ GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cr) AS BIGINT) AS nr FROM vocab),
+        |ds AS (SELECT o.doc_id, o.source, o.is_t,
+        |    CAST(sum(v.ct * t.nr - v.cr * t.nt) AS BIGINT) AS score
+        |  FROM occ o JOIN vocab v ON v.tok = o.tok, tot t
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(is_t) AS BIGINT) AS n_target_docs,
+        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pos_docs,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_score
+        |FROM ds GROUP BY 1""".stripMargin
   )
 }

@@ -176,6 +176,54 @@ object EvalMetrics {
     groupAdvantage(base, Seq("user_id", "dow"), col("reward"))
   }
 
+  /** Expected calibration error over equal-width confidence deciles —
+    * the reliability audit a classifier gets before its scores gate
+    * anything (Naeini et al. 2015's binned ECE, public literature).
+    * `confMicro` is a confidence in micro-units [0, 1e6]; rows land in
+    * bins of width 100000 (confidence 1.0 folds into the top bin).
+    *
+    * Exactness: per (group, bin) the sufficient statistics are exact
+    * integers (n, positives, Σconf_micro); the per-bin gap
+    * |acc_b − conf̄_b| clears denominators as
+    * `gap_num_b = |pos_b·10⁶ − Σconf_b|` (micro·count units), so
+    * `ece_num = Σ_b gap_num_b` is an exact integer and
+    * ECE = ece_num / (N·10⁶) is ONE IEEE division (div1 class). The
+    * worst bin is reported the same way. Long envelope: Σconf ≤ n·10⁶ —
+    * exact through ~9e12 rows per group.
+    *
+    * Scale shape: two hash aggregations ((group, bin) then group) with
+    * map-side partials; output cardinality = |groups|. No window, no
+    * sort — the plan is scan-shaped.
+    *
+    * The worst bin is the largest UNNORMALIZED gap (mass-weighted —
+    * the bin contributing most to ECE), argmax'd engine-neutrally by
+    * packing `gap_num·16 + bin` into one BIGINT max (ties break to the
+    * higher bin on both engines; envelope N ≤ ~5e11 rows per group).
+    *
+    * @return group, n, n_bins, ece_num, ece, worst_bin, worst_gap_num
+    */
+  def eceCalibration(rows: DataFrame, group: Column, confMicro: Column,
+                     positive: Column): DataFrame = {
+    val base = rows.select(group.as("grp"),
+      confMicro.cast("long").as("conf"),
+      when(positive, lit(1L)).otherwise(lit(0L)).as("pos"))
+    val binned = base
+      .withColumn("bin", least(expr("conf div 100000"), lit(9L)))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("pos")).as("pb"),
+        sum(col("conf")).as("sc"))
+      .withColumn("gap_num", abs(col("pb") * 1000000L - col("sc")))
+    binned.groupBy(col("grp"))
+      .agg(sum(col("nb")).as("n"), count(lit(1)).as("n_bins"),
+        sum(col("gap_num")).as("ece_num"),
+        max(col("gap_num") * 16L + col("bin")).as("worst_pack"))
+      .select(col("grp"), col("n"), col("n_bins"), col("ece_num"),
+        (col("ece_num").cast("double") /
+          (col("n") * 1000000L).cast("double")).as("ece"),
+        (col("worst_pack") % 16L).as("worst_bin"),
+        expr("worst_pack div 16").as("worst_gap_num"))
+  }
+
   def groupAdvantage(rewards: DataFrame, groupCols: Seq[String],
                      reward: Column): DataFrame = {
     val agg = rewards.withColumn("__r", reward.cast("long"))

@@ -717,13 +717,19 @@ object Sessions {
           .withColumn("m_score", ntile(5).over(
             Window.orderBy(col("cents").desc, col("user_id"))).cast("long"))
       else {
-        // descending keys enter the rank as exact negations (long domain)
-        val withN = base.crossJoin(broadcast(
-          perUser.agg(count(lit(1)).as("__n"))))
-        gridRank(gridRank(gridRank(withN,
-          col("recency_days"), "__rank_r"),
-          -col("freq"), "__rank_f"),
-          -col("cents"), "__rank_m")
+        // descending keys enter the rank as exact negations (long domain).
+        // Each gridRank references its input THREE times (rows, extent
+        // agg, bucket-offset agg) and the three are nested, so without
+        // pinning the events-grain aggregation upstream recomputes ~3³
+        // times — measured 17.8 s at sf0.1 (r12); pinning the user-grain
+        // frame at entry and between passes makes each recompute a
+        // memory-block read (the q64/CC Pin discipline), 17.8 → ~1.4 s.
+        val withN = graft.Pin(base.crossJoin(broadcast(
+          perUser.agg(count(lit(1)).as("__n")))))
+        graft.Pin(gridRank(graft.Pin(gridRank(graft.Pin(gridRank(withN,
+          col("recency_days"), "__rank_r")),
+          -col("freq"), "__rank_f")),
+          -col("cents"), "__rank_m"))
           .withColumn("r_score", ntileOfRank(col("__rank_r"), col("__n"), 5))
           .withColumn("f_score", ntileOfRank(col("__rank_f"), col("__n"), 5))
           .withColumn("m_score", ntileOfRank(col("__rank_m"), col("__n"), 5))
@@ -1285,4 +1291,49 @@ object Sessions {
 
   def qRollingRange(spark: SparkSession, sfDir: String): DataFrame =
     rollingRange(Tables.events(spark, sfDir), userPred = col("user_id") < 20)
+
+  /** Upward CUSUM changepoint detector over the daily event-count
+    * series (Page 1954, public literature): S_d = max(0, S_{d−1} +
+    * (x_d − μ − k)) with allowance k = μ/4 and decision threshold
+    * h = μ — the drift detector a data-volume monitor runs against
+    * ingest rates (a sustained level shift fires long before a
+    * per-day z-score would).
+    *
+    * The recursive max-clamp fold LOOKS path-dependent but has the
+    * classic closed form `S_d = P_d − min(0, min_{j≤d} P_j)` with P the
+    * prefix sum of the drift residuals — so it runs as TWO stacked
+    * window passes (running sum, then running min) over the day-grain
+    * frame, never a sequential replay. Exactness: residuals are scaled
+    * by 4N (a_d = 4·N·x_d − 5·T, with N days and T total events), so
+    * every S is an exact integer in quarter-count·N units; the alarm
+    * predicate S > 4·T·scale is an exact integer comparison.
+    *
+    * Scale shape: one day-grain hash aggregation (events → N rows,
+    * partial agg at the scan), then windows over the TINY day frame
+    * (N = calendar days, thousands at most — the single-partition
+    * window is over a bounded-cardinality series, the q66/q121 gated
+    * envelope).
+    *
+    * @return per day: day, x, p_scaled, s_scaled, alarm, plus the
+    *         constant n_days/total columns the alarm derives from
+    */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = withTsUs(events)
+      .withColumn("day", floorDiv(col("ts_us"), DayUs))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val sized = daily
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum(col("x")).over(Window.partitionBy()))
+    val ordered = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sized
+      .withColumn("a", col("x") * 4L * col("n_days") - col("total") * 5L)
+      .withColumn("p_scaled", sum(col("a")).over(ordered))
+      .withColumn("s_scaled",
+        col("p_scaled") - least(lit(0L), min(col("p_scaled")).over(ordered)))
+      .select(col("day"), col("x"), col("n_days"), col("total"),
+        col("p_scaled"), col("s_scaled"),
+        (col("s_scaled") > col("total") * 4L).as("alarm"))
+  }
 }

@@ -825,4 +825,104 @@ object TextStats {
             sqrt(col("n_pairs").cast("double"))).as("z"))
       .withColumn("detected", col("z") > 4.0)
   }
+
+  /** Readability audit per source: Flesch reading-ease and
+    * Flesch–Kincaid grade level (Kincaid et al. 1975, public literature)
+    * over exact integer counts — sentences as `[.!?]+` runs (clamped to
+    * ≥1 per doc so headline-style fragments count as one sentence),
+    * words as whitespace tokens, syllables as the vowel-run proxy
+    * `[aeiouy]+` on lowercased text (the standard dictionary-free
+    * approximation).
+    *
+    * Parity: the three corpus sums are exact integers; the two scores
+    * are evaluated at SOURCE grain from those integers in one fixed
+    * written-form expression — per-row double arithmetic on
+    * exact-integer inputs (parity rule 1), with the three divisions
+    * (W/S, Y/W and the /1000 constant scalings) deterministic IEEE ops
+    * identical on both engines. Zero-word sources emit NULL scores.
+    *
+    * Scale shape: per-doc regexp counting inside the scan projection,
+    * one source-grain hash aggregation with partials — scan-bound.
+    *
+    * @return source, n_docs, n_sentences, n_words, n_syllables,
+    *         flesch, fk_grade
+    */
+  def readability(docs: DataFrame, text: Column): DataFrame = {
+    val sent = greatest(regexp_count(text, lit("[.!?]+")).cast("long"),
+      lit(1L))
+    val words = tokenCount(text).cast("long")
+    val syll = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    docs
+      .select(col("source"), sent.as("s"), words.as("w"), syll.as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("n_sentences"),
+        sum(col("w")).as("n_words"), sum(col("y")).as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+      .withColumn("fk_grade",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(lit(0.39) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")) - lit(15.59)))
+  }
+
+  /** Frequency-ratio data-selection score — the hashed-feature
+    * importance-sampling shape of DSIR (Xie et al. 2023, public
+    * literature) with the log-ratio replaced by the EXACT cross-rate
+    * difference so no transcendental enters the hash: for token w with
+    * target/raw corpus counts c_t(w), c_r(w) and totals N_t, N_r, the
+    * per-occurrence evidence is `c_t(w)·N_r − c_r(w)·N_t` (positive ⇔ w
+    * is relatively more frequent in the target domain) and a document's
+    * score is the sum over its token occurrences. The target domain
+    * here is the `targetPred` slice of the same corpus (a
+    * held-out-domain classifier built from counts alone — a linear
+    * model in the q194 sense, not a fitted one).
+    *
+    * Docs in the target slice are scored too (self-selection is the
+    * DSIR diagnostic: the score should separate the slices — measured
+    * separation is part of the readout).
+    *
+    * Long envelope: |evidence| ≤ max(c)·N ≤ N² — exact through N ≈ 3e9
+    * corpus tokens; beyond that lift the two products to
+    * DECIMAL(38,0) (same plan shape).
+    *
+    * Scale shape: token explode → token-grain hash agg (the vocabulary
+    * frame) → one shuffle join of occurrences against vocabulary stats
+    * (both sides token-partitioned, AQE-skew-safe) → doc-grain then
+    * source-grain hash aggs. Everything is linear in token
+    * occurrences; nothing is quadratic in corpus size.
+    *
+    * @return source, n_docs, n_target_docs, pos_docs (score > 0),
+    *         sum_score, mean_score (one IEEE division)
+    */
+  def freqRatioScore(docs: DataFrame, text: Column,
+                     targetPred: Column): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("source"),
+        when(targetPred, lit(1L)).otherwise(lit(0L)).as("is_t"),
+        explode(tokens(text)).as("tok"))
+    val vocab = occ.groupBy(col("tok"))
+      .agg(sum(col("is_t")).as("ct"),
+        sum(lit(1L) - col("is_t")).as("cr"))
+    val totals = vocab.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val scored = occ
+      .join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("evidence", col("ct") * col("nr") - col("cr") * col("nt"))
+      .groupBy(col("doc_id"), col("source"), col("is_t"))
+      .agg(sum(col("evidence")).as("score"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_t")).as("n_target_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("pos_docs"),
+        sum(col("score")).as("sum_score"))
+      .withColumn("mean_score",
+        col("sum_score").cast("double") / col("n_docs").cast("double"))
+  }
 }

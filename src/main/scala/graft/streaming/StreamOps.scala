@@ -780,4 +780,59 @@ object StreamOps {
           }
       }
   }
+
+  // NOT private: state encoder codegen needs public accessors
+  final case class BucketState(levelMicro: Long, lastTsUs: Long)
+  final case class Admission(user_id: Long, event_id: Long, ts_us: Long,
+                             admitted: Boolean, level_micro: Long)
+
+  /** Streaming twin #15 of [[graft.ext.Serving.tokenBucket]]: per-user
+    * token-bucket admission, one `Admission` row per event as it is
+    * policed — the ONLINE form of the audit (the batch op replays history;
+    * the stream IS the rate limiter). State per user is O(1): (level,
+    * last-event time), exactly the fold accumulator of the batch op's
+    * packed-BIGINT lambda, unpacked.
+    *
+    * Arithmetic is the batch contract verbatim: micro-token integers,
+    * refill = Δt_µs · refillPerSec clamped at capacity, admit iff the
+    * refilled level covers the cost. First event of a user sees a full
+    * bucket. Horizon contract (same family as the other twins): within a
+    * micro-batch, events sort by (ts_us, event_id); ACROSS batches state
+    * follows arrival order, and a cross-batch straggler's negative Δt
+    * clamps to 0 (bucket time never rewinds) — in-order delivery is
+    * bit-equal to batch (StreamingSpec asserts it whole and split).
+    */
+  def tokenBucketStream(events: Dataset[Event], capacity: Int = 5,
+                        refillPerSec: Int = 2, cost: Int = 1,
+                        watermark: String = "1 hour"): Dataset[Admission] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cMicro = capacity * 1000000L
+    val costMicro = cost * 1000000L
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, Admission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event],
+         state: GroupState[BucketState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Admission]
+          var st = state.getOption.orNull
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val dt = if (st == null) 0L
+              else math.max(0L, e.ts_us - st.lastTsUs)
+            val level = if (st == null) cMicro
+              else math.min(cMicro, st.levelMicro + dt * refillPerSec)
+            val admitted = level >= costMicro
+            val after = if (admitted) level - costMicro else level
+            out += Admission(user, e.event_id, e.ts_us, admitted, after)
+            st = BucketState(after,
+              if (st == null) e.ts_us else math.max(st.lastTsUs, e.ts_us))
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 }

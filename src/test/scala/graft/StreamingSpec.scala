@@ -829,4 +829,51 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("token-bucket twin: per-event admissions aggregate to the batch op, whole and split") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 7: the Round12OpsSpec trace (6 admitted / 1 rejected);
+    // user 8: burst of 6 at one instant (5 admitted, 1 rejected)
+    val evs = Seq(
+      Event(1, T0, 7, "view", 0.0),
+      Event(2, T0 + 100000L, 7, "view", 0.0),
+      Event(3, T0 + 100000L, 7, "view", 0.0),
+      Event(4, T0 + 100000L, 7, "view", 0.0),
+      Event(5, T0 + 100000L, 7, "view", 0.0),
+      Event(6, T0 + 100000L, 7, "view", 0.0),
+      Event(7, T0 + 3100000L, 7, "view", 0.0)) ++
+      (11 to 16).map(i => Event(i.toLong, T0 + 500000L, 8, "view", 0.0))
+    val batchDf = evs.toDF()
+      .select(col("event_id"), (col("ts_us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.ext.Serving.tokenBucket(batchDf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+    def run(splits: Seq[Seq[Event]], name: String): Set[(Long, Long, Long, Long)] = {
+      val src = MemoryStream[Event]
+      val q = StreamOps.tokenBucketStream(src.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+        spark.table(name)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("adm"),
+            max(struct(col("ts_us"), col("event_id"), col("level_micro")))
+              .as("last"))
+          .select(col("user_id"), col("n"), col("adm"),
+            col("last.level_micro"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+
+    val expected = batch.map(b => (b._1, b._2, b._3, b._5))
+    val whole = run(Seq(evs), "tbwhole")
+    assert(whole == expected, "single micro-batch must equal batch op")
+    // in-order split mid-stream for BOTH users: state carries the level
+    val split = run(Seq(evs.take(4) ++ evs.slice(7, 10),
+      evs.slice(4, 7) ++ evs.drop(10)), "tbsplit")
+    assert(split == expected, "in-order split must be bit-equal to batch")
+  }
 }
