@@ -204,8 +204,14 @@ object EvalMetrics {
     */
   def eceCalibration(rows: DataFrame, group: Column, confMicro: Column,
                      positive: Column): DataFrame = {
+    // clamp to the documented [0, 1e6] domain INSIDE the operator: a
+    // negative conf would otherwise produce a negative bin (Spark's % keeps
+    // the sign) and silently corrupt the gap_num*16+bin packed argmax —
+    // clamping makes out-of-domain inputs saturate instead of corrupting;
+    // in-domain inputs (every current caller pre-clamps) are unchanged
     val base = rows.select(group.as("grp"),
-      confMicro.cast("long").as("conf"),
+      greatest(lit(0L), least(lit(1000000L),
+        confMicro.cast("long"))).as("conf"),
       when(positive, lit(1L)).otherwise(lit(0L)).as("pos"))
     val binned = base
       .withColumn("bin", least(expr("conf div 100000"), lit(9L)))

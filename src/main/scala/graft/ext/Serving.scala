@@ -33,10 +33,15 @@ object Serving {
     * gap between allocated page capacity and live context, summed over
     * turn-holds — the number a capacity planner provisions HBM against.
     *
-    * Context model: each event renders to the q237 chat-template piece
-    * `event_type:cents` (+1 newline char), one "token" per char (the
-    * tokenizer-free deterministic envelope); ctx_t is the running char
-    * sum over the conversation in (ts, event_id) order.
+    * Context model: each event renders to the SIMPLIFIED piece
+    * `event_type:cents\n`, one "token" per char (the tokenizer-free
+    * deterministic envelope); ctx_t is the running char sum over the
+    * conversation in (ts, event_id) order. This is deliberately NOT the
+    * full q237 chat template (which wraps each piece in `<|role|>…` and
+    * prepends a `<|sys|>chat\n` header) — the pager audits page math, not
+    * template rendering, and both engine and oracle count the same model,
+    * so parity holds; absolute peak_ctx/peak_pages would shift by the
+    * wrapper chars if the full template were the contract.
     *
     * @return per user: user_id, n_turns, peak_ctx, peak_pages,
     *         page_turns (Σ_t pages_t), frag_tokens

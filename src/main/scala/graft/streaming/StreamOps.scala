@@ -801,6 +801,16 @@ object StreamOps {
     * follows arrival order, and a cross-batch straggler's negative Δt
     * clamps to 0 (bucket time never rewinds) — in-order delivery is
     * bit-equal to batch (StreamingSpec asserts it whole and split).
+    *
+    * State is BOUNDED via an event-time timeout that drops a user's state
+    * once the watermark passes lastTs + full-refill time
+    * (⌈capacity/refillPerSec⌉ seconds): by then the bucket has refilled to
+    * capacity, which is exactly the fresh-state initial level, and any
+    * NON-LATE future event (watermark contract: later events have
+    * event_time ≥ watermark > lastTs + fullRefill) would have been clamped
+    * to a full bucket by the batch fold too — so expiry-and-reinit is
+    * bit-equal to keeping the state, and the store no longer grows with
+    * every user ever seen.
     */
   def tokenBucketStream(events: Dataset[Event], capacity: Int = 5,
                         refillPerSec: Int = 2, cost: Int = 1,
@@ -809,30 +819,43 @@ object StreamOps {
     import spark.implicits._
     val cMicro = capacity * 1000000L
     val costMicro = cost * 1000000L
+    // µs of silence after which the bucket is provably full again
+    // (ceil so integer refill never lands one µtok short of capacity)
+    val fullRefillUs = (cMicro + refillPerSec - 1) / refillPerSec
     events
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", watermark)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[BucketState, Admission](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[Event],
          state: GroupState[BucketState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[Admission]
-          var st = state.getOption.orNull
-          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            val dt = if (st == null) 0L
-              else math.max(0L, e.ts_us - st.lastTsUs)
-            val level = if (st == null) cMicro
-              else math.min(cMicro, st.levelMicro + dt * refillPerSec)
-            val admitted = level >= costMicro
-            val after = if (admitted) level - costMicro else level
-            out += Admission(user, e.event_id, e.ts_us, admitted, after)
-            st = BucketState(after,
-              if (st == null) e.ts_us else math.max(st.lastTsUs, e.ts_us))
+          if (state.hasTimedOut) {
+            // bucket fully refilled during the silence: dropping the state
+            // is bit-equal to keeping it (next event re-inits to full)
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Admission]
+            var st = state.getOption.orNull
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val dt = if (st == null) 0L
+                else math.max(0L, e.ts_us - st.lastTsUs)
+              val level = if (st == null) cMicro
+                else math.min(cMicro, st.levelMicro + dt * refillPerSec)
+              val admitted = level >= costMicro
+              val after = if (admitted) level - costMicro else level
+              out += Admission(user, e.event_id, e.ts_us, admitted, after)
+              st = BucketState(after,
+                if (st == null) e.ts_us else math.max(st.lastTsUs, e.ts_us))
+            }
+            if (st != null) {
+              state.update(st)
+              setIdleTimeout(state, (st.lastTsUs + fullRefillUs) / 1000 + 1)
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 }

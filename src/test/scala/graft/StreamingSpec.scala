@@ -876,4 +876,48 @@ class StreamingSpec extends SparkSuite {
       evs.slice(4, 7) ++ evs.drop(10)), "tbsplit")
     assert(split == expected, "in-order split must be bit-equal to batch")
   }
+
+  test("token-bucket twin: state expiry after full refill is bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val Hour = 3600L * 1000000
+    // user 7 drains the bucket at T0, goes silent for hours (state expires
+    // once the watermark passes lastTs + full-refill = 2.5 s), then returns
+    // at T0+3h; user 9's far-future event advances the watermark past the
+    // timeout in between. Batch replay clamps the refill at capacity, so
+    // expiry-and-reinit must produce the identical admission row.
+    val early = (1 to 6).map(i => Event(i.toLong, T0, 7, "view", 0.0))
+    val mover = Seq(Event(90, T0 + 2 * Hour, 9, "view", 0.0))
+    val ret = Seq(Event(7, T0 + 3 * Hour, 7, "view", 0.0))
+    val all = early ++ mover ++ ret
+    val batchDf = all.toDF()
+      .select(col("event_id"), (col("ts_us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.ext.Serving.tokenBucket(batchDf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      .map((b: (Long, Long, Long, Long, Long, Long)) =>
+        (b._1, b._2, b._3, b._5))
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.tokenBucketStream(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tbexpiry").start()
+    try {
+      src.addData(early: _*); q.processAllAvailable()
+      src.addData(mover: _*); q.processAllAvailable()
+      // an empty-progress cycle so the timeout fires on the new watermark
+      q.processAllAvailable()
+      src.addData(ret: _*); q.processAllAvailable()
+      val streamed = spark.table("tbexpiry")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("adm"),
+          max(struct(col("ts_us"), col("event_id"), col("level_micro")))
+            .as("last"))
+        .select(col("user_id"), col("n"), col("adm"),
+          col("last.level_micro"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "expiry + re-init must be bit-equal to the batch replay")
+    } finally q.stop()
+  }
 }
