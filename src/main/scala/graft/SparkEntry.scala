@@ -1324,7 +1324,18 @@ object SparkEntry {
     // exact cross-rate evidence summed per doc, rolled up per source
     "q251_freq_ratio_select" -> ((s: SparkSession, d: String) =>
       ext.TextStats.freqRatioScore(Tables.documents(s, d), col("text"),
-        col("lang") === "en"))
+        col("lang") === "en")),
+    // perceptual (dHash) near-dup pairs over the deterministic text
+    // raster (first 72 chars as a 9×8 luma grid — the q27/q232
+    // text-bytes-as-media envelope): band-LSH prune → exact Hamming ≤ 16.
+    // Fixture keeps both branches live at sf0.01: 24 exact pairs
+    // (hamming 0, shared 72-char prefixes) + 3 near pairs (14–16)
+    "q252_dhash_neardup" -> ((s: SparkSession, d: String) =>
+      Dedup.dhashNearDups(Tables.documents(s, d), maxDist = 16)),
+    // dHash near-dup clusters: the q245 CC + histogram readout over the
+    // perceptual pair graph (image-corpus twin of text nearDupClusters)
+    "q253_dhash_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.dhashClusters(Tables.documents(s, d), maxDist = 16))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -8270,6 +8281,84 @@ object SparkEntry {
         |  CAST(sum(score) AS BIGINT) AS sum_score,
         |  CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS mean_score
-        |FROM ds GROUP BY 1""".stripMargin
+        |FROM ds GROUP BY 1""".stripMargin,
+
+    // dHash over the 9×8 text raster: bit (r,c) = luma(r,c) < luma(r,c+1),
+    // kept as four 16-bit bands; band-equality join → exact Hamming ≤ 16
+    "q252_dhash_neardup" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 72),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS px
+        |  FROM documents WHERE n_chars >= 72),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band, CAST(
+        |    (SELECT sum(CASE WHEN px[CAST(r*9+c+1 AS BIGINT)]
+        |                        < px[CAST(r*9+c+2 AS BIGINT)]
+        |       THEN CAST(1 AS BIGINT) << CAST((r % 2) * 8 + c AS INT)
+        |       ELSE 0 END)
+        |     FROM (SELECT unnest(generate_series(0, 7)) c) cs,
+        |          (SELECT b.b * 2 AS r UNION ALL SELECT b.b * 2 + 1) rs)
+        |    AS BIGINT) AS v
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) b) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST((SELECT sum(bit_count(xor(xa.v, ya.v)))
+        |      FROM bands xa JOIN bands ya ON xa.band = ya.band
+        |      WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 16""".stripMargin,
+
+    "q253_dhash_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 72),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS px
+        |  FROM documents WHERE n_chars >= 72),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band, CAST(
+        |    (SELECT sum(CASE WHEN px[CAST(r*9+c+1 AS BIGINT)]
+        |                        < px[CAST(r*9+c+2 AS BIGINT)]
+        |       THEN CAST(1 AS BIGINT) << CAST((r % 2) * 8 + c AS INT)
+        |       ELSE 0 END)
+        |     FROM (SELECT unnest(generate_series(0, 7)) c) cs,
+        |          (SELECT b.b * 2 AS r UNION ALL SELECT b.b * 2 + 1) rs)
+        |    AS BIGINT) AS v
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) b) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  WHERE (SELECT sum(bit_count(xor(xa.v, ya.v)))
+        |    FROM bands xa JOIN bands ya ON xa.band = ya.band
+        |    WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b) <= 16),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS node, r.comp FROM edges e
+        |  JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |assign AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+        |  FROM (SELECT doc_id FROM documents WHERE n_chars >= 72) d
+        |  LEFT JOIN comp c ON c.node = d.doc_id),
+        |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM assign GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
+        |FROM cs GROUP BY 1""".stripMargin
   )
 }

@@ -335,6 +335,110 @@ object Dedup {
     agg.select(col("doc_id"), col("n_shingles"), hash.as("simhash"))
   }
 
+  // ---- perceptual (image) difference-hash near-dup -----------------------
+
+  /** dHash raster geometry: a 9-wide × 8-tall luma grid gives 8 horizontal
+    * gradient comparisons per row = 64 bits (Krawetz's difference hash,
+    * public literature). The 64 bits are kept as FOUR 16-bit band values
+    * (rows 2b,2b+1 → band b): bands are simultaneously the LSH join key
+    * (pigeonhole: two hashes within Hamming 3 share at least one of 4
+    * bands verbatim) and sign-safe BIGINTs on both engines — a single
+    * 64-bit scalar would put bit 63 in the sign and make div/mod banding
+    * engine-dependent.
+    */
+  private val DhashW = 9
+  private val DhashH = 8
+  val DhashBands = 4
+
+  /** Per-document dHash bands over the DETERMINISTIC text raster: the
+    * first 72 chars of `text` read as a 9×8 luma grid (row-major, one
+    * char per cell — the same text-bytes-as-media envelope as
+    * q27/q232), bit (r,c) = 1 iff luma(r,c) < luma(r,c+1). Docs shorter
+    * than one full raster are excluded (a real image always has a full
+    * raster; a short doc's zero-padded tail rows would all collide on
+    * band value 0 and quadratically flood the band join with junk
+    * candidates). ASCII envelope as q27: `ascii` reads codepoints, the
+    * engine-side bytes are UTF-8 — identical only for ASCII text, which
+    * the fixture is.
+    *
+    * The REAL-image sibling is [[Multimodal.imageDHash]] (ImageIO decode,
+    * area-averaged grid — not oracle-expressible, spec-covered); this
+    * text-raster form makes the exact SAME banding/join/cluster pipeline
+    * DuckDB-checkable end to end.
+    *
+    * @return doc_id, b0..b3 (each a 16-bit value in a BIGINT)
+    */
+  def dhashTextBands(docs: DataFrame): DataFrame = {
+    def px(i: Int): Column = ascii(substring(col("text"), i, 1)).cast("long")
+    val bandCols = (0 until DhashBands).map { b =>
+      (for (r <- Seq(2 * b, 2 * b + 1); c <- 0 until DhashW - 1) yield
+        when(px(r * DhashW + c + 1) < px(r * DhashW + c + 2),
+          lit(1L << ((r % 2) * (DhashW - 1) + c))).otherwise(lit(0L))
+      ).reduce(_ + _).as(s"b$b")
+    }
+    docs.filter(col("n_chars") >= DhashW * DhashH)
+      .select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** Perceptual near-dup pairs by dHash: band-equality LSH join (never
+    * all-pairs — the same banding discipline as [[minhashLshCandidates]])
+    * prunes to candidates, then the exact 64-bit Hamming distance over
+    * the four bands keeps pairs ≤ `maxDist`. Exact duplicates land at
+    * distance 0; near-duplicates (small edits, crops of the raster
+    * prefix) land low; unrelated docs that collide on one band are cut
+    * by the exact verify — the canonical LSH prune → exact verify shape.
+    *
+    * Scale: the join keys on (band, 16-bit value); hot values (e.g. a
+    * constant-gradient band) bound candidates per bucket, and AQE
+    * skew-split applies because it is a plain equi-join. Hamming is 4
+    * codegen'd XOR+popcount ops per candidate.
+    *
+    * @return (doc_a < doc_b, hamming) for pairs with hamming ≤ maxDist
+    */
+  def dhashNearDups(docs: DataFrame, maxDist: Int = 16): DataFrame = {
+    val hash = dhashTextBands(docs)
+    val banded = hash.select(col("doc_id"),
+      posexplode(array((0 until DhashBands).map(b => col(s"b$b")): _*))
+        .as(Seq("band", "v")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ha = hash.toDF("doc_a" +: (0 until DhashBands).map(b => s"a$b"): _*)
+    val hb = hash.toDF("doc_b" +: (0 until DhashBands).map(b => s"c$b"): _*)
+    cands.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("hamming",
+        (0 until DhashBands)
+          .map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"c$b"))))
+          .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Perceptual near-dup CLUSTER readout: [[dhashNearDups]] pairs closed
+    * into connected components, rolled up as a cluster-size histogram
+    * with keep-one removal mass — the image-corpus twin of
+    * [[nearDupClusters]] (same CC closure, same histogram contract:
+    * Σ n_docs = all docs with a full raster).
+    */
+  def dhashClusters(docs: DataFrame, maxDist: Int = 16): DataFrame = {
+    val pairs = dhashNearDups(docs, maxDist).select(col("doc_a"), col("doc_b"))
+    val comp = Components.connectedComponents(pairs)
+    val assign = docs.filter(col("n_chars") >= DhashW * DhashH)
+      .select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("comp"))
+    assign.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
+  }
+
   /** The dedup END PRODUCT: a doc → keeper mapping over the near-dup graph.
     * Connected components group transitive near-dups; within each group the
     * KEEPER is the highest-quality member (here: longest text, ties to the

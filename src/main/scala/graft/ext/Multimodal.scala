@@ -397,4 +397,91 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"), col("total_energy"),
         col("n_active"), col("active_ppm"), col("longest_run"))
   }
+
+  /** 64-bit difference hash (dHash, Krawetz — public literature) of a REAL
+    * decoded raster: area-average the image onto a 9×8 luma grid, then bit
+    * (r,c) = 1 iff cell(r,c) is darker than cell(r,c+1) — 8 gradient signs
+    * per row × 8 rows. Robust to uniform rescaling by construction (the
+    * grid averages whatever pixel mass falls in each cell), which is the
+    * perceptual property: a resized copy hashes identically, a lightly
+    * edited copy differs in a few bits (MultimodalSpec proves both).
+    *
+    * Exactness: luma is the integer 299/587/114 millesimal weighting (the
+    * same kernel as [[imageIoDecode]]); cell means are never divided —
+    * `mean(a) < mean(b)` compares as `sumA·cntB < sumB·cntA`, exact in
+    * Long through ~500-megapixel cells (Σluma ≤ 255000·px; the cross
+    * product stays under 2⁶³ while px·cnt ≤ 3.6e13 — any sane raster).
+    *
+    * Returned as FOUR 16-bit band values (rows 2b,2b+1 → band b) — the
+    * Hamming-LSH join key shape shared with [[Dedup.dhashTextBands]]
+    * (whose scaladoc explains the band representation choice).
+    */
+  def dhashBands(img: java.awt.image.BufferedImage): Array[Long] = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    val rgb = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rgb, 0, w)
+      val r = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = (x.toLong * gw / w).toInt
+        val p = rgb(x)
+        sums(r)(c) += ((p >> 16 & 0xff) * 299 + (p >> 8 & 0xff) * 587 +
+          (p & 0xff) * 114).toLong
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(4) { b =>
+      var v = 0L
+      var rr = 0
+      while (rr < 2) {
+        val r = 2 * b + rr
+        var c = 0
+        while (c < gw - 1) {
+          if (sums(r)(c) * cnts(r)(c + 1) < sums(r)(c + 1) * cnts(r)(c))
+            v |= 1L << (rr * (gw - 1) + c)
+          c += 1
+        }
+        rr += 1
+      }
+      v
+    }
+  }
+
+  /** Perceptual hash over binary media rows: ImageIO decode (PNG/JPEG/GIF
+    * via the JDK, same codec seam as [[imageIoDecode]]) → [[dhashBands]],
+    * batch-shaped in `mapPartitions`. Rasters smaller than the 9×8 grid or
+    * undecodable bytes return ok=false with zero bands (the F8
+    * unreadable-drop filter shape, never a task failure). Feed the bands
+    * into [[Dedup.dhashNearDups]]'s band join for image near-dup at scale;
+    * the oracle-checkable twin over the text raster is
+    * [[Dedup.dhashTextBands]].
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            (id, false, 0L, 0L, 0L, 0L)
+          else {
+            val b = dhashBands(img)
+            (id, true, b(0), b(1), b(2), b(3))
+          }
+        }
+      }
+      .toDF("media_id", "ok", "b0", "b1", "b2", "b3")
+  }
 }

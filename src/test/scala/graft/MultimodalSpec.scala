@@ -160,4 +160,77 @@ class MultimodalSpec extends SparkSuite {
       .select("frame_no", "byte_offset").as[(Int, Long)].collect().toSeq
     assert(r == Seq((0, 0L), (1, 25L), (2, 50L), (3, 75L)))
   }
+
+  // ---- perceptual dHash over real decoded rasters ----
+
+  /** Patterned PNG: pixel (x,y) colored by `f` — deterministic, no RNG. */
+  private def pngPattern(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0; while (x < w) { img.setRGB(x, y, f(x, y)); x += 1 }; y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // deterministic texture: enough luma variation that every gradient
+  // comparison is decided, never flat-tied
+  private def texel(x: Int, y: Int): Int = {
+    val v = ((x * 73 + y * 151 + (x * y) % 37) * 0x9e3779b9).abs % 256
+    (v << 16) | (v << 8) | v
+  }
+
+  test("imageDHash: resized copy hashes identically, perturbed copy is near") {
+    val base = pngPattern(18, 16)(texel)
+    // 3× nearest-neighbor upscale: the area-averaged 9×8 grid sees the
+    // same cell means, so the perceptual hash must be IDENTICAL
+    val scaled = pngPattern(54, 48)((x, y) => texel(x / 3, y / 3))
+    // one pixel touched: at most the two comparisons adjacent to its
+    // grid cell can flip → Hamming ≤ 2 by construction
+    val tweaked = pngPattern(18, 16)((x, y) =>
+      if (x == 9 && y == 7) 0xffffff else texel(x, y))
+    // left-right mirror reverses every decided gradient sign → far away
+    val mirrored = pngPattern(18, 16)((x, y) => texel(17 - x, y))
+    val rows = Seq(
+      (1L, base), (2L, scaled), (3L, tweaked), (4L, mirrored),
+      (5L, pngBytes(4, 4, 0x102030)),          // raster smaller than grid
+      (6L, Array[Byte](1, 2, 3)))              // undecodable
+      .toDF("media_id", "content")
+    val r = Multimodal.imageDHash(rows)
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert((1L to 4L).forall(r(_)._2), "real rasters must decode ok")
+    assert(!r(5L)._2 && !r(6L)._2, "small/undecodable → ok=false")
+    def bands(t: (Long, Boolean, Long, Long, Long, Long)) =
+      Seq(t._3, t._4, t._5, t._6)
+    def ham(a: Long, b: Long) =
+      bands(r(a)).zip(bands(r(b)))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(1L, 2L) == 0, "3x upscale must hash identically")
+    assert(ham(1L, 3L) <= 2, "one-pixel edit flips at most 2 bits")
+    assert(ham(1L, 4L) >= 32, "mirror must be far in Hamming space")
+    // bands are 16-bit values
+    assert(bands(r(1L)).forall(b => b >= 0 && b <= 0xffffL))
+  }
+
+  test("imageDHash bands feed the Dedup band join (exact copy pairs at 0)") {
+    val a = pngPattern(27, 24)(texel)
+    val rows = Seq((10L, a), (11L, a),
+      (12L, pngPattern(27, 24)((x, y) => texel(x, y + 5))))
+      .toDF("media_id", "content")
+    val hash = Multimodal.imageDHash(rows).filter(col("ok"))
+    val banded = hash.select(col("media_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "v")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id"), col("y.media_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((10L, 11L)),
+      "byte-identical images must band-join (hamming 0)")
+  }
 }

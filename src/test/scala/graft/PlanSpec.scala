@@ -370,4 +370,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("rangepartitioning"),
       s"vocab must not be globally range-sorted:\n$p")
   }
+
+  test("q251 freq-ratio: occ⋈vocab is a token equi-join; totals broadcast; no product") {
+    // the hot-token ('the') partition of this shuffle join is the scale
+    // watch item — AQE skew-split handles it at runtime (measured 3.24×
+    // wall at 10× data, BENCH_scale_r13.json); the plan-shape contract
+    // here is that the join stays an equi-join on tok and the 1-row
+    // totals side is broadcast, so AQE CAN split the hot partition
+    // (a cartesian or nested-loop form would take that away)
+    val p = plan(SparkEntry.queries("q251_freq_ratio_select")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"freq-ratio degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row totals must broadcast:\n$p")
+    assert("""\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findFirstIn(p).isDefined,
+      s"occ⋈vocab must be an equi-join on tok:\n$p")
+  }
 }

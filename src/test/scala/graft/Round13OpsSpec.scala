@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 perceptual-dedup wave: dHash over the deterministic text
+  * raster (oracle-checkable twin of the real-image path in
+  * MultimodalSpec). Fixtures are closed-form — expected band values are
+  * recomputed by an independent in-test loop, not by trusting the
+  * operator (the fimSplit lesson).
+  */
+class Round13OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Independent reference dHash over the first-72-chars text raster. */
+  private def refBands(text: String): Seq[Long] = {
+    def px(i: Int): Long = text.charAt(i).toLong // 0-indexed
+    (0 until 4).map { b =>
+      (for (rr <- 0 until 2; c <- 0 until 8) yield {
+        val r = 2 * b + rr
+        if (px(r * 9 + c) < px(r * 9 + c + 1)) 1L << (rr * 8 + c) else 0L
+      }).sum
+    }
+  }
+
+  private def doc(id: Long, text: String) =
+    (id, text, "en", "web", text.length.toLong)
+
+  // a 72-char texture with every adjacent comparison decided
+  private val baseText: String =
+    (0 until 72).map(i => (33 + (i * 53 + (i * i) % 41) % 90).toChar).mkString
+
+  test("dhashTextBands matches an independent per-char recompute; short docs excluded") {
+    val mono = "z" * 72 // flat raster: no strict gradient anywhere → bands 0
+    val docs = Seq(doc(1, baseText), doc(2, mono), doc(3, "short"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = ext.Dedup.dhashTextBands(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> Seq(t._2, t._3, t._4, t._5)).toMap
+    assert(r.keySet == Set(1L, 2L), "docs under one full raster are excluded")
+    assert(r(1L) == refBands(baseText))
+    assert(r(2L) == Seq(0L, 0L, 0L, 0L))
+    assert(r(1L).forall(b => b >= 0 && b <= 0xffffL), "bands are 16-bit")
+  }
+
+  private def refHam(a: String, b: String): Long =
+    refBands(a).zip(refBands(b))
+      .map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+
+  test("dhashNearDups: exact copy at 0, one-char edit near, mirror absent") {
+    // one char changed mid-raster: only the two comparisons adjacent to
+    // that cell can flip → hamming ≤ 2; the replacement char is chosen
+    // (by the independent reference hash) to actually break a decided
+    // comparison, so the near branch is provably live
+    val edited = (33 to 122).map(c => baseText.updated(40, c.toChar))
+      .find(t => refHam(baseText, t) >= 1 && refHam(baseText, t) <= 2).get
+    val mirrored = baseText.grouped(9).map(_.reverse).mkString
+    val docs = Seq(doc(1, baseText), doc(2, baseText), doc(3, edited),
+      doc(4, mirrored))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = ext.Dedup.dhashNearDups(docs, maxDist = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0L, "exact copy must be hamming 0")
+    assert(pairs((1L, 3L)) >= 1L && pairs((1L, 3L)) <= 2L,
+      s"one-char edit must be 1-2 bits, got ${pairs((1L, 3L))}")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 1L)),
+      "row-mirrored raster must not pass the distance gate")
+    // the candidate set itself is banded, never all-pairs: doc 4 flips
+    // every decided bit, so it can only appear via a chance band collision
+  }
+
+  test("dhashClusters histogram covers every full-raster doc exactly once") {
+    val edited = baseText.updated(40, '~')
+    val far = baseText.grouped(9).map(_.reverse).mkString
+    val docs = Seq(doc(1, baseText), doc(2, baseText), doc(3, edited),
+      doc(4, far), doc(5, "tiny"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hist = ext.Dedup.dhashClusters(docs, maxDist = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // {1,2,3} one cluster of 3; {4} singleton; 5 excluded (short)
+    assert(hist == Set((3L, 1L, 3L, 2L), (1L, 1L, 1L, 0L)))
+    assert(hist.toSeq.map(_._3).sum == 4L, "Σ n_docs = full-raster docs")
+  }
+
+  test("q252 plan: band join is an equi-join, never a product") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = SparkEntry.queries("q252_dhash_neardup")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dHash candidates must come from the band equi-join:\n$p")
+  }
+}
