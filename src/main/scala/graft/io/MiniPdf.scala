@@ -30,7 +30,13 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * indexed-palette), PLUS text-operator pages (round 11): [[TextPage]]
   * writes a real standard-font `Tj` content stream, [[extractPageText]]
   * reads it back, and the renderer produces a defined, deterministic
-  * metrics-free raster ([[renderTextPage]]) instead of an envelope miss.
+  * metrics-free raster ([[renderTextPage]]) instead of an envelope miss,
+  * PLUS vector-path pages (round 13): [[PathPage]] writes a real
+  * `m l h re f f* S rg RG` content stream, [[extractPagePathOps]] reads
+  * it back, and [[renderPathPage]] rasterizes it with an own scanline
+  * fill (both winding rules) + Bresenham strokes — deterministic across
+  * JVMs, no Java2D rasterizer. Curves/clipping/transforms remain outside
+  * the envelope and fail loudly rather than paint a wrong page.
   * Object dictionaries are uncompressed (the image streams themselves are
   * compressed). A full engine (pdfbox-class) would replace this object
   * behind the same [[PdfPages.Renderer]] seam.
@@ -96,6 +102,51 @@ object MiniPdf {
       "TextPage lines must be printable ASCII")
   }
 
+  /** Vector path operators (PDF 1.4 §4.4 subset) for [[PathPage]]:
+    * path construction `m`/`l`/`h`/`re` and painting `f` (nonzero fill),
+    * `f*` (even-odd fill), `S` (1-px stroke), with `rg`/`RG` color state.
+    * Integer coordinates in page user space (origin bottom-left, y-up).
+    */
+  sealed trait PathOp
+  final case class MoveTo(x: Int, y: Int) extends PathOp
+  final case class LineTo(x: Int, y: Int) extends PathOp
+  case object ClosePath extends PathOp
+  final case class Rect(x: Int, y: Int, rw: Int, rh: Int) extends PathOp
+  final case class FillColor(rgb: Int) extends PathOp
+  final case class StrokeColor(rgb: Int) extends PathOp
+  case object Fill extends PathOp          // f  (nonzero winding)
+  case object FillEvenOdd extends PathOp   // f* (even-odd)
+  case object Stroke extends PathOp        // S
+
+  /** A VECTOR-path page (round 13, the last S7 notch): `ops` become a
+    * genuine PDF path content stream (`m l h re f f* S rg RG`) any
+    * conforming viewer paints, and [[renderPathPage]] rasterizes it
+    * deterministically — an own scanline fill (both PDF winding rules)
+    * plus Bresenham strokes, no Java2D rasterizer, so the pixels are
+    * bit-identical across JVMs the same way [[renderTextPage]]'s glyph
+    * stipples are. Curves (`c v y`), clipping (`W`) and general graphics
+    * state stay out of the envelope and fail loudly in the renderer.
+    */
+  final case class PathPage(ops: Seq[PathOp], w: Int = 612, h: Int = 792)
+    extends PageImage {
+    require(w > 0 && h > 0, s"non-positive page dims ${w}x$h")
+  }
+
+  private[graft] def pathOpsToStream(ops: Seq[PathOp]): String =
+    ops.map {
+      case MoveTo(x, y) => s"$x $y m"
+      case LineTo(x, y) => s"$x $y l"
+      case ClosePath => "h"
+      case Rect(x, y, rw, rh) => s"$x $y $rw $rh re"
+      case FillColor(c) => f"${(c >> 16 & 0xff) / 255.0}%.4f " +
+        f"${(c >> 8 & 0xff) / 255.0}%.4f ${(c & 0xff) / 255.0}%.4f rg"
+      case StrokeColor(c) => f"${(c >> 16 & 0xff) / 255.0}%.4f " +
+        f"${(c >> 8 & 0xff) / 255.0}%.4f ${(c & 0xff) / 255.0}%.4f RG"
+      case Fill => "f"
+      case FillEvenOdd => "f*"
+      case Stroke => "S"
+    }.mkString(" ")
+
   /** Build a real one-image-per-page PDF from per-page JPEG bytes
     * (width/height must match the encoded images).
     */
@@ -141,6 +192,20 @@ object MiniPdf {
           emit(s"$cObj 0 obj\n<< /Length ${body.length} >>\nstream\n" +
             s"$body\nendstream\nendobj\n")
 
+        case PathPage(pops, _, _) =>
+          // 3-object numbering kept; the middle object is a placeholder
+          // (an empty-dict object) so page/content numbering stays uniform
+          beginObj()
+          emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 $w $h] /Resources << >> " +
+            s"/Contents $cObj 0 R >>\nendobj\n")
+          beginObj()
+          emit(s"$iObj 0 obj\n<< >>\nendobj\n")
+          val body = pathOpsToStream(pops)
+          beginObj()
+          emit(s"$cObj 0 obj\n<< /Length ${body.length} >>\nstream\n" +
+            s"$body\nendstream\nendobj\n")
+
         case img0 =>
           // colorSpace is the complete PDF value: a name for the device
           // spaces, the 4-element array form for /Indexed (lookup emitted
@@ -156,7 +221,7 @@ object MiniPdf {
               ("FlateDecode",
                 s"[/Indexed /DeviceRGB ${palette.length / 3 - 1} <$hex>]",
                 deflate(idx))
-            case _: TextPage => sys.error("unreachable")
+            case _: TextPage | _: PathPage => sys.error("unreachable")
           }
           beginObj()
           emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
@@ -357,13 +422,21 @@ object MiniPdf {
     */
   def pdfImageRenderer: PdfPages.Renderer = (_, page, pdfBytes) => {
     val (_, pageDict) = pageDictOf(pdfBytes, page)
+    def mediaBox: (Int, Int) = {
+      val mb = """/MediaBox\s*\[\s*0\s+0\s+(\d+)\s+(\d+)\s*\]""".r
+        .findFirstMatchIn(pageDict).getOrElse(sys.error("no /MediaBox"))
+      (mb.group(1).toInt, mb.group(2).toInt)
+    }
     if (!pageDict.contains("/XObject") && pageDict.contains("/Font")) {
       // text-operator page: extract + metrics-free raster (see
       // [[renderTextPage]]) — a defined result instead of an envelope miss
-      val mb = """/MediaBox\s*\[\s*0\s+0\s+(\d+)\s+(\d+)\s*\]""".r
-        .findFirstMatchIn(pageDict).getOrElse(sys.error("no /MediaBox"))
-      renderTextPage(extractPageText(pdfBytes, page),
-        mb.group(1).toInt, mb.group(2).toInt)
+      val (w, h) = mediaBox
+      renderTextPage(extractPageText(pdfBytes, page), w, h)
+    } else if (!pageDict.contains("/XObject")) {
+      // vector-path page (round 13, the last S7 notch): parse the
+      // m/l/h/re/f/f*/S/rg/RG content stream and scanline-rasterize it
+      val (w, h) = mediaBox
+      renderPathPage(extractPagePathOps(pdfBytes, page), w, h)
     } else renderImagePage(page, pageXObject(pdfBytes, page))
   }
 
@@ -500,6 +573,190 @@ object MiniPdf {
           }
         }
       }
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The path operators of a 1-based [[PathPage]]'s content stream, parsed
+    * back into the [[PathOp]] ADT — the vector-content analog of
+    * [[extractPageText]]. Fails loudly on any operator outside the
+    * `m l h re f f* S rg RG` envelope (curves, clipping, transforms): a page
+    * drawn with those has no defined raster here, and silently skipping an
+    * operator would paint a WRONG page, which is worse than no page.
+    */
+  def extractPagePathOps(pdf: Array[Byte], page: Int): Seq[PathOp] = {
+    val (offs, pageDict) = pageDictOf(pdf, page)
+    val (_, data) = objStream(pdf, offs, ref(pageDict, "/Contents"))
+    parsePathOps(new String(data, US_ASCII))
+  }
+
+  private[graft] def parsePathOps(body: String): Seq[PathOp] = {
+    val out = scala.collection.mutable.ArrayBuffer[PathOp]()
+    val stack = scala.collection.mutable.ArrayBuffer[Double]()
+    def popN(n: Int, op: String): Seq[Double] = {
+      require(stack.size >= n, s"path op '$op' needs $n operands, " +
+        s"stack has ${stack.size}")
+      val args = stack.takeRight(n).toSeq
+      stack.remove(stack.size - n, n)
+      args
+    }
+    def popColor(op: String): Int = {
+      val Seq(r, g, b) = popN(3, op)
+      require(Seq(r, g, b).forall(v => v >= 0 && v <= 1),
+        s"$op components must be in [0,1]")
+      (math.round(r * 255).toInt << 16) | (math.round(g * 255).toInt << 8) |
+        math.round(b * 255).toInt
+    }
+    body.split("\\s+").filter(_.nonEmpty).foreach {
+      case t if t.matches("[-+]?[0-9]*\\.?[0-9]+") => stack += t.toDouble
+      case "m" => val Seq(x, y) = popN(2, "m")
+        out += MoveTo(x.toInt, y.toInt)
+      case "l" => val Seq(x, y) = popN(2, "l")
+        out += LineTo(x.toInt, y.toInt)
+      case "h" => out += ClosePath
+      case "re" => val Seq(x, y, rw, rh) = popN(4, "re")
+        out += Rect(x.toInt, y.toInt, rw.toInt, rh.toInt)
+      case "rg" => out += FillColor(popColor("rg"))
+      case "RG" => out += StrokeColor(popColor("RG"))
+      case "f" => out += Fill
+      case "f*" => out += FillEvenOdd
+      case "S" => out += Stroke
+      case other => sys.error(s"path-page operator '$other' outside the " +
+        "m/l/h/re/f/f*/S/rg/RG envelope — no defined raster")
+    }
+    require(stack.isEmpty, s"dangling operands ${stack.mkString(",")}")
+    out.toSeq
+  }
+
+  /** Deterministic raster of a vector-path page (PNG bytes): an OWN
+    * scanline polygon fill — both PDF winding rules, sampled at pixel
+    * centers (user y = h − py − 0.5), subpaths implicitly closed on fill
+    * per spec — plus 1-px Bresenham strokes, on a white page. No Java2D
+    * rasterizer is involved, so output is bit-identical across JVMs
+    * (the same determinism contract as [[renderTextPage]]; Marlin's
+    * coverage rounding is JVM-version-dependent, this isn't).
+    */
+  private[graft] def renderPathPage(ops: Seq[PathOp], w: Int,
+                                    h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(java.awt.Color.WHITE); g2.fillRect(0, 0, w, h); g2.dispose()
+
+    // current path: subpaths as point lists (user space), explicit-closed flag
+    val subpaths = scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[(Double, Double)], Boolean)]()
+    var open: scala.collection.mutable.ArrayBuffer[(Double, Double)] = null
+    var fillRgb = 0x000000
+    var strokeRgb = 0x000000
+    def flushOpen(closed: Boolean): Unit = {
+      if (open != null && open.nonEmpty) subpaths += ((open, closed))
+      open = null
+    }
+    def clearPath(): Unit = { flushOpen(false); subpaths.clear() }
+
+    def fill(evenOdd: Boolean): Unit = {
+      flushOpen(false)
+      val polys = subpaths.map(_._1).filter(_.size >= 3)
+      var py = 0
+      while (py < h) {
+        val sy = h - py - 0.5 // scanline in user space, pixel-center sample
+        val xs = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
+        polys.foreach { pts =>
+          var i = 0
+          val n = pts.size
+          while (i < n) {
+            val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % n)
+            // half-open [min, max) span: a vertex shared by two edges
+            // crosses exactly once, the standard crossing discipline
+            if (y1 < y2 && sy >= y1 && sy < y2)
+              xs += ((x1 + (sy - y1) * (x2 - x1) / (y2 - y1), 1))
+            else if (y2 < y1 && sy >= y2 && sy < y1)
+              xs += ((x1 + (sy - y1) * (x2 - x1) / (y2 - y1), -1))
+            i += 1
+          }
+        }
+        if (xs.nonEmpty) {
+          val sorted = xs.sortBy(_._1)
+          var acc = 0
+          var i = 0
+          while (i < sorted.size - 1) {
+            acc += sorted(i)._2
+            val inside = if (evenOdd) ((i + 1) % 2) == 1 else acc != 0
+            if (inside) {
+              val xa = sorted(i)._1; val xb = sorted(i + 1)._1
+              // pixels whose center x = px+0.5 lies in [xa, xb)
+              var px = math.max(0, math.ceil(xa - 0.5).toInt)
+              val pxEnd = math.min(w - 1, math.ceil(xb - 0.5).toInt - 1)
+              while (px <= pxEnd) { img.setRGB(px, py, fillRgb); px += 1 }
+            }
+            i += 1
+          }
+        }
+        py += 1
+      }
+      clearPath()
+    }
+
+    def stroke(): Unit = {
+      flushOpen(false)
+      def plot(x: Int, y: Int): Unit = {
+        val py = h - 1 - y
+        if (x >= 0 && x < w && py >= 0 && py < h)
+          img.setRGB(x, py, strokeRgb)
+      }
+      def line(x0: Int, y0: Int, x1: Int, y1: Int): Unit = {
+        // integer Bresenham — exact, no float accumulation
+        var (x, y) = (x0, y0)
+        val dx = math.abs(x1 - x0); val sx = if (x0 < x1) 1 else -1
+        val dy = -math.abs(y1 - y0); val sy = if (y0 < y1) 1 else -1
+        var err = dx + dy
+        var continue = true
+        while (continue) {
+          plot(x, y)
+          if (x == x1 && y == y1) continue = false
+          else {
+            val e2 = 2 * err
+            if (e2 >= dy) { err += dy; x += sx }
+            if (e2 <= dx) { err += dx; y += sy }
+          }
+        }
+      }
+      subpaths.foreach { case (pts, closed) =>
+        var i = 0
+        while (i < pts.size - 1) {
+          line(pts(i)._1.toInt, pts(i)._2.toInt,
+            pts(i + 1)._1.toInt, pts(i + 1)._2.toInt)
+          i += 1
+        }
+        if (closed && pts.size >= 2)
+          line(pts.last._1.toInt, pts.last._2.toInt,
+            pts.head._1.toInt, pts.head._2.toInt)
+      }
+      clearPath()
+    }
+
+    ops.foreach {
+      case MoveTo(x, y) =>
+        flushOpen(false)
+        open = scala.collection.mutable.ArrayBuffer((x.toDouble, y.toDouble))
+      case LineTo(x, y) =>
+        require(open != null, "lineto with no current point")
+        open += ((x.toDouble, y.toDouble))
+      case ClosePath => flushOpen(closed = true)
+      case Rect(x, y, rw, rh) =>
+        flushOpen(false)
+        subpaths += ((scala.collection.mutable.ArrayBuffer(
+          (x.toDouble, y.toDouble), ((x + rw).toDouble, y.toDouble),
+          ((x + rw).toDouble, (y + rh).toDouble),
+          (x.toDouble, (y + rh).toDouble)), true))
+      case FillColor(c) => fillRgb = c
+      case StrokeColor(c) => strokeRgb = c
+      case Fill => fill(evenOdd = false)
+      case FillEvenOdd => fill(evenOdd = true)
+      case Stroke => stroke()
     }
     val out = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)

@@ -289,4 +289,76 @@ class PdfPagesSpec extends SparkSuite {
       assert(e.matches("""\d{10} \d{5} [nf] \n"""), s"malformed entry ${e.trim}")
     }
   }
+
+  test("MiniPdf PathPage: vector ops write, extract, and raster with exact pixel counts") {
+    import MiniPdf._
+    // red 20×10 rect at (30,40); blue right triangle (10,10)-(10,20)-(20,10)
+    // filled nonzero; green stroked diagonal
+    val ops = Seq(
+      FillColor(0xff0000), Rect(30, 40, 20, 10), Fill,
+      FillColor(0x0000ff), MoveTo(10, 10), LineTo(10, 20), LineTo(20, 10),
+      ClosePath, Fill,
+      StrokeColor(0x00ff00), MoveTo(60, 60), LineTo(69, 69), Stroke)
+    val pdf = writePages(Seq(
+      PathPage(ops, w = 100, h = 80),
+      DctPage(solidJpeg(0x336699, 40, 30), 40, 30)))
+    assert(pageCount(pdf) == 2)
+    // the ops round-trip through the real content stream
+    assert(extractPagePathOps(pdf, 1) == ops)
+    // and the page renders through the same Spark seam as every other kind
+    val pdfs = Seq(("vec.pdf", 2, pdf)).toDF("file_name", "n_pages", "content")
+    val rendered = PdfPages.renderPages(pdfs, col("n_pages"),
+      pdfImageRenderer).cache()
+    assert(rendered.count() == 2)
+    val png = rendered.filter(col("page") === 1)
+      .select("page_png").as[Array[Byte]].head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 100 && img.getHeight == 80)
+    def countColor(rgb: Int): Int =
+      (for (y <- 0 until 80; x <- 0 until 100
+            if (img.getRGB(x, y) & 0xffffff) == rgb) yield 1).sum
+    // pixel-center sampling makes the filled rect EXACTLY w×h pixels
+    assert(countColor(0xff0000) == 20 * 10, "rect must fill exactly 20x10")
+    // right triangle with legs 10: sum of covered centers = 10+9+...  the
+    // scanline at user y=k+0.5 spans x in [10, 20-(k+0.5)) → 9-k pixels
+    // for k=0..9 → 45
+    assert(countColor(0x0000ff) == 45, "triangle fill must cover 45 centers")
+    // Bresenham 45° diagonal: exactly 10 pixels
+    assert(countColor(0x00ff00) == 10, "diagonal stroke must be 10 px")
+    // rect position: user (30,40)-(50,50) → image rows 80-50=30..39, x 30..49
+    assert((img.getRGB(30, 30) & 0xffffff) == 0xff0000)
+    assert((img.getRGB(49, 39) & 0xffffff) == 0xff0000)
+    assert((img.getRGB(50, 39) & 0xffffff) == 0xffffff)
+    // deterministic: byte-identical re-render
+    assert(java.util.Arrays.equals(renderPathPage(ops, 100, 80),
+      renderPathPage(ops, 100, 80)))
+  }
+
+  test("MiniPdf PathPage: winding rules disagree exactly on the overlap") {
+    import MiniPdf._
+    // two same-direction overlapping rects in ONE path: nonzero fills the
+    // union; even-odd leaves the 5×5 intersection unpainted
+    val path = Seq(Rect(10, 10, 10, 10), Rect(15, 15, 10, 10))
+    val nz = renderPathPage(FillColor(0x000000) +: path :+ Fill, 40, 40)
+    val eo = renderPathPage(FillColor(0x000000) +: path :+ FillEvenOdd, 40, 40)
+    def blacks(png: Array[Byte]): Int = {
+      val i = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      (for (y <- 0 until 40; x <- 0 until 40
+            if (i.getRGB(x, y) & 0xffffff) == 0) yield 1).sum
+    }
+    assert(blacks(nz) == 175, "nonzero fills the union: 200 - 25 overlap")
+    assert(blacks(eo) == 150, "even-odd leaves the 25-px overlap white")
+  }
+
+  test("MiniPdf PathPage: outside-envelope operators fail loudly, never paint wrong") {
+    import MiniPdf._
+    // a curve operator has no defined raster here — the parse must throw,
+    // not skip (skipping would render a DIFFERENT page than a viewer shows)
+    val e = intercept[RuntimeException] {
+      parsePathOps("10 10 m 20 20 30 30 40 40 c f")
+    }
+    assert(e.getMessage.contains("envelope"))
+    val e2 = intercept[RuntimeException] { parsePathOps("1 2 3 zz") }
+    assert(e2.getMessage.contains("zz"))
+  }
 }
