@@ -858,4 +858,67 @@ object StreamOps {
           }
       }
   }
+
+  // NOT private: state encoder codegen needs public accessors
+  final case class PagerState(ctx: Long)
+  final case class PagerTurn(user_id: Long, event_id: Long, ts_us: Long,
+                             ctx: Long, pages: Long)
+
+  /** Streaming twin #16 of [[graft.ext.Serving.kvCachePager]]: the paged
+    * KV-cache accounting ONLINE — one `PagerTurn` row per event as the
+    * conversation grows, carrying the running context length and the
+    * page count `ceil(ctx / blockTokens)` a vLLM-style allocator holds at
+    * that turn. The batch op's per-user aggregates (n_turns, peaks,
+    * page_turns, frag) are plain rollups of this emission — StreamingSpec
+    * proves whole-vs-split bit-equality against the batch op.
+    *
+    * Context model is the batch contract verbatim: piece_len =
+    * len(event_type) + 1 + len(cents-as-string) + 1 (the simplified
+    * `event_type:cents\n` rendering — see the batch scaladoc for why this
+    * is deliberately not the full q237 template), ctx summed in
+    * (ts_us, event_id) order within each micro-batch, arrival order
+    * across batches (the family's in-order horizon contract).
+    *
+    * State per user is ONE Long (the running ctx) — the minimum any
+    * context accounting can hold. Deliberately NO timeout: unlike the
+    * token bucket (where a full refill makes expiry-and-reinit bit-equal),
+    * there is no silence length after which dropping the context sum is
+    * semantically neutral — a returning user's ctx would silently restart
+    * at 0 and every subsequent page count would be wrong. A production
+    * deployment bounds the store with a conversation TTL, which is a
+    * different CONTRACT (session-scoped context, the sessionize twin's
+    * shape), not a transparent optimization of this one.
+    */
+  def kvCachePagerStream(events: Dataset[Event], blockTokens: Int = 16,
+                         watermark: String = "1 hour")
+      : Dataset[PagerTurn] = {
+    require(blockTokens >= 1, "blockTokens must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def cents(v: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    val b = blockTokens.toLong
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PagerState, PagerTurn](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event],
+         state: GroupState[PagerState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[PagerTurn]
+          var ctx = state.getOption.map(_.ctx).getOrElse(0L)
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val pieceLen = e.event_type.length + 1 +
+              cents(e.value).toString.length + 1
+            ctx += pieceLen
+            out += PagerTurn(user, e.event_id, e.ts_us, ctx, (ctx + b - 1) / b)
+          }
+          if (out.nonEmpty) state.update(PagerState(ctx))
+          out.iterator
+      }
+  }
 }

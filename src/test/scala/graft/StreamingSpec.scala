@@ -920,4 +920,49 @@ class StreamingSpec extends SparkSuite {
         "expiry + re-init must be bit-equal to the batch replay")
     } finally q.stop()
   }
+
+  test("kv-cache pager twin: per-turn pages aggregate to the batch op, whole and split") {
+    implicit val sqlCtx = spark.sqlContext
+    // two conversations with tied timestamps (event_id breaks the tie) and
+    // values that exercise the HALF_UP cents rendering (12.345 → "1235")
+    val evs = Seq(
+      Event(1, T0, 7, "view", 12.345),
+      Event(2, T0 + 50000L, 7, "click", 0.0),
+      Event(3, T0 + 50000L, 7, "purchase", 199.999),
+      Event(4, T0 + 90000L, 7, "view", 3.5),
+      Event(11, T0 + 10000L, 8, "checkout_started", 1.005),
+      Event(12, T0 + 20000L, 8, "view", 42.0))
+    val batchDf = evs.toDF()
+      .select(col("event_id"), (col("ts_us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.ext.Serving.kvCachePager(batchDf)
+      .select("user_id", "n_turns", "peak_ctx", "peak_pages",
+        "page_turns", "frag_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+    def run(splits: Seq[Seq[Event]], name: String) = {
+      val src = MemoryStream[Event]
+      val q = StreamOps.kvCachePagerStream(src.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+        spark.table(name)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_turns"),
+            max(col("ctx")).as("peak_ctx"),
+            max(col("pages")).as("peak_pages"),
+            sum(col("pages")).as("page_turns"),
+            sum(col("pages") * 16L - col("ctx")).as("frag_tokens"))
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+
+    val whole = run(Seq(evs), "kvwhole")
+    assert(whole == batch, "single micro-batch must equal the batch op")
+    // in-order split mid-conversation for BOTH users: ctx carries across
+    val split = run(Seq(evs.take(2) :+ evs(4), Seq(evs(2), evs(3), evs(5))),
+      "kvsplit")
+    assert(split == batch, "in-order split must be bit-equal to batch")
+  }
 }
