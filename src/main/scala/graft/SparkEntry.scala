@@ -1335,7 +1335,16 @@ object SparkEntry {
     // dHash near-dup clusters: the q245 CC + histogram readout over the
     // perceptual pair graph (image-corpus twin of text nearDupClusters)
     "q253_dhash_clusters" -> ((s: SparkSession, d: String) =>
-      Dedup.dhashClusters(Tables.documents(s, d), maxDist = 16))
+      Dedup.dhashClusters(Tables.documents(s, d), maxDist = 16)),
+    // training-run capstone: mixture recipe → doc-grain exposure explode
+    // → context packing → lineage manifest in ONE DAG (q214+q89+q222
+    // composed; q214's digit-length source bins so the quotas vary)
+    "q254_train_run_prep" -> ((s: SparkSession, d: String) =>
+      ext.Curation.trainRunPrep(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          concat(lit("len"),
+            length(col("doc_id").cast("string")).cast("string"))
+            .as("source"))))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -8359,6 +8368,91 @@ object SparkEntry {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
-        |FROM cs GROUP BY 1""".stripMargin
+        |FROM cs GROUP BY 1""".stripMargin,
+
+    // q214 quota chain → q225 exposure pick → pass explode → q89 greedy
+    // pack (recursive) → q222 digest with pass mixed per term
+    "q254_train_run_prep" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    'len' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |      AS source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens,
+        |    (coalesce(list_sum(list_transform(generate_series(1,
+        |      length(text)),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+        |           * ((i * 2654435761) % 1000003))), 0) % 2147483648
+        |     + (doc_id * 2654435761 + 1013904223) % 2147483648)
+        |      % 2147483648 AS inr
+        |  FROM documents),
+        |n AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS w FROM n),
+        |q AS (SELECT source, n_docs, w, sum(w) OVER () AS wsum,
+        |    (sum(n_docs) OVER () * 3) // 1 AS budget FROM w),
+        |l AS (SELECT *, (w * budget) // wsum AS base,
+        |    (w * budget) % wsum AS remainder FROM q),
+        |r AS (SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        |  FROM l),
+        |quota AS (SELECT source, n_docs,
+        |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |  FROM r),
+        |rkd AS (SELECT d.*, row_number() OVER (PARTITION BY d.source
+        |    ORDER BY (d.doc_id * 2654435761 + 1013904223) % 2147483648,
+        |      d.doc_id) AS rk
+        |  FROM d),
+        |exp AS (SELECT rkd.source, rkd.doc_id, rkd.n_tokens, rkd.inr,
+        |    quota.quota // quota.n_docs
+        |      + CASE WHEN rkd.rk <= quota.quota % quota.n_docs
+        |             THEN 1 ELSE 0 END AS exposures
+        |  FROM rkd JOIN quota ON quota.source = rkd.source),
+        |stream AS (SELECT source, doc_id, n_tokens,
+        |    (inr + p.pass * 1013904223) % 2147483648 AS inrp, p.pass
+        |  FROM exp, LATERAL (SELECT
+        |    unnest(generate_series(1, CAST(exposures AS BIGINT)))
+        |      AS pass) p
+        |  WHERE exposures > 0),
+        |m1 AS (SELECT source, doc_id, n_tokens, pass,
+        |    (inrp * 2654435761 + 1013904223) % 1099511627776 AS h1
+        |  FROM stream),
+        |m2 AS (SELECT source, doc_id, n_tokens, pass,
+        |    xor(h1, h1 // 1048576) AS h2 FROM m1),
+        |m3 AS (SELECT source, doc_id, n_tokens, pass,
+        |    ((h2 % 4294967296) * 1540483477 + 99991) % 1099511627776 AS h3
+        |  FROM m2),
+        |t AS (SELECT source, doc_id, n_tokens, pass,
+        |    xor(h3, h3 // 131072) % 2147483648 AS term FROM m3),
+        |idx AS (SELECT source, doc_id, n_tokens, pass, term,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY pass, doc_id) AS i
+        |  FROM t),
+        |pack AS (
+        |  SELECT source, doc_id, n_tokens, i,
+        |    CAST(1 AS BIGINT) AS bin, n_tokens AS cum
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.source, x.doc_id, x.n_tokens, x.i,
+        |    CASE WHEN p.cum + x.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.cum + x.n_tokens > 256 THEN x.n_tokens
+        |         ELSE p.cum + x.n_tokens END
+        |  FROM idx x JOIN pack p ON p.source = x.source AND x.i = p.i + 1),
+        |roll AS (SELECT source, count(*) AS n_rows,
+        |    CAST(sum(n_tokens) AS BIGINT) AS packed_tokens,
+        |    CAST(sum(term) % 2147483648 AS BIGINT) AS digest
+        |  FROM idx GROUP BY 1),
+        |bins AS (SELECT source, max(bin) AS n_bins FROM pack GROUP BY 1)
+        |SELECT quota.source, CAST(quota.n_docs AS BIGINT) AS n_docs,
+        |  CAST(quota.quota AS BIGINT) AS quota,
+        |  CAST((quota.quota * 1000) // quota.n_docs AS BIGINT)
+        |    AS epochs_x1000,
+        |  CAST(roll.n_rows AS BIGINT) AS n_rows,
+        |  CAST(bins.n_bins AS BIGINT) AS n_bins,
+        |  roll.packed_tokens, roll.digest
+        |FROM quota JOIN roll ON roll.source = quota.source
+        |JOIN bins ON bins.source = quota.source""".stripMargin
   )
 }

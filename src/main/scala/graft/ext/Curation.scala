@@ -1307,6 +1307,100 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Training-RUN preparation capstone: the q214 mixture recipe, the q89
+    * context packing, and the q222 lineage digest composed in ONE DAG —
+    * the training-side sibling of the q199 curation funnel, proving the
+    * recipe operators compose without a materialization seam between
+    * them. Per source:
+    *
+    *  1. RECIPE — √-temperature largest-remainder quota (the one shared
+    *     apportionment, [[mixtureEpochs]]'s epochs_x1000 readout);
+    *  2. EXPOSURE — the quota materialized at doc grain ([[epochExposure]]'s
+    *     hash-spread extra-pass pick), then EXPLODED into the actual
+    *     (doc, pass) training stream — Σ exposures = quota exactly, by
+    *     the apportionment identity;
+    *  3. PACKING — the exposed stream greedy-packed into `packBudget`
+    *     token bins in (pass, doc_id) order ([[packSequences]]'s
+    *     O(1)-state mapPartitions scan — never the O(group²) SQL fold);
+    *  4. MANIFEST — per-source rollup: rows, bins, token mass, and the
+    *     q222-style order-invariant digest over the exposed stream, with
+    *     the pass folded into each term BEFORE the non-linear mix (the
+    *     q222 pairing-swap lesson: identity mixes per term, never
+    *     linearly into a commutative sum) — so two runs agree on the
+    *     manifest iff they trained on the same (doc, pass) multiset.
+    *
+    * Scale shape: quota frame is source-cardinality (broadcast back);
+    * the exposure rank window is the per-source grain [[epochExposure]]
+    * documents; the explode is bounded by the recipe's epoch cap; packing
+    * is one repartition + linear scan; the manifest is a hash
+    * aggregation. No stage materializes outside the DAG.
+    *
+    * @return source, n_docs, quota, epochs_x1000, n_rows (= quota),
+    *         n_bins, packed_tokens, digest
+    */
+  def trainRunPrep(docs: DataFrame, budgetNum: Long = 3L,
+                   budgetDen: Long = 1L, packBudget: Int = 256)
+      : DataFrame = {
+    require(packBudget > 0, s"packBudget must be positive, got $packBudget")
+    val M = 1L << 31
+    val quotas = sqrtQuotas(docs.select(col("doc_id"), col("source")),
+      budgetNum, budgetDen)
+    val wG = Window.partitionBy(col("source"))
+      .orderBy(graft.functions.Hashing.spread(col("doc_id"), M),
+        col("doc_id"))
+    // q222's per-doc identity (fingerprint + spread doc_id), pass folded
+    // in before the non-linear mix
+    val inr = pmod(TextStats.fingerprint(col("text")) +
+      graft.functions.Hashing.spread(col("doc_id"), M), lit(M))
+    val exposed = docs
+      .select(col("doc_id"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"),
+        inr.as("inr"))
+      .withColumn("rk", row_number().over(wG).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("exposures", expr("quota div n_docs") +
+        when(col("rk") <= pmod(col("quota"), col("n_docs")), 1L)
+          .otherwise(0L))
+      .filter(col("exposures") > 0)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("inr"),
+        explode(sequence(lit(1L), col("exposures"))).as("pass"))
+      .withColumn("term", pmod(graft.functions.Hashing.mix40(
+        pmod(col("inr") + col("pass") * lit(1013904223L), lit(M))),
+        lit(M)))
+    import docs.sparkSession.implicits._
+    val packed = exposed
+      .select(col("source"), col("pass"), col("doc_id"), col("n_tokens"),
+        col("term"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("pass"), col("doc_id"))
+      .as[(String, Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        // the packSequences scan, over the (pass, doc_id)-ordered
+        // exposed stream (null-safe source boundary as there)
+        var src: String = null
+        var started = false
+        var bin = 0L
+        var cum = 0L
+        rows.map { case (s, pass, id, n, term) =>
+          if (!started || s != src) {
+            started = true; src = s; bin = 1L; cum = n
+          } else if (cum + n > packBudget) {
+            bin += 1; cum = n
+          } else cum += n
+          (s, pass, id, n, term, bin)
+        }
+      }
+      .toDF("source", "pass", "doc_id", "n_tokens", "term", "bin")
+    packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), max(col("bin")).as("n_bins"),
+        sum(col("n_tokens")).as("packed_tokens"),
+        pmod(sum(col("term")), lit(M)).as("digest"))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("source"), col("n_docs"), col("quota"),
+        expr("(quota * 1000) div n_docs").as("epochs_x1000"),
+        col("n_rows"), col("n_bins"), col("packed_tokens"), col("digest"))
+  }
+
   /** In-batch duplicate-collision audit for contrastive training: with
     * in-batch negatives, two near-duplicate positives landing in the SAME
     * batch make each other false negatives (the model is told its own

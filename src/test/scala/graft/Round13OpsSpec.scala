@@ -82,6 +82,56 @@ class Round13OpsSpec extends SparkSuite {
     assert(hist.toSeq.map(_._3).sum == 4L, "Σ n_docs = full-raster docs")
   }
 
+  // ---------------------------------------------- train-run capstone
+
+  private def corpus(rows: (Long, String, String)*) =
+    rows.map { case (id, s, t) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("trainRunPrep: n_rows equals the quota exactly (apportionment identity)") {
+    val docs = corpus(
+      (1, "a", "w1 w2 w3"), (2, "a", "w1 w2"), (3, "a", "x y z w"),
+      (4, "b", "lone doc"), (10, "b", "two tokens"),
+      (20, "c", (1 to 40).map(i => s"t$i").mkString(" ")))
+    val r = ext.Curation.trainRunPrep(docs, budgetNum = 3L, budgetDen = 1L,
+      packBudget = 16)
+      .select("source", "quota", "n_rows", "n_bins", "packed_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // Σ quota = 3 × corpus (budget identity); per source n_rows = quota
+    assert(r.values.map(_._2).sum == 18)
+    r.values.foreach(t => assert(t._2 == t._3,
+      s"${t._1}: n_rows ${t._3} != quota ${t._2}"))
+    // source c: one 40-token doc repeated; every pass overflows the
+    // 16-token budget → one bin per pass
+    assert(r("c")._4 == r("c")._2, "oversize docs pack one per bin")
+    // token mass = Σ exposures·n_tokens: source b = 2 docs × (2+2 tokens),
+    // quota decides the split; mass must equal n_rows-weighted sum
+    val byDoc = Map("a" -> Seq(3L, 2L, 4L), "b" -> Seq(2L, 2L),
+      "c" -> Seq(40L))
+    r.foreach { case (s, t) =>
+      val min = t._2 / byDoc(s).size * byDoc(s).sum
+      assert(t._5 >= min, s"$s packed_tokens ${t._5} below full-pass mass")
+    }
+  }
+
+  test("trainRunPrep digest: swapping a pass between docs changes the manifest") {
+    // the q222 pairing-swap lesson, extended to passes: the digest mixes
+    // (doc identity, pass) NON-linearly per term, so giving doc A's extra
+    // pass to doc B (same row count, same token mass) must change it.
+    // budget 2× over 2 equal docs → both get exactly 2 passes; compare
+    // against a corpus where the texts swap doc_ids (same multiset of
+    // texts, different (doc,pass) pairing)
+    val a = corpus((1, "s", "alpha beta"), (2, "s", "gamma delta"))
+    val b = corpus((1, "s", "gamma delta"), (2, "s", "alpha beta"))
+    def digest(df: org.apache.spark.sql.DataFrame): Long =
+      ext.Curation.trainRunPrep(df, budgetNum = 2L, budgetDen = 1L)
+        .select("digest").as[Long].head()
+    assert(digest(a) != digest(b),
+      "text↔doc_id swap must change the manifest digest")
+    assert(digest(a) == digest(a), "digest is deterministic")
+  }
+
   test("q252 plan: band join is an equi-join, never a product") {
     import org.apache.spark.sql.execution.ExplainMode
     val p = SparkEntry.queries("q252_dhash_neardup")(spark, sf)
