@@ -71,12 +71,76 @@ object Predictions {
         struct(lit("none").as("type"), lit(0).as("severity")).as("corruption"))
   }
 
-  /** G15/S11 — one JSON document string per image. Byte-level parity with
-    * Python's `json.dump(indent=2)` is out of contract (SURVEY §7.4.5);
-    * values are compared parsed.
+  /** G15/S11 — one JSON document string per image, via Spark's codegen'd
+    * `to_json` (the scale sink). Byte-level parity with Python's
+    * `json.dump(indent=2)` is out of THIS form's contract (SURVEY
+    * §7.4.5); values are compared parsed. For the byte contract, see
+    * [[toJsonDocsExact]].
     */
   def toJsonDocs(docs: DataFrame): DataFrame =
     docs.select(col("file_name"),
       to_json(struct(col("file_name"), col("annotations"), col("corruption")))
         .as("json"))
+
+  /** The BYTE-exact sink (closing SURVEY §7.4.5's last parity cut): each
+    * document serialized exactly as the reference's
+    * `json.dump(data, ensure_ascii=False, indent=2)`
+    * (predictions_to_json.py:151-155) — indent layout, separators,
+    * shortest-round-trip float repr, escaping — via
+    * [[graft.functions.PyJson]]. Runs as a per-row `map` over the typed
+    * rows (string assembly, no shuffle); EndToEndSpec byte-diffs it
+    * against goldens produced by the real `json.dumps`. Use
+    * [[toJsonDocs]] when parsed-value parity suffices — `to_json` stays
+    * inside codegen.
+    *
+    * CPython type-leak, replicated (the byte golden caught it): in
+    * `yolo_to_bbox_abs` (predictions_to_json.py:62-72) `min(x_min,
+    * img_w)` returns the INT bound when it clips, and ints serialize
+    * without the `.0` — so a fully-out-of-range box emits
+    * `"bbox": [640, ...]`. Tracing the reference's max/min type flow:
+    * only bbox[0]/bbox[1] can become ints (clip to img_w/img_h); bw/bh
+    * NEVER do (an int width-remainder bound is only ever 0, and Python's
+    * `max(0.0, 0)` tie returns its float first argument). Hence `images`
+    * (file_name, width, height) is a parameter: bbox[0] serializes as
+    * int iff it equals the width, bbox[1] iff it equals the height.
+    * Envelope caveat: an UNCLIPPED box edge landing exactly on the bound
+    * (x_min_f == img_w, a float in Python) is indistinguishable from the
+    * clip and serializes as int here — measure-zero under any continuous
+    * coordinate source.
+    */
+  def toJsonDocsExact(docs: DataFrame, images: DataFrame): DataFrame = {
+    import graft.functions.PyJson._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .join(broadcast(images.select(col("file_name"),
+        col("width").cast("double").as("w"),
+        col("height").cast("double").as("h"))), Seq("file_name"))
+      .select(col("file_name"), col("w"), col("h"),
+        transform(col("annotations"), a => struct(
+          a("bbox").as("bbox"),
+          a("category_id").cast("long").as("category_id"),
+          a("category_name").as("category_name"))).as("anns"),
+        col("corruption.type").as("ctype"),
+        col("corruption.severity").cast("long").as("csev"))
+      .as[(String, Double, Double,
+        Seq[(Seq[Double], Long, String)], String, Long)]
+      .map { case (fn, w, h, anns, ctype, csev) =>
+        def num(v: Double, bound: Double): J =
+          if (v == bound) JInt(v.toLong) else JFloat(v)
+        val doc = JObj(Seq(
+          "file_name" -> JStr(fn),
+          "annotations" -> JArr(anns.map { case (bbox, cid, cname) =>
+            JObj(Seq(
+              "bbox" -> JArr(Seq(num(bbox(0), w), num(bbox(1), h),
+                JFloat(bbox(2)), JFloat(bbox(3)))),
+              "category_id" -> JInt(cid),
+              "category_name" -> JStr(cname)))
+          }),
+          "corruption" -> JObj(Seq(
+            "type" -> JStr(ctype), "severity" -> JInt(csev)))))
+        (fn, dumps(doc))
+      }
+      .toDF("file_name", "json")
+  }
 }

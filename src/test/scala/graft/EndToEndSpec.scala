@@ -72,6 +72,35 @@ class EndToEndSpec extends SparkSuite {
     for ((fn, w) <- want) assert(got(fn) == w, s"image $fn")
   }
 
+  test("toJsonDocsExact is BYTE-identical to the reference's json.dump(indent=2)") {
+    // the goldens carry the literal string json.dumps(expected,
+    // ensure_ascii=False, indent=2) produced — the S11 byte contract
+    // (SURVEY §7.4.5's last parity cut, now closed)
+    val golden = spark.read.option("multiLine", true)
+      .json(resource("/golden/predictions_docs.json")).cache()
+    val dir = tmpDir("jsonbytes")
+    golden.select("stem", "label_text").as[(String, String)].collect()
+      .foreach { case (stem, text) =>
+        Files.writeString(dir.resolve(s"$stem.txt"), text)
+      }
+    val images = golden.select(col("file_name"), col("width"), col("height"))
+    val preds = io.LabelsIO.readPredictions(spark, dir.toString + "/*.txt")
+    val got = ops.Predictions.toJsonDocsExact(
+      ops.Predictions.documents(images, preds, confThr = 0.25, roundDp = 2),
+      images)
+      .as[(String, String)].collect().toMap
+    val want = golden.select("file_name", "expected_json")
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for ((fn, w) <- want)
+      assert(got(fn) == w, s"byte diff for $fn:\n-- got --\n${got(fn)}\n" +
+        s"-- want --\n$w")
+    // the byte form parses back to the value form the parsed-parity sink
+    // emits (the two sinks agree on content, differ only in layout)
+    val parsed = got.values.count(_.contains("\"corruption\": {"))
+    assert(parsed == got.size)
+  }
+
   test("EvalPipeline: label files on disk → greedy match → P/R/F1 rollup") {
     val gt = tmpDir("gt"); val pred = tmpDir("pred")
     // page p1: one perfect match (cls 1), one miss (cls 2 vs nothing)

@@ -238,4 +238,50 @@ class FunctionsSpec extends SparkSuite {
       "SELECT blocklist_counts('x', CAST(NULL AS STRING))").collect())
     assert(badNull.getMessage.contains("non-null"), badNull.getMessage)
   }
+
+  test("PyJson.pyFloatRepr matches CPython repr on the positional envelope") {
+    // expected strings are CPython 3 repr() outputs, recorded verbatim —
+    // shortest decimal that round-trips, at least one fractional digit
+    val cases = Seq(
+      0.1 -> "0.1",
+      (0.1 + 0.2) -> "0.30000000000000004",
+      56.28 -> "56.28",
+      640.0 -> "640.0",
+      (1.0 / 3.0) -> "0.3333333333333333",
+      2.675 -> "2.675",
+      0.0001 -> "0.0001",
+      9999999999999998.0 -> "9999999999999998.0",
+      1234.5678 -> "1234.5678",
+      0.01 -> "0.01",
+      0.0 -> "0.0",
+      -56.28 -> "-56.28")
+    cases.foreach { case (v, want) =>
+      assert(graft.functions.PyJson.pyFloatRepr(v) == want, s"repr($v)")
+      // and every emitted string round-trips to the exact double
+      assert(graft.functions.PyJson.pyFloatRepr(v).toDouble == v)
+    }
+    assert(graft.functions.PyJson.pyFloatRepr(-0.0) == "-0.0")
+    intercept[IllegalArgumentException] {
+      graft.functions.PyJson.pyFloatRepr(1e16) // scientific in Python
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PyJson.pyFloatRepr(Double.NaN)
+    }
+  }
+
+  test("PyJson.dumps replicates json.dumps(indent=2) layout and escaping") {
+    import graft.functions.PyJson._
+    // verified against: json.dumps({"a": [], "b": {}, "c": [1, "x\"y"],
+    //   "d": {"e": 0.5}}, ensure_ascii=False, indent=2)
+    val j = JObj(Seq(
+      "a" -> JArr(Nil), "b" -> JObj(Nil),
+      "c" -> JArr(Seq(JInt(1), JStr("x\"y"))),
+      "d" -> JObj(Seq("e" -> JFloat(0.5)))))
+    val want =
+      "{\n  \"a\": [],\n  \"b\": {},\n  \"c\": [\n    1,\n    \"x\\\"y\"" +
+        "\n  ],\n  \"d\": {\n    \"e\": 0.5\n  }\n}"
+    assert(dumps(j) == want)
+    assert(escape("tab\there\nnl\u0001ctl") ==
+      "\"tab\\there\\nnl\\u0001ctl\"")
+  }
 }

@@ -200,13 +200,19 @@ def predictions_goldens(seed=7, n_images=40, conf_thr=0.25, round_dp=2):
                 bbox = [round(v, round_dp) for v in bbox]
             annotations.append({"bbox": bbox, "category_id": cls_id,
                                 "category_name": CLASS_MAP[cls_id]})
+        expected = {"file_name": stem + ".png",
+                    "annotations": annotations,
+                    "corruption": {"type": "none", "severity": 0}}
         out.append({
             "file_name": stem + ".png", "stem": stem,
             "width": img_w, "height": img_h,
             "label_text": "\n".join(lines) + ("\n" if lines else ""),
-            "expected": {"file_name": stem + ".png",
-                         "annotations": annotations,
-                         "corruption": {"type": "none", "severity": 0}}})
+            "expected": expected,
+            # the reference sink's EXACT bytes (predictions_to_json.py:
+            # json.dump(..., ensure_ascii=False, indent=2)) — the byte-parity
+            # golden for the engine's text-assembled JSON sink
+            "expected_json": json.dumps(expected, ensure_ascii=False,
+                                        indent=2)})
     return out
 
 
