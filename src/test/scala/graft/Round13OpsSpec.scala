@@ -140,4 +140,17 @@ class Round13OpsSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"dHash candidates must come from the band equi-join:\n$p")
   }
+
+  test("q254 plan: quota frame broadcasts back; no product; packing stays mapPartitions") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = SparkEntry.queries("q254_train_run_prep")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"capstone grew a product:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"source-grain quota frame must broadcast, never shuffle the corpus " +
+        s"against it:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions") ||
+      p.contains("SerializeFromObject"),
+      s"greedy packing must run as the typed per-partition scan:\n$p")
+  }
 }
