@@ -1344,7 +1344,22 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("text"),
           concat(lit("len"),
             length(col("doc_id").cast("string")).cast("string"))
-            .as("source"))))
+            .as("source")))),
+    // the image-dedup END PRODUCT: doc → keeper mapping (q78's
+    // keep-the-best policy: longest text, min-id ties) over the dHash
+    // near-dup graph — what a curation pipeline actually applies
+    "q255_dhash_keeper" -> ((s: SparkSession, d: String) =>
+      Dedup.canonicalMapping(
+        Dedup.dhashNearDups(Tables.documents(s, d), maxDist = 16)
+          .select("doc_a", "doc_b"),
+        Tables.documents(s, d))),
+    // SemDeDup-shaped semantic dedup: q24's bucket-pruned cosine pairs
+    // (minCos 0.15, the fixture's live threshold) → CC → the q245
+    // histogram contract over ALL embedding rows — the embedding member
+    // of the dedup triple (MinHash text / dHash image / cosine embedding)
+    "q256_embed_dedup_clusters" -> ((s: SparkSession, d: String) =>
+      Similarity.embedDedupClusters(Tables.embeddings(s, d), dim = 64,
+        bits = 8, minCos = 0.15))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -8453,6 +8468,110 @@ object SparkEntry {
         |  CAST(bins.n_bins AS BIGINT) AS n_bins,
         |  roll.packed_tokens, roll.digest
         |FROM quota JOIN roll ON roll.source = quota.source
-        |JOIN bins ON bins.source = quota.source""".stripMargin
+        |JOIN bins ON bins.source = quota.source""".stripMargin,
+
+    // q252's band/pair chain closed to components (q78's keeper policy:
+    // longest text, min doc_id ties) — only docs in ≥1 pair appear
+    "q255_dhash_keeper" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 72),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS px
+        |  FROM documents WHERE n_chars >= 72),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band, CAST(
+        |    (SELECT sum(CASE WHEN px[CAST(r*9+c+1 AS BIGINT)]
+        |                        < px[CAST(r*9+c+2 AS BIGINT)]
+        |       THEN CAST(1 AS BIGINT) << CAST((r % 2) * 8 + c AS INT)
+        |       ELSE 0 END)
+        |     FROM (SELECT unnest(generate_series(0, 7)) c) cs,
+        |          (SELECT b.b * 2 AS r UNION ALL SELECT b.b * 2 + 1) rs)
+        |    AS BIGINT) AS v
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) b) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  WHERE (SELECT sum(bit_count(xor(xa.v, ya.v)))
+        |    FROM bands xa JOIN bands ya ON xa.band = ya.band
+        |    WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b) <= 16),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS node, r.comp FROM edges e
+        |  JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |sel AS (
+        |  SELECT c.node AS doc_id, c.comp, d.n_chars,
+        |    count(*) OVER (PARTITION BY c.comp) AS group_size,
+        |    first_value(c.node) OVER (PARTITION BY c.comp
+        |      ORDER BY d.n_chars DESC, c.node
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS keep_doc
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |SELECT doc_id, comp, n_chars, group_size, keep_doc,
+        |  doc_id = keep_doc AS is_kept
+        |FROM sel""".stripMargin,
+
+    // q24's projection/bucket/cosine chain → pairs → recursive CC →
+    // cluster-size histogram over every embedding row
+    "q256_embed_dedup_clusters" ->
+      """WITH RECURSIVE proj AS (
+        |  SELECT e.vec_id, t.j,
+        |    (SELECT sum(CAST(e.embedding[s.i] AS DOUBLE) *
+        |       ((((CAST(t.j AS BIGINT) * 1103515245 + 12345) * s.i)
+        |          + t.j * 2654435761) % 1000003
+        |         / 1000003.0 - 0.5))
+        |     FROM generate_series(1, 64) s(i)) AS pr
+        |  FROM embeddings e, generate_series(0, 7) t(j)),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0.0 THEN CAST(1 AS BIGINT) << j
+        |             ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |           AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT v.vec_id, b.bucket, v.q,
+        |    (SELECT sum(v.q[t.i] * v.q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv v JOIN bkt b ON b.vec_id = v.vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM nrm a JOIN nrm b ON a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id AND a.n2 > 0 AND b.n2 > 0
+        |  WHERE CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+        |              FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+        |        >= 0.15),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION SELECT vec_b, vec_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS node, r.comp FROM edges e
+        |  JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |assign AS (SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS comp
+        |  FROM (SELECT vec_id FROM embeddings) v
+        |  LEFT JOIN comp c ON c.node = v.vec_id),
+        |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM assign GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_vecs,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS vecs_removed
+        |FROM cs GROUP BY 1""".stripMargin
   )
 }

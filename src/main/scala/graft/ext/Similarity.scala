@@ -205,6 +205,39 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** SemDeDup-shaped SEMANTIC dedup cluster readout (Abbas et al. 2023,
+    * public literature — near-duplicate semantics live in embedding space,
+    * not in shared n-grams): [[lshNearPairs]]' bucket-pruned cosine pairs
+    * at `minCos`, closed into connected components, rolled up as the
+    * cluster-size histogram with keep-one removal mass — the embedding
+    * member of the dedup-family triple (MinHash text / dHash image /
+    * cosine embedding), all three sharing the q245 histogram contract:
+    * Σ n_vecs = every embedding row (zero-norm vectors, which can be
+    * near-dup to nothing, are singletons by construction).
+    *
+    * Scale shape: the pair join is bucket-pruned (never all-pairs), CC is
+    * the pinned pointer-jumping closure, the histogram two tiny hash
+    * aggregations — the q245/q253 shape on the embeddings table.
+    */
+  def embedDedupClusters(emb: DataFrame, dim: Int, bits: Int = 8,
+                         minCos: Double = 0.9): DataFrame = {
+    val pairs = lshNearPairs(emb, dim, bits, minCos)
+      .select(col("vec_a"), col("vec_b"))
+    val comp = Components.connectedComponents(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val assign = emb.select(col("vec_id"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("comp"))
+    assign.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_vecs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("vecs_removed"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to LSH:
     *

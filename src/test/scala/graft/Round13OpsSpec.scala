@@ -141,6 +141,42 @@ class Round13OpsSpec extends SparkSuite {
       s"dHash candidates must come from the band equi-join:\n$p")
   }
 
+  test("dhash keeper mapping keeps the longest text (q78 policy on the dHash graph)") {
+    val edited = baseText.updated(40, '~')
+    val docs = Seq(
+      doc(1, baseText), doc(2, baseText + " longer tail"), doc(3, edited),
+      doc(4, baseText.grouped(9).map(_.reverse).mkString))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = ext.Dedup.canonicalMapping(
+      ext.Dedup.dhashNearDups(docs, maxDist = 4).select("doc_a", "doc_b"),
+      docs)
+      .select("doc_id", "keep_doc", "is_kept", "group_size")
+      .as[(Long, Long, Boolean, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // {1,2,3} cluster; keeper = 2 (longest text); 4 not in any pair
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r.values.forall(_._2 == 2L), "keeper must be the longest text")
+    assert(r(2L)._3 && !r(1L)._3 && !r(3L)._3)
+    assert(r.values.forall(_._4 == 3L))
+  }
+
+  test("embedDedupClusters histogram covers every embedding row exactly once") {
+    // 4 vectors: two identical (cos 1), one opposite (cos -1, never a
+    // pair), one zero-norm (can pair with nothing — singleton by
+    // construction, not dropped)
+    val v = Array.fill(64)(0.5f)
+    val docs = Seq(
+      (1L, v, "a"), (2L, v, "a"),
+      (3L, v.map(-_), "b"), (4L, Array.fill(64)(0f), "z"))
+      .toDF("vec_id", "embedding", "label")
+    val hist = ext.Similarity.embedDedupClusters(docs, dim = 64,
+      minCos = 0.9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(hist == Set((2L, 1L, 2L, 1L), (1L, 2L, 2L, 0L)),
+      s"got $hist")
+    assert(hist.toSeq.map(_._3).sum == 4L, "Σ n_vecs = all embedding rows")
+  }
+
   test("q254 plan: quota frame broadcasts back; no product; packing stays mapPartitions") {
     import org.apache.spark.sql.execution.ExplainMode
     val df = SparkEntry.queries("q254_train_run_prep")(spark, sf)
