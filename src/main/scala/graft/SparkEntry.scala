@@ -8464,11 +8464,12 @@ object SparkEntry {
         |  CAST(quota.quota AS BIGINT) AS quota,
         |  CAST((quota.quota * 1000) // quota.n_docs AS BIGINT)
         |    AS epochs_x1000,
-        |  CAST(roll.n_rows AS BIGINT) AS n_rows,
-        |  CAST(bins.n_bins AS BIGINT) AS n_bins,
-        |  roll.packed_tokens, roll.digest
-        |FROM quota JOIN roll ON roll.source = quota.source
-        |JOIN bins ON bins.source = quota.source""".stripMargin,
+        |  CAST(coalesce(roll.n_rows, 0) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(bins.n_bins, 0) AS BIGINT) AS n_bins,
+        |  CAST(coalesce(roll.packed_tokens, 0) AS BIGINT) AS packed_tokens,
+        |  CAST(coalesce(roll.digest, 0) AS BIGINT) AS digest
+        |FROM quota LEFT JOIN roll ON roll.source = quota.source
+        |LEFT JOIN bins ON bins.source = quota.source""".stripMargin,
 
     // q252's band/pair chain closed to components (q78's keeper policy:
     // longest text, min doc_id ties) — only docs in ≥1 pair appear

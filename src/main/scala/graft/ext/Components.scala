@@ -161,6 +161,39 @@ object Components {
     connectedComponents(pairs)
       .withColumnRenamed("component", "canonical_id")
 
+  /** THE q245 cluster-histogram contract, one definition (shared by
+    * `Dedup.nearDupClusters`, `Dedup.dhashClusters` and
+    * `Similarity.embedDedupClusters` — MinHash text / dHash image /
+    * cosine embedding all report dedup the same way): close `pairs`
+    * into components, assign every id in `ids` (items in no pair are
+    * size-1 clusters, so Σ count column = |ids| unconditionally), roll
+    * up as (cluster_size, n_clusters, <nCol>, <removedCol>) where
+    * removed is the keep-one-per-cluster deletion mass.
+    *
+    * @param ids   one-column frame of EVERY item id (the histogram's
+    *              universe)
+    * @param pairs two-column near-dup pair frame (ids from the same
+    *              universe)
+    */
+  private[ext] def clusterSizeHistogram(ids: DataFrame, pairs: DataFrame,
+                                        nCol: String, removedCol: String)
+      : DataFrame = {
+    val idCol = ids.columns.head
+    val comp = connectedComponents(
+      pairs.toDF("doc_a", "doc_b"))
+    val assign = ids
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("comp"))
+    assign.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as(nCol),
+        ((col("cluster_size") - 1) * col("n_clusters")).as(removedCol))
+  }
+
   /** PageRank over an undirected pair list (symmetrized, so every node has
     * in-degree = out-degree ≥ 1 and the dangling-mass correction vanishes):
     * rank_{k+1}(v) = (1−d)/N + d·Σ_{u→v} rank_k(u)/deg(u), a fixed number

@@ -1391,14 +1391,20 @@ object Curation {
         }
       }
       .toDF("source", "pass", "doc_id", "n_tokens", "term", "bin")
-    packed.groupBy(col("source"))
+    val rollup = packed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"), max(col("bin")).as("n_bins"),
         sum(col("n_tokens")).as("packed_tokens"),
         pmod(sum(col("term")), lit(M)).as("digest"))
-      .join(broadcast(quotas), Seq("source"))
+    // LEFT join from the quota frame: a source whose largest-remainder
+    // quota is 0 has no exposed rows, but the manifest is a per-source
+    // contract — it must read "quota 0", never "source not in corpus"
+    quotas.join(rollup, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("quota"),
         expr("(quota * 1000) div n_docs").as("epochs_x1000"),
-        col("n_rows"), col("n_bins"), col("packed_tokens"), col("digest"))
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+        coalesce(col("packed_tokens"), lit(0L)).as("packed_tokens"),
+        coalesce(col("digest"), lit(0L)).as("digest"))
   }
 
   /** In-batch duplicate-collision audit for contrastive training: with

@@ -202,22 +202,12 @@ object Dedup {
     * tiny hash aggregations (component grain, then size grain).
     */
   def nearDupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDups(docs, k, bands, n, minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-    val comp = Components.connectedComponents(pairs)
-    val assign = docs.select(col("doc_id"))
-      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("comp"))
-    assign.groupBy(col("comp"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"))
-      .select(col("cluster_size"), col("n_clusters"),
-        (col("cluster_size") * col("n_clusters")).as("n_docs"),
-        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
-  }
+                      n: Int = 3, minJaccard: Double = 0.5): DataFrame =
+    Components.clusterSizeHistogram(
+      docs.select(col("doc_id")),
+      minhashNearDups(docs, k, bands, n, minJaccard)
+        .select(col("doc_a"), col("doc_b")),
+      "n_docs", "docs_removed")
 
   def minhashNewVsCorpus(newDocs: DataFrame, corpus: DataFrame,
                          k: Int = 16, bands: Int = 4, n: Int = 3,
@@ -383,10 +373,20 @@ object Dedup {
   /** Perceptual near-dup pairs by dHash: band-equality LSH join (never
     * all-pairs — the same banding discipline as [[minhashLshCandidates]])
     * prunes to candidates, then the exact 64-bit Hamming distance over
-    * the four bands keeps pairs ≤ `maxDist`. Exact duplicates land at
-    * distance 0; near-duplicates (small edits, crops of the raster
-    * prefix) land low; unrelated docs that collide on one band are cut
-    * by the exact verify — the canonical LSH prune → exact verify shape.
+    * the four bands keeps candidate pairs ≤ `maxDist`. Exact duplicates
+    * land at distance 0; near-duplicates (small edits, crops of the
+    * raster prefix) land low; unrelated docs that collide on one band
+    * are cut by the exact verify — the canonical LSH prune → exact
+    * verify shape.
+    *
+    * RECALL CONTRACT (the LSH trade, stated precisely): the 4-band
+    * pigeonhole GUARANTEES every pair within Hamming 3; pairs at
+    * distance 4..maxDist are found only if their differing bits spare at
+    * least one band (a pair whose ≥4 flipped bits touch all four bands is
+    * missed). This is deliberate — the complete alternative is the
+    * all-pairs product the banding exists to avoid — and engine and
+    * oracle share the same candidate set, so parity holds exactly over
+    * the banded semantics.
     *
     * Scale: the join keys on (band, 16-bit value); hot values (e.g. a
     * constant-gradient band) bound candidates per bucket, and AQE
@@ -422,22 +422,11 @@ object Dedup {
     * [[nearDupClusters]] (same CC closure, same histogram contract:
     * Σ n_docs = all docs with a full raster).
     */
-  def dhashClusters(docs: DataFrame, maxDist: Int = 16): DataFrame = {
-    val pairs = dhashNearDups(docs, maxDist).select(col("doc_a"), col("doc_b"))
-    val comp = Components.connectedComponents(pairs)
-    val assign = docs.filter(col("n_chars") >= DhashW * DhashH)
-      .select(col("doc_id"))
-      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("comp"))
-    assign.groupBy(col("comp"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"))
-      .select(col("cluster_size"), col("n_clusters"),
-        (col("cluster_size") * col("n_clusters")).as("n_docs"),
-        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
-  }
+  def dhashClusters(docs: DataFrame, maxDist: Int = 16): DataFrame =
+    Components.clusterSizeHistogram(
+      docs.filter(col("n_chars") >= DhashW * DhashH).select(col("doc_id")),
+      dhashNearDups(docs, maxDist).select(col("doc_a"), col("doc_b")),
+      "n_docs", "docs_removed")
 
   /** The dedup END PRODUCT: a doc → keeper mapping over the near-dup graph.
     * Connected components group transitive near-dups; within each group the

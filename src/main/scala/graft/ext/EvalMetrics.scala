@@ -208,10 +208,14 @@ object EvalMetrics {
     // negative conf would otherwise produce a negative bin (Spark's % keeps
     // the sign) and silently corrupt the gap_num*16+bin packed argmax —
     // clamping makes out-of-domain inputs saturate instead of corrupting;
-    // in-domain inputs (every current caller pre-clamps) are unchanged
+    // in-domain inputs (every current caller pre-clamps) are unchanged.
+    // NULL-guarded: greatest/least SKIP nulls, so a bare clamp would turn
+    // a missing confidence into full confidence 1e6 — NULL must stay NULL
+    // (excluded from the sums) exactly as before the clamp
+    val confL = confMicro.cast("long")
     val base = rows.select(group.as("grp"),
-      greatest(lit(0L), least(lit(1000000L),
-        confMicro.cast("long"))).as("conf"),
+      when(confL.isNotNull,
+        greatest(lit(0L), least(lit(1000000L), confL))).as("conf"),
       when(positive, lit(1L)).otherwise(lit(0L)).as("pos"))
     val binned = base
       .withColumn("bin", least(expr("conf div 100000"), lit(9L)))

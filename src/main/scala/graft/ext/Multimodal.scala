@@ -470,10 +470,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          // NonFatal, not just IOException: JDK decoders throw Runtime-
+          // Exceptions on crafted bytes (NegativeArraySize, CMMException on
+          // broken ICC profiles) — the contract is ok=false, never a dead
+          // task from one bad image in a 100 TB corpus
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null || img.getWidth < 9 || img.getHeight < 8)
             (id, false, 0L, 0L, 0L, 0L)
           else {

@@ -220,23 +220,12 @@ object Similarity {
     * aggregations — the q245/q253 shape on the embeddings table.
     */
   def embedDedupClusters(emb: DataFrame, dim: Int, bits: Int = 8,
-                         minCos: Double = 0.9): DataFrame = {
-    val pairs = lshNearPairs(emb, dim, bits, minCos)
-      .select(col("vec_a"), col("vec_b"))
-    val comp = Components.connectedComponents(
-      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-    val assign = emb.select(col("vec_id"))
-      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("component"), col("vec_id")).as("comp"))
-    assign.groupBy(col("comp"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"))
-      .select(col("cluster_size"), col("n_clusters"),
-        (col("cluster_size") * col("n_clusters")).as("n_vecs"),
-        ((col("cluster_size") - 1) * col("n_clusters")).as("vecs_removed"))
-  }
+                         minCos: Double = 0.9): DataFrame =
+    Components.clusterSizeHistogram(
+      emb.select(col("vec_id")),
+      lshNearPairs(emb, dim, bits, minCos)
+        .select(col("vec_a"), col("vec_b")),
+      "n_vecs", "vecs_removed")
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to LSH:

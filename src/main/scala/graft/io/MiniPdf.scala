@@ -132,16 +132,22 @@ object MiniPdf {
     require(w > 0 && h > 0, s"non-positive page dims ${w}x$h")
   }
 
+  // Locale.ROOT, never the f-interpolator: String.format under a comma-
+  // decimal default locale (de, fr, …) would emit "0,2000" into the
+  // content stream — an invalid PDF every viewer and our own parser reject
+  private def pdfDecimal(channel: Int): String =
+    String.format(java.util.Locale.ROOT, "%.4f", channel / 255.0)
+
   private[graft] def pathOpsToStream(ops: Seq[PathOp]): String =
     ops.map {
       case MoveTo(x, y) => s"$x $y m"
       case LineTo(x, y) => s"$x $y l"
       case ClosePath => "h"
       case Rect(x, y, rw, rh) => s"$x $y $rw $rh re"
-      case FillColor(c) => f"${(c >> 16 & 0xff) / 255.0}%.4f " +
-        f"${(c >> 8 & 0xff) / 255.0}%.4f ${(c & 0xff) / 255.0}%.4f rg"
-      case StrokeColor(c) => f"${(c >> 16 & 0xff) / 255.0}%.4f " +
-        f"${(c >> 8 & 0xff) / 255.0}%.4f ${(c & 0xff) / 255.0}%.4f RG"
+      case FillColor(c) => s"${pdfDecimal(c >> 16 & 0xff)} " +
+        s"${pdfDecimal(c >> 8 & 0xff)} ${pdfDecimal(c & 0xff)} rg"
+      case StrokeColor(c) => s"${pdfDecimal(c >> 16 & 0xff)} " +
+        s"${pdfDecimal(c >> 8 & 0xff)} ${pdfDecimal(c & 0xff)} RG"
       case Fill => "f"
       case FillEvenOdd => "f*"
       case Stroke => "S"
@@ -649,13 +655,22 @@ object MiniPdf {
     val subpaths = scala.collection.mutable.ArrayBuffer[
       (scala.collection.mutable.ArrayBuffer[(Double, Double)], Boolean)]()
     var open: scala.collection.mutable.ArrayBuffer[(Double, Double)] = null
+    // after `h` the current point is the closed subpath's START (PDF
+    // 32000 §8.5.2.1): a following `l` begins a NEW subpath from there —
+    // a legal stream this writer can emit, so the renderer must accept it
+    var closedStart: (Double, Double) = null
     var fillRgb = 0x000000
     var strokeRgb = 0x000000
     def flushOpen(closed: Boolean): Unit = {
-      if (open != null && open.nonEmpty) subpaths += ((open, closed))
+      if (open != null && open.nonEmpty) {
+        subpaths += ((open, closed))
+        closedStart = if (closed) open.head else null
+      }
       open = null
     }
-    def clearPath(): Unit = { flushOpen(false); subpaths.clear() }
+    def clearPath(): Unit = {
+      flushOpen(false); subpaths.clear(); closedStart = null
+    }
 
     def fill(evenOdd: Boolean): Unit = {
       flushOpen(false)
@@ -743,6 +758,11 @@ object MiniPdf {
         flushOpen(false)
         open = scala.collection.mutable.ArrayBuffer((x.toDouble, y.toDouble))
       case LineTo(x, y) =>
+        if (open == null && closedStart != null) {
+          // segment directly after h: new subpath from the closed start
+          open = scala.collection.mutable.ArrayBuffer(closedStart)
+          closedStart = null
+        }
         require(open != null, "lineto with no current point")
         open += ((x.toDouble, y.toDouble))
       case ClosePath => flushOpen(closed = true)
@@ -752,6 +772,7 @@ object MiniPdf {
           (x.toDouble, y.toDouble), ((x + rw).toDouble, y.toDouble),
           ((x + rw).toDouble, (y + rh).toDouble),
           (x.toDouble, (y + rh).toDouble)), true))
+        closedStart = (x.toDouble, y.toDouble) // re sets the current point
       case FillColor(c) => fillRgb = c
       case StrokeColor(c) => strokeRgb = c
       case Fill => fill(evenOdd = false)

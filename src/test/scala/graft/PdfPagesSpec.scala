@@ -350,6 +350,46 @@ class PdfPagesSpec extends SparkSuite {
     assert(blacks(eo) == 150, "even-odd leaves the 25-px overlap white")
   }
 
+  test("MiniPdf PathPage: segment after h starts a new subpath at the closed start (PDF §8.5.2.1)") {
+    import MiniPdf._
+    // triangle closed with h, then l directly after: the second subpath
+    // begins at the triangle's start point — legal PDF this writer emits,
+    // so the renderer must paint it, not crash
+    val ops = Seq(StrokeColor(0xff0000),
+      MoveTo(10, 10), LineTo(20, 10), LineTo(10, 20), ClosePath,
+      LineTo(30, 10), Stroke)
+    val png = renderPathPage(ops, 40, 40)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // the post-h segment runs (10,10)->(30,10): row y=10 → image row 29
+    assert((img.getRGB(25, 29) & 0xffffff) == 0xff0000,
+      "post-h segment must be stroked from the closed subpath's start")
+    // same after re (re sets the current point to its x,y corner)
+    val ops2 = Seq(Rect(5, 5, 10, 10), LineTo(25, 5), Stroke)
+    val png2 = renderPathPage(ops2, 40, 40)
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png2))
+    assert((img2.getRGB(20, 34) & 0xffffff) == 0,
+      "post-re segment must be stroked from the rect origin")
+    // a lineto with genuinely no current point still fails loudly
+    intercept[IllegalArgumentException] {
+      renderPathPage(Seq(LineTo(5, 5), Stroke), 20, 20)
+    }
+  }
+
+  test("MiniPdf PathPage: content-stream decimals are locale-independent") {
+    import MiniPdf._
+    val saved = java.util.Locale.getDefault
+    try {
+      // a comma-decimal locale must not leak ',' into the PDF bytes
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val s = pathOpsToStream(Seq(FillColor(0x336699), Rect(1, 2, 3, 4), Fill))
+      assert(!s.contains(","), s"comma leaked into content stream: $s")
+      assert(s.startsWith("0.2000 0.4000 0.6000 rg"), s)
+      // and the round-trip still parses under that locale
+      assert(parsePathOps(s) ==
+        Seq(FillColor(0x336699), Rect(1, 2, 3, 4), Fill))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("MiniPdf PathPage: outside-envelope operators fail loudly, never paint wrong") {
     import MiniPdf._
     // a curve operator has no defined raster here — the parse must throw,

@@ -115,6 +115,46 @@ class Round13OpsSpec extends SparkSuite {
     }
   }
 
+  test("trainRunPrep: a quota-0 source still appears in the manifest with zeros") {
+    // tiny budget (1/50 of corpus = 2 docs) against a 99-vs-1 split: the
+    // largest remainder gives both quota slots to the big source, so the
+    // small one gets quota 0 — the manifest must say so, not omit the row
+    val docs = ((1L to 99L).map(i => doc(i, s"doc $i words here")) :+
+      doc(1000L, "the lone doc"))
+      .map { case (id, t, l, s0, n) =>
+        (id, t, l, if (id == 1000L) "small" else "big", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = ext.Curation.trainRunPrep(docs, budgetNum = 1L, budgetDen = 50L)
+      .select("source", "quota", "n_rows", "n_bins", "packed_tokens",
+        "digest")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet == Set("big", "small"), s"manifest must be total: $r")
+    assert(r("small")._2 == 0L && r("small")._3 == 0L &&
+      r("small")._4 == 0L && r("small")._5 == 0L && r("small")._6 == 0L,
+      s"quota-0 source must read all-zeros: ${r("small")}")
+    assert(r("big")._2 == 2L && r("big")._3 == 2L)
+  }
+
+  test("eceCalibration: NULL confidence stays NULL — never saturates to full confidence") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Seq(("g", java.lang.Long.valueOf(500000L), true),
+      ("g", java.lang.Long.valueOf(50000L), false))
+    val withNull = base :+ (("g", null.asInstanceOf[java.lang.Long], false))
+    def run(rows: Seq[(String, java.lang.Long, Boolean)]) =
+      ext.EvalMetrics.eceCalibration(rows.toDF("grp", "conf", "pos"),
+        col("grp"), col("conf"), col("pos"))
+        .select("ece_num", "worst_bin")
+        .as[(Long, Long)].collect().head
+    val (num0, wb0) = run(base)
+    val (num1, wb1) = run(withNull)
+    // the NULL row contributes nothing to the gap numerator and never
+    // lands in the top bin (a bare greatest/least clamp would map NULL →
+    // 1e6 → bin 9 with a 1e6 gap)
+    assert(num1 == num0, s"NULL conf inflated ece_num: $num0 -> $num1")
+    assert(wb1 == wb0 && wb1 != 9L)
+  }
+
   test("trainRunPrep digest: swapping a pass between docs changes the manifest") {
     // the q222 pairing-swap lesson, extended to passes: the digest mixes
     // (doc identity, pass) NON-linearly per term, so giving doc A's extra
