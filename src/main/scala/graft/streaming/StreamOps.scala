@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -857,6 +857,78 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** Streaming twin #17 of [[graft.ext.Dedup.minhashNewVsCorpus]]: the
+    * dedup-against-prior-crawl gate ONLINE — documents arriving on a
+    * stream are near-dup-checked against a STATIC corpus as they land,
+    * emitting (new_id, corpus_id, jaccard) for admissions review before
+    * a batch ever forms.
+    *
+    * The whole gate is STATELESS streaming (the only twin with zero
+    * state store): per-row MinHash signatures ride the codegen'd
+    * `shingle_codes` kernel (array_min over transformed codes — no
+    * explode→groupBy, which would be a stateful streaming aggregation),
+    * bands explode per row, and candidates come from a stream-STATIC
+    * equi-join on (band, band_sig) against the corpus's precomputed
+    * band table — exactly the standing artifact the batch op's scaladoc
+    * says an incremental pipeline keeps materialized. The exact-Jaccard
+    * verify is per-row array arithmetic (array_intersect on the two
+    * shingle sets), so micro-batch boundaries CANNOT affect the result:
+    * equivalence with batch is structural, and StreamingSpec proves it
+    * whole-vs-split on the real documents fixture.
+    *
+    * Scale: the static side is band-keyed (broadcastable when small,
+    * shuffled once when not); per-arriving-doc cost is hashing + one
+    * keyed lookup + |candidates| exact verifies — independent of stream
+    * history length.
+    */
+  def dedupGateStream(newDocs: DataFrame, corpus: DataFrame, k: Int = 16,
+                      bands: Int = 4, n: Int = 3,
+                      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "band width must divide signature length")
+    val rows = k / bands
+    val P = graft.ext.Dedup.MinhashP
+    def sigCols(codes: Column): Seq[Column] = (0 until k).map { j =>
+      array_min(transform(codes,
+        s => pmod(lit(graft.ext.Dedup.minhashA(j)) * s +
+          lit(graft.ext.Dedup.minhashB(j)), lit(P)))).as(s"mh_$j")
+    }
+    def banded(df: DataFrame, idName: String): DataFrame = {
+      val withSig = df
+        .select(col("doc_id").as(idName),
+          graft.ext.Dedup.shingleCodes(col("text"), n).as("codes"))
+        .filter(size(col("codes")) > 0)
+        .select(Seq(col(idName), col("codes")) ++ sigCols(col("codes")): _*)
+        .withColumn(s"sigs_$idName", array((0 until bands).map { b =>
+          concat_ws("_",
+            (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
+        }: _*))
+      withSig.select(col(idName), col("codes").as(s"codes_$idName"),
+        col(s"sigs_$idName"),
+        posexplode(col(s"sigs_$idName")).as(Seq("band", "band_sig")))
+    }
+    val corpusBands = banded(corpus, "corpus_id")
+    banded(newDocs, "new_id")
+      .join(corpusBands, Seq("band", "band_sig"))
+      // stateless per-pair dedup (a streaming dropDuplicates would grow a
+      // state store forever): a pair matching in several bands survives
+      // ONLY on its smallest matching band — decidable per row from the
+      // two full signature arrays, no cross-row state
+      .filter((0 until bands).map { j =>
+        when(col("band") > j,
+          element_at(col("sigs_new_id"), j + 1) =!=
+            element_at(col("sigs_corpus_id"), j + 1)).otherwise(lit(true))
+      }.reduce(_ && _))
+      .withColumn("inter",
+        size(array_intersect(col("codes_new_id"), col("codes_corpus_id")))
+          .cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("codes_new_id")) + size(col("codes_corpus_id"))
+            - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
   // NOT private: state encoder codegen needs public accessors

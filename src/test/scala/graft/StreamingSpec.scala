@@ -921,6 +921,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedup-gate twin: stream-static band join equals batch new-vs-corpus, whole and split") {
+    implicit val sqlCtx = spark.sqlContext
+    // the q169 fixture: corpus = docs 0..24, NEW batch = docs 25..49,
+    // real testdata text (near-dups exist across the boundary)
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val corpus = all.filter(_._1 < 25)
+    val fresh = all.filter(_._1 >= 25)
+    val corpusDf = corpus.toSeq.toDF("doc_id", "text")
+    val batch = graft.ext.Dedup.minhashNewVsCorpus(
+      fresh.toSeq.toDF("doc_id", "text"), corpusDf,
+      k = 16, bands = 4, n = 3, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "fixture must have cross-boundary near-dups")
+
+    def run(splits: Seq[Seq[(Long, String)]], name: String) = {
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.dedupGateStream(
+        src.toDS().toDF("doc_id", "text"), corpusDf)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+        spark.table(name).as[(Long, Long, Double)].collect()
+      } finally q.stop()
+    }
+
+    val whole = run(Seq(fresh.toSeq), "gatewhole")
+    assert(whole.toSet == batch, "single micro-batch must equal batch op")
+    assert(whole.length == whole.toSet.size,
+      "band multi-match must not emit duplicate pairs")
+    // doc-boundary split: the gate is stateless, so ANY split is bit-equal
+    val split = run(Seq(fresh.take(8).toSeq, fresh.slice(8, 17).toSeq,
+      fresh.drop(17).toSeq), "gatesplit")
+    assert(split.toSet == batch, "split must be bit-equal to batch")
+    assert(split.length == split.toSet.size)
+  }
+
   test("kv-cache pager twin: per-turn pages aggregate to the batch op, whole and split") {
     implicit val sqlCtx = spark.sqlContext
     // two conversations with tied timestamps (event_id breaks the tie) and
