@@ -1359,7 +1359,12 @@ object SparkEntry {
     // of the dedup triple (MinHash text / dHash image / cosine embedding)
     "q256_embed_dedup_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.embedDedupClusters(Tables.embeddings(s, d), dim = 64,
-        bits = 8, minCos = 0.15))
+        bits = 8, minCos = 0.15)),
+    // submodular greedy max-coverage selection over shingle sets (k=6,
+    // early stop on zero gain): exact-integer gains + min-id ties make
+    // the selection ORDER oracle-checkable; q17's bounded doc window
+    "q257_greedy_coverage" -> ((s: SparkSession, d: String) =>
+      Dedup.greedyCoverage(docs50(s, d), k = 6, n = 3))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -8573,6 +8578,51 @@ object SparkEntry {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_vecs,
         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS vecs_removed
-        |FROM cs GROUP BY 1""".stripMargin
+        |FROM cs GROUP BY 1""".stripMargin,
+
+    "q257_greedy_coverage" -> greedyCoverageOracle(6)
   )
+
+  /** The q257 oracle: greedy max-coverage replayed as k UNROLLED rounds
+    * of chained CTEs (the q231 fixed-iteration discipline — recursive
+    * CTEs cannot carry the growing covered SET as value state, unrolling
+    * can). Each round: gains over still-uncovered shingles for
+    * still-unselected docs, 1-row argmax (g DESC, doc_id), covered set
+    * extended by the winner's shingles. Generated, not hand-written —
+    * the per-round SQL must stay in lockstep or the chain silently skews.
+    */
+  private def greedyCoverageOracle(k: Int): String = {
+    val sh =
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |c0 AS (SELECT CAST(NULL AS BIGINT) AS shingle WHERE 1 = 0)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val notSel =
+        if (i == 1) ""
+        else "    AND s.doc_id NOT IN (" +
+          (1 until i).map(j => s"SELECT doc_id FROM w$j")
+            .mkString(" UNION ALL ") + ")\n"
+      s"""g$i AS (SELECT s.doc_id, count(*) AS g FROM sh s
+         |  WHERE s.shingle NOT IN (SELECT shingle FROM c${i - 1})
+         |$notSel  GROUP BY 1),
+         |w$i AS (SELECT doc_id, g FROM g$i WHERE g > 0
+         |  ORDER BY g DESC, doc_id LIMIT 1),
+         |c$i AS (SELECT shingle FROM c${i - 1}
+         |  UNION SELECT s.shingle FROM sh s, w$i
+         |  WHERE s.doc_id = w$i.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, doc_id,
+         |  CAST(g AS BIGINT) AS gain,
+         |  CAST((SELECT count(*) FROM c$i) AS BIGINT) AS covered_cum
+         |FROM w$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$sh,\n$rounds\n$finalSel"
+  }
 }

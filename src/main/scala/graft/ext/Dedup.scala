@@ -252,6 +252,69 @@ object Dedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** Greedy MAX-COVERAGE data selection (the submodular facility-location
+    * family — pick the k documents that jointly cover the most distinct
+    * content; the classic (1−1/e)-greedy, public literature): round t
+    * selects the not-yet-selected doc covering the most still-uncovered
+    * shingles (exact integer gain, ties to the smallest doc_id), adds its
+    * shingles to the covered set, and stops early when no remaining doc
+    * adds anything. The coverage curve (gain + cumulative covered per
+    * round) is the diminishing-returns readout a data-selection budget is
+    * set against.
+    *
+    * Deterministic end to end: gains are exact set cardinalities of the
+    * engine-neutral shingle codes, so the selection ORDER is
+    * oracle-checkable (DuckDB replays the rounds as unrolled CTEs — the
+    * q231 fixed-iteration discipline).
+    *
+    * Scale shape: per round one anti-join (uncovered shingles) + one
+    * hash-agg + a 1-row argmax (`orderBy.limit(1)` = TakeOrdered, never a
+    * global sort); the winner row and the running covered-count are the
+    * only driver-side state (O(k) rows total). The covered-shingle frame
+    * is Pin'd each round — without it the union lineage doubles per round
+    * (the q231 plan-growth lesson). k is a fixed small parameter; at
+    * 100 TB the same loop runs with the covered set as a standing table.
+    *
+    * @return one row per selected doc: (round, doc_id, gain, covered_cum),
+    *         round 1-based, covered_cum = |covered shingles| after the pick
+    */
+  def greedyCoverage(docs: DataFrame, k: Int = 6, n: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = graft.Pin(docShingles(docs, n))
+    var covered: DataFrame = sh.select(col("shingle")).limit(0)
+    var selectedIds = Set.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val gains = sh
+        .filter(!col("doc_id").isInCollection(
+          if (selectedIds.isEmpty) Seq(-1L) else selectedIds.toSeq))
+        .join(covered, Seq("shingle"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id"))
+        .limit(1)
+        .as[(Long, Long)].collect()
+      gains.headOption match {
+        case Some((winner, gain)) if gain > 0 =>
+          // distinct: different docs share shingles, and covered_cum is
+          // the SET size (the left_anti prune is dup-insensitive, the
+          // count is not)
+          covered = graft.Pin(covered.union(
+            sh.filter(col("doc_id") === winner).select(col("shingle")))
+            .distinct())
+          selectedIds += winner
+          val cum = covered.count()
+          out += ((round.toLong, winner, gain, cum))
+          round += 1
+        case _ => done = true // nothing left to cover: stop early
+      }
+    }
+    out.toSeq.toDF("round", "doc_id", "gain", "covered_cum")
+  }
+
   /** Sketch-based distinct counting (the HLL-style extension from SURVEY
     * §2.10): approximate distinct shingles per document — fixed-size HLL
     * registers travel through the shuffle instead of every distinct value

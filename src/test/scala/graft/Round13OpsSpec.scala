@@ -172,6 +172,27 @@ class Round13OpsSpec extends SparkSuite {
     assert(digest(a) == digest(a), "digest is deterministic")
   }
 
+  test("greedyCoverage: exact greedy order, min-id ties, early stop at zero gain") {
+    // hand-computed 3-gram universe: A covers 6, C 4 disjoint, D/E 3 each
+    // disjoint (equal gain → min doc_id first), B ⊂ A (gain 0 → never
+    // picked, loop stops before exhausting k)
+    val docs = Seq(
+      (1L, "abcdefgh"), // abc bcd cde def efg fgh
+      (2L, "xyzuvw"),   // xyz yzu zuv uvw
+      (3L, "mnopq"),    // mno nop opq
+      (4L, "rstuv"),    // rst stu tuv
+      (5L, "abcde"))    // abc bcd cde — fully inside doc 1
+      .toDF("doc_id", "text")
+    val r = ext.Dedup.greedyCoverage(docs, k = 6, n = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 1L, 6L, 6L),   // A first (largest gain)
+      (2L, 2L, 4L, 10L),  // C next
+      (3L, 3L, 3L, 13L),  // D beats E on the min-id tie
+      (4L, 4L, 3L, 16L)), // E
+      s"greedy trace was $r") // B never appears; rounds 5-6 unused
+  }
+
   test("q252 plan: band join is an equi-join, never a product") {
     import org.apache.spark.sql.execution.ExplainMode
     val p = SparkEntry.queries("q252_dhash_neardup")(spark, sf)
