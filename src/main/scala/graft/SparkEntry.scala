@@ -1364,7 +1364,16 @@ object SparkEntry {
     // early stop on zero gain): exact-integer gains + min-id ties make
     // the selection ORDER oracle-checkable; q17's bounded doc window
     "q257_greedy_coverage" -> ((s: SparkSession, d: String) =>
-      Dedup.greedyCoverage(docs50(s, d), k = 6, n = 3))
+      Dedup.greedyCoverage(docs50(s, d), k = 6, n = 3)),
+    // χ² distributional drift: snapshot B deterministically drops a
+    // third of the LONG docs (n_chars > 300 ∧ doc_id%3=0), so the
+    // 100-char length-bin histogram shifts hard at the tail — a live
+    // drift signal with exact per-bin numerators
+    "q258_chi2_drift" -> ((s: SparkSession, d: String) => {
+      val a = Tables.documents(s, d)
+      val b = a.filter(!(col("n_chars") > 300L && col("doc_id") % 3 === 0))
+      ext.Curation.chi2Drift(a, b, expr("n_chars div 100"))
+    })
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -8580,7 +8589,29 @@ object SparkEntry {
         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS vecs_removed
         |FROM cs GROUP BY 1""".stripMargin,
 
-    "q257_greedy_coverage" -> greedyCoverageOracle(6)
+    "q257_greedy_coverage" -> greedyCoverageOracle(6),
+
+    // exact per-bin χ² numerators; one division per row (div1 class)
+    "q258_chi2_drift" ->
+      """WITH a AS (SELECT n_chars // 100 AS bin, count(*) AS c1
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT n_chars // 100 AS bin, count(*) AS c2
+        |  FROM documents
+        |  WHERE NOT (n_chars > 300 AND doc_id % 3 = 0) GROUP BY 1),
+        |h AS (SELECT coalesce(a.bin, b.bin) AS bin,
+        |    CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+        |    CAST(coalesce(c2, 0) AS BIGINT) AS c2
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM h)
+        |SELECT h.bin, h.c1, h.c2,
+        |  CAST((t.n2 * h.c1 - t.n1 * h.c2) * (t.n2 * h.c1 - t.n1 * h.c2)
+        |    AS BIGINT) AS term_num,
+        |  CAST(t.n1 * t.n2 * (h.c1 + h.c2) AS BIGINT) AS term_den,
+        |  CAST((t.n2 * h.c1 - t.n1 * h.c2) * (t.n2 * h.c1 - t.n1 * h.c2)
+        |    AS DOUBLE) / CAST(t.n1 * t.n2 * (h.c1 + h.c2) AS DOUBLE)
+        |    AS term
+        |FROM h, t""".stripMargin
   )
 
   /** The q257 oracle: greedy max-coverage replayed as k UNROLLED rounds

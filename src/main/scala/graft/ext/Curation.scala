@@ -1235,6 +1235,51 @@ object Curation {
         (!(col("digest_a") <=> col("digest_b")) ||
           !(col("n_docs_a") <=> col("n_docs_b"))).as("changed"))
 
+  /** χ² HOMOGENEITY drift between two corpus snapshots' bin histograms —
+    * the distributional member of the drift family ([[digestDelta]] asks
+    * "did content change", `Sessions.cusumDaily` watches a metric over
+    * time; this asks "did the SHAPE of the corpus shift", Pearson's
+    * classic two-sample test, public literature). Per bin, with snapshot
+    * totals n₁/n₂ and bin counts c₁/c₂, the χ² contribution is
+    * (n₂·c₁ − n₁·c₂)² / (n₁·n₂·(c₁+c₂)) — numerator and denominator
+    * EXACT integers, one IEEE division per bin (the div1 class: per-row
+    * doubles are bit-stable, so the per-bin term is oracle-hashable
+    * raw). No global sum is emitted — a Σ of raw doubles is
+    * fp-order-sensitive (rule 2); the reader sums the exact numerators
+    * or reads the dominant bins off `term` directly.
+    *
+    * Long envelope: (n₂·c₁ − n₁·c₂)² exact through n·c ≲ 3e9, i.e.
+    * snapshots to ~50k×50k bins·rows at full skew; past that, bin counts
+    * first (the histogram is the input grain, not the corpus).
+    *
+    * Scale shape: two bin-grain hash aggregations, one full-outer join
+    * on bin (bins present in only one snapshot keep c=0 — appearing and
+    * vanishing bins are exactly the drift signal), one broadcast 1-row
+    * totals frame. Output = |bins|.
+    *
+    * @return bin, c1, c2, term_num (exact), term_den (exact), term
+    *         (one division)
+    */
+  def chi2Drift(a: DataFrame, b: DataFrame, bin: Column): DataFrame = {
+    def hist(df: DataFrame, cName: String): DataFrame = df
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(cName))
+    val h = hist(a, "c1").join(hist(b, "c2"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val totals = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    h.crossJoin(broadcast(totals))
+      .withColumn("term_num",
+        (col("n2") * col("c1") - col("n1") * col("c2")) *
+          (col("n2") * col("c1") - col("n1") * col("c2")))
+      .withColumn("term_den",
+        col("n1") * col("n2") * (col("c1") + col("c2")))
+      .select(col("bin"), col("c1"), col("c2"), col("term_num"),
+        col("term_den"),
+        (col("term_num").cast("double") / col("term_den").cast("double"))
+          .as("term"))
+  }
+
   /** Context-length truncation audit: for each candidate context size,
     * how many documents would truncate and how much token mass the cut
     * discards — the measurement behind choosing a model's sequence

@@ -193,6 +193,28 @@ class Round13OpsSpec extends SparkSuite {
       s"greedy trace was $r") // B never appears; rounds 5-6 unused
   }
 
+  test("chi2Drift: hand-computed per-bin terms; appearing/vanishing bins live") {
+    import org.apache.spark.sql.functions.col
+    // A: X×3, Y×1 (n1=4); B: X×1, Y×2, Z×1 (n2=4; Z appears, nothing
+    // vanishes — c1=0 branch exercised via Z)
+    val a = Seq("X", "X", "X", "Y").toDF("bin0")
+    val b = Seq("X", "Y", "Y", "Z").toDF("bin0")
+    val r = ext.Curation.chi2Drift(a, b, col("bin0"))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // X: (4·3−4·1)²=64, den 4·4·4=64 → 1.0
+    assert(r("X") == (("X", 3L, 1L, 64L, 64L, 1.0)))
+    // Y: (4·1−4·2)²=16, den 4·4·3=48 → 1/3
+    assert(r("Y")._4 == 16L && r("Y")._5 == 48L &&
+      r("Y")._6 == 16.0 / 48.0)
+    // Z: c1=0 → (0−4·1)²=16, den 4·4·1=16 → 1.0
+    assert(r("Z") == (("Z", 0L, 1L, 16L, 16L, 1.0)))
+    // identical snapshots → every term exactly 0
+    val zero = ext.Curation.chi2Drift(a, a, col("bin0"))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(zero.forall(t => t._4 == 0L && t._6 == 0.0))
+  }
+
   test("q252 plan: band join is an equi-join, never a product") {
     import org.apache.spark.sql.execution.ExplainMode
     val p = SparkEntry.queries("q252_dhash_neardup")(spark, sf)
