@@ -1373,6 +1373,14 @@ object SparkEntry {
       val a = Tables.documents(s, d)
       val b = a.filter(!(col("n_chars") > 300L && col("doc_id") % 3 === 0))
       ext.Curation.chi2Drift(a, b, expr("n_chars div 100"))
+    }),
+    // incremental perceptual gate: NEW batch (doc_id%5=0) dHash-checked
+    // against the standing corpus — q169's crawl-admission shape on the
+    // image raster; 13 exact-prefix pairs live at sf0.01
+    "q259_dhash_gate" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dhashNewVsCorpus(docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), maxDist = 16)
     })
   )
 
@@ -8611,7 +8619,39 @@ object SparkEntry {
         |  CAST((t.n2 * h.c1 - t.n1 * h.c2) * (t.n2 * h.c1 - t.n1 * h.c2)
         |    AS DOUBLE) / CAST(t.n1 * t.n2 * (h.c1 + h.c2) AS DOUBLE)
         |    AS term
-        |FROM h, t""".stripMargin
+        |FROM h, t""".stripMargin,
+
+    // q252's band chain with the join restricted to NEW × CORPUS
+    "q259_dhash_gate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 72),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS px
+        |  FROM documents WHERE n_chars >= 72),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band, CAST(
+        |    (SELECT sum(CASE WHEN px[CAST(r*9+c+1 AS BIGINT)]
+        |                        < px[CAST(r*9+c+2 AS BIGINT)]
+        |       THEN CAST(1 AS BIGINT) << CAST((r % 2) * 8 + c AS INT)
+        |       ELSE 0 END)
+        |     FROM (SELECT unnest(generate_series(0, 7)) c) cs,
+        |          (SELECT b.b * 2 AS r UNION ALL SELECT b.b * 2 + 1) rs)
+        |    AS BIGINT) AS v
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) b) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v
+        |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+        |ham AS (
+        |  SELECT c.new_id, c.corpus_id,
+        |    CAST((SELECT sum(bit_count(xor(xa.v, ya.v)))
+        |      FROM bands xa JOIN bands ya ON xa.band = ya.band
+        |      WHERE xa.doc_id = c.new_id AND ya.doc_id = c.corpus_id)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c)
+        |SELECT new_id, corpus_id, hamming FROM ham
+        |WHERE hamming <= 16""".stripMargin
   )
 
   /** The q257 oracle: greedy max-coverage replayed as k UNROLLED rounds

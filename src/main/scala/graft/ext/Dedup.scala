@@ -479,6 +479,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Incremental PERCEPTUAL gate: which NEW-batch docs are dHash
+    * near-dups of an EXISTING corpus — [[minhashNewVsCorpus]]'s
+    * dedup-against-prior-crawl shape on the image raster. The band join
+    * is NEW × CORPUS only (within-batch and within-corpus pairs never
+    * form); candidates verify with the exact 4-band Hamming distance.
+    * Same banded recall contract as [[dhashNearDups]]; at 100 TB the
+    * corpus band table is the standing artifact between batches.
+    *
+    * @return (new_id, corpus_id, hamming) for pairs ≤ maxDist
+    */
+  def dhashNewVsCorpus(newDocs: DataFrame, corpus: DataFrame,
+                       maxDist: Int = 16): DataFrame = {
+    def banded(docs: DataFrame, idName: String): DataFrame = {
+      val cols = (0 until DhashBands).map(b => s"${idName}_b$b")
+      dhashTextBands(docs).toDF(idName +: cols: _*)
+        .select(col(idName) +: cols.map(col) :+
+          posexplode(array(cols.map(col): _*)).as(Seq("band", "v")): _*)
+    }
+    banded(newDocs, "new_id").as("x")
+      .join(banded(corpus, "corpus_id").as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v"))
+      .select(Seq(col("new_id"), col("corpus_id")) ++
+        (0 until DhashBands).flatMap(b =>
+          Seq(col(s"new_id_b$b"), col(s"corpus_id_b$b"))): _*)
+      .distinct()
+      .withColumn("hamming",
+        (0 until DhashBands)
+          .map(b => bit_count(col(s"new_id_b$b")
+            .bitwiseXOR(col(s"corpus_id_b$b"))))
+          .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+  }
+
   /** Perceptual near-dup CLUSTER readout: [[dhashNearDups]] pairs closed
     * into connected components, rolled up as a cluster-size histogram
     * with keep-one removal mass — the image-corpus twin of

@@ -931,6 +931,40 @@ object StreamOps {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Streaming twin #18 of [[graft.ext.Dedup.dhashNewVsCorpus]]: the
+    * PERCEPTUAL admission gate online — the image-raster sibling of
+    * [[dedupGateStream]], same stateless architecture (per-row dHash
+    * bands are pure column expressions, candidates from a stream-static
+    * band join, exact Hamming verify per row, multi-band matches deduped
+    * by the smallest-matching-band rule — zero state store). Emits
+    * (new_id, corpus_id, hamming) as each document lands.
+    */
+  def dhashGateStream(newDocs: DataFrame, corpus: DataFrame,
+                      maxDist: Int = 16): DataFrame = {
+    val nb = graft.ext.Dedup.DhashBands
+    def banded(df: DataFrame, idName: String): DataFrame = {
+      val cols = (0 until nb).map(b => s"${idName}_b$b")
+      graft.ext.Dedup.dhashTextBands(df).toDF(idName +: cols: _*)
+        .withColumn(s"arr_$idName", array(cols.map(col): _*))
+        .select(col(idName), col(s"arr_$idName"),
+          posexplode(col(s"arr_$idName")).as(Seq("band", "v")))
+    }
+    banded(newDocs, "new_id")
+      .join(banded(corpus, "corpus_id"), Seq("band", "v"))
+      .filter((0 until nb).map { j =>
+        when(col("band") > j,
+          element_at(col("arr_new_id"), j + 1) =!=
+            element_at(col("arr_corpus_id"), j + 1)).otherwise(lit(true))
+      }.reduce(_ && _))
+      .withColumn("hamming",
+        (0 until nb).map(b =>
+          bit_count(element_at(col("arr_new_id"), b + 1)
+            .bitwiseXOR(element_at(col("arr_corpus_id"), b + 1))))
+          .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+  }
+
   // NOT private: state encoder codegen needs public accessors
   final case class PagerState(ctx: Long)
   final case class PagerTurn(user_id: Long, event_id: Long, ts_us: Long,

@@ -960,6 +960,41 @@ class StreamingSpec extends SparkSuite {
     assert(split.length == split.toSet.size)
   }
 
+  test("dhash-gate twin: perceptual stream-static gate equals batch, whole and split") {
+    implicit val sqlCtx = spark.sqlContext
+    // planted raster fixture (the Round13OpsSpec texture): stream holds
+    // an exact copy (hamming 0), a 1-char edit (≤2), and a row-mirror
+    // (far) of a corpus doc
+    val base = (0 until 72)
+      .map(i => (33 + (i * 53 + (i * i) % 41) % 90).toChar).mkString
+    def d(id: Long, t: String) = (id, t, t.length.toLong)
+    val corpus = Seq(d(1, base), d(2, base.reverse + "padpadpad"))
+      .toDF("doc_id", "text", "n_chars")
+    val edited = base.updated(40, '!')
+    val fresh = Seq(d(5, base), d(10, edited),
+      d(15, base.grouped(9).map(_.reverse).mkString), d(20, "short"))
+    val batch = graft.ext.Dedup.dhashNewVsCorpus(
+      fresh.toDF("doc_id", "text", "n_chars"), corpus, maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._3 == 0L), "exact copy must gate at hamming 0")
+
+    def run(splits: Seq[Seq[(Long, String, Long)]], name: String) = {
+      val src = MemoryStream[(Long, String, Long)]
+      val q = StreamOps.dhashGateStream(
+        src.toDS().toDF("doc_id", "text", "n_chars"), corpus, maxDist = 4)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+        spark.table(name).as[(Long, Long, Long)].collect()
+      } finally q.stop()
+    }
+    val whole = run(Seq(fresh), "dgwhole")
+    assert(whole.toSet == batch && whole.length == whole.toSet.size)
+    val split = run(Seq(fresh.take(2), fresh.drop(2)), "dgsplit")
+    assert(split.toSet == batch && split.length == split.toSet.size)
+  }
+
   test("kv-cache pager twin: per-turn pages aggregate to the batch op, whole and split") {
     implicit val sqlCtx = spark.sqlContext
     // two conversations with tied timestamps (event_id breaks the tie) and
