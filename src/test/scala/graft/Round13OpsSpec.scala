@@ -260,6 +260,16 @@ class Round13OpsSpec extends SparkSuite {
     assert(hist.toSeq.map(_._3).sum == 4L, "Σ n_vecs = all embedding rows")
   }
 
+  test("q256/q259 plans: bucket/band joins stay equi-joins, never products") {
+    import org.apache.spark.sql.execution.ExplainMode
+    Seq("q256_embed_dedup_clusters", "q259_dhash_gate").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to all-pairs:\n$p")
+    }
+  }
+
   test("q254 plan: quota frame broadcasts back; no product; packing stays mapPartitions") {
     import org.apache.spark.sql.execution.ExplainMode
     val df = SparkEntry.queries("q254_train_run_prep")(spark, sf)
