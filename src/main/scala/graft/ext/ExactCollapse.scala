@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-duplicate pre-collapse for pair-producing near-dup joins.
+  *
+  * The one 100 TB scale-killer inside an otherwise bucket-bounded near-dup
+  * architecture is exact multiplicity: m byte-identical copies of one
+  * document/image/embedding carry identical signatures, land in the same
+  * LSH bucket, and produce m²/2 candidate pairs BEFORE any verify step can
+  * cut them (a million copies of a popular image → 5·10¹¹ candidates in
+  * one bucket). The fix is standard: group identical items to ONE
+  * representative before the band/bucket join, run the pair machinery on
+  * representatives only, and re-expand members afterwards. Every derived
+  * quantity (Hamming distance, Jaccard, cosine, edit distance) is
+  * group-constant — identical inputs give identical signatures and
+  * distances — so the expansion is a pure equi-join that reproduces the
+  * uncollapsed output bit-for-bit, while the quadratic work runs on the
+  * DISTINCT item count.
+  *
+  * Consumers that only need CONNECTIVITY (cluster histograms, keeper
+  * mappings) skip pair expansion entirely: an identical-group is one
+  * distance-0 cluster by definition, so m−1 star edges (member → rep)
+  * replace its m²/2 within pairs with the same connected components.
+  *
+  * At 100 TB the collapse key for text is shuffled as (digest, body) with
+  * the 8-byte digest leading the sort key — same byte volume as one body
+  * shuffle, which the signature explode already paid. Fixed-width keys
+  * (dHash bands, quantized vectors) group directly.
+  */
+private[ext] object ExactCollapse {
+
+  /** `df` + a `rep` column: the minimum `idCol` over rows whose `keys`
+    * tuple is identical — one exchange on the key, the aggregation that
+    * must precede every band join (PlanSpec pins this shape).
+    */
+  def withRep(df: DataFrame, idCol: String, keys: Seq[Column]): DataFrame =
+    df.withColumn("rep", min(col(idCol)).over(Window.partitionBy(keys: _*)))
+
+  /** Rep-grain UNORDERED pairs → member-grain pairs normalized to
+    * `outA` < `outB`. `repPairs` holds rep ids in columns `outA`/`outB`
+    * plus group-constant `payload` columns that ride along unchanged;
+    * `members` is a two-column (rep, member_id) frame. Each member pair
+    * appears exactly once (groups partition the id space).
+    */
+  def expandUnordered(repPairs: DataFrame, members: DataFrame,
+                      outA: String, outB: String,
+                      payload: Seq[String]): DataFrame = {
+    val ma = members.toDF("__ra", "__ida")
+    val mb = members.toDF("__rb", "__idb")
+    repPairs
+      .join(ma, col(outA) === col("__ra"))
+      .join(mb, col(outB) === col("__rb"))
+      .select(least(col("__ida"), col("__idb")).as(outA) +:
+        greatest(col("__ida"), col("__idb")).as(outB) +:
+        payload.map(col): _*)
+  }
+
+  /** Rep-grain ORDERED pairs → member-grain (left member, right member)
+    * pairs — the new-vs-corpus gate shape, where the two sides are
+    * disjoint frames and no normalization applies.
+    */
+  def expandOrdered(repPairs: DataFrame, leftMembers: DataFrame,
+                    rightMembers: DataFrame, outL: String, outR: String,
+                    payload: Seq[String]): DataFrame = {
+    val ml = leftMembers.toDF("__rl", "__idl")
+    val mr = rightMembers.toDF("__rr", "__idr")
+    repPairs
+      .join(ml, col(outL) === col("__rl"))
+      .join(mr, col(outR) === col("__rr"))
+      .select(col("__idl").as(outL) +: col("__idr").as(outR) +:
+        payload.map(col): _*)
+  }
+
+  /** All within-group member pairs (a < b) — for pair-list outputs whose
+    * contract enumerates the distance-0 pairs (the output is inherently
+    * quadratic in multiplicity; the JOIN that produces it is a linear
+    * equi-join on the rep key). `members` is (rep, member_id) plus
+    * optional group-constant payload columns, which ride along from the
+    * left side.
+    */
+  def withinPairs(members: DataFrame, outA: String, outB: String,
+                  payload: Seq[String]): DataFrame = {
+    val cols = members.columns
+    val ma = members.toDF(cols.map(c => s"__l_$c"): _*)
+    val mb = members.select(cols.take(2).map(col): _*)
+      .toDF("__r_rep", "__r_id")
+    val Seq(repC, idC) = cols.take(2).toSeq
+    ma.join(mb, col(s"__l_$repC") === col("__r_rep") &&
+        col(s"__l_$idC") < col("__r_id"))
+      .select(col(s"__l_$idC").as(outA) +: col("__r_id").as(outB) +:
+        payload.map(c => col(s"__l_$c").as(c)): _*)
+  }
+
+  /** Connectivity-equivalent star edges: (rep, member) for every non-rep
+    * member — m−1 edges replacing a group's m²/2 within pairs with the
+    * same connected components.
+    */
+  def starEdges(members: DataFrame, outA: String, outB: String): DataFrame = {
+    val Seq(repC, idC) = members.columns.take(2).toSeq
+    members.filter(col(idC) =!= col(repC))
+      .select(col(repC).as(outA), col(idC).as(outB))
+  }
+}
