@@ -107,10 +107,12 @@ object SparkEntry {
     // full dedup closure: MinHash-LSH pairs → connected components →
     // canonical ids (iterative min-label propagation; oracled by a DuckDB
     // recursive-CTE transitive closure — ComponentsSpec covers semantics)
+    // connectivity consumer: rides the rep-pair + star-edge list (same
+    // components as the expanded pairs, linear in exact-copy multiplicity)
     "q36_dedup_groups" -> ((s: SparkSession, d: String) =>
       ext.Components.dedupGroups(
-        Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3,
-          minJaccard = 0.5).select("doc_a", "doc_b"))),
+        Dedup.minhashNearDupEdges(docs50(s, d), k = 16, bands = 4, n = 3,
+          minJaccard = 0.5))),
     // ---- set ops / grouping sets / pivot ----
     "q32_set_ops" -> Relational.q32SetOps _,
     "q33_cube"    -> Relational.q33Cube _,
@@ -236,10 +238,11 @@ object SparkEntry {
       Sessions.movingAnomaly(Tables.events(s, d))),
     // the dedup end product: doc → keeper mapping over near-dup components,
     // keeper = longest text (min doc_id ties) — not just min-id groups
+    // connectivity consumer (q36's discipline): edge list, never pairs
     "q78_canonical_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.canonicalMapping(
-        Dedup.minhashNearDups(docs50(s, d), k = 16, bands = 4, n = 3,
-          minJaccard = 0.5).select("doc_a", "doc_b"),
+        Dedup.minhashNearDupEdges(docs50(s, d), k = 16, bands = 4, n = 3,
+          minJaccard = 0.5),
         docs50(s, d))),
     // Count-Min frequency sketch, built and probed in one plan; the
     // overestimate-only property is visible in the output
@@ -1350,8 +1353,7 @@ object SparkEntry {
     // near-dup graph — what a curation pipeline actually applies
     "q255_dhash_keeper" -> ((s: SparkSession, d: String) =>
       Dedup.canonicalMapping(
-        Dedup.dhashNearDups(Tables.documents(s, d), maxDist = 16)
-          .select("doc_a", "doc_b"),
+        Dedup.dhashNearDupEdges(Tables.documents(s, d), maxDist = 16),
         Tables.documents(s, d))),
     // SemDeDup-shaped semantic dedup: q24's bucket-pruned cosine pairs
     // (minCos 0.15, the fixture's live threshold) → CC → the q245

@@ -144,11 +144,76 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-duplicate pre-collapse for the MinHash family
+    * ([[graft.ext.ExactCollapse]]): byte-identical texts carry identical
+    * shingle sets, signatures and bands, so m copies of one document would
+    * flood their LSH bucket with m²/2 candidate pairs before any verify
+    * step could cut them. Group on the text body (an engine-hash digest
+    * leads the shuffle key so the sort compares 8 bytes before bodies —
+    * the digest never reaches the output, so engine-neutrality is
+    * untouched), run the pair machinery on one representative per group,
+    * and re-expand — bit-identical output, quadratic work on DISTINCT
+    * texts only. Docs shorter than one shingle have no signature and never
+    * pair (the uncollapsed semantics), so their groups are excluded here.
+    *
+    * @return (members (rep, doc_id), reps — one full row per distinct text)
+    */
+  private def textCollapsed(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    val eligible = docs.filter(length(col("text")) >= n)
+    val keyed = ExactCollapse.withRep(eligible, "doc_id",
+      Seq(xxhash64(col("text")), col("text")))
+    (keyed.select(col("rep"), col("doc_id")),
+      keyed.filter(col("doc_id") === col("rep")).drop("rep"))
+  }
+
   /** MinHash-LSH near-dup pipeline with exact-Jaccard verification of the
-    * candidates only (the 100 TB shape: LSH prunes the quadratic join).
+    * candidates only (the 100 TB shape: LSH prunes the quadratic join),
+    * over the exact-collapse representatives: identical texts ride ONE rep
+    * through the band join and expand back afterwards — every derived
+    * quantity (bands, Jaccard) is group-constant, so the output is
+    * bit-identical to the uncollapsed form (ExactCollapseSpec proves it)
+    * while m exact copies cost m expansion rows, not m²/2 candidates.
     */
   def minhashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
                       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val (members, reps) = textCollapsed(docs, n)
+    val repPairs = minhashNearDupsDistinct(reps, k, bands, n, minJaccard)
+    val cross = ExactCollapse.expandUnordered(repPairs, members,
+      "doc_a", "doc_b", Seq("jaccard"))
+    // identical shingle sets: inter = size = sz, so the uncollapsed path
+    // computes sz/(sz+sz−sz) = 1.0 exactly (IEEE x/x) — lit(1.0) is the
+    // same bits; the threshold filter still applies (degenerate > 1.0)
+    val within = ExactCollapse.withinPairs(members, "doc_a", "doc_b", Nil)
+      .withColumn("jaccard", lit(1.0))
+      .filter(col("jaccard") >= minJaccard)
+    cross.unionByName(within)
+  }
+
+  /** Connectivity-equivalent near-dup EDGE list for cluster/keeper
+    * consumers ([[nearDupClusters]], q36/q78): rep-grain verified pairs
+    * plus m−1 star edges per identical-text group — the same connected
+    * components as the m²/2 expanded pairs with linear edge mass
+    * ([[graft.ext.ExactCollapse.starEdges]]).
+    */
+  def minhashNearDupEdges(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                          n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val (members, reps) = textCollapsed(docs, n)
+    minhashNearDupsDistinct(reps, k, bands, n, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(ExactCollapse.starEdges(members, "doc_a", "doc_b")
+        // an identical-text group is one jaccard-1.0 clique; its edges
+        // exist exactly when the within pairs would pass the threshold
+        .filter(lit(1.0 >= minJaccard)))
+  }
+
+  /** The uncollapsed pipeline body — candidate banding + exact-Jaccard
+    * verify over the given docs as-is. [[minhashNearDups]] runs this on
+    * exact-collapse representatives; the spec runs it on the full frame
+    * as the bit-equality reference.
+    */
+  private[graft] def minhashNearDupsDistinct(docs: DataFrame, k: Int,
+                                             bands: Int, n: Int,
+                                             minJaccard: Double): DataFrame = {
     val cands = minhashLshCandidates(docs, k, bands, n)
     val sh = docShingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -199,19 +264,39 @@ object Dedup {
     *
     * Scale shape: LSH-banded pair generation (never all-pairs), the
     * q36/CC pointer-jumping closure with its Pin discipline, then two
-    * tiny hash aggregations (component grain, then size grain).
+    * tiny hash aggregations (component grain, then size grain). A
+    * connectivity consumer needs no pair expansion at all — it rides
+    * [[minhashNearDupEdges]] (rep pairs + star edges), so exact-copy
+    * multiplicity costs m−1 edges instead of m²/2 pairs.
     */
   def nearDupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
                       n: Int = 3, minJaccard: Double = 0.5): DataFrame =
     Components.clusterSizeHistogram(
       docs.select(col("doc_id")),
-      minhashNearDups(docs, k, bands, n, minJaccard)
-        .select(col("doc_a"), col("doc_b")),
+      minhashNearDupEdges(docs, k, bands, n, minJaccard),
       "n_docs", "docs_removed")
 
   def minhashNewVsCorpus(newDocs: DataFrame, corpus: DataFrame,
                          k: Int = 16, bands: Int = 4, n: Int = 3,
                          minJaccard: Double = 0.5): DataFrame = {
+    // exact-collapse BOTH sides (a crawl refresh re-fetches popular pages
+    // many times over): the band join runs rep × rep, then the ordered
+    // expansion re-attaches every (new member, corpus member) combination
+    // with the group-constant jaccard — bit-identical to the uncollapsed
+    // gate. Within-group pairs cannot exist here (the sides are disjoint
+    // frames), so no within path applies.
+    val (mNew, rNew) = textCollapsed(newDocs, n)
+    val (mCor, rCor) = textCollapsed(corpus, n)
+    val repPairs = minhashNewVsCorpusDistinct(rNew, rCor, k, bands, n,
+      minJaccard)
+    ExactCollapse.expandOrdered(repPairs, mNew, mCor,
+      "new_id", "corpus_id", Seq("jaccard"))
+  }
+
+  /** Uncollapsed gate body (see [[minhashNearDupsDistinct]]'s contract). */
+  private[graft] def minhashNewVsCorpusDistinct(
+      newDocs: DataFrame, corpus: DataFrame, k: Int, bands: Int, n: Int,
+      minJaccard: Double): DataFrame = {
     require(k % bands == 0, "band width must divide signature length")
     val rows = k / bands
     def banded(docs: DataFrame): DataFrame =
@@ -459,7 +544,54 @@ object Dedup {
     * @return (doc_a < doc_b, hamming) for pairs with hamming ≤ maxDist
     */
   def dhashNearDups(docs: DataFrame, maxDist: Int = 16): DataFrame = {
-    val hash = dhashTextBands(docs)
+    // exact-collapse on the full 4-band hash ([[graft.ext.ExactCollapse]]):
+    // m docs with one identical hash are one distance-0 clique and would
+    // cost the band join m²/2 candidates; collapsed they cost ONE rep row,
+    // plus m²/2 distance-0 OUTPUT rows the pair-list contract demands —
+    // produced by a linear equi-join, never by candidate scoring. Hamming
+    // is group-constant, so the expansion is bit-identical to the
+    // uncollapsed form (ExactCollapseSpec).
+    val (members, reps) = dhashCollapsed(docs)
+    val cross = ExactCollapse.expandUnordered(
+      dhashPairsFromBands(reps, maxDist), members,
+      "doc_a", "doc_b", Seq("hamming"))
+    val within = ExactCollapse.withinPairs(members, "doc_a", "doc_b", Nil)
+      .withColumn("hamming", lit(0L))
+      .filter(col("hamming") <= maxDist)
+    cross.unionByName(within)
+  }
+
+  /** Connectivity-equivalent dHash EDGE list for the cluster/keeper
+    * consumers ([[dhashClusters]], q255): rep-grain verified pairs plus
+    * m−1 star edges per identical-hash group — same connected components
+    * as the expanded pair list, linear edge mass.
+    */
+  def dhashNearDupEdges(docs: DataFrame, maxDist: Int = 16): DataFrame = {
+    val (members, reps) = dhashCollapsed(docs)
+    dhashPairsFromBands(reps, maxDist).select(col("doc_a"), col("doc_b"))
+      .unionByName(ExactCollapse.starEdges(members, "doc_a", "doc_b")
+        .filter(lit(0 <= maxDist))) // distance-0 clique passes iff the gate does
+  }
+
+  /** (members (rep, doc_id), reps — one hash row per distinct 4-band
+    * value) — the exact-collapse frames shared by the dHash operators.
+    */
+  private def dhashCollapsed(docs: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = ExactCollapse.withRep(dhashTextBands(docs), "doc_id",
+      (0 until DhashBands).map(b => col(s"b$b")))
+    (keyed.select(col("rep"), col("doc_id")),
+      keyed.filter(col("doc_id") === col("rep")).drop("rep"))
+  }
+
+  /** Uncollapsed band-join + exact-Hamming body over a (doc_id, b0..b3)
+    * hash frame as-is; [[dhashNearDups]] runs it on exact-collapse reps,
+    * the spec on the full frame as the bit-equality reference.
+    */
+  private[graft] def dhashNearDupsDistinct(docs: DataFrame,
+                                           maxDist: Int): DataFrame =
+    dhashPairsFromBands(dhashTextBands(docs), maxDist)
+
+  private def dhashPairsFromBands(hash: DataFrame, maxDist: Int): DataFrame = {
     val banded = hash.select(col("doc_id"),
       posexplode(array((0 until DhashBands).map(b => col(s"b$b")): _*))
         .as(Seq("band", "v")))
@@ -491,14 +623,36 @@ object Dedup {
     */
   def dhashNewVsCorpus(newDocs: DataFrame, corpus: DataFrame,
                        maxDist: Int = 16): DataFrame = {
-    def banded(docs: DataFrame, idName: String): DataFrame = {
+    // exact-collapse both sides (the minhashNewVsCorpus discipline): the
+    // band join runs rep × rep, the ordered expansion re-attaches every
+    // (new member, corpus member) combination with the group-constant
+    // Hamming distance — bit-identical to the uncollapsed gate
+    val (mNew, rNew) = dhashCollapsed(newDocs)
+    val (mCor, rCor) = dhashCollapsed(corpus)
+    ExactCollapse.expandOrdered(
+      dhashGateFromBands(rNew, rCor, maxDist), mNew, mCor,
+      "new_id", "corpus_id", Seq("hamming"))
+  }
+
+  /** Uncollapsed gate body over two (doc_id, b0..b3) hash frames (see
+    * [[dhashNearDupsDistinct]]'s contract).
+    */
+  private[graft] def dhashNewVsCorpusDistinct(newDocs: DataFrame,
+                                              corpus: DataFrame,
+                                              maxDist: Int): DataFrame =
+    dhashGateFromBands(dhashTextBands(newDocs), dhashTextBands(corpus),
+      maxDist)
+
+  private def dhashGateFromBands(newHash: DataFrame, corpusHash: DataFrame,
+                                 maxDist: Int): DataFrame = {
+    def banded(hash: DataFrame, idName: String): DataFrame = {
       val cols = (0 until DhashBands).map(b => s"${idName}_b$b")
-      dhashTextBands(docs).toDF(idName +: cols: _*)
+      hash.toDF(idName +: cols: _*)
         .select(col(idName) +: cols.map(col) :+
           posexplode(array(cols.map(col): _*)).as(Seq("band", "v")): _*)
     }
-    banded(newDocs, "new_id").as("x")
-      .join(banded(corpus, "corpus_id").as("y"),
+    banded(newHash, "new_id").as("x")
+      .join(banded(corpusHash, "corpus_id").as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v"))
       .select(Seq(col("new_id"), col("corpus_id")) ++
         (0 until DhashBands).flatMap(b =>
@@ -517,12 +671,13 @@ object Dedup {
     * into connected components, rolled up as a cluster-size histogram
     * with keep-one removal mass — the image-corpus twin of
     * [[nearDupClusters]] (same CC closure, same histogram contract:
-    * Σ n_docs = all docs with a full raster).
+    * Σ n_docs = all docs with a full raster). Rides the star-edge list —
+    * connectivity needs no pair expansion.
     */
   def dhashClusters(docs: DataFrame, maxDist: Int = 16): DataFrame =
     Components.clusterSizeHistogram(
       docs.filter(col("n_chars") >= DhashW * DhashH).select(col("doc_id")),
-      dhashNearDups(docs, maxDist).select(col("doc_a"), col("doc_b")),
+      dhashNearDupEdges(docs, maxDist),
       "n_docs", "docs_removed")
 
   /** The dedup END PRODUCT: a doc → keeper mapping over the near-dup graph.

@@ -30,14 +30,22 @@ import org.apache.spark.sql.functions._
   * shuffle, which the signature explode already paid. Fixed-width keys
   * (dHash bands, quantized vectors) group directly.
   */
-private[ext] object ExactCollapse {
+private[graft] object ExactCollapse {
 
-  /** `df` + a `rep` column: the minimum `idCol` over rows whose `keys`
+  /** `df` + a `repCol` column: the minimum `idCol` over rows whose `keys`
     * tuple is identical — one exchange on the key, the aggregation that
-    * must precede every band join (PlanSpec pins this shape).
+    * must precede every band join (PlanSpec's "exact-collapse rep window"
+    * test pins this shape in the registered near-dup plans).
+    *
+    * Fails fast when `repCol` already exists — a silent overwrite of a
+    * caller column would corrupt the expansion joins downstream.
     */
-  def withRep(df: DataFrame, idCol: String, keys: Seq[Column]): DataFrame =
-    df.withColumn("rep", min(col(idCol)).over(Window.partitionBy(keys: _*)))
+  def withRep(df: DataFrame, idCol: String, keys: Seq[Column],
+              repCol: String = "rep"): DataFrame = {
+    require(!df.columns.contains(repCol),
+      s"withRep: input already has a '$repCol' column — pass a free name")
+    df.withColumn(repCol, min(col(idCol)).over(Window.partitionBy(keys: _*)))
+  }
 
   /** Rep-grain UNORDERED pairs → member-grain pairs normalized to
     * `outA` < `outB`. `repPairs` holds rep ids in columns `outA`/`outB`
@@ -51,6 +59,11 @@ private[ext] object ExactCollapse {
     val ma = members.toDF("__ra", "__ida")
     val mb = members.toDF("__rb", "__idb")
     repPairs
+      // defensive: a degenerate self-pair (same rep on both sides) would
+      // expand into duplicate and (a,a) member pairs after least/greatest
+      // normalization — within-group pairs must come from withinPairs/
+      // starEdges, never through here
+      .filter(col(outA) =!= col(outB))
       .join(ma, col(outA) === col("__ra"))
       .join(mb, col(outB) === col("__rb"))
       .select(least(col("__ida"), col("__idb")).as(outA) +:

@@ -187,9 +187,53 @@ object Similarity {
   /** LSH-bucketed near-neighbor pairs: only same-bucket pairs are scored —
     * the scale path that replaces the quadratic join. Recall is tuned with
     * `bits` (fewer bits → bigger buckets → higher recall, more work).
+    *
+    * Exact-collapse discipline ([[graft.ext.ExactCollapse]]): m identical
+    * (bucket, quantized-vector) rows — re-ingested embeddings of one
+    * popular item — would put m²/2 candidate pairs in their bucket; the
+    * bucket join runs on one representative per group instead, and the
+    * equi-join expansion re-attaches members with the group-constant
+    * cosine. Bit-identical to the uncollapsed form (ExactCollapseSpec):
+    * within-group pairs carry selfCos = qdot(q,q)/(nv·nv) — the exact
+    * expression the uncollapsed join evaluates for an identical pair.
     */
   def lshNearPairs(emb: DataFrame, dim: Int, bits: Int = 8,
                    minCos: Double = 0.9): DataFrame = {
+    val (members, reps) = lshCollapsed(emb, dim, bits)
+    val cross = ExactCollapse.expandUnordered(
+      lshPairsFromBucketed(reps, minCos),
+      members.select(col("rep"), col("vec_id")),
+      "vec_a", "vec_b", Seq("cos"))
+    val within = ExactCollapse.withinPairs(members, "vec_a", "vec_b",
+      Seq("cos"))
+      .filter(col("cos") >= minCos)
+    cross.unionByName(within)
+  }
+
+  /** Connectivity-equivalent near-pair EDGE list for the cluster consumer
+    * ([[embedDedupClusters]]): rep-grain verified pairs plus m−1 star
+    * edges per identical-(bucket, q) group, gated on the same selfCos the
+    * within pairs carry — same connected components as the expanded pair
+    * list, linear edge mass.
+    */
+  def lshNearPairEdges(emb: DataFrame, dim: Int, bits: Int = 8,
+                       minCos: Double = 0.9): DataFrame = {
+    val (members, reps) = lshCollapsed(emb, dim, bits)
+    lshPairsFromBucketed(reps, minCos).select(col("vec_a"), col("vec_b"))
+      .unionByName(ExactCollapse.starEdges(
+        members.filter(col("cos") >= minCos)
+          .select(col("rep"), col("vec_id")),
+        "vec_a", "vec_b"))
+  }
+
+  /** (members (rep, vec_id, selfCos), reps — one bucketed row per distinct
+    * (bucket, quantized vector)). The collapse key includes the bucket:
+    * the bucket derives from the RAW floats, so two vectors may share a
+    * quantized image but not a bucket — such rows never pair in the
+    * uncollapsed semantics and must not land in one group.
+    */
+  private def lshCollapsed(emb: DataFrame, dim: Int,
+                           bits: Int): (DataFrame, DataFrame) = {
     val bucketed = emb
       .withColumn("q", quantize(col("embedding")))
       .withColumn("n2", qdot(col("q"), col("q")))
@@ -197,13 +241,40 @@ object Similarity {
       .select(col("vec_id"), col("q"),
         sqrt(col("n2").cast("double")).as("nv"),
         lshBucket(col("embedding"), dim, bits).as("bucket"))
+    val keyed = ExactCollapse.withRep(bucketed, "vec_id",
+      Seq(col("bucket"), col("q")))
+    (keyed.select(col("rep"), col("vec_id"),
+      (qdot(col("q"), col("q")).cast("double") / (col("nv") * col("nv")))
+        .as("cos")),
+      keyed.filter(col("vec_id") === col("rep")).drop("rep"))
+  }
+
+  /** Uncollapsed bucket-join body over a (vec_id, q, nv, bucket) frame
+    * as-is; [[lshNearPairs]] runs it on exact-collapse reps, the spec on
+    * the full frame as the bit-equality reference.
+    */
+  private def lshPairsFromBucketed(bucketed: DataFrame,
+                                   minCos: Double): DataFrame =
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         qdot(col("a.q"), col("b.q")).cast("double") / (col("a.nv") * col("b.nv")))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
-  }
+
+  /** The uncollapsed pipeline applied to the full frame — the spec's
+    * bit-equality reference for [[lshNearPairs]].
+    */
+  private[graft] def lshNearPairsDistinct(emb: DataFrame, dim: Int,
+                                          bits: Int,
+                                          minCos: Double): DataFrame =
+    lshPairsFromBucketed(emb
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+      .select(col("vec_id"), col("q"),
+        sqrt(col("n2").cast("double")).as("nv"),
+        lshBucket(col("embedding"), dim, bits).as("bucket")), minCos)
 
   /** SemDeDup-shaped SEMANTIC dedup cluster readout (Abbas et al. 2023,
     * public literature — near-duplicate semantics live in embedding space,
@@ -223,8 +294,7 @@ object Similarity {
                          minCos: Double = 0.9): DataFrame =
     Components.clusterSizeHistogram(
       emb.select(col("vec_id")),
-      lshNearPairs(emb, dim, bits, minCos)
-        .select(col("vec_a"), col("vec_b")),
+      lshNearPairEdges(emb, dim, bits, minCos),
       "n_vecs", "vecs_removed")
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
@@ -391,8 +461,47 @@ object Similarity {
     * approximation by min-id, one pass — full CC would iterate).
     */
   def cosineNearDups(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
+    // exact-collapse on the quantized vector: the deliberate all-pairs
+    // baseline scores distinct(q)²/2 candidates instead of n²/2 — with m
+    // exact copies of a vector, that is the difference between a baseline
+    // that survives a re-ingested corpus and one that quadratically
+    // drowns. Cosine is group-constant, so expansion is bit-identical
+    // (ExactCollapseSpec); within-group pairs carry the same
+    // qdot(q,q)/(nv·nv) expression the uncollapsed join evaluates.
+    val q = emb.withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+      .select(col("vec_id"), col("q"),
+        sqrt(col("n2").cast("double")).as("nv"))
+    val keyed = ExactCollapse.withRep(q, "vec_id", Seq(col("q")))
+    val members = keyed.select(col("rep"), col("vec_id"),
+      (qdot(col("q"), col("q")).cast("double") / (col("nv") * col("nv")))
+        .as("cos"))
+    val reps = keyed.filter(col("vec_id") === col("rep")).drop("rep")
     // streamed side spread across cores — see cosineTopK; at 100 TB this
     // becomes a block-partitioned matrix multiply, same declared shape
+    val a = reps.select(col("vec_id").as("vec_a"), col("q").as("va"),
+      col("nv").as("na"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val b = reps.select(col("vec_id").as("vec_b"), col("q").as("vb"),
+      col("nv").as("nb"))
+    val repPairs = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        qdot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select("vec_a", "vec_b", "cos")
+    ExactCollapse.expandUnordered(repPairs,
+        members.select(col("rep"), col("vec_id")),
+        "vec_a", "vec_b", Seq("cos"))
+      .unionByName(ExactCollapse.withinPairs(members, "vec_a", "vec_b",
+        Seq("cos")).filter(col("cos") >= minCos))
+  }
+
+  /** The uncollapsed all-pairs baseline applied to the full frame — the
+    * spec's bit-equality reference for [[cosineNearDups]].
+    */
+  private[graft] def cosineNearDupsDistinct(emb: DataFrame,
+                                            minCos: Double): DataFrame = {
     val q = emb.withColumn("q", quantize(col("embedding")))
       .withColumn("n2", qdot(col("q"), col("q")))
       .filter(col("n2") > 0L)

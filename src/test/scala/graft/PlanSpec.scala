@@ -387,4 +387,29 @@ class PlanSpec extends SparkSuite {
       .findFirstIn(p).isDefined,
       s"occ⋈vocab must be an equi-join on tok:\n$p")
   }
+
+  test("near-dup pair producers ride the exact-collapse rep window before the band/bucket join") {
+    // the ExactCollapse.withRep min-id window is the ONLY window in each of
+    // these plans, so its presence pins that the band/bucket join consumes
+    // collapsed representatives — losing it silently restores the m²/2
+    // exact-copy candidate blowup (round-13/14 verdicts' one scale-killer)
+    val markers = Seq(
+      "q252_dhash_neardup" -> "min(doc_id",
+      "q17_minhash_neardup" -> "min(doc_id",
+      "q24_lsh_cosine" -> "min(vec_id",
+      "q20_cosine_neardup" -> "min(vec_id",
+      "q259_dhash_gate" -> "min(doc_id")
+    for ((q, marker) <- markers) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("""\(\d+\) Window""".r.findAllIn(p).nonEmpty,
+        s"$q lost the exact-collapse rep window:\n$p")
+      assert(p.contains(marker),
+        s"$q window is not the min-id rep aggregation:\n$p")
+      // q20 is the documented brute baseline (inequality join by design);
+      // every banded/bucketed producer must stay an equi-join
+      if (q != "q20_cosine_neardup")
+        assert(!p.contains("CartesianProduct"),
+          s"$q band join degenerated to all-pairs:\n$p")
+    }
+  }
 }
