@@ -1383,7 +1383,23 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.dhashNewVsCorpus(docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0), maxDist = 16)
-    })
+    }),
+    // cross-modal dedup capstone: MinHash text (q245's 0.55) + dHash
+    // raster (q252's 16) + embedding cosine (q256's 0.15, vec_id ≡
+    // doc_id) pair graphs unioned into ONE CC + ONE q78 keeper per doc,
+    // with a modality bitmask (1 text / 2 image / 4 embedding) saying
+    // which graphs made each doc a duplicate
+    "q260_crossmodal_keeper" -> ((s: SparkSession, d: String) =>
+      Dedup.crossModalKeeper(Tables.documents(s, d),
+        Tables.embeddings(s, d))),
+    // REAL-image dHash, driver-oracled end to end: engine-written 18×16
+    // grayscale PNGs (each 9×8 grid cell = one exact 2×2 pixel block)
+    // → ImageIO decode → area-averaged dhashBands → the shared collapse
+    // + band join + Hamming verify; the oracle predicts every bit from
+    // the text-derived cell sums (luma of gray is 1000·v, counts equal)
+    "q261_image_dhash_neardup" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.imageNearDups(
+        ext.Multimodal.textPngs(Tables.documents(s, d)), maxDist = 16))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -4920,31 +4936,55 @@ object SparkEntry {
         |JOIN vocab va ON va.split = s.split_a
         |JOIN vocab vb ON vb.split = s.split_b""".stripMargin,
 
-    // blocking replayed verbatim; DuckDB's levenshtein is the same
-    // unit-cost DP as Spark's (exact integer), threshold arg is a pure
-    // Spark-side pruning (kept pairs carry identical distances)
+    // collapse-then-blocking replayed verbatim (round 15: exact copies
+    // group to one representative BEFORE blocking — blockCap counts
+    // DISTINCT texts, within-group pairs are the distance-0 clique);
+    // DuckDB's levenshtein is the same unit-cost DP as Spark's (exact
+    // integer), the threshold arg is a pure Spark-side pruning
     "q151_edit_neardup" ->
-      """WITH keyed0 AS (
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |members AS (
+        |  SELECT d.doc_id, r.doc_id AS rep
+        |  FROM documents d JOIN reps r ON r.text = d.text),
+        |keyed0 AS (
         |  SELECT doc_id, text, length(text) // 32 AS lb,
         |    substr(text, 1, 6) AS pfx
-        |  FROM documents),
-        |keyed AS (
+        |  FROM reps),
+        |flagged AS (
         |  SELECT doc_id, text, lb, pfx,
-        |    count(*) OVER (PARTITION BY lb, pfx) > 64 AS ovf
-        |  FROM keyed0
-        |  QUALIFY row_number() OVER (PARTITION BY lb, pfx
-        |                             ORDER BY doc_id) <= 64),
+        |    count(*) OVER (PARTITION BY lb, pfx) > 64 AS ovf,
+        |    row_number() OVER (PARTITION BY lb, pfx ORDER BY doc_id) AS rnk
+        |  FROM keyed0),
+        |keyed AS (
+        |  SELECT doc_id, text, lb, pfx, ovf FROM flagged WHERE rnk <= 64),
         |probes AS (
         |  SELECT doc_id, text, pfx, ovf, lb + u.d AS lb
         |  FROM keyed, generate_series(-1, 1) u(d)),
-        |pairs AS (
+        |rpairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    levenshtein(a.text, b.text) AS dist,
         |    (a.ovf OR b.ovf) AS truncated
         |  FROM probes a JOIN keyed b
-        |    ON a.lb = b.lb AND a.pfx = b.pfx AND a.doc_id < b.doc_id)
+        |    ON a.lb = b.lb AND a.pfx = b.pfx AND a.doc_id < b.doc_id),
+        |expanded AS (
+        |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+        |    greatest(ma.doc_id, mb.doc_id) AS doc_b, p.dist, p.truncated
+        |  FROM rpairs p
+        |  JOIN members ma ON ma.rep = p.doc_a
+        |  JOIN members mb ON mb.rep = p.doc_b
+        |  WHERE p.dist <= 12),
+        |within AS (
+        |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+        |    0 AS dist, f.ovf AS truncated
+        |  FROM members ma
+        |  JOIN members mb ON mb.rep = ma.rep AND ma.doc_id < mb.doc_id
+        |  JOIN flagged f ON f.doc_id = ma.rep)
         |SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist, truncated
-        |FROM pairs WHERE dist <= 12""".stripMargin,
+        |FROM expanded
+        |UNION ALL
+        |SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist, truncated
+        |FROM within""".stripMargin,
 
     "q150_source_scorecard" ->
       """WITH toks AS (
@@ -8653,6 +8693,174 @@ object SparkEntry {
         |      AS BIGINT) AS hamming
         |  FROM cand c)
         |SELECT new_id, corpus_id, hamming FROM ham
+        |WHERE hamming <= 16""".stripMargin,
+
+    // cross-modal capstone: the q78 MinHash chain (full corpus, 0.55) +
+    // q252's dHash chain + q256's LSH-cosine chain, pair graphs tagged
+    // 1/2/4, unioned into ONE transitive closure and ONE keeper window;
+    // modality_mask = Σ distinct tags per doc
+    "q260_crossmodal_keeper" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |mbands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |mcand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM mbands x JOIN mbands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |       AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM mcand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |tpairs AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.55),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 72),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS px
+        |  FROM documents WHERE n_chars >= 72),
+        |dbands AS (
+        |  SELECT doc_id, b.b AS band, CAST(
+        |    (SELECT sum(CASE WHEN px[CAST(r*9+c+1 AS BIGINT)]
+        |                        < px[CAST(r*9+c+2 AS BIGINT)]
+        |       THEN CAST(1 AS BIGINT) << CAST((r % 2) * 8 + c AS INT)
+        |       ELSE 0 END)
+        |     FROM (SELECT unnest(generate_series(0, 7)) c) cs,
+        |          (SELECT b.b * 2 AS r UNION ALL SELECT b.b * 2 + 1) rs)
+        |    AS BIGINT) AS v
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) b) b),
+        |dcand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM dbands x JOIN dbands y
+        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+        |dpairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM dcand c
+        |  WHERE (SELECT sum(bit_count(xor(xa.v, ya.v)))
+        |    FROM dbands xa JOIN dbands ya ON xa.band = ya.band
+        |    WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b) <= 16),
+        |proj AS (
+        |  SELECT e.vec_id, t.j,
+        |    (SELECT sum(CAST(e.embedding[s.i] AS DOUBLE) *
+        |       ((((CAST(t.j AS BIGINT) * 1103515245 + 12345) * s.i)
+        |          + t.j * 2654435761) % 1000003
+        |         / 1000003.0 - 0.5))
+        |     FROM generate_series(1, 64) s(i)) AS pr
+        |  FROM embeddings e, generate_series(0, 7) t(j)),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0.0 THEN CAST(1 AS BIGINT) << j
+        |             ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |           AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT v.vec_id, b.bucket, v.q,
+        |    (SELECT sum(v.q[t.i] * v.q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv v JOIN bkt b ON b.vec_id = v.vec_id),
+        |epairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM nrm a JOIN nrm b ON a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id AND a.n2 > 0 AND b.n2 > 0
+        |  WHERE CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+        |              FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+        |        >= 0.15),
+        |tagged AS (
+        |  SELECT doc_a, doc_b, 1 AS m FROM tpairs
+        |  UNION ALL SELECT doc_a, doc_b, 2 FROM dpairs
+        |  UNION ALL SELECT doc_a, doc_b, 4 FROM epairs),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM tagged
+        |  UNION SELECT doc_b, doc_a FROM tagged),
+        |reach AS (
+        |  SELECT src AS node, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS node, r.comp FROM edges e
+        |  JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |modal AS (
+        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS modality_mask FROM (
+        |    SELECT DISTINCT doc_id, m FROM (
+        |      SELECT doc_a AS doc_id, m FROM tagged
+        |      UNION ALL SELECT doc_b AS doc_id, m FROM tagged) u) du
+        |  GROUP BY 1),
+        |sel AS (
+        |  SELECT c.node AS doc_id, c.comp, d.n_chars,
+        |    count(*) OVER (PARTITION BY c.comp) AS group_size,
+        |    first_value(c.node) OVER (PARTITION BY c.comp
+        |      ORDER BY d.n_chars DESC, c.node
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS keep_doc
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |SELECT s.doc_id, s.comp, s.n_chars, s.group_size, s.keep_doc,
+        |  s.doc_id = s.keep_doc AS is_kept, m.modality_mask
+        |FROM sel s JOIN modal m ON m.doc_id = s.doc_id""".stripMargin,
+
+    // real-image dHash: every band bit is predicted from text-derived
+    // 2×2-block codepoint sums (the engine's PNG pixel rule), then the
+    // q252 band-join + Hamming chain
+    "q261_image_dhash_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 72),
+        |cells AS (
+        |  SELECT doc_id, r.r, c.c,
+        |    (ascii(substr(text, CAST(((2*r.r)*18 + 2*c.c) % 72 + 1 AS INT), 1))
+        |   + ascii(substr(text, CAST(((2*r.r)*18 + 2*c.c + 1) % 72 + 1 AS INT), 1))
+        |   + ascii(substr(text, CAST(((2*r.r+1)*18 + 2*c.c) % 72 + 1 AS INT), 1))
+        |   + ascii(substr(text, CAST(((2*r.r+1)*18 + 2*c.c + 1) % 72 + 1 AS INT), 1)))
+        |      AS s
+        |  FROM px, generate_series(0, 7) r(r), generate_series(0, 8) c(c)),
+        |bits AS (
+        |  SELECT a.doc_id, a.r, a.c,
+        |    CASE WHEN a.s < b.s
+        |      THEN CAST(1 AS BIGINT) << CAST((a.r % 2) * 8 + a.c AS INT)
+        |      ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |bands AS (
+        |  SELECT doc_id, r // 2 AS band, CAST(sum(bit) AS BIGINT) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT c.media_a, c.media_b,
+        |    CAST((SELECT sum(bit_count(xor(xa.v, ya.v)))
+        |      FROM bands xa JOIN bands ya ON xa.band = ya.band
+        |      WHERE xa.doc_id = c.media_a AND ya.doc_id = c.media_b)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c)
+        |SELECT media_a, media_b, hamming FROM ham
         |WHERE hamming <= 16""".stripMargin
   )
 

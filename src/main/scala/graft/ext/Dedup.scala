@@ -543,15 +543,24 @@ object Dedup {
     *
     * @return (doc_a < doc_b, hamming) for pairs with hamming ≤ maxDist
     */
-  def dhashNearDups(docs: DataFrame, maxDist: Int = 16): DataFrame = {
-    // exact-collapse on the full 4-band hash ([[graft.ext.ExactCollapse]]):
-    // m docs with one identical hash are one distance-0 clique and would
-    // cost the band join m²/2 candidates; collapsed they cost ONE rep row,
-    // plus m²/2 distance-0 OUTPUT rows the pair-list contract demands —
-    // produced by a linear equi-join, never by candidate scoring. Hamming
-    // is group-constant, so the expansion is bit-identical to the
-    // uncollapsed form (ExactCollapseSpec).
-    val (members, reps) = dhashCollapsed(docs)
+  def dhashNearDups(docs: DataFrame, maxDist: Int = 16): DataFrame =
+    dhashNearDupsFromBands(dhashTextBands(docs), maxDist)
+
+  /** The collapse + band-join + expand pipeline over ANY (doc_id, b0..b3)
+    * band frame — shared by the text-raster front ([[dhashNearDups]]) and
+    * the real-image front ([[graft.ext.Multimodal.imageNearDups]]).
+    *
+    * Exact-collapse on the full 4-band hash ([[graft.ext.ExactCollapse]]):
+    * m docs with one identical hash are one distance-0 clique and would
+    * cost the band join m²/2 candidates; collapsed they cost ONE rep row,
+    * plus m²/2 distance-0 OUTPUT rows the pair-list contract demands —
+    * produced by a linear equi-join, never by candidate scoring. Hamming
+    * is group-constant, so the expansion is bit-identical to the
+    * uncollapsed form (ExactCollapseSpec).
+    */
+  private[ext] def dhashNearDupsFromBands(hash: DataFrame,
+                                          maxDist: Int): DataFrame = {
+    val (members, reps) = dhashCollapsedFromBands(hash)
     val cross = ExactCollapse.expandUnordered(
       dhashPairsFromBands(reps, maxDist), members,
       "doc_a", "doc_b", Seq("hamming"))
@@ -576,8 +585,12 @@ object Dedup {
   /** (members (rep, doc_id), reps — one hash row per distinct 4-band
     * value) — the exact-collapse frames shared by the dHash operators.
     */
-  private def dhashCollapsed(docs: DataFrame): (DataFrame, DataFrame) = {
-    val keyed = ExactCollapse.withRep(dhashTextBands(docs), "doc_id",
+  private def dhashCollapsed(docs: DataFrame): (DataFrame, DataFrame) =
+    dhashCollapsedFromBands(dhashTextBands(docs))
+
+  private def dhashCollapsedFromBands(hash: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val keyed = ExactCollapse.withRep(hash, "doc_id",
       (0 until DhashBands).map(b => col(s"b$b")))
     (keyed.select(col("rep"), col("doc_id")),
       keyed.filter(col("doc_id") === col("rep")).drop("rep"))
@@ -709,6 +722,53 @@ object Dedup {
       .withColumn("is_kept", col("doc_id") === col("keep_doc"))
   }
 
+  /** CROSS-MODAL dedup capstone — the dedup sibling of q254's training
+    * capstone, and the pass a real curation pipeline runs: the three
+    * near-dup graphs (MinHash text / dHash image raster / embedding
+    * cosine, vec_id ≡ doc_id in the synthetic star schema) unioned into
+    * ONE connected-components closure with ONE keeper policy per
+    * document (q78: longest text, min-id ties). A doc that survives each
+    * single-modality pass can still be a duplicate through a chain that
+    * crosses modalities — e.g. text A ≈ text B, image B ≈ image C — and
+    * only the unioned closure catches A~C.
+    *
+    * `modality_mask` records which graphs put the doc in the closure
+    * (1 = text, 2 = image, 4 = embedding; sums are exact because the
+    * tags are distinct powers of two) — the "why is this a dup" readout
+    * that decides remediation (re-crawl policy vs thumbnail dedup vs
+    * embedding-space collapse).
+    *
+    * Scale shape: all three edge lists are the exact-collapse star-edge
+    * paths (never expanded pairs), the closure is the pinned CC, and the
+    * keeper window partitions by near-dup components (tiny). The mask is
+    * one distinct + one sum over the edge endpoints.
+    *
+    * @return one row per doc in any graph: (doc_id, comp, n_chars,
+    *         group_size, keep_doc, is_kept, modality_mask)
+    */
+  def crossModalKeeper(docs: DataFrame, emb: DataFrame,
+                       k: Int = 16, bands: Int = 4, n: Int = 3,
+                       minJaccard: Double = 0.55, maxDist: Int = 16,
+                       dim: Int = 64, bits: Int = 8,
+                       minCos: Double = 0.15): DataFrame = {
+    val text = minhashNearDupEdges(docs, k, bands, n, minJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("m"))
+    val image = dhashNearDupEdges(docs, maxDist)
+      .select(col("doc_a"), col("doc_b"), lit(2L).as("m"))
+    val embed = Similarity.lshNearPairEdges(emb, dim, bits, minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(4L).as("m"))
+    val edges = text.unionByName(image).unionByName(embed)
+    val mask = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+        col("m"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("modality_mask"))
+    canonicalMapping(edges.select(col("doc_a"), col("doc_b")), docs)
+      .join(mask, Seq("doc_id"))
+  }
+
   /** Index-quality readout for the banded-LSH near-dup index: recall and
     * precision of [[minhashNearDups]] against the exact
     * [[ngramJaccardPairs]] ground truth at the same threshold — the
@@ -758,20 +818,61 @@ object Dedup {
     * In-block pairs are still quadratic in the BLOCK size, so a skewed
     * block (boilerplate openings, exact-duplicate floods) re-creates the
     * all-pairs cost inside one key — the round-10 scale readout measured
-    * 71× wall at 10× data from exactly this. `blockCap` bounds it: only
-    * the first `blockCap` docs (by doc_id — deterministic) of each HOME
-    * (lb, pfx) block participate, capping in-block work at blockCap²; the
-    * `truncated` output column flags every surviving pair whose either
-    * member came from an over-cap block, so the cut is audited, never
-    * silent (a capped block is itself near-dup-saturated: its first
-    * blockCap members already witness the duplication).
+    * 71× wall at 10× data from exactly this. Two bounds apply, in order:
+    *
+    *  1. EXACT-COLLAPSE (round 15, [[graft.ext.ExactCollapse]]): identical
+    *     texts group to one representative BEFORE blocking — the block
+    *     join and the cap operate on DISTINCT texts, exact-copy pairs
+    *     (distance 0) come from a linear expansion, and — the semantic
+    *     upgrade — exact duplicates can never be LOST to the cap, nor can
+    *     a flood of copies evict genuinely distinct near-dup candidates
+    *     from their block. This is how a real pipeline orders the passes:
+    *     exact dedup first, fuzzy dedup on the survivors.
+    *  2. `blockCap` bounds the remaining distinct-text quadratic: only
+    *     the first `blockCap` DISTINCT texts (by representative doc_id —
+    *     deterministic) of each HOME (lb, pfx) block participate; the
+    *     `truncated` output column flags every surviving pair whose
+    *     either member's home block exceeded the cap, so the cut is
+    *     audited, never silent.
     *
     * @return (doc_a, doc_b, dist, truncated) for pairs with distance ≤
-    *         `maxDist`; `truncated` = either member's home block exceeded
-    *         `blockCap`
+    *         `maxDist`; within-group pairs carry dist 0 and their home
+    *         block's `truncated` flag
     */
   def editNearDups(docs: DataFrame, maxDist: Int = 12, prefixChars: Int = 6,
                    lenBucket: Int = 32, blockCap: Int = 64): DataFrame = {
+    val collapsed = ExactCollapse.withRep(
+      docs.select(col("doc_id"), col("text")), "doc_id",
+      Seq(xxhash64(col("text")), col("text")))
+    val members = collapsed.select(col("rep"), col("doc_id"))
+    val (repPairs, flagged) = editNearDupsBlocked(
+      collapsed.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text")),
+      maxDist, prefixChars, lenBucket, blockCap)
+    val cross = ExactCollapse.expandUnordered(repPairs, members,
+      "doc_a", "doc_b", Seq("dist", "truncated"))
+    // every identical-text group is a distance-0 clique regardless of the
+    // cap (exact duplicates are found by the collapse, not the block join);
+    // the flag is the group's home-block overflow, group-constant
+    val within = ExactCollapse.withinPairs(
+      members.join(flagged.select(col("doc_id").as("rep"), col("ovf")
+        .as("truncated")), Seq("rep")),
+      "doc_a", "doc_b", Seq("truncated"))
+      .withColumn("dist", lit(0))
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("truncated"))
+    cross.unionByName(within)
+  }
+
+  /** The blocked candidate join + banded-DP verify over a distinct-text
+    * frame: (pairs (doc_a, doc_b, dist, truncated), flagged — every input
+    * row with its home-block `ovf` flag). [[editNearDups]] runs it on
+    * exact-collapse representatives; the spec runs the pair half on a
+    * full frame as the pre-collapse reference.
+    */
+  private[graft] def editNearDupsBlocked(docs: DataFrame, maxDist: Int,
+                                         prefixChars: Int, lenBucket: Int,
+                                         blockCap: Int)
+      : (DataFrame, DataFrame) = {
     require(lenBucket > 2 * maxDist,
       s"lenBucket $lenBucket must exceed 2*maxDist for the adjacent-bucket guarantee")
     require(blockCap >= 2, s"blockCap $blockCap admits no pairs")
@@ -781,9 +882,10 @@ object Dedup {
     // rank + block size share ONE (lb, pfx) exchange/sort
     val wOrd = Window.partitionBy(col("lb"), col("pfx")).orderBy(col("doc_id"))
     val wAll = Window.partitionBy(col("lb"), col("pfx"))
-    val keyed = keyed0
+    val flagged = keyed0
       .withColumn("rnk", row_number().over(wOrd))
       .withColumn("ovf", count(lit(1)).over(wAll) > blockCap)
+    val keyed = flagged
       .filter(col("rnk") <= blockCap)
       .drop("rnk")
     // the scorer runs where the streamed side's partitions are: a
@@ -794,7 +896,7 @@ object Dedup {
       explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("lb"), col("pfx"))
-    probes.as("a").join(keyed.as("b"),
+    val pairs = probes.as("a").join(keyed.as("b"),
         col("a.lb") === col("b.lb") && col("a.pfx") === col("b.pfx") &&
           col("a.doc_id") < col("b.doc_id") &&
           // necessary condition for dist ≤ maxDist, at length-compare cost:
@@ -813,6 +915,7 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"), col("truncated"))
       .distinct() // a pair can match in both its own and the probe bucket
+    (pairs, flagged.select(col("doc_id"), col("ovf")))
   }
 
   /** Substring-level duplicate SPAN masking (the ExactSubstr shape of Lee

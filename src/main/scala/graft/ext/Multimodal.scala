@@ -488,4 +488,63 @@ object Multimodal {
       }
       .toDF("media_id", "ok", "b0", "b1", "b2", "b3")
   }
+
+  /** Deterministic engine-written PNGs from the documents raster prefix
+    * (round 15, the q31/q44 make-the-approximate-path-oracle-checkable
+    * technique applied to image bytes): an 18×16 grayscale PNG whose
+    * pixel (x, y) carries the codepoint of text char (y·18 + x) mod 72.
+    * Each 9×8 dHash grid cell covers EXACTLY a 2×2 pixel block, so the
+    * area-averaged cell sums — and therefore every [[dhashBands]] bit —
+    * are predictable from the text alone: luma of gray (v,v,v) is
+    * v·(299+587+114) = 1000·v, cell counts are all 4, and the
+    * never-divide cross-multiplied compare reduces to comparing raw
+    * 4-char codepoint sums. That turns the REAL codec path (ImageIO
+    * encode → decode → area-average → band join) into a DuckDB-checkable
+    * pipeline (q261) instead of a spec-only one. Docs without a full
+    * 72-char raster are excluded (the [[graft.ext.Dedup.dhashTextBands]]
+    * contract). ASCII envelope as q27.
+    */
+  def textPngs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("n_chars") >= 72)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val img = new java.awt.image.BufferedImage(
+            18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 18) {
+              val v = text.charAt((y * 18 + x) % 72).toInt & 0xff
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("media_id", "content")
+  }
+
+  /** Image near-dup pairs over REAL rasters: [[imageDHash]] bands (ImageIO
+    * decode, area-averaged grid) fed into the SAME exact-collapse band
+    * join + Hamming verify as the text-raster path
+    * ([[graft.ext.Dedup.dhashNearDups]] — one pipeline, two hash fronts).
+    * Undecodable / sub-grid media (ok = false) never pair.
+    *
+    * @return (media_a < media_b, hamming ≤ maxDist)
+    */
+  def imageNearDups(media: DataFrame, maxDist: Int = 16): DataFrame =
+    Dedup.dhashNearDupsFromBands(
+      imageDHash(media).filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("b0"), col("b1"), col("b2"), col("b3")), maxDist)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
 }

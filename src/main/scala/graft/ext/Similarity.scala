@@ -777,11 +777,45 @@ object Similarity {
                     thrNum: Int = 3, thrDen: Int = 10): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrDen <= 100,
       s"cosine threshold $thrNum/$thrDen outside the exact-decimal envelope")
+    // exact-collapse on the quantized vector (the [[lshNearPairs]]
+    // discipline): identical q rows share a centroid (assignment is a
+    // deterministic function of q) and are mutually similar whenever
+    // thr ≤ 1, so the in-cell quadratic join runs on one representative
+    // per group. dup_of is reconstructible at member grain without pair
+    // expansion: the lowest similar id visible to member v is
+    // min(rep's similar-group minimum, v's own rep when v is not it) —
+    // every group's minimum id IS its rep. Bit-identical to the
+    // uncollapsed form (ExactCollapseSpec).
     val assigned = assignExactL2(emb, k)
+    val keyed = ExactCollapse.withRep(assigned, "vec_id", Seq(col("q")))
+    val members = keyed.select(col("rep"), col("vec_id"), col("centroid_id"))
+    val reps = keyed.filter(col("vec_id") === col("rep")).drop("rep")
+    val simPairs = cellSimilarPairs(reps, thrNum, thrDen)
+    val nbrMin = simPairs.select(col("vec_id").as("r"), col("b_vec_id").as("nbr"))
+      .union(simPairs.select(col("b_vec_id").as("r"), col("vec_id").as("nbr")))
+      .groupBy(col("r")).agg(min(col("nbr")).as("nbr_min"))
+    // within-group similarity holds iff the threshold admits cos = 1
+    // (dot = n2: den²·n2² ≥ num²·n2² ⇔ den ≥ num) — Scala-level gate
+    val selfSimilar = thrDen >= thrNum
+    members.join(nbrMin, col("rep") === col("r"), "left_outer")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("vec_id") =!= col("rep") && lit(selfSimilar),
+          least(col("nbr_min"), col("rep")))
+          .otherwise(when(col("nbr_min") < col("vec_id"), col("nbr_min")))
+          .as("dup_of"))
+      .select(col("vec_id"), col("centroid_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** Undirected similar rep pairs within a centroid cell (b_vec_id <
+    * vec_id), the exact-integer threshold inequality of [[semanticDedup]].
+    */
+  private def cellSimilarPairs(assigned: DataFrame, thrNum: Int,
+                               thrDen: Int): DataFrame = {
     val b = assigned.select(col("centroid_id").as("b_cid"),
       col("vec_id").as("b_vec_id"), col("q").as("bq"), col("n2").as("b_n2"))
     val dec = "decimal(38,0)"
-    val pairs = assigned
+    assigned
       .join(b, col("centroid_id") === col("b_cid") &&
         col("b_vec_id") < col("vec_id"))
       .withColumn("dot", qdot(col("q"), col("bq")))
@@ -790,6 +824,17 @@ object Similarity {
           col("dot").cast(dec) * col("dot").cast(dec) >=
         lit(thrNum.toLong * thrNum).cast(dec) *
           col("n2").cast(dec) * col("b_n2").cast(dec))
+      .select(col("vec_id"), col("b_vec_id"))
+  }
+
+  /** The uncollapsed form applied to the full frame — the spec's
+    * bit-equality reference for [[semanticDedup]].
+    */
+  private[graft] def semanticDedupDistinct(emb: DataFrame, k: Int,
+                                           thrNum: Int,
+                                           thrDen: Int): DataFrame = {
+    val assigned = assignExactL2(emb, k)
+    val pairs = cellSimilarPairs(assigned, thrNum, thrDen)
       .groupBy(col("vec_id")).agg(min(col("b_vec_id")).as("dup_of"))
     assigned.join(pairs, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("centroid_id"),

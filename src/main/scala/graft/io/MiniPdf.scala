@@ -32,11 +32,13 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * reads it back, and the renderer produces a defined, deterministic
   * metrics-free raster ([[renderTextPage]]) instead of an envelope miss,
   * PLUS vector-path pages (round 13): [[PathPage]] writes a real
-  * `m l h re f f* S rg RG` content stream, [[extractPagePathOps]] reads
-  * it back, and [[renderPathPage]] rasterizes it with an own scanline
-  * fill (both winding rules) + Bresenham strokes — deterministic across
-  * JVMs, no Java2D rasterizer. Curves/clipping/transforms remain outside
-  * the envelope and fail loudly rather than paint a wrong page.
+  * `m l h re c v y f f* S rg RG` content stream (cubic Béziers since
+  * round 15), [[extractPagePathOps]] reads it back, and
+  * [[renderPathPage]] rasterizes it with an own scanline fill (both
+  * winding rules) + Bresenham strokes, curves flattened by a fixed
+  * 16-segment de Casteljau — deterministic across JVMs, no Java2D
+  * rasterizer. Clipping/transforms remain outside the envelope and fail
+  * loudly rather than paint a wrong page.
   * Object dictionaries are uncompressed (the image streams themselves are
   * compressed). A full engine (pdfbox-class) would replace this object
   * behind the same [[PdfPages.Renderer]] seam.
@@ -103,15 +105,23 @@ object MiniPdf {
   }
 
   /** Vector path operators (PDF 1.4 §4.4 subset) for [[PathPage]]:
-    * path construction `m`/`l`/`h`/`re` and painting `f` (nonzero fill),
-    * `f*` (even-odd fill), `S` (1-px stroke), with `rg`/`RG` color state.
-    * Integer coordinates in page user space (origin bottom-left, y-up).
+    * path construction `m`/`l`/`h`/`re`, cubic Béziers `c`/`v`/`y`
+    * (round 15) and painting `f` (nonzero fill), `f*` (even-odd fill),
+    * `S` (1-px stroke), with `rg`/`RG` color state. Integer coordinates
+    * in page user space (origin bottom-left, y-up).
     */
   sealed trait PathOp
   final case class MoveTo(x: Int, y: Int) extends PathOp
   final case class LineTo(x: Int, y: Int) extends PathOp
   case object ClosePath extends PathOp
   final case class Rect(x: Int, y: Int, rw: Int, rh: Int) extends PathOp
+  /** `c` — full cubic: both control points explicit (PDF §8.5.2.2). */
+  final case class CurveTo(x1: Int, y1: Int, x2: Int, y2: Int,
+                           x3: Int, y3: Int) extends PathOp
+  /** `v` — first control point = current point. */
+  final case class CurveToV(x2: Int, y2: Int, x3: Int, y3: Int) extends PathOp
+  /** `y` — second control point = endpoint. */
+  final case class CurveToY(x1: Int, y1: Int, x3: Int, y3: Int) extends PathOp
   final case class FillColor(rgb: Int) extends PathOp
   final case class StrokeColor(rgb: Int) extends PathOp
   case object Fill extends PathOp          // f  (nonzero winding)
@@ -124,8 +134,11 @@ object MiniPdf {
     * deterministically — an own scanline fill (both PDF winding rules)
     * plus Bresenham strokes, no Java2D rasterizer, so the pixels are
     * bit-identical across JVMs the same way [[renderTextPage]]'s glyph
-    * stipples are. Curves (`c v y`), clipping (`W`) and general graphics
-    * state stay out of the envelope and fail loudly in the renderer.
+    * stipples are. Cubic Béziers (`c v y`, round 15) flatten to a FIXED
+    * 16-segment de Casteljau polyline (t = k/16 exact binary, fixed IEEE
+    * operation order — reproducible anywhere) feeding the same scanline
+    * machinery. Clipping (`W`) and graphics-state transforms (`cm`) stay
+    * out of the envelope and fail loudly in the parser.
     */
   final case class PathPage(ops: Seq[PathOp], w: Int = 612, h: Int = 792)
     extends PageImage {
@@ -144,6 +157,9 @@ object MiniPdf {
       case LineTo(x, y) => s"$x $y l"
       case ClosePath => "h"
       case Rect(x, y, rw, rh) => s"$x $y $rw $rh re"
+      case CurveTo(x1, y1, x2, y2, x3, y3) => s"$x1 $y1 $x2 $y2 $x3 $y3 c"
+      case CurveToV(x2, y2, x3, y3) => s"$x2 $y2 $x3 $y3 v"
+      case CurveToY(x1, y1, x3, y3) => s"$x1 $y1 $x3 $y3 y"
       case FillColor(c) => s"${pdfDecimal(c >> 16 & 0xff)} " +
         s"${pdfDecimal(c >> 8 & 0xff)} ${pdfDecimal(c & 0xff)} rg"
       case StrokeColor(c) => s"${pdfDecimal(c >> 16 & 0xff)} " +
@@ -588,9 +604,10 @@ object MiniPdf {
   /** The path operators of a 1-based [[PathPage]]'s content stream, parsed
     * back into the [[PathOp]] ADT — the vector-content analog of
     * [[extractPageText]]. Fails loudly on any operator outside the
-    * `m l h re f f* S rg RG` envelope (curves, clipping, transforms): a page
-    * drawn with those has no defined raster here, and silently skipping an
-    * operator would paint a WRONG page, which is worse than no page.
+    * `m l h re c v y f f* S rg RG` envelope (clipping, transforms,
+    * dash/width state): a page drawn with those has no defined raster
+    * here, and silently skipping an operator would paint a WRONG page,
+    * which is worse than no page.
     */
   def extractPagePathOps(pdf: Array[Byte], page: Int): Seq[PathOp] = {
     val (offs, pageDict) = pageDictOf(pdf, page)
@@ -624,13 +641,20 @@ object MiniPdf {
       case "h" => out += ClosePath
       case "re" => val Seq(x, y, rw, rh) = popN(4, "re")
         out += Rect(x.toInt, y.toInt, rw.toInt, rh.toInt)
+      case "c" => val Seq(x1, y1, x2, y2, x3, y3) = popN(6, "c")
+        out += CurveTo(x1.toInt, y1.toInt, x2.toInt, y2.toInt,
+          x3.toInt, y3.toInt)
+      case "v" => val Seq(x2, y2, x3, y3) = popN(4, "v")
+        out += CurveToV(x2.toInt, y2.toInt, x3.toInt, y3.toInt)
+      case "y" => val Seq(x1, y1, x3, y3) = popN(4, "y")
+        out += CurveToY(x1.toInt, y1.toInt, x3.toInt, y3.toInt)
       case "rg" => out += FillColor(popColor("rg"))
       case "RG" => out += StrokeColor(popColor("RG"))
       case "f" => out += Fill
       case "f*" => out += FillEvenOdd
       case "S" => out += Stroke
       case other => sys.error(s"path-page operator '$other' outside the " +
-        "m/l/h/re/f/f*/S/rg/RG envelope — no defined raster")
+        "m/l/h/re/c/v/y/f/f*/S/rg/RG envelope — no defined raster")
     }
     require(stack.isEmpty, s"dangling operands ${stack.mkString(",")}")
     out.toSeq
@@ -753,18 +777,56 @@ object MiniPdf {
       clearPath()
     }
 
+    // Fixed-count de Casteljau flattening for c/v/y: 16 segments, t = k/16
+    // (an exact binary fraction), a fixed chain of IEEE +/* — every JVM
+    // produces the same doubles, so curve pages raster bit-identically the
+    // way line pages do. 16 segments keeps the chord error of a page-scale
+    // cubic under half a pixel (max deviation ≤ |control polygon|/16²·c —
+    // PdfPagesSpec pins exact pixel counts, not an error bound).
+    val FlattenSegs = 16
+    def flatten(p0: (Double, Double), x1: Double, y1: Double, x2: Double,
+                y2: Double, x3: Double, y3: Double): Unit = {
+      def eval(a: Double, b: Double, c: Double, d: Double, t: Double)
+          : Double = {
+        val u = 1.0 - t
+        val ab = a * u + b * t; val bc = b * u + c * t
+        val cd = c * u + d * t
+        val abc = ab * u + bc * t; val bcd = bc * u + cd * t
+        abc * u + bcd * t
+      }
+      var k = 1
+      while (k <= FlattenSegs) {
+        val t = k.toDouble / FlattenSegs
+        open += ((eval(p0._1, x1, x2, x3, t), eval(p0._2, y1, y2, y3, t)))
+        k += 1
+      }
+    }
+    def currentPointFor(op: String): (Double, Double) = {
+      if (open == null && closedStart != null) {
+        // segment directly after h: new subpath from the closed start
+        open = scala.collection.mutable.ArrayBuffer(closedStart)
+        closedStart = null
+      }
+      require(open != null, s"$op with no current point")
+      open.last
+    }
+
     ops.foreach {
       case MoveTo(x, y) =>
         flushOpen(false)
         open = scala.collection.mutable.ArrayBuffer((x.toDouble, y.toDouble))
       case LineTo(x, y) =>
-        if (open == null && closedStart != null) {
-          // segment directly after h: new subpath from the closed start
-          open = scala.collection.mutable.ArrayBuffer(closedStart)
-          closedStart = null
-        }
-        require(open != null, "lineto with no current point")
+        currentPointFor("lineto")
         open += ((x.toDouble, y.toDouble))
+      case CurveTo(x1, y1, x2, y2, x3, y3) =>
+        val p0 = currentPointFor("curveto")
+        flatten(p0, x1, y1, x2, y2, x3, y3)
+      case CurveToV(x2, y2, x3, y3) =>
+        val p0 = currentPointFor("curveto-v")
+        flatten(p0, p0._1, p0._2, x2, y2, x3, y3)
+      case CurveToY(x1, y1, x3, y3) =>
+        val p0 = currentPointFor("curveto-y")
+        flatten(p0, x1, y1, x3, y3, x3, y3)
       case ClosePath => flushOpen(closed = true)
       case Rect(x, y, rw, rh) =>
         flushOpen(false)

@@ -1027,4 +1027,63 @@ object StreamOps {
           out.iterator
       }
   }
+
+  // NOT private: state encoder codegen needs public accessors
+  final case class PackState(bin: Long, cum: Long)
+  final case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
+                             bin: Long, cum_tokens: Long)
+
+  /** Streaming twin #19 of [[graft.ext.Curation.packSequences]] (the
+    * packing stage of the q254 training capstone): greedy context-window
+    * packing ONLINE — documents are assigned to token-budget bins as they
+    * land, emitting one `PackedDoc` per document with its bin id and the
+    * bin's running total.
+    *
+    * Arithmetic is the batch contract verbatim: per-source scan in doc_id
+    * order; a doc that would overflow the open bin starts the next one; a
+    * doc longer than the budget gets a bin of its own (first doc of a
+    * source always opens bin 1 — even oversize, exactly the batch
+    * recurrence's first-row branch). Token counts come from the SAME
+    * `TextStats.tokens` expression the batch op uses, evaluated per row
+    * before the stateful step (stateless projection).
+    *
+    * State per source is O(1) — (open bin id, its fill) — the minimum any
+    * online packer can hold. Horizon contract (the family's): within a
+    * micro-batch, docs sort by doc_id; ACROSS batches state follows
+    * arrival order, so in-order delivery is bit-equal to batch
+    * (StreamingSpec proves whole-vs-split on the documents fixture).
+    * Deliberately NO timeout (the kvCachePagerStream reasoning): there is
+    * no silence length after which dropping an open bin's fill is
+    * semantically neutral — a late doc of that source would silently open
+    * bin 1 again. A production deployment seals bins with a shard-rollover
+    * policy, which is a different CONTRACT (bounded shards), not a
+    * transparent optimization of this one.
+    */
+  def packStream(docs: DataFrame, budget: Int = 256): Dataset[PackedDoc] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        size(graft.ext.TextStats.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[(String, Long, Long)],
+         state: GroupState[PackState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[PackedDoc]
+          var st = state.getOption.orNull
+          batch.toSeq.sortBy(_._2).foreach { case (_, id, n) =>
+            st =
+              if (st == null) PackState(1L, n)
+              else if (st.cum + n > budget) PackState(st.bin + 1, n)
+              else PackState(st.bin, st.cum + n)
+            out += PackedDoc(source, id, n, st.bin, st.cum)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -115,6 +115,43 @@ class ExactCollapseSpec extends SparkSuite {
       "minhashNewVsCorpus")
   }
 
+  test("editNearDups: equals the pre-collapse pipeline on a duplicate-free corpus") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    // precondition: the slice has no exact-duplicate texts
+    assert(docs.groupBy("text").count().filter(col("count") > 1).isEmpty)
+    assertBitEqual(
+      ext.Dedup.editNearDups(docs),
+      ext.Dedup.editNearDupsBlocked(docs.select(col("doc_id"), col("text")),
+        12, 6, 32, 64)._1,
+      "editNearDups (distinct corpus)")
+  }
+
+  test("editNearDups: exact copies pair at 0 and no longer evict distinct candidates from the cap") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val u = t.dropRight(3) + "cat" // distance 3, same length bucket + prefix
+    val docs = ((1L to 6L).map(i => (i, t)) :+ (9L, u))
+      .toDF("doc_id", "text")
+    val r = ext.Dedup.editNearDups(docs, maxDist = 12, prefixChars = 6,
+      lenBucket = 32, blockCap = 4)
+      .as[(Long, Long, Int, Boolean)].collect()
+      .map(p => (p._1, p._2) -> ((p._3, p._4))).toMap
+    // all 15 within pairs at distance 0
+    for (a <- 1L to 6L; b <- (a + 1) to 6L)
+      assert(r.get((a, b)).contains((0, false)), s"missing copy pair $a-$b")
+    // the block holds 2 DISTINCT texts (under the cap of 4): u pairs with
+    // EVERY copy — the uncollapsed pipeline would have capped copies 5, 6
+    // out of the block and flagged the rest truncated
+    for (a <- 1L to 6L)
+      assert(r.get((a, 9L)).contains((3, false)), s"missing cross pair $a-9")
+    assert(r.size == 21)
+    // and the pre-collapse reference really does lose pairs on this input
+    // (documents the upgrade, pins that the fixture exercises it)
+    val old = ext.Dedup.editNearDupsBlocked(docs, 12, 6, 32, 4)._1
+      .as[(Long, Long, Int, Boolean)].collect()
+    assert(old.length < 21 && old.forall(_._4),
+      s"pre-collapse pipeline should cap + flag here, got ${old.toSeq}")
+  }
+
   // ---- embeddings ---------------------------------------------------------
 
   /** 3 copies of v, 2 of a perturbed near-neighbor, 1 far (negated), 1
@@ -151,6 +188,30 @@ class ExactCollapseSpec extends SparkSuite {
       ext.Similarity.cosineNearDups(dupEmb, minCos = 0.5),
       ext.Similarity.cosineNearDupsDistinct(dupEmb, minCos = 0.5),
       "cosineNearDups")
+  }
+
+  test("semanticDedup: collapsed output is bit-identical to uncollapsed") {
+    // ids ≥ k so duplicates never shift the centroid sample; 3 copies of
+    // one vector + 2 of a near one + 1 far + 1 zero-norm (excluded)
+    val v = Array.tabulate(64)(i => 0.3f + 0.01f * (i % 7))
+    val near = v.clone(); near(0) = near(0) + 0.02f
+    val base = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i) 1f else 0.1f)))
+    val emb = (base ++ Seq(10L, 11L, 12L).map(i => (i, v)) ++
+      Seq(13L, 14L).map(i => (i, near)) ++
+      Seq((15L, v.map(-_)), (16L, Array.fill(64)(0f))))
+      .toDF("vec_id", "embedding")
+    assertBitEqual(
+      ext.Similarity.semanticDedup(emb, k = 8, thrNum = 3, thrDen = 10),
+      ext.Similarity.semanticDedupDistinct(emb, 8, 3, 10),
+      "semanticDedup")
+    // group members see one dup_of (the global min similar id, ≤ their
+    // rep 10 — here a base vector also clears the 0.3 threshold)
+    val r = ext.Similarity.semanticDedup(emb, 8, 3, 10)
+      .filter(col("vec_id").isin(11L, 12L))
+      .select("dup_of").as[Long].collect().toSet
+    assert(r.size == 1 && r.head <= 10L,
+      s"group members must share a dup_of ≤ their rep, got $r")
   }
 
   test("embedDedupClusters histogram unchanged by the edge-list rewrite") {

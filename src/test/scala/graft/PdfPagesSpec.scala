@@ -392,13 +392,108 @@ class PdfPagesSpec extends SparkSuite {
 
   test("MiniPdf PathPage: outside-envelope operators fail loudly, never paint wrong") {
     import MiniPdf._
-    // a curve operator has no defined raster here — the parse must throw,
-    // not skip (skipping would render a DIFFERENT page than a viewer shows)
-    val e = intercept[RuntimeException] {
-      parsePathOps("10 10 m 20 20 30 30 40 40 c f")
-    }
+    // clipping/transforms have no defined raster here — the parse must
+    // throw, not skip (skipping would render a DIFFERENT page than a
+    // viewer shows)
+    val e = intercept[RuntimeException] { parsePathOps("10 10 m W n") }
     assert(e.getMessage.contains("envelope"))
     val e2 = intercept[RuntimeException] { parsePathOps("1 2 3 zz") }
     assert(e2.getMessage.contains("zz"))
+  }
+
+  test("MiniPdf PathPage Béziers: collinear cubic rasters byte-identically to its straight edge") {
+    import MiniPdf._
+    // the top edge drawn as a degenerate cubic whose control points sit ON
+    // the segment: flattening yields collinear vertices, so the pixels must
+    // be EXACTLY the plain-lineto square's — the strongest possible pin on
+    // the flattening arithmetic (no tolerance anywhere)
+    val curved = Seq(FillColor(0x000000), MoveTo(10, 10), LineTo(30, 10),
+      LineTo(30, 30), CurveTo(25, 30, 15, 30, 10, 30), ClosePath, Fill)
+    val straight = Seq(FillColor(0x000000), MoveTo(10, 10), LineTo(30, 10),
+      LineTo(30, 30), LineTo(10, 30), ClosePath, Fill)
+    assert(java.util.Arrays.equals(renderPathPage(curved, 40, 40),
+      renderPathPage(straight, 40, 40)),
+      "collinear-control cubic must raster exactly like the line it is")
+  }
+
+  test("MiniPdf PathPage Béziers: curved fill matches an independent point-in-polygon count") {
+    import MiniPdf._
+    // a genuinely curved shape: base segment + arching cubic, filled
+    // nonzero. Expected coverage recomputed by an INDEPENDENT in-test
+    // path: same fixed 16-step de Casteljau (the documented contract),
+    // but a per-pixel-center crossing test instead of the renderer's
+    // span filling — a span/boundary bug cannot cancel out
+    val ops = Seq(FillColor(0x000000), MoveTo(5, 5), LineTo(35, 5),
+      CurveTo(35, 25, 5, 25, 5, 5), Fill)
+    val png = renderPathPage(ops, 40, 40)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val rendered = (for (y <- 0 until 40; x <- 0 until 40
+      if (img.getRGB(x, y) & 0xffffff) == 0) yield 1).sum
+
+    def ev(a: Double, b: Double, c: Double, d: Double, t: Double): Double = {
+      val u = 1.0 - t
+      val ab = a * u + b * t; val bc = b * u + c * t; val cd = c * u + d * t
+      val abc = ab * u + bc * t; val bcd = bc * u + cd * t
+      abc * u + bcd * t
+    }
+    val poly = ((5.0, 5.0) +: (35.0, 5.0) +: (1 to 16).map { k =>
+      val t = k / 16.0
+      (ev(35, 35, 5, 5, t), ev(5, 25, 25, 5, t))
+    }).toIndexedSeq
+    // renderer spans are half-open [xa, xb): a center ON a crossing is
+    // inside iff the crossing is to its LEFT (inclusive) — accumulate
+    // winding over crossings with xint ≤ cx, exactly the span rule
+    def inside(cx: Double, cy: Double): Boolean = {
+      var acc = 0
+      for (i <- poly.indices) {
+        val (x1, y1) = poly(i); val (x2, y2) = poly((i + 1) % poly.size)
+        if (y1 < y2 && cy >= y1 && cy < y2 &&
+          x1 + (cy - y1) * (x2 - x1) / (y2 - y1) <= cx) acc += 1
+        else if (y2 < y1 && cy >= y2 && cy < y1 &&
+          x1 + (cy - y1) * (x2 - x1) / (y2 - y1) <= cx) acc -= 1
+      }
+      acc != 0
+    }
+    val expected = (for (y <- 0 until 40; x <- 0 until 40
+      if inside(x + 0.5, 40 - y - 0.5)) yield 1).sum
+    assert(expected > 100, "fixture must have real curved area")
+    assert(rendered == expected,
+      s"curved fill covered $rendered centers, independent count $expected")
+  }
+
+  test("MiniPdf PathPage Béziers: v and y reduce exactly to the equivalent c") {
+    import MiniPdf._
+    def page(mid: Seq[PathOp]) = renderPathPage(
+      FillColor(0x000000) +: MoveTo(5, 5) +: LineTo(35, 5) +: mid :+ Fill,
+      40, 40)
+    // v: first control = current point (35,5)
+    assert(java.util.Arrays.equals(
+      page(Seq(CurveToV(5, 25, 5, 5))),
+      page(Seq(CurveTo(35, 5, 5, 25, 5, 5)))),
+      "v must equal c with P1 = current point")
+    // y: second control = endpoint (5,5)
+    assert(java.util.Arrays.equals(
+      page(Seq(CurveToY(35, 25, 5, 5))),
+      page(Seq(CurveTo(35, 25, 5, 5, 5, 5)))),
+      "y must equal c with P2 = endpoint")
+    // a curve with genuinely no current point still fails loudly
+    intercept[IllegalArgumentException] {
+      renderPathPage(Seq(CurveTo(1, 1, 2, 2, 3, 3), Fill), 20, 20)
+    }
+  }
+
+  test("MiniPdf PathPage Béziers: write → extract round-trip through a real content stream") {
+    import MiniPdf._
+    val ops = Seq(FillColor(0xff0000), MoveTo(5, 5), LineTo(35, 5),
+      CurveTo(35, 25, 5, 25, 5, 5), Fill,
+      StrokeColor(0x0000ff), MoveTo(5, 30), CurveToV(20, 38, 35, 30),
+      CurveToY(20, 22, 5, 30), Stroke)
+    val pdf = writePages(Seq(PathPage(ops, w = 40, h = 40)))
+    assert(extractPagePathOps(pdf, 1) == ops)
+    // and the curve page renders through the shared renderer seam
+    val pdfs = Seq(("curve.pdf", 1, pdf)).toDF("file_name", "n_pages", "content")
+    val png = PdfPages.renderPages(pdfs, col("n_pages"), pdfImageRenderer)
+      .select("page_png").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(png, renderPathPage(ops, 40, 40)))
   }
 }

@@ -995,6 +995,41 @@ class StreamingSpec extends SparkSuite {
     assert(split.toSet == batch && split.length == split.toSet.size)
   }
 
+  test("pack twin: online greedy packing equals batch packSequences, whole and split") {
+    implicit val sqlCtx = spark.sqlContext
+    // real documents fixture, tight budget so every source opens several
+    // bins; delivery in doc_id order (the twin's in-order horizon contract)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    val batch = ext.Curation.packSequences(
+      docs.toSeq.toDF("source", "doc_id", "text"), budget = 64)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(batch.map(_._4).max > 1, "fixture must open multiple bins")
+    assert(batch.exists(_._3 > 64),
+      "fixture must contain an oversize doc (own-bin branch)")
+
+    def run(splits: Seq[Seq[(String, Long, String)]], name: String) = {
+      val src = MemoryStream[(String, Long, String)]
+      val q = StreamOps.packStream(
+        src.toDS().toDF("source", "doc_id", "text"), budget = 64)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+        spark.table(name).as[(String, Long, Long, Long, Long)].collect()
+      } finally q.stop()
+    }
+    val whole = run(Seq(docs.toSeq), "packwhole")
+    assert(whole.toSet == batch, "single micro-batch must equal batch op")
+    assert(whole.length == batch.size, "exactly one row per doc")
+    // bin state must carry ACROSS micro-batch boundaries bit-equally
+    val split = run(Seq(docs.take(13).toSeq, docs.slice(13, 27).toSeq,
+      docs.drop(27).toSeq), "packsplit")
+    assert(split.toSet == batch, "split must be bit-equal to batch")
+    assert(split.length == batch.size)
+  }
+
   test("kv-cache pager twin: per-turn pages aggregate to the batch op, whole and split") {
     implicit val sqlCtx = spark.sqlContext
     // two conversations with tied timestamps (event_id breaks the tie) and
