@@ -8703,10 +8703,12 @@ object SparkEntry {
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
         |    SELECT doc_id,
-        |      unnest(list_transform(generate_series(1, length(text) - 2),
-        |        i -> ascii(substr(text, i, 1)) * 65536
-        |           + ascii(substr(text, i + 1, 1)) * 256
-        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |      unnest(list_transform(generate_series(1, length(text) - 4),
+        |        i -> ascii(substr(text, i, 1)) * 4294967296
+        |           + ascii(substr(text, i + 1, 1)) * 16777216
+        |           + ascii(substr(text, i + 2, 1)) * 65536
+        |           + ascii(substr(text, i + 3, 1)) * 256
+        |           + ascii(substr(text, i + 4, 1)))) AS s
         |    FROM documents) t),
         |mh AS (
         |  SELECT doc_id, t.j,

@@ -743,11 +743,21 @@ object Dedup {
     * keeper window partitions by near-dup components (tiny). The mask is
     * one distinct + one sum over the edge endpoints.
     *
+    * The text leg defaults to 5-GRAM shingles here (vs the docs50
+    * queries' 3-grams): on the full templated corpus the 3-gram MinHash
+    * minima are dominated by ubiquitous template trigrams — 3,780 of
+    * 5,000 sf0.1 docs share an IDENTICAL 16-hash signature, flooding the
+    * band join with ~30M degenerate candidates (measured; the q136/
+    * simhash degenerate-fixture class). 5-grams are discriminative on
+    * the same corpus (max band bucket 158, ~126k candidates) — the
+    * signature-length/shingle-width knob a real pipeline tunes per
+    * corpus before trusting an LSH index (q158's readout).
+    *
     * @return one row per doc in any graph: (doc_id, comp, n_chars,
     *         group_size, keep_doc, is_kept, modality_mask)
     */
   def crossModalKeeper(docs: DataFrame, emb: DataFrame,
-                       k: Int = 16, bands: Int = 4, n: Int = 3,
+                       k: Int = 16, bands: Int = 4, n: Int = 5,
                        minJaccard: Double = 0.55, maxDist: Int = 16,
                        dim: Int = 64, bits: Int = 8,
                        minCos: Double = 0.15): DataFrame = {
@@ -951,6 +961,14 @@ object Dedup {
     val grams = docs
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= l)
+      // spread BEFORE the l× gram amplification (the cosineTopK/editNearDups
+      // lesson, found by StageAudit at the 10× point): a few-MB corpus file
+      // is ONE input split, so without this the explode AND its ~l×-corpus
+      // shuffle write run on a single core (measured 21.6 s of a 32 s wall
+      // serialized in one task). Shuffling bodies here costs 1/l of the
+      // gram bytes the next exchange already pays.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, length(text) - ${l - 1}),
            |  i -> substring(text, i, $l))""".stripMargin))

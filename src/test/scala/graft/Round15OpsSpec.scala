@@ -33,8 +33,9 @@ class Round15OpsSpec extends SparkSuite {
     val emb = Seq((0L, basis(0)), (1L, basis(1)), (2L, basis(2)),
       (3L, basis(2))).toDF("vec_id", "embedding")
 
-    // preconditions, asserted so the fixture can't silently degrade:
-    val tj = ext.Dedup.minhashNearDups(docs, 16, 4, 3, 0.55)
+    // preconditions, asserted so the fixture can't silently degrade
+    // (n = 5, the capstone's shingle width):
+    val tj = ext.Dedup.minhashNearDups(docs, 16, 4, 5, 0.55)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(tj == Set((0L, 1L)), s"text graph must be exactly 0-1, got $tj")
     val ij = ext.Dedup.dhashNearDups(docs, 16)
