@@ -51,8 +51,49 @@ object Dedup {
   /** Pairwise n-gram Jaccard similarity for pairs sharing at least one
     * shingle: |A∩B| via shingle join, |A|,|B| via per-doc counts.
     * Emits (doc_a, doc_b, inter, size_a, size_b, jaccard) with doc_a < doc_b.
+    *
+    * Exact-collapse (round 15, completing the family): identical texts
+    * ride one representative through the shingle self-join. inter/jaccard
+    * are SYMMETRIC payloads and expand directly; size_a/size_b are
+    * orientation-SENSITIVE under the expansion's least/greatest id
+    * normalization (a member pair can flip relative to its rep pair when
+    * groups' id ranges interleave), so sizes re-attach per normalized id
+    * from the rep-grain size frame through the membership — group-constant
+    * values, bit-identical output (ExactCollapseSpec).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val (members, reps) = textCollapsed(docs, n)
+    val repPairs = ngramJaccardPairsDistinct(reps, n, minJaccard)
+    val repSizes = docShingles(reps, n).groupBy("doc_id")
+      .agg(count(lit(1)).as("sz"))
+    val sizeByDoc = members
+      .join(repSizes.withColumnRenamed("doc_id", "rep"), Seq("rep"))
+      .select(col("doc_id"), col("sz"))
+    val cross = ExactCollapse.expandUnordered(
+      repPairs.select(col("doc_a"), col("doc_b"), col("inter"),
+        col("jaccard")),
+      members, "doc_a", "doc_b", Seq("inter", "jaccard"))
+      .join(sizeByDoc.toDF("doc_a", "size_a"), "doc_a")
+      .join(sizeByDoc.toDF("doc_b", "size_b"), "doc_b")
+    // identical shingle sets: inter = |A| = |B|, jaccard = sz/sz = 1.0
+    // exactly (IEEE x/x) — the uncollapsed path's bits
+    val within = ExactCollapse.withinPairs(
+      members.join(repSizes.withColumnRenamed("doc_id", "rep"), Seq("rep")),
+      "doc_a", "doc_b", Seq("sz"))
+      .select(col("doc_a"), col("doc_b"), col("sz").as("inter"),
+        col("sz").as("size_a"), col("sz").as("size_b"),
+        lit(1.0).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    cross.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+      .unionByName(within)
+  }
+
+  /** The uncollapsed shingle self-join body (the spec's bit-equality
+    * reference; [[ngramJaccardPairs]] runs it on representatives).
+    */
+  private[graft] def ngramJaccardPairsDistinct(docs: DataFrame, n: Int,
+                                               minJaccard: Double)
+      : DataFrame = {
     val sh = docShingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -81,6 +122,40 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int = 3,
                        minContain: Double = 0.8): DataFrame = {
+    // exact-collapse: the ORDERED expansion preserves sides, so every
+    // payload (incl. the orientation-sensitive sizes) rides through
+    // directly; within-group ordered pairs are the containment-1.0
+    // clique in both directions (inter = size_inner = size_outer = sz,
+    // containment = sz/sz = 1.0 exactly — the uncollapsed bits)
+    val (members, reps) = textCollapsed(docs, n)
+    val repPairs = containmentPairsDistinct(reps, n, minContain)
+    // both member sides are the same frame, but rep pairs always span two
+    // DISTINCT groups (the =!= in the rep body), so no self or duplicate
+    // rows can arise from the ordered expansion
+    val cross = ExactCollapse.expandOrdered(repPairs, members, members,
+      "inner_doc", "outer_doc",
+      Seq("inter", "size_inner", "size_outer", "containment"))
+    val sized = members.join(
+      docShingles(reps, n).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .withColumnRenamed("doc_id", "rep"), Seq("rep"))
+    val w0 = ExactCollapse.withinPairs(sized, "inner_doc", "outer_doc",
+      Seq("sz"))
+    val within = w0
+      .unionByName(w0.select(col("outer_doc").as("inner_doc"),
+        col("inner_doc").as("outer_doc"), col("sz")))
+      .select(col("inner_doc"), col("outer_doc"), col("sz").as("inter"),
+        col("sz").as("size_inner"), col("sz").as("size_outer"),
+        lit(1.0).as("containment"))
+      .filter(col("containment") >= minContain)
+    cross.unionByName(within)
+  }
+
+  /** The uncollapsed containment self-join body (the spec's bit-equality
+    * reference; [[containmentPairs]] runs it on representatives).
+    */
+  private[graft] def containmentPairsDistinct(docs: DataFrame, n: Int,
+                                              minContain: Double)
+      : DataFrame = {
     val sh = docShingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     sh.as("a").join(sh.as("b"),

@@ -115,6 +115,36 @@ class ExactCollapseSpec extends SparkSuite {
       "minhashNewVsCorpus")
   }
 
+  test("ngramJaccardPairs: collapsed output is bit-identical to uncollapsed (orientation-sensitive sizes)") {
+    // interleaved group id ranges force the least/greatest normalization
+    // to FLIP some member pairs relative to their rep pair — the case
+    // where naively expanded size_a/size_b would attach to the wrong side
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "the quick brown fox jumps over the lazy cat pack"
+    val docs = Seq((1L, t1), (100L, t1), (2L, t2), (3L, t2), (50L, "zq"))
+      .toDF("doc_id", "text")
+    assertBitEqual(
+      ext.Dedup.ngramJaccardPairs(docs, 3, 0.3),
+      ext.Dedup.ngramJaccardPairsDistinct(docs, 3, 0.3),
+      "ngramJaccardPairs")
+  }
+
+  test("containmentPairs: collapsed output is bit-identical to uncollapsed (ordered, both directions)") {
+    val short = "abcdefghij"
+    val long = "XX" + short * 3 + "YY" // short's shingles fully contained
+    val docs = Seq((1L, short), (100L, short), (2L, long), (3L, long),
+      (50L, "zq")).toDF("doc_id", "text")
+    assertBitEqual(
+      ext.Dedup.containmentPairs(docs, 3, 0.8),
+      ext.Dedup.containmentPairsDistinct(docs, 3, 0.8),
+      "containmentPairs")
+    // both orientations of the within-group clique are present
+    val r = ext.Dedup.containmentPairs(docs, 3, 0.8)
+      .select("inner_doc", "outer_doc")
+      .as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 100L)) && r.contains((100L, 1L)))
+  }
+
   test("editNearDups: equals the pre-collapse pipeline on a duplicate-free corpus") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     // precondition: the slice has no exact-duplicate texts
