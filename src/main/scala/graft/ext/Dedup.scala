@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * Hash functions are explicit modular arithmetic (not engine-native hashes)
   * so results are engine-independent and oracle-checkable.
+  *
+  * Round 15: every pair-producing operator here rides the EXACT-DUPLICATE
+  * pre-collapse ([[graft.ext.ExactCollapse]]) — identical items group to
+  * one representative before any band/bucket/block join, expansions
+  * reproduce the uncollapsed output bit-for-bit (ExactCollapseSpec), and
+  * connectivity consumers take star-edge lists instead of expanded pairs.
+  * m exact copies of a popular document cost m expansion rows, never m²/2
+  * in-bucket candidates — the difference between a dedup pass that
+  * survives a re-crawled 100 TB corpus and one that drowns in it.
   */
 object Dedup {
 
