@@ -99,9 +99,11 @@ object SparkEntry {
     // IVF ANN: approximate-by-design but fully deterministic (engine-neutral
     // centroid sample + round-6 assignment), so the whole index→probe→rerank
     // path is oracle-checked; recall vs brute force tested in SkewIvfSpec
+    // nCentroids auto-derives as ceil(sqrt(N)) from a corpus count (the
+    // bloom auto-sizing discipline) — the oracle re-derives the same k
     "q31_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 10 === 0,
-        k = 5, nCentroids = 16, nprobe = 4)),
+        k = 5, nprobe = 4)),
     "q35_bpe_tokens" -> ((s: SparkSession, d: String) =>
       TextStats.tokenCounts(Tables.documents(s, d))),
     // full dedup closure: MinHash-LSH pairs → connected components →
@@ -1399,7 +1401,30 @@ object SparkEntry {
     // the text-derived cell sums (luma of gray is 1000·v, counts equal)
     "q261_image_dhash_neardup" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.imageNearDups(
-        ext.Multimodal.textPngs(Tables.documents(s, d)), maxDist = 16))
+        ext.Multimodal.textPngs(Tables.documents(s, d)), maxDist = 16)),
+    // q20's connectivity form (round-16 verdict #6): rep pairs + star
+    // edges — the distance-0 clique of m exact copies is m−1 edges, not
+    // m²/2 output rows, so OUTPUT mass stays linear in multiplicity
+    "q262_cosine_neardup_edges" -> ((s: SparkSession, d: String) =>
+      Similarity.cosineNearDupEdges(Tables.embeddings(s, d), minCos = 0.18)),
+    // streaming twin #17 driven END-TO-END through the driver oracle
+    // (round-16 verdict #7): the stateless online dedup gate's exact code
+    // path — codegen'd per-row signatures (array_min over transformed
+    // codes, no stateful agg), band explode, stream-static band join,
+    // smallest-matching-band per-pair dedup, array-intersect verify — on
+    // a batch replay. The twin is STATELESS (zero state store), so a
+    // micro-batch arrival sequence is exactly a batch union
+    // (StreamingSpec proves whole-vs-split); the 3-slice union below IS
+    // the replayed sequence.
+    "q263_stream_dedup_gate" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 50)
+      val arrivals = (0L until 3L).map(b =>
+          docs.filter(col("doc_id") >= 50 &&
+            pmod(col("doc_id"), lit(3L)) === b))
+        .reduce(_ unionByName _)
+      streaming.StreamOps.dedupGateStream(arrivals, corpus)
+    })
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -1818,7 +1843,28 @@ object SparkEntry {
          |FROM selall$k""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Oracles whose CTEs DuckDB re-inlines per reference — the unrolled
+    * iterative replays (greedy coverage, MMR, Bradley–Terry, the q260
+    * closure stitch) reference their base CTEs once per round, so DuckDB
+    * recomputes the shingle/similarity frames k times over. `AS
+    * MATERIALIZED` pins each CTE to one evaluation — measured at sf0.01:
+    * q257 63.5 → 0.1 s, q254 18.4 → 1.3 s, q142 5.3 → 0.1 s, q260
+    * 4.7 → 0.3 s, q231 3.4 → 0.0 s (results bit-identical on every one —
+    * materialization is an evaluation strategy, not a semantics change).
+    * Applied as a post-map so the SQL literals above stay readable.
+    */
+  private val materializedCteOracles = Set(
+    "q257_greedy_coverage", "q254_train_run_prep", "q142_mmr_rerank",
+    "q260_crossmodal_keeper", "q231_bradley_terry", "q119_capped_balance",
+    "q23_greedy_eval", "q64_pagerank")
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""AS\s*\(\s*SELECT""", "AS MATERIALIZED (SELECT")
+
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
+    k -> (if (materializedCteOracles(k)) materializeCtes(v) else v)
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q110_bpe_learn" -> bpeLearnOracle(3),
     "q142_mmr_rerank" -> mmrOracle(5, 40),
     "q01_pricing_rollup" ->
@@ -2457,9 +2503,14 @@ object SparkEntry {
         |  FROM qv),
         |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv
         |       FROM nrm WHERE n2 > 0),
-        |cent AS (
-        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn FROM ok
-        |  ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id LIMIT 16),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+        |       FROM embeddings),
+        |crk0 AS (
+        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn,
+        |    row_number() OVER (
+        |      ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id) AS cr
+        |  FROM ok),
+        |cent AS (SELECT centroid_id, cv, cn FROM crk0, nc WHERE cr <= nc.k),
         |asg AS (
         |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
         |    CAST((SELECT sum(o.q[t.i] * c.cv[t.i])
@@ -6343,9 +6394,14 @@ object SparkEntry {
         |truth AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 5),
         |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv
         |       FROM nrm WHERE n2 > 0),
-        |cent AS (
-        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn FROM ok
-        |  ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id LIMIT 16),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+        |       FROM embeddings),
+        |crk0 AS (
+        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn,
+        |    row_number() OVER (
+        |      ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id) AS cr
+        |  FROM ok),
+        |cent AS (SELECT centroid_id, cv, cn FROM crk0, nc WHERE cr <= nc.k),
         |asg AS (
         |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
         |    CAST((SELECT sum(o.q[t.i] * c.cv[t.i])
@@ -8863,7 +8919,103 @@ object SparkEntry {
         |      AS BIGINT) AS hamming
         |  FROM cand c)
         |SELECT media_a, media_b, hamming FROM ham
-        |WHERE hamming <= 16""".stripMargin
+        |WHERE hamming <= 16""".stripMargin,
+
+    // q20's connectivity form: rep-grain verified pairs + star edges per
+    // identical-vector group (groups keyed on the quantized vector, rep =
+    // min vec_id — CAST(q AS VARCHAR) is a deterministic group key for
+    // the list column); the star gate evaluates the same selfCos
+    // expression the engine members carry
+    "q262_cosine_neardup_edges" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
+        |grp AS (
+        |  SELECT vec_id, q, n2,
+        |    min(vec_id) OVER (PARTITION BY CAST(q AS VARCHAR)) AS rep
+        |  FROM nrm WHERE n2 > 0),
+        |reps AS (SELECT vec_id, q, n2 FROM grp WHERE vec_id = rep),
+        |cp AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM reps a JOIN reps b ON a.vec_id < b.vec_id
+        |  WHERE CAST((SELECT sum(a.q[t.i] * b.q[t.i])
+        |              FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+        |        >= 0.18),
+        |st AS (
+        |  SELECT rep AS vec_a, vec_id AS vec_b FROM grp
+        |  WHERE vec_id <> rep
+        |    AND CAST(n2 AS DOUBLE)
+        |        / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+        |        >= 0.18)
+        |SELECT vec_a, vec_b FROM cp
+        |UNION ALL SELECT vec_a, vec_b FROM st""".stripMargin,
+
+    // streaming twin #17 batch replay: the stateless gate emits exactly
+    // one row per (new, corpus) candidate pair (smallest-matching-band
+    // dedup ≡ DISTINCT), verified with exact shingle Jaccard — the
+    // minhashNewVsCorpus oracle pattern on a ≥50 / <50 doc split
+    "q263_stream_dedup_gate" ->
+      """WITH shn AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id >= 50) t),
+        |shc AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mhn AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM shn, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |mhc AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM shc, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bn AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mhn GROUP BY doc_id, j // 4),
+        |bc AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mhc GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bn n JOIN bc c
+        |    ON n.band = c.band AND n.band_sig = c.band_sig),
+        |szn AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+        |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ca.new_id, ca.corpus_id, count(*) AS inter
+        |  FROM cands ca
+        |  JOIN shn a ON a.doc_id = ca.new_id
+        |  JOIN shc b ON b.doc_id = ca.corpus_id AND b.shingle = a.shingle
+        |  GROUP BY ca.new_id, ca.corpus_id)
+        |SELECT i.new_id, i.corpus_id,
+        |  CAST(i.inter AS DOUBLE)
+        |    / CAST(sn.sz + sc.sz - i.inter AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN szn sn ON sn.doc_id = i.new_id
+        |JOIN szc sc ON sc.doc_id = i.corpus_id
+        |WHERE CAST(i.inter AS DOUBLE)
+        |    / CAST(sn.sz + sc.sz - i.inter AS DOUBLE) >= 0.5""".stripMargin
   )
 
   /** The q257 oracle: greedy max-coverage replayed as k UNROLLED rounds

@@ -244,7 +244,9 @@ object Dedup {
     */
   private def textCollapsed(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val eligible = docs.filter(length(col("text")) >= n)
-    val keyed = ExactCollapse.withRep(eligible, "doc_id",
+    // pinned: members + reps + their signature/size frames all branch off
+    // this one materialization (round-16 fix for the per-branch rescan)
+    val keyed = ExactCollapse.withRepPinned(eligible, "doc_id",
       Seq(xxhash64(col("text")), col("text")))
     (keyed.select(col("rep"), col("doc_id")),
       keyed.filter(col("doc_id") === col("rep")).drop("rep"))
@@ -674,7 +676,7 @@ object Dedup {
 
   private def dhashCollapsedFromBands(hash: DataFrame)
       : (DataFrame, DataFrame) = {
-    val keyed = ExactCollapse.withRep(hash, "doc_id",
+    val keyed = ExactCollapse.withRepPinned(hash, "doc_id",
       (0 until DhashBands).map(b => col(s"b$b")))
     (keyed.select(col("rep"), col("doc_id")),
       keyed.filter(col("doc_id") === col("rep")).drop("rep"))
@@ -852,7 +854,13 @@ object Dedup {
     val embed = Similarity.lshNearPairEdges(emb, dim, bits, minCos)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         lit(4L).as("m"))
-    val edges = text.unionByName(image).unionByName(embed)
+    // pinned: the three legs are the expensive subtrees (full-corpus
+    // minhash, dHash and LSH band joins); both consumers below — the
+    // modality mask and the CC closure inside canonicalMapping — would
+    // otherwise each re-derive all three (the mask copy runs inside a
+    // broadcast build, where StageAudit measured it as the single largest
+    // stage of q260)
+    val edges = graft.Pin(text.unionByName(image).unionByName(embed))
     val mask = edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
         col("m"))
@@ -935,7 +943,7 @@ object Dedup {
     */
   def editNearDups(docs: DataFrame, maxDist: Int = 12, prefixChars: Int = 6,
                    lenBucket: Int = 32, blockCap: Int = 64): DataFrame = {
-    val collapsed = ExactCollapse.withRep(
+    val collapsed = ExactCollapse.withRepPinned(
       docs.select(col("doc_id"), col("text")), "doc_id",
       Seq(xxhash64(col("text")), col("text")))
     val members = collapsed.select(col("rep"), col("doc_id"))

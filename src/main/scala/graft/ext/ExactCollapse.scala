@@ -47,6 +47,40 @@ private[graft] object ExactCollapse {
     df.withColumn(repCol, min(col(idCol)).over(Window.partitionBy(keys: _*)))
   }
 
+  /** [[withRep]] materialized ONCE per query ([[graft.Pin]]).
+    *
+    * Every collapse consumer branches off the keyed frame several times —
+    * members for the two expansion joins, reps for the band/bucket join
+    * and its size/signature frames — and each branch is its own plan
+    * subtree that re-derives the window AND re-scans the input (column
+    * pruning gives the branches different scan schemas, so Spark's
+    * ReuseExchange cannot dedup them). Round 15 measured that cost:
+    * q84 5.1×, q64 2.45×, q78 1.82× sf0.1 wall vs the pre-collapse round.
+    * Pinning truncates lineage at the collapsed frame, so the window and
+    * the corpus scan run exactly once regardless of consumer fan-out —
+    * the q231/q257 Pin discipline. On a real cluster the pin is a
+    * reliable checkpoint (see [[graft.Pin]]); either way the values are
+    * bit-identical to the unpinned form.
+    */
+  def withRepPinned(df: DataFrame, idCol: String, keys: Seq[Column],
+                    repCol: String = "rep"): DataFrame = {
+    val keyed = withRep(df, idCol, keys, repCol)
+    record(keyed)
+    graft.Pin(keyed)
+  }
+
+  /** Test hook (PlanSpec): the most recent pre-pin keyed frames. The pin
+    * replaces the collapse subtree with a materialized scan in the final
+    * plan, so the "rep window before the band join" guard inspects the
+    * frames recorded here instead of the consumer plan. Bounded (last 8).
+    */
+  private[graft] val recentKeyed =
+    new java.util.concurrent.atomic.AtomicReference[List[DataFrame]](Nil)
+  private def record(df: DataFrame): Unit = {
+    recentKeyed.updateAndGet(l => (df :: l).take(8))
+    ()
+  }
+
   /** Rep-grain UNORDERED pairs → member-grain pairs normalized to
     * `outA` < `outB`. `repPairs` holds rep ids in columns `outA`/`outB`
     * plus group-constant `payload` columns that ride along unchanged;

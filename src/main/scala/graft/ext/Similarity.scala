@@ -107,7 +107,7 @@ object Similarity {
     * division).
     */
   def ivfQuality(emb: DataFrame, queryPred: Column, k: Int = 5,
-                 nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+                 nCentroids: Int = 0, nprobe: Int = 4): DataFrame = {
     val truth = cosineTopK(emb, queryPred, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("t"))
     val found = ivfTopK(emb, queryPred, k, nCentroids, nprobe)
@@ -215,9 +215,21 @@ object Similarity {
     * edges per identical-(bucket, q) group, gated on the same selfCos the
     * within pairs carry — same connected components as the expanded pair
     * list, linear edge mass.
+    *
+    * ENVELOPE: requires `minCos` < 1.0. selfCos = n2/(√n2·√n2) is only
+    * ~1.0 within a few ulp; at minCos = 1.0 a group member whose selfCos
+    * rounds below could lose its star edge while its group-constant CROSS
+    * pairs (emitted at rep grain only) still connect the rep — the edge
+    * list's components would silently diverge from the pair list's. Below
+    * 1.0 the gate and the within-pair filter evaluate the same expression
+    * on the same value, so equivalence is exact. Fail loudly instead.
     */
   def lshNearPairEdges(emb: DataFrame, dim: Int, bits: Int = 8,
                        minCos: Double = 0.9): DataFrame = {
+    require(minCos < 1.0,
+      s"lshNearPairEdges: minCos=$minCos outside the < 1.0 envelope — " +
+        "selfCos of an identical group is 1.0 only up to ulp rounding; " +
+        "use lshNearPairs (expanded pairs) for an exact-1.0 threshold")
     val (members, reps) = lshCollapsed(emb, dim, bits)
     lshPairsFromBucketed(reps, minCos).select(col("vec_a"), col("vec_b"))
       .unionByName(ExactCollapse.starEdges(
@@ -241,7 +253,7 @@ object Similarity {
       .select(col("vec_id"), col("q"),
         sqrt(col("n2").cast("double")).as("nv"),
         lshBucket(col("embedding"), dim, bits).as("bucket"))
-    val keyed = ExactCollapse.withRep(bucketed, "vec_id",
+    val keyed = ExactCollapse.withRepPinned(bucketed, "vec_id",
       Seq(col("bucket"), col("q")))
     (keyed.select(col("rep"), col("vec_id"),
       (qdot(col("q"), col("q")).cast("double") / (col("nv") * col("nv")))
@@ -314,9 +326,23 @@ object Similarity {
     * by, so a probe touches only those partitions (partition pruning on
     * `centroid_id`). Recall is tuned with nprobe; exactness is recovered by
     * reranking the survivors with the exact kernel (done here).
+    *
+    * SIZING (round 16, the [[graft.ext.Sketches]] bloom discipline):
+    * `nCentroids` ≤ 0 (the default) derives nCentroids = ⌈√N⌉ from one
+    * cheap count of the corpus — a PLANNING action, same role as the
+    * runtime stats behind AQE. A fixed centroid count is the classic IVF
+    * scale defect: cells grow linearly with the corpus while the centroid
+    * count stands still, so probe cost per query grows ∝ N instead of
+    * ∝ √N (round 15 measured exactly that: 9.8× wall at 10× data under
+    * the fixed demo default). ⌈√N⌉ keeps build cost (N·√N assignment
+    * dots) and probe cost (nprobe·√N candidates) balanced — the standard
+    * IVF heuristic. An explicit positive value remains as the override
+    * (and is how the recall specs pin their geometry).
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
-              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+              nCentroids: Int = 0, nprobe: Int = 4): DataFrame = {
+    val nc = if (nCentroids > 0) nCentroids
+      else math.max(1, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     // centroid choice: the nCentroids lowest-hash vectors — a deterministic
     // pseudo-random sample via TakeOrdered, with NO eager count()/extra scan
     // of the corpus at plan-construction time. The hash is engine-neutral
@@ -331,7 +357,7 @@ object Similarity {
           sqrt(col("n2").cast("double")).as("cn"))
         .orderBy(graft.functions.Hashing.knuthMod(col("centroid_id"),
           1000003L, offset = 17L), col("centroid_id"))
-        .limit(nCentroids))
+        .limit(nc))
 
     def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {
       val w = Window.partitionBy(idCol)
@@ -473,7 +499,7 @@ object Similarity {
       .filter(col("n2") > 0L)
       .select(col("vec_id"), col("q"),
         sqrt(col("n2").cast("double")).as("nv"))
-    val keyed = ExactCollapse.withRep(q, "vec_id", Seq(col("q")))
+    val keyed = ExactCollapse.withRepPinned(q, "vec_id", Seq(col("q")))
     val members = keyed.select(col("rep"), col("vec_id"),
       (qdot(col("q"), col("q")).cast("double") / (col("nv") * col("nv")))
         .as("cos"))
@@ -495,6 +521,49 @@ object Similarity {
         "vec_a", "vec_b", Seq("cos"))
       .unionByName(ExactCollapse.withinPairs(members, "vec_a", "vec_b",
         Seq("cos")).filter(col("cos") >= minCos))
+  }
+
+  /** Connectivity-equivalent EDGE list for the brute cosine baseline —
+    * [[cosineNearDups]]' answer to the round-15 verdict's q20 residual:
+    * the PAIR-list contract materializes every within-group distance-0
+    * pair, so m exact copies of a popular vector emit m²/2 OUTPUT rows
+    * (10× copies ⇒ ~100× rows — produced by a linear equi-join, but the
+    * output mass itself scales quadratically). A connectivity consumer
+    * (clusters, keepers, CC) needs only the components, so this form
+    * emits rep-grain verified pairs plus m−1 star edges per
+    * identical-vector group: same connected components, output mass
+    * LINEAR in multiplicity. Same < 1.0 envelope as
+    * [[lshNearPairEdges]], same loud failure.
+    */
+  def cosineNearDupEdges(emb: DataFrame,
+                         minCos: Double = 0.95): DataFrame = {
+    require(minCos < 1.0,
+      s"cosineNearDupEdges: minCos=$minCos outside the < 1.0 envelope — " +
+        "selfCos of an identical group is 1.0 only up to ulp rounding; " +
+        "use cosineNearDups (expanded pairs) for an exact-1.0 threshold")
+    val q = emb.withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+      .select(col("vec_id"), col("q"),
+        sqrt(col("n2").cast("double")).as("nv"))
+    val keyed = ExactCollapse.withRepPinned(q, "vec_id", Seq(col("q")))
+    val members = keyed.select(col("rep"), col("vec_id"),
+      (qdot(col("q"), col("q")).cast("double") / (col("nv") * col("nv")))
+        .as("cos"))
+    val reps = keyed.filter(col("vec_id") === col("rep")).drop("rep")
+    val a = reps.select(col("vec_id").as("vec_a"), col("q").as("va"),
+      col("nv").as("na"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val b = reps.select(col("vec_id").as("vec_b"), col("q").as("vb"),
+      col("nv").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .filter(qdot(col("va"), col("vb")).cast("double") /
+        (col("na") * col("nb")) >= minCos)
+      .select(col("vec_a"), col("vec_b"))
+      .unionByName(ExactCollapse.starEdges(
+        members.filter(col("cos") >= minCos)
+          .select(col("rep"), col("vec_id")),
+        "vec_a", "vec_b"))
   }
 
   /** The uncollapsed all-pairs baseline applied to the full frame — the
@@ -787,7 +856,7 @@ object Similarity {
     // every group's minimum id IS its rep. Bit-identical to the
     // uncollapsed form (ExactCollapseSpec).
     val assigned = assignExactL2(emb, k)
-    val keyed = ExactCollapse.withRep(assigned, "vec_id", Seq(col("q")))
+    val keyed = ExactCollapse.withRepPinned(assigned, "vec_id", Seq(col("q")))
     val members = keyed.select(col("rep"), col("vec_id"), col("centroid_id"))
     val reps = keyed.filter(col("vec_id") === col("rep")).drop("rep")
     val simPairs = cellSimilarPairs(reps, thrNum, thrDen)

@@ -389,10 +389,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("near-dup pair producers ride the exact-collapse rep window before the band/bucket join") {
-    // the ExactCollapse.withRep min-id window is the ONLY window in each of
-    // these plans, so its presence pins that the band/bucket join consumes
-    // collapsed representatives — losing it silently restores the m²/2
-    // exact-copy candidate blowup (round-13/14 verdicts' one scale-killer)
+    // losing the collapse silently restores the m²/2 exact-copy candidate
+    // blowup (round-13/14 verdicts' one scale-killer). Since round 16 the
+    // collapsed frame is PINNED (the per-branch rescan fix), so the final
+    // plan shows a materialized scan instead of the window — the guard
+    // therefore checks, per query: (a) constructing the query routed
+    // through withRepPinned (the recorded pre-pin frame carries the min-id
+    // rep window), and (b) the consumer plan reads the pinned scan and the
+    // band join did not degenerate to all-pairs.
     val markers = Seq(
       "q252_dhash_neardup" -> "min(doc_id",
       "q17_minhash_neardup" -> "min(doc_id",
@@ -400,11 +404,18 @@ class PlanSpec extends SparkSuite {
       "q20_cosine_neardup" -> "min(vec_id",
       "q259_dhash_gate" -> "min(doc_id")
     for ((q, marker) <- markers) {
-      val p = plan(SparkEntry.queries(q)(spark, sf))
-      assert("""\(\d+\) Window""".r.findAllIn(p).nonEmpty,
-        s"$q lost the exact-collapse rep window:\n$p")
-      assert(p.contains(marker),
-        s"$q window is not the min-id rep aggregation:\n$p")
+      ext.ExactCollapse.recentKeyed.set(Nil)
+      val df = SparkEntry.queries(q)(spark, sf)
+      val keyedPlans = ext.ExactCollapse.recentKeyed.get()
+        .map(k => plan(k))
+      assert(keyedPlans.nonEmpty,
+        s"$q did not route through the exact-collapse pin")
+      assert(keyedPlans.exists(kp =>
+          """\(\d+\) Window""".r.findAllIn(kp).nonEmpty && kp.contains(marker)),
+        s"$q collapse frame lost the min-id rep window:\n${keyedPlans.mkString("\n---\n")}")
+      val p = plan(df)
+      assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+        s"$q band join does not consume the pinned collapsed frame:\n$p")
       // q20 is the documented brute baseline (inequality join by design);
       // every banded/bucketed producer must stay an equi-join
       if (q != "q20_cosine_neardup")

@@ -434,12 +434,20 @@ class Round10OpsSpec extends SparkSuite {
 
   test("q175 plan: centroid assignment is a broadcast; the pair join " +
     "shuffles on the cluster key, never all-pairs") {
+    // the exact-collapse frame is PINNED since round 16, so the centroid
+    // assignment (upstream of the collapse) lives in the recorded pre-pin
+    // plan; the cell pair join consumes the pinned reps in the final plan
+    ext.ExactCollapse.recentKeyed.set(Nil)
     val df = SparkEntry.queries("q175_semantic_dedup")(spark, sf)
     val p = planOf(df)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"centroid row not broadcast:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+    val keyedPlans = ext.ExactCollapse.recentKeyed.get().map(planOf)
+    assert(keyedPlans.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"centroid row not broadcast:\n${keyedPlans.mkString("\n---\n")}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
       s"pair join lost its cluster-key equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cell pair join degenerated to all-pairs:\n$p")
   }
 
   // ---------------------------------------------------- label fusion

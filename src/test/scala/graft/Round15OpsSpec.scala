@@ -126,13 +126,23 @@ class Round15OpsSpec extends SparkSuite {
 
   test("q260/q261 plans: closure edges and image band join stay products-free") {
     import org.apache.spark.sql.execution.ExplainMode
+    def explain(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     // q260's CC runs driver-side union-find on tiny graphs, so check the
     // EDGE construction instead (the registered pair producers)
-    val p = SparkEntry.queries("q261_image_dhash_neardup")(spark, sf)
-      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    ext.ExactCollapse.recentKeyed.set(Nil)
+    val p = explain(SparkEntry.queries("q261_image_dhash_neardup")(spark, sf))
     assert(!p.contains("CartesianProduct"),
       s"image band join degenerated to all-pairs:\n$p")
-    assert("""\(\d+\) Window""".r.findAllIn(p).nonEmpty,
-      s"image front lost the exact-collapse rep window:\n$p")
+    // the collapse is PINNED since round 16 (per-branch rescan fix): the
+    // rep window lives in the recorded pre-pin frame, the consumer plan
+    // reads the materialized scan (the PlanSpec near-dup guard pattern)
+    val keyedPlans = ext.ExactCollapse.recentKeyed.get().map(explain)
+    assert(keyedPlans.exists(kp =>
+        """\(\d+\) Window""".r.findAllIn(kp).nonEmpty &&
+          kp.contains("min(doc_id")), // imageNearDups renames media_id→doc_id
+      s"image front lost the exact-collapse rep window:\n${keyedPlans.mkString("\n---\n")}")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"image band join does not consume the pinned collapsed frame:\n$p")
   }
 }
