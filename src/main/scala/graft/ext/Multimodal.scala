@@ -502,7 +502,15 @@ object Multimodal {
     * encode → decode → area-average → band join) into a DuckDB-checkable
     * pipeline (q261) instead of a spec-only one. Docs without a full
     * 72-char raster are excluded (the [[graft.ext.Dedup.dhashTextBands]]
-    * contract). ASCII envelope as q27.
+    * contract).
+    *
+    * SINGLE-BYTE ENVELOPE, enforced loudly (round-16 ADVICE): the pixel
+    * value is the codepoint, but [[graft.ext.Dedup.dhashTextBands]] and
+    * the q261 oracle read the FULL `ascii()` codepoint — a raster-prefix
+    * char above 0xff would silently diverge between the image-dHash
+    * front and the text-dHash/oracle prediction if it were masked. Such
+    * a doc throws instead (same failure class as MiniPdf's envelope
+    * checks); the fixture corpus is ASCII, so the gate is free there.
     */
   def textPngs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -518,7 +526,11 @@ object Multimodal {
           while (y < 16) {
             var x = 0
             while (x < 18) {
-              val v = text.charAt((y * 18 + x) % 72).toInt & 0xff
+              val v = text.charAt((y * 18 + x) % 72).toInt
+              require(v <= 0xff,
+                s"textPngs: doc $id raster prefix has codepoint $v > 0xff " +
+                  "— outside the single-byte envelope the dHash oracle " +
+                  "parity depends on (exclude or transliterate the doc)")
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
               x += 1
             }

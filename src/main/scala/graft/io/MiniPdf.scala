@@ -37,8 +37,9 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * [[renderPathPage]] rasterizes it with an own scanline fill (both
   * winding rules) + Bresenham strokes, curves flattened by a fixed
   * 16-segment de Casteljau — deterministic across JVMs, no Java2D
-  * rasterizer. Clipping/transforms remain outside the envelope and fail
-  * loudly rather than paint a wrong page.
+  * rasterizer. CTM transforms (`cm` with `q`/`Q`, round 16) apply at
+  * path-construction time; clipping (`W`) remains outside the envelope
+  * and fails loudly rather than paint a wrong page.
   * Object dictionaries are uncompressed (the image streams themselves are
   * compressed). A full engine (pdfbox-class) would replace this object
   * behind the same [[PdfPages.Renderer]] seam.
@@ -127,6 +128,24 @@ object MiniPdf {
   case object Fill extends PathOp          // f  (nonzero winding)
   case object FillEvenOdd extends PathOp   // f* (even-odd)
   case object Stroke extends PathOp        // S
+  /** `cm` (round 16) — concatenate a 2×3 affine matrix onto the CTM
+    * (PDF 32000 §8.4.4): [x' y'] = [x y 1]·[[a b],[c d],[e f]], applied
+    * at path-CONSTRUCTION time, so `re` under rotation is the correct
+    * parallelogram and Bézier control points transform before the fixed
+    * de Casteljau flattening (affine maps commute with Bézier
+    * evaluation — the flattened polyline is exactly the transformed
+    * curve's). Operands are written at 6 dp (Locale.ROOT), so simple
+    * matrices round-trip bit-exactly through write→extract.
+    */
+  final case class Concat(a: Double, b: Double, c: Double, d: Double,
+                          e: Double, f: Double) extends PathOp
+  /** `q` — push the graphics state (CTM + fill/stroke colors, the whole
+    * state this envelope carries). The current PATH is not graphics
+    * state (§8.4.1) and survives q/Q untouched.
+    */
+  case object SaveState extends PathOp
+  /** `Q` — pop the graphics state; unbalanced `Q` fails loudly. */
+  case object RestoreState extends PathOp
 
   /** A VECTOR-path page (round 13, the last S7 notch): `ops` become a
     * genuine PDF path content stream (`m l h re f f* S rg RG`) any
@@ -137,8 +156,11 @@ object MiniPdf {
     * stipples are. Cubic Béziers (`c v y`, round 15) flatten to a FIXED
     * 16-segment de Casteljau polyline (t = k/16 exact binary, fixed IEEE
     * operation order — reproducible anywhere) feeding the same scanline
-    * machinery. Clipping (`W`) and graphics-state transforms (`cm`) stay
-    * out of the envelope and fail loudly in the parser.
+    * machinery. CTM transforms (`cm`, round 16) apply at path-
+    * construction time with `q`/`Q` state save/restore; strokes stay
+    * 1-px device hairlines under any CTM (the simplified stroke
+    * contract — PDF line width would otherwise transform). Clipping
+    * (`W`) stays out of the envelope and fails loudly in the parser.
     */
   final case class PathPage(ops: Seq[PathOp], w: Int = 612, h: Int = 792)
     extends PageImage {
@@ -167,7 +189,19 @@ object MiniPdf {
       case Fill => "f"
       case FillEvenOdd => "f*"
       case Stroke => "S"
+      case Concat(a, b, c, d, e, f) =>
+        Seq(a, b, c, d, e, f).map(pdfNum).mkString(" ") + " cm"
+      case SaveState => "q"
+      case RestoreState => "Q"
     }.mkString(" ")
+
+  /** 6-dp PDF number (Locale.ROOT — see [[pdfDecimal]]'s comma-locale
+    * trap); integral values print bare so coordinate-only streams stay
+    * byte-identical to the pre-`cm` writer.
+    */
+  private def pdfNum(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
 
   /** Build a real one-image-per-page PDF from per-page JPEG bytes
     * (width/height must match the encoded images).
@@ -604,7 +638,7 @@ object MiniPdf {
   /** The path operators of a 1-based [[PathPage]]'s content stream, parsed
     * back into the [[PathOp]] ADT — the vector-content analog of
     * [[extractPageText]]. Fails loudly on any operator outside the
-    * `m l h re c v y f f* S rg RG` envelope (clipping, transforms,
+    * `m l h re c v y f f* S rg RG cm q Q` envelope (clipping `W`,
     * dash/width state): a page drawn with those has no defined raster
     * here, and silently skipping an operator would paint a WRONG page,
     * which is worse than no page.
@@ -653,8 +687,13 @@ object MiniPdf {
       case "f" => out += Fill
       case "f*" => out += FillEvenOdd
       case "S" => out += Stroke
+      case "cm" => val Seq(a, b, c, d, e, f) = popN(6, "cm")
+        out += Concat(a, b, c, d, e, f)
+      case "q" => out += SaveState
+      case "Q" => out += RestoreState
       case other => sys.error(s"path-page operator '$other' outside the " +
-        "m/l/h/re/c/v/y/f/f*/S/rg/RG envelope — no defined raster")
+        "m/l/h/re/c/v/y/f/f*/S/rg/RG/cm/q/Q envelope — no defined raster " +
+        "(clipping 'W' stays loudly unsupported)")
     }
     require(stack.isEmpty, s"dangling operands ${stack.mkString(",")}")
     out.toSeq
@@ -675,7 +714,19 @@ object MiniPdf {
     val g2 = img.createGraphics()
     g2.setColor(java.awt.Color.WHITE); g2.fillRect(0, 0, w, h); g2.dispose()
 
-    // current path: subpaths as point lists (user space), explicit-closed flag
+    // CTM (round 16): points enter the path in DEVICE space — every
+    // construction coordinate maps through the current matrix, exactly
+    // the PDF model (§8.3.4: the CTM applies at construction time, so a
+    // later cm never moves an already-built path). Identity by default;
+    // a fixed a·x + c·y + e / b·x + d·y + f IEEE chain keeps rasters
+    // bit-identical across JVMs (the flatten() determinism argument).
+    var ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val gsStack = scala.collection.mutable.ArrayBuffer[
+      ((Double, Double, Double, Double, Double, Double), Int, Int)]()
+    def tx(x: Double, y: Double): (Double, Double) =
+      (ctm._1 * x + ctm._3 * y + ctm._5, ctm._2 * x + ctm._4 * y + ctm._6)
+
+    // current path: subpaths as point lists (device space), explicit-closed flag
     val subpaths = scala.collection.mutable.ArrayBuffer[
       (scala.collection.mutable.ArrayBuffer[(Double, Double)], Boolean)]()
     var open: scala.collection.mutable.ArrayBuffer[(Double, Double)] = null
@@ -814,32 +865,53 @@ object MiniPdf {
     ops.foreach {
       case MoveTo(x, y) =>
         flushOpen(false)
-        open = scala.collection.mutable.ArrayBuffer((x.toDouble, y.toDouble))
+        open = scala.collection.mutable.ArrayBuffer(tx(x, y))
       case LineTo(x, y) =>
         currentPointFor("lineto")
-        open += ((x.toDouble, y.toDouble))
+        open += tx(x, y)
+      // Bézier control points transform BEFORE the fixed flattening —
+      // affine maps commute with Bézier evaluation, so the flattened
+      // polyline IS the transformed curve's (no re-flattening error)
       case CurveTo(x1, y1, x2, y2, x3, y3) =>
         val p0 = currentPointFor("curveto")
-        flatten(p0, x1, y1, x2, y2, x3, y3)
+        val (c1, c2, c3) = (tx(x1, y1), tx(x2, y2), tx(x3, y3))
+        flatten(p0, c1._1, c1._2, c2._1, c2._2, c3._1, c3._2)
       case CurveToV(x2, y2, x3, y3) =>
+        // implied control1 = current point: T(user current) IS the device
+        // current point, so p0 serves both roles
         val p0 = currentPointFor("curveto-v")
-        flatten(p0, p0._1, p0._2, x2, y2, x3, y3)
+        val (c2, c3) = (tx(x2, y2), tx(x3, y3))
+        flatten(p0, p0._1, p0._2, c2._1, c2._2, c3._1, c3._2)
       case CurveToY(x1, y1, x3, y3) =>
         val p0 = currentPointFor("curveto-y")
-        flatten(p0, x1, y1, x3, y3, x3, y3)
+        val (c1, c3) = (tx(x1, y1), tx(x3, y3))
+        flatten(p0, c1._1, c1._2, c3._1, c3._2, c3._1, c3._2)
       case ClosePath => flushOpen(closed = true)
       case Rect(x, y, rw, rh) =>
         flushOpen(false)
+        // all four user-space corners map through the CTM: under rotation
+        // or skew `re` is the correct parallelogram, not an axis-aligned box
         subpaths += ((scala.collection.mutable.ArrayBuffer(
-          (x.toDouble, y.toDouble), ((x + rw).toDouble, y.toDouble),
-          ((x + rw).toDouble, (y + rh).toDouble),
-          (x.toDouble, (y + rh).toDouble)), true))
-        closedStart = (x.toDouble, y.toDouble) // re sets the current point
+          tx(x, y), tx(x + rw, y), tx(x + rw, y + rh), tx(x, y + rh)), true))
+        closedStart = tx(x, y) // re sets the current point
       case FillColor(c) => fillRgb = c
       case StrokeColor(c) => strokeRgb = c
       case Fill => fill(evenOdd = false)
       case FillEvenOdd => fill(evenOdd = true)
       case Stroke => stroke()
+      case Concat(a, b, c, d, e, f) =>
+        // row-vector pre-concatenation (§8.4.4): points map through the
+        // NEW matrix first, then the old CTM — tx'(p) = tx_old(m(p))
+        val (pA, pB, pC, pD, pE, pF) = ctm
+        ctm = (a * pA + b * pC, a * pB + b * pD,
+          c * pA + d * pC, c * pB + d * pD,
+          e * pA + f * pC + pE, e * pB + f * pD + pF)
+      case SaveState => gsStack += ((ctm, fillRgb, strokeRgb))
+      case RestoreState =>
+        require(gsStack.nonEmpty, "'Q' with no matching 'q' — unbalanced " +
+          "graphics-state restore has no defined raster")
+        val (m, fc, sc) = gsStack.remove(gsStack.size - 1)
+        ctm = m; fillRgb = fc; strokeRgb = sc
     }
     val out = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)

@@ -401,6 +401,70 @@ class PdfPagesSpec extends SparkSuite {
     assert(e2.getMessage.contains("zz"))
   }
 
+  test("MiniPdf PathPage cm: translate+scale rasters byte-identically to " +
+    "the pre-transformed page, and Q restores the state") {
+    import MiniPdf._
+    // scale 2× + translate (10,20): rect (5,5,10,10) → (20,30,20,20);
+    // after Q the CTM is identity again, so the second rect lands raw
+    val viaCm = Seq(FillColor(0xff0000), SaveState, Concat(2, 0, 0, 2, 10, 20),
+      Rect(5, 5, 10, 10), Fill, RestoreState,
+      FillColor(0x0000ff), Rect(70, 5, 5, 5), Fill)
+    val direct = Seq(FillColor(0xff0000), Rect(20, 30, 20, 20), Fill,
+      FillColor(0x0000ff), Rect(70, 5, 5, 5), Fill)
+    assert(java.util.Arrays.equals(renderPathPage(viaCm, 100, 80),
+      renderPathPage(direct, 100, 80)),
+      "translate+scale page must raster byte-identically to its " +
+        "pre-transformed twin")
+    // Q restores COLOR state too (the whole envelope graphics state)
+    val colorViaQ = Seq(FillColor(0xff0000), SaveState, FillColor(0x00ff00),
+      RestoreState, Rect(5, 5, 5, 5), Fill)
+    val colorDirect = Seq(FillColor(0xff0000), Rect(5, 5, 5, 5), Fill)
+    assert(java.util.Arrays.equals(renderPathPage(colorViaQ, 20, 20),
+      renderPathPage(colorDirect, 20, 20)))
+    // unbalanced Q has no defined raster — loud failure
+    intercept[IllegalArgumentException] {
+      renderPathPage(Seq(RestoreState), 20, 20)
+    }
+  }
+
+  test("MiniPdf PathPage cm: rotation turns re into the correct " +
+    "parallelogram; Bézier control points transform before flattening") {
+    import MiniPdf._
+    // 90° CCW rotation + translate: (x,y) → (40−y, 10+x) — `re` must
+    // paint the ROTATED quad, not an axis-aligned box
+    val viaCm = Seq(FillColor(0x000000),
+      Concat(0, 1, -1, 0, 40, 10), Rect(5, 5, 10, 20), Fill)
+    val direct = Seq(FillColor(0x000000), MoveTo(35, 15), LineTo(35, 25),
+      LineTo(15, 25), LineTo(15, 15), ClosePath, Fill)
+    assert(java.util.Arrays.equals(renderPathPage(viaCm, 50, 40),
+      renderPathPage(direct, 50, 40)),
+      "rotated re must raster as its corner-mapped polygon")
+    // a cubic under scale(2): transformed control points ≡ the explicitly
+    // doubled curve (affine maps commute with Bézier evaluation)
+    val curveCm = Seq(StrokeColor(0xff0000), Concat(2, 0, 0, 2, 0, 0),
+      MoveTo(5, 5), CurveTo(10, 5, 15, 10, 15, 15), Stroke)
+    val curveDirect = Seq(StrokeColor(0xff0000), MoveTo(10, 10),
+      CurveTo(20, 10, 30, 20, 30, 30), Stroke)
+    assert(java.util.Arrays.equals(renderPathPage(curveCm, 40, 40),
+      renderPathPage(curveDirect, 40, 40)),
+      "cubic under cm must flatten the transformed control points")
+  }
+
+  test("MiniPdf PathPage cm: write → extract round-trip through a real " +
+    "content stream; W stays loudly unsupported") {
+    import MiniPdf._
+    val ops = Seq(SaveState, Concat(2, 0, 0, 2, 10.5, 20),
+      FillColor(0xff0000), Rect(5, 5, 10, 10), Fill, RestoreState)
+    val pdf = writePages(Seq(PathPage(ops, w = 100, h = 80)))
+    assert(extractPagePathOps(pdf, 1) == ops,
+      "cm/q/Q must round-trip (6-dp operands reparse exactly)")
+    // the clip operator still has no defined raster — parse must throw
+    val e = intercept[RuntimeException] {
+      parsePathOps("1 0 0 1 5 5 cm 10 10 m 20 10 l 20 20 l W n")
+    }
+    assert(e.getMessage.contains("envelope"))
+  }
+
   test("MiniPdf PathPage Béziers: collinear cubic rasters byte-identically to its straight edge") {
     import MiniPdf._
     // the top edge drawn as a degenerate cubic whose control points sit ON

@@ -112,6 +112,25 @@ class Round15OpsSpec extends SparkSuite {
       == refImageBands(rasterQ))
   }
 
+  test("textPngs: a raster-prefix codepoint above 0xff fails loudly " +
+    "(single-byte envelope, never a silently masked pixel)") {
+    val bad = ("Δ" + rasterP.drop(1)) // Δ in the 72-char raster prefix
+    val docs = Seq((1L, bad, "en", "web", bad.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[org.apache.spark.SparkException] {
+      ext.Multimodal.textPngs(docs).collect()
+    }
+    assert(e.getMessage.contains("0xff") ||
+      Option(e.getCause).exists(_.getMessage.contains("0xff")),
+      s"expected the envelope failure, got: ${e.getMessage}")
+    // and a >0xff char BEYOND the raster prefix is irrelevant (only the
+    // first 72 chars are rasterized)
+    val okTail = rasterP + "Δ"
+    val fine = Seq((2L, okTail, "en", "web", okTail.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(ext.Multimodal.textPngs(fine).count() == 1)
+  }
+
   test("imageNearDups end-to-end: exact copy at 0, distinct rasters gated") {
     val docs = Seq((1L, rasterP), (2L, rasterP), (3L, rasterQ))
       .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
