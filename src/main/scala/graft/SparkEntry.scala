@@ -1424,6 +1424,22 @@ object SparkEntry {
             pmod(col("doc_id"), lit(3L)) === b))
         .reduce(_ unionByName _)
       streaming.StreamOps.dedupGateStream(arrivals, corpus)
+    }),
+    // leakage-safe split (round 16): whole near-dup clusters assigned to
+    // one split — structural disjointness, the contamination control a
+    // per-doc hash split can't give (5-gram shingles: the q260
+    // full-corpus lesson)
+    "q264_leakage_safe_split" -> ((s: SparkSession, d: String) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d))),
+    // split-leakage audit (round 16): how contaminated is a NAIVE per-doc
+    // hash split? Docs whose near-dup cluster spans >1 split are leaked —
+    // the diagnostic that motivates q264's cluster-grain re-split
+    "q265_split_leakage_audit" -> ((s: SparkSession, d: String) => {
+      val naive = pmod(pmod(col("doc_id") * lit(2654435761L),
+        lit(1000003L)), lit(10L))
+      Dedup.splitLeakageAudit(Tables.documents(s, d),
+        when(naive < 8, lit("train")).when(naive === 8, lit("val"))
+          .otherwise(lit("test")))
     })
   )
 
@@ -1856,7 +1872,8 @@ object SparkEntry {
   private val materializedCteOracles = Set(
     "q257_greedy_coverage", "q254_train_run_prep", "q142_mmr_rerank",
     "q260_crossmodal_keeper", "q231_bradley_terry", "q119_capped_balance",
-    "q23_greedy_eval", "q64_pagerank")
+    "q23_greedy_eval", "q64_pagerank",
+    "q264_leakage_safe_split", "q265_split_leakage_audit")
   private def materializeCtes(sql: String): String =
     sql.replaceAll("""AS\s*\(\s*SELECT""", "AS MATERIALIZED (SELECT")
 
@@ -9015,8 +9032,107 @@ object SparkEntry {
         |JOIN szn sn ON sn.doc_id = i.new_id
         |JOIN szc sc ON sc.doc_id = i.corpus_id
         |WHERE CAST(i.inter AS DOUBLE)
-        |    / CAST(sn.sz + sc.sz - i.inter AS DOUBLE) >= 0.5""".stripMargin
+        |    / CAST(sn.sz + sc.sz - i.inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    // near-dup components (5-gram, uncollapsed replay — star vs clique
+    // edge lists have identical connectivity) → cluster id = min node →
+    // split = multiplicative hash of the CLUSTER id
+    "q264_leakage_safe_split" ->
+      (nearDupClosureSql(0.5) +
+        """,
+          |base AS (
+          |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+          |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+          |SELECT doc_id, cluster_id,
+          |  CASE WHEN ((cluster_id * 2654435761) % 1000003) % 10 < 8
+          |         THEN 'train'
+          |       WHEN ((cluster_id * 2654435761) % 1000003) % 10 = 8
+          |         THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM base""".stripMargin),
+
+    // same components; the audited split is the NAIVE per-doc hash —
+    // a cluster spanning >1 split marks all its docs leaked
+    "q265_split_leakage_audit" ->
+      (nearDupClosureSql(0.5) +
+        """,
+          |assigned AS (
+          |  SELECT d.doc_id,
+          |    CASE WHEN ((d.doc_id * 2654435761) % 1000003) % 10 < 8
+          |           THEN 'train'
+          |         WHEN ((d.doc_id * 2654435761) % 1000003) % 10 = 8
+          |           THEN 'val'
+          |         ELSE 'test' END AS split,
+          |    coalesce(c.comp, d.doc_id) AS cluster_id
+          |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+          |span AS (
+          |  SELECT cluster_id, count(DISTINCT split) AS n_splits
+          |  FROM assigned GROUP BY cluster_id)
+          |SELECT a.split, count(*)::BIGINT AS n_docs,
+          |  CAST(count(CASE WHEN s.n_splits > 1 THEN 1 END) AS BIGINT)
+          |    AS n_leaked_docs,
+          |  CAST(count(DISTINCT CASE WHEN s.n_splits > 1
+          |    THEN a.cluster_id END) AS BIGINT) AS n_leaked_clusters
+          |FROM assigned a JOIN span s ON s.cluster_id = a.cluster_id
+          |GROUP BY a.split""".stripMargin)
   )
+
+  /** Shared oracle prefix for q264/q265: full-corpus 5-gram MinHash
+    * near-dup pairs (the uncollapsed replay of
+    * [[graft.ext.Dedup.minhashNearDupEdges]] — identical texts band
+    * identically, so connectivity matches the engine's star-edge form) +
+    * the recursive min-label closure. Ends at CTE `comp(node, comp)`;
+    * callers append their consumer CTEs.
+    */
+  private def nearDupClosureSql(minJaccard: Double): String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, length(text) - 4),
+       |        i -> ascii(substr(text, i, 1)) * 4294967296
+       |           + ascii(substr(text, i + 1, 1)) * 16777216
+       |           + ascii(substr(text, i + 2, 1)) * 65536
+       |           + ascii(substr(text, i + 3, 1)) * 256
+       |           + ascii(substr(text, i + 4, 1)))) AS s
+       |    FROM documents) t),
+       |mh AS (
+       |  SELECT doc_id, t.j,
+       |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+       |  FROM sh, generate_series(0, 15) t(j)
+       |  GROUP BY doc_id, t.j),
+       |mbands AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+       |  FROM mh GROUP BY doc_id, j // 4),
+       |mcand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM mbands x JOIN mbands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig
+       |       AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM mcand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
+       |    >= $minJaccard),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.src AS node, r.comp FROM edges e
+       |  JOIN reach r ON e.dst = r.node),
+       |comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)"""
+      .stripMargin
 
   /** The q257 oracle: greedy max-coverage replayed as k UNROLLED rounds
     * of chained CTEs (the q231 fixed-iteration discipline — recursive

@@ -871,6 +871,91 @@ object Dedup {
       .join(mask, Seq("doc_id"))
   }
 
+  /** Leakage-safe train/val/test split (round 16): assign WHOLE near-dup
+    * clusters to one split, so no near-duplicate pair ever straddles a
+    * split boundary — the contamination control a naive per-doc hash
+    * split ([[graft.ops.Convert.hashSplit]], q26) cannot give (two 99%-
+    * identical docs hash independently and land in train AND test ~32%
+    * of the time at 80/10/10). Used before any eval/holdout carve-out on
+    * a deduplicated-but-not-collapsed corpus.
+    *
+    * Pipeline: [[minhashNearDupEdges]] (5-gram default — the q260
+    * full-corpus lesson: 3-gram signatures are degenerate on templated
+    * text) → connected components (min-id label) → cluster id = component
+    * (singletons: own doc_id) → split = engine-neutral multiplicative
+    * hash of the CLUSTER id into 10 buckets (8/1/1). Hashing the cluster
+    * id — not the doc id — is the whole point: every member inherits the
+    * same bucket, so disjointness is structural, not probabilistic.
+    *
+    * Scale shape: the edge list is linear in near-dup mass (star edges
+    * collapse exact-copy cliques), CC is the shared log-diameter loop
+    * with the small-graph driver fallback, and the split hash is a map
+    * stage. At 100 TB the only new cost over [[nearDupClusters]] is one
+    * broadcast-size join back to the doc ids.
+    *
+    * @return one row per doc: (doc_id, cluster_id, split)
+    */
+  def leakageSafeSplit(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                       n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val comp = Components.connectedComponents(
+      minhashNearDupEdges(docs, k, bands, n, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("node", "doc_id")
+    val withCluster = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+    // Knuth multiplicative hash, BIGINT-safe in both engines (max
+    // cluster_id·2654435761 ≪ 2^63): the q168 engine-neutral fingerprint
+    // discipline — Spark's murmur hash() has no DuckDB twin
+    val b = pmod(pmod(col("cluster_id") * lit(2654435761L), lit(1000003L)),
+      lit(10L))
+    withCluster
+      .withColumn("split",
+        when(b < 8, lit("train")).when(b === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
+  /** Split-leakage AUDIT (round 16): given an EXISTING per-doc split
+    * assignment, how contaminated is it by near-duplication? A doc is
+    * leaked when its near-dup cluster spans more than one split — its
+    * eval-set copy trains the model on (a 99%-twin of) the test item.
+    * This is the diagnostic run against a legacy split before deciding
+    * whether to re-split with [[leakageSafeSplit]]; on a clean
+    * cluster-grain split it reports all zeros by construction.
+    *
+    * The metric is CONNECTIVITY-grain (cluster spans >1 split), not
+    * edge-pair counts: edge mass depends on the representation (star vs
+    * clique — m copies carry m−1 star edges, not m²/2 pairs), while
+    * "this doc shares a cluster with another split" does not.
+    *
+    * @param splitOf per-doc split expression, evaluated against `docs`
+    * @return one row per split: (split, n_docs, n_leaked_docs,
+    *         n_leaked_clusters), ordered by split
+    */
+  def splitLeakageAudit(docs: DataFrame, splitOf: Column, k: Int = 16,
+                        bands: Int = 4, n: Int = 5,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val comp = Components.connectedComponents(
+      minhashNearDupEdges(docs, k, bands, n, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("node", "doc_id")
+    val assigned = docs.select(col("doc_id"), splitOf.as("split"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+    // a cluster is leaked iff it spans >1 distinct split — computed once
+    // per cluster, then joined back to the doc grain for per-split sums
+    val clusterSpan = assigned.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assigned.join(clusterSpan, Seq("cluster_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_splits") > 1, lit(1))).as("n_leaked_docs"),
+        countDistinct(when(col("n_splits") > 1, col("cluster_id")))
+          .as("n_leaked_clusters"))
+      .orderBy(col("split"))
+  }
+
   /** Index-quality readout for the banded-LSH near-dup index: recall and
     * precision of [[minhashNearDups]] against the exact
     * [[ngramJaccardPairs]] ground truth at the same threshold — the

@@ -32,14 +32,16 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * reads it back, and the renderer produces a defined, deterministic
   * metrics-free raster ([[renderTextPage]]) instead of an envelope miss,
   * PLUS vector-path pages (round 13): [[PathPage]] writes a real
-  * `m l h re c v y f f* S rg RG` content stream (cubic Béziers since
-  * round 15), [[extractPagePathOps]] reads it back, and
+  * `m l h re c v y f f* S n rg RG cm q Q W W*` content stream (cubic
+  * Béziers since round 15), [[extractPagePathOps]] reads it back, and
   * [[renderPathPage]] rasterizes it with an own scanline fill (both
   * winding rules) + Bresenham strokes, curves flattened by a fixed
   * 16-segment de Casteljau — deterministic across JVMs, no Java2D
   * rasterizer. CTM transforms (`cm` with `q`/`Q`, round 16) apply at
-  * path-construction time; clipping (`W`) remains outside the envelope
-  * and fails loudly rather than paint a wrong page.
+  * path-construction time; clipping (`W`/`W*` with `n`, round 16)
+  * intersects a copy-on-write device-pixel mask after each paint op.
+  * Remaining out-of-envelope state (dash/width, text inside path pages)
+  * fails loudly rather than paint a wrong page.
   * Object dictionaries are uncompressed (the image streams themselves are
   * compressed). A full engine (pdfbox-class) would replace this object
   * behind the same [[PdfPages.Renderer]] seam.
@@ -146,10 +148,26 @@ object MiniPdf {
   case object SaveState extends PathOp
   /** `Q` — pop the graphics state; unbalanced `Q` fails loudly. */
   case object RestoreState extends PathOp
+  /** `W` (round 16) — mark the current path as a pending clip (nonzero
+    * winding). Per PDF 32000 §8.5.4 the clip takes effect AFTER the next
+    * painting operator (which itself paints under the OLD clip), as the
+    * intersection of the current clip region and the path's fill region.
+    * The clip region is graphics state: `q`/`Q` save/restore it
+    * (copy-on-write mask, so a saved state never aliases a later
+    * intersection).
+    */
+  case object Clip extends PathOp
+  /** `W*` — pending clip under the even-odd rule. */
+  case object ClipEvenOdd extends PathOp
+  /** `n` — end the path without painting (PDF §8.5.3.1). With a pending
+    * `W` this is the canonical clip-set sequence (`… re W n`); alone it
+    * just discards the path.
+    */
+  case object EndPath extends PathOp
 
   /** A VECTOR-path page (round 13, the last S7 notch): `ops` become a
-    * genuine PDF path content stream (`m l h re f f* S rg RG`) any
-    * conforming viewer paints, and [[renderPathPage]] rasterizes it
+    * genuine PDF path content stream (`m l h re f f* S n rg RG cm q Q
+    * W W*`) any conforming viewer paints, and [[renderPathPage]] rasterizes it
     * deterministically — an own scanline fill (both PDF winding rules)
     * plus Bresenham strokes, no Java2D rasterizer, so the pixels are
     * bit-identical across JVMs the same way [[renderTextPage]]'s glyph
@@ -160,7 +178,10 @@ object MiniPdf {
     * construction time with `q`/`Q` state save/restore; strokes stay
     * 1-px device hairlines under any CTM (the simplified stroke
     * contract — PDF line width would otherwise transform). Clipping
-    * (`W`) stays out of the envelope and fails loudly in the parser.
+    * (`W`/`W*` + `n`, round 16) rides the SAME scanline span walk as
+    * fills — a clip mask and the fill it gates agree pixel-for-pixel by
+    * construction — and `q`/`Q` save/restore the mask by reference
+    * (copy-on-write on intersection).
     */
   final case class PathPage(ops: Seq[PathOp], w: Int = 612, h: Int = 792)
     extends PageImage {
@@ -193,6 +214,9 @@ object MiniPdf {
         Seq(a, b, c, d, e, f).map(pdfNum).mkString(" ") + " cm"
       case SaveState => "q"
       case RestoreState => "Q"
+      case Clip => "W"
+      case ClipEvenOdd => "W*"
+      case EndPath => "n"
     }.mkString(" ")
 
   /** 6-dp PDF number (Locale.ROOT — see [[pdfDecimal]]'s comma-locale
@@ -638,10 +662,10 @@ object MiniPdf {
   /** The path operators of a 1-based [[PathPage]]'s content stream, parsed
     * back into the [[PathOp]] ADT — the vector-content analog of
     * [[extractPageText]]. Fails loudly on any operator outside the
-    * `m l h re c v y f f* S rg RG cm q Q` envelope (clipping `W`,
-    * dash/width state): a page drawn with those has no defined raster
-    * here, and silently skipping an operator would paint a WRONG page,
-    * which is worse than no page.
+    * `m l h re c v y f f* S n rg RG cm q Q W W*` envelope (dash/width
+    * state): a page drawn with those has no defined raster here, and
+    * silently skipping an operator would paint a WRONG page, which is
+    * worse than no page.
     */
   def extractPagePathOps(pdf: Array[Byte], page: Int): Seq[PathOp] = {
     val (offs, pageDict) = pageDictOf(pdf, page)
@@ -691,9 +715,12 @@ object MiniPdf {
         out += Concat(a, b, c, d, e, f)
       case "q" => out += SaveState
       case "Q" => out += RestoreState
+      case "W" => out += Clip
+      case "W*" => out += ClipEvenOdd
+      case "n" => out += EndPath
       case other => sys.error(s"path-page operator '$other' outside the " +
-        "m/l/h/re/c/v/y/f/f*/S/rg/RG/cm/q/Q envelope — no defined raster " +
-        "(clipping 'W' stays loudly unsupported)")
+        "m/l/h/re/c/v/y/f/f*/S/n/rg/RG/cm/q/Q/W/W* envelope — no defined " +
+        "raster (dash/width state stays loudly unsupported)")
     }
     require(stack.isEmpty, s"dangling operands ${stack.mkString(",")}")
     out.toSeq
@@ -721,8 +748,17 @@ object MiniPdf {
     // a fixed a·x + c·y + e / b·x + d·y + f IEEE chain keeps rasters
     // bit-identical across JVMs (the flatten() determinism argument).
     var ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    // clip region (round 16): a device-pixel boolean mask, null = whole
+    // page (the common case pays nothing). COPY-ON-WRITE: intersection
+    // allocates a new array, so the references q pushed stay valid — Q
+    // restores by reference, no defensive copies.
+    var clipMask: Array[Boolean] = null
+    // W/W* set this; the clip intersects AFTER the next painting op
+    // (§8.5.4 — the paint itself still sees the old clip)
+    var pendingClip: Option[Boolean] = None
     val gsStack = scala.collection.mutable.ArrayBuffer[
-      ((Double, Double, Double, Double, Double, Double), Int, Int)]()
+      ((Double, Double, Double, Double, Double, Double), Int, Int,
+        Array[Boolean])]()
     def tx(x: Double, y: Double): (Double, Double) =
       (ctm._1 * x + ctm._3 * y + ctm._5, ctm._2 * x + ctm._4 * y + ctm._6)
 
@@ -747,8 +783,11 @@ object MiniPdf {
       flushOpen(false); subpaths.clear(); closedStart = null
     }
 
-    def fill(evenOdd: Boolean): Unit = {
-      flushOpen(false)
+    // The scanline span walk (pixel-center sampling, both winding rules),
+    // shared by fill painting and clip-mask construction — the two MUST
+    // agree pixel-for-pixel or a path used as its own clip would erode
+    // itself (PDF: clip region = the region the path would fill).
+    def forEachSpan(evenOdd: Boolean)(emit: (Int, Int, Int) => Unit): Unit = {
       val polys = subpaths.map(_._1).filter(_.size >= 3)
       var py = 0
       while (py < h) {
@@ -778,23 +817,59 @@ object MiniPdf {
             if (inside) {
               val xa = sorted(i)._1; val xb = sorted(i + 1)._1
               // pixels whose center x = px+0.5 lies in [xa, xb)
-              var px = math.max(0, math.ceil(xa - 0.5).toInt)
+              val px = math.max(0, math.ceil(xa - 0.5).toInt)
               val pxEnd = math.min(w - 1, math.ceil(xb - 0.5).toInt - 1)
-              while (px <= pxEnd) { img.setRGB(px, py, fillRgb); px += 1 }
+              if (px <= pxEnd) emit(py, px, pxEnd)
             }
             i += 1
           }
         }
         py += 1
       }
+    }
+
+    // Painting epilogue (§8.5.4 order): the paint above ran under the OLD
+    // clip; only now does a pending W/W* intersect the region, then the
+    // path clears. Copy-on-write keeps q-saved masks intact.
+    def finishPaint(): Unit = {
+      pendingClip.foreach { eo =>
+        val inside = new Array[Boolean](w * h)
+        forEachSpan(eo) { (py, px0, px1) =>
+          var px = px0
+          while (px <= px1) { inside(py * w + px) = true; px += 1 }
+        }
+        clipMask =
+          if (clipMask == null) inside
+          else {
+            val m = new Array[Boolean](w * h)
+            var i = 0
+            while (i < m.length) { m(i) = inside(i) && clipMask(i); i += 1 }
+            m
+          }
+        pendingClip = None
+      }
       clearPath()
+    }
+
+    def fill(evenOdd: Boolean): Unit = {
+      flushOpen(false)
+      forEachSpan(evenOdd) { (py, px0, px1) =>
+        var px = px0
+        while (px <= px1) {
+          if (clipMask == null || clipMask(py * w + px))
+            img.setRGB(px, py, fillRgb)
+          px += 1
+        }
+      }
+      finishPaint()
     }
 
     def stroke(): Unit = {
       flushOpen(false)
       def plot(x: Int, y: Int): Unit = {
         val py = h - 1 - y
-        if (x >= 0 && x < w && py >= 0 && py < h)
+        if (x >= 0 && x < w && py >= 0 && py < h &&
+            (clipMask == null || clipMask(py * w + x)))
           img.setRGB(x, py, strokeRgb)
       }
       def line(x0: Int, y0: Int, x1: Int, y1: Int): Unit = {
@@ -825,7 +900,7 @@ object MiniPdf {
           line(pts.last._1.toInt, pts.last._2.toInt,
             pts.head._1.toInt, pts.head._2.toInt)
       }
-      clearPath()
+      finishPaint()
     }
 
     // Fixed-count de Casteljau flattening for c/v/y: 16 segments, t = k/16
@@ -906,12 +981,17 @@ object MiniPdf {
         ctm = (a * pA + b * pC, a * pB + b * pD,
           c * pA + d * pC, c * pB + d * pD,
           e * pA + f * pC + pE, e * pB + f * pD + pF)
-      case SaveState => gsStack += ((ctm, fillRgb, strokeRgb))
+      case SaveState => gsStack += ((ctm, fillRgb, strokeRgb, clipMask))
       case RestoreState =>
         require(gsStack.nonEmpty, "'Q' with no matching 'q' — unbalanced " +
           "graphics-state restore has no defined raster")
-        val (m, fc, sc) = gsStack.remove(gsStack.size - 1)
-        ctm = m; fillRgb = fc; strokeRgb = sc
+        val (m, fc, sc, cm) = gsStack.remove(gsStack.size - 1)
+        ctm = m; fillRgb = fc; strokeRgb = sc; clipMask = cm
+      case Clip => pendingClip = Some(false)
+      case ClipEvenOdd => pendingClip = Some(true)
+      case EndPath =>
+        flushOpen(false)
+        finishPaint()
     }
     val out = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)

@@ -392,10 +392,10 @@ class PdfPagesSpec extends SparkSuite {
 
   test("MiniPdf PathPage: outside-envelope operators fail loudly, never paint wrong") {
     import MiniPdf._
-    // clipping/transforms have no defined raster here — the parse must
+    // dash/width state has no defined raster here — the parse must
     // throw, not skip (skipping would render a DIFFERENT page than a
     // viewer shows)
-    val e = intercept[RuntimeException] { parsePathOps("10 10 m W n") }
+    val e = intercept[RuntimeException] { parsePathOps("2 w 10 10 m S") }
     assert(e.getMessage.contains("envelope"))
     val e2 = intercept[RuntimeException] { parsePathOps("1 2 3 zz") }
     assert(e2.getMessage.contains("zz"))
@@ -451,18 +451,110 @@ class PdfPagesSpec extends SparkSuite {
   }
 
   test("MiniPdf PathPage cm: write → extract round-trip through a real " +
-    "content stream; W stays loudly unsupported") {
+    "content stream, clip ops included") {
     import MiniPdf._
     val ops = Seq(SaveState, Concat(2, 0, 0, 2, 10.5, 20),
-      FillColor(0xff0000), Rect(5, 5, 10, 10), Fill, RestoreState)
+      FillColor(0xff0000), Rect(5, 5, 10, 10), Clip, EndPath,
+      Rect(0, 0, 50, 40), Fill, RestoreState,
+      Rect(1, 1, 2, 2), ClipEvenOdd, EndPath)
     val pdf = writePages(Seq(PathPage(ops, w = 100, h = 80)))
     assert(extractPagePathOps(pdf, 1) == ops,
-      "cm/q/Q must round-trip (6-dp operands reparse exactly)")
-    // the clip operator still has no defined raster — parse must throw
-    val e = intercept[RuntimeException] {
-      parsePathOps("1 0 0 1 5 5 cm 10 10 m 20 10 l 20 20 l W n")
-    }
-    assert(e.getMessage.contains("envelope"))
+      "cm/q/Q/W/W*/n must round-trip (6-dp operands reparse exactly)")
+  }
+
+  test("MiniPdf PathPage W: a rect clip gates a larger fill to exactly the " +
+    "intersection, byte-identical to filling the intersection directly") {
+    import MiniPdf._
+    // clip 10..30 × 10..25, then fill 0..40 × 0..40: only the clip
+    // region paints — and the page must be byte-identical to a page that
+    // just fills the intersection rect (clip mask and fill share ONE
+    // span walk, so there is no half-pixel disagreement to tolerate)
+    val clipped = Seq(FillColor(0xff0000),
+      Rect(10, 10, 20, 15), Clip, EndPath,
+      Rect(0, 0, 40, 40), Fill)
+    val direct = Seq(FillColor(0xff0000), Rect(10, 10, 20, 15), Fill)
+    assert(java.util.Arrays.equals(renderPathPage(clipped, 40, 40),
+      renderPathPage(direct, 40, 40)))
+  }
+
+  test("MiniPdf PathPage W: §8.5.4 order — the painting op that carries " +
+    "the pending clip still paints under the OLD clip") {
+    import MiniPdf._
+    // `re W f` fills the FULL rect (the clip only takes effect after);
+    // the NEXT fill is gated
+    val ops = Seq(FillColor(0x0000ff), Rect(5, 5, 30, 30), Clip, Fill)
+    val png = renderPathPage(ops, 40, 40)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // inside the W-carrying fill: painted
+    assert((img.getRGB(20, 20) & 0xffffff) == 0x0000ff)
+    // a follow-up fill outside the clip is suppressed
+    val ops2 = ops ++ Seq(FillColor(0xff0000), Rect(0, 0, 40, 40), Fill)
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(renderPathPage(ops2, 40, 40)))
+    assert((img2.getRGB(1, 1) & 0xffffff) == 0xffffff,
+      "outside the clip must stay white")
+    assert((img2.getRGB(20, 20) & 0xffffff) == 0xff0000,
+      "inside the clip the second fill paints")
+  }
+
+  test("MiniPdf PathPage W: q/Q restores the clip region, clips compose " +
+    "by intersection, and strokes are clipped too") {
+    import MiniPdf._
+    // inside q: clip to 10..20; after Q: full-page fill paints everywhere
+    val viaQ = Seq(SaveState, Rect(10, 10, 10, 10), Clip, EndPath,
+      RestoreState, FillColor(0x00ff00), Rect(0, 0, 40, 40), Fill)
+    val direct = Seq(FillColor(0x00ff00), Rect(0, 0, 40, 40), Fill)
+    assert(java.util.Arrays.equals(renderPathPage(viaQ, 40, 40),
+      renderPathPage(direct, 40, 40)), "Q must restore the saved clip")
+    // two successive clips intersect: 5..25 ∩ 15..35 = 15..25
+    val twoClips = Seq(Rect(5, 5, 20, 20), Clip, EndPath,
+      Rect(15, 15, 20, 20), Clip, EndPath,
+      FillColor(0xff0000), Rect(0, 0, 40, 40), Fill)
+    val inter = Seq(FillColor(0xff0000), Rect(15, 15, 10, 10), Fill)
+    assert(java.util.Arrays.equals(renderPathPage(twoClips, 40, 40),
+      renderPathPage(inter, 40, 40)), "clips must compose by intersection")
+    // a stroke crossing the clip boundary only plots inside: horizontal
+    // hairline y=20 from x=0..39 under clip x∈[10,30)
+    val strokeClipped = Seq(Rect(10, 0, 20, 40), Clip, EndPath,
+      MoveTo(0, 20), LineTo(39, 20), Stroke)
+    val simg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      renderPathPage(strokeClipped, 40, 40)))
+    assert((simg.getRGB(5, 19) & 0xffffff) == 0xffffff,
+      "stroke outside the clip must not plot")
+    assert((simg.getRGB(20, 19) & 0xffffff) == 0x000000,
+      "stroke inside the clip must plot")
+  }
+
+  test("MiniPdf PathPage W*: even-odd clip of two overlapping squares " +
+    "excludes the overlap") {
+    import MiniPdf._
+    // 5..25 and 15..35 as ONE path under even-odd: the 15..25 overlap is
+    // outside the clip region
+    val ops = Seq(Rect(5, 5, 20, 20), Rect(15, 15, 20, 20),
+      ClipEvenOdd, EndPath,
+      FillColor(0xff0000), Rect(0, 0, 40, 40), Fill)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      renderPathPage(ops, 40, 40)))
+    assert((img.getRGB(10, 29) & 0xffffff) == 0xff0000,
+      "first-square-only region is inside the even-odd clip")
+    assert((img.getRGB(30, 9) & 0xffffff) == 0xff0000,
+      "second-square-only region is inside the even-odd clip")
+    assert((img.getRGB(20, 19) & 0xffffff) == 0xffffff,
+      "the doubly-covered overlap is OUTSIDE the even-odd clip")
+  }
+
+  test("MiniPdf PathPage W: the clip path composes with the CTM " +
+    "(cm before re W n clips the transformed rect)") {
+    import MiniPdf._
+    // scale 2× then clip a 5..15 user rect (= 10..30 device); the cm
+    // persists, so the fill's user 0..20 rect is device 0..40 — the page
+    // must equal the direct device-space equivalent
+    val viaCm = Seq(Concat(2, 0, 0, 2, 0, 0),
+      Rect(5, 5, 10, 10), Clip, EndPath,
+      FillColor(0xff0000), Rect(0, 0, 20, 20), Fill)
+    val direct = Seq(FillColor(0xff0000), Rect(10, 10, 20, 20), Fill)
+    assert(java.util.Arrays.equals(renderPathPage(viaCm, 40, 40),
+      renderPathPage(direct, 40, 40)))
   }
 
   test("MiniPdf PathPage Béziers: collinear cubic rasters byte-identically to its straight edge") {

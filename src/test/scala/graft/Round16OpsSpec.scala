@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 wave: the leakage-safe cluster split (q264) and the
+  * split-leakage audit (q265). Expected values are recomputed by
+  * independent in-test logic, never by trusting the operator (the
+  * fimSplit lesson).
+  */
+class Round16OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Fixture: three near-dup groups + singletons. Long random-ish bodies
+  // so 5-gram Jaccard separates groups cleanly; group B carries an exact
+  // triplicate (exercises the star-edge leg of the connectivity form).
+  private def body(seed: Int): String =
+    (0 until 160).map(i => ('a' + (i * (seed * 2 + 3) + i * i % 37) % 26)
+      .toChar).mkString
+  private def docsFixture = {
+    val a = body(1); val b = body(2); val c = body(3)
+    Seq(
+      (0L, a), (1L, a + "x"),                    // group A: near pair
+      (10L, b), (11L, b), (12L, b), (13L, b.drop(1) + "zz"), // group B
+      (20L, c),                                   // singleton
+      (21L, body(4)), (22L, body(5)))             // singletons
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def naiveSplit(id: Long): String = {
+    val bkt = ((id * 2654435761L) % 1000003L) % 10L
+    if (bkt < 8) "train" else if (bkt == 8) "val" else "test"
+  }
+
+  test("leakageSafeSplit: whole clusters share one split; near-dup pairs " +
+    "never straddle; singletons bucket by their own id") {
+    val docs = docsFixture
+    val r = ext.Dedup.leakageSafeSplit(docs)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 10L, 11L, 12L, 13L, 20L, 21L, 22L),
+      "one row per input doc")
+    val byDoc = r.map(t => t._1 -> (t._2, t._3)).toMap
+    // cluster structure recomputed independently: A = {0,1} (min id 0),
+    // B = {10,11,12,13} (min id 10), singletons own ids
+    assert(byDoc(0L)._1 == 0L && byDoc(1L)._1 == 0L, s"group A: $byDoc")
+    assert(Seq(10L, 11L, 12L, 13L).forall(byDoc(_)._1 == 10L),
+      s"group B must be one cluster incl. the exact triplicate: $byDoc")
+    assert(byDoc(20L)._1 == 20L && byDoc(21L)._1 == 21L && byDoc(22L)._1 == 22L)
+    // every member inherits the CLUSTER id's bucket — recomputed here
+    r.foreach { case (_, cluster, split) =>
+      assert(split == naiveSplit(cluster),
+        s"split must hash the cluster id: $cluster -> $split")
+    }
+    // structural disjointness: no cluster spans two splits
+    assert(r.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+  }
+
+  test("splitLeakageAudit: a straddling cluster marks ALL its docs leaked; " +
+    "the cluster-grain split audits clean") {
+    val docs = docsFixture
+    // force a leak: assign by doc-id PARITY, so group B (10,11,12,13 all
+    // even/odd mix) straddles and group A (0 even, 1 odd) straddles too
+    val paritySplit = when(pmod(col("doc_id"), lit(2L)) === 0, lit("train"))
+      .otherwise(lit("test"))
+    val audit = ext.Dedup.splitLeakageAudit(docs, paritySplit)
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // independent expectation: clusters A={0,1}, B={10..13} both span
+    // train(even)/test(odd); singletons 20,22 train / 21 test are clean.
+    // train: docs 0,10,12,20,22 → leaked 0,10,12 (clusters A,B)
+    // test: docs 1,11,13,21 → leaked 1,11,13 (clusters A,B)
+    assert(audit("train") == ("train", 5L, 3L, 2L), audit.toString)
+    assert(audit("test") == ("test", 4L, 3L, 2L), audit.toString)
+    // the leakage-safe assignment audits clean by construction: replay
+    // its per-doc assignment as a Column over docs (the audit's input
+    // shape) and expect zero leaked docs/clusters
+    val safeMap = ext.Dedup.leakageSafeSplit(docs)
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> t._3).toMap
+    val safeExpr = safeMap.foldLeft(lit("train")) { case (acc, (id, s)) =>
+      when(col("doc_id") === id, lit(s)).otherwise(acc)
+    }
+    val clean = ext.Dedup.splitLeakageAudit(docs, safeExpr)
+      .as[(String, Long, Long, Long)].collect()
+    assert(clean.forall(t => t._3 == 0L && t._4 == 0L),
+      s"cluster-grain split must audit zero-leak: ${clean.toSeq}")
+    assert(clean.map(_._2).sum == 9L, "audit must cover every doc")
+  }
+}

@@ -7,7 +7,7 @@ For each query dumped by graft.Verify, runs the matching oracle SQL in DuckDB
 over the same parquet tables and compares: row count, column names/types, and
 an order-insensitive hash of all values (columns sorted by name).
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -38,6 +38,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
+    timings = {}  # per-query oracle SQL wall seconds (the driver-wall budget)
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -54,9 +55,11 @@ def main(sf_dir, out_dir):
             n_rowsonly += 1
             continue
         try:
+            t0 = time.monotonic()
             res = con.execute(oracle[name])
             d_cols = [c[0] for c in res.description]
             d_rows = res.fetchall()
+            timings[name] = time.monotonic() - t0
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
         ok = True
@@ -86,6 +89,11 @@ def main(sf_dir, out_dir):
         else:
             n_fail += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    total = sum(timings.values())
+    print(f"oracle SQL wall: {total:.1f}s total; top 10:")
+    for name, t in top:
+        print(f"  {t:7.2f}s  {name}")
     return 1 if n_fail else 0
 
 
