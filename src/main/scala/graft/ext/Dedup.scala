@@ -879,28 +879,24 @@ object Dedup {
     * of the time at 80/10/10). Used before any eval/holdout carve-out on
     * a deduplicated-but-not-collapsed corpus.
     *
-    * Pipeline: [[minhashNearDupEdges]] (5-gram default — the q260
+    * Pipeline: [[nearDupComponents]] (5-gram default — the q260
     * full-corpus lesson: 3-gram signatures are degenerate on templated
-    * text) → connected components (min-id label) → cluster id = component
-    * (singletons: own doc_id) → split = engine-neutral multiplicative
-    * hash of the CLUSTER id into 10 buckets (8/1/1). Hashing the cluster
-    * id — not the doc id — is the whole point: every member inherits the
-    * same bucket, so disjointness is structural, not probabilistic.
+    * text; CC on collapsed rep pairs, members inherit) → cluster id =
+    * component (singletons: own doc_id) → split = engine-neutral
+    * multiplicative hash of the CLUSTER id into 10 buckets (8/1/1).
+    * Hashing the cluster id — not the doc id — is the whole point: every
+    * member inherits the same bucket, so disjointness is structural, not
+    * probabilistic.
     *
-    * Scale shape: the edge list is linear in near-dup mass (star edges
-    * collapse exact-copy cliques), CC is the shared log-diameter loop
-    * with the small-graph driver fallback, and the split hash is a map
-    * stage. At 100 TB the only new cost over [[nearDupClusters]] is one
-    * broadcast-size join back to the doc ids.
+    * Scale shape: CC sees only the rep-grain pair graph (replica-
+    * invariant under exact-copy growth), member inheritance is one
+    * equi-join, and the split hash is a map stage.
     *
     * @return one row per doc: (doc_id, cluster_id, split)
     */
   def leakageSafeSplit(docs: DataFrame, k: Int = 16, bands: Int = 4,
                        n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    val comp = Components.connectedComponents(
-      minhashNearDupEdges(docs, k, bands, n, minJaccard)
-        .select(col("doc_a"), col("doc_b")))
-      .withColumnRenamed("node", "doc_id")
+    val comp = nearDupComponents(docs, k, bands, n, minJaccard)
     val withCluster = docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
@@ -914,6 +910,36 @@ object Dedup {
         when(b < 8, lit("train")).when(b === 8, lit("val"))
           .otherwise(lit("test")))
       .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
+  /** Near-dup components at the REP grain, inherited by members — the
+    * q264/q265 connectivity core. CC runs on the collapsed rep PAIRS only
+    * (no star edges): exact-copy groups merge by INHERITANCE (each member
+    * takes its rep's component through the member→rep map), which is the
+    * same clusters as CC over pairs+star-edges — rep = min id of its
+    * group, so min-reachable-rep = min-reachable-doc — at a fraction of
+    * the edge mass. Measured at sf0.1: the pairs+star-edges form fed the
+    * distributed CC loop ~50k star edges and cost q264 14.7 s; the rep
+    * graph sits under the driver union-find threshold. At 10× replicas
+    * the rep graph is IDENTICAL (replicas are exact copies), so the CC
+    * cost is replica-invariant by construction, not just measured so.
+    *
+    * @return (doc_id, component) for every doc with ≥ n chars; shorter
+    *         docs never shingle and stay singletons at the caller's
+    *         coalesce
+    */
+  private def nearDupComponents(docs: DataFrame, k: Int, bands: Int,
+                                n: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard <= 1.0,
+      s"minJaccard $minJaccard > 1 would break exact-group inheritance")
+    val (members, reps) = textCollapsed(docs, n)
+    val repComp = Components.connectedComponents(
+      minhashNearDupsDistinct(reps, k, bands, n, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("node", "rep")
+    members.join(repComp, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep")).as("component"))
   }
 
   /** Split-leakage AUDIT (round 16): given an EXISTING per-doc split
@@ -936,10 +962,7 @@ object Dedup {
   def splitLeakageAudit(docs: DataFrame, splitOf: Column, k: Int = 16,
                         bands: Int = 4, n: Int = 5,
                         minJaccard: Double = 0.5): DataFrame = {
-    val comp = Components.connectedComponents(
-      minhashNearDupEdges(docs, k, bands, n, minJaccard)
-        .select(col("doc_a"), col("doc_b")))
-      .withColumnRenamed("node", "doc_id")
+    val comp = nearDupComponents(docs, k, bands, n, minJaccard)
     val assigned = docs.select(col("doc_id"), splitOf.as("split"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))

@@ -359,22 +359,43 @@ object Similarity {
           1000003L, offset = 17L), col("centroid_id"))
         .limit(nc))
 
+    // ONE broadcast row carrying the whole centroid table as an array:
+    // assignment becomes a per-vector transform + array_sort + slice —
+    // no N×nc row blowup, no exchange, no window sort. The round-15
+    // window form shuffled N·nc rows through a per-vector row_number
+    // (89.6M rows at the 10× point — THE super-linear term in q31's
+    // 9× ratio); this shape keeps the same flops inside one codegen'd
+    // projection. Assignment cosines are the SAME raw-double chain
+    // (qdot cast / (vn·cn)) with the same (ccos desc, centroid_id)
+    // tie-break, so every assignment — and both q31/q189 oracle hashes —
+    // is bit-identical to the window form.
+    val centRow = broadcast(centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("cn")))
+        .as("cents")))
+
     def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      // assignment cosines are raw doubles from exact integer moments —
-      // bit-identical across engines and plan shapes, so a near-tied
-      // centroid assignment cannot flip (ties break on centroid_id)
-      df.join(centroids, col(idCol).isNotNull)
-        .withColumn("ccos",
-          qdot(col(vecCol), col("cv")).cast("double") / (col("vn") * col("cn")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= top)
-        .drop("cv", "cn", "ccos", "crk")
+      df.crossJoin(centRow)
+        .withColumn("scored", transform(col("cents"), c =>
+          struct((qdot(col(vecCol), c("cv")).cast("double") /
+            (col("vn") * c("cn"))).as("ccos"),
+            c("centroid_id").as("centroid_id"))))
+        .withColumn("cpick", slice(array_sort(col("scored"), (a, b) =>
+          when(a("ccos") > b("ccos"), -1).when(a("ccos") < b("ccos"), 1)
+            .when(a("centroid_id") < b("centroid_id"), -1)
+            .when(a("centroid_id") > b("centroid_id"), 1)
+            .otherwise(0)), 1, top))
+        .withColumn("centroid_id",
+          explode(transform(col("cpick"), t => t("centroid_id"))))
+        .drop("cents", "scored", "cpick")
     }
 
+    // repartition BEFORE the nc×-amplifying assignment transform (the
+    // q206 gram-explode lesson): the corpus parquet arrives in a handful
+    // of input splits, and without this the N·nc·dim assignment flops
+    // serialize on them (StageAudit at the 10× point: 3.6 s in 2 tasks)
     val vectors = quantized.select(col("vec_id"), col("q"),
-      sqrt(col("n2").cast("double")).as("vn"))
+        sqrt(col("n2").cast("double")).as("vn"))
+      .repartition(col("vec_id"))
     val indexed = assign(vectors, "vec_id", "q", 1)
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumnRenamed("q", "nv")
