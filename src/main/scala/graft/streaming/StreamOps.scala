@@ -1029,6 +1029,49 @@ object StreamOps {
   }
 
   // NOT private: state encoder codegen needs public accessors
+  final case class CollapsedDoc(doc_id: Long, rep: Long, is_first: Boolean)
+
+  /** Streaming twin #20 of [[graft.ext.ExactCollapse.withRep]]: the exact-
+    * duplicate admission gate ONLINE — each arriving document is keyed by
+    * its text and emitted with the group representative (minimum doc_id
+    * seen so far) plus an `is_first` admission flag. The first copy of a
+    * text is admitted (`is_first`, rep = itself); every later copy maps to
+    * the standing rep — the stream-side half of the exact-collapse
+    * discipline every near-dup pipeline in ext/Dedup rides.
+    *
+    * Batch recurrence verbatim under the in-order horizon contract
+    * (delivery in doc_id order, the packStream class): the running group
+    * minimum then equals the global window minimum for every row, so the
+    * output is bit-equal to `withRep` whole or split (StreamingSpec).
+    * State is O(1) per DISTINCT text — one long — keyed by the text
+    * itself (the batch window key; a production deployment keys a
+    * 128-bit digest to bound state-store key size). Deliberately NO
+    * timeout: dropping a group's rep would re-admit a later copy of a
+    * text seen before the horizon — never semantically neutral (the
+    * kvCachePagerStream contract class).
+    */
+  def collapseGateStream(docs: DataFrame): Dataset[CollapsedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("text"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CollapsedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[CollapsedDoc]
+          var rep = state.getOption.getOrElse(Long.MaxValue)
+          batch.toSeq.sortBy(_._2).foreach { case (_, id) =>
+            val first = rep == Long.MaxValue
+            if (id < rep) rep = id
+            out += CollapsedDoc(id, rep, first)
+          }
+          state.update(rep)
+          out.iterator
+      }
+  }
+
   final case class PackState(bin: Long, cum: Long)
   final case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
                              bin: Long, cum_tokens: Long)

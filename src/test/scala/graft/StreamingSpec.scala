@@ -995,6 +995,50 @@ class StreamingSpec extends SparkSuite {
     assert(split.toSet == batch && split.length == split.toSet.size)
   }
 
+  test("collapse gate twin: online exact-dedup admission equals batch withRep, whole and split") {
+    implicit val sqlCtx = spark.sqlContext
+    // real documents + PLANTED exact copies under higher ids, delivered in
+    // doc_id order (the twin's in-order horizon contract): the running
+    // group minimum then equals the batch window minimum on every row
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val copies = base.filter(_._1 % 3 == 0)
+      .flatMap { case (id, t) => Seq((id + 100L, t), (id + 200L, t)) }
+    val all = (base ++ copies).sortBy(_._1)
+    assert(copies.nonEmpty, "fixture must plant exact copies")
+
+    // batch expectation straight from the operator the twin mirrors
+    val batch = ext.ExactCollapse.withRep(
+        all.toSeq.toDF("doc_id", "text"), "doc_id",
+        Seq(xxhash64(col("text")), col("text")))
+      .select(col("doc_id"), col("rep"),
+        (col("doc_id") === col("rep")).as("is_first"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(batch.exists(t => !t._3), "fixture must have non-first copies")
+
+    def run(splits: Seq[Seq[(Long, String)]], name: String) = {
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.collapseGateStream(
+        src.toDS().toDF("doc_id", "text"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+        spark.table(name).as[(Long, Long, Boolean)].collect()
+      } finally q.stop()
+    }
+    val whole = run(Seq(all.toSeq), "cgwhole")
+    assert(whole.toSet == batch, "single micro-batch must equal batch withRep")
+    assert(whole.length == all.length, "exactly one row per doc")
+    // rep state must carry ACROSS micro-batch boundaries: a copy arriving
+    // two batches after its original still maps to the standing rep
+    val split = run(Seq(all.take(10).toSeq, all.slice(10, 35).toSeq,
+      all.drop(35).toSeq), "cgsplit")
+    assert(split.toSet == batch, "split must be bit-equal to batch")
+    assert(split.length == all.length)
+  }
+
   test("pack twin: online greedy packing equals batch packSequences, whole and split") {
     implicit val sqlCtx = spark.sqlContext
     // real documents fixture, tight budget so every source opens several
