@@ -1440,6 +1440,16 @@ object SparkEntry {
       Dedup.splitLeakageAudit(Tables.documents(s, d),
         when(naive < 8, lit("train")).when(naive === 8, lit("val"))
           .otherwise(lit("test")))
+    }),
+    // incremental split gate (round 16): ODD docs arrive against the
+    // EVEN-doc corpus — a new doc inherits the split of the matched
+    // corpus cluster (min cluster id on a bridge), else opens its own
+    // singleton cluster; q264's rule, applied at admission time
+    "q266_incremental_split" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalSplit(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
     })
   )
 
@@ -1873,7 +1883,8 @@ object SparkEntry {
     "q257_greedy_coverage", "q254_train_run_prep", "q142_mmr_rerank",
     "q260_crossmodal_keeper", "q231_bradley_terry", "q119_capped_balance",
     "q23_greedy_eval", "q64_pagerank",
-    "q264_leakage_safe_split", "q265_split_leakage_audit")
+    "q264_leakage_safe_split", "q265_split_leakage_audit",
+    "q266_incremental_split")
   private def materializeCtes(sql: String): String =
     sql.replaceAll("""AS\s*\(\s*SELECT""", "AS MATERIALIZED (SELECT")
 
@@ -9074,17 +9085,88 @@ object SparkEntry {
           |  CAST(count(DISTINCT CASE WHEN s.n_splits > 1
           |    THEN a.cluster_id END) AS BIGINT) AS n_leaked_clusters
           |FROM assigned a JOIN span s ON s.cluster_id = a.cluster_id
-          |GROUP BY a.split""".stripMargin)
+          |GROUP BY a.split""".stripMargin),
+
+    // corpus-side closure (prefix, EVEN docs) + new-side (ODD) 5-gram
+    // bands joined against the corpus bands — the q169 gate replay at
+    // n=5 — then min matched corpus cluster per new doc
+    "q266_incremental_split" ->
+      (nearDupClosureSql(0.5, "WHERE doc_id % 2 = 0") +
+        """,
+          |ccl AS (
+          |  SELECT d.doc_id AS corpus_id,
+          |    coalesce(c.comp, d.doc_id) AS corpus_cluster
+          |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+          |  WHERE d.doc_id % 2 = 0),
+          |shx AS (
+          |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(generate_series(1, length(text) - 4),
+          |        i -> ascii(substr(text, i, 1)) * 4294967296
+          |           + ascii(substr(text, i + 1, 1)) * 16777216
+          |           + ascii(substr(text, i + 2, 1)) * 65536
+          |           + ascii(substr(text, i + 3, 1)) * 256
+          |           + ascii(substr(text, i + 4, 1)))) AS s
+          |    FROM documents WHERE doc_id % 2 = 1) t),
+          |mhx AS (
+          |  SELECT doc_id, t.j,
+          |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647)
+          |      AS mh
+          |  FROM shx, generate_series(0, 15) t(j)
+          |  GROUP BY doc_id, t.j),
+          |bx AS (
+          |  SELECT doc_id, j // 4 AS band,
+          |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+          |  FROM mhx GROUP BY doc_id, j // 4),
+          |candx AS (
+          |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+          |  FROM bx x JOIN mbands y
+          |    ON x.band = y.band AND x.band_sig = y.band_sig),
+          |szx AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
+          |interx AS (
+          |  SELECT c.new_id, c.corpus_id, count(*) AS inter
+          |  FROM candx c
+          |  JOIN shx a ON a.doc_id = c.new_id
+          |  JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+          |  GROUP BY c.new_id, c.corpus_id),
+          |gpairs AS (
+          |  SELECT i.new_id, i.corpus_id
+          |  FROM interx i
+          |  JOIN szx sa ON sa.doc_id = i.new_id
+          |  JOIN sizes sb ON sb.doc_id = i.corpus_id
+          |  WHERE CAST(i.inter AS DOUBLE)
+          |      / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5),
+          |inh AS (
+          |  SELECT g.new_id AS doc_id,
+          |    min(c.corpus_cluster) AS inherited_cluster
+          |  FROM gpairs g JOIN ccl c ON c.corpus_id = g.corpus_id
+          |  GROUP BY 1),
+          |base AS (
+          |  SELECT d.doc_id,
+          |    coalesce(i.inherited_cluster, d.doc_id) AS cluster_id,
+          |    i.inherited_cluster IS NOT NULL AS inherited
+          |  FROM documents d LEFT JOIN inh i ON i.doc_id = d.doc_id
+          |  WHERE d.doc_id % 2 = 1)
+          |SELECT doc_id, cluster_id,
+          |  CASE WHEN ((cluster_id * 2654435761) % 1000003) % 10 < 8
+          |         THEN 'train'
+          |       WHEN ((cluster_id * 2654435761) % 1000003) % 10 = 8
+          |         THEN 'val'
+          |       ELSE 'test' END AS split,
+          |  inherited
+          |FROM base""".stripMargin)
   )
 
-  /** Shared oracle prefix for q264/q265: full-corpus 5-gram MinHash
-    * near-dup pairs (the uncollapsed replay of
-    * [[graft.ext.Dedup.minhashNearDupEdges]] — identical texts band
-    * identically, so connectivity matches the engine's star-edge form) +
-    * the recursive min-label closure. Ends at CTE `comp(node, comp)`;
-    * callers append their consumer CTEs.
+  /** Shared oracle prefix for q264/q265/q266: 5-gram MinHash near-dup
+    * pairs over `documents` (optionally `where`-filtered — q266's corpus
+    * side) — the uncollapsed replay of
+    * [[graft.ext.Dedup.minhashNearDupEdges]]; identical texts band
+    * identically, so connectivity matches the engine's star-edge form —
+    * plus the recursive min-label closure. Ends at CTE `comp(node,
+    * comp)`; callers append their consumer CTEs.
     */
-  private def nearDupClosureSql(minJaccard: Double): String =
+  private def nearDupClosureSql(minJaccard: Double,
+                                where: String = ""): String =
     s"""WITH RECURSIVE sh AS (
        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
        |    SELECT doc_id,
@@ -9094,7 +9176,7 @@ object SparkEntry {
        |           + ascii(substr(text, i + 2, 1)) * 65536
        |           + ascii(substr(text, i + 3, 1)) * 256
        |           + ascii(substr(text, i + 4, 1)))) AS s
-       |    FROM documents) t),
+       |    FROM documents $where) t),
        |mh AS (
        |  SELECT doc_id, t.j,
        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh

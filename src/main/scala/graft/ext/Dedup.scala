@@ -900,16 +900,61 @@ object Dedup {
     val withCluster = docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
-    // Knuth multiplicative hash, BIGINT-safe in both engines (max
-    // cluster_id·2654435761 ≪ 2^63): the q168 engine-neutral fingerprint
-    // discipline — Spark's murmur hash() has no DuckDB twin
-    val b = pmod(pmod(col("cluster_id") * lit(2654435761L), lit(1000003L)),
-      lit(10L))
     withCluster
-      .withColumn("split",
-        when(b < 8, lit("train")).when(b === 8, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", clusterSplit(col("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
+  /** The q264 cluster → split bucket rule: Knuth multiplicative hash into
+    * 10 buckets (8/1/1), BIGINT-safe in both engines (max
+    * cluster_id·2654435761 ≪ 2^63) — the q168 engine-neutral fingerprint
+    * discipline; Spark's murmur `hash()` has no DuckDB twin.
+    */
+  private def clusterSplit(clusterId: Column): Column = {
+    val b = pmod(pmod(clusterId * lit(2654435761L), lit(1000003L)), lit(10L))
+    when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
+  }
+
+  /** Incremental leakage-safe split (round 16): assign each NEW-batch doc
+    * a split CONSISTENT with the corpus's cluster-grain assignment — the
+    * admission rule a refreshed training set runs so a re-crawl of a
+    * test-split page can never land in train. A new doc near-dup'd to
+    * the corpus inherits the split of the matched corpus CLUSTER (the
+    * minimum matched cluster id when a new doc bridges several —
+    * deterministic; a bridge would merge those clusters on the next full
+    * [[leakageSafeSplit]] rebuild, and min-id is exactly the id that
+    * merged cluster will carry). An unmatched doc opens its own
+    * singleton cluster and buckets by its own id — q264's rule verbatim,
+    * so gate + rebuild agree on every non-bridged doc.
+    *
+    * Scale shape: [[minhashNewVsCorpus]]'s rep×rep band join for the
+    * gate pairs (never new×corpus all-pairs), corpus components at the
+    * rep grain (replica-invariant), one min-aggregate at the new-doc
+    * grain, two equi-joins.
+    *
+    * @return one row per new doc: (doc_id, cluster_id, split, inherited)
+    */
+  def incrementalSplit(newDocs: DataFrame, corpus: DataFrame, k: Int = 16,
+                       bands: Int = 4, n: Int = 5,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val corpusCluster = corpus.select(col("doc_id").as("corpus_id"))
+      .join(nearDupComponents(corpus, k, bands, n, minJaccard)
+          .withColumnRenamed("doc_id", "corpus_id"),
+        Seq("corpus_id"), "left")
+      .select(col("corpus_id"),
+        coalesce(col("component"), col("corpus_id")).as("corpus_cluster"))
+    val inherited = minhashNewVsCorpus(newDocs, corpus, k, bands, n,
+        minJaccard)
+      .join(corpusCluster, Seq("corpus_id"))
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("corpus_cluster")).as("inherited_cluster"))
+    newDocs.select(col("doc_id"))
+      .join(inherited, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("inherited_cluster"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        clusterSplit(col("cluster_id")).as("split"),
+        col("inherited_cluster").isNotNull.as("inherited"))
   }
 
   /** Near-dup components at the REP grain, inherited by members — the

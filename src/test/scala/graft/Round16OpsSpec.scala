@@ -85,4 +85,49 @@ class Round16OpsSpec extends SparkSuite {
       s"cluster-grain split must audit zero-leak: ${clean.toSeq}")
     assert(clean.map(_._2).sum == 9L, "audit must cover every doc")
   }
+
+  test("incrementalSplit: exact copy and near-dup inherit the corpus " +
+    "cluster; a bridge takes the MIN cluster; unmatched opens its own") {
+    // corpus: a (prefix-edit of core) and b (suffix-edit of core) — near
+    // dups of core but NOT of each other (jaccard isn't transitive), so
+    // they sit in separate singleton clusters
+    val core = (0 until 300).map(i => ('a' + (i * 7 + i * i % 31) % 26)
+      .toChar).mkString
+    val a = ("Z" * 90) + core.drop(90)
+    val b = core.take(210) + ("Q" * 90)
+    val mkDocs = (rows: Seq[(Long, String)]) => rows
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = mkDocs(Seq((0L, a), (10L, b)))
+    // new batch: 100 = exact copy of a; 101 = the bridge (core: near-dup
+    // of BOTH a and b); 102 = unrelated
+    val stranger = (0 until 200).map(i => ('a' + (i * 11 + 5) % 26)
+      .toChar).mkString
+    val fresh = mkDocs(Seq((100L, a), (101L, core), (102L, stranger)))
+
+    // fixture preconditions recomputed independently (5-gram jaccard):
+    def grams(s: String) = s.sliding(5).toSet
+    def jac(x: String, y: String) =
+      grams(x).intersect(grams(y)).size.toDouble /
+        grams(x).union(grams(y)).size
+    assert(jac(a, b) < 0.5, s"corpus sides must NOT pair: ${jac(a, b)}")
+    assert(jac(core, a) >= 0.5 && jac(core, b) >= 0.5,
+      s"bridge must pair with both: ${jac(core, a)}, ${jac(core, b)}")
+
+    // bands=8 (width 2): candidate recall at jaccard ~0.6 is near-certain;
+    // the exact-jaccard verify still rejects the sub-threshold a-b pair
+    val r = ext.Dedup.incrementalSplit(fresh, corpus, k = 16, bands = 8)
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    def splitOf(cluster: Long): String = {
+      val bkt = ((cluster * 2654435761L) % 1000003L) % 10L
+      if (bkt < 8) "train" else if (bkt == 8) "val" else "test"
+    }
+    assert(r(100L) == ((100L, 0L, splitOf(0L), true)),
+      s"exact copy must inherit cluster 0: ${r(100L)}")
+    assert(r(101L) == ((101L, 0L, splitOf(0L), true)),
+      s"bridge must take the MIN matched cluster (0 < 10): ${r(101L)}")
+    assert(r(102L) == ((102L, 102L, splitOf(102L), false)),
+      s"unmatched doc opens its own singleton cluster: ${r(102L)}")
+  }
 }
