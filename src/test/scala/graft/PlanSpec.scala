@@ -423,4 +423,23 @@ class PlanSpec extends SparkSuite {
           s"$q band join degenerated to all-pairs:\n$p")
     }
   }
+
+  test("q31 IVF assignment is a per-row codegen argmax — no N×nc window") {
+    // round 16: the centroid table rides ONE broadcast row as an array and
+    // assignment is transform + array_sort + slice inside a projection.
+    // The window form this replaced shuffled N·nCentroids rows through a
+    // per-vector row_number sort (the super-linear term in q31's 9× ratio
+    // once nCentroids grew as √N). Exactly ONE Window may remain: the
+    // final per-QUERY top-k over probe candidates.
+    val p = plan(SparkEntry.queries("q31_ivf_topk")(spark, sf))
+    // tree form "Window (n)" — the detail section repeats each node as
+    // "(n) Window", which would double-count
+    val windows = """Window \(\d+\)""".r.findAllIn(p).length
+    assert(windows <= 1,
+      s"IVF assignment regressed to window ranking ($windows windows):\n$p")
+    assert(p.contains("array_sort"),
+      s"assignment must be the in-row argmax (array_sort):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF degenerated to an unbroadcast product:\n$p")
+  }
 }
