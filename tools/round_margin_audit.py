@@ -140,6 +140,8 @@ DOUBLE_CLASSES = {
     "q149_dispersion": {"dispersion": "div1"},
     "q150_source_scorecard": {"mean_chars": "div1", "lang_impurity": "div1"},
     "q169_incremental_dedup": {"jaccard": "div1"},
+    # q263 replays the q169 gate (same inter/(sza+szb-inter) on exact ints)
+    "q263_stream_dedup_gate": {"jaccard": "div1"},
     "q172_source_overlap": {"containment": "div1"},
     "q176_label_fusion": {"kappa": "div1"},
     "q186_bpe_fertility": {"fertility": "div1"},
