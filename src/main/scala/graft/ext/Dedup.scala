@@ -423,6 +423,83 @@ object Dedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** The standing MinHash band INDEX of a corpus — the 100 TB asset shape.
+    * Signatures and shingle sets are computed ONCE when a corpus lands and
+    * PERSISTED (one parquet row per doc); every later admission batch
+    * ([[minhashNewVsIndex]]) reads the index back instead of re-scanning
+    * and re-hashing the full corpus text — at scale the index is a few %
+    * of the text bytes and the gate becomes index-read-bound.
+    *
+    * One row per doc with ≥ 1 shingle:
+    * (doc_id, codes: array<long> — the DISTINCT shingle codes, which the
+    * verify step needs for exact Jaccard; band_sigs: array<string>, one
+    * per band). Longs + strings round-trip parquet losslessly
+    * (Round16OpsSpec writes/reads one and proves the gate unchanged).
+    * Same per-hash arithmetic as [[minhashSignatures]] (array_min over
+    * the transformed code array — the dedupGateStream formulation, parity
+    * proven by StreamingSpec and the q263 oracle).
+    */
+  def buildBandIndex(corpus: DataFrame, k: Int = 16, bands: Int = 4,
+                     n: Int = 3): DataFrame = {
+    require(k % bands == 0, "band width must divide signature length")
+    val rows = k / bands
+    val sigCols = (0 until k).map { j =>
+      array_min(transform(col("codes"),
+        s => pmod(lit(minhashA(j)) * s + lit(minhashB(j)), lit(MinhashP))))
+        .as(s"mh_$j")
+    }
+    corpus
+      .select(col("doc_id"), shingleCodes(col("text"), n).as("codes"))
+      .filter(size(col("codes")) > 0)
+      .select(col("doc_id") +: col("codes") +: sigCols: _*)
+      .select(col("doc_id"), col("codes"),
+        array((0 until bands).map { b =>
+          concat_ws("_",
+            (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
+        }: _*).as("band_sigs"))
+  }
+
+  /** The admission gate against a PERSISTED [[buildBandIndex]] frame —
+    * [[minhashNewVsCorpus]]'s exact output contract without touching
+    * corpus text. Candidates come from the stream-static-shaped band
+    * join; exact Jaccard comes from the STORED shingle sets
+    * (array_intersect on distinct code arrays ≡ the shingle-join
+    * count — integer-identical, so the division is the same IEEE op).
+    * The NEW side still exact-collapses (a crawl refresh re-fetches
+    * popular pages m× — reps ride the band join, members expand after);
+    * the corpus side needs no collapse here because new×index candidate
+    * mass is linear in index copies, not quadratic.
+    */
+  def minhashNewVsIndex(newDocs: DataFrame, index: DataFrame, k: Int = 16,
+                        bands: Int = 4, n: Int = 3,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val (mNew, rNew) = textCollapsed(newDocs, n)
+    val bandedNew = buildBandIndex(rNew, k, bands, n)
+      .select(col("doc_id").as("new_id"), col("codes").as("codes_new"),
+        posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
+    val bandedCor = index
+      .select(col("doc_id").as("corpus_id"), col("codes").as("codes_cor"),
+        posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
+    val repPairs = bandedNew.join(bandedCor, Seq("band", "band_sig"))
+      .select(col("new_id"), col("corpus_id"), col("codes_new"),
+        col("codes_cor"))
+      // multi-band matches collapse here; codes are per-id constants so
+      // the pair key alone decides distinctness
+      .dropDuplicates("new_id", "corpus_id")
+      .withColumn("inter",
+        size(array_intersect(col("codes_new"), col("codes_cor")))
+          .cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("codes_new")) + size(col("codes_cor")) - col("inter"))
+            .cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    ExactCollapse.expandOrdered(repPairs, mNew,
+      index.select(col("doc_id"), col("doc_id")),
+      "new_id", "corpus_id", Seq("jaccard"))
+  }
+
   /** Greedy MAX-COVERAGE data selection (the submodular facility-location
     * family — pick the k documents that jointly cover the most distinct
     * content; the classic (1−1/e)-greedy, public literature): round t

@@ -130,4 +130,41 @@ class Round16OpsSpec extends SparkSuite {
     assert(r(102L) == ((102L, 102L, splitOf(102L), false)),
       s"unmatched doc opens its own singleton cluster: ${r(102L)}")
   }
+
+  test("buildBandIndex + minhashNewVsIndex: the persisted-index gate is " +
+    "bit-equal to the text gate, through a real parquet round-trip") {
+    val a = body(1); val b = body(2)
+    val mk = (rows: Seq[(Long, String)]) => rows
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus with exact TRIPLICATE mass; new batch with its own duplicate
+    // pair (both collapse legs exercised) + a near-edit + a stranger
+    val corpus = mk(Seq((0L, a), (1L, a), (2L, a), (10L, b), (20L, body(3))))
+    // near-edit by APPEND (keeps b's gram set, adds two new grams) so the
+    // banding deterministically collides; a prefix-drop on this cyclic
+    // fixture text shifted enough minima to miss all four bands
+    val fresh = mk(Seq((100L, a), (101L, a), (110L, b + "zz"),
+      (120L, body(9))))
+
+    val viaText = ext.Dedup.minhashNewVsCorpus(fresh, corpus)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaText.nonEmpty && viaText.exists(_._3 == 1.0),
+      s"fixture must gate exact copies: $viaText")
+    assert(viaText.exists(t => t._3 < 1.0),
+      s"fixture must gate a near-edit too: $viaText")
+
+    // the standing-asset path: build the index, PERSIST it, read it back
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    ext.Dedup.buildBandIndex(corpus).write.mode("overwrite")
+      .parquet(s"$dir/index.parquet")
+    val index = spark.read.parquet(s"$dir/index.parquet")
+    val viaIndex = ext.Dedup.minhashNewVsIndex(fresh, index)
+      .as[(Long, Long, Double)].collect()
+    assert(viaIndex.toSet == viaText,
+      s"index gate must be bit-equal to the text gate:\n" +
+        s"  text : ${viaText.toSeq.sorted}\n" +
+        s"  index: ${viaIndex.toSeq.sorted}")
+    assert(viaIndex.length == viaIndex.toSet.size,
+      "multi-band matches must collapse to one row per pair")
+  }
 }
