@@ -340,14 +340,32 @@ object Similarity {
     * (and is how the recall specs pin their geometry).
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
-              nCentroids: Int = 0, nprobe: Int = 4): DataFrame = {
+              nCentroids: Int = 0, nprobe: Int = 4): DataFrame =
+    // ONE code path with the persisted-index route: build + probe in a
+    // single plan — bit-equality between the two APIs is structural, not
+    // a parallel implementation kept in sync by tests alone
+    ivfTopKIndexed(buildIvfIndex(emb, nCentroids), queryPred, k, nprobe)
+
+  /** The standing IVF INDEX of an embedding corpus — the ANN sibling of
+    * [[graft.ext.Dedup.buildBandIndex]]'s 100 TB asset shape: assignment
+    * (the N·√N build cost) runs ONCE when the corpus lands and is
+    * PERSISTED; every later query batch probes the stored cells
+    * ([[ivfTopKIndexed]]) instead of rebuilding. One parquet row per
+    * nonzero vector: (vec_id, q: array<long> — the e-6 quantized vector,
+    * vn: double — its norm (IEEE doubles round-trip parquet bit-exactly),
+    * centroid_id: the assigned cell, is_centroid: member of the sampled
+    * centroid set). `is_centroid` is stored, NOT re-derived as
+    * vec_id == centroid_id: under fp ties an exact-copy centroid's own
+    * row can be assigned to its lower-id twin, which would silently drop
+    * it from a derived centroid set and change probe geometry.
+    */
+  def buildIvfIndex(emb: DataFrame, nCentroids: Int = 0): DataFrame = {
     val nc = if (nCentroids > 0) nCentroids
       else math.max(1, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
-    // centroid choice: the nCentroids lowest-hash vectors — a deterministic
-    // pseudo-random sample via TakeOrdered, with NO eager count()/extra scan
-    // of the corpus at plan-construction time. The hash is engine-neutral
-    // integer arithmetic (not Murmur3/xxhash), so an external oracle can
-    // reproduce the exact centroid set.
+    // centroid choice: the nCentroids lowest-hash vectors — a
+    // deterministic pseudo-random sample via TakeOrdered. The hash is
+    // engine-neutral integer arithmetic (not Murmur3/xxhash), so an
+    // external oracle can reproduce the exact centroid set.
     val quantized = emb
       .withColumn("q", quantize(col("embedding")))
       .withColumn("n2", qdot(col("q"), col("q")))
@@ -358,37 +376,6 @@ object Similarity {
         .orderBy(graft.functions.Hashing.knuthMod(col("centroid_id"),
           1000003L, offset = 17L), col("centroid_id"))
         .limit(nc))
-
-    // ONE broadcast row carrying the whole centroid table as an array:
-    // assignment becomes a per-vector transform + array_sort + slice —
-    // no N×nc row blowup, no exchange, no window sort. The round-15
-    // window form shuffled N·nc rows through a per-vector row_number
-    // (89.6M rows at the 10× point — THE super-linear term in q31's
-    // 9× ratio); this shape keeps the same flops inside one codegen'd
-    // projection. Assignment cosines are the SAME raw-double chain
-    // (qdot cast / (vn·cn)) with the same (ccos desc, centroid_id)
-    // tie-break, so every assignment — and both q31/q189 oracle hashes —
-    // is bit-identical to the window form.
-    val centRow = broadcast(centroids
-      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("cn")))
-        .as("cents")))
-
-    def assign(df: DataFrame, idCol: String, vecCol: String, top: Int) = {
-      df.crossJoin(centRow)
-        .withColumn("scored", transform(col("cents"), c =>
-          struct((qdot(col(vecCol), c("cv")).cast("double") /
-            (col("vn") * c("cn"))).as("ccos"),
-            c("centroid_id").as("centroid_id"))))
-        .withColumn("cpick", slice(array_sort(col("scored"), (a, b) =>
-          when(a("ccos") > b("ccos"), -1).when(a("ccos") < b("ccos"), 1)
-            .when(a("centroid_id") < b("centroid_id"), -1)
-            .when(a("centroid_id") > b("centroid_id"), 1)
-            .otherwise(0)), 1, top))
-        .withColumn("centroid_id",
-          explode(transform(col("cpick"), t => t("centroid_id"))))
-        .drop("cents", "scored", "cpick")
-    }
-
     // repartition BEFORE the nc×-amplifying assignment transform (the
     // q206 gram-explode lesson): the corpus parquet arrives in a handful
     // of input splits, and without this the N·nc·dim assignment flops
@@ -396,16 +383,67 @@ object Similarity {
     val vectors = quantized.select(col("vec_id"), col("q"),
         sqrt(col("n2").cast("double")).as("vn"))
       .repartition(col("vec_id"))
-    val indexed = assign(vectors, "vec_id", "q", 1)
-      .withColumnRenamed("vec_id", "neighbor_id")
-      .withColumnRenamed("q", "nv")
-      .withColumnRenamed("vn", "nn")
-    val probes = assign(vectors.filter(queryPred), "vec_id", "q", nprobe)
-      .withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("q", "qv")
-      .withColumnRenamed("vn", "qn")
+    assignCells(centRowOf(centroids), vectors, 1)
+      .join(broadcast(centroids.select(col("centroid_id").as("vec_id"),
+        lit(true).as("is_centroid"))), Seq("vec_id"), "left")
+      .na.fill(false, Seq("is_centroid"))
+  }
 
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+  /** ONE broadcast row carrying the whole centroid table as an array:
+    * assignment becomes a per-vector transform + array_sort + slice — no
+    * N×nc row blowup, no exchange, no window sort. The round-15 window
+    * form shuffled N·nc rows through a per-vector row_number (89.6M rows
+    * at the 10× point — THE super-linear term in q31's 9× ratio); this
+    * shape keeps the same flops inside one codegen'd projection.
+    */
+  private def centRowOf(centroids: DataFrame): DataFrame =
+    broadcast(centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("cn")))
+        .as("cents")))
+
+  /** Top-`top` nearest centroids per vector row of `df(…, q, vn)`.
+    * Assignment cosines are the SAME raw-double chain (qdot cast /
+    * (vn·cn)) with the same (ccos desc, centroid_id) tie-break as the
+    * round-15 window form, so every assignment — and the q31/q189 oracle
+    * hashes — is bit-identical to it.
+    */
+  private def assignCells(centRow: DataFrame, df: DataFrame,
+                          top: Int): DataFrame =
+    df.crossJoin(centRow)
+      .withColumn("scored", transform(col("cents"), c =>
+        struct((qdot(col("q"), c("cv")).cast("double") /
+          (col("vn") * c("cn"))).as("ccos"),
+          c("centroid_id").as("centroid_id"))))
+      .withColumn("cpick", slice(array_sort(col("scored"), (a, b) =>
+        when(a("ccos") > b("ccos"), -1).when(a("ccos") < b("ccos"), 1)
+          .when(a("centroid_id") < b("centroid_id"), -1)
+          .when(a("centroid_id") > b("centroid_id"), 1)
+          .otherwise(0)), 1, top))
+      .withColumn("centroid_id",
+        explode(transform(col("cpick"), t => t("centroid_id"))))
+      .drop("cents", "scored", "cpick")
+
+  /** IVF probe against a PERSISTED [[buildIvfIndex]] frame: queries are
+    * assigned to their `nprobe` nearest stored centroids and score only
+    * the vectors in those cells — none of the corpus-side build work
+    * re-runs. [[ivfTopK]] is exactly build + this in one plan.
+    */
+  def ivfTopKIndexed(index: DataFrame, queryPred: Column, k: Int = 5,
+                     nprobe: Int = 4): DataFrame = {
+    val centRow = centRowOf(index.filter(col("is_centroid"))
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"),
+        col("vn").as("cn")))
+    val indexed = index
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+        col("vn").as("nn"), col("centroid_id"))
+    val probes = assignCells(centRow,
+      index.filter(queryPred).select(col("vec_id"), col("q"), col("vn")),
+      nprobe)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("vn").as("qn"), col("centroid_id"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(indexed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",

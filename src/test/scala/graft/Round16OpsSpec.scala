@@ -167,4 +167,32 @@ class Round16OpsSpec extends SparkSuite {
     assert(viaIndex.length == viaIndex.toSet.size,
       "multi-band matches must collapse to one row per pair")
   }
+
+  test("buildIvfIndex + ivfTopKIndexed: probing the persisted index is " +
+    "bit-equal to ivfTopK, through a real parquet round-trip") {
+    val emb = Tables.embeddings(spark, sf)
+    val pred = col("vec_id") < 20
+    val direct = ext.Similarity.ivfTopK(emb, pred, k = 5, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty, "fixture must produce neighbors")
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    ext.Similarity.buildIvfIndex(emb).write.mode("overwrite")
+      .parquet(s"$dir/ivf.parquet")
+    val index = spark.read.parquet(s"$dir/ivf.parquet")
+    // the stored centroid set survives the round-trip intact (is_centroid
+    // is persisted, not re-derived — the fp-tie trap in the scaladoc)
+    val ncStored = index.filter(col("is_centroid")).count()
+    val n = index.count()
+    assert(ncStored == math.ceil(math.sqrt(
+      emb.filter(ext.Similarity.qdot(ext.Similarity.quantize(col("embedding")),
+        ext.Similarity.quantize(col("embedding"))) > 0L).count()
+        .toDouble)).toLong.min(n),
+      s"centroid count must be ceil(sqrt(N)) of nonzero vectors: $ncStored of $n")
+    val viaIndex = ext.Similarity.ivfTopKIndexed(index, pred, k = 5,
+      nprobe = 4).as[(Long, Long, Long, Double)].collect()
+    assert(viaIndex.toSet == direct,
+      "index probe must be bit-equal to the one-plan form")
+    assert(viaIndex.length == direct.size, "exactly one row per (query, rank)")
+  }
 }
