@@ -30,10 +30,14 @@ object StageAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // what-if knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" to audit a config
     // hypothesis (e.g. AQE coalescing) without touching the session code
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(';').filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF segment '$kv' is " +
+            "not k=v — fix the env var (';'-separated k=v pairs)")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(new SparkListener {

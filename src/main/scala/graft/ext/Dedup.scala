@@ -191,17 +191,25 @@ object Dedup {
   def minhashA(j: Int): Long = 2L * j + 1
   def minhashB(j: Int): Long = 97L + 31L * j
 
-  /** Per-document MinHash signature as `k` columns min-aggregated over
-    * shingles in one grouped pass.
+  /** Per-document MinHash signature as `k` columns — array_min over the
+    * transformed code array, one per-row projection (round 16: this
+    * replaced an explode → groupBy(doc_id) → k-way min aggregation, which
+    * paid a full exchange of the exploded shingle rows in EVERY minhash
+    * pipeline; the per-row form needs no shuffle at all and is the same
+    * arithmetic the streaming gate and the band index use — values
+    * bit-identical, proven by StreamingSpec's whole-vs-batch equality
+    * and the unchanged oracle hashes). Docs with no shingle (< n chars)
+    * are absent, matching the grouped form's semantics.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
     val sigCols = (0 until k).map { j =>
-      min(pmod(lit(minhashA(j)) * col("shingle") + lit(minhashB(j)),
-        lit(MinhashP))).as(s"mh_$j")
+      array_min(transform(col("codes"), s =>
+        pmod(lit(minhashA(j)) * s + lit(minhashB(j)), lit(MinhashP))))
+        .as(s"mh_$j")
     }
-    docShingles(docs, n)
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    docs.select(col("doc_id"), shingleCodes(col("text"), n).as("codes"))
+      .filter(size(col("codes")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH banding: signatures → (band, band-signature string) rows; documents
@@ -448,6 +456,12 @@ object Dedup {
         s => pmod(lit(minhashA(j)) * s + lit(minhashB(j)), lit(MinhashP))))
         .as(s"mh_$j")
     }
+    // the index GEOMETRY (k/bands/n) rides as column metadata — Spark
+    // persists field metadata through parquet (the row.metadata footer),
+    // so [[minhashNewVsIndex]] can fail loudly when probed with
+    // mismatched parameters instead of silently matching zero bands
+    val geom = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("k", k).putLong("bands", bands).putLong("n", n).build()
     corpus
       .select(col("doc_id"), shingleCodes(col("text"), n).as("codes"))
       .filter(size(col("codes")) > 0)
@@ -456,7 +470,7 @@ object Dedup {
         array((0 until bands).map { b =>
           concat_ws("_",
             (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
-        }: _*).as("band_sigs"))
+        }: _*).as("band_sigs", geom))
   }
 
   /** The admission gate against a PERSISTED [[buildBandIndex]] frame —
@@ -473,6 +487,17 @@ object Dedup {
   def minhashNewVsIndex(newDocs: DataFrame, index: DataFrame, k: Int = 16,
                         bands: Int = 4, n: Int = 3,
                         minJaccard: Double = 0.5): DataFrame = {
+    // geometry cross-check against the metadata [[buildBandIndex]] wrote
+    // (survives the parquet round-trip): probing a k=16/bands=4/n=3 index
+    // with bands=8 would silently match zero band positions and drop
+    // every near-dup — the derive-vs-stored divergence class the IVF
+    // index's is_centroid flag guards against
+    val meta = index.schema("band_sigs").metadata
+    for ((name, want) <- Seq("k" -> k, "bands" -> bands, "n" -> n))
+      if (meta.contains(name))
+        require(meta.getLong(name) == want,
+          s"index was built with $name=${meta.getLong(name)}, probed " +
+            s"with $name=$want — rebuild the index or match the caller")
     val (mNew, rNew) = textCollapsed(newDocs, n)
     val bandedNew = buildBandIndex(rNew, k, bands, n)
       .select(col("doc_id").as("new_id"), col("codes").as("codes_new"),
@@ -1014,14 +1039,26 @@ object Dedup {
   def incrementalSplit(newDocs: DataFrame, corpus: DataFrame, k: Int = 16,
                        bands: Int = 4, n: Int = 5,
                        minJaccard: Double = 0.5): DataFrame = {
-    val corpusCluster = corpus.select(col("doc_id").as("corpus_id"))
-      .join(nearDupComponents(corpus, k, bands, n, minJaccard)
-          .withColumnRenamed("doc_id", "corpus_id"),
-        Seq("corpus_id"), "left")
-      .select(col("corpus_id"),
-        coalesce(col("component"), col("corpus_id")).as("corpus_cluster"))
-    val inherited = minhashNewVsCorpus(newDocs, corpus, k, bands, n,
-        minJaccard)
+    require(minJaccard <= 1.0,
+      s"minJaccard $minJaccard > 1 would break exact-group inheritance")
+    // ONE corpus collapse shared by both consumers (cluster map + gate
+    // pairs) — routing through nearDupComponents AND minhashNewVsCorpus
+    // would textCollapse (and Pin-materialize) the corpus twice
+    val (mCor, rCor) = textCollapsed(corpus, n)
+    val (mNew, rNew) = textCollapsed(newDocs, n)
+    val repComp = Components.connectedComponents(
+      minhashNearDupsDistinct(rCor, k, bands, n, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("node", "rep")
+    // short corpus docs (< n chars) are absent here — they have no
+    // shingles, so no gate pair can reference them
+    val corpusCluster = mCor.join(repComp, Seq("rep"), "left")
+      .select(col("doc_id").as("corpus_id"),
+        coalesce(col("component"), col("rep")).as("corpus_cluster"))
+    val gate = ExactCollapse.expandOrdered(
+      minhashNewVsCorpusDistinct(rNew, rCor, k, bands, n, minJaccard),
+      mNew, mCor, "new_id", "corpus_id", Seq("jaccard"))
+    val inherited = gate
       .join(corpusCluster, Seq("corpus_id"))
       .groupBy(col("new_id").as("doc_id"))
       .agg(min(col("corpus_cluster")).as("inherited_cluster"))

@@ -72,14 +72,20 @@ private[graft] object ExactCollapse {
   /** Test hook (PlanSpec): the most recent pre-pin keyed frames. The pin
     * replaces the collapse subtree with a materialized scan in the final
     * plan, so the "rep window before the band join" guard inspects the
-    * frames recorded here instead of the consumer plan. Bounded (last 8).
+    * frames recorded here instead of the consumer plan. Bounded (last 8)
+    * and OFF by default — recording retains DataFrames (plans + session
+    * references) for the life of the JVM, which production Verify/Bench
+    * runs must not pay; PlanSpec flips [[recordKeyed]] on around its
+    * assertions.
     */
   private[graft] val recentKeyed =
     new java.util.concurrent.atomic.AtomicReference[List[DataFrame]](Nil)
-  private def record(df: DataFrame): Unit = {
-    recentKeyed.updateAndGet(l => (df :: l).take(8))
-    ()
-  }
+  @volatile private[graft] var recordKeyed: Boolean = false
+  private def record(df: DataFrame): Unit =
+    if (recordKeyed) {
+      recentKeyed.updateAndGet(l => (df :: l).take(8))
+      ()
+    }
 
   /** Rep-grain UNORDERED pairs → member-grain pairs normalized to
     * `outA` < `outB`. `repPairs` holds rep ids in columns `outA`/`outB`

@@ -340,11 +340,20 @@ object Similarity {
     * (and is how the recall specs pin their geometry).
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
-              nCentroids: Int = 0, nprobe: Int = 4): DataFrame =
+              nCentroids: Int = 0, nprobe: Int = 4): DataFrame = {
     // ONE code path with the persisted-index route: build + probe in a
     // single plan — bit-equality between the two APIs is structural, not
-    // a parallel implementation kept in sync by tests alone
-    ivfTopKIndexed(buildIvfIndex(emb, nCentroids), queryPred, k, nprobe)
+    // a parallel implementation kept in sync by tests alone. The
+    // centroid row passes DIRECTLY (not re-derived from the index's
+    // is_centroid flag) so the one-plan form never re-walks the vector
+    // frame for it; the probe branch prunes the assignment expression
+    // away via column pruning, leaving exactly one N·√N assignment in
+    // the plan. Pinning the built index was measured SLOWER here: the
+    // localCheckpoint write of the N-row array frame costs more than
+    // the pruned branches it would save (two-point runs, both SFs).
+    val (index, centroids) = ivfParts(emb, nCentroids)
+    ivfProbe(index, centRowOf(centroids), queryPred, k, nprobe)
+  }
 
   /** The standing IVF INDEX of an embedding corpus — the ANN sibling of
     * [[graft.ext.Dedup.buildBandIndex]]'s 100 TB asset shape: assignment
@@ -359,7 +368,15 @@ object Similarity {
     * row can be assigned to its lower-id twin, which would silently drop
     * it from a derived centroid set and change probe geometry.
     */
-  def buildIvfIndex(emb: DataFrame, nCentroids: Int = 0): DataFrame = {
+  def buildIvfIndex(emb: DataFrame, nCentroids: Int = 0): DataFrame =
+    ivfParts(emb, nCentroids)._1
+
+  /** The index frame plus its centroid table (centroid_id, cv, cn) —
+    * [[ivfTopK]] consumes both so the one-plan form derives the centroid
+    * row once, directly.
+    */
+  private def ivfParts(emb: DataFrame,
+                       nCentroids: Int): (DataFrame, DataFrame) = {
     val nc = if (nCentroids > 0) nCentroids
       else math.max(1, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     // centroid choice: the nCentroids lowest-hash vectors — a
@@ -383,10 +400,11 @@ object Similarity {
     val vectors = quantized.select(col("vec_id"), col("q"),
         sqrt(col("n2").cast("double")).as("vn"))
       .repartition(col("vec_id"))
-    assignCells(centRowOf(centroids), vectors, 1)
+    val index = assignCells(centRowOf(centroids), vectors, 1)
       .join(broadcast(centroids.select(col("centroid_id").as("vec_id"),
         lit(true).as("is_centroid"))), Seq("vec_id"), "left")
       .na.fill(false, Seq("is_centroid"))
+    (index, centroids)
   }
 
   /** ONE broadcast row carrying the whole centroid table as an array:
@@ -429,10 +447,15 @@ object Similarity {
     * re-runs. [[ivfTopK]] is exactly build + this in one plan.
     */
   def ivfTopKIndexed(index: DataFrame, queryPred: Column, k: Int = 5,
-                     nprobe: Int = 4): DataFrame = {
-    val centRow = centRowOf(index.filter(col("is_centroid"))
-      .select(col("vec_id").as("centroid_id"), col("q").as("cv"),
-        col("vn").as("cn")))
+                     nprobe: Int = 4): DataFrame =
+    ivfProbe(index,
+      centRowOf(index.filter(col("is_centroid"))
+        .select(col("vec_id").as("centroid_id"), col("q").as("cv"),
+          col("vn").as("cn"))),
+      queryPred, k, nprobe)
+
+  private def ivfProbe(index: DataFrame, centRow: DataFrame,
+                       queryPred: Column, k: Int, nprobe: Int): DataFrame = {
     val indexed = index
       .select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
         col("vn").as("nn"), col("centroid_id"))

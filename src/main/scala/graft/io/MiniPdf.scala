@@ -937,6 +937,17 @@ object MiniPdf {
       open.last
     }
 
+    // §8.5.4: after W/W* only path-construction and path-PAINTING
+    // operators may appear until the paint resolves the pending clip.
+    // A graphics-state or color op in between (q/Q/cm/rg/RG) has no
+    // defined raster — fail loudly (the envelope discipline), because a
+    // silent interpretation would e.g. install the clip into a RESTORED
+    // state a conforming viewer never sees.
+    def noPendingClip(op: String): Unit =
+      require(pendingClip.isEmpty,
+        s"'$op' between 'W' and its painting operator — PDF 32000 §8.5.4 " +
+          "allows only path construction/painting after a clip operator")
+
     ops.foreach {
       case MoveTo(x, y) =>
         flushOpen(false)
@@ -969,20 +980,24 @@ object MiniPdf {
         subpaths += ((scala.collection.mutable.ArrayBuffer(
           tx(x, y), tx(x + rw, y), tx(x + rw, y + rh), tx(x, y + rh)), true))
         closedStart = tx(x, y) // re sets the current point
-      case FillColor(c) => fillRgb = c
-      case StrokeColor(c) => strokeRgb = c
+      case FillColor(c) => noPendingClip("rg"); fillRgb = c
+      case StrokeColor(c) => noPendingClip("RG"); strokeRgb = c
       case Fill => fill(evenOdd = false)
       case FillEvenOdd => fill(evenOdd = true)
       case Stroke => stroke()
       case Concat(a, b, c, d, e, f) =>
+        noPendingClip("cm")
         // row-vector pre-concatenation (§8.4.4): points map through the
         // NEW matrix first, then the old CTM — tx'(p) = tx_old(m(p))
         val (pA, pB, pC, pD, pE, pF) = ctm
         ctm = (a * pA + b * pC, a * pB + b * pD,
           c * pA + d * pC, c * pB + d * pD,
           e * pA + f * pC + pE, e * pB + f * pD + pF)
-      case SaveState => gsStack += ((ctm, fillRgb, strokeRgb, clipMask))
+      case SaveState =>
+        noPendingClip("q")
+        gsStack += ((ctm, fillRgb, strokeRgb, clipMask))
       case RestoreState =>
+        noPendingClip("Q")
         require(gsStack.nonEmpty, "'Q' with no matching 'q' — unbalanced " +
           "graphics-state restore has no defined raster")
         val (m, fc, sc, cm) = gsStack.remove(gsStack.size - 1)
@@ -993,6 +1008,12 @@ object MiniPdf {
         flushOpen(false)
         finishPaint()
     }
+    // a trailing W with no painting operator never resolved — an invalid
+    // stream a viewer rejects; silently discarding it would render a page
+    // with a DIFFERENT clip than any conforming reading
+    require(pendingClip.isEmpty,
+      "clip operator 'W' with no subsequent painting operator — invalid " +
+        "content stream, no defined raster")
     val out = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

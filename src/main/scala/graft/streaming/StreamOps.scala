@@ -887,27 +887,15 @@ object StreamOps {
                       bands: Int = 4, n: Int = 3,
                       minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "band width must divide signature length")
-    val rows = k / bands
-    val P = graft.ext.Dedup.MinhashP
-    def sigCols(codes: Column): Seq[Column] = (0 until k).map { j =>
-      array_min(transform(codes,
-        s => pmod(lit(graft.ext.Dedup.minhashA(j)) * s +
-          lit(graft.ext.Dedup.minhashB(j)), lit(P)))).as(s"mh_$j")
-    }
-    def banded(df: DataFrame, idName: String): DataFrame = {
-      val withSig = df
-        .select(col("doc_id").as(idName),
-          graft.ext.Dedup.shingleCodes(col("text"), n).as("codes"))
-        .filter(size(col("codes")) > 0)
-        .select(Seq(col(idName), col("codes")) ++ sigCols(col("codes")): _*)
-        .withColumn(s"sigs_$idName", array((0 until bands).map { b =>
-          concat_ws("_",
-            (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
-        }: _*))
-      withSig.select(col(idName), col("codes").as(s"codes_$idName"),
-        col(s"sigs_$idName"),
-        posexplode(col(s"sigs_$idName")).as(Seq("band", "band_sig")))
-    }
+    // ONE signature construction in the engine: buildBandIndex (stream-
+    // safe — pure per-row expressions, no aggregation). Three copies of
+    // the minhash arithmetic (here, minhashSignatures, the index) had to
+    // stay bit-identical by discipline alone; now they can't drift.
+    def banded(df: DataFrame, idName: String): DataFrame =
+      graft.ext.Dedup.buildBandIndex(df, k, bands, n)
+        .select(col("doc_id").as(idName), col("codes").as(s"codes_$idName"),
+          col("band_sigs").as(s"sigs_$idName"),
+          posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
     val corpusBands = banded(corpus, "corpus_id")
     banded(newDocs, "new_id")
       .join(corpusBands, Seq("band", "band_sig"))

@@ -525,6 +525,38 @@ class PdfPagesSpec extends SparkSuite {
       "stroke inside the clip must plot")
   }
 
+  test("MiniPdf PathPage W: §8.5.4 strictness — a state op between W and " +
+    "its paint, or a trailing unresolved W, fails loudly") {
+    import MiniPdf._
+    // q between W and the paint: invalid per spec — silently honoring it
+    // would install the clip into the RESTORED state (the state Q brought
+    // back), a page no conforming viewer paints
+    val e1 = intercept[IllegalArgumentException] {
+      renderPathPage(Seq(Rect(5, 5, 10, 10), Clip, SaveState, RestoreState,
+        Fill), 40, 40)
+    }
+    assert(e1.getMessage.contains("8.5.4"), e1.getMessage)
+    // color state between W and n: same class
+    intercept[IllegalArgumentException] {
+      renderPathPage(Seq(Rect(5, 5, 10, 10), Clip, FillColor(0xff0000),
+        EndPath), 40, 40)
+    }
+    // a trailing W that no painting operator resolves
+    val e2 = intercept[IllegalArgumentException] {
+      renderPathPage(Seq(Rect(5, 5, 10, 10), Clip), 40, 40)
+    }
+    assert(e2.getMessage.contains("no subsequent painting"), e2.getMessage)
+    // path CONSTRUCTION between W and the paint stays legal (§8.5.4):
+    // the clip uses the whole accumulated path
+    val legal = Seq(Rect(10, 10, 20, 20), Clip, MoveTo(0, 0), LineTo(1, 1),
+      EndPath, FillColor(0xff0000), Rect(0, 0, 40, 40), Fill)
+    val direct = Seq(FillColor(0xff0000), Rect(10, 10, 20, 20), Fill)
+    assert(java.util.Arrays.equals(renderPathPage(legal, 40, 40),
+      renderPathPage(direct, 40, 40)),
+      "construction ops after W extend the clip path; the degenerate " +
+        "2-point subpath adds no fillable region")
+  }
+
   test("MiniPdf PathPage W*: even-odd clip of two overlapping squares " +
     "excludes the overlap") {
     import MiniPdf._

@@ -403,7 +403,8 @@ class PlanSpec extends SparkSuite {
       "q24_lsh_cosine" -> "min(vec_id",
       "q20_cosine_neardup" -> "min(vec_id",
       "q259_dhash_gate" -> "min(doc_id")
-    for ((q, marker) <- markers) {
+    ext.ExactCollapse.recordKeyed = true
+    try for ((q, marker) <- markers) {
       ext.ExactCollapse.recentKeyed.set(Nil)
       val df = SparkEntry.queries(q)(spark, sf)
       val keyedPlans = ext.ExactCollapse.recentKeyed.get()
@@ -421,6 +422,9 @@ class PlanSpec extends SparkSuite {
       if (q != "q20_cosine_neardup")
         assert(!p.contains("CartesianProduct"),
           s"$q band join degenerated to all-pairs:\n$p")
+    } finally {
+      ext.ExactCollapse.recordKeyed = false
+      ext.ExactCollapse.recentKeyed.set(Nil)
     }
   }
 

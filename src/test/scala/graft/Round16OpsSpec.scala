@@ -181,14 +181,16 @@ class Round16OpsSpec extends SparkSuite {
       .parquet(s"$dir/ivf.parquet")
     val index = spark.read.parquet(s"$dir/ivf.parquet")
     // the stored centroid set survives the round-trip intact (is_centroid
-    // is persisted, not re-derived — the fp-tie trap in the scaladoc)
+    // is persisted, not re-derived — the fp-tie trap in the scaladoc).
+    // nc derives from the TOTAL row count (the cheap pre-quantize count
+    // the operator takes), capped by how many nonzero vectors exist to
+    // sample from
     val ncStored = index.filter(col("is_centroid")).count()
-    val n = index.count()
-    assert(ncStored == math.ceil(math.sqrt(
-      emb.filter(ext.Similarity.qdot(ext.Similarity.quantize(col("embedding")),
-        ext.Similarity.quantize(col("embedding"))) > 0L).count()
-        .toDouble)).toLong.min(n),
-      s"centroid count must be ceil(sqrt(N)) of nonzero vectors: $ncStored of $n")
+    val nNonzero = index.count()
+    assert(ncStored ==
+      math.ceil(math.sqrt(emb.count().toDouble)).toLong.min(nNonzero),
+      s"centroid count must be ceil(sqrt(total)) capped at nonzero: " +
+        s"$ncStored of $nNonzero")
     val viaIndex = ext.Similarity.ivfTopKIndexed(index, pred, k = 5,
       nprobe = 4).as[(Long, Long, Long, Double)].collect()
     assert(viaIndex.toSet == direct,
