@@ -437,10 +437,13 @@ class Round10OpsSpec extends SparkSuite {
     // the exact-collapse frame is PINNED since round 16, so the centroid
     // assignment (upstream of the collapse) lives in the recorded pre-pin
     // plan; the cell pair join consumes the pinned reps in the final plan
+    ext.ExactCollapse.recordKeyed = true
     ext.ExactCollapse.recentKeyed.set(Nil)
     val df = SparkEntry.queries("q175_semantic_dedup")(spark, sf)
     val p = planOf(df)
     val keyedPlans = ext.ExactCollapse.recentKeyed.get().map(planOf)
+    ext.ExactCollapse.recordKeyed = false
+    ext.ExactCollapse.recentKeyed.set(Nil)
     assert(keyedPlans.exists(_.contains("BroadcastNestedLoopJoin")),
       s"centroid row not broadcast:\n${keyedPlans.mkString("\n---\n")}")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||

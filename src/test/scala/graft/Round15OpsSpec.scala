@@ -149,6 +149,7 @@ class Round15OpsSpec extends SparkSuite {
       df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     // q260's CC runs driver-side union-find on tiny graphs, so check the
     // EDGE construction instead (the registered pair producers)
+    ext.ExactCollapse.recordKeyed = true
     ext.ExactCollapse.recentKeyed.set(Nil)
     val p = explain(SparkEntry.queries("q261_image_dhash_neardup")(spark, sf))
     assert(!p.contains("CartesianProduct"),
@@ -157,6 +158,8 @@ class Round15OpsSpec extends SparkSuite {
     // rep window lives in the recorded pre-pin frame, the consumer plan
     // reads the materialized scan (the PlanSpec near-dup guard pattern)
     val keyedPlans = ext.ExactCollapse.recentKeyed.get().map(explain)
+    ext.ExactCollapse.recordKeyed = false
+    ext.ExactCollapse.recentKeyed.set(Nil)
     assert(keyedPlans.exists(kp =>
         """\(\d+\) Window""".r.findAllIn(kp).nonEmpty &&
           kp.contains("min(doc_id")), // imageNearDups renames media_id→doc_id
