@@ -31,9 +31,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Pin lifecycle (round 17): every execution releases its pinned
+    // localCheckpoint blocks once the noop sink has materialized. Without
+    // this the pins of 266 queries × 4 executions × 2 legs accumulate in
+    // the block manager for the life of the JVM — round 16's record showed
+    // the cost as a contiguous 5–17× regression band in the SECOND leg
+    // (q68–q83, incl. queries whose code hadn't changed), with q78 at
+    // 18.4 s median-of-3 vs 0.84 s solo.
     def run(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
+      finally Pin.release(spark.sparkContext)
 
     /** Warm up and time the full suite at one scale factor. */
     // optional comma-separated subset for targeted local timing

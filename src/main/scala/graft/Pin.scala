@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 
 /** Lineage-truncating materialization for iterative operators (CC label
@@ -16,10 +17,48 @@ import org.apache.spark.sql.DataFrame
   * to the (replicated) checkpoint store, surviving executor loss. One
   * opt-in, zero per-operator plumbing; results are bit-identical either
   * way (PinSpec asserts this on the iterative operators).
+  *
+  * LIFECYCLE (round 17): pinned blocks are tracked by RDD id and freed by
+  * [[release]]. A localCheckpoint persists its blocks for the LIFE OF THE
+  * JVM — there is no automatic unpersist, because the engine cannot know
+  * when the last consumer of a pinned frame has materialized. Left alone,
+  * a long-lived session (Bench: 266 queries × 4 executions × 2 scale legs)
+  * accumulates every pin ever taken in the block manager; round 16
+  * measured the fallout as a contiguous 5–17× wall regression band in the
+  * second bench leg (q68–q83, queries whose code hadn't changed). The
+  * harness contract is therefore: the DRIVER of a query (Bench, Verify, a
+  * long-running service loop) calls `Pin.release(sc)` once the query's
+  * sink has materialized. Releasing is safe exactly then — each fresh
+  * query call re-derives and re-pins its own frames — and unsafe earlier
+  * (lineage is truncated, so a released pin cannot be recomputed).
   */
 object Pin {
-  def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+  /** RDD ids persisted by [[apply]] since the last [[release]]. */
+  private val tracked = scala.collection.mutable.Set.empty[Int]
+
+  def apply(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined)
       df.checkpoint()
-    else df.localCheckpoint()
+    else synchronized {
+      // localCheckpoint (eager) registers its block-backed RDD in the
+      // context's persistent-RDD registry inside the call — the id diff
+      // identifies exactly the pin's blocks, never a caller's .cache()
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      tracked ++= (sc.getPersistentRDDs.keySet -- before)
+      out
+    }
+  }
+
+  /** Unpersist every pinned block taken since the last release. Call only
+    * after the consuming query has fully materialized: pins truncate
+    * lineage, so a released frame cannot be recomputed — re-run the query
+    * (which re-pins) instead of touching a released DataFrame.
+    */
+  def release(sc: SparkContext): Unit = synchronized {
+    for (id <- tracked; rdd <- sc.getPersistentRDDs.get(id))
+      rdd.unpersist(blocking = false)
+    tracked.clear()
+  }
 }

@@ -1435,8 +1435,10 @@ object SparkEntry {
     // hash split? Docs whose near-dup cluster spans >1 split are leaked —
     // the diagnostic that motivates q264's cluster-grain re-split
     "q265_split_leakage_audit" -> ((s: SparkSession, d: String) => {
-      val naive = pmod(pmod(col("doc_id") * lit(2654435761L),
-        lit(1000003L)), lit(10L))
+      // reduced-before-multiply (the round-17 clusterSplit discipline):
+      // overflow-proof over the full BIGINT id domain, same buckets
+      val naive = pmod(pmod(pmod(col("doc_id"), lit(1000003L)) *
+        lit(2654435761L), lit(1000003L)), lit(10L))
       Dedup.splitLeakageAudit(Tables.documents(s, d),
         when(naive < 8, lit("train")).when(naive === 8, lit("val"))
           .otherwise(lit("test")))
@@ -9055,9 +9057,9 @@ object SparkEntry {
           |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
           |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
           |SELECT doc_id, cluster_id,
-          |  CASE WHEN ((cluster_id * 2654435761) % 1000003) % 10 < 8
+          |  CASE WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 < 8
           |         THEN 'train'
-          |       WHEN ((cluster_id * 2654435761) % 1000003) % 10 = 8
+          |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 = 8
           |         THEN 'val'
           |       ELSE 'test' END AS split
           |FROM base""".stripMargin),
@@ -9069,9 +9071,9 @@ object SparkEntry {
         """,
           |assigned AS (
           |  SELECT d.doc_id,
-          |    CASE WHEN ((d.doc_id * 2654435761) % 1000003) % 10 < 8
+          |    CASE WHEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 10 < 8
           |           THEN 'train'
-          |         WHEN ((d.doc_id * 2654435761) % 1000003) % 10 = 8
+          |         WHEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 10 = 8
           |           THEN 'val'
           |         ELSE 'test' END AS split,
           |    coalesce(c.comp, d.doc_id) AS cluster_id
@@ -9148,9 +9150,9 @@ object SparkEntry {
           |  FROM documents d LEFT JOIN inh i ON i.doc_id = d.doc_id
           |  WHERE d.doc_id % 2 = 1)
           |SELECT doc_id, cluster_id,
-          |  CASE WHEN ((cluster_id * 2654435761) % 1000003) % 10 < 8
+          |  CASE WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 < 8
           |         THEN 'train'
-          |       WHEN ((cluster_id * 2654435761) % 1000003) % 10 = 8
+          |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 = 8
           |         THEN 'val'
           |       ELSE 'test' END AS split,
           |  inherited

@@ -29,6 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's pinned localCheckpoint blocks (the Bench
+      // lifecycle contract — safe once the parquet sink materialized)
+      finally Pin.release(spark.sparkContext)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

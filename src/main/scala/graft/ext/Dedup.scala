@@ -493,11 +493,20 @@ object Dedup {
     // every near-dup — the derive-vs-stored divergence class the IVF
     // index's is_centroid flag guards against
     val meta = index.schema("band_sigs").metadata
-    for ((name, want) <- Seq("k" -> k, "bands" -> bands, "n" -> n))
-      if (meta.contains(name))
-        require(meta.getLong(name) == want,
-          s"index was built with $name=${meta.getLong(name)}, probed " +
-            s"with $name=$want — rebuild the index or match the caller")
+    for ((name, want) <- Seq("k" -> k, "bands" -> bands, "n" -> n)) {
+      // absent metadata fails too (round-17 hardening): a frame whose
+      // column metadata was stripped (select/union transforms, non-Spark
+      // parquet writers) would otherwise SKIP the check — and a
+      // mis-parameterized probe against it silently matches zero bands,
+      // the exact failure this guard exists to prevent
+      require(meta.contains(name),
+        s"index has no '$name' geometry metadata — rebuild it with " +
+          "buildBandIndex (or re-attach the band_sigs metadata); probing " +
+          "an unlabeled index cannot be validated")
+      require(meta.getLong(name) == want,
+        s"index was built with $name=${meta.getLong(name)}, probed " +
+          s"with $name=$want — rebuild the index or match the caller")
+    }
     val (mNew, rNew) = textCollapsed(newDocs, n)
     val bandedNew = buildBandIndex(rNew, k, bands, n)
       .select(col("doc_id").as("new_id"), col("codes").as("codes_new"),
@@ -1008,12 +1017,18 @@ object Dedup {
   }
 
   /** The q264 cluster → split bucket rule: Knuth multiplicative hash into
-    * 10 buckets (8/1/1), BIGINT-safe in both engines (max
-    * cluster_id·2654435761 ≪ 2^63) — the q168 engine-neutral fingerprint
-    * discipline; Spark's murmur `hash()` has no DuckDB twin.
+    * 10 buckets (8/1/1) — the q168 engine-neutral fingerprint discipline;
+    * Spark's murmur `hash()` has no DuckDB twin. The id is reduced mod
+    * 1000003 BEFORE the multiplication (round 17): (id·K) mod p ≡
+    * ((id mod p)·K) mod p, and the reduced product tops out at
+    * ~1000002·2654435761 ≈ 2^51.2, so the rule is overflow-proof over the
+    * FULL nonnegative BIGINT id domain — the unreduced form silently
+    * wraps in Spark (and errors in DuckDB) past id ≈ 3.47e9, i.e. at real
+    * corpus scale. Same buckets wherever the old form didn't overflow.
     */
   private def clusterSplit(clusterId: Column): Column = {
-    val b = pmod(pmod(clusterId * lit(2654435761L), lit(1000003L)), lit(10L))
+    val b = pmod(pmod(pmod(clusterId, lit(1000003L)) * lit(2654435761L),
+      lit(1000003L)), lit(10L))
     when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
   }
 

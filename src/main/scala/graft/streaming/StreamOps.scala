@@ -1049,9 +1049,15 @@ object StreamOps {
         (_: String, batch: Iterator[(String, Long)],
          state: GroupState[Long]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[CollapsedDoc]
-          var rep = state.getOption.getOrElse(Long.MaxValue)
+          // "seen before" is tracked as EXPLICIT Option state (state
+          // presence = a rep exists), never an in-band Long.MaxValue
+          // sentinel — a group whose only doc_id IS Long.MaxValue must
+          // still admit exactly once, with rep = that id
+          var seen = state.exists
+          var rep = if (seen) state.get else Long.MaxValue
           batch.toSeq.sortBy(_._2).foreach { case (_, id) =>
-            val first = rep == Long.MaxValue
+            val first = !seen
+            seen = true
             if (id < rep) rep = id
             out += CollapsedDoc(id, rep, first)
           }

@@ -439,11 +439,17 @@ class Round10OpsSpec extends SparkSuite {
     // plan; the cell pair join consumes the pinned reps in the final plan
     ext.ExactCollapse.recordKeyed = true
     ext.ExactCollapse.recentKeyed.set(Nil)
-    val df = SparkEntry.queries("q175_semantic_dedup")(spark, sf)
-    val p = planOf(df)
-    val keyedPlans = ext.ExactCollapse.recentKeyed.get().map(planOf)
-    ext.ExactCollapse.recordKeyed = false
-    ext.ExactCollapse.recentKeyed.set(Nil)
+    // try/finally (the PlanSpec pattern): a throw inside the recorded
+    // section must not leave the JVM-global hook enabled — it would
+    // retain DataFrames and pollute every later suite in the same JVM
+    val (p, keyedPlans) =
+      try {
+        val df = SparkEntry.queries("q175_semantic_dedup")(spark, sf)
+        (planOf(df), ext.ExactCollapse.recentKeyed.get().map(planOf))
+      } finally {
+        ext.ExactCollapse.recordKeyed = false
+        ext.ExactCollapse.recentKeyed.set(Nil)
+      }
     assert(keyedPlans.exists(_.contains("BroadcastNestedLoopJoin")),
       s"centroid row not broadcast:\n${keyedPlans.mkString("\n---\n")}")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||

@@ -151,15 +151,22 @@ class Round15OpsSpec extends SparkSuite {
     // EDGE construction instead (the registered pair producers)
     ext.ExactCollapse.recordKeyed = true
     ext.ExactCollapse.recentKeyed.set(Nil)
-    val p = explain(SparkEntry.queries("q261_image_dhash_neardup")(spark, sf))
+    // try/finally (the PlanSpec pattern): a throw inside the recorded
+    // section must not leave the JVM-global hook enabled
+    val (p, keyedPlans) =
+      try {
+        val p0 =
+          explain(SparkEntry.queries("q261_image_dhash_neardup")(spark, sf))
+        // the collapse is PINNED since round 16 (per-branch rescan fix):
+        // the rep window lives in the recorded pre-pin frame, the consumer
+        // plan reads the materialized scan (the PlanSpec near-dup guard)
+        (p0, ext.ExactCollapse.recentKeyed.get().map(explain))
+      } finally {
+        ext.ExactCollapse.recordKeyed = false
+        ext.ExactCollapse.recentKeyed.set(Nil)
+      }
     assert(!p.contains("CartesianProduct"),
       s"image band join degenerated to all-pairs:\n$p")
-    // the collapse is PINNED since round 16 (per-branch rescan fix): the
-    // rep window lives in the recorded pre-pin frame, the consumer plan
-    // reads the materialized scan (the PlanSpec near-dup guard pattern)
-    val keyedPlans = ext.ExactCollapse.recentKeyed.get().map(explain)
-    ext.ExactCollapse.recordKeyed = false
-    ext.ExactCollapse.recentKeyed.set(Nil)
     assert(keyedPlans.exists(kp =>
         """\(\d+\) Window""".r.findAllIn(kp).nonEmpty &&
           kp.contains("min(doc_id")), // imageNearDups renames media_id→doc_id
