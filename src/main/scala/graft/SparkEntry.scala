@@ -1452,6 +1452,39 @@ object SparkEntry {
       Dedup.incrementalSplit(
         docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
         docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    }),
+    // persisted-index seams as driver rows (round 17): each builds the
+    // standing asset and probes it in ONE plan — structural equality to
+    // the recompute form is what the driver checks (q169/q31 semantics);
+    // the real parquet round-trip of the same assets is Round16/17OpsSpec
+    "q267_band_index_gate" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.minhashNewVsIndex(
+        docs50(s, d).filter(col("doc_id") >= 25),
+        ext.Dedup.buildBandIndex(docs50(s, d).filter(col("doc_id") < 25),
+          k = 16, bands = 4, n = 3),
+        k = 16, bands = 4, n = 3, minJaccard = 0.5)),
+    "q268_ivf_index_probe" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.ivfTopKIndexed(
+        ext.Similarity.buildIvfIndex(Tables.embeddings(s, d)),
+        col("vec_id") % 10 === 0, k = 5, nprobe = 4)),
+    // streaming twin #20 (the STATEFUL collapse gate) driven end-to-end
+    // through the driver oracle: in batch mode flatMapGroupsWithState
+    // invokes the SAME state function once per group with empty state —
+    // exactly one micro-batch carrying everything, which under the
+    // family's in-order horizon contract (per-group doc_id sort) is the
+    // withRep recurrence; cross-micro-batch state is StreamingSpec's half
+    "q269_stream_collapse_gate" -> ((s: SparkSession, d: String) =>
+      streaming.StreamOps.collapseGateStream(Tables.documents(s, d)).toDF()),
+    // q266's admission rule fed from the PERSISTED standing assets (band
+    // index + cluster map) built in-plan — same inputs, same output
+    // contract, zero corpus-text recompute in the gate itself
+    "q270_incremental_split_indexed" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      ext.Dedup.incrementalSplitIndexed(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        ext.Dedup.buildBandIndex(corpus, k = 16, bands = 4, n = 5),
+        ext.Dedup.buildClusterMap(corpus))
     })
   )
 
@@ -1886,7 +1919,7 @@ object SparkEntry {
     "q260_crossmodal_keeper", "q231_bradley_terry", "q119_capped_balance",
     "q23_greedy_eval", "q64_pagerank",
     "q264_leakage_safe_split", "q265_split_leakage_audit",
-    "q266_incremental_split")
+    "q266_incremental_split", "q270_incremental_split_indexed")
   private def materializeCtes(sql: String): String =
     sql.replaceAll("""AS\s*\(\s*SELECT""", "AS MATERIALIZED (SELECT")
 
@@ -2522,53 +2555,7 @@ object SparkEntry {
     // nprobe=4 probe, exact rerank — deterministic end to end, so the
     // approximate index IS oracle-checkable
     "q31_ivf_topk" ->
-      """WITH qv AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |nrm AS (
-        |  SELECT vec_id, q,
-        |    (SELECT sum(q[t.i] * q[t.i])
-        |     FROM generate_series(1, 64) t(i)) AS n2
-        |  FROM qv),
-        |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv
-        |       FROM nrm WHERE n2 > 0),
-        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
-        |       FROM embeddings),
-        |crk0 AS (
-        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn,
-        |    row_number() OVER (
-        |      ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id) AS cr
-        |  FROM ok),
-        |cent AS (SELECT centroid_id, cv, cn FROM crk0, nc WHERE cr <= nc.k),
-        |asg AS (
-        |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
-        |    CAST((SELECT sum(o.q[t.i] * c.cv[t.i])
-        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
-        |      / (o.nv * c.cn) AS ccos
-        |  FROM ok o, cent c),
-        |ranked AS (
-        |  SELECT vec_id, q, nv, centroid_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |                       ORDER BY ccos DESC, centroid_id) AS crk
-        |  FROM asg),
-        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, q AS nev, nv AS nn
-        |        FROM ranked WHERE crk = 1),
-        |probes AS (SELECT centroid_id, vec_id AS query_id, q AS pqv, nv AS qn
-        |           FROM ranked WHERE crk <= 4 AND vec_id % 10 = 0),
-        |scored AS (
-        |  SELECT p.query_id, ne.neighbor_id,
-        |    CAST((SELECT sum(p.pqv[t.i] * ne.nev[t.i])
-        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
-        |      / (p.qn * ne.nn) AS cos
-        |  FROM probes p JOIN idx ne ON ne.centroid_id = p.centroid_id
-        |  WHERE p.query_id <> ne.neighbor_id),
-        |rr AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, rnk, cos FROM rr WHERE rnk <= 5""".stripMargin,
+      ivfTopkOracle,
 
     // MinHash-LSH pairs (q17's chain) → transitive closure via recursive CTE
     // (min reachable id ≡ the engine's min-label-propagation fixpoint)
@@ -5797,41 +5784,7 @@ object SparkEntry {
     // q17's minhash replay with the band join restricted to NEW (>= 25) ×
     // CORPUS (< 25) — within-frame pairs never form
     "q169_incremental_dedup" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(generate_series(1, length(text) - 2),
-        |        i -> ascii(substr(text, i, 1)) * 65536
-        |           + ascii(substr(text, i + 1, 1)) * 256
-        |           + ascii(substr(text, i + 2, 1)))) AS s
-        |    FROM documents WHERE doc_id < 50) t),
-        |mh AS (
-        |  SELECT doc_id, t.j,
-        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
-        |  FROM sh, generate_series(0, 15) t(j)
-        |  GROUP BY doc_id, t.j),
-        |bands AS (
-        |  SELECT doc_id, j // 4 AS band,
-        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
-        |  FROM mh GROUP BY doc_id, j // 4),
-        |cands AS (
-        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.band_sig = y.band_sig
-        |   AND x.doc_id >= 25 AND y.doc_id < 25),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.new_id, c.corpus_id, count(*) AS inter
-        |  FROM cands c
-        |  JOIN sh a ON a.doc_id = c.new_id
-        |  JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
-        |  GROUP BY c.new_id, c.corpus_id)
-        |SELECT i.new_id, i.corpus_id,
-        |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
-        |FROM inter i
-        |JOIN sizes sa ON sa.doc_id = i.new_id
-        |JOIN sizes sb ON sb.doc_id = i.corpus_id
-        |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin,
+      bandIndexGateOracle,
 
     // √n weights fixed to ⌊√n·1e6+0.5⌋ longs (IEEE sqrt correctly rounded
     // ⇒ engine-identical), then q141's integer largest-remainder replay;
@@ -9093,7 +9046,128 @@ object SparkEntry {
     // bands joined against the corpus bands — the q169 gate replay at
     // n=5 — then min matched corpus cluster per new doc
     "q266_incremental_split" ->
-      (nearDupClosureSql(0.5, "WHERE doc_id % 2 = 0") +
+      incrementalSplitOracle,
+
+    // the persisted-index seams as driver rows (round 17): each is the
+    // recompute form's exact output contract, so the oracles are shared
+    // verbatim — the index is an evaluation strategy, not a semantics
+    // change (Round16/17OpsSpec prove bit-equality through real parquet)
+    "q267_band_index_gate" -> bandIndexGateOracle,
+    "q268_ivf_index_probe" -> ivfTopkOracle,
+    "q270_incremental_split_indexed" -> incrementalSplitOracle,
+
+    // streaming twin #20 batch replay: one micro-batch carrying every doc
+    // — per group the gate sorts by doc_id, so the running minimum equals
+    // the group minimum on every row and is_first marks exactly the
+    // min-id row (the withRep recurrence, q10's window form)
+    "q269_stream_collapse_gate" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS rep,
+        |  doc_id = min(doc_id) OVER (PARTITION BY text) AS is_first
+        |FROM documents""".stripMargin
+  )
+
+  /** q31's oracle, shared verbatim by q268 — ivfTopKIndexed probing a
+    * just-built buildIvfIndex IS ivfTopK's one-plan form (the stored
+    * is_centroid set equals the sampled centroid set by construction).
+    */
+  private val ivfTopkOracle: String =
+    """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    (SELECT sum(q[t.i] * q[t.i])
+        |     FROM generate_series(1, 64) t(i)) AS n2
+        |  FROM qv),
+        |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv
+        |       FROM nrm WHERE n2 > 0),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+        |       FROM embeddings),
+        |crk0 AS (
+        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn,
+        |    row_number() OVER (
+        |      ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id) AS cr
+        |  FROM ok),
+        |cent AS (SELECT centroid_id, cv, cn FROM crk0, nc WHERE cr <= nc.k),
+        |asg AS (
+        |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
+        |    CAST((SELECT sum(o.q[t.i] * c.cv[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (o.nv * c.cn) AS ccos
+        |  FROM ok o, cent c),
+        |ranked AS (
+        |  SELECT vec_id, q, nv, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY ccos DESC, centroid_id) AS crk
+        |  FROM asg),
+        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, q AS nev, nv AS nn
+        |        FROM ranked WHERE crk = 1),
+        |probes AS (SELECT centroid_id, vec_id AS query_id, q AS pqv, nv AS qn
+        |           FROM ranked WHERE crk <= 4 AND vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT p.query_id, ne.neighbor_id,
+        |    CAST((SELECT sum(p.pqv[t.i] * ne.nev[t.i])
+        |          FROM generate_series(1, 64) t(i)) AS DOUBLE)
+        |      / (p.qn * ne.nn) AS cos
+        |  FROM probes p JOIN idx ne ON ne.centroid_id = p.centroid_id
+        |  WHERE p.query_id <> ne.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos FROM rr WHERE rnk <= 5""".stripMargin
+
+  /** q169's oracle, shared verbatim by q267 — minhashNewVsIndex against a
+    * just-built buildBandIndex reproduces minhashNewVsCorpus's output
+    * contract exactly (Round16OpsSpec proves bit-equality through a real
+    * parquet round-trip; the driver row checks the in-plan form).
+    */
+  private val bandIndexGateOracle: String =
+    """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, length(text) - 2),
+        |        i -> ascii(substr(text, i, 1)) * 65536
+        |           + ascii(substr(text, i + 1, 1)) * 256
+        |           + ascii(substr(text, i + 2, 1)))) AS s
+        |    FROM documents WHERE doc_id < 50) t),
+        |mh AS (
+        |  SELECT doc_id, t.j,
+        |    min(((2 * t.j + 1) * shingle + (97 + 31 * t.j)) % 2147483647) AS mh
+        |  FROM sh, generate_series(0, 15) t(j)
+        |  GROUP BY doc_id, t.j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig
+        |   AND x.doc_id >= 25 AND y.doc_id < 25),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.new_id, c.corpus_id, count(*) AS inter
+        |  FROM cands c
+        |  JOIN sh a ON a.doc_id = c.new_id
+        |  JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+        |  GROUP BY c.new_id, c.corpus_id)
+        |SELECT i.new_id, i.corpus_id,
+        |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.new_id
+        |JOIN sizes sb ON sb.doc_id = i.corpus_id
+        |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin
+
+  /** q266's oracle, shared verbatim by q270 — the asset-fed admission
+    * gate (band index + cluster map) is bit-equal to the one-shot
+    * incrementalSplit on the same inputs (Round17OpsSpec).
+    */
+  private def incrementalSplitOracle: String =
+    (nearDupClosureSql(0.5, "WHERE doc_id % 2 = 0") +
         """,
           |ccl AS (
           |  SELECT d.doc_id AS corpus_id,
@@ -9157,7 +9231,6 @@ object SparkEntry {
           |       ELSE 'test' END AS split,
           |  inherited
           |FROM base""".stripMargin)
-  )
 
   /** Shared oracle prefix for q264/q265/q266: 5-gram MinHash near-dup
     * pairs over `documents` (optionally `where`-filtered — q266's corpus

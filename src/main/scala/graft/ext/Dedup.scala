@@ -1006,15 +1006,47 @@ object Dedup {
     * @return one row per doc: (doc_id, cluster_id, split)
     */
   def leakageSafeSplit(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                       n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    val comp = nearDupComponents(docs, k, bands, n, minJaccard)
-    val withCluster = docs.select(col("doc_id"))
+                       n: Int = 5, minJaccard: Double = 0.5): DataFrame =
+    leakageSafeSplitIndexed(buildClusterMap(docs, k, bands, n, minJaccard))
+
+  /** The standing CLUSTER MAP asset (round 17) — the split family's
+    * sibling of [[buildBandIndex]]: near-dup connectivity is computed
+    * ONCE when a corpus lands (the full 5-gram shingle/minhash/band/CC
+    * machinery — the 7–14 s sf0.1 constant every split-family query was
+    * paying per call) and PERSISTED as one row per doc. Every later
+    * split, audit, or admission decision reads the map back instead of
+    * re-clustering the corpus; at scale the map is 16 bytes/doc against
+    * the text's kilobytes and those consumers become index-read-bound.
+    *
+    * One row per doc: (doc_id, cluster_id) — cluster_id = the doc's
+    * near-dup component (min reachable doc_id), own id for singletons
+    * and sub-n-char docs. The clustering GEOMETRY (k/bands/n/minJaccard)
+    * rides as column metadata through parquet, so indexed consumers fail
+    * loudly on a mis-parameterized probe (the [[buildBandIndex]]
+    * discipline) instead of silently inheriting foreign clusters.
+    */
+  def buildClusterMap(corpus: DataFrame, k: Int = 16, bands: Int = 4,
+                      n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val comp = nearDupComponents(corpus, k, bands, n, minJaccard)
+    val geom = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("k", k).putLong("bands", bands).putLong("n", n)
+      .putDouble("minJaccard", minJaccard).build()
+    corpus.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
-    withCluster
-      .withColumn("split", clusterSplit(col("cluster_id")))
-      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id", geom))
   }
+
+  /** [[leakageSafeSplit]] from a (persisted) [[buildClusterMap]] frame:
+    * the split is a pure map stage over the stored cluster ids — no text
+    * is touched. Bit-equal to the recompute form when the map was built
+    * on the same corpus (Round17OpsSpec proves it through a real parquet
+    * round-trip).
+    */
+  def leakageSafeSplitIndexed(clusterMap: DataFrame): DataFrame =
+    clusterMap
+      .select(col("doc_id"), col("cluster_id"),
+        clusterSplit(col("cluster_id")).as("split"))
 
   /** The q264 cluster → split bucket rule: Knuth multiplicative hash into
     * 10 buckets (8/1/1) — the q168 engine-neutral fingerprint discipline;
@@ -1051,6 +1083,71 @@ object Dedup {
     *
     * @return one row per new doc: (doc_id, cluster_id, split, inherited)
     */
+  /** [[incrementalSplit]] from PERSISTED standing assets — the admission
+    * gate a production corpus actually runs: the band index
+    * ([[buildBandIndex]], corpus signatures computed once) supplies the
+    * gate pairs without touching corpus text, the cluster map
+    * ([[buildClusterMap]]) supplies the matched cluster ids without
+    * re-running CC. Per batch the cost is the NEW side's hashing plus
+    * two index-read joins — index-read-bound, vs the one-shot form's
+    * full-corpus recompute. Output is bit-equal to [[incrementalSplit]]
+    * on the same (newDocs, corpus) (Round17OpsSpec, through real parquet
+    * round-trips of both assets).
+    *
+    * Both assets must carry matching geometry: the band index's k/bands/n
+    * is checked inside [[minhashNewVsIndex]]; the cluster map's
+    * k/bands/n/minJaccard is checked here. A map clustered at a different
+    * threshold would silently hand out clusters a future
+    * [[leakageSafeSplit]] rebuild at THIS threshold would never form.
+    */
+  def incrementalSplitIndexed(newDocs: DataFrame, bandIndex: DataFrame,
+                              clusterMap: DataFrame, k: Int = 16,
+                              bands: Int = 4, n: Int = 5,
+                              minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard <= 1.0,
+      s"minJaccard $minJaccard > 1 would break exact-group inheritance")
+    requireClusterGeometry(clusterMap, k, bands, n, minJaccard)
+    val gate = minhashNewVsIndex(newDocs, bandIndex, k, bands, n, minJaccard)
+    val inherited = gate
+      .join(clusterMap.select(col("doc_id").as("corpus_id"),
+        col("cluster_id").as("corpus_cluster")), Seq("corpus_id"))
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("corpus_cluster")).as("inherited_cluster"))
+    newDocs.select(col("doc_id"))
+      .join(inherited, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("inherited_cluster"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        clusterSplit(col("cluster_id")).as("split"),
+        col("inherited_cluster").isNotNull.as("inherited"))
+  }
+
+  /** Fails loudly unless `clusterMap` carries [[buildClusterMap]]'s
+    * geometry metadata AND it matches the caller's parameters — absent
+    * metadata (stripped by select/union transforms or a non-Spark parquet
+    * writer) is an error too, the [[minhashNewVsIndex]] discipline.
+    */
+  private def requireClusterGeometry(clusterMap: DataFrame, k: Int,
+                                     bands: Int, n: Int,
+                                     minJaccard: Double): Unit = {
+    val meta = clusterMap.schema("cluster_id").metadata
+    for ((name, want) <- Seq("k" -> k, "bands" -> bands, "n" -> n)) {
+      require(meta.contains(name),
+        s"cluster map has no '$name' geometry metadata — rebuild it with " +
+          "buildClusterMap; probing an unlabeled map cannot be validated")
+      require(meta.getLong(name) == want,
+        s"cluster map was built with $name=${meta.getLong(name)}, probed " +
+          s"with $name=$want — rebuild the map or match the caller")
+    }
+    require(meta.contains("minJaccard"),
+      "cluster map has no 'minJaccard' geometry metadata — rebuild it " +
+        "with buildClusterMap")
+    require(meta.getDouble("minJaccard") == minJaccard,
+      s"cluster map was clustered at minJaccard=" +
+        s"${meta.getDouble("minJaccard")}, probed with " +
+        s"minJaccard=$minJaccard — rebuild the map or match the caller")
+  }
+
   def incrementalSplit(newDocs: DataFrame, corpus: DataFrame, k: Int = 16,
                        bands: Int = 4, n: Int = 5,
                        minJaccard: Double = 0.5): DataFrame = {
@@ -1135,11 +1232,23 @@ object Dedup {
     */
   def splitLeakageAudit(docs: DataFrame, splitOf: Column, k: Int = 16,
                         bands: Int = 4, n: Int = 5,
-                        minJaccard: Double = 0.5): DataFrame = {
-    val comp = nearDupComponents(docs, k, bands, n, minJaccard)
+                        minJaccard: Double = 0.5): DataFrame =
+    splitLeakageAuditIndexed(docs, splitOf,
+      buildClusterMap(docs, k, bands, n, minJaccard))
+
+  /** [[splitLeakageAudit]] from a (persisted) [[buildClusterMap]] frame:
+    * the audit is two joins and two aggregates over stored cluster ids —
+    * no shingle/minhash recompute. The map IS the clustering under audit,
+    * so no geometry parameters apply here; a doc absent from the map
+    * (landed after the map was built) audits as a singleton — rebuild the
+    * map to fold new arrivals into connectivity.
+    */
+  def splitLeakageAuditIndexed(docs: DataFrame, splitOf: Column,
+                               clusterMap: DataFrame): DataFrame = {
     val assigned = docs.select(col("doc_id"), splitOf.as("split"))
-      .join(comp, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .join(clusterMap.select(col("doc_id"),
+        col("cluster_id").as("map_cluster")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("map_cluster"), col("doc_id")))
     // a cluster is leaked iff it spans >1 distinct split — computed once
     // per cluster, then joined back to the doc grain for per-split sums
     val clusterSpan = assigned.groupBy(col("cluster_id"))
