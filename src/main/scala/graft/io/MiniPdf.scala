@@ -32,16 +32,18 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * reads it back, and the renderer produces a defined, deterministic
   * metrics-free raster ([[renderTextPage]]) instead of an envelope miss,
   * PLUS vector-path pages (round 13): [[PathPage]] writes a real
-  * `m l h re c v y f f* S n rg RG cm q Q W W*` content stream (cubic
+  * `m l h re c v y f f* S n rg RG cm q Q W W* w d` content stream (cubic
   * Béziers since round 15), [[extractPagePathOps]] reads it back, and
   * [[renderPathPage]] rasterizes it with an own scanline fill (both
   * winding rules) + Bresenham strokes, curves flattened by a fixed
   * 16-segment de Casteljau — deterministic across JVMs, no Java2D
   * rasterizer. CTM transforms (`cm` with `q`/`Q`, round 16) apply at
   * path-construction time; clipping (`W`/`W*` with `n`, round 16)
-  * intersects a copy-on-write device-pixel mask after each paint op.
-  * Remaining out-of-envelope state (dash/width, text inside path pages)
-  * fails loudly rather than paint a wrong page.
+  * intersects a copy-on-write device-pixel mask after each paint op;
+  * stroke width `w` and dash state `d` (round 17) render as a square
+  * device brush + a per-pixel dash walk along the Bresenham trace.
+  * Remaining out-of-envelope state (caps/joins/miter, text inside path
+  * pages) fails loudly rather than paint a wrong page.
   * Object dictionaries are uncompressed (the image streams themselves are
   * compressed). A full engine (pdfbox-class) would replace this object
   * behind the same [[PdfPages.Renderer]] seam.
@@ -110,8 +112,9 @@ object MiniPdf {
   /** Vector path operators (PDF 1.4 §4.4 subset) for [[PathPage]]:
     * path construction `m`/`l`/`h`/`re`, cubic Béziers `c`/`v`/`y`
     * (round 15) and painting `f` (nonzero fill), `f*` (even-odd fill),
-    * `S` (1-px stroke), with `rg`/`RG` color state. Integer coordinates
-    * in page user space (origin bottom-left, y-up).
+    * `S` (stroke), with `rg`/`RG` color state and `w`/`d` stroke
+    * width/dash state (round 17). Integer coordinates in page user space
+    * (origin bottom-left, y-up).
     */
   sealed trait PathOp
   final case class MoveTo(x: Int, y: Int) extends PathOp
@@ -130,6 +133,28 @@ object MiniPdf {
   case object Fill extends PathOp          // f  (nonzero winding)
   case object FillEvenOdd extends PathOp   // f* (even-odd)
   case object Stroke extends PathOp        // S
+  /** `w` — stroke line width, user-space units (§8.4.3.2). Rendered as a
+    * square device brush: devW = width·√|det CTM| (the uniform-scale pen
+    * approximation), painting the odd-width square of
+    * 2·⌊(round(devW)−1)/2⌋+1 pixels centered on each stroke pixel — so
+    * width ≤ 1 (and width 0, the spec's "thinnest renderable") stays the
+    * 1-px hairline byte-identical to the pre-`w` renderer.
+    */
+  final case class SetLineWidth(width: Double) extends PathOp
+  /** `d` — dash array + phase, user-space units (§8.4.3.6). The walk is
+    * per device pixel along the Bresenham trace (Chebyshev arc length —
+    * exact for the axis-aligned rules and table borders that dominate
+    * document layout; diagonals dash by pixel count, documented
+    * simplification), entries and phase scaled by √|det CTM|, pattern
+    * restarted at each subpath start per spec. Empty array = solid.
+    */
+  final case class SetDash(pattern: Seq[Double], phase: Double)
+    extends PathOp {
+    require(pattern.forall(_ >= 0) && phase >= 0,
+      s"dash entries and phase must be nonnegative: [$pattern] $phase")
+    require(pattern.isEmpty || pattern.exists(_ > 0),
+      "all-zero dash array would paint nothing (§8.4.3.6 forbids it)")
+  }
   /** `cm` (round 16) — concatenate a 2×3 affine matrix onto the CTM
     * (PDF 32000 §8.4.4): [x' y'] = [x y 1]·[[a b],[c d],[e f]], applied
     * at path-CONSTRUCTION time, so `re` under rotation is the correct
@@ -175,9 +200,9 @@ object MiniPdf {
     * 16-segment de Casteljau polyline (t = k/16 exact binary, fixed IEEE
     * operation order — reproducible anywhere) feeding the same scanline
     * machinery. CTM transforms (`cm`, round 16) apply at path-
-    * construction time with `q`/`Q` state save/restore; strokes stay
-    * 1-px device hairlines under any CTM (the simplified stroke
-    * contract — PDF line width would otherwise transform). Clipping
+    * construction time with `q`/`Q` state save/restore; stroke width and
+    * dash state (`w`/`d`, round 17) scale to device by √|det CTM| — the
+    * uniform-scale pen contract ([[SetLineWidth]]/[[SetDash]]). Clipping
     * (`W`/`W*` + `n`, round 16) rides the SAME scanline span walk as
     * fills — a clip mask and the fill it gates agree pixel-for-pixel by
     * construction — and `q`/`Q` save/restore the mask by reference
@@ -210,6 +235,9 @@ object MiniPdf {
       case Fill => "f"
       case FillEvenOdd => "f*"
       case Stroke => "S"
+      case SetLineWidth(wd) => s"${pdfNum(wd)} w"
+      case SetDash(pat, phase) =>
+        "[" + pat.map(pdfNum).mkString(" ") + "] " + pdfNum(phase) + " d"
       case Concat(a, b, c, d, e, f) =>
         Seq(a, b, c, d, e, f).map(pdfNum).mkString(" ") + " cm"
       case SaveState => "q"
@@ -662,10 +690,10 @@ object MiniPdf {
   /** The path operators of a 1-based [[PathPage]]'s content stream, parsed
     * back into the [[PathOp]] ADT — the vector-content analog of
     * [[extractPageText]]. Fails loudly on any operator outside the
-    * `m l h re c v y f f* S n rg RG cm q Q W W*` envelope (dash/width
-    * state): a page drawn with those has no defined raster here, and
-    * silently skipping an operator would paint a WRONG page, which is
-    * worse than no page.
+    * `m l h re c v y f f* S n rg RG cm q Q W W* w d` envelope (line
+    * caps/joins/miter state): a page drawn with those has no defined
+    * raster here, and silently skipping an operator would paint a WRONG
+    * page, which is worse than no page.
     */
   def extractPagePathOps(pdf: Array[Byte], page: Int): Seq[PathOp] = {
     val (offs, pageDict) = pageDictOf(pdf, page)
@@ -690,8 +718,26 @@ object MiniPdf {
       (math.round(r * 255).toInt << 16) | (math.round(g * 255).toInt << 8) |
         math.round(b * 255).toInt
     }
-    body.split("\\s+").filter(_.nonEmpty).foreach {
+    // dash-array operand state: `[` … `]` collects numbers into lastArray
+    // for the next `d`. `[`/`]` are PDF delimiters that may abut numbers
+    // ("[3 2]0 d" is legal) — pad them into their own tokens first.
+    var arrayStart = -1
+    var lastArray: Option[Seq[Double]] = None
+    body.replace("[", " [ ").replace("]", " ] ")
+      .split("\\s+").filter(_.nonEmpty).foreach {
       case t if t.matches("[-+]?[0-9]*\\.?[0-9]+") => stack += t.toDouble
+      case "[" =>
+        require(arrayStart < 0, "nested '[' in dash array operand")
+        arrayStart = stack.size
+      case "]" =>
+        require(arrayStart >= 0, "']' with no matching '['")
+        lastArray = Some(stack.slice(arrayStart, stack.size).toSeq)
+        stack.remove(arrayStart, stack.size - arrayStart)
+        arrayStart = -1
+      case op if arrayStart >= 0 =>
+        // only numbers may appear inside an array operand — executing an
+        // operator mid-array would consume the array's numbers as its own
+        sys.error(s"operator '$op' inside a '[' … ']' array operand")
       case "m" => val Seq(x, y) = popN(2, "m")
         out += MoveTo(x.toInt, y.toInt)
       case "l" => val Seq(x, y) = popN(2, "l")
@@ -711,6 +757,15 @@ object MiniPdf {
       case "f" => out += Fill
       case "f*" => out += FillEvenOdd
       case "S" => out += Stroke
+      case "w" => val Seq(wd) = popN(1, "w")
+        require(wd >= 0, s"negative line width $wd")
+        out += SetLineWidth(wd)
+      case "d" =>
+        val Seq(phase) = popN(1, "d")
+        require(lastArray.isDefined,
+          "'d' with no preceding '[' … ']' dash array operand")
+        out += SetDash(lastArray.get, phase) // SetDash validates entries
+        lastArray = None
       case "cm" => val Seq(a, b, c, d, e, f) = popN(6, "cm")
         out += Concat(a, b, c, d, e, f)
       case "q" => out += SaveState
@@ -719,10 +774,13 @@ object MiniPdf {
       case "W*" => out += ClipEvenOdd
       case "n" => out += EndPath
       case other => sys.error(s"path-page operator '$other' outside the " +
-        "m/l/h/re/c/v/y/f/f*/S/n/rg/RG/cm/q/Q/W/W* envelope — no defined " +
-        "raster (dash/width state stays loudly unsupported)")
+        "m/l/h/re/c/v/y/f/f*/S/n/rg/RG/cm/q/Q/W/W*/w/d envelope — no " +
+        "defined raster (caps/joins/miter state stays loudly unsupported)")
     }
     require(stack.isEmpty, s"dangling operands ${stack.mkString(",")}")
+    require(arrayStart < 0, "unterminated '[' array operand")
+    require(lastArray.isEmpty,
+      "dangling '[' … ']' array operand with no consuming 'd'")
     out.toSeq
   }
 
@@ -756,9 +814,14 @@ object MiniPdf {
     // W/W* set this; the clip intersects AFTER the next painting op
     // (§8.5.4 — the paint itself still sees the old clip)
     var pendingClip: Option[Boolean] = None
+    // stroke state (round 17): line width + dash pattern/phase, both in
+    // user-space units (§8.4.3), scaled to device by √|det CTM| at stroke
+    // time. Defaults (1.0, solid) keep every pre-`w`/`d` page bit-equal.
+    var lineWidth = 1.0
+    var dash: (Seq[Double], Double) = (Nil, 0.0)
     val gsStack = scala.collection.mutable.ArrayBuffer[
       ((Double, Double, Double, Double, Double, Double), Int, Int,
-        Array[Boolean])]()
+        Array[Boolean], Double, (Seq[Double], Double))]()
     def tx(x: Double, y: Double): (Double, Double) =
       (ctm._1 * x + ctm._3 * y + ctm._5, ctm._2 * x + ctm._4 * y + ctm._6)
 
@@ -866,11 +929,61 @@ object MiniPdf {
 
     def stroke(): Unit = {
       flushOpen(false)
-      def plot(x: Int, y: Int): Unit = {
-        val py = h - 1 - y
-        if (x >= 0 && x < w && py >= 0 && py < h &&
-            (clipMask == null || clipMask(py * w + x)))
-          img.setRGB(x, py, strokeRgb)
+      // device pen geometry at STROKE time (§8.4.3: width/dash are user-
+      // space, transformed by the CTM): the uniform-scale approximation
+      // √|det M| — exact under translate/scale/rotate, the defined
+      // semantics under skew. Width paints an odd square brush (2r+1 px)
+      // so width ≤ 1 stays the 1-px hairline bit-equal to the pre-`w`
+      // renderer; even widths round down to the next odd square.
+      val penScale = math.sqrt(math.abs(
+        ctm._1 * ctm._4 - ctm._2 * ctm._3))
+      val r = (math.max(1L, math.round(lineWidth * penScale)).toInt - 1) / 2
+      val pat = dash._1.map(_ * penScale)
+      val cycle = pat.sum
+      val solid = pat.isEmpty || cycle == 0.0
+      def dashOn(dist: Double): Boolean = {
+        var pos = dist % cycle
+        if (pos >= cycle) pos = 0.0 // fp guard: x % c can round to c
+        var acc = 0.0
+        var i = 0
+        var on = true // even-index entries are "on" (§8.4.3.6)
+        var decided = false
+        while (i < pat.size && !decided) {
+          acc += pat(i)
+          if (pos < acc) { on = i % 2 == 0; decided = true }
+          i += 1
+        }
+        on
+      }
+      def brush(cx: Int, cy: Int): Unit = {
+        var dy = -r
+        while (dy <= r) {
+          val py = h - 1 - (cy + dy)
+          var dx = -r
+          while (dx <= r) {
+            val x = cx + dx
+            if (x >= 0 && x < w && py >= 0 && py < h &&
+                (clipMask == null || clipMask(py * w + x)))
+              img.setRGB(x, py, strokeRgb)
+            dx += 1
+          }
+          dy += 1
+        }
+      }
+      // dash walk state: distance advances 1.0 per NEW Bresenham pixel
+      // (the Chebyshev arc length — see SetDash); a segment join re-emits
+      // its shared vertex, which must neither re-advance nor re-decide
+      var dist = 0.0
+      var havePrev = false
+      var prevX = 0; var prevY = 0
+      def step(x: Int, y: Int): Unit = {
+        if (!(havePrev && x == prevX && y == prevY)) {
+          // the decision is by PATH distance, so clipped/off-page pixels
+          // still advance the pattern (dash is path state, not raster)
+          if (solid || dashOn(dist)) brush(x, y)
+          dist += 1.0
+          havePrev = true; prevX = x; prevY = y
+        }
       }
       def line(x0: Int, y0: Int, x1: Int, y1: Int): Unit = {
         // integer Bresenham — exact, no float accumulation
@@ -880,7 +993,7 @@ object MiniPdf {
         var err = dx + dy
         var continue = true
         while (continue) {
-          plot(x, y)
+          step(x, y)
           if (x == x1 && y == y1) continue = false
           else {
             val e2 = 2 * err
@@ -890,6 +1003,10 @@ object MiniPdf {
         }
       }
       subpaths.foreach { case (pts, closed) =>
+        // §8.4.3.6: the dash pattern restarts (at the phase) for each
+        // subpath; within a subpath it runs continuously across joins
+        dist = dash._2 * penScale
+        havePrev = false
         var i = 0
         while (i < pts.size - 1) {
           line(pts(i)._1.toInt, pts(i)._2.toInt,
@@ -985,6 +1102,8 @@ object MiniPdf {
       case Fill => fill(evenOdd = false)
       case FillEvenOdd => fill(evenOdd = true)
       case Stroke => stroke()
+      case SetLineWidth(wd) => noPendingClip("w"); lineWidth = wd
+      case SetDash(p, ph) => noPendingClip("d"); dash = (p, ph)
       case Concat(a, b, c, d, e, f) =>
         noPendingClip("cm")
         // row-vector pre-concatenation (§8.4.4): points map through the
@@ -995,13 +1114,14 @@ object MiniPdf {
           e * pA + f * pC + pE, e * pB + f * pD + pF)
       case SaveState =>
         noPendingClip("q")
-        gsStack += ((ctm, fillRgb, strokeRgb, clipMask))
+        gsStack += ((ctm, fillRgb, strokeRgb, clipMask, lineWidth, dash))
       case RestoreState =>
         noPendingClip("Q")
         require(gsStack.nonEmpty, "'Q' with no matching 'q' — unbalanced " +
           "graphics-state restore has no defined raster")
-        val (m, fc, sc, cm) = gsStack.remove(gsStack.size - 1)
+        val (m, fc, sc, cm, lw, da) = gsStack.remove(gsStack.size - 1)
         ctm = m; fillRgb = fc; strokeRgb = sc; clipMask = cm
+        lineWidth = lw; dash = da
       case Clip => pendingClip = Some(false)
       case ClipEvenOdd => pendingClip = Some(true)
       case EndPath =>

@@ -392,10 +392,10 @@ class PdfPagesSpec extends SparkSuite {
 
   test("MiniPdf PathPage: outside-envelope operators fail loudly, never paint wrong") {
     import MiniPdf._
-    // dash/width state has no defined raster here — the parse must
+    // caps/joins/miter state has no defined raster here — the parse must
     // throw, not skip (skipping would render a DIFFERENT page than a
-    // viewer shows)
-    val e = intercept[RuntimeException] { parsePathOps("2 w 10 10 m S") }
+    // viewer shows); dash/width joined the envelope in round 17
+    val e = intercept[RuntimeException] { parsePathOps("1 J 10 10 m S") }
     assert(e.getMessage.contains("envelope"))
     val e2 = intercept[RuntimeException] { parsePathOps("1 2 3 zz") }
     assert(e2.getMessage.contains("zz"))
@@ -683,5 +683,136 @@ class PdfPagesSpec extends SparkSuite {
     val png = PdfPages.renderPages(pdfs, col("n_pages"), pdfImageRenderer)
       .select("page_png").as[Array[Byte]].head()
     assert(java.util.Arrays.equals(png, renderPathPage(ops, 40, 40)))
+  }
+
+  // ------------------------------------------------- w/d stroke state (r17)
+
+  private def pixelsOf(png: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+
+  test("MiniPdf PathPage dash: [4 2] pattern paints exact pixel runs; " +
+    "phase shifts them; pattern restarts per subpath") {
+    import MiniPdf._
+    val h = 24
+    def row(ops: Seq[PathOp]): Seq[Boolean] = {
+      val img = pixelsOf(renderPathPage(ops, 24, h))
+      (0 until 24).map(x => (img.getRGB(x, h - 1 - 10) & 0xffffff) == 0)
+    }
+    // horizontal rule x=0..17 at y=10: on 0-3, off 4-5, on 6-9, …
+    val dashed = row(Seq(SetDash(Seq(4, 2), 0), MoveTo(0, 10),
+      LineTo(17, 10), Stroke))
+    val expect = (0 to 17).map(x => x % 6 < 4) ++ Seq.fill(6)(false)
+    assert(dashed == expect, s"dash runs: $dashed")
+    // phase 2 starts the walk 2 units into the pattern
+    val phased = row(Seq(SetDash(Seq(4, 2), 2), MoveTo(0, 10),
+      LineTo(17, 10), Stroke))
+    val expectPh = (0 to 17).map(x => (x + 2) % 6 < 4) ++ Seq.fill(6)(false)
+    assert(phased == expectPh, s"phased runs: $phased")
+    // §8.4.3.6: a NEW subpath restarts at the phase — splitting the rule
+    // into (0..8)+(9..17) flips pixel 10 from off (continuous) to on
+    val split = row(Seq(SetDash(Seq(4, 2), 0), MoveTo(0, 10), LineTo(8, 10),
+      MoveTo(9, 10), LineTo(17, 10), Stroke))
+    assert(!dashed(10) && split(10),
+      s"subpath restart must re-anchor the pattern: $split")
+    // and within one subpath the walk runs CONTINUOUSLY across a join:
+    // an L-bend at (17,10) continues at pattern position 18 — the join
+    // pixel itself (pos 17, off) is emitted once, never re-decided
+    val img = pixelsOf(renderPathPage(Seq(SetDash(Seq(4, 2), 0),
+      MoveTo(0, 10), LineTo(17, 10), LineTo(17, 15), Stroke), 24, h))
+    def vPix(y: Int): Boolean = (img.getRGB(17, h - 1 - y) & 0xffffff) == 0
+    // y=11..15 are walk positions 18..22 → on,on,on,on,off ([4 2]: pos%6<4)
+    assert(Seq(11, 12, 13, 14).forall(vPix) && !vPix(15),
+      s"dash must run continuously across the join: ${(11 to 15).map(vPix)}")
+  }
+
+  test("MiniPdf PathPage width: 3 w paints a 3-px band; even widths round " +
+    "down to the odd brush; width ≤ 1 stays the byte-identical hairline") {
+    import MiniPdf._
+    val wide = pixelsOf(renderPathPage(Seq(SetLineWidth(3), MoveTo(2, 10),
+      LineTo(12, 10), Stroke), 24, 24))
+    val black = for (y <- 0 until 24; x <- 0 until 24
+                     if (wide.getRGB(x, y) & 0xffffff) == 0) yield (x, 23 - y)
+    assert(black.toSet == (for (x <- 1 to 13; y <- 9 to 11) yield (x, y)).toSet,
+      s"3-px band around the hairline: ${black.sorted}")
+    // width 2 rounds down to the 1-px brush (odd-square contract)…
+    val two = renderPathPage(Seq(SetLineWidth(2), MoveTo(2, 10),
+      LineTo(12, 10), Stroke), 24, 24)
+    // …and width ≤ 1 (incl. the spec's 0 = thinnest renderable) is
+    // BYTE-identical to the pre-`w` hairline renderer
+    val hair = renderPathPage(Seq(MoveTo(2, 10), LineTo(12, 10), Stroke),
+      24, 24)
+    assert(java.util.Arrays.equals(two, hair), "even width → odd brush")
+    for (wd <- Seq(0.0, 0.4, 1.0))
+      assert(java.util.Arrays.equals(renderPathPage(
+        Seq(SetLineWidth(wd), MoveTo(2, 10), LineTo(12, 10), Stroke),
+        24, 24), hair), s"width $wd must stay the hairline")
+  }
+
+  test("MiniPdf PathPage w/d under CTM: pen scales by sqrt|det|; q/Q " +
+    "restores stroke state; dashed+wide round-trips a real PDF") {
+    import MiniPdf._
+    // 2× CTM with 1.5 w ≡ identity with 3 w on the pre-scaled line
+    val viaCm = renderPathPage(Seq(SaveState, Concat(2, 0, 0, 2, 0, 0),
+      SetLineWidth(1.5), MoveTo(1, 5), LineTo(6, 5), Stroke, RestoreState),
+      24, 24)
+    val direct = renderPathPage(Seq(SetLineWidth(3), MoveTo(2, 10),
+      LineTo(12, 10), Stroke), 24, 24)
+    assert(java.util.Arrays.equals(viaCm, direct),
+      "device pen width must scale with the CTM")
+    // q/Q: width+dash set inside q…Q must NOT leak to the outer stroke
+    val restored = renderPathPage(Seq(
+      SaveState, SetLineWidth(3), SetDash(Seq(2, 2), 0), RestoreState,
+      MoveTo(2, 10), LineTo(12, 10), Stroke), 24, 24)
+    val hair = renderPathPage(Seq(MoveTo(2, 10), LineTo(12, 10), Stroke),
+      24, 24)
+    assert(java.util.Arrays.equals(restored, hair),
+      "Q must restore width and dash")
+    // write → extract → render round-trip through a REAL content stream
+    val ops = Seq(StrokeColor(0x0000ff), SetLineWidth(3),
+      SetDash(Seq(4, 2), 1.5), MoveTo(2, 10), LineTo(20, 10), Stroke,
+      SetDash(Nil, 0), MoveTo(2, 18), LineTo(20, 18), Stroke)
+    val pdf = writePages(Seq(PathPage(ops, w = 24, h = 24)))
+    assert(extractPagePathOps(pdf, 1) == ops,
+      s"w/d ops must round-trip: ${extractPagePathOps(pdf, 1)}")
+    assert(java.util.Arrays.equals(
+      PdfPages.renderPages(
+        Seq(("wd.pdf", 1, pdf)).toDF("file_name", "n_pages", "content"),
+        col("n_pages"), pdfImageRenderer)
+        .select("page_png").as[Array[Byte]].head(),
+      renderPathPage(ops, 24, 24)))
+    // deterministic re-render
+    assert(java.util.Arrays.equals(renderPathPage(ops, 24, 24),
+      renderPathPage(ops, 24, 24)))
+  }
+
+  test("MiniPdf PathPage w/d validation: malformed dash state fails " +
+    "loudly at parse, w/d between W and paint fail per §8.5.4") {
+    import MiniPdf._
+    // negative entries / all-zero array / missing array / operator inside
+    // the array operand — each is an invalid stream, never a guess
+    assert(intercept[IllegalArgumentException] {
+      parsePathOps("[-1 2] 0 d")
+    }.getMessage.contains("nonnegative"))
+    assert(intercept[IllegalArgumentException] {
+      parsePathOps("[0 0] 0 d")
+    }.getMessage.contains("all-zero"))
+    assert(intercept[IllegalArgumentException] {
+      parsePathOps("3 d")
+    }.getMessage.contains("no preceding"))
+    assert(intercept[RuntimeException] {
+      parsePathOps("[2 2 m] 0 d")
+    }.getMessage.contains("inside"))
+    assert(intercept[IllegalArgumentException] {
+      parsePathOps("[2 2] 0")
+    }.getMessage.contains("dangling"))
+    // graphics-state ops between W and its paint have no defined raster
+    intercept[IllegalArgumentException] {
+      renderPathPage(Seq(Rect(2, 2, 8, 8), Clip, SetLineWidth(3),
+        EndPath), 20, 20)
+    }
+    intercept[IllegalArgumentException] {
+      renderPathPage(Seq(Rect(2, 2, 8, 8), Clip, SetDash(Seq(2, 2), 0),
+        EndPath), 20, 20)
+    }
   }
 }
