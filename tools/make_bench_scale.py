@@ -56,14 +56,27 @@ def main(src, out, k):
         con.execute(f"CREATE OR REPLACE VIEW t AS "
                     f"SELECT * FROM read_parquet('{path}')")
         if tmpl is None:
-            sql = "SELECT * FROM t"
+            con.execute(f"COPY (SELECT * FROM t) TO "
+                        f"'{out}/{name}.parquet' (FORMAT PARQUET)")
         else:
-            sql = " UNION ALL ".join(
-                tmpl.format(o=i * STRIDE) for i in range(k))
-        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' "
-                    f"(FORMAT PARQUET)")
+            # ONE FILE PER REPLICA (round 17): a K×-bigger lake arrives as
+            # K× more files, so the scan's split count scales with the
+            # data. The previous single-file layout capped small tables at
+            # ONE input split (DuckDB's 122880-row row groups are the only
+            # split points), which serialized every zero-exchange per-row
+            # operator on one core at the 10× point — StageAudit measured
+            # q51 as 1 task / 9.2 s CPU on a 32-core machine. That is a
+            # fixture-layout artifact, not engine cost; this layout makes
+            # the sweep measure the operators.
+            d = f"{out}/{name}.parquet"
+            os.makedirs(d, exist_ok=True)
+            for i in range(k):
+                con.execute(
+                    f"COPY ({tmpl.format(o=i * STRIDE)}) TO "
+                    f"'{d}/part-{i:03d}.parquet' (FORMAT PARQUET)")
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet"
+            f"{'' if tmpl is None else '/*.parquet'}')"
         ).fetchone()[0]
         print(f"{name}: {n} rows")
 
