@@ -308,23 +308,35 @@ object Dedup {
   private[graft] def minhashNearDupsDistinct(docs: DataFrame, k: Int,
                                              bands: Int, n: Int,
                                              minJaccard: Double): DataFrame = {
-    val cands = minhashLshCandidates(docs, k, bands, n)
-    val sh = docShingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // shingle equality is part of the join condition, not a post-join
-    // filter: the intermediate must be |A∩B| rows per pair, never |A|×|B|
-    cands
-      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b2")
-          .withColumnRenamed("shingle", "shingle_b"),
-        col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+    // Verify = the array_intersect kernel on the per-doc DISTINCT code
+    // arrays (round 17 — the [[minhashNewVsIndex]] shape, one kernel for
+    // both verifiers): ONE row per candidate pair instead of the exploded
+    // shingle equi-join, whose |A∩B|-rows-per-pair intermediate amplified
+    // ~|shingles|× INSIDE its stage — invisible to AQE's byte heuristic,
+    // which coalesced the few-MB candidate exchange to 2 partitions and
+    // left 27 s of verify CPU on 2 of 32 cores (StageAudit, q264 at
+    // sf0.1). Integer-identical: the arrays are distinct, so
+    // size(array_intersect) IS the shingle-join match count and the
+    // jaccard division is the same IEEE op — every oracle hash unchanged.
+    // The explicit-count repartition pins the per-pair intersect's stage
+    // width (user repartitions are AQE-coalesce-exempt, the q206/IVF
+    // amplification discipline).
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val codes = docs.select(col("doc_id"),
+      shingleCodes(col("text"), n).as("codes"))
+      .filter(size(col("codes")) > 0)
+    minhashLshCandidates(docs, k, bands, n)
+      .repartition(dp, col("doc_a"))
+      .join(codes.select(col("doc_id").as("doc_a"),
+        col("codes").as("codes_a")), "doc_a")
+      .join(codes.select(col("doc_id").as("doc_b"),
+        col("codes").as("codes_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("codes_a"), col("codes_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          (size(col("codes_a")) + size(col("codes_b")) - col("inter"))
+            .cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -405,27 +417,26 @@ object Dedup {
           col("x.band_sig") === col("y.band_sig"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
-    val shNew = docShingles(newDocs, n)
-    val shCorpus = docShingles(corpus, n)
-    val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("size_new"))
-    val sizesCorpus = shCorpus.groupBy("doc_id")
-      .agg(count(lit(1)).as("size_corpus"))
-    // shingle equality inside the join condition (the minhashNearDups
-    // lesson): the intermediate is |A∩B| rows per pair, never |A|×|B|
+      // explicit-count repartition before the per-pair verify — the
+      // minhashNearDupsDistinct AQE-blind-spot fix, same reasoning
+      .repartition(newDocs.sparkSession.sparkContext.defaultParallelism,
+        col("new_id"))
+    // verify = the array_intersect kernel on distinct code arrays (the
+    // one verify shape shared with minhashNearDupsDistinct and
+    // minhashNewVsIndex) — integer-identical to the shingle equi-join
+    def codesOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), shingleCodes(col("text"), n).as("codes"))
+      .filter(size(col("codes")) > 0)
     cands
-      .join(shNew.withColumnRenamed("doc_id", "new_id"), "new_id")
-      .join(shCorpus.withColumnRenamed("doc_id", "corpus_id2")
-          .withColumnRenamed("shingle", "shingle_c"),
-        col("corpus_id") === col("corpus_id2") &&
-          col("shingle") === col("shingle_c"))
-      .groupBy("new_id", "corpus_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizesNew.withColumnRenamed("doc_id", "new_id"), "new_id")
-      .join(sizesCorpus.withColumnRenamed("doc_id", "corpus_id"),
-        "corpus_id")
+      .join(codesOf(newDocs).select(col("doc_id").as("new_id"),
+        col("codes").as("codes_n")), "new_id")
+      .join(codesOf(corpus).select(col("doc_id").as("corpus_id"),
+        col("codes").as("codes_c")), "corpus_id")
+      .withColumn("inter",
+        size(array_intersect(col("codes_n"), col("codes_c"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("size_new") + col("size_corpus") - col("inter"))
+          (size(col("codes_n")) + size(col("codes_c")) - col("inter"))
             .cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("new_id", "corpus_id", "jaccard")

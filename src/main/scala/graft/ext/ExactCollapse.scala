@@ -66,7 +66,20 @@ private[graft] object ExactCollapse {
                     repCol: String = "rep"): DataFrame = {
     val keyed = withRep(df, idCol, keys, repCol)
     record(keyed)
-    graft.Pin(keyed)
+    // The pin's MATERIALIZED LAYOUT is one partition per core (round 17):
+    // the rep window's exchange carries few BYTES (text compresses), so
+    // AQE coalesces it — and the pin then freezes that layout, handing
+    // every consumer a 1-partition scan. Consumers are CPU-dense per byte
+    // (5-gram shingling, k minhashes, band assembly), so the frozen
+    // 1-partition layout serialized them: StageAudit measured q264's four
+    // rep-side stages at 1 task / 4.7–11.6 s CPU EACH on 32 cores. The
+    // explicit count (user repartitions with a count are exempt from AQE
+    // coalescing) costs one re-shuffle of the collapsed frame at pin time
+    // — paid once, before the one materialization — and parallelizes
+    // every downstream branch. Partitioning by the id keeps the layout
+    // key-local for the expansion joins.
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    graft.Pin(keyed.repartition(dp, col(idCol)))
   }
 
   /** Test hook (PlanSpec): the most recent pre-pin keyed frames. The pin

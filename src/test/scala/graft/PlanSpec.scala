@@ -446,4 +446,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"),
       s"IVF degenerated to an unbroadcast product:\n$p")
   }
+
+  test("q267/q270 index gates: band joins stay equi-joins, never products") {
+    // the persisted-index probes ride the same band equi-join shape as
+    // the text gates — a dropped join key would degenerate to all-pairs
+    for (q <- Seq("q267_band_index_gate", "q270_incremental_split_indexed")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"$q band join degenerated to all-pairs:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"),
+        s"$q lost its band equi-join:\n$p")
+    }
+  }
+
+  test("q268 indexed IVF probe keeps the q31 plan profile (≤1 window, " +
+    "in-row argmax)") {
+    val p = plan(SparkEntry.queries("q268_ivf_index_probe")(spark, sf))
+    val windows = """Window \(\d+\)""".r.findAllIn(p).length
+    assert(windows <= 1,
+      s"indexed probe regressed to window ranking ($windows):\n$p")
+    assert(p.contains("array_sort"),
+      s"probe assignment must be the in-row argmax:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"indexed probe degenerated to an unbroadcast product:\n$p")
+  }
 }
