@@ -519,18 +519,31 @@ object Dedup {
           s"with $name=$want — rebuild the index or match the caller")
     }
     val (mNew, rNew) = textCollapsed(newDocs, n)
-    val bandedNew = buildBandIndex(rNew, k, bands, n)
-      .select(col("doc_id").as("new_id"), col("codes").as("codes_new"),
+    val newIdx = buildBandIndex(rNew, k, bands, n)
+    // the band join carries ONLY (id, band, band_sig) — round 17: the
+    // previous shape rode the full per-doc code array through the bands×
+    // explode and its shuffle (bands× duplication of kilobyte arrays; at
+    // the 10× sweep point that was gigabytes of shuffle for q270). Codes
+    // re-attach per SIDE per PAIR below, after multi-band dedup — parquet
+    // column pruning means the second index scan reads just (doc_id,
+    // codes), the columnar layout's whole point.
+    def bandsOnly(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs),
         posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
-    val bandedCor = index
-      .select(col("doc_id").as("corpus_id"), col("codes").as("codes_cor"),
-        posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
-    val repPairs = bandedNew.join(bandedCor, Seq("band", "band_sig"))
-      .select(col("new_id"), col("corpus_id"), col("codes_new"),
-        col("codes_cor"))
+    val repPairs = bandsOnly(newIdx, "new_id")
+      .join(bandsOnly(index, "corpus_id"), Seq("band", "band_sig"))
+      .select(col("new_id"), col("corpus_id"))
       // multi-band matches collapse here; codes are per-id constants so
       // the pair key alone decides distinctness
       .dropDuplicates("new_id", "corpus_id")
+      // explicit-count repartition before the per-pair verify (the
+      // minhashNearDupsDistinct AQE-blind-spot discipline)
+      .repartition(newDocs.sparkSession.sparkContext.defaultParallelism,
+        col("new_id"))
+      .join(newIdx.select(col("doc_id").as("new_id"),
+        col("codes").as("codes_new")), "new_id")
+      .join(index.select(col("doc_id").as("corpus_id"),
+        col("codes").as("codes_cor")), "corpus_id")
       .withColumn("inter",
         size(array_intersect(col("codes_new"), col("codes_cor")))
           .cast("long"))
