@@ -33,8 +33,16 @@ import org.apache.spark.sql.DataFrame
   * (lineage is truncated, so a released pin cannot be recomputed).
   */
 object Pin {
-  /** RDD ids persisted by [[apply]] since the last [[release]]. */
-  private val tracked = scala.collection.mutable.Set.empty[Int]
+  /** RDD ids persisted by [[apply]] since the last [[release]], scoped PER
+    * SparkContext: RDD ids restart at 0 for every new context, so a flat
+    * global set would let ids pinned before a context stop/restart
+    * unpersist unrelated RDDs of the next context — and a `release(sc)`
+    * from one session's driver loop would drop pins belonging to a
+    * different concurrent context. Weak keys: a stopped context's entry
+    * is GC-collectable, never replayed against a successor.
+    */
+  private val tracked =
+    new java.util.WeakHashMap[SparkContext, scala.collection.mutable.Set[Int]]
 
   def apply(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
@@ -46,19 +54,23 @@ object Pin {
       // identifies exactly the pin's blocks, never a caller's .cache()
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      tracked ++= (sc.getPersistentRDDs.keySet -- before)
+      val ids = tracked.computeIfAbsent(
+        sc, _ => scala.collection.mutable.Set.empty[Int])
+      ids ++= (sc.getPersistentRDDs.keySet -- before)
       out
     }
   }
 
-  /** Unpersist every pinned block taken since the last release. Call only
+  /** Unpersist every pinned block taken ON THIS CONTEXT since its last
+    * release (pins of other live contexts are untouched). Call only
     * after the consuming query has fully materialized: pins truncate
     * lineage, so a released frame cannot be recomputed — re-run the query
     * (which re-pins) instead of touching a released DataFrame.
     */
   def release(sc: SparkContext): Unit = synchronized {
-    for (id <- tracked; rdd <- sc.getPersistentRDDs.get(id))
-      rdd.unpersist(blocking = false)
-    tracked.clear()
+    val ids = tracked.remove(sc)
+    if (ids != null)
+      for (id <- ids; rdd <- sc.getPersistentRDDs.get(id))
+        rdd.unpersist(blocking = false)
   }
 }

@@ -49,10 +49,19 @@ TABLES = {
 
 def main(src, out, k):
     import os
+    import shutil
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for name, tmpl in TABLES.items():
         path = f"{src}/{name}.parquet"
+        # Clean the target first: regenerating with a smaller K must not
+        # leave stale part files silently inflating the table, and a FILE
+        # left by the old single-file layout must not break os.makedirs.
+        tgt = f"{out}/{name}.parquet"
+        if os.path.isdir(tgt):
+            shutil.rmtree(tgt)
+        elif os.path.exists(tgt):
+            os.remove(tgt)
         con.execute(f"CREATE OR REPLACE VIEW t AS "
                     f"SELECT * FROM read_parquet('{path}')")
         if tmpl is None:
