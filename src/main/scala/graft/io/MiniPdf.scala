@@ -41,9 +41,14 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * path-construction time; clipping (`W`/`W*` with `n`, round 16)
   * intersects a copy-on-write device-pixel mask after each paint op;
   * stroke width `w` and dash state `d` (round 17) render as a square
-  * device brush + a per-pixel dash walk along the Bresenham trace.
-  * Remaining out-of-envelope state (caps/joins/miter, text inside path
-  * pages) fails loudly rather than paint a wrong page.
+  * device brush + a per-pixel dash walk along the Bresenham trace;
+  * caps/joins/miter (`J`/`j`/`M`, round 18) complete the stroke state —
+  * butt/round/projecting caps as half-plane clips and disc stamps on the
+  * open ends, miter joins as the square vertex stamp plus an explicit
+  * tip quad for acute angles (miter-limit bevel fallback per §8.4.3.5),
+  * round/bevel joins as a disc vertex stamp. Remaining out-of-envelope
+  * state (text inside path pages) fails loudly rather than paint a wrong
+  * page.
   * Object dictionaries are uncompressed (the image streams themselves are
   * compressed). A full engine (pdfbox-class) would replace this object
   * behind the same [[PdfPages.Renderer]] seam.
@@ -155,6 +160,34 @@ object MiniPdf {
     require(pattern.isEmpty || pattern.exists(_ > 0),
       "all-zero dash array would paint nothing (§8.4.3.6 forbids it)")
   }
+  /** `J` — line cap style (§8.4.3.3): 0 butt (stroke squared off AT the
+    * endpoint — the spec DEFAULT), 1 round (a disc of the pen radius
+    * stamped at each open end), 2 projecting square (the full square
+    * stamp, extending half the width past the endpoint — the only style
+    * the pre-round-18 renderer painted). Caps apply to the two ends of
+    * each OPEN subpath; at this renderer's per-pixel dash granularity,
+    * dash-segment ends stay butt-shaped (documented simplification).
+    */
+  final case class SetLineCap(style: Int) extends PathOp {
+    require(style >= 0 && style <= 2, s"line cap style must be 0/1/2: $style")
+  }
+  /** `j` — line join style (§8.4.3.4): 0 miter (spec default; the square
+    * vertex stamp IS the exact miter for right angles, and an explicit
+    * miter-quad paints the tip for acute ones, with the §8.4.3.5
+    * miter-limit bevel fallback), 1 round, 2 bevel. Round and bevel both
+    * render as a disc vertex stamp — at square-brush granularity the
+    * chord-vs-arc difference is below one pixel (documented).
+    */
+  final case class SetLineJoin(style: Int) extends PathOp {
+    require(style >= 0 && style <= 2, s"line join style must be 0/1/2: $style")
+  }
+  /** `M` — miter limit (§8.4.3.5): maximum ratio of miter length to line
+    * width before a miter join falls back to bevel. Spec requires ≥ 1
+    * (the ratio's geometric minimum).
+    */
+  final case class SetMiterLimit(limit: Double) extends PathOp {
+    require(limit >= 1, s"miter limit must be >= 1 (§8.4.3.5): $limit")
+  }
   /** `cm` (round 16) — concatenate a 2×3 affine matrix onto the CTM
     * (PDF 32000 §8.4.4): [x' y'] = [x y 1]·[[a b],[c d],[e f]], applied
     * at path-CONSTRUCTION time, so `re` under rotation is the correct
@@ -238,6 +271,9 @@ object MiniPdf {
       case SetLineWidth(wd) => s"${pdfNum(wd)} w"
       case SetDash(pat, phase) =>
         "[" + pat.map(pdfNum).mkString(" ") + "] " + pdfNum(phase) + " d"
+      case SetLineCap(s) => s"$s J"
+      case SetLineJoin(s) => s"$s j"
+      case SetMiterLimit(m) => s"${pdfNum(m)} M"
       case Concat(a, b, c, d, e, f) =>
         Seq(a, b, c, d, e, f).map(pdfNum).mkString(" ") + " cm"
       case SaveState => "q"
@@ -690,10 +726,10 @@ object MiniPdf {
   /** The path operators of a 1-based [[PathPage]]'s content stream, parsed
     * back into the [[PathOp]] ADT — the vector-content analog of
     * [[extractPageText]]. Fails loudly on any operator outside the
-    * `m l h re c v y f f* S n rg RG cm q Q W W* w d` envelope (line
-    * caps/joins/miter state): a page drawn with those has no defined
-    * raster here, and silently skipping an operator would paint a WRONG
-    * page, which is worse than no page.
+    * `m l h re c v y f f* S n rg RG cm q Q W W* w d J j M` envelope: a
+    * page drawn with other operators has no defined raster here, and
+    * silently skipping an operator would paint a WRONG page, which is
+    * worse than no page.
     */
   def extractPagePathOps(pdf: Array[Byte], page: Int): Seq[PathOp] = {
     val (offs, pageDict) = pageDictOf(pdf, page)
@@ -766,6 +802,14 @@ object MiniPdf {
           "'d' with no preceding '[' … ']' dash array operand")
         out += SetDash(lastArray.get, phase) // SetDash validates entries
         lastArray = None
+      case "J" => val Seq(s) = popN(1, "J")
+        require(s == math.rint(s), s"non-integer line cap style $s")
+        out += SetLineCap(s.toInt) // SetLineCap validates the range
+      case "j" => val Seq(s) = popN(1, "j")
+        require(s == math.rint(s), s"non-integer line join style $s")
+        out += SetLineJoin(s.toInt) // SetLineJoin validates the range
+      case "M" => val Seq(m) = popN(1, "M")
+        out += SetMiterLimit(m) // SetMiterLimit validates >= 1
       case "cm" => val Seq(a, b, c, d, e, f) = popN(6, "cm")
         out += Concat(a, b, c, d, e, f)
       case "q" => out += SaveState
@@ -774,8 +818,8 @@ object MiniPdf {
       case "W*" => out += ClipEvenOdd
       case "n" => out += EndPath
       case other => sys.error(s"path-page operator '$other' outside the " +
-        "m/l/h/re/c/v/y/f/f*/S/n/rg/RG/cm/q/Q/W/W*/w/d envelope — no " +
-        "defined raster (caps/joins/miter state stays loudly unsupported)")
+        "m/l/h/re/c/v/y/f/f*/S/n/rg/RG/cm/q/Q/W/W*/w/d/J/j/M envelope — " +
+        "no defined raster")
     }
     require(stack.isEmpty, s"dangling operands ${stack.mkString(",")}")
     require(arrayStart < 0, "unterminated '[' array operand")
@@ -819,9 +863,17 @@ object MiniPdf {
     // time. Defaults (1.0, solid) keep every pre-`w`/`d` page bit-equal.
     var lineWidth = 1.0
     var dash: (Seq[Double], Double) = (Nil, 0.0)
+    // cap/join/miter state (round 18), spec defaults (§8.4.1): butt caps,
+    // miter joins, miter limit 10. NOTE the pre-round-18 renderer painted
+    // the full square stamp at endpoints — i.e. projecting-square caps —
+    // which was a deviation from the spec default; wide open strokes now
+    // end flat AT the endpoint unless `2 J` asks for the projection.
+    var lineCap = 0
+    var lineJoin = 0
+    var miterLimit = 10.0
     val gsStack = scala.collection.mutable.ArrayBuffer[
       ((Double, Double, Double, Double, Double, Double), Int, Int,
-        Array[Boolean], Double, (Seq[Double], Double))]()
+        Array[Boolean], Double, (Seq[Double], Double), Int, Int, Double)]()
     def tx(x: Double, y: Double): (Double, Double) =
       (ctm._1 * x + ctm._3 * y + ctm._5, ctm._2 * x + ctm._4 * y + ctm._6)
 
@@ -938,7 +990,13 @@ object MiniPdf {
       val penScale = math.sqrt(math.abs(
         ctm._1 * ctm._4 - ctm._2 * ctm._3))
       val r = (math.max(1L, math.round(lineWidth * penScale)).toInt - 1) / 2
-      val pat = dash._1.map(_ * penScale)
+      // §8.4.3.6: an ODD-length dash array alternates through a double
+      // pass — `[3] 0 d` means 3 on / 3 off (period 6), because the
+      // on/off parity flips when the array is re-entered. Doubling the
+      // array makes the even-index-is-on walk below implement exactly
+      // that; an even-length array is its own period.
+      val basePat = dash._1.map(_ * penScale)
+      val pat = if (basePat.size % 2 == 1) basePat ++ basePat else basePat
       val cycle = pat.sum
       val solid = pat.isEmpty || cycle == 0.0
       def dashOn(dist: Double): Boolean = {
@@ -955,34 +1013,131 @@ object MiniPdf {
         }
         on
       }
-      def brush(cx: Int, cy: Int): Unit = {
+      // cap half-plane clips for the CURRENT subpath (§8.4.3.3: butt and
+      // round caps must not let the stroke body extend past the endpoint's
+      // perpendicular; projecting-square keeps the full stamp). A plane is
+      // only consulted within Chebyshev 2r+1 of its anchor, so a subpath
+      // looping back near its own endpoint is never clipped away from the
+      // cap region itself.
+      var capPlanes: List[(Int, Int, Double, Double)] = Nil
+      def capOk(x: Int, y: Int): Boolean =
+        capPlanes.forall { case (ax, ay, ux, uy) =>
+          val dx = x - ax; val dy = y - ay
+          math.max(math.abs(dx), math.abs(dy)) > 2 * r + 1 ||
+            dx * ux + dy * uy <= 0.25
+        }
+      // disc = round stamp (round caps / round+bevel joins): the integer
+      // disc dx²+dy² ≤ r², same diameter as the square brush
+      def stamp(cx: Int, cy: Int, disc: Boolean, isCapDisc: Boolean): Unit = {
         var dy = -r
         while (dy <= r) {
           val py = h - 1 - (cy + dy)
           var dx = -r
           while (dx <= r) {
             val x = cx + dx
-            if (x >= 0 && x < w && py >= 0 && py < h &&
-                (clipMask == null || clipMask(py * w + x)))
+            if ((!disc || dx * dx + dy * dy <= r * r) &&
+                x >= 0 && x < w && py >= 0 && py < h &&
+                (clipMask == null || clipMask(py * w + x)) &&
+                (isCapDisc || capOk(x, cy + dy)))
               img.setRGB(x, py, strokeRgb)
             dx += 1
           }
           dy += 1
         }
       }
+      // round/bevel join vertices stamp a disc instead of the square (the
+      // two styles coincide at this granularity — chord-vs-arc is sub-px)
+      val joinDisc = lineJoin != 0 && r > 0
+      val vertexPx = new java.util.HashSet[Long]()
+      def pxKey(x: Int, y: Int): Long = (x.toLong << 32) | (y & 0xffffffffL)
       // dash walk state: distance advances 1.0 per NEW Bresenham pixel
       // (the Chebyshev arc length — see SetDash); a segment join re-emits
       // its shared vertex, which must neither re-advance nor re-decide
       var dist = 0.0
       var havePrev = false
       var prevX = 0; var prevY = 0
+      var lastOn = false // dash decision of the most recently emitted pixel
       def step(x: Int, y: Int): Unit = {
         if (!(havePrev && x == prevX && y == prevY)) {
           // the decision is by PATH distance, so clipped/off-page pixels
           // still advance the pattern (dash is path state, not raster)
-          if (solid || dashOn(dist)) brush(x, y)
+          lastOn = solid || dashOn(dist)
+          if (lastOn)
+            stamp(x, y, disc = joinDisc && vertexPx.contains(pxKey(x, y)),
+              isCapDisc = false)
           dist += 1.0
           havePrev = true; prevX = x; prevY = y
+        }
+      }
+      // miter join (§8.4.3.4 style 0 + §8.4.3.5 limit): the square vertex
+      // stamp already IS the exact miter for right/obtuse angles (tip
+      // distance r/sin(θ/2) ≤ r√2 = the stamp corner); only acute angles
+      // need the explicit tip quad (v, A, tip, B) painted, and a ratio
+      // past the miter limit falls back to bevel (= no quad) per spec.
+      def miterSpike(pv: (Int, Int), v: (Int, Int), nx: (Int, Int),
+                     on: Boolean): Unit = {
+        if (r == 0 || !on) return
+        def unitTo(to: (Int, Int)): Option[(Double, Double)] = {
+          val dx = (to._1 - v._1).toDouble; val dy = (to._2 - v._2).toDouble
+          val l = math.sqrt(dx * dx + dy * dy)
+          if (l < 1e-9) None else Some((dx / l, dy / l))
+        }
+        (unitTo(pv), unitTo(nx)) match {
+          case (Some((ux, uy)), Some((wx, wy))) =>
+            val cosT = math.max(-1.0, math.min(1.0, ux * wx + uy * wy))
+            val sinHalf = math.sqrt((1.0 - cosT) / 2.0)
+            if (sinHalf < 1e-9) return // path doubles back: ∞ miter → bevel
+            val ratio = 1.0 / sinHalf
+            if (ratio > miterLimit) return // §8.4.3.5 bevel fallback
+            val bx = ux + wx; val by = uy + wy
+            val bl = math.sqrt(bx * bx + by * by)
+            if (bl < 1e-9) return // straight through — no corner to fill
+            val tdx = -bx / bl; val tdy = -by / bl // outward bisector
+            val rd = r.toDouble
+            def perpToward(dx0: Double, dy0: Double): (Double, Double) = {
+              val (px0, py0) = (-dy0, dx0)
+              if (px0 * tdx + py0 * tdy >= 0) (px0, py0) else (dy0, -dx0)
+            }
+            val (n1x, n1y) = perpToward(-ux, -uy) // incoming travel = -u
+            val (n2x, n2y) = perpToward(wx, wy)   // outgoing travel = w
+            val quad = Array[(Double, Double)](
+              (v._1.toDouble, v._2.toDouble),
+              (v._1 + rd * n1x, v._2 + rd * n1y),
+              (v._1 + rd * ratio * tdx, v._2 + rd * ratio * tdy),
+              (v._1 + rd * n2x, v._2 + rd * n2y))
+            var area = 0.0
+            var k = 0
+            while (k < 4) {
+              val (x1, y1) = quad(k); val (x2, y2) = quad((k + 1) % 4)
+              area += x1 * y2 - x2 * y1; k += 1
+            }
+            val sgn = if (area >= 0) 1.0 else -1.0
+            val minX = math.max(0, math.floor(quad.map(_._1).min).toInt)
+            val maxX = math.min(w - 1, math.ceil(quad.map(_._1).max).toInt)
+            val minY = math.max(0, math.floor(quad.map(_._2).min).toInt)
+            val maxY = math.min(h - 1, math.ceil(quad.map(_._2).max).toInt)
+            var y = minY
+            while (y <= maxY) {
+              var x = minX
+              while (x <= maxX) {
+                var ok = true
+                var k2 = 0
+                while (k2 < 4 && ok) {
+                  val (x1, y1) = quad(k2); val (x2, y2) = quad((k2 + 1) % 4)
+                  if (sgn * ((x2 - x1) * (y - y1) -
+                      (y2 - y1) * (x - x1)) < -1e-9) ok = false
+                  k2 += 1
+                }
+                if (ok) {
+                  val py = h - 1 - y
+                  if (clipMask == null || clipMask(py * w + x))
+                    img.setRGB(x, py, strokeRgb)
+                }
+                x += 1
+              }
+              y += 1
+            }
+          case _ => // degenerate neighbor — no defined join direction
         }
       }
       def line(x0: Int, y0: Int, x1: Int, y1: Int): Unit = {
@@ -1007,15 +1162,66 @@ object MiniPdf {
         // subpath; within a subpath it runs continuously across joins
         dist = dash._2 * penScale
         havePrev = false
+        val ipts = pts.map(p => (p._1.toInt, p._2.toInt))
+        val n = ipts.size
+        // join vertices: interior points of an open subpath; EVERY point
+        // of a closed one (the h-closing vertex is a join too, §8.4.3.4)
+        vertexPx.clear()
+        if (joinDisc)
+          (if (closed) ipts.indices else 1 until math.max(1, n - 1))
+            .foreach { i => vertexPx.add(pxKey(ipts(i)._1, ipts(i)._2)) }
+        // cap planes: open subpaths only; anchored at the int endpoint
+        // pixels with the outward direction from the nearest DISTINCT
+        // neighbor (an all-one-pixel subpath is a dot — no cap direction)
+        capPlanes = Nil
+        if (!closed && r > 0 && lineCap != 2 && n >= 2) {
+          def outward(anchor: (Int, Int), from: Option[(Int, Int)])
+              : Option[(Int, Int, Double, Double)] = from.flatMap { f =>
+            val dx = (anchor._1 - f._1).toDouble
+            val dy = (anchor._2 - f._2).toDouble
+            val l = math.sqrt(dx * dx + dy * dy)
+            if (l < 1e-9) None
+            else Some((anchor._1, anchor._2, dx / l, dy / l))
+          }
+          capPlanes =
+            (outward(ipts.head, ipts.find(_ != ipts.head)) ++
+              outward(ipts.last, ipts.reverse.find(_ != ipts.last))).toList
+        }
+        // dash decision each vertex pixel received when it was emitted —
+        // caps and joins paint only where the pattern is ON (§8.4.3.6)
+        val vertexOn = new Array[Boolean](math.max(1, n))
+        vertexOn(0) = solid || dashOn(dist)
         var i = 0
-        while (i < pts.size - 1) {
-          line(pts(i)._1.toInt, pts(i)._2.toInt,
-            pts(i + 1)._1.toInt, pts(i + 1)._2.toInt)
+        while (i < n - 1) {
+          line(ipts(i)._1, ipts(i)._2, ipts(i + 1)._1, ipts(i + 1)._2)
+          vertexOn(i + 1) = lastOn
           i += 1
         }
-        if (closed && pts.size >= 2)
-          line(pts.last._1.toInt, pts.last._2.toInt,
-            pts.head._1.toInt, pts.head._2.toInt)
+        if (closed && n >= 2)
+          line(ipts.last._1, ipts.last._2, ipts.head._1, ipts.head._2)
+        // round caps: a disc stamped at each open end (§8.4.3.3 style 1),
+        // exempt from the butt planes (the cap IS the part beyond them)
+        if (!closed && lineCap == 1 && r > 0 && n >= 1) {
+          if (vertexOn(0))
+            stamp(ipts.head._1, ipts.head._2, disc = true, isCapDisc = true)
+          val endOn = if (n == 1) vertexOn(0) else vertexOn(n - 1)
+          if (endOn)
+            stamp(ipts.last._1, ipts.last._2, disc = true, isCapDisc = true)
+        }
+        // miter tips (join style 0): acute interior vertices, plus the
+        // two wrap vertices of a closed subpath
+        if (lineJoin == 0 && r > 0 && n >= 3) {
+          capPlanes = Nil // joins are never cap-clipped
+          var j = 1
+          while (j < n - 1) {
+            miterSpike(ipts(j - 1), ipts(j), ipts(j + 1), vertexOn(j))
+            j += 1
+          }
+          if (closed) {
+            miterSpike(ipts.last, ipts.head, ipts(1), vertexOn(0))
+            miterSpike(ipts(n - 2), ipts.last, ipts.head, vertexOn(n - 1))
+          }
+        }
       }
       finishPaint()
     }
@@ -1104,6 +1310,9 @@ object MiniPdf {
       case Stroke => stroke()
       case SetLineWidth(wd) => noPendingClip("w"); lineWidth = wd
       case SetDash(p, ph) => noPendingClip("d"); dash = (p, ph)
+      case SetLineCap(s) => noPendingClip("J"); lineCap = s
+      case SetLineJoin(s) => noPendingClip("j"); lineJoin = s
+      case SetMiterLimit(m) => noPendingClip("M"); miterLimit = m
       case Concat(a, b, c, d, e, f) =>
         noPendingClip("cm")
         // row-vector pre-concatenation (§8.4.4): points map through the
@@ -1114,14 +1323,17 @@ object MiniPdf {
           e * pA + f * pC + pE, e * pB + f * pD + pF)
       case SaveState =>
         noPendingClip("q")
-        gsStack += ((ctm, fillRgb, strokeRgb, clipMask, lineWidth, dash))
+        gsStack += ((ctm, fillRgb, strokeRgb, clipMask, lineWidth, dash,
+          lineCap, lineJoin, miterLimit))
       case RestoreState =>
         noPendingClip("Q")
         require(gsStack.nonEmpty, "'Q' with no matching 'q' — unbalanced " +
           "graphics-state restore has no defined raster")
-        val (m, fc, sc, cm, lw, da) = gsStack.remove(gsStack.size - 1)
+        val (m, fc, sc, cm, lw, da, lc, lj, ml) =
+          gsStack.remove(gsStack.size - 1)
         ctm = m; fillRgb = fc; strokeRgb = sc; clipMask = cm
-        lineWidth = lw; dash = da
+        lineWidth = lw; dash = da; lineCap = lc; lineJoin = lj
+        miterLimit = ml
       case Clip => pendingClip = Some(false)
       case ClipEvenOdd => pendingClip = Some(true)
       case EndPath =>

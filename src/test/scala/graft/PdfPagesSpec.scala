@@ -392,10 +392,11 @@ class PdfPagesSpec extends SparkSuite {
 
   test("MiniPdf PathPage: outside-envelope operators fail loudly, never paint wrong") {
     import MiniPdf._
-    // caps/joins/miter state has no defined raster here — the parse must
+    // an unknown operator has no defined raster here — the parse must
     // throw, not skip (skipping would render a DIFFERENT page than a
-    // viewer shows); dash/width joined the envelope in round 17
-    val e = intercept[RuntimeException] { parsePathOps("1 J 10 10 m S") }
+    // viewer shows); dash/width joined the envelope in round 17 and
+    // caps/joins/miter in round 18
+    val e = intercept[RuntimeException] { parsePathOps("/GS1 gs 10 10 m S") }
     assert(e.getMessage.contains("envelope"))
     val e2 = intercept[RuntimeException] { parsePathOps("1 2 3 zz") }
     assert(e2.getMessage.contains("zz"))
@@ -703,6 +704,12 @@ class PdfPagesSpec extends SparkSuite {
       LineTo(17, 10), Stroke))
     val expect = (0 to 17).map(x => x % 6 < 4) ++ Seq.fill(6)(false)
     assert(dashed == expect, s"dash runs: $dashed")
+    // §8.4.3.6: an ODD-length dash array alternates through a DOUBLE
+    // pass — '[3] 0 d' is 3 on / 3 off (period 6), never a solid line
+    val odd = row(Seq(SetDash(Seq(3), 0), MoveTo(0, 10),
+      LineTo(17, 10), Stroke))
+    val expectOdd = (0 to 17).map(x => x % 6 < 3) ++ Seq.fill(6)(false)
+    assert(odd == expectOdd, s"odd-length dash must double-pass: $odd")
     // phase 2 starts the walk 2 units into the pattern
     val phased = row(Seq(SetDash(Seq(4, 2), 2), MoveTo(0, 10),
       LineTo(17, 10), Stroke))
@@ -728,12 +735,16 @@ class PdfPagesSpec extends SparkSuite {
   test("MiniPdf PathPage width: 3 w paints a 3-px band; even widths round " +
     "down to the odd brush; width ≤ 1 stays the byte-identical hairline") {
     import MiniPdf._
-    val wide = pixelsOf(renderPathPage(Seq(SetLineWidth(3), MoveTo(2, 10),
-      LineTo(12, 10), Stroke), 24, 24))
-    val black = for (y <- 0 until 24; x <- 0 until 24
-                     if (wide.getRGB(x, y) & 0xffffff) == 0) yield (x, 23 - y)
-    assert(black.toSet == (for (x <- 1 to 13; y <- 9 to 11) yield (x, y)).toSet,
-      s"3-px band around the hairline: ${black.sorted}")
+    def blackOf(ops: Seq[PathOp]): Set[(Int, Int)] = {
+      val img = pixelsOf(renderPathPage(ops, 24, 24))
+      (for (y <- 0 until 24; x <- 0 until 24
+            if (img.getRGB(x, y) & 0xffffff) == 0) yield (x, 23 - y)).toSet
+    }
+    // default cap is BUTT (§8.4.1): the band ends flat AT the endpoints
+    val black = blackOf(Seq(SetLineWidth(3), MoveTo(2, 10),
+      LineTo(12, 10), Stroke))
+    assert(black == (for (x <- 2 to 12; y <- 9 to 11) yield (x, y)).toSet,
+      s"3-px butt-capped band: ${black.toSeq.sorted}")
     // width 2 rounds down to the 1-px brush (odd-square contract)…
     val two = renderPathPage(Seq(SetLineWidth(2), MoveTo(2, 10),
       LineTo(12, 10), Stroke), 24, 24)
@@ -814,5 +825,115 @@ class PdfPagesSpec extends SparkSuite {
       renderPathPage(Seq(Rect(2, 2, 8, 8), Clip, SetDash(Seq(2, 2), 0),
         EndPath), 20, 20)
     }
+  }
+
+  // --------------------------------------------- J/j/M stroke state (r18)
+
+  private def strokeBlack(ops: Seq[MiniPdf.PathOp], dim: Int = 24)
+      : Set[(Int, Int)] = {
+    val img = pixelsOf(MiniPdf.renderPathPage(ops, dim, dim))
+    (for (y <- 0 until dim; x <- 0 until dim
+          if (img.getRGB(x, y) & 0xffffff) == 0) yield (x, dim - 1 - y)).toSet
+  }
+
+  test("MiniPdf PathPage caps: butt default ends AT the endpoint, 2 J " +
+    "projects the square, 1 J stamps end discs; hairline is cap-invariant") {
+    import MiniPdf._
+    val body = Seq(SetLineWidth(3), MoveTo(2, 10), LineTo(12, 10), Stroke)
+    val butt = (for (x <- 2 to 12; y <- 9 to 11) yield (x, y)).toSet
+    assert(strokeBlack(body) == butt)
+    // projecting square (the pre-r18 implicit behavior): +r past each end
+    assert(strokeBlack(SetLineCap(2) +: body) ==
+      (for (x <- 1 to 13; y <- 9 to 11) yield (x, y)).toSet)
+    // round: butt body + integer r=1 disc (a 1-px nub) at each open end
+    assert(strokeBlack(SetLineCap(1) +: body) == butt + ((1, 10)) + ((13, 10)))
+    // width ≤ 1 (r = 0): every cap style renders the identical hairline
+    val hair = renderPathPage(Seq(MoveTo(2, 10), LineTo(12, 10), Stroke),
+      24, 24)
+    for (c <- 0 to 2)
+      assert(java.util.Arrays.equals(renderPathPage(
+        Seq(SetLineCap(c), MoveTo(2, 10), LineTo(12, 10), Stroke), 24, 24),
+        hair), s"cap $c must not change the hairline")
+    // closed subpaths have no caps: cap style never changes a closed path
+    val rect = Seq(SetLineWidth(3), Rect(5, 5, 10, 10), Stroke)
+    assert(java.util.Arrays.equals(
+      renderPathPage(SetLineCap(1) +: rect, 24, 24),
+      renderPathPage(SetLineCap(2) +: rect, 24, 24)))
+  }
+
+  test("MiniPdf PathPage joins: default miter keeps the square corner " +
+    "(exact miter at 90°); 1 j / 2 j round it off via the disc stamp") {
+    import MiniPdf._
+    // L-bend: right along y=3 then up along x=10; vertex (10,3), outer
+    // corner pixel (11,2) — covered only by the vertex stamp
+    val bend = Seq(SetLineWidth(3), MoveTo(3, 3), LineTo(10, 3),
+      LineTo(10, 10), Stroke)
+    val miter = strokeBlack(bend)
+    assert(miter((11, 2)), "miter (default) keeps the outer corner")
+    val round = strokeBlack(SetLineJoin(1) +: bend)
+    assert(!round((11, 2)), "round join cuts the outer corner")
+    assert(round((11, 3)) && round((10, 2)),
+      "round join keeps the disc cross arms")
+    // bevel coincides with round at square-brush granularity (documented)
+    assert(strokeBlack(SetLineJoin(2) +: bend) == round)
+    // at 90° the square stamp IS the miter: an explicit generous limit
+    // changes nothing (the quad repaints pixels the stamp already painted)
+    assert(strokeBlack(SetMiterLimit(10) +: bend) == miter)
+    // hairline joins are style-invariant
+    val hairBend = Seq(MoveTo(3, 3), LineTo(10, 3), LineTo(10, 10), Stroke)
+    assert(strokeBlack(hairBend) == strokeBlack(SetLineJoin(1) +: hairBend))
+  }
+
+  test("MiniPdf PathPage miter: an acute join paints the tip beyond the " +
+    "vertex stamp; past the miter limit it falls back to bevel (§8.4.3.5)") {
+    import MiniPdf._
+    // V at (10,10): incoming from (2,10), outgoing to (3,6) — interior
+    // angle ≈ 29.7°, miter ratio ≈ 3.89
+    val v = Seq(SetLineWidth(5), MoveTo(2, 10), LineTo(10, 10),
+      LineTo(3, 6), Stroke)
+    val spiked = strokeBlack(v)
+    val limited = strokeBlack(SetMiterLimit(2) +: v) // 3.89 > 2 → bevel
+    val tip = spiked -- limited
+    assert(tip.nonEmpty, "acute miter must add tip pixels")
+    assert(tip.forall { case (x, y) =>
+      math.max(math.abs(x - 10), math.abs(y - 10)) > 2 },
+      s"tip pixels lie beyond the r=2 square stamp: ${tip.toSeq.sorted}")
+    // ratio ≤ limit keeps the spike: the spec default limit (10) and an
+    // explicit 4 both admit ratio 3.89
+    assert(strokeBlack(SetMiterLimit(4) +: v) == spiked)
+    // round join on the same path never paints past the vertex stamp
+    assert((strokeBlack(SetLineJoin(1) +: v) -- limited).isEmpty)
+  }
+
+  test("MiniPdf PathPage J/j/M round-trip, validation, and q/Q restore") {
+    import MiniPdf._
+    val ops = Seq(SetLineCap(1), SetLineJoin(2), SetMiterLimit(4),
+      SetLineWidth(3), MoveTo(2, 10), LineTo(12, 10), Stroke)
+    val pdf = writePages(Seq(PathPage(ops, w = 24, h = 24)))
+    assert(extractPagePathOps(pdf, 1) == ops,
+      s"J/j/M must round-trip: ${extractPagePathOps(pdf, 1)}")
+    // invalid styles / limits fail at parse, never guess
+    assert(intercept[IllegalArgumentException] {
+      parsePathOps("5 J")
+    }.getMessage.contains("cap"))
+    assert(intercept[IllegalArgumentException] {
+      parsePathOps("1.5 j")
+    }.getMessage.contains("non-integer"))
+    assert(intercept[IllegalArgumentException] {
+      parsePathOps("0.5 M")
+    }.getMessage.contains("miter limit"))
+    // graphics-state ops between W and its paint stay loud (§8.5.4)
+    intercept[IllegalArgumentException] {
+      renderPathPage(Seq(Rect(2, 2, 8, 8), Clip, SetLineCap(1),
+        EndPath), 20, 20)
+    }
+    // q/Q: cap/join/miter set inside q…Q must not leak to the outer stroke
+    val restored = renderPathPage(Seq(
+      SaveState, SetLineCap(2), SetLineJoin(1), SetMiterLimit(1),
+      RestoreState, SetLineWidth(3), MoveTo(2, 10), LineTo(12, 10), Stroke),
+      24, 24)
+    assert(java.util.Arrays.equals(restored, renderPathPage(
+      Seq(SetLineWidth(3), MoveTo(2, 10), LineTo(12, 10), Stroke), 24, 24)),
+      "Q must restore cap/join/miter state")
   }
 }
