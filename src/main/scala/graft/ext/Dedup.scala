@@ -558,6 +558,30 @@ object Dedup {
       "new_id", "corpus_id", Seq("jaccard"))
   }
 
+  /** [[buildBandIndex]] stamped with the corpus's q222 content digest
+    * (round 18): the versioned form [[Assets.ensure]] persists once per
+    * (corpus digest, geometry) and serves to every later probe. Eager on
+    * the digest (one scan-bound aggregation) — build time, not probe time.
+    */
+  def buildBandIndexVersioned(corpus: DataFrame, k: Int = 16,
+                              bands: Int = 4, n: Int = 3): DataFrame =
+    Assets.stamp(buildBandIndex(corpus, k, bands, n), "band_sigs",
+      Assets.textDigest(corpus))
+
+  /** [[minhashNewVsIndex]] behind the freshness gate: `digest` is the
+    * admitting corpus's CURRENT digest (catalog-served at scale, see
+    * [[Assets]]); a stale or unstamped index fails loudly BEFORE any band
+    * join runs — a gate probing last week's index silently admits every
+    * duplicate of a doc that landed since.
+    */
+  def minhashNewVsIndexFresh(newDocs: DataFrame, index: DataFrame,
+                             digest: Long, k: Int = 16, bands: Int = 4,
+                             n: Int = 3, minJaccard: Double = 0.5)
+      : DataFrame =
+    minhashNewVsIndex(newDocs,
+      Assets.requireFresh(index, "band_sigs", digest),
+      k, bands, n, minJaccard)
+
   /** Greedy MAX-COVERAGE data selection (the submodular facility-location
     * family — pick the k documents that jointly cover the most distinct
     * content; the classic (1−1/e)-greedy, public literature): round t
@@ -1061,6 +1085,16 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("cluster_id", geom))
   }
 
+  /** [[buildClusterMap]] stamped with the corpus's q222 content digest —
+    * see [[buildBandIndexVersioned]]; the two assets are built from the
+    * SAME corpus version, so one digest validates both.
+    */
+  def buildClusterMapVersioned(corpus: DataFrame, k: Int = 16,
+                               bands: Int = 4, n: Int = 5,
+                               minJaccard: Double = 0.5): DataFrame =
+    Assets.stamp(buildClusterMap(corpus, k, bands, n, minJaccard),
+      "cluster_id", Assets.textDigest(corpus))
+
   /** [[leakageSafeSplit]] from a (persisted) [[buildClusterMap]] frame:
     * the split is a pure map stage over the stored cluster ids — no text
     * is touched. Bit-equal to the recompute form when the map was built
@@ -1145,6 +1179,22 @@ object Dedup {
         clusterSplit(col("cluster_id")).as("split"),
         col("inherited_cluster").isNotNull.as("inherited"))
   }
+
+  /** [[incrementalSplitIndexed]] behind the [[Assets]] freshness gate:
+    * both standing assets must have been built from the corpus version
+    * `digest` names — a stale CLUSTER MAP is the nastier failure (a new
+    * doc inherits a cluster id a full rebuild would never form, and the
+    * train/test boundary silently drifts), so both gates fail loudly
+    * before any plan runs.
+    */
+  def incrementalSplitFresh(newDocs: DataFrame, bandIndex: DataFrame,
+                            clusterMap: DataFrame, digest: Long,
+                            k: Int = 16, bands: Int = 4, n: Int = 5,
+                            minJaccard: Double = 0.5): DataFrame =
+    incrementalSplitIndexed(newDocs,
+      Assets.requireFresh(bandIndex, "band_sigs", digest),
+      Assets.requireFresh(clusterMap, "cluster_id", digest),
+      k, bands, n, minJaccard)
 
   /** Fails loudly unless `clusterMap` carries [[buildClusterMap]]'s
     * geometry metadata AND it matches the caller's parameters — absent

@@ -454,6 +454,40 @@ object Similarity {
           col("vn").as("cn"))),
       queryPred, k, nprobe)
 
+  /** Order-invariant content digest of an embeddings corpus — the q222
+    * lineage discipline on vectors: each row's term mixes its quantized
+    * self-moment (q·q, the SAME engine-neutral integer arithmetic the
+    * index scores with) with its spread vec_id BEFORE the commutative
+    * sum (a linear fold is blind to pairing swaps — see
+    * [[Curation.corpusDigest]]), mod 2³¹ throughout. One scan-bound
+    * aggregation; a catalog serves it at scale.
+    */
+  def embeddingDigest(emb: DataFrame): Long =
+    emb.select(pmod(graft.functions.Hashing.mix40(
+        pmod(qdot(quantize(col("embedding")), quantize(col("embedding"))) +
+          graft.functions.Hashing.spread(col("vec_id"), 1L << 31),
+          lit(1L << 31))), lit(1L << 31)).as("term"))
+      .agg(coalesce(pmod(sum(col("term")), lit(1L << 31)), lit(0L)))
+      .head().getLong(0)
+
+  /** [[buildIvfIndex]] stamped with [[embeddingDigest]] — the versioned
+    * form [[graft.ext.Assets.ensure]] persists once per (corpus digest,
+    * centroid geometry) and serves to every later probe.
+    */
+  def buildIvfIndexVersioned(emb: DataFrame, nCentroids: Int = 0): DataFrame =
+    graft.ext.Assets.stamp(buildIvfIndex(emb, nCentroids), "centroid_id",
+      embeddingDigest(emb))
+
+  /** [[ivfTopKIndexed]] behind the freshness gate: a stale index answers
+    * top-k from a corpus that no longer exists (missing new vectors,
+    * ranking deleted ones) — loud failure before any probe runs.
+    */
+  def ivfTopKIndexedFresh(index: DataFrame, digest: Long, queryPred: Column,
+                          k: Int = 5, nprobe: Int = 4): DataFrame =
+    ivfTopKIndexed(
+      graft.ext.Assets.requireFresh(index, "centroid_id", digest),
+      queryPred, k, nprobe)
+
   private def ivfProbe(index: DataFrame, centRow: DataFrame,
                        queryPred: Column, k: Int, nprobe: Int): DataFrame = {
     val indexed = index
