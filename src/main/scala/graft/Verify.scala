@@ -2,9 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * `graft.Verify --oracle-only <outDir>` writes JUST oracle_sql.json (no
+  * SparkSession, instant) — for re-checking an existing result dump after
+  * an oracle-SQL-only edit, instead of re-running every query.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length == 2 && args(0) == "--oracle-only") {
+      writeOracleJson(args(1)); return
+    }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -33,6 +41,12 @@ object Verify {
       // lifecycle contract — safe once the parquet sink materialized)
       finally Pin.release(spark.sparkContext)
     }
+    writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,6 +62,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

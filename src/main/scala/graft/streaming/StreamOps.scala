@@ -1038,6 +1038,29 @@ object StreamOps {
     * text seen before the horizon — never semantically neutral (the
     * kvCachePagerStream contract class).
     */
+  /** The collapse-gate state function, shared verbatim by the streaming
+    * form and the batch-mode multi-batch replay. "Seen before" is tracked
+    * as EXPLICIT state presence (state.exists = a rep stands), never an
+    * in-band Long.MaxValue sentinel — a group whose only doc_id IS
+    * Long.MaxValue must still admit exactly once, with rep = that id.
+    */
+  private val collapseGateFunc
+      : (String, Iterator[(String, Long)], GroupState[Long]) =>
+        Iterator[CollapsedDoc] =
+    (_: String, batch: Iterator[(String, Long)], state: GroupState[Long]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CollapsedDoc]
+      var seen = state.exists
+      var rep = if (seen) state.get else Long.MaxValue
+      batch.toSeq.sortBy(_._2).foreach { case (_, id) =>
+        val first = !seen
+        seen = true
+        if (id < rep) rep = id
+        out += CollapsedDoc(id, rep, first)
+      }
+      state.update(rep)
+      out.iterator
+    }
+
   def collapseGateStream(docs: DataFrame): Dataset[CollapsedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1045,25 +1068,48 @@ object StreamOps {
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, CollapsedDoc](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, batch: Iterator[(String, Long)],
-         state: GroupState[Long]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[CollapsedDoc]
-          // "seen before" is tracked as EXPLICIT Option state (state
-          // presence = a rep exists), never an in-band Long.MaxValue
-          // sentinel — a group whose only doc_id IS Long.MaxValue must
-          // still admit exactly once, with rep = that id
-          var seen = state.exists
-          var rep = if (seen) state.get else Long.MaxValue
-          batch.toSeq.sortBy(_._2).foreach { case (_, id) =>
-            val first = !seen
-            seen = true
-            if (id < rep) rep = id
-            out += CollapsedDoc(id, rep, first)
-          }
-          state.update(rep)
-          out.iterator
-      }
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(collapseGateFunc)
+  }
+
+  /** Deterministic MULTI-micro-batch REPLAY of [[collapseGateStream]],
+    * batch-expressible and driver-oracle-able (round 18): documents are
+    * assigned to `batches` micro-batches by `doc_id mod batches` and
+    * replayed in batch order, the per-text standing rep carried across
+    * batches through flatMapGroupsWithState's INITIAL STATE — the exact
+    * seam a restarted streaming query resumes from (the state-store
+    * handoff), running [[collapseGateFunc]] unchanged. The output
+    * provably DEPENDS on the cross-batch carry: a copy of a text planted
+    * in a LATER batch is never `is_first` (its text's rep stands from an
+    * earlier batch), and an earlier-batch doc with a LARGER id than a
+    * later-batch copy is the admitted one — both differ from the
+    * single-batch q269 shape whenever a duplicate group spans batches.
+    *
+    * Initial state for batch b is derived declaratively — min doc_id per
+    * text over batches < b, the closed form of folding the gate's state
+    * updates — so the whole K-batch replay is ONE lazy DAG (no
+    * driver-side materialization between batches). K is the number of
+    * replayed micro-batches — a handful, a replay parameter — so the
+    * K-plan union is not a scale term; each batch's plan is the same
+    * shuffle-on-text the streaming sink runs.
+    */
+  def collapseGateReplay(docs: DataFrame, batches: Int = 2)
+      : Dataset[CollapsedDoc] = {
+    require(batches >= 1, "need at least one micro-batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val batchOf = pmod(col("doc_id"), lit(batches.toLong))
+    (0 until batches).map { b =>
+      val part = docs.filter(batchOf === b)
+        .select(col("text"), col("doc_id")).as[(String, Long)]
+      val init = docs.filter(batchOf < b)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+      part.groupByKey(_._1)
+        .flatMapGroupsWithState[Long, CollapsedDoc](
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(
+          collapseGateFunc)
+    }.reduce(_ union _)
   }
 
   final case class PackState(bin: Long, cum: Long)
