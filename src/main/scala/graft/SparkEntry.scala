@@ -1974,7 +1974,15 @@ object SparkEntry {
     "q264_leakage_safe_split", "q265_split_leakage_audit",
     "q266_incremental_split", "q270_incremental_split_indexed",
     "q272_split_assets_versioned", "q20_cosine_neardup",
-    "q262_cosine_neardup_edges")
+    "q262_cosine_neardup_edges",
+    // round 18: q253/q255's `bands` CTE was re-inlined per reference —
+    // including ONCE PER CANDIDATE PAIR inside the correlated Hamming
+    // check — and q89's pack replay re-derived its token projection per
+    // recursion round. q252/q261 measured SLOWER materialized (3.2→15.0 s
+    // and similar): their inlined forms let DuckDB push the band filter
+    // into the CTE, which materialization blocks — a recorded negative
+    // result, same class as the q85 histogram-pruning revert.
+    "q253_dhash_clusters", "q255_dhash_keeper", "q89_pack_sequences")
   private def materializeCtes(sql: String): String =
     sql.replaceAll("""AS\s*\(\s*SELECT""", "AS MATERIALIZED (SELECT")
 
@@ -8479,11 +8487,11 @@ object SparkEntry {
         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
         |ham AS (
         |  SELECT c.doc_a, c.doc_b,
-        |    CAST((SELECT sum(bit_count(xor(xa.v, ya.v)))
-        |      FROM bands xa JOIN bands ya ON xa.band = ya.band
-        |      WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b)
-        |      AS BIGINT) AS hamming
-        |  FROM cand c)
+        |    CAST(sum(bit_count(xor(xa.v, ya.v))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands xa ON xa.doc_id = c.doc_a
+        |  JOIN bands ya ON ya.doc_id = c.doc_b AND ya.band = xa.band
+        |  GROUP BY c.doc_a, c.doc_b)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 16""".stripMargin,
 
     "q253_dhash_clusters" ->
@@ -8510,9 +8518,10 @@ object SparkEntry {
         |pairs AS (
         |  SELECT c.doc_a, c.doc_b
         |  FROM cand c
-        |  WHERE (SELECT sum(bit_count(xor(xa.v, ya.v)))
-        |    FROM bands xa JOIN bands ya ON xa.band = ya.band
-        |    WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b) <= 16),
+        |  JOIN bands xa ON xa.doc_id = c.doc_a
+        |  JOIN bands ya ON ya.doc_id = c.doc_b AND ya.band = xa.band
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING sum(bit_count(xor(xa.v, ya.v))) <= 16),
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -8644,9 +8653,10 @@ object SparkEntry {
         |pairs AS (
         |  SELECT c.doc_a, c.doc_b
         |  FROM cand c
-        |  WHERE (SELECT sum(bit_count(xor(xa.v, ya.v)))
-        |    FROM bands xa JOIN bands ya ON xa.band = ya.band
-        |    WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b) <= 16),
+        |  JOIN bands xa ON xa.doc_id = c.doc_a
+        |  JOIN bands ya ON ya.doc_id = c.doc_b AND ya.band = xa.band
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING sum(bit_count(xor(xa.v, ya.v))) <= 16),
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -8768,11 +8778,11 @@ object SparkEntry {
         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
         |ham AS (
         |  SELECT c.new_id, c.corpus_id,
-        |    CAST((SELECT sum(bit_count(xor(xa.v, ya.v)))
-        |      FROM bands xa JOIN bands ya ON xa.band = ya.band
-        |      WHERE xa.doc_id = c.new_id AND ya.doc_id = c.corpus_id)
-        |      AS BIGINT) AS hamming
-        |  FROM cand c)
+        |    CAST(sum(bit_count(xor(xa.v, ya.v))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands xa ON xa.doc_id = c.new_id
+        |  JOIN bands ya ON ya.doc_id = c.corpus_id AND ya.band = xa.band
+        |  GROUP BY c.new_id, c.corpus_id)
         |SELECT new_id, corpus_id, hamming FROM ham
         |WHERE hamming <= 16""".stripMargin,
 
@@ -8841,9 +8851,10 @@ object SparkEntry {
         |dpairs AS (
         |  SELECT c.doc_a, c.doc_b
         |  FROM dcand c
-        |  WHERE (SELECT sum(bit_count(xor(xa.v, ya.v)))
-        |    FROM dbands xa JOIN dbands ya ON xa.band = ya.band
-        |    WHERE xa.doc_id = c.doc_a AND ya.doc_id = c.doc_b) <= 16),
+        |  JOIN dbands xa ON xa.doc_id = c.doc_a
+        |  JOIN dbands ya ON ya.doc_id = c.doc_b AND ya.band = xa.band
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING sum(bit_count(xor(xa.v, ya.v))) <= 16),
         |proj AS (
         |  SELECT e.vec_id, t.j,
         |    (SELECT sum(CAST(e.embedding[s.i] AS DOUBLE) *
@@ -8936,11 +8947,11 @@ object SparkEntry {
         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
         |ham AS (
         |  SELECT c.media_a, c.media_b,
-        |    CAST((SELECT sum(bit_count(xor(xa.v, ya.v)))
-        |      FROM bands xa JOIN bands ya ON xa.band = ya.band
-        |      WHERE xa.doc_id = c.media_a AND ya.doc_id = c.media_b)
-        |      AS BIGINT) AS hamming
-        |  FROM cand c)
+        |    CAST(sum(bit_count(xor(xa.v, ya.v))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands xa ON xa.doc_id = c.media_a
+        |  JOIN bands ya ON ya.doc_id = c.media_b AND ya.band = xa.band
+        |  GROUP BY c.media_a, c.media_b)
         |SELECT media_a, media_b, hamming FROM ham
         |WHERE hamming <= 16""".stripMargin,
 
