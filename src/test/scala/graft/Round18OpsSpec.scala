@@ -166,6 +166,37 @@ class Round18OpsSpec extends SparkSuite {
     assert(o("q273_ivf_index_versioned") == o("q268_ivf_index_probe"))
   }
 
+  test("asset-fed gate plans are index-read-bound: the corpus parquet is " +
+    "never scanned, only the persisted assets and the new batch") {
+    // corpus lands as REAL parquet (so a text scan would be visible as a
+    // FileScan of its path), assets are built once and persisted
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("gr18corpusXYZ").toString
+    corpusFixture.write.mode("overwrite").parquet(s"$corpusDir/docs.parquet")
+    val corpus = spark.read.parquet(s"$corpusDir/docs.parquet")
+    val digest = ext.Assets.textDigest(corpus)
+    val idxPath = tmp("gr18idxXYZ")
+    val mapPath = tmp("gr18mapXYZ")
+    val idx = ext.Assets.ensure(spark, idxPath, "band_sigs", digest)(
+      ext.Dedup.buildBandIndex(corpus, k = 16, bands = 4, n = 5))
+    val cmap = ext.Assets.ensure(spark, mapPath, "cluster_id", digest)(
+      ext.Dedup.buildClusterMap(corpus))
+    val gate = ext.Dedup.incrementalSplitFresh(freshFixture, idx, cmap,
+      digest)
+    gate.collect() // materialize so AQE settles the final plan
+    // every FileScan in the gate plan reads an ASSET, never the corpus
+    // (scan locations via the formatted explain — AQE nests the physical
+    // scans inside query stages, so leaf-collection misses them)
+    val p = gate.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Scan parquet"), s"expected parquet scans in:\n$p")
+    assert(p.contains("gr18idxXYZ") && p.contains("gr18mapXYZ"),
+      s"gate must read both persisted assets:\n$p")
+    assert(!p.contains("gr18corpusXYZ"),
+      s"gate must NEVER rescan corpus text — the index-read-bound " +
+        s"contract:\n$p")
+  }
+
   test("collapseGateReplay: bit-equal to a REAL 2-micro-batch streaming " +
     "run with the same batch assignment; result depends on the carry") {
     implicit val sqlCtx = spark.sqlContext
