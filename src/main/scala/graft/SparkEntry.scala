@@ -1540,7 +1540,21 @@ object SparkEntry {
     // never is_first, even when its id is globally minimal.
     "q274_collapse_gate_replay" -> ((s: SparkSession, d: String) =>
       streaming.StreamOps.collapseGateReplay(
-        Tables.documents(s, d), batches = 2).toDF())
+        Tables.documents(s, d), batches = 2).toDF()),
+    // the perceptual (dhash) admission gate from a PRE-BUILT persisted
+    // index — the q271 pattern on the image-raster family; q259's oracle
+    // verbatim
+    "q275_dhash_index_versioned" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val digest = ext.Assets.textDigest(corpus)
+      val index = ext.Assets.ensure(s,
+        ext.Assets.assetPath("dhash_q275", digest, "w9h8b4"),
+        "b0", digest)(
+        ext.Dedup.buildDhashIndex(corpus))
+      ext.Dedup.dhashNewVsIndexFresh(
+        docs.filter(col("doc_id") % 5 === 0), index, digest, maxDist = 16)
+    })
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -8755,36 +8769,10 @@ object SparkEntry {
         |FROM h, t""".stripMargin,
 
     // q252's band chain with the join restricted to NEW × CORPUS
-    "q259_dhash_gate" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, 72),
-        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
-        |      AS px
-        |  FROM documents WHERE n_chars >= 72),
-        |bands AS (
-        |  SELECT doc_id, b.b AS band, CAST(
-        |    (SELECT sum(CASE WHEN px[CAST(r*9+c+1 AS BIGINT)]
-        |                        < px[CAST(r*9+c+2 AS BIGINT)]
-        |       THEN CAST(1 AS BIGINT) << CAST((r % 2) * 8 + c AS INT)
-        |       ELSE 0 END)
-        |     FROM (SELECT unnest(generate_series(0, 7)) c) cs,
-        |          (SELECT b.b * 2 AS r UNION ALL SELECT b.b * 2 + 1) rs)
-        |    AS BIGINT) AS v
-        |  FROM g, (SELECT unnest(generate_series(0, 3)) b) b),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v
-        |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
-        |ham AS (
-        |  SELECT c.new_id, c.corpus_id,
-        |    CAST(sum(bit_count(xor(xa.v, ya.v))) AS BIGINT) AS hamming
-        |  FROM cand c
-        |  JOIN bands xa ON xa.doc_id = c.new_id
-        |  JOIN bands ya ON ya.doc_id = c.corpus_id AND ya.band = xa.band
-        |  GROUP BY c.new_id, c.corpus_id)
-        |SELECT new_id, corpus_id, hamming FROM ham
-        |WHERE hamming <= 16""".stripMargin,
+    "q259_dhash_gate" -> dhashGateOracle,
+    // round 18: the persisted-dhash-index form shares q259's oracle
+    // verbatim — the versioned path must not move a hash
+    "q275_dhash_index_versioned" -> dhashGateOracle,
 
     // cross-modal capstone: the q78 MinHash chain (full corpus, 0.55) +
     // q252's dHash chain + q256's LSH-cosine chain, pair graphs tagged
@@ -9190,6 +9178,41 @@ object SparkEntry {
     * contract exactly (Round16OpsSpec proves bit-equality through a real
     * parquet round-trip; the driver row checks the in-plan form).
     */
+  /** q259's oracle, shared verbatim by q275 — the perceptual admission
+    * gate fed from the PERSISTED dhash band index must hash-match the
+    * full-recompute form.
+    */
+  private val dhashGateOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, 72),
+      |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+      |      AS px
+      |  FROM documents WHERE n_chars >= 72),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band, CAST(
+      |    (SELECT sum(CASE WHEN px[CAST(r*9+c+1 AS BIGINT)]
+      |                        < px[CAST(r*9+c+2 AS BIGINT)]
+      |       THEN CAST(1 AS BIGINT) << CAST((r % 2) * 8 + c AS INT)
+      |       ELSE 0 END)
+      |     FROM (SELECT unnest(generate_series(0, 7)) c) cs,
+      |          (SELECT b.b * 2 AS r UNION ALL SELECT b.b * 2 + 1) rs)
+      |    AS BIGINT) AS v
+      |  FROM g, (SELECT unnest(generate_series(0, 3)) b) b),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v
+      |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+      |ham AS (
+      |  SELECT c.new_id, c.corpus_id,
+      |    CAST(sum(bit_count(xor(xa.v, ya.v))) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN bands xa ON xa.doc_id = c.new_id
+      |  JOIN bands ya ON ya.doc_id = c.corpus_id AND ya.band = xa.band
+      |  GROUP BY c.new_id, c.corpus_id)
+      |SELECT new_id, corpus_id, hamming FROM ham
+      |WHERE hamming <= 16""".stripMargin
+
   private val bandIndexGateOracle: String =
     """WITH sh AS (
         |  SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS shingle FROM (

@@ -901,6 +901,62 @@ object Dedup {
     dhashGateFromBands(dhashTextBands(newDocs), dhashTextBands(corpus),
       maxDist)
 
+  /** Standing PERCEPTUAL band index — the dHash twin of
+    * [[buildBandIndex]]: one row per rasterizable doc (doc_id, b0..b3),
+    * computed once when a corpus lands and persisted (4×16 bits per doc
+    * against the text's kilobytes); [[dhashNewVsIndex]] gates admission
+    * batches against it without re-rasterizing corpus text. Raster
+    * geometry (w/h/bands) rides as column metadata (the buildBandIndex
+    * discipline) so a probe from an engine with a different raster
+    * contract fails loudly instead of joining incomparable band values.
+    */
+  def buildDhashIndex(corpus: DataFrame): DataFrame = {
+    val geom = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("w", DhashW).putLong("h", DhashH)
+      .putLong("bands", DhashBands).build()
+    dhashTextBands(corpus).withColumn("b0", col("b0").as("b0", geom))
+  }
+
+  /** The perceptual admission gate against a PERSISTED [[buildDhashIndex]]
+    * frame — [[dhashNewVsCorpus]]'s exact output contract without
+    * touching corpus text. The NEW side still exact-collapses (the
+    * minhashNewVsIndex rationale); the corpus side needs no collapse —
+    * new×index candidate mass is linear in index copies — so index rows
+    * enter the band join directly and members expand on the new side
+    * only (bit-equal either way: Hamming is group-constant).
+    */
+  def dhashNewVsIndex(newDocs: DataFrame, index: DataFrame,
+                      maxDist: Int = 16): DataFrame = {
+    val meta = index.schema("b0").metadata
+    for ((name, want) <- Seq("w" -> DhashW, "h" -> DhashH,
+        "bands" -> DhashBands)) {
+      require(meta.contains(name),
+        s"dhash index has no '$name' raster-geometry metadata — rebuild " +
+          "it with buildDhashIndex; probing an unlabeled index cannot be " +
+          "validated")
+      require(meta.getLong(name) == want,
+        s"dhash index was built with $name=${meta.getLong(name)}, this " +
+          s"engine rasters $name=$want — rebuild the index")
+    }
+    val (mNew, rNew) = dhashCollapsed(newDocs)
+    ExactCollapse.expandOrdered(
+      dhashGateFromBands(rNew, index, maxDist), mNew,
+      index.select(col("doc_id"), col("doc_id")),
+      "new_id", "corpus_id", Seq("hamming"))
+  }
+
+  /** [[buildDhashIndex]] stamped with the corpus's q222 content digest —
+    * see [[buildBandIndexVersioned]].
+    */
+  def buildDhashIndexVersioned(corpus: DataFrame): DataFrame =
+    Assets.stamp(buildDhashIndex(corpus), "b0", Assets.textDigest(corpus))
+
+  /** [[dhashNewVsIndex]] behind the [[Assets]] freshness gate. */
+  def dhashNewVsIndexFresh(newDocs: DataFrame, index: DataFrame,
+                           digest: Long, maxDist: Int = 16): DataFrame =
+    dhashNewVsIndex(newDocs, Assets.requireFresh(index, "b0", digest),
+      maxDist)
+
   private def dhashGateFromBands(newHash: DataFrame, corpusHash: DataFrame,
                                  maxDist: Int): DataFrame = {
     def banded(hash: DataFrame, idName: String): DataFrame = {

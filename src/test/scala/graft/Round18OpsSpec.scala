@@ -166,6 +166,41 @@ class Round18OpsSpec extends SparkSuite {
     assert(o("q273_ivf_index_versioned") == o("q268_ivf_index_probe"))
   }
 
+  test("dhash index versioned: probe bit-equal to dhashNewVsCorpus " +
+    "through a persisted asset; stale/unstamped/alien-raster fail loudly") {
+    val corpus = corpusFixture
+    val nd = freshFixture
+    val digest = ext.Assets.textDigest(corpus)
+    val idx = ext.Assets.ensure(spark, tmp("dh18"), "b0", digest)(
+      ext.Dedup.buildDhashIndex(corpus))
+    val viaAsset = ext.Dedup.dhashNewVsIndexFresh(nd, idx, digest)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = ext.Dedup.dhashNewVsCorpus(nd, corpus)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAsset == direct && direct.nonEmpty,
+      s"versioned dhash gate must be bit-equal:\n  asset : $viaAsset" +
+        s"\n  direct: $direct")
+    // the exact copy (100 ~ 0) gates at Hamming 0
+    assert(direct.exists { case (n, c, h) => n == 100L && c == 0L && h == 0L },
+      s"exact copy must gate at distance 0: $direct")
+    val eStale = intercept[IllegalArgumentException] {
+      ext.Dedup.dhashNewVsIndexFresh(nd, idx, digest + 1)
+    }
+    assert(eStale.getMessage.contains("STALE"), eStale.getMessage)
+    // unstamped plain band frame: no digest metadata
+    val eBare = intercept[IllegalArgumentException] {
+      ext.Dedup.dhashNewVsIndexFresh(nd,
+        ext.Dedup.buildDhashIndex(corpus), digest)
+    }
+    assert(eBare.getMessage.contains(ext.Assets.DigestKey), eBare.getMessage)
+    // a frame with NO raster-geometry metadata at all (a foreign writer):
+    // the geometry guard fires before any band value is compared
+    val eGeom = intercept[IllegalArgumentException] {
+      ext.Dedup.dhashNewVsIndex(nd, ext.Dedup.dhashTextBands(corpus))
+    }
+    assert(eGeom.getMessage.contains("raster-geometry"), eGeom.getMessage)
+  }
+
   test("asset-fed gate plans are index-read-bound: the corpus parquet is " +
     "never scanned, only the persisted assets and the new batch") {
     // corpus lands as REAL parquet (so a text scan would be visible as a
