@@ -1554,7 +1554,129 @@ object SparkEntry {
         ext.Dedup.buildDhashIndex(corpus))
       ext.Dedup.dhashNewVsIndexFresh(
         docs.filter(col("doc_id") % 5 === 0), index, digest, maxDist = 16)
-    })
+    }),
+    // Assets.advance family (round 19): a corpus version moves v0 → v1
+    // by an appended delta, and the v1 asset derives from the STANDING
+    // v0 asset plus the delta — never a corpus rescan or a full
+    // re-assignment (Assets.ensure's rebuild-on-any-mismatch, the cost
+    // the maintenance protocol exists to avoid). q276/q277/q279's
+    // oracles are the from-scratch builds' SQL VERBATIM — advance must
+    // not move a hash; q278 keeps the standing centroid geometry by
+    // contract and is oracled independently (assign-to-standing-
+    // centroids replayed in SQL).
+    "q276_band_index_advance" -> ((s: SparkSession, d: String) => {
+      val c0 = docs50(s, d).filter(col("doc_id") < 15)
+      val delta = docs50(s, d)
+        .filter(col("doc_id") >= 15 && col("doc_id") < 25)
+      val d0 = ext.Assets.textDigest(c0)
+      val d1 = ext.Assets.textDigest(docs50(s, d).filter(col("doc_id") < 25))
+      val oldPath = ext.Assets.assetPath("band_q276base", d0, "k16b4n3")
+      ext.Assets.ensure(s, oldPath, "band_sigs", d0)(
+        ext.Dedup.buildBandIndex(c0, k = 16, bands = 4, n = 3))
+      val idx = ext.Assets.advance(s,
+        ext.Assets.assetPath("band_q276", d1, "k16b4n3"),
+        "band_sigs", d1, oldPath, d0)(
+        old => ext.Dedup.advanceBandIndex(old, delta, k = 16, bands = 4,
+          n = 3))(
+        ext.Dedup.buildBandIndex(docs50(s, d).filter(col("doc_id") < 25),
+          k = 16, bands = 4, n = 3))
+      ext.Dedup.minhashNewVsIndexFresh(
+        docs50(s, d).filter(col("doc_id") >= 25), idx, d1,
+        k = 16, bands = 4, n = 3, minJaccard = 0.5)
+    }),
+    "q277_cluster_map_advance" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      val delta = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      val d0 = ext.Assets.textDigest(corpus)
+      val d1 = ext.Assets.textDigest(docs)
+      val idxPath = ext.Assets.assetPath("band_q277base", d0, "k16b4n5")
+      val idx = ext.Assets.ensure(s, idxPath, "band_sigs", d0)(
+        ext.Dedup.buildBandIndex(corpus, k = 16, bands = 4, n = 5))
+      val mapPath = ext.Assets.assetPath("cmap_q277base", d0, "k16b4n5j05")
+      ext.Assets.ensure(s, mapPath, "cluster_id", d0)(
+        ext.Dedup.buildClusterMap(corpus))
+      val advanced = ext.Assets.advance(s,
+        ext.Assets.assetPath("cmap_q277", d1, "k16b4n5j05"),
+        "cluster_id", d1, mapPath, d0)(
+        old => ext.Dedup.advanceClusterMap(old, idx, delta))(
+        ext.Dedup.buildClusterMap(docs))
+      ext.Dedup.leakageSafeSplitIndexed(
+        ext.Assets.requireFresh(advanced, "cluster_id", d1))
+    }),
+    "q278_ivf_index_advance" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 3)
+      val delta = emb.filter(pmod(col("vec_id"), lit(4L)) === 3)
+      val d0 = ext.Similarity.embeddingDigest(corpus)
+      val d1 = ext.Similarity.embeddingDigest(emb)
+      val oldPath = ext.Assets.assetPath("ivf_q278base", d0, "sqrtN")
+      ext.Assets.ensure(s, oldPath, "centroid_id", d0)(
+        ext.Similarity.buildIvfIndex(corpus))
+      val idx = ext.Assets.advance(s,
+        ext.Assets.assetPath("ivf_q278", d1, "sqrtN"),
+        "centroid_id", d1, oldPath, d0)(
+        old => ext.Similarity.advanceIvfIndex(old, delta))(
+        // no-standing-asset fallback ONLY: a from-scratch build on the
+        // grown corpus RESAMPLES centroids (different geometry from the
+        // advanced index — the documented IVF advance contract); the
+        // driver row always takes the advance arm because the base
+        // asset is ensured above
+        ext.Similarity.buildIvfIndex(emb))
+      ext.Similarity.ivfTopKIndexedFresh(idx, d1,
+        col("vec_id") % 10 === 0, k = 5, nprobe = 4)
+    }),
+    "q279_dhash_index_advance" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val c0 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+      val delta = docs.filter(col("doc_id") % 5 === 3 ||
+        col("doc_id") % 5 === 4)
+      val d0 = ext.Assets.textDigest(c0)
+      val d1 = ext.Assets.textDigest(docs.filter(col("doc_id") % 5 =!= 0))
+      val oldPath = ext.Assets.assetPath("dhash_q279base", d0, "w9h8b4")
+      ext.Assets.ensure(s, oldPath, "b0", d0)(
+        ext.Dedup.buildDhashIndex(c0))
+      val idx = ext.Assets.advance(s,
+        ext.Assets.assetPath("dhash_q279", d1, "w9h8b4"),
+        "b0", d1, oldPath, d0)(
+        old => ext.Dedup.advanceDhashIndex(old, delta))(
+        ext.Dedup.buildDhashIndex(docs.filter(col("doc_id") % 5 =!= 0)))
+      ext.Dedup.dhashNewVsIndexFresh(
+        docs.filter(col("doc_id") % 5 === 0), idx, d1, maxDist = 16)
+    }),
+    // LINEAR-build IVF (round 19): centroids fitted on a bounded
+    // deterministic sample (one Lloyd step, integer means) + ONE
+    // assignment pass — the scale path past the exact build's N·√N,
+    // measured beside it the way q19's brute force backs q24/q31
+    "q280_ivf_sampled_build" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.ivfTopKSampled(Tables.embeddings(s, d),
+        col("vec_id") % 10 === 0, k = 5, nCentroids = 128,
+        sampleSize = 4096, nprobe = 4)),
+    // K = 3 collapse replay under a SKEWED (range-block) batch key
+    // (round 19): `doc_id div 64 mod 3` sends contiguous id blocks to
+    // alternating batches, so a group's copies span NON-ADJACENT batches
+    // and a rep admitted in batch 0 must survive an interposed batch
+    // that never touches its group — state carried across ≥ 2
+    // boundaries (Round19OpsSpec proves the carry dependence and the
+    // MemoryStream bit-equality on a spanning fixture)
+    "q281_collapse_gate_skewed" -> ((s: SparkSession, d: String) =>
+      streaming.StreamOps.collapseGateReplayBy(
+        Tables.documents(s, d),
+        pmod(expr("doc_id div 64"), lit(3L)), batches = 3).toDF()),
+    // watermarked dedup REPLAY (round 19): dropDuplicatesWithinWatermark
+    // on (user_id, event_type) folded across 3 deterministic micro-
+    // batches — late drop, horizon gating, expiry, re-admission, all
+    // driver-oracled (the cross-batch half of the watermark family was
+    // spec-only). batch = event_id mod 3 interleaves the 30-day span
+    // into every batch, so batch 1/2 carry thousands of genuinely LATE
+    // rows below the batch-0 watermark; delay = 10 days keeps a horizon
+    // band where batch-0 admissions gate batch-2 copies across the
+    // interposed boundary
+    "q282_dedup_watermark_replay" -> ((s: SparkSession, d: String) =>
+      streaming.StreamOps.dedupWithinWatermarkReplay(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        pmod(col("event_id"), lit(3L)), batches = 3,
+        delayMs = 864000000L))
   )
 
   /** q205/q213's planted entity universe: deterministic, cross-doc
@@ -1987,7 +2109,8 @@ object SparkEntry {
     "q23_greedy_eval", "q64_pagerank",
     "q264_leakage_safe_split", "q265_split_leakage_audit",
     "q266_incremental_split", "q270_incremental_split_indexed",
-    "q272_split_assets_versioned", "q20_cosine_neardup",
+    "q272_split_assets_versioned", "q277_cluster_map_advance",
+    "q20_cosine_neardup",
     "q262_cosine_neardup_edges",
     // round 18: q253/q255's `bands` CTE was re-inlined per reference —
     // including ONCE PER CANDIDATE PAIR inside the correlated Hamming
@@ -9042,19 +9165,7 @@ object SparkEntry {
     // near-dup components (5-gram, uncollapsed replay — star vs clique
     // edge lists have identical connectivity) → cluster id = min node →
     // split = multiplicative hash of the CLUSTER id
-    "q264_leakage_safe_split" ->
-      (nearDupClosureSql(0.5) +
-        """,
-          |base AS (
-          |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
-          |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
-          |SELECT doc_id, cluster_id,
-          |  CASE WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 < 8
-          |         THEN 'train'
-          |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 = 8
-          |         THEN 'val'
-          |       ELSE 'test' END AS split
-          |FROM base""".stripMargin),
+    "q264_leakage_safe_split" -> leakageSafeSplitOracle,
 
     // same components; the audited split is the NAIVE per-doc hash —
     // a cluster spanning >1 split marks all its docs leaked
@@ -9120,8 +9231,253 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS rep,
         |  row_number() OVER (PARTITION BY text ORDER BY doc_id % 2, doc_id)
         |    = 1 AS is_first
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Assets.advance family (round 19): the advanced asset must be
+    // VALUE-IDENTICAL to the from-scratch build on the grown corpus, so
+    // q276/q277/q279 share the full-rebuild oracles VERBATIM — advance is
+    // an evaluation strategy, never a semantics change. q278 (IVF) keeps
+    // the STANDING centroid geometry by contract (a rebuild would
+    // resample centroids), so its oracle replays assign-to-standing-
+    // centroids independently — the q31/q24 discipline for approximate
+    // geometry.
+    "q276_band_index_advance" -> bandIndexGateOracle,
+    "q277_cluster_map_advance" -> leakageSafeSplitOracle,
+    "q278_ivf_index_advance" -> ivfAdvanceOracle,
+    "q279_dhash_index_advance" -> dhashGateOracle,
+    "q280_ivf_sampled_build" -> ivfSampledOracle,
+
+    // q281: the K = 3 skewed-batch collapse replay is the RUNNING
+    // min/first over the replay order (batch = doc_id div 64 mod 3,
+    // then id within a batch) — the q274 closed form under the
+    // range-block key
+    "q281_collapse_gate_skewed" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text
+        |    ORDER BY (doc_id // 64) % 3, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS rep,
+        |  row_number() OVER (PARTITION BY text
+        |    ORDER BY (doc_id // 64) % 3, doc_id) = 1 AS is_first
+        |FROM documents""".stripMargin,
+
+    // q282: the 3-batch watermarked dedup replay unrolled — per batch b,
+    // watermark = ms-floored max event time over batches < b minus the
+    // 10-day delay (clamped at epoch, matching Spark's ms-grain
+    // watermark tracking); rows at or below the watermark are late;
+    // rank 1 per (user_id, event_type) by (ts_us, event_id) admits
+    // unless the key is LIVE (a prior admission whose expiry =
+    // admitted ts + delay still exceeds the watermark — strict, the
+    // probed Spark eviction rule; dropped duplicates never extend it)
+    "q282_dedup_watermark_replay" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id % 3 AS batch
+        |  FROM events),
+        |w1 AS (SELECT coalesce(greatest(
+        |         max(ts_us) - max(ts_us) % 1000 - 864000000000, 0), 0) AS w
+        |       FROM e WHERE batch < 1),
+        |w2 AS (SELECT coalesce(greatest(
+        |         max(ts_us) - max(ts_us) % 1000 - 864000000000, 0), 0) AS w
+        |       FROM e WHERE batch < 2),
+        |a0 AS (
+        |  SELECT event_id, user_id, event_type, ts_us FROM (
+        |    SELECT event_id, user_id, event_type, ts_us,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts_us, event_id) AS rk
+        |    FROM e WHERE batch = 0 AND ts_us > 0) r
+        |  WHERE rk = 1),
+        |s1 AS (
+        |  SELECT user_id, event_type, ts_us + 864000000000 AS expiry
+        |  FROM a0, w1 WHERE ts_us + 864000000000 > w1.w),
+        |a1 AS (
+        |  SELECT event_id, user_id, event_type, ts_us FROM (
+        |    SELECT event_id, user_id, event_type, ts_us,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts_us, event_id) AS rk
+        |    FROM e, w1 WHERE batch = 1 AND ts_us > w1.w) r
+        |  WHERE rk = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM s1
+        |    WHERE s1.user_id = r.user_id
+        |      AND s1.event_type = r.event_type)),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.event_type, s1.expiry
+        |  FROM s1, w2 WHERE s1.expiry > w2.w
+        |  UNION ALL
+        |  SELECT a1.user_id, a1.event_type, a1.ts_us + 864000000000
+        |  FROM a1, w2 WHERE a1.ts_us + 864000000000 > w2.w),
+        |a2 AS (
+        |  SELECT event_id, user_id, event_type, ts_us FROM (
+        |    SELECT event_id, user_id, event_type, ts_us,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts_us, event_id) AS rk
+        |    FROM e, w2 WHERE batch = 2 AND ts_us > w2.w) r
+        |  WHERE rk = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM s2
+        |    WHERE s2.user_id = r.user_id
+        |      AND s2.event_type = r.event_type))
+        |SELECT event_id, user_id, event_type, ts_us,
+        |  CAST(0 AS BIGINT) AS batch FROM a0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, ts_us,
+        |  CAST(1 AS BIGINT) AS batch FROM a1
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, ts_us,
+        |  CAST(2 AS BIGINT) AS batch FROM a2""".stripMargin
   )
+
+  /** q280's oracle — the sampled (linear) IVF build replayed end-to-end:
+    * knuth-order reservoir, 128 lowest-hash seeds, ONE Lloyd step on the
+    * sample with per-position integer means (exact long sums, one IEEE
+    * division, floor — bit-replayable), empty/degenerate cells keep
+    * their seed, then one full assignment + the standard probe. The
+    * embedding dim is a schema constant (64) like the sibling dot-product
+    * oracles.
+    */
+  private val ivfSampledOracle: String =
+    """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_dot_product(q, q) AS BIGINT) AS n2
+        |  FROM qv),
+        |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv,
+        |         row_number() OVER (
+        |           ORDER BY ((vec_id + 17) * 2654435761) % 1000003,
+        |             vec_id) AS sr
+        |       FROM nrm WHERE n2 > 0),
+        |init AS (SELECT vec_id AS centroid_id, q AS cv, nv AS cn
+        |         FROM ok WHERE sr <= 128),
+        |sasg AS (
+        |  SELECT s.vec_id, s.q, c.centroid_id,
+        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |      CAST(CAST(list_dot_product(s.q, c.cv) AS BIGINT) AS DOUBLE)
+        |        / (s.nv * c.cn) DESC, c.centroid_id) AS crk
+        |  FROM ok s, init c WHERE s.sr <= 4096),
+        |sm AS (
+        |  SELECT a.centroid_id, t.i AS pos,
+        |    CAST(floor(CAST(sum(a.q[t.i]) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        |  FROM sasg a, generate_series(1, 64) t(i)
+        |  WHERE a.crk = 1
+        |  GROUP BY a.centroid_id, t.i),
+        |mv AS (
+        |  SELECT centroid_id, list(m ORDER BY pos) AS mv,
+        |    CAST(list_dot_product(list(m ORDER BY pos),
+        |      list(m ORDER BY pos)) AS BIGINT) AS mn2
+        |  FROM sm GROUP BY centroid_id),
+        |cent AS (
+        |  SELECT i.centroid_id,
+        |    CASE WHEN v.mn2 > 0 THEN v.mv ELSE i.cv END AS cv,
+        |    CASE WHEN v.mn2 > 0 THEN sqrt(CAST(v.mn2 AS DOUBLE))
+        |         ELSE i.cn END AS cn
+        |  FROM init i LEFT JOIN mv v USING (centroid_id)),
+        |asg AS (
+        |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
+        |    CAST(CAST(list_dot_product(o.q, c.cv) AS BIGINT) AS DOUBLE)
+        |      / (o.nv * c.cn) AS ccos
+        |  FROM ok o, cent c),
+        |ranked AS (
+        |  SELECT vec_id, q, nv, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY ccos DESC, centroid_id) AS crk
+        |  FROM asg),
+        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, q AS nev, nv AS nn
+        |        FROM ranked WHERE crk = 1),
+        |probes AS (SELECT centroid_id, vec_id AS query_id, q AS pqv, nv AS qn
+        |           FROM ranked WHERE crk <= 4 AND vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT p.query_id, ne.neighbor_id,
+        |    CAST(CAST(list_dot_product(p.pqv, ne.nev) AS BIGINT) AS DOUBLE)
+        |      / (p.qn * ne.nn) AS cos
+        |  FROM probes p JOIN idx ne ON ne.centroid_id = p.centroid_id
+        |  WHERE p.query_id <> ne.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos FROM rr WHERE rnk <= 5""".stripMargin
+
+  /** q264's oracle (5-gram near-dup closure → cluster id = min node →
+    * multiplicative split hash), shared verbatim by q277: a cluster map
+    * ADVANCED from the even-doc standing assets plus the odd-doc delta
+    * must equal the from-scratch map on the whole corpus — standing
+    * cluster ids are min member ids, appended docs cannot change
+    * corpus-internal edges, and edge existence is the same pure function
+    * of the two texts on both paths, so min-over-supernodes =
+    * min-over-members (Round19OpsSpec proves map equality through a real
+    * parquet round-trip; this oracle holds the split readout to it).
+    */
+  private def leakageSafeSplitOracle: String =
+    nearDupClosureSql(0.5) +
+      """,
+        |base AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 < 8
+        |         THEN 'train'
+        |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) % 10 = 8
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM base""".stripMargin
+
+  /** q278's oracle — [[ivfTopkOracle]] with ONE change: centroids are
+    * sampled from (and sized by) the STANDING corpus (vec_id % 4 ≠ 3),
+    * never the grown one, because advance keeps the standing geometry by
+    * contract; every vector (standing + delta) is then assigned to those
+    * centroids — exactly the advanced index's content — and the probe
+    * replays on top. Assignment of a standing vector to standing
+    * centroids is the same arithmetic the old index stored, so the
+    * union-with-delta and the all-vectors replay agree row for row.
+    */
+  private val ivfAdvanceOracle: String =
+    """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_dot_product(q, q) AS BIGINT) AS n2
+        |  FROM qv),
+        |ok AS (SELECT vec_id, q, sqrt(CAST(n2 AS DOUBLE)) AS nv
+        |       FROM nrm WHERE n2 > 0),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+        |       FROM embeddings WHERE vec_id % 4 <> 3),
+        |crk0 AS (
+        |  SELECT vec_id AS centroid_id, q AS cv, nv AS cn,
+        |    row_number() OVER (
+        |      ORDER BY ((vec_id + 17) * 2654435761) % 1000003, vec_id) AS cr
+        |  FROM ok WHERE vec_id % 4 <> 3),
+        |cent AS (SELECT centroid_id, cv, cn FROM crk0, nc WHERE cr <= nc.k),
+        |asg AS (
+        |  SELECT o.vec_id, o.q, o.nv, c.centroid_id,
+        |    CAST(CAST(list_dot_product(o.q, c.cv) AS BIGINT) AS DOUBLE)
+        |      / (o.nv * c.cn) AS ccos
+        |  FROM ok o, cent c),
+        |ranked AS (
+        |  SELECT vec_id, q, nv, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY ccos DESC, centroid_id) AS crk
+        |  FROM asg),
+        |idx AS (SELECT centroid_id, vec_id AS neighbor_id, q AS nev, nv AS nn
+        |        FROM ranked WHERE crk = 1),
+        |probes AS (SELECT centroid_id, vec_id AS query_id, q AS pqv, nv AS qn
+        |           FROM ranked WHERE crk <= 4 AND vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT p.query_id, ne.neighbor_id,
+        |    CAST(CAST(list_dot_product(p.pqv, ne.nev) AS BIGINT) AS DOUBLE)
+        |      / (p.qn * ne.nn) AS cos
+        |  FROM probes p JOIN idx ne ON ne.centroid_id = p.centroid_id
+        |  WHERE p.query_id <> ne.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos FROM rr WHERE rnk <= 5""".stripMargin
 
   /** q31's oracle, shared verbatim by q268 — ivfTopKIndexed probing a
     * just-built buildIvfIndex IS ivfTopK's one-plan form (the stored

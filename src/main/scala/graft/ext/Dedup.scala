@@ -568,6 +568,53 @@ object Dedup {
     Assets.stamp(buildBandIndex(corpus, k, bands, n), "band_sigs",
       Assets.textDigest(corpus))
 
+  /** Loud id-disjointness guard shared by the advance builders: an
+    * admission delta re-containing an already-indexed id would leave TWO
+    * index rows for one doc after the union — a from-scratch build has
+    * one, so the advanced asset would silently fork from the rebuild
+    * (double-counted candidates, duplicate gate pairs). One broadcast
+    * anti-join probe over the asset's id column — index-grain, never
+    * corpus text; the advance publish rewrites the index anyway, so the
+    * check does not change the cost class.
+    */
+  private def requireDisjointIds(asset: DataFrame, delta: DataFrame,
+                                 what: String): Unit = {
+    val overlap = asset.select(col("doc_id"))
+      .join(broadcast(delta.select(col("doc_id")).distinct()), "doc_id")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"$what advance: delta re-contains indexed doc_id " +
+        s"${overlap.headOption.map(_.getLong(0)).getOrElse(-1L)} — a " +
+        "delta must be NEW docs only; rebuild the asset for a corpus " +
+        "rewrite")
+  }
+
+  /** Incremental maintenance of a standing [[buildBandIndex]] asset —
+    * the [[Assets.advance]] step for the MinHash family. The index is
+    * per-doc independent (signatures and shingle codes are pure
+    * functions of one doc's text), so the new corpus version's index is
+    * EXACTLY the old rows plus the delta's rows: value-identical to
+    * `buildBandIndex(corpus ∪ delta)`, at delta-shingling cost instead
+    * of a full corpus re-scan (Round19OpsSpec proves row-set equality
+    * through a real parquet round-trip; q276's oracle holds the probe to
+    * the from-scratch hashes). Geometry metadata rides from the old
+    * index through the union; a geometry-mismatched advance fails loudly
+    * below instead of unioning incomparable signatures.
+    */
+  def advanceBandIndex(index: DataFrame, delta: DataFrame, k: Int = 16,
+                       bands: Int = 4, n: Int = 3): DataFrame = {
+    val meta = index.schema("band_sigs").metadata
+    for ((name, want) <- Seq("k" -> k, "bands" -> bands, "n" -> n)) {
+      require(meta.contains(name) && meta.getLong(name) == want,
+        s"band index advance: index geometry '$name' is " +
+          s"${if (meta.contains(name)) meta.getLong(name).toString
+             else "absent"}, advancing with $name=$want would union " +
+          "incomparable signatures — match the index or rebuild")
+    }
+    requireDisjointIds(index, delta, "band index")
+    index.unionByName(buildBandIndex(delta, k, bands, n))
+  }
+
   /** [[minhashNewVsIndex]] behind the freshness gate: `digest` is the
     * admitting corpus's CURRENT digest (catalog-served at scale, see
     * [[Assets]]); a stale or unstamped index fails loudly BEFORE any band
@@ -951,6 +998,26 @@ object Dedup {
   def buildDhashIndexVersioned(corpus: DataFrame): DataFrame =
     Assets.stamp(buildDhashIndex(corpus), "b0", Assets.textDigest(corpus))
 
+  /** Incremental maintenance of a standing [[buildDhashIndex]] asset —
+    * the [[Assets.advance]] step for the perceptual family. Like the
+    * band index, dhash rows are per-doc independent (4×16 raster bits
+    * from one doc's bytes), so advance = old rows ∪ delta rows, value-
+    * identical to `buildDhashIndex(corpus ∪ delta)` at delta-raster cost
+    * (q279's oracle holds the probe to the from-scratch hashes).
+    */
+  def advanceDhashIndex(index: DataFrame, delta: DataFrame): DataFrame = {
+    val meta = index.schema("b0").metadata
+    for ((name, want) <- Seq("w" -> DhashW, "h" -> DhashH,
+        "bands" -> DhashBands)) {
+      require(meta.contains(name) && meta.getLong(name) == want,
+        s"dhash index advance: index raster geometry '$name' is " +
+          s"${if (meta.contains(name)) meta.getLong(name).toString
+             else "absent"}, this engine rasters $name=$want — rebuild")
+    }
+    requireDisjointIds(index, delta, "dhash index")
+    index.unionByName(buildDhashIndex(delta))
+  }
+
   /** [[dhashNewVsIndex]] behind the [[Assets]] freshness gate. */
   def dhashNewVsIndexFresh(newDocs: DataFrame, index: DataFrame,
                            digest: Long, maxDist: Int = 16): DataFrame =
@@ -1150,6 +1217,90 @@ object Dedup {
                                minJaccard: Double = 0.5): DataFrame =
     Assets.stamp(buildClusterMap(corpus, k, bands, n, minJaccard),
       "cluster_id", Assets.textDigest(corpus))
+
+  /** Incremental maintenance of a standing [[buildClusterMap]] asset —
+    * the [[Assets.advance]] step for the split family, and the one
+    * advance that is NOT a per-doc union: near-dup connectivity is
+    * global, so a delta doc can bridge two standing clusters. The merge
+    * runs connected components over a SUPER-NODE graph — old clusters
+    * enter as single nodes labeled by their cluster_id — so advance cost
+    * is linear in the delta's edge mass, never a corpus re-cluster:
+    *
+    *   - delta ↔ corpus edges come from [[minhashNewVsIndex]] against
+    *     the standing BAND INDEX (no corpus text is touched), each pair
+    *     mapped to its corpus doc's standing cluster_id;
+    *   - delta ↔ delta edges are [[minhashNearDupEdges]] on the delta;
+    *   - CC over those edges yields `component = min reachable node id`.
+    *
+    * VALUE-IDENTITY to `buildClusterMap(corpus ∪ delta)` is structural,
+    * not approximate: corpus-internal edges cannot change when docs are
+    * appended (near-duplication is pairwise), a standing cluster_id IS
+    * the min doc_id of its members (rep = min id, component = min rep),
+    * and edge EXISTENCE between any two docs is the same pure function
+    * of their texts on both paths (band candidacy + stored-code exact
+    * Jaccard, integer-identical to the full pipeline's kernel). So
+    * min-over-supernodes = min-over-members, bridged old clusters merge
+    * to exactly the id the from-scratch CC gives them, and untouched
+    * rows keep their ids (Round19OpsSpec proves map equality through a
+    * parquet round-trip; q277's oracle is the from-scratch split's SQL
+    * verbatim).
+    *
+    * @param oldMap   standing [[buildClusterMap]] asset (doc_id,
+    *                 cluster_id + geometry metadata)
+    * @param oldIndex standing [[buildBandIndex]] asset of the SAME
+    *                 corpus version at the map's geometry
+    * @param delta    newly admitted docs (ids disjoint from the corpus)
+    */
+  def advanceClusterMap(oldMap: DataFrame, oldIndex: DataFrame,
+                        delta: DataFrame, k: Int = 16, bands: Int = 4,
+                        n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val meta = oldMap.schema("cluster_id").metadata
+    for ((name, want) <- Seq("k" -> k.toLong, "bands" -> bands.toLong,
+        "n" -> n.toLong)) {
+      require(meta.contains(name) && meta.getLong(name) == want,
+        s"cluster map advance: map geometry '$name' is " +
+          s"${if (meta.contains(name)) meta.getLong(name).toString
+             else "absent"}, advancing with $name=$want would mix " +
+          "clusterings — match the map or rebuild")
+    }
+    require(meta.contains("minJaccard") &&
+        meta.getDouble("minJaccard") == minJaccard,
+      "cluster map advance: map minJaccard is " +
+        s"${if (meta.contains("minJaccard")) meta.getDouble("minJaccard").toString
+           else "absent"}, advancing with $minJaccard would mix " +
+        "clusterings — match the map or rebuild")
+    requireDisjointIds(oldMap, delta, "cluster map")
+    // delta ↔ standing-cluster edges: the admission gate's pairs (member
+    // grain on the delta side, corpus doc grain on the index side),
+    // lifted to the corpus side's SUPER-NODE = standing cluster_id
+    val bridge = minhashNewVsIndex(delta, oldIndex, k, bands, n, minJaccard)
+      .select(col("new_id"), col("corpus_id").as("doc_id"))
+      .join(oldMap.select(col("doc_id"), col("cluster_id")), "doc_id")
+      .select(col("new_id").as("a"), col("cluster_id").as("b"))
+    // delta ↔ delta edges: rep pairs + exact-copy star edges — the
+    // connectivity-equivalent edge list the full build's CC consumes
+    val within = minhashNearDupEdges(delta, k, bands, n, minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = Components.connectedComponents(bridge.unionByName(within))
+    val geom = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("k", k).putLong("bands", bands).putLong("n", n)
+      .putDouble("minJaccard", minJaccard).build()
+    // standing rows: remap any cluster merged by a bridge (component of
+    // its super-node), everything untouched keeps its id; delta rows:
+    // component when connected, else a fresh singleton = own id — the
+    // buildClusterMap coalesce rule
+    val remapped = oldMap.select(col("doc_id"), col("cluster_id"))
+      .join(comp.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("cluster_id")).as("cluster_id"))
+    val admitted = delta.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    remapped.unionByName(admitted)
+      .select(col("doc_id"), col("cluster_id").as("cluster_id", geom))
+  }
 
   /** [[leakageSafeSplit]] from a (persisted) [[buildClusterMap]] frame:
     * the split is a pure map stage over the stored cluster ids — no text

@@ -454,6 +454,98 @@ object Similarity {
           col("vn").as("cn"))),
       queryPred, k, nprobe)
 
+  /** LINEAR-build IVF (round 19) — the scale path past the exact build's
+    * N·√N assignment, the scale story's only above-linear term (q268:
+    * 115.6× wall at 100× data, ^1.47 measured). The classic mini-batch
+    * k-means shape from the public literature (Sculley, WWW'10; k-means‖
+    * Bahmani et al., VLDB'12): fit centroids on a BOUNDED deterministic
+    * sample of the corpus, then ONE assignment pass —
+    *
+    *   1. sample  = the `sampleSize` lowest-hash vectors (the engine-
+    *      neutral knuth order the exact build already samples with — a
+    *      deterministic reservoir, one TakeOrdered, bounded);
+    *   2. init    = the `nCentroids` lowest-hash of those (the exact
+    *      build's rule, capped instead of √N);
+    *   3. refine  = one Lloyd step ON THE SAMPLE ONLY: assign the sample
+    *      to init (same ccos/tie-break chain as the exact build), then
+    *      per-cell element-wise integer mean — floor(Σqᵢ/|cell|), exact
+    *      long sums, one IEEE division, so an external oracle replays it
+    *      bit-for-bit. An empty cell (its seed captured by an identical
+    *      lower-id twin) and a degenerate all-zero mean keep their seed
+    *      vector — cn > 0 stays structural, never a NaN ordering hazard;
+    *   4. assign  = ONE pass of all N vectors against the nc refined
+    *      centroids.
+    *
+    * Cost: fit is O(sampleSize·nc) — CONSTANT in N; assignment is
+    * O(N·nc) with nc a bounded knob, not √N — so the whole build is
+    * ~linear in the corpus (the q280 30×/100× record), while probe cost
+    * per query stays nprobe/nc of the corpus. The exact √N build remains
+    * alongside as the measured oracle twin, exactly how q19's brute
+    * force backs q24/q31.
+    *
+    * Centroids are REFINED MEANS, not corpus vectors, so they live in
+    * their own frame (no is_centroid rows); [[ivfTopKSampled]] is the
+    * build+probe one-plan form, oracled independently (q280) since cell
+    * geometry legitimately differs from the exact build's.
+    */
+  private def sampledParts(emb: DataFrame, nCentroids: Int,
+                           sampleSize: Int): (DataFrame, DataFrame) = {
+    require(nCentroids > 0 && sampleSize >= nCentroids,
+      s"sampled IVF needs 0 < nCentroids ($nCentroids) <= sampleSize " +
+        s"($sampleSize)")
+    val quantized = emb
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+    val ordered = quantized
+      .select(col("vec_id"), col("q"),
+        sqrt(col("n2").cast("double")).as("vn"))
+      .orderBy(graft.functions.Hashing.knuthMod(col("vec_id"),
+        1000003L, offset = 17L), col("vec_id"))
+    val sample = ordered.limit(sampleSize)
+    val init = ordered.limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"),
+        col("vn").as("cn"))
+    // one Lloyd step on the sample: per-cell element-wise integer mean.
+    // The explode is bounded (sampleSize·dim rows) — fit cost never
+    // scales with the corpus
+    val assigned = assignCells(centRowOf(init), sample, 1)
+    val means = assigned
+      .select(col("centroid_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m",
+        floor(col("s").cast("double") / col("cnt").cast("double"))
+          .cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        t => t("m")).as("mv"))
+      .withColumn("mn2", qdot(col("mv"), col("mv")))
+    val centroids = broadcast(init
+      .join(means, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        when(col("mn2") > 0L, col("mv")).otherwise(col("cv")).as("cv"),
+        when(col("mn2") > 0L, sqrt(col("mn2").cast("double")))
+          .otherwise(col("cn")).as("cn")))
+    // repartition before the nc×-amplifying assignment (the ivfParts
+    // discipline); ONE linear pass over the corpus
+    val vectors = quantized.select(col("vec_id"), col("q"),
+        sqrt(col("n2").cast("double")).as("vn"))
+      .repartition(col("vec_id"))
+    (assignCells(centRowOf(centroids), vectors, 1), centroids)
+  }
+
+  /** Sampled-build ANN in one plan: [[sampledParts]] + the shared probe
+    * kernel. The LINEAR-build counterpart of [[ivfTopK]].
+    */
+  def ivfTopKSampled(emb: DataFrame, queryPred: Column, k: Int = 5,
+                     nCentroids: Int = 128, sampleSize: Int = 4096,
+                     nprobe: Int = 4): DataFrame = {
+    val (index, centroids) = sampledParts(emb, nCentroids, sampleSize)
+    ivfProbe(index, centRowOf(centroids), queryPred, k, nprobe)
+  }
+
   /** Order-invariant content digest of an embeddings corpus — the q222
     * lineage discipline on vectors: each row's term mixes its quantized
     * self-moment (q·q, the SAME engine-neutral integer arithmetic the
@@ -462,13 +554,81 @@ object Similarity {
     * [[Curation.corpusDigest]]), mod 2³¹ throughout. One scan-bound
     * aggregation; a catalog serves it at scale.
     */
-  def embeddingDigest(emb: DataFrame): Long =
+  def embeddingDigest(emb: DataFrame): Long = {
+    val q = quantize(col("embedding"))
+    // POSITION-SENSITIVE moment (round 19, the ADVICE fix): the self-
+    // moment q·q alone is invariant under component permutations and
+    // sign flips, so a norm-preserving per-vector edit passed the
+    // freshness gate silently. Σ qᵢ·(2i+1) breaks both symmetries (odd
+    // weights, one per position) while staying engine-neutral integer
+    // arithmetic; |qᵢ| ≤ 1e6 and dims are small, so the fold cannot
+    // overflow a long before the mod.
+    val posdot = aggregate(
+      transform(q, (x, i) => x * (lit(2L) * i + lit(1L))),
+      lit(0L), (acc, v) => acc + v)
     emb.select(pmod(graft.functions.Hashing.mix40(
         pmod(qdot(quantize(col("embedding")), quantize(col("embedding"))) +
+          pmod(posdot, lit(1L << 31)) +
           graft.functions.Hashing.spread(col("vec_id"), 1L << 31),
           lit(1L << 31))), lit(1L << 31)).as("term"))
       .agg(coalesce(pmod(sum(col("term")), lit(1L << 31)), lit(0L)))
       .head().getLong(0)
+  }
+
+  /** Incremental maintenance of a standing [[buildIvfIndex]] asset — the
+    * [[Assets.advance]] step for the ANN family, and the advance that
+    * makes the seam's economics visible: a from-scratch build re-pays
+    * the N·√N assignment (the scale story's only above-linear term —
+    * 122.5 s at the 100× point) for ANY corpus change, while advance
+    * assigns only the DELTA against the STORED centroid row:
+    * |delta|·√N flops, corpus text and standing vectors untouched.
+    *
+    * Unlike the band/dhash/cluster advances this is NOT value-identical
+    * to the from-scratch build on the grown corpus — a rebuild would
+    * RESAMPLE √N′ centroids over all vectors and move every cell
+    * boundary. Advance deliberately keeps the standing geometry (the
+    * probe-side contract: cells mean what they meant), under a loud
+    * DRIFT GUARD: once the un-sampled delta mass passes `maxDeltaFrac`
+    * of the indexed corpus, the centroid sample is no longer
+    * representative of the distribution it partitions (cells bloat,
+    * recall decays) and the caller must rebuild. q278 oracles the
+    * advanced probe independently (assign-to-standing-centroids
+    * replayed in SQL), the q31/q24 discipline for approximate geometry.
+    */
+  def advanceIvfIndex(index: DataFrame, deltaEmb: DataFrame,
+                      maxDeltaFrac: Double = 0.5): DataFrame = {
+    val quantized = deltaEmb
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0L)
+    val nOld = index.count()
+    val nDelta = quantized.count()
+    require(nDelta <= maxDeltaFrac * nOld,
+      s"IVF advance: delta carries $nDelta vectors against $nOld " +
+        s"indexed (> ${maxDeltaFrac} drift guard) — the standing " +
+        "centroid sample no longer represents the corpus; rebuild with " +
+        "buildIvfIndex")
+    val overlap = index.select(col("vec_id"))
+      .join(broadcast(quantized.select(col("vec_id")).distinct()),
+        "vec_id").limit(1).collect()
+    require(overlap.isEmpty,
+      "IVF advance: delta re-contains indexed vec_id " +
+        s"${overlap.headOption.map(_.getLong(0)).getOrElse(-1L)} — a " +
+        "delta must be NEW vectors only; rebuild for a corpus rewrite")
+    val centroids = index.filter(col("is_centroid"))
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"),
+        col("vn").as("cn"))
+    // same repartition-before-amplification discipline as ivfParts: the
+    // delta arrives in a handful of input splits and the nc× assignment
+    // transform would serialize on them
+    val vectors = quantized.select(col("vec_id"), col("q"),
+        sqrt(col("n2").cast("double")).as("vn"))
+      .repartition(col("vec_id"))
+    index.unionByName(
+      assignCells(centRowOf(centroids), vectors, 1)
+        .withColumn("is_centroid", lit(false))
+        .select(index.columns.map(col): _*))
+  }
 
   /** [[buildIvfIndex]] stamped with [[embeddingDigest]] — the versioned
     * form [[graft.ext.Assets.ensure]] persists once per (corpus digest,

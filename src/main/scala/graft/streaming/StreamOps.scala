@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -100,6 +101,81 @@ object StreamOps {
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Deterministic MULTI-micro-batch REPLAY of [[dedupStream]]'s
+    * WATERMARKED operator (round 19) — the late-data sibling of
+    * [[collapseGateReplay]], covering the state-store semantics that
+    * were spec-only: `dropDuplicatesWithinWatermark` admits the first
+    * row per key, holds the key in state until the WATERMARK passes its
+    * expiry (first-seen event time + delay), drops duplicates while the
+    * entry lives, RE-ADMITS after it expires, and discards late rows
+    * below the watermark before they reach state. The replay folds those
+    * rules across `batches` deterministic micro-batches:
+    *
+    *   - watermark before batch b = max event time over batches < b,
+    *     floored to the millisecond (Spark tracks watermarks in ms),
+    *     minus `delayMs`, clamped at epoch — exactly the value a
+    *     restarted query resumes with;
+    *   - a batch row below the watermark is late → dropped;
+    *   - within a batch, rows process in (ts_us, event_id) order (the
+    *     family's in-order horizon contract — Spark leaves same-key
+    *     same-batch winner choice to partition order; the replay pins
+    *     it, and the MemoryStream equality spec feeds ≤ 1 row per key
+    *     per batch so the pin is unobservable there);
+    *   - the admitted row's key enters state with expiry = its event
+    *     time + delay; entries at or below the watermark evict before
+    *     the batch processes.
+    *
+    * Dedup key is (user_id, event_type) — the per-user event-type
+    * throttle shape; events' event_id is unique so keying it would make
+    * dedup vacuous. K is a replay parameter (a handful): state chains
+    * through [[graft.Pin]] per boundary, so the K-batch fold stays one
+    * flat sequence of bounded-state plans, never a 3^K lineage tree.
+    * The output DEPENDS on state carried across ≥ 2 boundaries: a key
+    * admitted in batch 0 inside the horizon gates its batch-2 copy even
+    * when batch 1 never touches the key (Round19OpsSpec proves
+    * bit-equality to a real 3-batch MemoryStream run, re-admission and
+    * late-drop included).
+    *
+    * @param events frame carrying event_id, user_id, event_type, ts_us
+    * @param batchKey micro-batch assignment in [0, batches)
+    */
+  def dedupWithinWatermarkReplay(events: DataFrame, batchKey: Column,
+                                 batches: Int = 3,
+                                 delayMs: Long = 86400000L): DataFrame = {
+    require(batches >= 1, "need at least one micro-batch")
+    val delayUs = delayMs * 1000L
+    val keyed = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts_us"), batchKey.cast("long").as("batch"))
+    val keyCols = Seq("user_id", "event_type")
+    var state: DataFrame = keyed.sparkSession.emptyDataFrame
+    val outs = (0 until batches).map { b =>
+      // watermark the engine holds while batch b processes: ms-floored
+      // max event time of everything seen before, minus the delay
+      val mx = max(col("ts_us"))
+      val wf = broadcast(keyed.filter(col("batch") < b)
+        .agg(coalesce(greatest((mx - pmod(mx, lit(1000L))) - lit(delayUs),
+          lit(0L)), lit(0L)).as("w_us")))
+      val live =
+        if (b == 0) keyed.filter(lit(false))
+          .select(keyCols.map(col) :+ col("ts_us").as("expiry_us"): _*)
+        else graft.Pin(state.crossJoin(wf)
+          .filter(col("expiry_us") > col("w_us"))
+          .select(keyCols.map(col) :+ col("expiry_us"): _*))
+      val ranked = keyed.filter(col("batch") === b).crossJoin(wf)
+        .filter(col("ts_us") > col("w_us")) // late rows never reach state
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col("ts_us"), col("event_id"))))
+      val admitted = ranked.filter(col("rk") === 1)
+        .join(live.select(keyCols.map(col): _*), keyCols, "left_anti")
+      state = live.unionByName(admitted.select(
+        keyCols.map(col) :+ (col("ts_us") + lit(delayUs)).as("expiry_us"): _*))
+      admitted.select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), lit(b.toLong).as("batch"))
+    }
+    outs.reduce(_ unionByName _)
+  }
 
   /** Stream-stream interval join (attribution shape): each purchase joined
     * to the same user's views in the preceding `windowSec` seconds. BOTH
@@ -1093,15 +1169,30 @@ object StreamOps {
     * shuffle-on-text the streaming sink runs.
     */
   def collapseGateReplay(docs: DataFrame, batches: Int = 2)
-      : Dataset[CollapsedDoc] = {
+      : Dataset[CollapsedDoc] =
+    collapseGateReplayBy(docs, pmod(col("doc_id"), lit(batches.toLong)),
+      batches)
+
+  /** [[collapseGateReplay]] with an ARBITRARY batch assignment (round 19):
+    * `batchKey` maps each doc to its micro-batch in [0, batches). The
+    * K = 2 parity replay only ever carries state across ONE boundary and
+    * interleaves groups evenly; a range/block key (q281 uses
+    * `doc_id div 64 mod 3`) makes one text's copies span NON-ADJACENT
+    * batches, so a rep admitted in batch 0 must survive an interposed
+    * batch that never touches its group and still gate batch 2 — state
+    * carried across ≥ 2 boundaries, the restarted-stream resume seam
+    * exercised K−1 times (Round19OpsSpec proves bit-equality to a real
+    * K-batch MemoryStream run on a skewed fixture).
+    */
+  def collapseGateReplayBy(docs: DataFrame, batchKey: Column,
+                           batches: Int): Dataset[CollapsedDoc] = {
     require(batches >= 1, "need at least one micro-batch")
     val spark = docs.sparkSession
     import spark.implicits._
-    val batchOf = pmod(col("doc_id"), lit(batches.toLong))
     (0 until batches).map { b =>
-      val part = docs.filter(batchOf === b)
+      val part = docs.filter(batchKey === b)
         .select(col("text"), col("doc_id")).as[(String, Long)]
-      val init = docs.filter(batchOf < b)
+      val init = docs.filter(batchKey < b)
         .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
         .as[(String, Long)]
         .groupByKey(_._1).mapValues(_._2)
