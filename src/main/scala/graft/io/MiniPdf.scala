@@ -46,9 +46,14 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * butt/round/projecting caps as half-plane clips and disc stamps on the
   * open ends, miter joins as the square vertex stamp plus an explicit
   * tip quad for acute angles (miter-limit bevel fallback per §8.4.3.5),
-  * round/bevel joins as a disc vertex stamp. Remaining out-of-envelope
-  * state (text inside path pages) fails loudly rather than paint a wrong
-  * page.
+  * round/bevel joins as a disc vertex stamp; text blocks INSIDE path
+  * pages (round 19 — the former last notch) parse as [[ShowText]] ops
+  * and stamp the renderTextPage glyph stipples through the live clip
+  * mask and fill color, so cropped-table pages (text under `W n`) have
+  * a defined raster and EVERY non-image page routes through the one
+  * scanline rasterizer. Out-of-envelope state (scaled/rotated text
+  * matrices or CTMs under text, glyph-metric-dependent positioning,
+  * TJ arrays) still fails loudly rather than paint a wrong page.
   * Object dictionaries are uncompressed (the image streams themselves are
   * compressed). A full engine (pdfbox-class) would replace this object
   * behind the same [[PdfPages.Renderer]] seam.
@@ -222,6 +227,20 @@ object MiniPdf {
     * just discards the path.
     */
   case object EndPath extends PathOp
+  /** A parsed `BT … ET` text block (round 19 — the last envelope notch:
+    * text painted while a `W n` path clip is active, the cropped-table
+    * shape `Tools/server.py:59-74` renders). Each run is one `Tj` with
+    * its TEXT-SPACE baseline origin (the accumulated `Tm`/`Td`/`T*`/`TL`
+    * positioning); glyphs raster through the SAME clip mask and fill
+    * color as path paints, with [[renderTextPage]]'s exact 5×7 stipple
+    * geometry — a pure-text page rasters byte-identically through either
+    * path (PdfPagesSpec pins it). The envelope holds text matrices to
+    * translation (`1 0 0 1 e f Tm`) and the CTM at paint time to
+    * translation too: a scaled/rotated glyph grid has no defined stipple
+    * raster here, so it fails loudly rather than paint a wrong page.
+    */
+  final case class ShowText(runs: Seq[(Double, Double, String)])
+    extends PathOp
 
   /** A VECTOR-path page (round 13, the last S7 notch): `ops` become a
     * genuine PDF path content stream (`m l h re f f* S n rg RG cm q Q
@@ -281,6 +300,15 @@ object MiniPdf {
       case Clip => "W"
       case ClipEvenOdd => "W*"
       case EndPath => "n"
+      // each run re-states its origin as an explicit translation Tm, so
+      // the stream round-trips through parsePathOps exactly (the parser
+      // accumulates Td/T*/TL into per-run origins; emission normalizes)
+      case ShowText(runs) =>
+        "BT /F0 12 Tf " + runs.map { case (x, y, s) =>
+          val esc = s.replace("\\", "\\\\")
+            .replace("(", "\\(").replace(")", "\\)")
+          s"1 0 0 1 ${pdfNum(x)} ${pdfNum(y)} Tm ($esc) Tj"
+        }.mkString(" ") + " ET"
     }.mkString(" ")
 
   /** 6-dp PDF number (Locale.ROOT — see [[pdfDecimal]]'s comma-locale
@@ -337,14 +365,21 @@ object MiniPdf {
             s"$body\nendstream\nendobj\n")
 
         case PathPage(pops, _, _) =>
-          // 3-object numbering kept; the middle object is a placeholder
-          // (an empty-dict object) so page/content numbering stays uniform
+          // 3-object numbering kept; the middle object is the font dict
+          // when the page shows text (a conforming viewer needs the /F0
+          // resource), else a placeholder so numbering stays uniform
+          val hasText = pops.exists(_.isInstanceOf[ShowText])
+          val resources =
+            if (hasText) s"<< /Font << /F0 $iObj 0 R >> >>" else "<< >>"
           beginObj()
           emit(s"$pObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
-            s"/MediaBox [0 0 $w $h] /Resources << >> " +
+            s"/MediaBox [0 0 $w $h] /Resources $resources " +
             s"/Contents $cObj 0 R >>\nendobj\n")
           beginObj()
-          emit(s"$iObj 0 obj\n<< >>\nendobj\n")
+          emit(if (hasText)
+            s"$iObj 0 obj\n<< /Type /Font /Subtype /Type1 " +
+              "/BaseFont /Helvetica >>\nendobj\n"
+          else s"$iObj 0 obj\n<< >>\nendobj\n")
           val body = pathOpsToStream(pops)
           beginObj()
           emit(s"$cObj 0 obj\n<< /Length ${body.length} >>\nstream\n" +
@@ -571,14 +606,13 @@ object MiniPdf {
         .findFirstMatchIn(pageDict).getOrElse(sys.error("no /MediaBox"))
       (mb.group(1).toInt, mb.group(2).toInt)
     }
-    if (!pageDict.contains("/XObject") && pageDict.contains("/Font")) {
-      // text-operator page: extract + metrics-free raster (see
-      // [[renderTextPage]]) — a defined result instead of an envelope miss
-      val (w, h) = mediaBox
-      renderTextPage(extractPageText(pdfBytes, page), w, h)
-    } else if (!pageDict.contains("/XObject")) {
-      // vector-path page (round 13, the last S7 notch): parse the
-      // m/l/h/re/f/f*/S/rg/RG content stream and scanline-rasterize it
+    if (!pageDict.contains("/XObject")) {
+      // text / vector / MIXED page — one rasterizer (round 19):
+      // parsePathOps lifts BT…ET blocks into ShowText ops, so a pure
+      // text page takes the same scanline path (byte-identical to
+      // [[renderTextPage]] — PdfPagesSpec pins it) and text painted
+      // under an active `W n` path clip stamps through the mask, the
+      // cropped-table shape that used to be the last loud envelope notch
       val (w, h) = mediaBox
       renderPathPage(extractPagePathOps(pdfBytes, page), w, h)
     } else renderImagePage(page, pageXObject(pdfBytes, page))
@@ -726,7 +760,8 @@ object MiniPdf {
   /** The path operators of a 1-based [[PathPage]]'s content stream, parsed
     * back into the [[PathOp]] ADT — the vector-content analog of
     * [[extractPageText]]. Fails loudly on any operator outside the
-    * `m l h re c v y f f* S n rg RG cm q Q W W* w d J j M` envelope: a
+    * `m l h re c v y f f* S n rg RG cm q Q W W* w d J j M` +
+    * `BT…ET` text-block envelope: a
     * page drawn with other operators has no defined raster here, and
     * silently skipping an operator would paint a WRONG page, which is
     * worse than no page.
@@ -754,12 +789,56 @@ object MiniPdf {
       (math.round(r * 255).toInt << 16) | (math.round(g * 255).toInt << 8) |
         math.round(b * 255).toInt
     }
+    // PDF string literals may contain whitespace, operators, and
+    // brackets — lift them out BEFORE whitespace tokenization, storing
+    // the unescaped values (\X → X, extractPageText's rule; balanced
+    // unescaped parens nest per §7.3.4.2). NUL (escaped in the literal
+    // below) cannot appear in an
+    // ASCII content stream, so the placeholder token never collides.
+    val strings = scala.collection.mutable.ArrayBuffer[String]()
+    val lifted = new StringBuilder
+    var ci = 0
+    while (ci < body.length) {
+      if (body.charAt(ci) == '(') {
+        val v = new StringBuilder
+        ci += 1
+        var depth = 1
+        while (ci < body.length && depth > 0) {
+          val c = body.charAt(ci)
+          if (c == '\\' && ci + 1 < body.length) {
+            v.append(body.charAt(ci + 1)); ci += 2
+          } else {
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            if (depth > 0) v.append(c)
+            ci += 1
+          }
+        }
+        require(depth == 0, "unterminated '(' string literal")
+        lifted.append(" \u0000" + strings.size + " ")
+        strings += v.toString
+      } else { lifted.append(body.charAt(ci)); ci += 1 }
+    }
+    // text-block state (round 19): BT…ET parses into ONE ShowText op so
+    // the rasterizer paints it in stream order (under the clip/color
+    // state at paint time). The envelope models no glyph metrics, so a
+    // run's origin must be explicit — Tm (translation), Td, T*/TL — and
+    // consecutive Tj without repositioning fails loudly.
+    var inText = false
+    var positioned = true // Tm identity default: origin (0,0) is defined
+    var leading = 0.0
+    var lineX = 0.0
+    var lineY = 0.0
+    var pendingName: Option[String] = None
+    var pendingString: Option[String] = None
+    var runs: scala.collection.mutable.ArrayBuffer[(Double, Double, String)] =
+      null
     // dash-array operand state: `[` … `]` collects numbers into lastArray
     // for the next `d`. `[`/`]` are PDF delimiters that may abut numbers
     // ("[3 2]0 d" is legal) — pad them into their own tokens first.
     var arrayStart = -1
     var lastArray: Option[Seq[Double]] = None
-    body.replace("[", " [ ").replace("]", " ] ")
+    lifted.toString.replace("[", " [ ").replace("]", " ] ")
       .split("\\s+").filter(_.nonEmpty).foreach {
       case t if t.matches("[-+]?[0-9]*\\.?[0-9]+") => stack += t.toDouble
       case "[" =>
@@ -774,6 +853,50 @@ object MiniPdf {
         // only numbers may appear inside an array operand — executing an
         // operator mid-array would consume the array's numbers as its own
         sys.error(s"operator '$op' inside a '[' … ']' array operand")
+      // ---- text block grammar (round 19) ----
+      case "BT" =>
+        require(!inText, "nested 'BT'")
+        inText = true
+        runs = scala.collection.mutable.ArrayBuffer()
+        leading = 0.0; lineX = 0.0; lineY = 0.0; positioned = true
+        pendingName = None; pendingString = None
+      case "ET" =>
+        require(inText, "'ET' with no matching 'BT'")
+        require(pendingString.isEmpty, "dangling string operand at 'ET'")
+        out += ShowText(runs.toSeq)
+        inText = false
+      case t if t.startsWith("\u0000") =>
+        require(inText, "string literal outside BT…ET")
+        require(pendingString.isEmpty, "two string operands before 'Tj'")
+        pendingString = Some(strings(t.drop(1).toInt))
+      case t if inText && t.startsWith("/") => pendingName = Some(t)
+      case "Tf" if inText =>
+        val Seq(size) = popN(1, "Tf")
+        require(pendingName.isDefined, "'Tf' needs a font name operand")
+        require(size > 0, s"non-positive font size $size")
+        pendingName = None
+      case "TL" if inText => val Seq(l) = popN(1, "TL"); leading = l
+      case "Tm" if inText =>
+        val Seq(a, b, c, d, e, f) = popN(6, "Tm")
+        require(a == 1 && b == 0 && c == 0 && d == 1,
+          s"text matrix [$a $b $c $d] is not a pure translation — a " +
+            "scaled/rotated glyph grid has no defined stipple raster")
+        lineX = e; lineY = f; positioned = true
+      case "Td" if inText =>
+        val Seq(dx, dy) = popN(2, "Td")
+        lineX += dx; lineY += dy; positioned = true
+      case "T*" if inText => lineY -= leading; positioned = true
+      case "Tj" if inText =>
+        require(pendingString.isDefined, "'Tj' needs a string operand")
+        require(positioned,
+          "consecutive 'Tj' without repositioning — the glyph advance " +
+            "is font-metric state this renderer does not model; " +
+            "reposition with Tm/Td/T*")
+        runs += ((lineX, lineY, pendingString.get))
+        pendingString = None; positioned = false
+      case op if inText =>
+        sys.error(s"operator '$op' inside BT…ET — only Tf/TL/Tm/Td/T*/Tj " +
+          "have a defined raster in the text envelope")
       case "m" => val Seq(x, y) = popN(2, "m")
         out += MoveTo(x.toInt, y.toInt)
       case "l" => val Seq(x, y) = popN(2, "l")
@@ -818,9 +941,11 @@ object MiniPdf {
       case "W*" => out += ClipEvenOdd
       case "n" => out += EndPath
       case other => sys.error(s"path-page operator '$other' outside the " +
-        "m/l/h/re/c/v/y/f/f*/S/n/rg/RG/cm/q/Q/W/W*/w/d/J/j/M envelope — " +
+        "m/l/h/re/c/v/y/f/f*/S/n/rg/RG/cm/q/Q/W/W*/w/d/J/j/M/BT…ET " +
+        "envelope — " +
         "no defined raster")
     }
+    require(!inText, "unterminated 'BT' — no closing 'ET'")
     require(stack.isEmpty, s"dangling operands ${stack.mkString(",")}")
     require(arrayStart < 0, "unterminated '[' array operand")
     require(lastArray.isEmpty,
@@ -1014,18 +1139,29 @@ object MiniPdf {
         on
       }
       // cap half-plane clips for the CURRENT subpath (§8.4.3.3: butt and
-      // round caps must not let the stroke body extend past the endpoint's
-      // perpendicular; projecting-square keeps the full stamp). A plane is
-      // only consulted within Chebyshev 2r+1 of its anchor, so a subpath
-      // looping back near its own endpoint is never clipped away from the
-      // cap region itself.
-      var capPlanes: List[(Int, Int, Double, Double)] = Nil
-      def capOk(x: Int, y: Int): Boolean =
-        capPlanes.forall { case (ax, ay, ux, uy) =>
-          val dx = x - ax; val dy = y - ay
+      // round caps must not let the TERMINAL stamps extend past the
+      // endpoint's perpendicular; projecting-square keeps the full
+      // stamp). A plane applies only to stamps emitted within 2r+1 PATH
+      // units of its own end of the subpath — by EMISSION index, not
+      // spatial proximity (round 19): a subpath looping back past an
+      // endpoint's perpendicular keeps its legitimate stroke-body pixels,
+      // which the round-18 spatial-window form erased. Within the
+      // terminal window the Chebyshev guard and the half-plane test are
+      // unchanged, so non-reentrant paths raster pixel-identically.
+      var capStartP: (Int, Int, Double, Double) = null
+      var capEndP: (Int, Int, Double, Double) = null
+      var emitIdx = 0
+      var totalPix = 0
+      def capOk(x: Int, y: Int): Boolean = {
+        def ok(p: (Int, Int, Double, Double)): Boolean = {
+          val dx = x - p._1; val dy = y - p._2
           math.max(math.abs(dx), math.abs(dy)) > 2 * r + 1 ||
-            dx * ux + dy * uy <= 0.25
+            dx * p._3 + dy * p._4 <= 0.25
         }
+        (capStartP == null || emitIdx > 2 * r + 1 || ok(capStartP)) &&
+        (capEndP == null || emitIdx < totalPix - 1 - (2 * r + 1) ||
+          ok(capEndP))
+      }
       // disc = round stamp (round caps / round+bevel joins): the integer
       // disc dx²+dy² ≤ r², same diameter as the square brush
       def stamp(cx: Int, cy: Int, disc: Boolean, isCapDisc: Boolean): Unit = {
@@ -1066,6 +1202,7 @@ object MiniPdf {
             stamp(x, y, disc = joinDisc && vertexPx.contains(pxKey(x, y)),
               isCapDisc = false)
           dist += 1.0
+          emitIdx += 1
           havePrev = true; prevX = x; prevY = y
         }
       }
@@ -1172,8 +1309,16 @@ object MiniPdf {
             .foreach { i => vertexPx.add(pxKey(ipts(i)._1, ipts(i)._2)) }
         // cap planes: open subpaths only; anchored at the int endpoint
         // pixels with the outward direction from the nearest DISTINCT
-        // neighbor (an all-one-pixel subpath is a dot — no cap direction)
-        capPlanes = Nil
+        // neighbor (an all-one-pixel subpath is a dot — no cap direction).
+        // emitIdx/totalPix drive the terminal emission windows: Bresenham
+        // emits exactly Chebyshev(a,b) new pixels per segment after the
+        // shared-vertex dedup, plus the subpath's first pixel.
+        capStartP = null; capEndP = null
+        emitIdx = 0
+        totalPix = 1 + (0 until n - 1).map { i =>
+          math.max(math.abs(ipts(i + 1)._1 - ipts(i)._1),
+            math.abs(ipts(i + 1)._2 - ipts(i)._2))
+        }.sum
         if (!closed && r > 0 && lineCap != 2 && n >= 2) {
           def outward(anchor: (Int, Int), from: Option[(Int, Int)])
               : Option[(Int, Int, Double, Double)] = from.flatMap { f =>
@@ -1183,9 +1328,9 @@ object MiniPdf {
             if (l < 1e-9) None
             else Some((anchor._1, anchor._2, dx / l, dy / l))
           }
-          capPlanes =
-            (outward(ipts.head, ipts.find(_ != ipts.head)) ++
-              outward(ipts.last, ipts.reverse.find(_ != ipts.last))).toList
+          capStartP = outward(ipts.head, ipts.find(_ != ipts.head)).orNull
+          capEndP =
+            outward(ipts.last, ipts.reverse.find(_ != ipts.last)).orNull
         }
         // dash decision each vertex pixel received when it was emitted —
         // caps and joins paint only where the pattern is ON (§8.4.3.6)
@@ -1211,7 +1356,7 @@ object MiniPdf {
         // miter tips (join style 0): acute interior vertices, plus the
         // two wrap vertices of a closed subpath
         if (lineJoin == 0 && r > 0 && n >= 3) {
-          capPlanes = Nil // joins are never cap-clipped
+          capStartP = null; capEndP = null // joins are never cap-clipped
           var j = 1
           while (j < n - 1) {
             miterSpike(ipts(j - 1), ipts(j), ipts(j + 1), vertexOn(j))
@@ -1339,6 +1484,46 @@ object MiniPdf {
       case EndPath =>
         flushOpen(false)
         finishPaint()
+      // text through the CURRENT clip mask and fill color (round 19 —
+      // the text-inside-path-clip envelope notch): the same 5×7 stipple
+      // geometry as renderTextPage, anchored per run at the CTM-mapped
+      // baseline origin, so a pure-text page rasters byte-identically
+      // through this path and a clipped run paints exactly the masked
+      // subset of its unclipped pixels
+      case ShowText(runs) =>
+        noPendingClip("BT")
+        require(ctm._1 == 1.0 && ctm._2 == 0.0 &&
+            ctm._3 == 0.0 && ctm._4 == 1.0,
+          s"text under a scaled/rotated CTM [${ctm._1} ${ctm._2} " +
+            s"${ctm._3} ${ctm._4}] — the stipple glyph grid only " +
+            "translates; no defined raster")
+        runs.foreach { case (ux, uy, s) =>
+          val (ox, oy) = tx(ux, uy)
+          val x0base = math.round(ox).toInt
+          val baseRow = h - math.round(oy).toInt // image row of baseline
+          var k = 0
+          while (k < s.length) {
+            val c = s.charAt(k)
+            if (c != ' ') {
+              var gr = 0
+              while (gr < 7) {
+                var gc = 0
+                while (gc < 5) {
+                  val bit = ((c.toInt * 2654435761L + gr * 40503L +
+                    gc * 9973L) >>> 13) & 1L
+                  val px = x0base + k * 7 + gc
+                  val py = baseRow - 7 + gr
+                  if (bit == 1L && px >= 0 && px < w && py >= 0 &&
+                      py < h && (clipMask == null || clipMask(py * w + px)))
+                    img.setRGB(px, py, fillRgb)
+                  gc += 1
+                }
+                gr += 1
+              }
+            }
+            k += 1
+          }
+        }
     }
     // a trailing W with no painting operator never resolved — an invalid
     // stream a viewer rejects; silently discarding it would render a page

@@ -936,4 +936,103 @@ class PdfPagesSpec extends SparkSuite {
       Seq(SetLineWidth(3), MoveTo(2, 10), LineTo(12, 10), Stroke), 24, 24)),
       "Q must restore cap/join/miter state")
   }
+
+  // ------------------------------------------- text in the path raster (r19)
+
+  private def inkSetWH(png: Array[Byte], w: Int, h: Int,
+                       rgb: Int = 0): Set[(Int, Int)] = {
+    val img = pixelsOf(png)
+    (for (y <- 0 until h; x <- 0 until w
+          if (img.getRGB(x, y) & 0xffffff) == rgb)
+      yield (x, h - 1 - y)).toSet
+  }
+
+  test("MiniPdf text: a pure-text page rasters byte-identically through " +
+    "the unified path rasterizer; BT…ET parses into one ShowText") {
+    import MiniPdf._
+    val lines = Seq("Invoice 42 (final)", "total: 17.50")
+    val pdf = writePages(Seq(TextPage(lines, 200, 120)))
+    // the renderer seam now routes EVERY non-image page through
+    // renderPathPage; the glyph stipples must land byte-equal to the
+    // dedicated text raster
+    assert(java.util.Arrays.equals(pdfImageRenderer("d", 1, pdf),
+      renderTextPage(lines, 200, 120)),
+      "unified raster must equal renderTextPage byte-for-byte")
+    // and the parse is exact: writer Tm origin (72, h-72), TL 14 → one
+    // run per line, escapes undone
+    assert(extractPagePathOps(pdf, 1) == Seq(ShowText(Seq(
+      (72.0, 48.0, lines(0)), (72.0, 34.0, lines(1))))))
+  }
+
+  test("MiniPdf text under an active path clip: glyphs stamp through the " +
+    "mask — the last envelope notch, now a defined raster") {
+    import MiniPdf._
+    val run = ShowText(Seq((10.0, 20.0, "HXHXHX")))
+    val u = inkSetWH(renderPathPage(Seq(run), 80, 40), 80, 40)
+    val c = inkSetWH(renderPathPage(
+      Seq(Rect(10, 13, 14, 10), Clip, EndPath, run), 80, 40), 80, 40)
+    // clip region x∈[10,24), y∈[13,23) cuts the glyph boxes on both
+    // axes: clipped ink must be EXACTLY the unclipped ink ∩ region
+    val expect = u.filter { case (x, y) =>
+      x >= 10 && x < 24 && y >= 13 && y < 23 }
+    assert(c.nonEmpty && c != u && c == expect,
+      s"clipped=$c\nexpected=$expect")
+    // a mixed fill+clip+text page round-trips through a REAL PDF and
+    // renders identically through the seam
+    val ops = Seq(FillColor(0xff0000), Rect(0, 0, 5, 5), Fill,
+      Rect(10, 13, 14, 10), Clip, EndPath, run)
+    val pdf = writePages(Seq(PathPage(ops, 80, 40)))
+    assert(extractPagePathOps(pdf, 1) == ops,
+      "mixed content stream must round-trip exactly")
+    assert(java.util.Arrays.equals(pdfImageRenderer("d", 1, pdf),
+      renderPathPage(ops, 80, 40)))
+    // text color is the FILL color, and q/Q restores it for text too
+    val red = inkSetWH(renderPathPage(
+      Seq(FillColor(0xff0000), run), 80, 40), 80, 40, rgb = 0xff0000)
+    assert(red == u, "text must paint with the current fill color")
+  }
+
+  test("MiniPdf text envelope: loud failures — path op inside BT, " +
+    "consecutive Tj, non-translation Tm, rotated CTM, W-gated text") {
+    import MiniPdf._
+    assert(intercept[RuntimeException] {
+      parsePathOps("BT 10 10 m ET") }.getMessage.contains("inside BT"))
+    assert(intercept[RuntimeException] {
+      parsePathOps("BT (a) Tj (b) Tj ET") }
+      .getMessage.contains("repositioning"))
+    assert(intercept[RuntimeException] {
+      parsePathOps("BT 2 0 0 2 5 5 Tm ET") }
+      .getMessage.contains("translation"))
+    assert(intercept[RuntimeException] {
+      parsePathOps("BT (x) Tj") }.getMessage.contains("unterminated 'BT'"))
+    assert(intercept[RuntimeException] {
+      parsePathOps("(x) Tj") }.getMessage.contains("outside BT"))
+    val e = intercept[RuntimeException] {
+      renderPathPage(Seq(Concat(0, 1, -1, 0, 0, 0),
+        ShowText(Seq((5.0, 5.0, "x")))), 20, 20) }
+    assert(e.getMessage.contains("scaled/rotated CTM"))
+    // §8.5.4 strictness: text between W and its resolving paint is loud
+    val e2 = intercept[RuntimeException] {
+      renderPathPage(Seq(Rect(0, 0, 10, 10), Clip,
+        ShowText(Seq((5.0, 5.0, "x")))), 20, 20) }
+    assert(e2.getMessage.contains("painting"))
+  }
+
+  test("MiniPdf PathPage caps: a subpath looping back past an endpoint's " +
+    "perpendicular keeps its stroke-body pixels (emission-window planes)") {
+    import MiniPdf._
+    // width 5 (r=2), butt caps: start (10,10) heading +x, the subpath
+    // returns at y=14 and crosses LEFT of the start perpendicular inside
+    // the old spatial window — body pixels the round-18 form erased
+    val ops = Seq(SetLineWidth(5), MoveTo(10, 10), LineTo(30, 10),
+      LineTo(30, 14), LineTo(4, 14), Stroke)
+    val ink = strokeBlack(ops, 40)
+    for (x <- 5 to 9)
+      assert(ink((x, 14)),
+        s"loop-back body pixel ($x,14) erased by the start-cap plane")
+    // the TERMINAL stamps still honor the butt plane: nothing paints
+    // left of the start perpendicular on the start segment's own rows
+    for (x <- 5 to 9; y <- 8 to 11)
+      assert(!ink((x, y)), s"butt-cap leak at ($x,$y)")
+  }
 }
