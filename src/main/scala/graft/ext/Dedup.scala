@@ -222,13 +222,17 @@ object Dedup {
   def minhashLshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
                            n: Int = 3): DataFrame = {
     require(k % bands == 0, "band width must divide signature length")
-    val rows = k / bands
-    val sig = minhashSignatures(docs, k, n)
-    val banded = sig.select(
+    // one-pass codegen'd band signatures (round 19): the per-column
+    // formulation (16 × array_min(transform(shingle_codes))) was inlined
+    // by CollapseProject/InferFiltersFromGenerate into every consumer AND
+    // into a pushed scan filter — ~50 shingle_codes evaluations per row
+    // (see [[graft.functions.MinhashBandSigs]]; bit-parity spec'd there).
+    // The kernel's empty array for sub-n docs makes posexplode drop them,
+    // exactly like the previous size(codes) > 0 filter.
+    val banded = docs.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "band_sig")))
+      posexplode(graft.functions.MinhashBandSigs
+        .bandSigsCol(col("text"), n, k, bands)).as(Seq("band", "band_sig")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -404,14 +408,14 @@ object Dedup {
       newDocs: DataFrame, corpus: DataFrame, k: Int, bands: Int, n: Int,
       minJaccard: Double): DataFrame = {
     require(k % bands == 0, "band width must divide signature length")
-    val rows = k / bands
+    // one-pass codegen'd band signatures (round 19, the
+    // minhashLshCandidates rewrite — see [[graft.functions.MinhashBandSigs]])
     def banded(docs: DataFrame): DataFrame =
-      minhashSignatures(docs, k, n).select(
+      docs.select(
         col("doc_id"),
-        posexplode(array((0 until bands).map { b =>
-          concat_ws("_",
-            (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
-        }: _*)).as(Seq("band", "band_sig")))
+        posexplode(graft.functions.MinhashBandSigs
+          .bandSigsCol(col("text"), n, k, bands))
+          .as(Seq("band", "band_sig")))
     val cands = banded(newDocs).as("x").join(banded(corpus).as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig"))
@@ -461,27 +465,24 @@ object Dedup {
   def buildBandIndex(corpus: DataFrame, k: Int = 16, bands: Int = 4,
                      n: Int = 3): DataFrame = {
     require(k % bands == 0, "band width must divide signature length")
-    val rows = k / bands
-    val sigCols = (0 until k).map { j =>
-      array_min(transform(col("codes"),
-        s => pmod(lit(minhashA(j)) * s + lit(minhashB(j)), lit(MinhashP))))
-        .as(s"mh_$j")
-    }
     // the index GEOMETRY (k/bands/n) rides as column metadata — Spark
     // persists field metadata through parquet (the row.metadata footer),
     // so [[minhashNewVsIndex]] can fail loudly when probed with
     // mismatched parameters instead of silently matching zero bands
     val geom = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("k", k).putLong("bands", bands).putLong("n", n).build()
+    // round 19: band_sigs via the one-pass codegen kernel (bit-parity
+    // spec'd in MinhashKernelSpec), and the shingle-presence filter as a
+    // cheap length() predicate — length(text) ≥ n ⟺ size(codes) > 0 (the
+    // kernel and ShingleCodes count the same code points; null → null →
+    // dropped either way). The previous size(codes) > 0 form was pushed
+    // into the parquet scan WITH the whole shingle_codes tree inlined,
+    // re-evaluating it per row per consumer.
     corpus
-      .select(col("doc_id"), shingleCodes(col("text"), n).as("codes"))
-      .filter(size(col("codes")) > 0)
-      .select(col("doc_id") +: col("codes") +: sigCols: _*)
-      .select(col("doc_id"), col("codes"),
-        array((0 until bands).map { b =>
-          concat_ws("_",
-            (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
-        }: _*).as("band_sigs", geom))
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), shingleCodes(col("text"), n).as("codes"),
+        graft.functions.MinhashBandSigs.bandSigsCol(col("text"), n, k, bands)
+          .as("band_sigs", geom))
   }
 
   /** The admission gate against a PERSISTED [[buildBandIndex]] frame —
