@@ -48,17 +48,52 @@ object Pin {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined)
       df.checkpoint()
-    else synchronized {
+    else {
       // localCheckpoint (eager) registers its block-backed RDD in the
       // context's persistent-RDD registry inside the call — the id diff
-      // identifies exactly the pin's blocks, never a caller's .cache()
-      val before = sc.getPersistentRDDs.keySet
+      // identifies the pin's blocks, never a caller's .cache(). The
+      // materialization itself runs OUTSIDE the lock (round 19) so that
+      // independent pins taken from [[parallel]]'s driver threads overlap
+      // instead of serializing on this object's monitor; concurrent diffs
+      // can only OVER-attribute an id to more than one window (harmless —
+      // `tracked` is one per-context set and [[release]] drops it whole),
+      // never miss one (every pin's own id lands inside its own window).
+      val before = synchronized { sc.getPersistentRDDs.keySet }
       val out = df.localCheckpoint()
-      val ids = tracked.computeIfAbsent(
-        sc, _ => scala.collection.mutable.Set.empty[Int])
-      ids ++= (sc.getPersistentRDDs.keySet -- before)
+      synchronized {
+        val ids = tracked.computeIfAbsent(
+          sc, _ => scala.collection.mutable.Set.empty[Int])
+        ids ++= (sc.getPersistentRDDs.keySet -- before)
+      }
       out
     }
+  }
+
+  /** Construct and pin several INDEPENDENT frames concurrently — the
+    * guide-§2.6 "overlap independent jobs" pattern for multi-leg operators
+    * (q260's three edge producers): each builder runs on its own driver
+    * thread, so one leg's stage tail back-fills cores the others freed,
+    * instead of the legs' eager pin jobs running strictly one after
+    * another. Results are positionally aligned with `builders` and
+    * bit-identical to sequential construction (the scheduler interleaves
+    * TASKS, never changes them); a failed builder rethrows its cause.
+    */
+  def parallel(builders: Seq[() => DataFrame]): Seq[DataFrame] = {
+    if (builders.sizeIs <= 1) return builders.map(b => apply(b()))
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(builders.size)
+    try {
+      val futs = builders.map(b => pool.submit(
+        new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = Pin(b())
+        }))
+      futs.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
   }
 
   /** Unpersist every pinned block taken ON THIS CONTEXT since its last

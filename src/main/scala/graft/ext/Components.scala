@@ -218,7 +218,11 @@ object Components {
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .transform(graft.Pin.apply)
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // pinned (round 19): deg is consumed by the rank init, by every
+    // iteration's edge join, by each iteration's broadcast nDf build and
+    // by the final readout join — unpinned, each consumer re-shuffled the
+    // edge list to re-derive the same per-node counts
+    val deg = graft.Pin(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nDf = deg.agg(count(lit(1)).as("cnt"))
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(1.0) / col("cnt")).as("rank"))
@@ -319,13 +323,21 @@ object Components {
       // frontier and settled set are node-sized fractions — broadcast both
       // so each round is map-side against the partitioned edge list (no
       // edge shuffle per round)
-      val next = sym.as("e")
+      // Pin each hop's frontier (round 19): the two broadcast builds of
+      // hop h re-EXECUTED hop h−1's whole subtree (and `dist`, a union of
+      // every prior frontier, re-executed all of them), so the expand/
+      // anti-join work multiplied ~2–3× per hop — StageAudit measured the
+      // fallout as a 3.8–20.6 s solo spread at sf0.1 where one pinned
+      // pass is sub-second. The iterative-operator Pin discipline
+      // ([[connectedComponents]], [[pageRank]]) applied to BFS; values
+      // are bit-identical (Pin is a materialization barrier only).
+      val next = graft.Pin(sym.as("e")
         .join(broadcast(frontier.select(col("node")).as("f")),
           col("f.node") === col("e.src"))
         .select(col("e.dst").as("node"), lit(h.toLong).as("dist"))
         .distinct()
         .join(broadcast(dist.select(col("node").as("__seen"))),
-          col("node") === col("__seen"), "left_anti")
+          col("node") === col("__seen"), "left_anti"))
       frontier = next
       dist = dist.union(next)
     }

@@ -1130,20 +1130,26 @@ object Dedup {
                        minJaccard: Double = 0.55, maxDist: Int = 16,
                        dim: Int = 64, bits: Int = 8,
                        minCos: Double = 0.15): DataFrame = {
-    val text = minhashNearDupEdges(docs, k, bands, n, minJaccard)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("m"))
-    val image = dhashNearDupEdges(docs, maxDist)
-      .select(col("doc_a"), col("doc_b"), lit(2L).as("m"))
-    val embed = Similarity.lshNearPairEdges(emb, dim, bits, minCos)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
-        lit(4L).as("m"))
     // pinned: the three legs are the expensive subtrees (full-corpus
     // minhash, dHash and LSH band joins); both consumers below — the
     // modality mask and the CC closure inside canonicalMapping — would
     // otherwise each re-derive all three (the mask copy runs inside a
     // broadcast build, where StageAudit measured it as the single largest
-    // stage of q260)
-    val edges = graft.Pin(text.unionByName(image).unionByName(embed))
+    // stage of q260). Round 19: the legs are INDEPENDENT pipelines, so
+    // they construct and pin CONCURRENTLY (guide §2.6 — each leg's stage
+    // tail back-fills cores the others freed; sequential eager pins left
+    // the suite's q260 wall at the SUM of the legs). The union of the
+    // three pinned legs needs no fourth pin: consumers re-read
+    // materialized blocks.
+    val Seq(text, image, embed) = graft.Pin.parallel(Seq(
+      () => minhashNearDupEdges(docs, k, bands, n, minJaccard)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("m")),
+      () => dhashNearDupEdges(docs, maxDist)
+        .select(col("doc_a"), col("doc_b"), lit(2L).as("m")),
+      () => Similarity.lshNearPairEdges(emb, dim, bits, minCos)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+          lit(4L).as("m"))))
+    val edges = text.unionByName(image).unionByName(embed)
     val mask = edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
         col("m"))
