@@ -1423,6 +1423,14 @@ object SparkEntry {
           docs.filter(col("doc_id") >= 50 &&
             pmod(col("doc_id"), lit(3L)) === b))
         .reduce(_ unionByName _)
+        // round 19 (guide §2.5 input parallelism): the 3 single-file
+        // filter slices union to 3 partitions, so the whole map-side gate
+        // (per-row signatures + band probe + exact verify) ran on 3 of 32
+        // cores — StageAudit measured the save stage at 3 tasks / 8.4 s
+        // CPU. Explicit-count hash repartition (AQE-coalesce-exempt)
+        // spreads the replay; the gate is per-row deterministic, so the
+        // layout cannot change a single output value.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       streaming.StreamOps.dedupGateStream(arrivals, corpus)
     }),
     // leakage-safe split (round 16): whole near-dup clusters assigned to

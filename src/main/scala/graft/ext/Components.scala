@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Pinned symmetrization of a two-column edge list — the one shape every
+    * graph operator here starts from. Round 19: the previous inline
+    * `edges.union(edges.flipped).distinct()` re-EXECUTED the caller's
+    * whole edge-producing subtree once per union branch (for the near-dup
+    * consumers that is the full band join + exact-verify pipeline —
+    * StageAudit measured q264's sym materialization at 43.2 s executor CPU,
+    * exactly 2× its verify cost, in one 64-task stage). Pinning the edge
+    * list FIRST makes both branches read materialized blocks; the
+    * symmetrized frame is then pinned as before for the iterative
+    * consumers. Values are bit-identical (Pin is a barrier only).
+    */
+  private def pinnedSym(edges: DataFrame): DataFrame = {
+    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
+    val e = graft.Pin(edges.select(col(aCol).as("src"), col(bCol).as("dst")))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(graft.Pin.apply)
+  }
+
   /** @param edges two-column DataFrame of undirected pairs
     * @param localSolveMaxEdges adaptive cutover: when the deduplicated
     *        UNDIRECTED edge count (symmetrized rows / 2) is at most this
@@ -39,11 +58,7 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           localSolveMaxEdges: Long = 100000L): DataFrame = {
-    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .transform(graft.Pin.apply)
+    val sym = pinnedSym(edges)
 
     // sym is already materialized (eager localCheckpoint), so this count is a
     // metadata-cheap scan of cached blocks, not a recomputation
@@ -213,11 +228,7 @@ object Components {
     */
   def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,
                roundDp: Int = 9): DataFrame = {
-    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .transform(graft.Pin.apply)
+    val sym = pinnedSym(edges)
     // pinned (round 19): deg is consumed by the rank init, by every
     // iteration's edge join, by each iteration's broadcast nDf build and
     // by the final readout join — unpinned, each consumer re-shuffled the
@@ -308,11 +319,7 @@ object Components {
     */
   def kHopDistances(edges: DataFrame, sources: DataFrame,
                     maxHops: Int = 4): DataFrame = {
-    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .transform(graft.Pin.apply)
+    val sym = pinnedSym(edges)
     val src0 = sources.select(sources.columns.head).toDF("node")
     var dist = src0.select(col("node"), lit(0L).as("dist"))
     var frontier = dist
@@ -353,11 +360,7 @@ object Components {
     * (the standard refinement) — the join shape is unchanged by it.
     */
   def linkPrediction(edges: DataFrame): DataFrame = {
-    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .transform(graft.Pin.apply)
+    val sym = pinnedSym(edges)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val wedges = sym.select(col("src").as("z"), col("dst").as("a"))
       .join(sym.select(col("src").as("z"), col("dst").as("b")), "z")
@@ -385,10 +388,7 @@ object Components {
     * rather than max degree; the join shape below is unchanged by it.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val Seq(aCol, bCol) = edges.columns.toSeq.take(2)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    val sym = pinnedSym(edges)
     val canon = sym.filter(col("src") < col("dst")).transform(graft.Pin.apply)
     val tri = canon.select(col("src").as("a"), col("dst").as("b"))
       .join(canon.select(col("src").as("b"), col("dst").as("c")), "b")

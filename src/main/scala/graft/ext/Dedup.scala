@@ -326,9 +326,11 @@ object Dedup {
     // width (user repartitions are AQE-coalesce-exempt, the q206/IVF
     // amplification discipline).
     val dp = docs.sparkSession.sparkContext.defaultParallelism
-    val codes = docs.select(col("doc_id"),
-      shingleCodes(col("text"), n).as("codes"))
-      .filter(size(col("codes")) > 0)
+    // length(text) ≥ n ⟺ size(codes) > 0 (round 19): the size() form was
+    // pushed down WITH the whole shingle_codes tree inlined, re-running
+    // the kernel 3× per row (scan filter + FilterExec + project)
+    val codes = docs.filter(length(col("text")) >= n)
+      .select(col("doc_id"), shingleCodes(col("text"), n).as("codes"))
     minhashLshCandidates(docs, k, bands, n)
       .repartition(dp, col("doc_a"))
       .join(codes.select(col("doc_id").as("doc_a"),
@@ -429,8 +431,10 @@ object Dedup {
     // one verify shape shared with minhashNearDupsDistinct and
     // minhashNewVsIndex) — integer-identical to the shingle equi-join
     def codesOf(docs: DataFrame): DataFrame = docs
+      // length form for the same reason as minhashNearDupsDistinct's
+      // codes frame (kernel would otherwise inline into the pushed filter)
+      .filter(length(col("text")) >= n)
       .select(col("doc_id"), shingleCodes(col("text"), n).as("codes"))
-      .filter(size(col("codes")) > 0)
     cands
       .join(codesOf(newDocs).select(col("doc_id").as("new_id"),
         col("codes").as("codes_n")), "new_id")
