@@ -153,7 +153,11 @@ object SparkEntry {
         col("doc_id") % 20 === 0, n = 3, flagAt = 0.5)),
     // Gopher-style repetition quality signals — pure per-row expressions
     "q51_repetition" -> ((s: SparkSession, d: String) =>
-      ext.Curation.repetitionSignals(Tables.documents(s, d))),
+      // Spread.ifNarrow on the map-heavy text inputs (round 19): the
+      // per-row kernel otherwise runs on the single-file scan's one
+      // partition (bench-measured wins; no-op on already-parallel inputs)
+      ext.Curation.repetitionSignals(
+        Spread.ifNarrow(Tables.documents(s, d), col("doc_id")))),
     // CCNet-style sub-document exact dedup on 8-token chunks
     "q52_chunk_dedup" -> ((s: SparkSession, d: String) =>
       ext.Curation.chunkDedup(Tables.documents(s, d), chunkTokens = 8)),
@@ -585,7 +589,9 @@ object SparkEntry {
           graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
             .as("zval"))),
     // per-file statistics manifest (the data-skipping metadata a lakehouse
-    // table format maintains) via input_file_name grouping
+    // table format maintains) via input_file_name grouping — a scan-stage
+    // expression, so this query must stay a bare table scan (no Spread/
+    // repartition above it: input_file_name() is "" past an exchange)
     "q92_file_manifest" -> ((s: SparkSession, d: String) =>
       Tables.lineitem(s, d)
         .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
@@ -652,7 +658,8 @@ object SparkEntry {
           (col("doc_id") % 256).cast("string"), lit("."),
           ((col("doc_id") * 7) % 256).cast("string")))
           .otherwise(lit("")))
-      ext.Safety.piiScorecard(Tables.documents(s, d), aug)
+      ext.Safety.piiScorecard(
+        Spread.ifNarrow(Tables.documents(s, d), col("doc_id")), aug)
     }),
     // C4-style blocklist filter: keep/drop is the exact integer inequality
     // blocked*100 <= pct*total — bit-reproducible across engines
@@ -714,7 +721,8 @@ object SparkEntry {
     // cross-source duplication matrix: shared distinct 3-grams +
     // containment per source pair — the mirror/syndication diagnostic
     "q172_source_overlap" -> ((s: SparkSession, d: String) =>
-      ext.Curation.sourceOverlapMatrix(Tables.documents(s, d), n = 3)),
+      ext.Curation.sourceOverlapMatrix(
+        Spread.ifNarrow(Tables.documents(s, d), col("doc_id")), n = 3)),
     // embedding health audit: bad-dim/NaN/zero-vector counts + exact
     // fixed-point norm² envelope per label
     "q173_embedding_audit" -> ((s: SparkSession, d: String) =>
@@ -997,7 +1005,8 @@ object SparkEntry {
     // half, every doc scored by known-bigram mass — exact integer
     // sufficient statistics, no logs (NOTES parity rule)
     "q203_lm_score" -> ((s: SparkSession, d: String) =>
-      ext.TextStats.lmScore(Tables.documents(s, d),
+      ext.TextStats.lmScore(
+        Spread.ifNarrow(Tables.documents(s, d), col("doc_id")),
         col("doc_id") % 2 === 0)),
     // aspect-ratio bucketing for image batching: exact integer
     // nearest-ratio assignment, per-bucket padding cost vs the
@@ -1017,7 +1026,8 @@ object SparkEntry {
     // positions whose 20-gram repeats corpus-wide, merged to maximal
     // per-doc spans — the span-dedup complement of the doc-level family
     "q206_repeated_spans" -> ((s: SparkSession, d: String) =>
-      ext.Dedup.repeatedSpans(Tables.documents(s, d), l = 20)),
+      ext.Dedup.repeatedSpans(
+        Spread.ifNarrow(Tables.documents(s, d), col("doc_id")), l = 20)),
     // GPT-style fixed-context layout: distributed prefix sum of doc
     // stream offsets, window-fragmentation histogram (c = 512 so
     // multi-doc windows demonstrably occur on the short synthetic docs)
@@ -1100,7 +1110,8 @@ object SparkEntry {
     // mass, merged spans, sentinel-aware input/target lengths, exact
     // mask fingerprint
     "q219_span_corruption" -> ((s: SparkSession, d: String) =>
-      ext.Transforms.spanCorruption(Tables.documents(s, d))),
+      ext.Transforms.spanCorruption(
+        Spread.ifNarrow(Tables.documents(s, d), col("doc_id")))),
     // dedup shifts the source mixture: per-source shares before/after
     // prefix dedup in exact ppm — the recipe must be re-derived AFTER
     "q220_dedup_impact" -> ((s: SparkSession, d: String) =>
@@ -1232,7 +1243,8 @@ object SparkEntry {
     // docs stay ~N(0,1)
     "q240_watermark_detect" -> ((s: SparkSession, d: String) =>
       ext.TextStats.watermarkDetect(
-        Tables.documents(s, d).withColumn("text",
+        Spread.ifNarrow(Tables.documents(s, d), col("doc_id"))
+          .withColumn("text",
           when(pmod(col("doc_id"), lit(7L)) === 0,
             concat(col("text"), expr("repeat(' wm', 60)")))
             .otherwise(col("text"))),

@@ -111,7 +111,9 @@ object Relational {
     * intra-group order otherwise — SURVEY §7.4.4).
     */
   def q08OrderedQtySeq(spark: SparkSession, d: String): DataFrame =
-    lineitem(spark, d)
+    // Spread.ifNarrow (round 19): the struct-assembly map side otherwise
+    // runs on the single-file scan's one partition (bench 0.76 -> 0.22 s)
+    graft.Spread.ifNarrow(lineitem(spark, d), col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(
         array_join(
@@ -550,7 +552,9 @@ object Relational {
     * same property q68 exercises), never a second pass.
     */
   def q74CorrRegression(spark: SparkSession, d: String): DataFrame =
-    corrRegression(lineitem(spark, d), col("l_returnflag"),
+    corrRegression(
+      graft.Spread.ifNarrow(lineitem(spark, d), col("l_orderkey")),
+      col("l_returnflag"),
       col("l_quantity").cast("decimal(18,0)"),
       round(col("l_extendedprice") * 100, 0).cast("decimal(18,0)"))
 
@@ -1093,9 +1097,16 @@ object Relational {
     // runs on the O(brands/cust) frame, emits each (cust, pair) at most
     // once (no distinct pass), and the row-level purchase history never
     // crosses a second shuffle
+    // explicit-count repartition before the pin (round 19, the
+    // withRepPinned discipline): the span frame's exchange carries few
+    // bytes, so AQE coalesced it to ~6 partitions and the pin froze that
+    // layout — StageAudit measured the (brands/cust)² self-join below on
+    // 8 of 32 cores. Partitioning by cust keeps the join key-local.
     val spans = purchases.groupBy(col("cust"), col("brand"))
       .agg(min(col("odate")).as("first_date"),
         max(col("odate")).as("last_date"))
+      .repartition(purchases.sparkSession.sparkContext.defaultParallelism,
+        col("cust"))
       .transform(graft.Pin.apply)
     val pairs = spans.as("x")
       .join(spans.as("y"), col("x.cust") === col("y.cust")

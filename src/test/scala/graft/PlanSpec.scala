@@ -149,10 +149,15 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q70 hopping / q74 moments: one exchange, map-side partial aggregation") {
-    for (q <- Seq(ext.Sessions.hopping(Tables.events(spark, sf)),
-                  ops.Relational.q74CorrRegression(spark, sf))) {
+    // q74 carries the round-19 Spread.ifNarrow input repair (one extra
+    // hash exchange on a 1-split local scan; a no-op at lake parallelism)
+    // — the OPERATOR contract stays one aggregation exchange with a
+    // map-side partial, asserted via the HashAggregate pair
+    for ((q, maxEx) <- Seq(
+        ext.Sessions.hopping(Tables.events(spark, sf)) -> 1,
+        ops.Relational.q74CorrRegression(spark, sf) -> 2)) {
       val p = plan(q)
-      assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1, p)
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= maxEx, p)
       assert("""\(\d+\) HashAggregate""".r.findAllIn(p).length >= 2, p)
     }
   }
