@@ -199,11 +199,16 @@ class Round9OpsSpec extends SparkSuite {
   }
 
   test("q163/q164 plans: pure per-row pipelines — no join, one exchange") {
-    for (name <- Seq("q163_pii_redact", "q164_blocklist")) {
+    // q163 carries the round-19 Spread.ifNarrow input repair (one extra
+    // hash exchange on a 1-split local scan; a no-op at lake parallelism)
+    // — the OPERATOR contract stays a per-row pipeline into one rollup
+    // aggregation exchange
+    for ((name, maxEx) <- Seq("q163_pii_redact" -> 2,
+        "q164_blocklist" -> 1)) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       assert(!p.contains("Join"), s"$name has a join:\n$p")
-      assert(exchanges(p) == 1,
-        s"$name should shuffle exactly once (final rollup):\n$p")
+      assert(exchanges(p) <= maxEx,
+        s"$name shuffle budget exceeded (rollup + input spread):\n$p")
     }
   }
 
