@@ -955,7 +955,10 @@ object StreamOps {
     * whole-vs-split on the real documents fixture.
     *
     * Scale: the static side is band-keyed (broadcastable when small,
-    * shuffled once when not); per-arriving-doc cost is hashing + one
+    * shuffled once when not) and carries ONLY (band, band_sig, sigs) —
+    * the per-doc code arrays stay on a separate narrow (corpus_id, codes)
+    * frame joined per surviving candidate (round 19; the batch index
+    * gate's round-17 shape). Per-arriving-doc cost is hashing + one
     * keyed lookup + |candidates| exact verifies — independent of stream
     * history length.
     */
@@ -972,7 +975,29 @@ object StreamOps {
         .select(col("doc_id").as(idName), col("codes").as(s"codes_$idName"),
           col("band_sigs").as(s"sigs_$idName"),
           posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
-    val corpusBands = banded(corpus, "corpus_id")
+    // the STATIC side is bands-only (round 19, guide §2.2 shuffle fewer
+    // bytes): the previous shape rode each corpus doc's full distinct-code
+    // array through the bands× explode and the band join — bands× the
+    // index bytes on the join's big side, exactly what minhashNewVsIndex's
+    // round-17 fix removed from the batch gate. Corpus codes re-attach
+    // AFTER the band match + per-pair dedup, via a second stream-STATIC
+    // equi-join on corpus_id (stateless, append-safe) against the narrow
+    // (corpus_id, codes) frame — the verify only ever needs codes for
+    // docs that matched a band. The NEW side keeps its codes inline: a
+    // stream cannot re-join itself statelessly, and the arriving
+    // micro-batch is the small side by construction.
+    val corpusBands =
+      graft.ext.Dedup.buildBandIndex(corpus, k, bands, n)
+        .select(col("doc_id").as("corpus_id"),
+          col("band_sigs").as("sigs_corpus_id"),
+          posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
+    // same rows + same expression as buildBandIndex's codes column (the
+    // length filter ⟺ size(codes) > 0 — see its scaladoc), so the join
+    // below can never drop a band-matched pair
+    val corpusCodes = corpus
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id").as("corpus_id"),
+        graft.ext.Dedup.shingleCodes(col("text"), n).as("codes_corpus_id"))
     banded(newDocs, "new_id")
       .join(corpusBands, Seq("band", "band_sig"))
       // stateless per-pair dedup (a streaming dropDuplicates would grow a
@@ -984,6 +1009,7 @@ object StreamOps {
           element_at(col("sigs_new_id"), j + 1) =!=
             element_at(col("sigs_corpus_id"), j + 1)).otherwise(lit(true))
       }.reduce(_ && _))
+      .join(corpusCodes, "corpus_id")
       .withColumn("inter",
         size(array_intersect(col("codes_new_id"), col("codes_corpus_id")))
           .cast("long"))
